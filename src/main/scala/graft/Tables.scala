@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+/** Central loader for the driver-generated parquet tables.
+  *
+  * The testdata parquet stores timestamps as TIMESTAMP(NANOS), which Spark's
+  * parquet reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` the
+  * column surfaces as LongType nanoseconds, which we floor-divide to integer
+  * microseconds — the same truncation DuckDB applies reading nanos into its
+  * microsecond TIMESTAMP — and materialize as TIMESTAMP_NTZ so both engines
+  * hold identical values and types end-to-end.
+  */
+object Tables {
+
+  /** Nanosecond-timestamp columns per table, normalized to NTZ on load.
+    * (orders.o_orderdate / lineitem.l_shipdate are millis — Spark reads
+    * those natively as TIMESTAMP_NTZ; only events.ts is nanos.) */
+  private val nanosCols: Map[String, Seq[String]] = Map(
+    "events" -> Seq("ts"))
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/$name.parquet")
+    nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+      df.withColumn(c,
+        timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
+    }
+  }
+}

@@ -1,0 +1,168 @@
+package graft.core
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+
+/** Spark-native re-expression of ncagg's unlimited-dimension aggregation
+  * pipeline (reference: /root/reference/ncagg/aggregator.py:54-236 and
+  * /root/reference/ncagg/aggrelist.py:217-315): drop records with invalid
+  * index values, order by the index variable, clip to bounds, drop records
+  * spaced closer than the expected cadence allows, and synthesize fill
+  * records into gaps wider than the cadence tolerance.
+  *
+  * Scale design: the reference streams granule-by-granule through one
+  * process; here every step is a relational transform. Neighbor lookups
+  * (lag/lead of the index value) deliberately avoid a global single
+  * partition sort: rows are windowed within coarse time chunks (default one
+  * day) and chunk-boundary neighbors are recovered with a broadcast join
+  * against a tiny per-chunk summary (one row per chunk — thousands of rows
+  * even at 100 TB). All timestamp arithmetic is integer epoch-microseconds,
+  * never float, so results are deterministic across engines.
+  */
+object TimeSeriesAggregator {
+
+  /** Unlimited-dimension config — the Spark analog of the reference's
+    * dimension config (reference: /root/reference/ncagg/config.py:209-259).
+    *
+    * @param tsCol          index_by column (the reference's index variable)
+    * @param idCol          unique tie-break column for deterministic ordering
+    * @param minStepUs      drop a record closer than this to its predecessor
+    *                       (reference dedup tolerance, aggrelist.py:290-292)
+    * @param nomStepUs      nominal cadence step = 1e6 / expected_cadence hz
+    * @param gapThresholdUs fill gaps wider than this (aggrelist.py:294-303)
+    * @param boundsUs       inclusive [min,max] clip in epoch micros
+    * @param chunkUs        window partitioning granularity (scale knob)
+    */
+  final case class UdimConfig(
+      tsCol: String,
+      idCol: String,
+      minStepUs: Long,
+      nomStepUs: Long,
+      gapThresholdUs: Long,
+      boundsUs: Option[(Long, Long)] = None,
+      chunkUs: Long = 86400000000L)
+
+  /** Internal epoch-microseconds column added by [[withEpochUs]]. */
+  val T = "__t"
+  private val CHUNK = "__chunk"
+
+  /** Add integer epoch-microseconds `__t` derived from the index column.
+    * Cast through TIMESTAMP_LTZ explicitly (the "timestamp" name resolves to
+    * NTZ under spark.sql.timestampType=TIMESTAMP_NTZ); with the session in
+    * UTC the NTZ->LTZ cast is value-preserving. */
+  def withEpochUs(df: DataFrame, tsCol: String): DataFrame =
+    df.withColumn(T, unix_micros(col(tsCol).cast(TimestampType)))
+
+  /** Drop records whose index value is fill/invalid — the reference treats
+    * NaN and non-positive index values as fill (aggrelist.py:253-283). */
+  def filterValid(df: DataFrame, cfg: UdimConfig): DataFrame =
+    withEpochUs(df, cfg.tsCol).filter(col(T).isNotNull && col(T) > 0L)
+
+  /** Clip to the inclusive index bounds (reference aggregator.py:137-212;
+    * a plain range predicate, pushed down to the parquet scan). */
+  def clipBounds(df: DataFrame, cfg: UdimConfig): DataFrame =
+    cfg.boundsUs.fold(df) { case (lo, hi) => df.filter(col(T).between(lo, hi)) }
+
+  private def chunked(df: DataFrame, cfg: UdimConfig): DataFrame =
+    df.withColumn(CHUNK, expr(s"$T div ${cfg.chunkUs}L"))
+
+  /** Global predecessor index value without a global sort: lag within the
+    * time chunk, with the first row of each chunk patched from a broadcast
+    * per-chunk summary (previous chunk's max). */
+  def withPrevT(df: DataFrame, cfg: UdimConfig, out: String = "__prev_t"): DataFrame = {
+    val c = chunked(df, cfg)
+    val w = Window.partitionBy(CHUNK).orderBy(col(T), col(cfg.idCol))
+    val lagged = c.withColumn("__prev_in", lag(col(T), 1).over(w))
+    // One row per chunk; ordering this tiny frame globally is fine at any SF.
+    val wc = Window.orderBy(CHUNK)
+    val prevChunk = c
+      .groupBy(CHUNK).agg(max(T).as("__chunk_last"))
+      .withColumn("__prev_chunk_last", lag(col("__chunk_last"), 1).over(wc))
+      .select(col(CHUNK), col("__prev_chunk_last"))
+    lagged
+      .join(broadcast(prevChunk), Seq(CHUNK), "left")
+      .withColumn(out, coalesce(col("__prev_in"), col("__prev_chunk_last")))
+      .drop("__prev_in", "__prev_chunk_last", CHUNK)
+  }
+
+  /** Global successor index value; mirror of [[withPrevT]]. */
+  def withNextT(df: DataFrame, cfg: UdimConfig, out: String = "__next_t"): DataFrame = {
+    val c = chunked(df, cfg)
+    val w = Window.partitionBy(CHUNK).orderBy(col(T), col(cfg.idCol))
+    val led = c.withColumn("__next_in", lead(col(T), 1).over(w))
+    val wc = Window.orderBy(CHUNK)
+    val nextChunk = c
+      .groupBy(CHUNK).agg(min(T).as("__chunk_first"))
+      .withColumn("__next_chunk_first", lead(col("__chunk_first"), 1).over(wc))
+      .select(col(CHUNK), col("__next_chunk_first"))
+    led
+      .join(broadcast(nextChunk), Seq(CHUNK), "left")
+      .withColumn(out, coalesce(col("__next_in"), col("__next_chunk_first")))
+      .drop("__next_in", "__next_chunk_first", CHUNK)
+  }
+
+  /** Global output record number (the reference's output unlimited-dim
+    * index) without a global sort: rank within chunk + broadcast cumulative
+    * chunk counts. */
+  def withGlobalRowNumber(df: DataFrame, cfg: UdimConfig, out: String): DataFrame = {
+    val c = chunked(df, cfg)
+    val w = Window.partitionBy(CHUNK).orderBy(col(T), col(cfg.idCol))
+    val ranked = c.withColumn("__rk", row_number().over(w))
+    val wc = Window.orderBy(CHUNK).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = c
+      .groupBy(CHUNK).agg(count(lit(1)).as("__n"))
+      .withColumn("__offset", coalesce(sum(col("__n")).over(wc), lit(0L)))
+      .select(col(CHUNK), col("__offset"))
+    ranked
+      .join(broadcast(offsets), Seq(CHUNK), "left")
+      .withColumn(out, col("__offset") + col("__rk"))
+      .drop("__rk", "__offset", CHUNK)
+  }
+
+  /** Cadence dedup: drop a record when its index value is closer than
+    * minStepUs to the previous record's (reference aggrelist.py:285-292
+    * "significantly less than tolerance of cadence, remove value"). */
+  def dedupe(df: DataFrame, cfg: UdimConfig): DataFrame =
+    withPrevT(df, cfg)
+      .filter(col("__prev_t").isNull || col(T) - col("__prev_t") >= cfg.minStepUs)
+      .drop("__prev_t")
+
+  /** Gap fill: for each pair of neighbors spaced wider than gapThresholdUs,
+    * synthesize records at the nominal cadence strictly between them, with
+    * all data columns null-filled (the reference's FillNode,
+    * aggrelist.py:100-189 + 294-303). Adds boolean `__is_fill`. */
+  def gapFill(df: DataFrame, cfg: UdimConfig): DataFrame = {
+    val next = withNextT(df, cfg)
+    val base = next.drop("__next_t").withColumn("__is_fill", lit(false))
+    val dataCols = df.columns.filter(_ != T)
+    val fills = next
+      .filter(col("__next_t").isNotNull &&
+        col("__next_t") - col(T) > cfg.gapThresholdUs)
+      .select(col(T).as("__t0"), col("__next_t"))
+      .withColumn("__n", expr(s"(__next_t - __t0 - 1) div ${cfg.nomStepUs}L"))
+      .filter(col("__n") >= 1L)
+      .select(col("__t0"), explode(expr("sequence(1L, __n)")).as("__k"))
+      .withColumn(T, col("__t0") + col("__k") * lit(cfg.nomStepUs))
+    val fillRows = fills.select(
+      col(T) +:
+        dataCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)) :+
+        lit(true).as("__is_fill"): _*)
+    base.select((T +: dataCols :+ "__is_fill").map(col): _*).unionByName(fillRows)
+  }
+
+  /** The full reference pipeline (reference aggregator.py:36-51 aggregate()):
+    * valid -> clip bounds -> sort -> cadence dedup -> gap fill. Returns the
+    * input columns with the index column regenerated from integer micros
+    * (TIMESTAMP_NTZ for engine portability) plus boolean `is_fill`. */
+  def aggregate(df: DataFrame, cfg: UdimConfig): DataFrame = {
+    val valid = clipBounds(filterValid(df, cfg), cfg).drop(cfg.tsCol)
+    val filled = gapFill(dedupe(valid, cfg), cfg)
+    val dataCols = df.columns.filter(_ != cfg.tsCol)
+    filled
+      .withColumn(cfg.tsCol, timestamp_micros(col(T)).cast(TimestampNTZType))
+      .withColumn("is_fill", col("__is_fill"))
+      .select((cfg.tsCol +: dataCols :+ "is_fill").map(col): _*)
+  }
+}

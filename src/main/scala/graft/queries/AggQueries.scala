@@ -1,0 +1,337 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{Bounds, TimeSeriesAggregator => TSA}
+import graft.core.TimeSeriesAggregator.UdimConfig
+
+/** Group A of SURVEY.md §2: the ncagg-equivalent time-series aggregation
+  * operators over the `events` table, each with a DuckDB oracle twin.
+  *
+  * Correctness-portability rules (SURVEY.md §3): all time arithmetic in
+  * integer epoch-microseconds; decimal-exact sums cast to double once;
+  * identical tie-breaks (event_id) in both engines.
+  */
+object AggQueries {
+
+  def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  def events(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+
+  // Cadence parameters shared between the Spark plans and the oracle SQL.
+  // Semantics knobs, not data-tuned: dedupe events closer than 1 minute,
+  // nominal cadence 1 hour, fill gaps wider than 2 hours.
+  val MinStepUs = 60000000L
+  val NomStepUs = 3600000000L
+  val GapThrUs = 7200000000L
+  val BoundSpec = "T20240105:T20240115"
+  val (boundLoUs, boundHiUs) = Bounds.parse(BoundSpec)
+
+  val cfg: UdimConfig =
+    UdimConfig("ts", "event_id", MinStepUs, NomStepUs, GapThrUs,
+      boundsUs = Some((boundLoUs, boundHiUs)))
+
+  private val ntz = TimestampNTZType
+
+  /** Valid rows with integer micros column __t; base of every oracle CTE. */
+  private val sqlValid =
+    """SELECT epoch_us(ts) AS t, event_id, user_id, event_type, value
+      |FROM events WHERE ts IS NOT NULL AND epoch_us(ts) > 0""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def qAggSort(s: SparkSession, dir: String): DataFrame =
+    TSA.withGlobalRowNumber(TSA.filterValid(events(s, dir), cfg), cfg, "rn")
+      .select(col("rn"), col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+
+  def qAggValid(s: SparkSession, dir: String): DataFrame =
+    TSA.filterValid(events(s, dir), cfg)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  def qAggBounds(s: SparkSession, dir: String): DataFrame =
+    TSA.clipBounds(TSA.filterValid(events(s, dir), cfg), cfg)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  def qAggDedup(s: SparkSession, dir: String): DataFrame =
+    TSA.dedupe(TSA.filterValid(events(s, dir), cfg), cfg)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+
+  def qAggGapfill(s: SparkSession, dir: String): DataFrame =
+    TSA.gapFill(TSA.filterValid(events(s, dir), cfg).drop("ts"), cfg)
+      .withColumn("ts", timestamp_micros(col(TSA.T)).cast(ntz))
+      .select(col("ts"), col("event_id"), col("value"),
+        col("__is_fill").as("is_fill"))
+
+  def qAggFull(s: SparkSession, dir: String): DataFrame =
+    TSA.aggregate(events(s, dir), cfg)
+      .select("ts", "event_id", "user_id", "event_type", "value", "is_fill")
+
+  /** Flatten a dependent unlimited dimension: per-record features packed
+    * into a dense 1..n index (reference README flare-location example). */
+  def qAggFlatten(s: SparkSession, dir: String): DataFrame = {
+    val li = tbl(s, dir, "lineitem")
+    // l_linenumber is not unique per order in the synthetic data; the full
+    // column list below is, giving a deterministic total order per group.
+    val w = Window.partitionBy("l_orderkey").orderBy(
+      col("l_linenumber"), col("l_partkey"), col("l_suppkey"),
+      col("l_quantity"), col("l_extendedprice"))
+    li.withColumn("feature_idx", row_number().over(w).cast(LongType))
+      .select("l_orderkey", "feature_idx", "l_partkey", "l_quantity")
+  }
+
+  /** Per-granule provenance summary; granule = one day of events (the Spark
+    * analog of one input NetCDF file). */
+  def qAggMultifile(s: SparkSession, dir: String): DataFrame =
+    TSA.filterValid(events(s, dir), cfg)
+      .groupBy(to_date(col("ts")).as("g"))
+      .agg(count(lit(1)).as("n_records"),
+        min("ts").as("first_ts"), max("ts").as("last_ts"),
+        countDistinct("user_id").as("n_users"))
+      .select(concat(lit("events_"), date_format(col("g"), "yyyy-MM-dd"))
+        .as("granule"),
+        col("n_records"), col("first_ts"), col("last_ts"), col("n_users"))
+
+  /** Global-attribute aggregation strategies (reference attributes.py:303-322)
+    * computed in one pass over day granules: two-stage aggregation, the
+    * second stage over ~#granules rows (tiny at any scale). */
+  def qAggAttrs(s: SparkSession, dir: String): DataFrame = {
+    val per = TSA.filterValid(events(s, dir), cfg)
+      .groupBy(to_date(col("ts")).as("g"))
+      .agg(
+        max("event_type").as("attr"),
+        count(lit(1)).as("nrec"),
+        sum(col("value").cast(DecimalType(18, 4))).as("vsum"),
+        min("ts").as("g_first"), max("ts").as("g_last"))
+    per.agg(
+      min_by(col("attr"), col("g")).as("first_attr"),
+      max_by(col("attr"), col("g")).as("last_attr"),
+      array_join(array_sort(collect_set(col("attr"))), ", ").as("unique_list"),
+      sum(col("nrec")).as("int_sum"),
+      sum(col("vsum")).cast(DoubleType).as("float_sum"),
+      count(lit(1)).as("input_count"),
+      min(date_format(col("g"), "yyyy-MM-dd")).as("first_input"),
+      max(date_format(col("g"), "yyyy-MM-dd")).as("last_input"),
+      date_format(min(col("g_first")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .as("time_coverage_start"),
+      date_format(max(col("g_last")), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+        .as("time_coverage_end"))
+      .withColumn("static_attr", lit("graft"))
+  }
+
+  /** take_dim_indicies: extract one index of a non-record dimension
+    * (reference README "Specify Dimension Indecies to Extract"). */
+  def qAggSubsetDims(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("vec_id"), element_at(col("embedding"), 1).as("e0"),
+        col("label"))
+
+  /** copy_from_alt: fall back to an alternate source when the primary is
+    * missing (reference aggrelist.py:553-566). */
+  def qAggCopyAlt(s: SparkSession, dir: String): DataFrame =
+    events(s, dir).select(
+      col("event_id"),
+      coalesce(
+        when(col("event_type") === "error", lit(null).cast(DoubleType))
+          .otherwise(col("value")),
+        lit(-1.0)).as("v"))
+
+  /** Cadence regularization generalized to bucketed resampling. */
+  def qAggResample(s: SparkSession, dir: String): DataFrame =
+    TSA.filterValid(events(s, dir), cfg)
+      .groupBy(date_trunc("hour", col("ts")).cast(ntz).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("v_sum"),
+        min("value").as("v_min"), max("value").as("v_max"))
+
+  /** Gap detection generalized: sessionize per user at 30-minute gaps. */
+  def qAggSessionize(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.filterValid(events(s, dir), cfg)
+    val w = Window.partitionBy("user_id").orderBy(col(TSA.T), col("event_id"))
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("__prev", lag(col(TSA.T), 1).over(w))
+      .withColumn("__new",
+        when(col("__prev").isNull ||
+          col(TSA.T) - col("__prev") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__new")).over(wCum))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min("ts").as("session_start"), max("ts").as("session_end"))
+  }
+
+  /** Bound-spec parsing demonstrated as data (parser itself is pure Scala;
+    * the oracle pins independently-computed expected values). */
+  def qAggBoundsParse(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Seq("T2024", "T202402", "T20240105:T20240115", "T2023123123", "100:200")
+      .map { spec => val (lo, hi) = Bounds.parse(spec); (spec, lo, hi) }
+      .toDF("spec", "lo_us", "hi_us")
+  }
+
+  /** Chunked granule write (reference `-c udim:chunksize`): range-partition
+    * by the index column and cap records per output file. Returns a summary;
+    * rows-only check (writes to a temp dir). */
+  def qAggChunkedWrite(s: SparkSession, dir: String): DataFrame = {
+    val out = java.nio.file.Files
+      .createTempDirectory("graft_chunked_write").toString
+    graft.sources.ParquetGranuleSink.write(
+      TSA.filterValid(events(s, dir), cfg).drop(TSA.T),
+      out, sortCol = "ts", maxRecordsPerFile = 1000)
+    val back = s.read.parquet(out)
+      .select(input_file_name().as("f"))
+      .groupBy("f").agg(count(lit(1)).as("n"))
+    back.agg(count(lit(1)).as("n_files"), max("n").as("max_rows_per_file"),
+      sum("n").as("total_rows"))
+  }
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private def fullPipelineSql(withBounds: Boolean): String = {
+    val boundPred =
+      if (withBounds) s"AND epoch_us(ts) BETWEEN $boundLoUs AND $boundHiUs"
+      else ""
+    s"""WITH e AS ($sqlValid $boundPred),
+       |d AS (SELECT *, lag(t) OVER (ORDER BY t, event_id) AS prev_t FROM e),
+       |kept AS (SELECT t, event_id, user_id, event_type, value FROM d
+       |         WHERE prev_t IS NULL OR t - prev_t >= $MinStepUs),
+       |g AS (SELECT *, lead(t) OVER (ORDER BY t, event_id) AS next_t FROM kept),
+       |fills AS (
+       |  SELECT t + k * $NomStepUs AS t, CAST(NULL AS BIGINT) AS event_id,
+       |         CAST(NULL AS BIGINT) AS user_id,
+       |         CAST(NULL AS VARCHAR) AS event_type,
+       |         CAST(NULL AS DOUBLE) AS value, TRUE AS is_fill
+       |  FROM g, unnest(generate_series(1, (next_t - t - 1) // $NomStepUs)) AS u(k)
+       |  WHERE next_t IS NOT NULL AND next_t - t > $GapThrUs)
+       |SELECT make_timestamp(t) AS ts, event_id, user_id, event_type, value, is_fill
+       |FROM (SELECT t, event_id, user_id, event_type, value, FALSE AS is_fill
+       |      FROM g UNION ALL SELECT * FROM fills)""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q_agg_sort" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT row_number() OVER (ORDER BY t, event_id) AS rn,
+         |       event_id, make_timestamp(t) AS ts, user_id, event_type, value
+         |FROM e""".stripMargin,
+    "q_agg_valid" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT event_id, make_timestamp(t) AS ts, user_id, event_type, value
+         |FROM e""".stripMargin,
+    "q_agg_bounds" ->
+      s"""WITH e AS ($sqlValid AND epoch_us(ts) BETWEEN $boundLoUs AND $boundHiUs)
+         |SELECT event_id, make_timestamp(t) AS ts, user_id, event_type, value
+         |FROM e""".stripMargin,
+    "q_agg_dedup" ->
+      s"""WITH e AS ($sqlValid),
+         |d AS (SELECT *, lag(t) OVER (ORDER BY t, event_id) AS prev_t FROM e)
+         |SELECT event_id, make_timestamp(t) AS ts, user_id, event_type, value
+         |FROM d WHERE prev_t IS NULL OR t - prev_t >= $MinStepUs""".stripMargin,
+    "q_agg_gapfill" ->
+      s"""WITH e AS ($sqlValid),
+         |g AS (SELECT *, lead(t) OVER (ORDER BY t, event_id) AS next_t FROM e),
+         |fills AS (
+         |  SELECT t + k * $NomStepUs AS t, CAST(NULL AS BIGINT) AS event_id,
+         |         CAST(NULL AS DOUBLE) AS value, TRUE AS is_fill
+         |  FROM g, unnest(generate_series(1, (next_t - t - 1) // $NomStepUs)) AS u(k)
+         |  WHERE next_t IS NOT NULL AND next_t - t > $GapThrUs)
+         |SELECT make_timestamp(t) AS ts, event_id, value, is_fill
+         |FROM (SELECT t, event_id, value, FALSE AS is_fill FROM g
+         |      UNION ALL SELECT * FROM fills)""".stripMargin,
+    "q_agg_full" -> fullPipelineSql(withBounds = true),
+    "q_agg_flatten" ->
+      """SELECT l_orderkey,
+        |       row_number() OVER (PARTITION BY l_orderkey
+        |         ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity,
+        |                  l_extendedprice) AS feature_idx,
+        |       l_partkey, l_quantity
+        |FROM lineitem""".stripMargin,
+    "q_agg_multifile" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT 'events_' || strftime(CAST(make_timestamp(t) AS DATE), '%Y-%m-%d')
+         |         AS granule,
+         |       count(*) AS n_records, min(make_timestamp(t)) AS first_ts,
+         |       max(make_timestamp(t)) AS last_ts,
+         |       count(DISTINCT user_id) AS n_users
+         |FROM e GROUP BY 1""".stripMargin,
+    "q_agg_attrs" ->
+      s"""WITH e AS ($sqlValid),
+         |per AS (
+         |  SELECT CAST(make_timestamp(t) AS DATE) AS g, max(event_type) AS attr,
+         |         count(*) AS nrec,
+         |         sum(CAST(value AS DECIMAL(18,4))) AS vsum,
+         |         min(make_timestamp(t)) AS g_first,
+         |         max(make_timestamp(t)) AS g_last
+         |  FROM e GROUP BY 1)
+         |SELECT arg_min(attr, g) AS first_attr, arg_max(attr, g) AS last_attr,
+         |       array_to_string(list_sort(list(DISTINCT attr)), ', ') AS unique_list,
+         |       CAST(sum(nrec) AS BIGINT) AS int_sum,
+         |       CAST(sum(vsum) AS DOUBLE) AS float_sum,
+         |       count(*) AS input_count,
+         |       min(strftime(g, '%Y-%m-%d')) AS first_input,
+         |       max(strftime(g, '%Y-%m-%d')) AS last_input,
+         |       substr(strftime(min(g_first), '%Y-%m-%dT%H:%M:%S.%f'), 1, 23) || 'Z'
+         |         AS time_coverage_start,
+         |       substr(strftime(max(g_last), '%Y-%m-%dT%H:%M:%S.%f'), 1, 23) || 'Z'
+         |         AS time_coverage_end,
+         |       'graft' AS static_attr
+         |FROM per""".stripMargin,
+    "q_agg_subset_dims" ->
+      "SELECT vec_id, embedding[1] AS e0, label FROM embeddings",
+    "q_agg_copy_alt" ->
+      """SELECT event_id,
+        |       COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END,
+        |                -1.0) AS v
+        |FROM events""".stripMargin,
+    "q_agg_resample" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT date_trunc('hour', make_timestamp(t)) AS bucket,
+         |       count(*) AS n,
+         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum,
+         |       min(value) AS v_min, max(value) AS v_max
+         |FROM e GROUP BY 1""".stripMargin,
+    "q_agg_sessionize" ->
+      s"""WITH e AS ($sqlValid),
+         |d AS (SELECT *, lag(t) OVER (PARTITION BY user_id ORDER BY t, event_id)
+         |               AS prev_t FROM e),
+         |m AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+         |                     THEN 1 ELSE 0 END AS newsess FROM d),
+         |x AS (SELECT *, CAST(sum(newsess) OVER (PARTITION BY user_id
+         |               ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |               AS session_id FROM m)
+         |SELECT user_id, session_id, count(*) AS n_events,
+         |       min(make_timestamp(t)) AS session_start,
+         |       max(make_timestamp(t)) AS session_end
+         |FROM x GROUP BY user_id, session_id""".stripMargin,
+    "q_agg_bounds_parse" ->
+      """SELECT * FROM (VALUES
+        |  ('T2024', 1704067200000000, 1735689599999999),
+        |  ('T202402', 1706745600000000, 1709251199999999),
+        |  ('T20240105:T20240115', 1704412800000000, 1705276800000000),
+        |  ('T2023123123', 1704063600000000, 1704067199999999),
+        |  ('100:200', 100, 200)) AS t(spec, lo_us, hi_us)""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_agg_sort" -> (qAggSort _),
+    "q_agg_valid" -> (qAggValid _),
+    "q_agg_bounds" -> (qAggBounds _),
+    "q_agg_dedup" -> (qAggDedup _),
+    "q_agg_gapfill" -> (qAggGapfill _),
+    "q_agg_full" -> (qAggFull _),
+    "q_agg_flatten" -> (qAggFlatten _),
+    "q_agg_multifile" -> (qAggMultifile _),
+    "q_agg_attrs" -> (qAggAttrs _),
+    "q_agg_subset_dims" -> (qAggSubsetDims _),
+    "q_agg_copy_alt" -> (qAggCopyAlt _),
+    "q_agg_resample" -> (qAggResample _),
+    "q_agg_sessionize" -> (qAggSessionize _),
+    "q_agg_bounds_parse" -> (qAggBoundsParse _),
+    "q_agg_chunked_write" -> (qAggChunkedWrite _)
+  )
+}
