@@ -1,0 +1,347 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.{PortableText => PT, PortableVec => PV}
+
+/** Group C of SURVEY.md §2: training-data pipeline operators over the
+  * documents/embeddings tables — dedup family, similarity search, text
+  * analysis, multimodal plumbing. All compute is per-row expressions
+  * (no shuffle) until the LSH bucket joins, which shuffle on bucket keys —
+  * the candidate-generation pattern that stays near-linear at 100 TB.
+  */
+object PipelineQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame = {
+    graft.functions.native.register(s)
+    graft.Tables.load(s, dir, name)
+  }
+
+  /** doc_id + token-hash array for docs with >= 3 tokens.
+    *
+    * The documents table may arrive as few (even one) parquet files; the
+    * expression chain downstream is compute-bound, so spread it across all
+    * cores up front — at cluster scale this is the usual "repartition a
+    * small compute-heavy input to the executor count" move. */
+  private def tokenHashes(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr(PT.tokensSpark("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), col("lang"), col("source"), col("toks"),
+        expr("graft_token_hashes(toks)").as("th"))
+
+  /** doc_id -> distinct 3-gram shingle hashes (cached: feeds both the LSH
+    * candidate join and the Jaccard verification). */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir)
+      .select(col("doc_id"), expr("graft_shingles(th)").as("sh"))
+      .cache()
+
+  /** doc_id, band_idx, band signature (8 LSH bands over 32 minhashes);
+    * cached: self-joined for pairs and reused across queries. */
+  private def ebands(s: SparkSession, dir: String): DataFrame =
+    shingles(s, dir)
+      .select(col("doc_id"), expr("graft_minhash_bands(sh)").as("bands"))
+      .select(col("doc_id"),
+        posexplode(col("bands")).as(Seq("band_idx", "sig")))
+      .cache()
+
+  /** Distinct LSH candidate pairs (doc_a < doc_b). */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val eb = ebands(s, dir)
+    val a = eb.toDF("doc_a", "band_idx", "sig")
+    val b = eb.toDF("doc_b", "band_idx", "sig")
+    a.join(b, Seq("band_idx", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b", "band_idx")
+      .distinct()
+  }
+
+  // ------------------------------------------------------------- dedup ops
+
+  def dExactDedup(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .groupBy(sha2(col("text").cast(BinaryType), 256).as("content_hash"))
+      .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  def dMinhashLsh(s: SparkSession, dir: String): DataFrame =
+    lshPairs(s, dir)
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("shared_bands"))
+
+  def dSimhash(s: SparkSession, dir: String): DataFrame = {
+    val f = tokenHashes(s, dir)
+      .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
+    f.withColumn("n_same",
+      count(lit(1)).over(Window.partitionBy("simhash")))
+  }
+
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cand = lshPairs(s, dir).select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+          .as("jaccard"))
+  }
+
+  // ------------------------------------------------- embeddings similarity
+
+  private def bucketed(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("v"))
+      .withColumn("bucket", expr("graft_lsh_bucket(v)"))
+      .cache()
+
+  def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
+    val e = bucketed(s, dir)
+    val a = e.toDF("vec_a", "va", "bucket")
+    val b = e.toDF("vec_b", "vb", "bucket")
+    a.join(b, Seq("bucket"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("graft_cosine(va, vb)"))
+      .filter(col("cos") > 0.3)
+      .select("vec_a", "vec_b", "cos")
+  }
+
+  def annBruteforce(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+    val q = e.filter(col("vec_id") < 8).toDF("q_id", "qv")
+    val cand = e.toDF("n_id", "nv")
+    val scored = cand.crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "cos")
+  }
+
+  def annLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = bucketed(s, dir)
+    val q = e.filter(col("vec_id") < 8).toDF("q_id", "qv", "bucket")
+    val cand = e.toDF("n_id", "nv", "bucket")
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "cos")
+  }
+
+  // ----------------------------------------------------------- text analysis
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val stopListSql = Stopwords.map(w => s"'$w'").mkString(", ")
+
+  def tLangid(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir).select(col("doc_id"), col("lang"),
+      expr(s"size(filter(toks, t -> t IN ($stopListSql)))").as("n_stop"),
+      size(col("toks")).as("n_tok"))
+      .select(col("doc_id"),
+        when(col("n_stop") * 100 > col("n_tok") * 3, lit("en"))
+          .otherwise(lit("und")).as("pred_lang"),
+        col("lang"))
+
+  def tQuality(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        expr(PT.tokensSpark("text")).as("toks"))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        length(col("text")).cast(LongType).as("n_chars"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,!?;:]", "")))
+          .cast(LongType).as("n_punct"),
+        expr(s"CAST(size(filter(toks, t -> t IN ($stopListSql))) AS BIGINT)")
+          .as("n_stop"),
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("tok_chars"))
+    d.select(col("doc_id"), col("n_chars"), col("n_tokens"),
+      (col("n_punct").cast(DoubleType) / col("n_chars").cast(DoubleType))
+        .as("punct_ratio"),
+      (col("n_stop").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .as("stop_ratio"),
+      (col("tok_chars").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+        .as("mean_tok_len"))
+      .withColumn("quality",
+        (lit(0.5) * col("stop_ratio") +
+          lit(0.5) * (least(col("n_tokens"), lit(200L)).cast(DoubleType) /
+            lit(200.0))) - col("punct_ratio"))
+  }
+
+  def tTokens(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        expr(s"CAST(size(${PT.tokensSpark("text")}) AS BIGINT)").as("n_tokens"),
+        expr("CAST(length(text) AS BIGINT)").as("n_chars"),
+        expr("CAST((length(text) + 3) div 4 AS BIGINT)").as("est_bpe_tokens"))
+
+  def tFingerprint(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir)
+      .select(col("doc_id"), expr("graft_doc_fingerprint(th)").as("fp"))
+
+  // ------------------------------------------------------------- multimodal
+
+  /** Multimodal binary-column plumbing over the events props payload: real
+    * schema/partitioning, deterministic stand-in decode (SURVEY.md §2 C). */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_id"),
+        expr("CAST(octet_length(CAST(props AS BINARY)) AS BIGINT)")
+          .as("n_bytes"),
+        expr("graft_string_hash(props)").as("checksum"))
+      .withColumn("fake_w", lit(16L) + col("checksum") % 64)
+      .withColumn("fake_h", lit(16L) + expr("(checksum div 64) % 64"))
+
+  // ------------------------------------------------------------ oracle SQL
+
+  private val toksDuck = PT.tokensDuck("text")
+  private val thCte =
+    s"""toksT AS (SELECT doc_id, lang, $toksDuck AS toks
+       |          FROM documents WHERE len($toksDuck) >= 3),
+       |thT AS (SELECT doc_id, lang, toks, ${PT.tokenHashesDuck("toks")} AS th
+       |        FROM toksT)""".stripMargin
+  private val pairsCte =
+    s"""$thCte,
+       |shT AS (SELECT doc_id, ${PT.shingleHashesDuck("th")} AS sh FROM thT),
+       |mhT AS (SELECT doc_id, sh, ${PT.minhashDuck("sh")} AS mh FROM shT),
+       |bT AS (SELECT doc_id, ${PT.bandsDuck("mh")} AS bands FROM mhT),
+       |eb AS (SELECT doc_id, r.b AS band_idx, bands[r.b + 1] AS sig
+       |       FROM bT CROSS JOIN range(0, 8) AS r(b)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |                 a.band_idx
+       |          FROM eb a JOIN eb b ON a.band_idx = b.band_idx
+       |            AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  private val bucketCte =
+    s"""e AS (SELECT vec_id, embedding AS v, ${PV.lshBucketDuck("embedding")}
+       |      AS bucket FROM embeddings)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "d_exact_dedup" ->
+      """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
+        |       count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+    "d_minhash_lsh" ->
+      s"""WITH $pairsCte
+         |SELECT doc_a, doc_b, count(*) AS shared_bands
+         |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "d_simhash" ->
+      s"""WITH $thCte,
+         |f AS (SELECT doc_id, ${PT.simhashDuck("th")} AS simhash FROM thT)
+         |SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same
+         |FROM f""".stripMargin,
+    "d_ngram_jaccard" ->
+      s"""WITH $pairsCte,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs)
+         |SELECT cand.doc_a, cand.doc_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |         AS jaccard
+         |FROM cand
+         |JOIN shT sa ON sa.doc_id = cand.doc_a
+         |JOIN shT sb ON sb.doc_id = cand.doc_b""".stripMargin,
+    "d_embed_neardup" ->
+      s"""WITH $bucketCte
+         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |       ${PV.cosineDuck("a.v", "b.v")} AS cos
+         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |WHERE ${PV.cosineDuck("a.v", "b.v")} > 0.3""".stripMargin,
+    "ann_bruteforce" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         ${PV.cosineDuck("q.qv", "e.embedding")} AS cos
+         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_lsh" ->
+      s"""WITH $bucketCte,
+         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         ${PV.cosineDuck("q.qv", "e.v")} AS cos
+         |  FROM e JOIN q ON e.bucket = q.bucket WHERE e.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    "t_langid" ->
+      s"""WITH $thCte
+         |SELECT doc_id,
+         |       CASE WHEN len(list_filter(toks, t -> t IN ($stopListSql))) * 100
+         |                 > len(toks) * 3
+         |            THEN 'en' ELSE 'und' END AS pred_lang,
+         |       lang
+         |FROM thT""".stripMargin,
+    "t_quality" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $toksDuck AS toks FROM documents
+         |  WHERE len($toksDuck) >= 1),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(length(text) AS BIGINT) AS n_chars,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         CAST(length(text) -
+         |              length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |              AS BIGINT) AS n_punct,
+         |         CAST(len(list_filter(toks, t -> t IN ($stopListSql)))
+         |              AS BIGINT) AS n_stop,
+         |         CAST(list_sum(list_transform(toks, t -> length(t)))
+         |              AS BIGINT) AS tok_chars
+         |  FROM d)
+         |SELECT doc_id, n_chars, n_tokens,
+         |       CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+         |       CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS stop_ratio,
+         |       CAST(tok_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+         |         AS mean_tok_len,
+         |       (0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+         |        0.5 * (CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0)) -
+         |       (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS quality
+         |FROM m""".stripMargin,
+    "t_tokens" ->
+      s"""SELECT doc_id,
+         |       CAST(len($toksDuck) AS BIGINT) AS n_tokens,
+         |       CAST(length(text) AS BIGINT) AS n_chars,
+         |       CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
+         |FROM documents""".stripMargin,
+    "t_fingerprint" ->
+      s"""WITH $thCte
+         |SELECT doc_id, ${PT.docFingerprintDuck("th")} AS fp FROM thT""".stripMargin,
+    "mm_features" ->
+      s"""SELECT event_id,
+         |       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
+         |       ${PT.charHashDuck("props")} AS checksum,
+         |       16 + ${PT.charHashDuck("props")} % 64 AS fake_w,
+         |       16 + (${PT.charHashDuck("props")} // 64) % 64 AS fake_h
+         |FROM events""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "d_exact_dedup" -> (dExactDedup _),
+    "d_minhash_lsh" -> (dMinhashLsh _),
+    "d_simhash" -> (dSimhash _),
+    "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_embed_neardup" -> (dEmbedNeardup _),
+    "ann_bruteforce" -> (annBruteforce _),
+    "ann_lsh" -> (annLsh _),
+    "t_langid" -> (tLangid _),
+    "t_quality" -> (tQuality _),
+    "t_tokens" -> (tTokens _),
+    "t_fingerprint" -> (tFingerprint _),
+    "mm_features" -> (mmFeatures _)
+  )
+}

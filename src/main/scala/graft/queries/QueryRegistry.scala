@@ -6,8 +6,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * registry exposed through [[graft.SparkEntry]]. */
 object QueryRegistry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    AggQueries.queries
+    AggQueries.queries ++ RelationalQueries.queries ++ PipelineQueries.queries
 
   def oracleSql: Map[String, String] =
-    AggQueries.oracle
+    AggQueries.oracle ++ RelationalQueries.oracle ++ PipelineQueries.oracle
 }

@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.{TimeSeriesAggregator => TSA}
+
+/** Group B of SURVEY.md §2: relational analytics core. These are the
+  * headline bench queries — shapes a 100 TB engine must execute well:
+  * scan+partial-agg, broadcast star joins, keyed windows, per-group top-k.
+  *
+  * Engine-portable determinism (SURVEY.md §3): every non-integer sum runs
+  * in DECIMAL (order-independent) and is cast to DOUBLE exactly once;
+  * averages divide two exact values in one double op.
+  */
+object RelationalQueries {
+
+  private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
+    graft.Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
+
+  /** TPC-H Q1 shape: pruned scan + map-side partial aggregation. */
+  def q1Agg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast(DateType) <=
+        lit(java.sql.Date.valueOf("1998-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice")).as("sum_base_price"),
+        sum(dec(col("l_extendedprice")) *
+          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+          .cast(DoubleType).as("sum_disc_price"),
+        (sum(dec(col("l_quantity"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_qty"),
+        (sum(dec(col("l_extendedprice"))).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_price"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: selective fact join; dims broadcast, fact shuffles
+    * once on the join/group key. */
+  def q3Join(s: SparkSession, dir: String): DataFrame = {
+    val cust = tbl(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = tbl(s, dir, "orders")
+      .filter(col("o_orderdate").cast(DateType) <
+        lit(java.sql.Date.valueOf("1998-01-01")))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  /** TPC-H Q5 shape: multi-way star join, all dims broadcast so the fact
+    * table shuffles only for the final aggregation. */
+  def q5JoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = tbl(s, dir, "nation")
+      .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = tbl(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+    val cust = tbl(s, dir, "customer").select("c_custkey", "c_nationkey")
+    val ord = tbl(s, dir, "orders")
+      .filter(col("o_orderdate").cast(DateType) >=
+        lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("o_orderdate").cast(DateType) <
+          lit(java.sql.Date.valueOf("1997-01-01")))
+      .select("o_orderkey", "o_custkey")
+    val li = tbl(s, dir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice")) *
+        (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+        .cast(DoubleType).as("revenue"))
+  }
+
+  /** Keyed running aggregate — exact prefix sums in decimal. */
+  def qWindow(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+    val w = Window.partitionBy("user_id").orderBy(col(TSA.T), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.withColumn("running_sum", sum(dec(col("value"))).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "ts", "running_sum")
+  }
+
+  /** Per-group top-k without a global sort. */
+  def qTopk(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("value").desc, col("event_id"))
+    e.withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select("user_id", "rk", "event_id", "value")
+  }
+
+  /** Tumbling-window aggregation (batch twin of the streaming path). */
+  def qWindowTumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+    val bucketUs = 21600000000L // 6 hours
+    e.withColumn("__b", expr(s"(${TSA.T} div ${bucketUs}L) * ${bucketUs}L"))
+      .groupBy(timestamp_micros(col("__b")).cast(TimestampNTZType).as("bucket"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
+  }
+
+  private val discExpr =
+    """CAST(l_extendedprice AS DECIMAL(18,4)) *
+      |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "q1_agg" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+         |  CAST(sum($discExpr) AS DOUBLE) AS sum_disc_price,
+         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_qty,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         |    / CAST(count(*) AS DOUBLE) AS avg_price,
+         |  count(*) AS count_order
+         |FROM lineitem
+         |WHERE CAST(l_shipdate AS DATE) <= DATE '1998-09-02'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_join" ->
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+         |       CAST(sum($discExpr) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q5_join_agg" ->
+      s"""SELECT n_name, CAST(sum($discExpr) AS DOUBLE) AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN supplier ON l_suppkey = s_suppkey
+         |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+         |JOIN nation ON s_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |  AND CAST(o_orderdate AS DATE) >= DATE '1996-01-01'
+         |  AND CAST(o_orderdate AS DATE) < DATE '1997-01-01'
+         |GROUP BY n_name""".stripMargin,
+    "q_window" ->
+      """SELECT event_id, user_id, ts,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+        |FROM events""".stripMargin,
+    "q_topk" ->
+      """WITH r AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |           ORDER BY value DESC, event_id) AS rk
+        |  FROM events)
+        |SELECT user_id, rk, event_id, value FROM r WHERE rk <= 3""".stripMargin,
+    "q_window_tumbling" ->
+      """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |         AS bucket,
+        |       event_type, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_agg" -> (q1Agg _),
+    "q3_join" -> (q3Join _),
+    "q5_join_agg" -> (q5JoinAgg _),
+    "q_window" -> (qWindow _),
+    "q_topk" -> (qTopk _),
+    "q_window_tumbling" -> (qWindowTumbling _)
+  )
+}

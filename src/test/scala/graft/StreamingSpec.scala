@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamingAgg
+
+case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private def ev(sec: Long, t: String, v: Double) =
+    Ev(new java.sql.Timestamp(sec * 1000L), t, v)
+
+  test("windowed counts aggregate a stream like the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingAgg.windowedCounts(mem.toDF(), "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("wc").start()
+    try {
+      mem.addData(ev(0, "a", 1.0), ev(60, "a", 2.0), ev(3700, "b", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("event_type", "n", "v_sum").orderBy("event_type")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("a", 2L, 3.0), ("b", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("cadence dedup keeps one record per nominal bucket across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingAgg.cadenceDedup(mem.toDF(), minStepUs = 60000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dd").start()
+    try {
+      mem.addData(ev(0, "a", 1.0), ev(10, "a", 2.0)) // same minute bucket
+      q.processAllAvailable()
+      mem.addData(ev(15, "a", 3.0), ev(70, "b", 4.0)) // dup bucket + new
+      q.processAllAvailable()
+      assert(spark.table("dd").count() === 2)
+    } finally q.stop()
+  }
+
+  test("the same transform runs in batch mode (streaming/batch parity)") {
+    import spark.implicits._
+    val batch = Seq(ev(0, "a", 1.0), ev(60, "a", 2.0), ev(3700, "b", 3.0))
+      .toDF()
+    val out = StreamingAgg.windowedCounts(batch, "1 hour", "10 minutes")
+    assert(out.agg(sum("n")).first().getLong(0) === 3L)
+  }
+}
