@@ -1,0 +1,138 @@
+package graft
+
+import java.time.Instant
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampNTZType
+
+import graft.core.{AggConfig, AttributeStrategies, TimeSeriesAggregator => TSA}
+import graft.sources.ParquetGranuleSink
+
+/** The reference's primary API, Spark-native (reference:
+  * /root/reference/ncagg/aggregator.py:36-51 `aggregate(files, output,
+  * config)`): aggregate many parquet granules into one sorted, deduped,
+  * gap-filled, bounds-clipped output plus aggregated global attributes.
+  *
+  * Where the reference builds an in-process aggregation list and streams
+  * node-by-node, here the whole job is one declarative Spark plan — the
+  * granule set is a multi-path parquet scan (partition-parallel at any
+  * scale), the regularization is [[TSA]]'s chunk-partitioned pipeline, and
+  * the output is a range-partitioned chunk-size-controlled parquet granule
+  * set plus a `_global_attrs.json` sidecar.
+  */
+object Aggregate {
+
+  val TimingCertainty = 0.9 // reference aggregator.py:33
+
+  /** Derive the [[TSA.UdimConfig]] thresholds from an expected cadence the
+    * way the reference does (aggrelist.py:290-299): dedup below half a
+    * minimal step, fill above two minimal steps. */
+  def udimConfigFor(dim: AggConfig.DimSpec, idCol: String): TSA.UdimConfig = {
+    val hz = dim.expectedCadenceHz.getOrElse(0.0)
+    val (minStep, nomStep, gapThr) =
+      if (hz > 0) {
+        val tol = 1e6 / ((2.0 - TimingCertainty) * hz)
+        (math.round(0.5 * tol), math.round(1e6 / hz), math.round(2.0 * tol))
+      } else (0L, Long.MaxValue, Long.MaxValue)
+    TSA.UdimConfig(
+      tsCol = dim.indexBy.get,
+      idCol = idCol,
+      minStepUs = minStep,
+      nomStepUs = nomStep,
+      gapThresholdUs = gapThr,
+      boundsUs = (dim.min, dim.max) match {
+        case (Some(lo), Some(hi)) => Some((lo, hi))
+        case (Some(lo), None) => Some((lo, Long.MaxValue))
+        case (None, Some(hi)) => Some((Long.MinValue, hi))
+        case _ => None
+      })
+  }
+
+  /** Project the configured variables out of the raw granule scan:
+    * missing variables fall back through copy_from_alt then null-fill
+    * (reference aggrelist.py:545-566), map_to renames on output
+    * (reference aggregator.py:378). */
+  def selectVariables(df: DataFrame, config: AggConfig.Config): DataFrame = {
+    val present = df.columns.toSet
+    val cols = config.vars.map { v =>
+      val source =
+        if (present(v.name)) Some(col(v.name))
+        else v.copyFromAlt.find(present).map(col)
+      source.getOrElse(lit(null)).as(v.mapTo.getOrElse(v.name))
+    }
+    df.select(cols: _*)
+  }
+
+  /** Aggregate `srcs` (parquet granule paths/globs) into `dst`.
+    *
+    * @param granuleAttrs per-granule global attributes (the analog of
+    *                     NetCDF per-file attrs; parquet has no portable
+    *                     equivalent, so they arrive as a sidecar map keyed
+    *                     by granule path — pass Map.empty to only use
+    *                     provenance strategies)
+    * @return the finalized global attributes
+    */
+  def run(
+      spark: SparkSession,
+      srcs: Seq[String],
+      dst: String,
+      config: AggConfig.Config,
+      granuleAttrs: Map[String, Map[String, String]] = Map.empty,
+      maxRecordsPerFile: Int = 1 << 20,
+      now: () => Instant = () => Instant.now()): Map[String, String] = {
+
+    require(srcs.nonEmpty, "no input granules")
+    val sorted = srcs.sorted // reference aggregator.py:65 sorted(files)
+
+    val raw = spark.read.parquet(sorted: _*)
+    val data = selectVariables(raw, config)
+
+    val out = config.primaryUdim match {
+      case Some(dim) if dim.indexBy.isDefined =>
+        val idCol = "__graft_row_id"
+        val cfg = udimConfigFor(dim, idCol)
+        val withId = data.withColumn(idCol, monotonically_increasing_id())
+        val aggregated =
+          if (dim.expectedCadenceHz.exists(_ > 0))
+            TSA.aggregate(withId, cfg).drop(idCol)
+          else {
+            // no cadence: only drop invalid index values and clip bounds,
+            // keep sorted (reference: "Config with index_by -> ascending")
+            val valid = TSA.clipBounds(TSA.filterValid(withId, cfg), cfg)
+            valid.drop(TSA.T, idCol).withColumn("is_fill", lit(false))
+          }
+        aggregated
+      case _ =>
+        // no indexed unlimited dim: plain concatenation in granule order
+        data.withColumn("is_fill", lit(false))
+    }
+
+    val sortCol = config.primaryUdim.flatMap(_.indexBy)
+      .getOrElse(data.columns.head)
+    ParquetGranuleSink.write(out, dst, sortCol, maxRecordsPerFile)
+
+    val granules = sorted.map(p => p -> granuleAttrs.getOrElse(p, Map.empty))
+    val attrs = AttributeStrategies.finalizeAttrs(
+      config.attrs, granules, dst,
+      config.primaryUdim.flatMap(d =>
+        (d.min, d.max) match {
+          case (Some(lo), Some(hi)) => Some((lo, hi)); case _ => None
+        }),
+      now)
+    val json = attrs.map { case (k, v) =>
+      "\"" + escape(k) + "\": \"" + escape(v) + "\""
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dst, "_global_attrs.json"), json)
+    attrs
+  }
+
+  private def escape(s: String): String = s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+}

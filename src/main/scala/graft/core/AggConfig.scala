@@ -1,0 +1,171 @@
+package graft.core
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+
+/** Aggregation configuration — the Spark-native analog of the reference's
+  * Config (reference: /root/reference/ncagg/config.py:27-382): ordered
+  * dimension, variable, and global-attribute specs, serializable to/from
+  * the same JSON template shape the reference CLI consumes (`-t`).
+  *
+  * Mapping to the relational model: a dimension with `size == None` (the
+  * unlimited dimension) is the row axis; a variable is a column; fixed-size
+  * dimensions beyond the row axis are array columns; global attributes are
+  * computed per aggregation run with the strategies in
+  * [[AttributeStrategies]].
+  */
+object AggConfig {
+
+  /** reference config.py:209-259 (DimensionConfig schema). */
+  final case class DimSpec(
+      name: String,
+      size: Option[Long],
+      indexBy: Option[String] = None,
+      min: Option[Long] = None, // epoch micros (or index-var units)
+      max: Option[Long] = None,
+      expectedCadenceHz: Option[Double] = None,
+      flatten: Boolean = false,
+      otherDimInds: Map[String, Int] = Map.empty) {
+    def isUnlimited: Boolean = size.isEmpty
+  }
+
+  /** reference config.py:262-303 (VariableConfig schema). */
+  final case class VarSpec(
+      name: String,
+      dimensions: Seq[String],
+      datatype: String,
+      attributes: Map[String, String] = Map.empty,
+      chunksizes: Option[Seq[Int]] = None,
+      copyFromAlt: Seq[String] = Nil,
+      mapTo: Option[String] = None)
+
+  /** reference config.py:355-371 (GlobalAttributeConfig schema). */
+  final case class AttrSpec(
+      name: String,
+      strategy: String = "first",
+      value: Option[String] = None)
+
+  final case class Config(
+      dims: Seq[DimSpec],
+      vars: Seq[VarSpec],
+      attrs: Seq[AttrSpec]) {
+
+    def dim(name: String): Option[DimSpec] = dims.find(_.name == name)
+
+    /** Primary unlimited indexed dimension (reference aggregator.py:87-91:
+      * first is_primary, else first index_by dim). */
+    def primaryUdim: Option[DimSpec] =
+      dims.find(d => d.isUnlimited && d.indexBy.isDefined && !d.flatten)
+
+    /** Inter-validation (reference config.py:48-93): every variable
+      * dimension must be configured, every index_by variable must exist. */
+    def validate(): Config = {
+      val dimNames = dims.map(_.name).toSet
+      val badDims = vars.flatMap(v => v.dimensions.filterNot(dimNames))
+      require(badDims.isEmpty,
+        s"Variable depends on unconfigured dimension: $badDims")
+      val varNames = vars.map(_.name).toSet
+      val badIdx = dims.flatMap(_.indexBy).filterNot(varNames)
+      require(badIdx.isEmpty, s"index_by variable not found: $badIdx")
+      val okStrategies = AttributeStrategies.names
+      val badStrats = attrs.map(_.strategy).filterNot(okStrategies)
+      require(badStrats.isEmpty, s"unknown attribute strategies: $badStrats")
+      this
+    }
+  }
+
+  /** Parse the reference's JSON template shape (lists of objects to
+    * preserve ordering; reference config.py:95-121). */
+  def fromJson(json: String): Config = {
+    implicit val fmt: Formats = DefaultFormats
+    val root = JsonMethods.parse(json)
+
+    def str(v: JValue): Option[String] = v match {
+      case JString(s) => Some(s)
+      case JInt(i) => Some(i.toString)
+      case JDouble(d) => Some(d.toString)
+      case JBool(b) => Some(b.toString)
+      case _ => None
+    }
+
+    val dims = (root \ "dimensions") match {
+      case JArray(ds) => ds.map { d =>
+        DimSpec(
+          name = (d \ "name").extract[String],
+          size = (d \ "size").extractOpt[Long],
+          indexBy = (d \ "index_by").extractOpt[String],
+          min = (d \ "min").extractOpt[Long],
+          max = (d \ "max").extractOpt[Long],
+          expectedCadenceHz = (d \ "expected_cadence") match {
+            case JObject(fields) =>
+              fields.collectFirst {
+                case (k, JDouble(hz)) if k == (d \ "name").extract[String] => hz
+                case (k, JInt(hz)) if k == (d \ "name").extract[String] =>
+                  hz.toDouble
+              }
+            case _ => None
+          },
+          flatten = (d \ "flatten").extractOpt[Boolean].getOrElse(false),
+          otherDimInds = (d \ "other_dim_indicies") match {
+            case JObject(fields) =>
+              fields.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+            case _ => Map.empty[String, Int]
+          })
+      }
+      case _ => Nil
+    }
+
+    val vars = (root \ "variables") match {
+      case JArray(vs) => vs.map { v =>
+        VarSpec(
+          name = (v \ "name").extract[String],
+          dimensions = (v \ "dimensions").extractOpt[Seq[String]]
+            .getOrElse(Nil),
+          datatype = (v \ "datatype").extractOpt[String].getOrElse("double"),
+          attributes = (v \ "attributes") match {
+            case JObject(fields) =>
+              fields.flatMap { case (k, jv) => str(jv).map(k -> _) }.toMap
+            case _ => Map.empty[String, String]
+          },
+          chunksizes = (v \ "chunksizes").extractOpt[Seq[Int]],
+          copyFromAlt = (v \ "copy_from_alt").extractOpt[Seq[String]]
+            .getOrElse(Nil),
+          mapTo = (v \ "map_to").extractOpt[String])
+      }
+      case _ => Nil
+    }
+
+    val attrs = (root \ "attributes") match {
+      case JArray(as) => as.map { a =>
+        AttrSpec(
+          name = (a \ "name").extract[String],
+          strategy = (a \ "strategy").extractOpt[String].getOrElse("first"),
+          value = str(a \ "value"))
+      }
+      case _ => Nil
+    }
+
+    Config(dims, vars, attrs).validate()
+  }
+
+  /** Default config from a sample granule (reference Config.from_nc,
+    * config.py:123-138): the row axis becomes the unlimited dimension,
+    * every column a variable, array columns get a fixed inner dim. */
+  def fromGranule(df: org.apache.spark.sql.DataFrame,
+      udimName: String = "record", indexBy: Option[String] = None): Config = {
+    import org.apache.spark.sql.types._
+    val innerDims = scala.collection.mutable.ArrayBuffer[DimSpec]()
+    val vars = df.schema.fields.map { f =>
+      f.dataType match {
+        case ArrayType(_, _) =>
+          val dn = s"${f.name}_dim"
+          innerDims += DimSpec(dn, size = Some(-1L))
+          VarSpec(f.name, Seq(udimName, dn), f.dataType.simpleString)
+        case _ => VarSpec(f.name, Seq(udimName), f.dataType.simpleString)
+      }
+    }
+    Config(
+      DimSpec(udimName, size = None, indexBy = indexBy) +: innerDims.toSeq,
+      vars.toIndexedSeq, Nil)
+  }
+}

@@ -1,0 +1,141 @@
+package graft
+
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.Row
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.AggConfig
+import graft.core.AggConfig.{AttrSpec, Config, DimSpec, VarSpec}
+
+/** End-to-end test of the reference-equivalent API: granule files in,
+  * regularized output + aggregated global attributes out (the Spark analog
+  * of reference test/generic + exis day-file cases). */
+class AggregateSpec extends AnyFunSuite with SparkSpec {
+
+  private val us = 1000000L
+  private val base = 1704067200L * us // 2024-01-01T00:00:00Z
+
+  private def writeGranule(dir: String, name: String, ts: Seq[Long]): String = {
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      Row(java.time.LocalDateTime.ofEpochSecond(
+        t / us, ((t % us) * 1000).toInt, java.time.ZoneOffset.UTC),
+        s"$name-$i")
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("time", TimestampNTZType),
+        StructField("payload", StringType))))
+    val p = s"$dir/$name"
+    df.write.mode("overwrite").parquet(p)
+    p
+  }
+
+  private val config = Config(
+    dims = Seq(DimSpec("record", size = None, indexBy = Some("time"),
+      min = Some(base), max = Some(base + 3600L * us),
+      expectedCadenceHz = Some(1.0))),
+    vars = Seq(
+      VarSpec("time", Seq("record"), "timestamp"),
+      VarSpec("payload", Seq("record"), "string")),
+    attrs = Seq(
+      AttrSpec("input_count", "input_count"),
+      AttrSpec("first_input", "first_input"),
+      AttrSpec("last_input", "last_input"),
+      AttrSpec("date_created", "date_created"),
+      AttrSpec("time_coverage_start", "time_coverage_start"),
+      AttrSpec("time_coverage_end", "time_coverage_end"),
+      AttrSpec("site", "unique_list"),
+      AttrSpec("creator", "static", value = Some("graft")),
+      AttrSpec("secret", "remove")))
+
+  test("granules in -> sorted, deduped, gap-filled, clipped output + attrs") {
+    val tmp = Files.createTempDirectory("graft_agg").toString
+    // granule B overlaps A's last second (dup) and leaves a 4s gap to its
+    // own tail; one record is out of bounds.
+    val a = writeGranule(tmp, "g_a",
+      Seq(base, base + 1 * us, base + 2 * us))
+    val b = writeGranule(tmp, "g_b",
+      Seq(base + 2 * us + 100000L, base + 3 * us, base + 7 * us,
+        base + 7200L * us))
+    val dst = s"$tmp/out"
+
+    val attrs = Aggregate.run(spark, Seq(a, b), dst, config,
+      granuleAttrs = Map(
+        a -> Map("site" -> "boulder", "secret" -> "x"),
+        b -> Map("site" -> "boulder, toulouse")),
+      now = () => Instant.ofEpochSecond(1700000000L))
+
+    val out = spark.read.parquet(dst).orderBy("time")
+    val times = out.select(unix_micros(col("time").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    // dup at +2.1s dropped; fills at 4,5,6s; +7200s clipped by max bound
+    assert(times === Seq(base, base + us, base + 2 * us, base + 3 * us,
+      base + 4 * us, base + 5 * us, base + 6 * us, base + 7 * us))
+    val fills = out.filter(col("is_fill")).count()
+    assert(fills === 3)
+
+    assert(attrs("input_count") === "2")
+    assert(attrs("first_input") === "g_a" && attrs("last_input") === "g_b")
+    assert(attrs("site") === "boulder, toulouse")
+    assert(attrs("creator") === "graft")
+    assert(!attrs.contains("secret"))
+    assert(attrs("time_coverage_start") === "2024-01-01T00:00:00.000Z")
+    assert(attrs("date_created") === "2023-11-14T22:13:20.000Z")
+    // sidecar written
+    assert(Files.exists(java.nio.file.Paths.get(dst, "_global_attrs.json")))
+  }
+
+  test("config json round-trip: reference template shape parses") {
+    val json =
+      """{
+        |  "dimensions": [
+        |    {"name": "record_number", "size": null, "index_by": "time",
+        |     "expected_cadence": {"record_number": 10}},
+        |    {"name": "samples", "size": 4}
+        |  ],
+        |  "variables": [
+        |    {"name": "time", "dimensions": ["record_number"],
+        |     "datatype": "float64",
+        |     "attributes": {"units": "seconds since 2000-01-01 12:00:00"}},
+        |    {"name": "irradiance", "dimensions": ["record_number"],
+        |     "datatype": "float32", "copy_from_alt": ["irr_alt"]}
+        |  ],
+        |  "attributes": [
+        |    {"name": "production_site", "strategy": "unique_list"},
+        |    {"name": "creator", "strategy": "static", "value": "sc"}
+        |  ]
+        |}""".stripMargin
+    val c = AggConfig.fromJson(json)
+    assert(c.primaryUdim.map(_.name) === Some("record_number"))
+    assert(c.primaryUdim.flatMap(_.expectedCadenceHz) === Some(10.0))
+    assert(c.vars.map(_.name) === Seq("time", "irradiance"))
+    assert(c.vars(1).copyFromAlt === Seq("irr_alt"))
+    assert(c.attrs.head.strategy === "unique_list")
+    intercept[IllegalArgumentException] {
+      AggConfig.fromJson(
+        """{"dimensions": [], "variables": [
+          |{"name": "x", "dimensions": ["nope"], "datatype": "int"}],
+          |"attributes": []}""".stripMargin)
+    }
+  }
+
+  test("copy_from_alt falls back and map_to renames") {
+    import spark.implicits._
+    val df = Seq((1L, 2.0)).toDF("id", "alt_v")
+    val cfg = Config(
+      dims = Seq(DimSpec("record", None)),
+      vars = Seq(
+        VarSpec("id", Seq("record"), "bigint"),
+        VarSpec("v", Seq("record"), "double", copyFromAlt = Seq("alt_v"),
+          mapTo = Some("value"))),
+      attrs = Nil)
+    val out = Aggregate.selectVariables(df, cfg)
+    assert(out.columns.toSeq === Seq("id", "value"))
+    assert(out.first().getDouble(1) === 2.0)
+  }
+}
