@@ -46,7 +46,10 @@ object Aggregate {
         case (Some(lo), None) => Some((lo, Long.MaxValue))
         case (None, Some(hi)) => Some((Long.MinValue, hi))
         case _ => None
-      })
+      },
+      // reference parity: with a cadence AND both bounds, fill out to the
+      // bound edges (leading/trailing FillNodes, aggregator.py:151-234)
+      fillEdges = hz > 0 && dim.min.isDefined && dim.max.isDefined)
   }
 
   /** Project the configured variables out of the raw granule scan:

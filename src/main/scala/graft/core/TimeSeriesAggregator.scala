@@ -42,7 +42,8 @@ object TimeSeriesAggregator {
       nomStepUs: Long,
       gapThresholdUs: Long,
       boundsUs: Option[(Long, Long)] = None,
-      chunkUs: Long = 86400000000L)
+      chunkUs: Long = 86400000000L,
+      fillEdges: Boolean = false)
 
   /** Internal epoch-microseconds column added by [[withEpochUs]]. */
   val T = "__t"
@@ -152,13 +153,46 @@ object TimeSeriesAggregator {
     base.select((T +: dataCols :+ "__is_fill").map(col): _*).unionByName(fillRows)
   }
 
+  /** Edge fill: synthesize fill records at the nominal cadence between the
+    * configured bounds and the first/last data record (the reference's
+    * leading and trailing FillNodes, aggregator.py:151-195 and 223-234).
+    * Input/output carry `__is_fill`. The min/max pass is a cheap two-long
+    * aggregation broadcast back into the fill generators. */
+  def fillToBounds(df: DataFrame, cfg: UdimConfig): DataFrame =
+    cfg.boundsUs.fold(df) { case (lo, hi) =>
+      val dataCols = df.columns.filter(c => c != T && c != "__is_fill")
+      val extent = df.agg(min(T).as("__tf"), max(T).as("__tl"))
+      def fillsFrom(nExpr: String, tExpr: String): DataFrame =
+        extent
+          .withColumn("__n", expr(nExpr))
+          .filter(col("__n") >= 1L)
+          .select(explode(expr("sequence(1L, __n)")).as("__k"),
+            col("__tf"), col("__tl"))
+          .withColumn(T, expr(tExpr))
+          .select(
+            col(T) +:
+              dataCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)) :+
+              lit(true).as("__is_fill"): _*)
+      val lead = fillsFrom(
+        s"(__tf - ${lo}L) div ${cfg.nomStepUs}L",
+        s"__tf - __k * ${cfg.nomStepUs}L")
+      val trail = fillsFrom(
+        s"(${hi}L - __tl) div ${cfg.nomStepUs}L",
+        s"__tl + __k * ${cfg.nomStepUs}L")
+      df.select((T +: dataCols :+ "__is_fill").map(col): _*)
+        .unionByName(lead).unionByName(trail)
+    }
+
   /** The full reference pipeline (reference aggregator.py:36-51 aggregate()):
-    * valid -> clip bounds -> sort -> cadence dedup -> gap fill. Returns the
-    * input columns with the index column regenerated from integer micros
-    * (TIMESTAMP_NTZ for engine portability) plus boolean `is_fill`. */
+    * valid -> clip bounds -> sort -> cadence dedup -> gap fill [-> edge
+    * fill]. Returns the input columns with the index column regenerated
+    * from integer micros (TIMESTAMP_NTZ for engine portability) plus
+    * boolean `is_fill`. */
   def aggregate(df: DataFrame, cfg: UdimConfig): DataFrame = {
     val valid = clipBounds(filterValid(df, cfg), cfg).drop(cfg.tsCol)
-    val filled = gapFill(dedupe(valid, cfg), cfg)
+    val interior = gapFill(dedupe(valid, cfg), cfg)
+    val filled =
+      if (cfg.fillEdges) fillToBounds(interior, cfg) else interior
     val dataCols = df.columns.filter(_ != cfg.tsCol)
     filled
       .withColumn(cfg.tsCol, timestamp_micros(col(T)).cast(TimestampNTZType))

@@ -72,6 +72,12 @@ object AggQueries {
     TSA.aggregate(events(s, dir), cfg)
       .select("ts", "event_id", "user_id", "event_type", "value", "is_fill")
 
+  /** Full pipeline plus leading/trailing fills out to the bounds
+    * (reference leading/trailing FillNodes, aggregator.py:151-234). */
+  def qAggFillEdges(s: SparkSession, dir: String): DataFrame =
+    TSA.aggregate(events(s, dir), cfg.copy(fillEdges = true))
+      .select("ts", "event_id", "user_id", "event_type", "value", "is_fill")
+
   /** Flatten a dependent unlimited dimension: per-record features packed
     * into a dense 1..n index (reference README flare-location example). */
   def qAggFlatten(s: SparkSession, dir: String): DataFrame = {
@@ -192,25 +198,44 @@ object AggQueries {
 
   // ------------------------------------------------------------ oracle SQL
 
-  private def fullPipelineSql(withBounds: Boolean): String = {
+  private def fullPipelineSql(withBounds: Boolean,
+      withEdges: Boolean = false): String = {
     val boundPred =
       if (withBounds) s"AND epoch_us(ts) BETWEEN $boundLoUs AND $boundHiUs"
       else ""
+    val nullCols =
+      """CAST(NULL AS BIGINT) AS event_id, CAST(NULL AS BIGINT) AS user_id,
+        |         CAST(NULL AS VARCHAR) AS event_type,
+        |         CAST(NULL AS DOUBLE) AS value, TRUE AS is_fill""".stripMargin
+    val edges =
+      if (!withEdges) ""
+      else
+        s""",
+           |agg AS (SELECT min(t) AS tf, max(t) AS tl FROM kept),
+           |lead_fills AS (
+           |  SELECT tf - k * $NomStepUs AS t, $nullCols
+           |  FROM agg, unnest(generate_series(1, (tf - $boundLoUs) // $NomStepUs)) AS u(k)),
+           |trail_fills AS (
+           |  SELECT tl + k * $NomStepUs AS t, $nullCols
+           |  FROM agg, unnest(generate_series(1, ($boundHiUs - tl) // $NomStepUs)) AS u(k))""".stripMargin
+    val edgeUnion =
+      if (!withEdges) ""
+      else
+        """
+          |      UNION ALL SELECT * FROM lead_fills
+          |      UNION ALL SELECT * FROM trail_fills""".stripMargin
     s"""WITH e AS ($sqlValid $boundPred),
        |d AS (SELECT *, lag(t) OVER (ORDER BY t, event_id) AS prev_t FROM e),
        |kept AS (SELECT t, event_id, user_id, event_type, value FROM d
        |         WHERE prev_t IS NULL OR t - prev_t >= $MinStepUs),
        |g AS (SELECT *, lead(t) OVER (ORDER BY t, event_id) AS next_t FROM kept),
        |fills AS (
-       |  SELECT t + k * $NomStepUs AS t, CAST(NULL AS BIGINT) AS event_id,
-       |         CAST(NULL AS BIGINT) AS user_id,
-       |         CAST(NULL AS VARCHAR) AS event_type,
-       |         CAST(NULL AS DOUBLE) AS value, TRUE AS is_fill
+       |  SELECT t + k * $NomStepUs AS t, $nullCols
        |  FROM g, unnest(generate_series(1, (next_t - t - 1) // $NomStepUs)) AS u(k)
-       |  WHERE next_t IS NOT NULL AND next_t - t > $GapThrUs)
+       |  WHERE next_t IS NOT NULL AND next_t - t > $GapThrUs)$edges
        |SELECT make_timestamp(t) AS ts, event_id, user_id, event_type, value, is_fill
        |FROM (SELECT t, event_id, user_id, event_type, value, FALSE AS is_fill
-       |      FROM g UNION ALL SELECT * FROM fills)""".stripMargin
+       |      FROM g UNION ALL SELECT * FROM fills$edgeUnion)""".stripMargin
   }
 
   val oracle: Map[String, String] = Map(
@@ -244,6 +269,8 @@ object AggQueries {
          |FROM (SELECT t, event_id, value, FALSE AS is_fill FROM g
          |      UNION ALL SELECT * FROM fills)""".stripMargin,
     "q_agg_full" -> fullPipelineSql(withBounds = true),
+    "q_agg_fill_edges" ->
+      fullPipelineSql(withBounds = true, withEdges = true),
     "q_agg_flatten" ->
       """SELECT l_orderkey,
         |       row_number() OVER (PARTITION BY l_orderkey
@@ -324,6 +351,7 @@ object AggQueries {
     "q_agg_dedup" -> (qAggDedup _),
     "q_agg_gapfill" -> (qAggGapfill _),
     "q_agg_full" -> (qAggFull _),
+    "q_agg_fill_edges" -> (qAggFillEdges _),
     "q_agg_flatten" -> (qAggFlatten _),
     "q_agg_multifile" -> (qAggMultifile _),
     "q_agg_attrs" -> (qAggAttrs _),

@@ -37,7 +37,7 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
 
   private val config = Config(
     dims = Seq(DimSpec("record", size = None, indexBy = Some("time"),
-      min = Some(base), max = Some(base + 3600L * us),
+      min = Some(base), max = Some(base + 10L * us),
       expectedCadenceHz = Some(1.0))),
     vars = Seq(
       VarSpec("time", Seq("record"), "timestamp"),
@@ -73,11 +73,13 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     val out = spark.read.parquet(dst).orderBy("time")
     val times = out.select(unix_micros(col("time").cast(TimestampType)))
       .collect().map(_.getLong(0)).toSeq
-    // dup at +2.1s dropped; fills at 4,5,6s; +7200s clipped by max bound
+    // dup at +2.1s dropped; interior fills at 4,5,6s; +7200s clipped by the
+    // max bound; trailing edge fills at 8,9,10s out to the bound
     assert(times === Seq(base, base + us, base + 2 * us, base + 3 * us,
-      base + 4 * us, base + 5 * us, base + 6 * us, base + 7 * us))
+      base + 4 * us, base + 5 * us, base + 6 * us, base + 7 * us,
+      base + 8 * us, base + 9 * us, base + 10 * us))
     val fills = out.filter(col("is_fill")).count()
-    assert(fills === 3)
+    assert(fills === 6)
 
     assert(attrs("input_count") === "2")
     assert(attrs("first_input") === "g_a" && attrs("last_input") === "g_b")

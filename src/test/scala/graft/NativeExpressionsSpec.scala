@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{PortableText => PT, PortableVec => PV}
+
+/** Property-based parity: the native Catalyst expressions must produce
+  * exactly the values of the portable SQL higher-order-function builders
+  * (whose DuckDB twins the oracle runs). Random-generated inputs, both
+  * paths evaluated in Spark, results compared bit-for-bit. */
+class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  private val token = Gen.nonEmptyListOf(
+    Gen.frequency(9 -> Gen.alphaLowerChar, 1 -> Gen.numChar)).map(_.mkString)
+
+  private def checkRows(df: org.apache.spark.sql.DataFrame, e1: String,
+      e2: String): Unit =
+    df.select(expr(e1).as("a"), expr(e2).as("b")).collect().foreach { row =>
+      assert(row.get(0) === row.get(1), s"$e1 != $e2 on $row")
+    }
+
+  private def tokensDf(tss: Seq[Seq[String]]) =
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(tss.map(Row(_)), 2),
+      StructType(Seq(StructField("toks", ArrayType(StringType)))))
+
+  test("token hashes: native == portable HOF") {
+    graft.functions.native.register(spark)
+    val df = tokensDf(samples(Gen.listOf(token), 40))
+    checkRows(df, "graft_token_hashes(toks)", PT.tokenHashesSpark("toks"))
+  }
+
+  test("shingles + minhash bands + simhash + fingerprint parity") {
+    graft.functions.native.register(spark)
+    val df = tokensDf(samples(Gen.listOfN(12, token), 30))
+      .select(expr("graft_token_hashes(toks)").as("th"))
+      .select(col("th"), expr("graft_shingles(th)").as("sh"))
+    // shingle sets equal (distinctness is set-semantics: compare sorted)
+    checkRows(df, "array_sort(graft_shingles(th))",
+      s"array_sort(${PT.shingleHashesSpark("th")})")
+    checkRows(df, "graft_minhash_bands(sh)",
+      PT.bandsSpark(PT.minhashSpark("sh")))
+    checkRows(df, "graft_simhash(th)", PT.simhashSpark("th"))
+    checkRows(df, "graft_doc_fingerprint(th)", PT.docFingerprintSpark("th"))
+  }
+
+  test("string hash parity on printable ascii") {
+    graft.functions.native.register(spark)
+    val strs = samples(Gen.asciiPrintableStr, 40)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(strs.map(Row(_)), 2),
+      StructType(Seq(StructField("s", StringType))))
+    checkRows(df, "graft_string_hash(s)", PT.charHashSpark("s"))
+  }
+
+  test("cosine + lsh bucket parity on random 64-dim float vectors") {
+    graft.functions.native.register(spark)
+    val vec = Gen.listOfN(64, Gen.chooseNum(-1000, 1000).map(_ / 997.0f))
+    val pairs = samples(Gen.zip(vec, vec), 25)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs.map { case (a, b) => Row(a, b) }, 2),
+      StructType(Seq(
+        StructField("a", ArrayType(FloatType)),
+        StructField("b", ArrayType(FloatType)))))
+    checkRows(df, "graft_cosine(a, b)", PV.cosineSpark("a", "b"))
+    checkRows(df, "graft_lsh_bucket(a)", PV.lshBucketSpark("a"))
+  }
+}
