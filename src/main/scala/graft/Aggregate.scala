@@ -28,7 +28,8 @@ object Aggregate {
   /** Derive the [[TSA.UdimConfig]] thresholds from an expected cadence the
     * way the reference does (aggrelist.py:290-299): dedup below half a
     * minimal step, fill above two minimal steps. */
-  def udimConfigFor(dim: AggConfig.DimSpec, idCol: String): TSA.UdimConfig = {
+  def udimConfigFor(dim: AggConfig.DimSpec, idCol: String,
+      tsCol: Option[String] = None): TSA.UdimConfig = {
     val hz = dim.expectedCadenceHz.getOrElse(0.0)
     val (minStep, nomStep, gapThr) =
       if (hz > 0) {
@@ -36,7 +37,7 @@ object Aggregate {
         (math.round(0.5 * tol), math.round(1e6 / hz), math.round(2.0 * tol))
       } else (0L, Long.MaxValue, Long.MaxValue)
     TSA.UdimConfig(
-      tsCol = dim.indexBy.get,
+      tsCol = tsCol.getOrElse(dim.indexBy.get),
       idCol = idCol,
       minStepUs = minStep,
       nomStepUs = nomStep,
@@ -55,16 +56,41 @@ object Aggregate {
   /** Project the configured variables out of the raw granule scan:
     * missing variables fall back through copy_from_alt then null-fill
     * (reference aggrelist.py:545-566), map_to renames on output
-    * (reference aggregator.py:378). */
+    * (reference aggregator.py:378), take_dim_indicies extracts one index
+    * of a fixed inner dimension (reference README; unimplemented there). */
   def selectVariables(df: DataFrame, config: AggConfig.Config): DataFrame = {
     val present = df.columns.toSet
     val cols = config.vars.map { v =>
       val source =
         if (present(v.name)) Some(col(v.name))
         else v.copyFromAlt.find(present).map(col)
-      source.getOrElse(lit(null)).as(v.mapTo.getOrElse(v.name))
+      val taken = v.dimensions.collectFirst {
+        case d if config.takeDimInds.contains(d) => config.takeDimInds(d)
+      }
+      val c = (source, taken) match {
+        case (Some(s), Some(idx)) => element_at(s, idx + 1) // 0-based config
+        case (Some(s), None) => s
+        case (None, _) => lit(null)
+      }
+      c.as(v.mapTo.getOrElse(v.name))
     }
     df.select(cols: _*)
+  }
+
+  /** Scalar ordering index for a (possibly multi-dimensional) index_by
+    * variable (reference README `other_dim_indicies` / aggrelist.py:347-386:
+    * order a record by element [i] of its per-record index array). */
+  def indexColumn(config: AggConfig.Config, dim: AggConfig.DimSpec,
+      df: DataFrame): org.apache.spark.sql.Column = {
+    val ivar = dim.indexBy.get
+    val varSpec = config.vars.find(v => v.mapTo.getOrElse(v.name) == ivar)
+    val innerDims = varSpec.map(_.dimensions.filter(_ != dim.name))
+      .getOrElse(Nil)
+    if (innerDims.isEmpty) col(ivar)
+    else {
+      val idx = dim.otherDimInds.getOrElse(innerDims.head, 0)
+      element_at(col(ivar), idx + 1)
+    }
   }
 
   /** Aggregate `srcs` (parquet granule paths/globs) into `dst`.
@@ -91,11 +117,22 @@ object Aggregate {
     val raw = spark.read.parquet(sorted: _*)
     val data = selectVariables(raw, config)
 
-    val out = config.primaryUdim match {
+    val (out, sortCol) = config.primaryUdim match {
       case Some(dim) if dim.indexBy.isDefined =>
+        val ivar = dim.indexBy.get
+        // multi-dimensional index variable (reference other_dim_indicies):
+        // order by one element of the per-record index array, kept in the
+        // output as a scalar `index_time` column.
+        val multiDim = data.schema(ivar).dataType
+          .isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        val tsName = if (multiDim) "index_time" else ivar
+        val prepped =
+          if (multiDim)
+            data.withColumn(tsName, indexColumn(config, dim, data))
+          else data
         val idCol = "__graft_row_id"
-        val cfg = udimConfigFor(dim, idCol)
-        val withId = data.withColumn(idCol, monotonically_increasing_id())
+        val cfg = udimConfigFor(dim, idCol, Some(tsName))
+        val withId = prepped.withColumn(idCol, monotonically_increasing_id())
         val aggregated =
           if (dim.expectedCadenceHz.exists(_ > 0))
             TSA.aggregate(withId, cfg).drop(idCol)
@@ -105,14 +142,11 @@ object Aggregate {
             val valid = TSA.clipBounds(TSA.filterValid(withId, cfg), cfg)
             valid.drop(TSA.T, idCol).withColumn("is_fill", lit(false))
           }
-        aggregated
+        (aggregated, tsName)
       case _ =>
         // no indexed unlimited dim: plain concatenation in granule order
-        data.withColumn("is_fill", lit(false))
+        (data.withColumn("is_fill", lit(false)), data.columns.head)
     }
-
-    val sortCol = config.primaryUdim.flatMap(_.indexBy)
-      .getOrElse(data.columns.head)
     ParquetGranuleSink.write(out, dst, sortCol, maxRecordsPerFile)
 
     val granules = sorted.map(p => p -> granuleAttrs.getOrElse(p, Map.empty))

@@ -48,7 +48,12 @@ object AggConfig {
   final case class Config(
       dims: Seq[DimSpec],
       vars: Seq[VarSpec],
-      attrs: Seq[AttrSpec]) {
+      attrs: Seq[AttrSpec],
+      /** reference README "Specify Dimension Indecies to Extract and
+        * Flatten" (`take_dim_indicies`) — declared but NOT IMPLEMENTED in
+        * the reference; implemented here: extract index i of a fixed inner
+        * dimension from every variable that carries it. */
+      takeDimInds: Map[String, Int] = Map.empty) {
 
     def dim(name: String): Option[DimSpec] = dims.find(_.name == name)
 
@@ -145,7 +150,13 @@ object AggConfig {
       case _ => Nil
     }
 
-    Config(dims, vars, attrs).validate()
+    val takeDimInds = (root \ "take_dim_indicies") match {
+      case JObject(fields) =>
+        fields.collect { case (k, JInt(v)) => k -> v.toInt }.toMap
+      case _ => Map.empty[String, Int]
+    }
+
+    Config(dims, vars, attrs, takeDimInds).validate()
   }
 
   /** Default config from a sample granule (reference Config.from_nc,

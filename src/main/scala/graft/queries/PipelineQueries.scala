@@ -188,6 +188,18 @@ object PipelineQueries {
         expr("CAST(length(text) AS BIGINT)").as("n_chars"),
         expr("CAST((length(text) + 3) div 4 AS BIGINT)").as("est_bpe_tokens"))
 
+  /** Corpus-level bigram frequencies, top 50: word-count + TakeOrdered
+    * (orderBy+limit -> no single-partition window at any scale). */
+  def tNgramFreq(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir)
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(50)
+
   def tFingerprint(s: SparkSession, dir: String): DataFrame =
     tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_doc_fingerprint(th)").as("fp"))
@@ -318,6 +330,14 @@ object PipelineQueries {
          |       CAST(length(text) AS BIGINT) AS n_chars,
          |       CAST((length(text) + 3) // 4 AS BIGINT) AS est_bpe_tokens
          |FROM documents""".stripMargin,
+    "t_ngram_freq" ->
+      s"""WITH $thCte,
+         |bg AS (
+         |  SELECT unnest(list_transform(range(1, len(toks)),
+         |                i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM toksT WHERE len(toks) >= 2)
+         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "t_fingerprint" ->
       s"""WITH $thCte
          |SELECT doc_id, ${PT.docFingerprintDuck("th")} AS fp FROM thT""".stripMargin,
@@ -342,6 +362,7 @@ object PipelineQueries {
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),
     "t_fingerprint" -> (tFingerprint _),
+    "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _)
   )
 }

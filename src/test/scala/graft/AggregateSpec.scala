@@ -126,6 +126,56 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multidim index_by orders by the configured element (other_dim_inds)") {
+    import java.time.LocalDateTime
+    val rows = Seq(
+      // records out of order by their index array's element 0
+      Row(Seq(ldt(base + 2 * us), ldt(base + 2 * us + 100000L)), "b"),
+      Row(Seq(ldt(base), ldt(base + 100000L)), "a"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("ob_time", ArrayType(TimestampNTZType)),
+        StructField("payload", StringType))))
+    val tmp = Files.createTempDirectory("graft_md").toString
+    df.write.parquet(s"$tmp/g")
+    val cfg = Config(
+      dims = Seq(
+        DimSpec("record", None, indexBy = Some("ob_time"),
+          otherDimInds = Map("samples" -> 0)),
+        DimSpec("samples", Some(2))),
+      vars = Seq(
+        VarSpec("ob_time", Seq("record", "samples"), "timestamp"),
+        VarSpec("payload", Seq("record"), "string")),
+      attrs = Nil)
+    Aggregate.run(spark, Seq(s"$tmp/g"), s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("index_time")
+    assert(out.columns.contains("index_time"))
+    assert(out.select("payload").collect().map(_.getString(0)).toSeq ===
+      Seq("a", "b"))
+  }
+
+  test("take_dim_indicies extracts one inner-dim index from array vars") {
+    import spark.implicits._
+    val df = Seq((1L, Seq(10.0, 20.0)), (2L, Seq(30.0, 40.0)))
+      .toDF("id", "flux")
+    val cfg = Config(
+      dims = Seq(DimSpec("record", None), DimSpec("sensor", Some(2))),
+      vars = Seq(
+        VarSpec("id", Seq("record"), "bigint"),
+        VarSpec("flux", Seq("record", "sensor"), "double")),
+      attrs = Nil,
+      takeDimInds = Map("sensor" -> 1))
+    val out = Aggregate.selectVariables(df, cfg).orderBy("id")
+    assert(out.schema("flux").dataType === DoubleType)
+    assert(out.select("flux").collect().map(_.getDouble(0)).toSeq ===
+      Seq(20.0, 40.0))
+  }
+
+  private def ldt(t: Long) =
+    java.time.LocalDateTime.ofEpochSecond(
+      t / us, ((t % us) * 1000).toInt, java.time.ZoneOffset.UTC)
+
   test("copy_from_alt falls back and map_to renames") {
     import spark.implicits._
     val df = Seq((1L, 2.0)).toDF("id", "alt_v")
