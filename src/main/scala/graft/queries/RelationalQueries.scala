@@ -118,6 +118,52 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
   }
 
+  /** Point-in-time (as-of) join: each event matched to the latest order of
+    * the same user at-or-before the event time. Composed from built-ins
+    * (tagged union + keyed last_value window) rather than a custom
+    * SparkPlan — partition-parallel on the join key, no range-join blowup.
+    */
+  def qAsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .select(col("user_id").as("k"), col(TSA.T).as("t"),
+        lit(0L).as("is_order"), col("event_id"),
+        lit(null).cast(LongType).as("o_orderkey"),
+        lit(null).cast(DoubleType).as("o_totalprice"))
+    val o = TSA.withEpochUs(tbl(s, dir, "orders"), "o_orderdate")
+      .select(col("o_custkey").as("k"), col(TSA.T).as("t"),
+        lit(1L).as("is_order"), lit(null).cast(LongType).as("event_id"),
+        col("o_orderkey"), col("o_totalprice"))
+    // orders sort before events at equal t (inclusive as-of); ties between
+    // orders resolved by orderkey so last_value is the max orderkey.
+    val w = Window.partitionBy("k")
+      .orderBy(col("t"), col("is_order").desc, col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    e.unionByName(o)
+      .withColumn("asof_orderkey",
+        last(col("o_orderkey"), ignoreNulls = true).over(w))
+      .withColumn("asof_totalprice",
+        last(col("o_totalprice"), ignoreNulls = true).over(w))
+      .filter(col("is_order") === 0L)
+      .select(col("event_id"), col("k").as("user_id"),
+        timestamp_micros(col("t")).cast(TimestampNTZType).as("ts"),
+        col("asof_orderkey"), col("asof_totalprice"))
+  }
+
+  /** Weekly cohort retention: active users per week and how many return
+    * the following week. */
+  def qRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .select(col("user_id"), expr(s"${TSA.T} div ${weekUs}L").as("wk"))
+      .distinct()
+    val nxt = e.select(col("user_id"), (col("wk") - 1).as("wk"))
+      .distinct().withColumn("ret", lit(1L))
+    e.join(nxt, Seq("user_id", "wk"), "left")
+      .groupBy("wk")
+      .agg(count(lit(1)).as("n_active"),
+        sum(coalesce(col("ret"), lit(0L))).as("n_retained"))
+  }
+
   private val discExpr =
     """CAST(l_extendedprice AS DECIMAL(18,4)) *
       |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
@@ -170,6 +216,37 @@ object RelationalQueries {
         |           ORDER BY value DESC, event_id) AS rk
         |  FROM events)
         |SELECT user_id, rk, event_id, value FROM r WHERE rk <= 3""".stripMargin,
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id AS k, epoch_us(ts) AS t, 0 AS is_order,
+        |         event_id, CAST(NULL AS BIGINT) AS o_orderkey,
+        |         CAST(NULL AS DOUBLE) AS o_totalprice
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey AS k, epoch_us(o_orderdate) AS t, 1 AS is_order,
+        |         CAST(NULL AS BIGINT) AS event_id, o_orderkey, o_totalprice
+        |  FROM orders),
+        |m AS (
+        |  SELECT *,
+        |    last_value(o_orderkey IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY t, is_order DESC, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS asof_orderkey,
+        |    last_value(o_totalprice IGNORE NULLS) OVER (PARTITION BY k
+        |      ORDER BY t, is_order DESC, o_orderkey
+        |      ROWS UNBOUNDED PRECEDING) AS asof_totalprice
+        |  FROM u)
+        |SELECT event_id, k AS user_id, make_timestamp(t) AS ts,
+        |       asof_orderkey, asof_totalprice
+        |FROM m WHERE is_order = 0""".stripMargin,
+    "q_retention" ->
+      """WITH w AS (
+        |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
+        |  FROM events),
+        |nxt AS (SELECT DISTINCT user_id, wk - 1 AS wk, 1 AS ret FROM w)
+        |SELECT w.wk, count(*) AS n_active,
+        |       CAST(sum(COALESCE(nxt.ret, 0)) AS BIGINT) AS n_retained
+        |FROM w LEFT JOIN nxt ON w.user_id = nxt.user_id AND w.wk = nxt.wk
+        |GROUP BY w.wk""".stripMargin,
     "q_window_tumbling" ->
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |         AS bucket,
@@ -184,6 +261,8 @@ object RelationalQueries {
     "q5_join_agg" -> (q5JoinAgg _),
     "q_window" -> (qWindow _),
     "q_topk" -> (qTopk _),
+    "q_asof_join" -> (qAsofJoin _),
+    "q_retention" -> (qRetention _),
     "q_window_tumbling" -> (qWindowTumbling _)
   )
 }

@@ -46,6 +46,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("granule-directory file stream: new granules flow through the agg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    def granule(name: String, evs: Seq[Ev]): Unit =
+      evs.toDF().write.mode("overwrite").parquet(s"$dir/$name")
+    granule("g1", Seq(ev(0, "a", 1.0), ev(60, "a", 2.0)))
+    val stream = spark.readStream
+      .schema(Seq(ev(0, "a", 1.0)).toDF().schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/*")
+    val q = StreamingAgg.windowedCounts(stream, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("fs").start()
+    try {
+      q.processAllAvailable()
+      val n1 = spark.table("fs").agg(sum("n")).first().getLong(0)
+      assert(n1 === 2L)
+      // a new granule arrives; the stream picks it up incrementally
+      granule("g2", Seq(ev(3700, "b", 3.0)))
+      q.processAllAvailable()
+      val n2 = spark.table("fs").agg(sum("n")).first().getLong(0)
+      assert(n2 === 3L)
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (streaming/batch parity)") {
     import spark.implicits._
     val batch = Seq(ev(0, "a", 1.0), ev(60, "a", 2.0), ev(3700, "b", 3.0))
