@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -22,7 +22,11 @@ object StreamingAgg {
       .withColumn("ts", col("ts").cast(TimestampType))
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDur), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum("value").as("v_sum"))
+      // decimal-exact sum cast to double once: order-independent, so batch
+      // and streaming (and the DuckDB oracle) agree bit-for-bit
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("v_sum"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("v_sum"))
 
