@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.TimeSeriesAggregator._
+
+/** Property test: the distributed chunk-partitioned pipeline must agree
+  * with a naive single-threaded reference implementation of the same
+  * semantics on random timestamp sets — this is what catches
+  * chunk-boundary and tie-break bugs that hand-picked cases miss. */
+class TSAPropertySpec extends AnyFunSuite with SparkSpec {
+
+  private val us = 1000000L
+  private val base = 1704067200L * us
+
+  // deliberately tiny chunks (10 s) so random data crosses many boundaries
+  private val cfg = UdimConfig("ts", "id", minStepUs = 1500000L,
+    nomStepUs = 2000000L, gapThresholdUs = 5000000L, chunkUs = 10 * us)
+
+  /** Naive reference: sort, stateless lag-dedup, interior gap fill. */
+  private def naive(ts: Seq[Long]): (Seq[Long], Seq[Long]) = {
+    val sorted = ts.filter(_ > 0).sorted
+    val kept = sorted.zipWithIndex.filter { case (t, i) =>
+      i == 0 || t - sorted(i - 1) >= cfg.minStepUs
+    }.map(_._1)
+    val fills = kept.zip(kept.drop(1)).flatMap { case (a, b) =>
+      if (b - a > cfg.gapThresholdUs) {
+        val n = (b - a - 1) / cfg.nomStepUs
+        (1L to n).map(k => a + k * cfg.nomStepUs)
+      } else Nil
+    }
+    (kept, fills)
+  }
+
+  private def mk(ts: Seq[Long]) = {
+    val rows = ts.zipWithIndex.map { case (t, i) =>
+      Row(java.time.LocalDateTime.ofEpochSecond(
+        t / us, ((t % us) * 1000).toInt, java.time.ZoneOffset.UTC),
+        i.toLong)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 4),
+      StructType(Seq(
+        StructField("ts", TimestampNTZType),
+        StructField("id", LongType))))
+  }
+
+  test("distributed dedupe+gapFill == naive reference on random inputs") {
+    val gen = Gen.chooseNum(1, 120)
+      .flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(0L, 100L * us).map(base + _)))
+      .map(_.distinct) // distinct ts: the naive model has no id tie-break
+    (0 until 12).foreach { i =>
+      val ts = gen.apply(Gen.Parameters.default, Seed(7L + i)).get
+      val (expKept, expFills) = naive(ts)
+      val out = gapFill(dedupe(filterValid(mk(ts), cfg), cfg), cfg)
+      val gotKept = out.filter(!col("__is_fill")).select(T)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val gotFills = out.filter(col("__is_fill")).select(T)
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(gotKept === expKept, s"kept mismatch for seed ${7 + i}")
+      assert(gotFills === expFills.sorted, s"fills mismatch for seed ${7 + i}")
+    }
+  }
+}
