@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
@@ -133,24 +133,57 @@ object TimeSeriesAggregator {
   /** Gap fill: for each pair of neighbors spaced wider than gapThresholdUs,
     * synthesize records at the nominal cadence strictly between them, with
     * all data columns null-filled (the reference's FillNode,
-    * aggrelist.py:100-189 + 294-303). Adds boolean `__is_fill`. */
+    * aggrelist.py:100-189 + 294-303). Adds boolean `__is_fill`.
+    *
+    * Single-pass emit: every row explodes into itself plus its trailing fill
+    * timestamps, so the input is evaluated once — no union of a kept branch
+    * and a fills branch that would each re-scan the source (at 100 TB the
+    * old two-branch shape doubles the dominant scan+window cost). */
   def gapFill(df: DataFrame, cfg: UdimConfig): DataFrame = {
-    val next = withNextT(df, cfg)
-    val base = next.drop("__next_t").withColumn("__is_fill", lit(false))
     val dataCols = df.columns.filter(_ != T)
-    val fills = next
-      .filter(col("__next_t").isNotNull &&
-        col("__next_t") - col(T) > cfg.gapThresholdUs)
-      .select(col(T).as("__t0"), col("__next_t"))
-      .withColumn("__n", expr(s"(__next_t - __t0 - 1) div ${cfg.nomStepUs}L"))
-      .filter(col("__n") >= 1L)
-      .select(col("__t0"), explode(expr("sequence(1L, __n)")).as("__k"))
-      .withColumn(T, col("__t0") + col("__k") * lit(cfg.nomStepUs))
-    val fillRows = fills.select(
-      col(T) +:
-        dataCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)) :+
-        lit(true).as("__is_fill"): _*)
-    base.select((T +: dataCols :+ "__is_fill").map(col): _*).unionByName(fillRows)
+    emitWithFills(withNextT(df, cfg), cfg, dataCols,
+      df.schema, edges = None)
+  }
+
+  /** Shared single-pass fill emitter. Input must carry `__next_t` (and
+    * `__prev_t` when edges are requested). Each row emits: leading fills out
+    * to the lower bound (only the global-first row, `__prev_t` null), itself,
+    * interior fills at the nominal cadence while the gap to `__next_t`
+    * exceeds the threshold, and trailing fills out to the upper bound (only
+    * the global-last row, `__next_t` null). One `Generate` per row, zero
+    * re-evaluation of the input. */
+  private def emitWithFills(df: DataFrame, cfg: UdimConfig,
+      dataCols: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      edges: Option[(Long, Long)]): DataFrame = {
+    val nom = cfg.nomStepUs
+    def fillSeq(n: Column, tOf: Column => Column): Column =
+      when(n >= 1L, transform(sequence(lit(1L), n), k => tOf(k)))
+        .otherwise(array().cast("array<bigint>"))
+    val interior = fillSeq(
+      when(col("__next_t").isNotNull &&
+          col("__next_t") - col(T) > cfg.gapThresholdUs,
+        expr(s"(__next_t - $T - 1) div ${nom}L")).otherwise(lit(0L)),
+      k => col(T) + k * lit(nom))
+    val tsArr = edges match {
+      case Some((lo, hi)) =>
+        val leadFills = fillSeq(
+          when(col("__prev_t").isNull, expr(s"($T - ${lo}L) div ${nom}L"))
+            .otherwise(lit(0L)),
+          k => col(T) - k * lit(nom))
+        val trailFills = fillSeq(
+          when(col("__next_t").isNull, expr(s"(${hi}L - $T) div ${nom}L"))
+            .otherwise(lit(0L)),
+          k => col(T) + k * lit(nom))
+        concat(leadFills, array(col(T)), interior, trailFills)
+      case None => concat(array(col(T)), interior)
+    }
+    df.withColumn("__fill_t", explode(tsArr))
+      .select(
+        col("__fill_t").as(T) +:
+          dataCols.map(c =>
+            when(col("__fill_t") === col(T), col(c))
+              .otherwise(lit(null).cast(schema(c).dataType)).as(c)) :+
+          (col("__fill_t") =!= col(T)).as("__is_fill"): _*)
   }
 
   /** Edge fill: synthesize fill records at the nominal cadence between the
@@ -187,16 +220,50 @@ object TimeSeriesAggregator {
     * valid -> clip bounds -> sort -> cadence dedup -> gap fill [-> edge
     * fill]. Returns the input columns with the index column regenerated
     * from integer micros (TIMESTAMP_NTZ for engine portability) plus
-    * boolean `is_fill`. */
+    * boolean `is_fill`.
+    *
+    * Fused plan: the dedup lag-window and the gap-fill lead-window share one
+    * chunk-hash exchange and sort (the dedup filter preserves both), and all
+    * fill rows — interior gaps plus the leading/trailing edge fills — are
+    * emitted by the single-pass [[emitWithFills]]. The data path scans the
+    * source once; the only other scans are the two tiny per-chunk boundary
+    * summaries (ts column only, one row per chunk). The old compositional
+    * shape union-recomputed the dedup pipeline six times. */
   def aggregate(df: DataFrame, cfg: UdimConfig): DataFrame = {
     val valid = clipBounds(filterValid(df, cfg), cfg).drop(cfg.tsCol)
-    val interior = gapFill(dedupe(valid, cfg), cfg)
-    val filled =
-      if (cfg.fillEdges) fillToBounds(interior, cfg) else interior
-    val dataCols = df.columns.filter(_ != cfg.tsCol)
-    filled
+    val c = chunked(valid, cfg)
+    val w = Window.partitionBy(CHUNK).orderBy(col(T), col(cfg.idCol))
+    val wc = Window.orderBy(CHUNK)
+    // per-chunk boundary summaries: one row per chunk, broadcast back
+    val prevChunk = c
+      .groupBy(CHUNK).agg(max(T).as("__chunk_last"))
+      .withColumn("__prev_chunk_last", lag(col("__chunk_last"), 1).over(wc))
+      .select(col(CHUNK), col("__prev_chunk_last"))
+    val withPrev = c
+      .withColumn("__prev_in", lag(col(T), 1).over(w))
+      .join(broadcast(prevChunk), Seq(CHUNK), "left")
+      .withColumn("__prev_t", coalesce(col("__prev_in"), col("__prev_chunk_last")))
+      .drop("__prev_in", "__prev_chunk_last")
+    val deduped = withPrev.filter(
+      col("__prev_t").isNull || col(T) - col("__prev_t") >= cfg.minStepUs)
+    // next neighbor over the deduped stream; same window partitioning, so
+    // no second exchange on the data path
+    val nextChunk = deduped
+      .groupBy(CHUNK).agg(min(T).as("__chunk_first"))
+      .withColumn("__next_chunk_first", lead(col("__chunk_first"), 1).over(wc))
+      .select(col(CHUNK), col("__next_chunk_first"))
+    val withNbrs = deduped
+      .withColumn("__next_in", lead(col(T), 1).over(w))
+      .join(broadcast(nextChunk), Seq(CHUNK), "left")
+      .withColumn("__next_t", coalesce(col("__next_in"), col("__next_chunk_first")))
+      .drop("__next_in", "__next_chunk_first", CHUNK)
+    val dataCols = valid.columns.filter(_ != T).toSeq
+    val emitted = emitWithFills(withNbrs, cfg, dataCols, valid.schema,
+      edges = if (cfg.fillEdges) cfg.boundsUs else None)
+    val outCols = df.columns.filter(_ != cfg.tsCol)
+    emitted
       .withColumn(cfg.tsCol, timestamp_micros(col(T)).cast(TimestampNTZType))
       .withColumn("is_fill", col("__is_fill"))
-      .select((cfg.tsCol +: dataCols :+ "is_fill").map(col): _*)
+      .select((cfg.tsCol +: outCols :+ "is_fill").map(col): _*)
   }
 }
