@@ -41,8 +41,11 @@ object RelationalQueries {
           count(lit(1)).cast(DoubleType)).as("avg_price"),
         count(lit(1)).as("count_order"))
 
-  /** TPC-H Q3 shape: selective fact join; dims broadcast, fact shuffles
-    * once on the join/group key. */
+  /** TPC-H Q3 shape: selective fact join. Only the true dimension
+    * join strategy is left to Catalyst/AQE: orders and customer are
+    * fact-scale tables at 100 TB (billions of rows), so a hard broadcast
+    * hint would OOM a real cluster; AQE converts to broadcast at runtime
+    * when the filtered side is measured small (as it is at bench SFs). */
   def q3Join(s: SparkSession, dir: String): DataFrame = {
     val cust = tbl(s, dir, "customer")
       .filter(col("c_mktsegment") === "BUILDING")
@@ -53,16 +56,20 @@ object RelationalQueries {
       .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
     val li = tbl(s, dir, "lineitem")
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) *
         (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
   }
 
-  /** TPC-H Q5 shape: multi-way star join, all dims broadcast so the fact
-    * table shuffles only for the final aggregation. */
+  /** TPC-H Q5 shape: multi-way star join. Only the constant-cardinality
+    * dims (nation: 25 rows, region: 5) carry broadcast hints — they are
+    * safe to broadcast at any scale. orders/supplier/customer grow with
+    * the data (supplier and customer are hundreds of millions of rows at
+    * 100 TB), so their join strategies are left to Catalyst/AQE, which
+    * broadcasts at runtime only the sides it measures small. */
   def q5JoinAgg(s: SparkSession, dir: String): DataFrame = {
     val region = tbl(s, dir, "region").filter(col("r_name") === "ASIA")
     val nation = tbl(s, dir, "nation")
@@ -78,9 +85,9 @@ object RelationalQueries {
       .select("o_orderkey", "o_custkey")
     val li = tbl(s, dir, "lineitem")
       .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey") &&
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(cust, col("o_custkey") === col("c_custkey") &&
         col("s_nationkey") === col("c_nationkey"))
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
