@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.joins.CartesianProductExec
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the SURVEY.md §4 scale rules at the physical-plan level so a
+  * refactor cannot silently reintroduce a shape that works at bench scale
+  * but dies at 100 TB: unbounded cartesian products, lost parquet filter
+  * pushdown, or the gap-fill pipeline union-recomputing its source scans.
+  */
+class PlanQualitySpec extends AnyFunSuite with SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def physical(name: String): SparkPlan =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+
+  /** All nodes including inside adaptive wrappers (pre-execution the AQE
+    * node holds the initial plan). */
+  private def nodes(p: SparkPlan): Seq[SparkPlan] =
+    (p +: p.children.flatMap(nodes)) ++ (p match {
+      case a: AdaptiveSparkPlanExec => nodes(a.initialPlan)
+      case _                        => Seq.empty
+    })
+
+  private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
+    nodes(p).count(pred)
+
+  test("no query plans an unbounded cartesian product") {
+    // ann_bruteforce is the explicitly-named O(n*q) baseline: its cross
+    // join broadcasts the tiny fixed query set, which plans as a
+    // BroadcastNestedLoopJoin, not a CartesianProduct — so even it must
+    // not appear here.
+    SparkEntry.queries.keys.foreach { name =>
+      val n = count(physical(name), _.isInstanceOf[CartesianProductExec])
+      assert(n == 0, s"$name plans $n CartesianProduct node(s)")
+    }
+  }
+
+  test("q1_agg pushes its date filter into the parquet scan") {
+    val scans = nodes(physical("q1_agg")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    assert(pushed.contains("LessThan"),
+      s"expected pushed range filter, got: $pushed")
+    // projection pruned: Q1 reads 6 of lineitem's 16 columns
+    assert(scans.head.requiredSchema.fields.length <= 6)
+  }
+
+  test("fused q_agg_full pipeline keeps a bounded scan count") {
+    // one wide data scan + narrow per-chunk summary scans; the old
+    // union-of-branches shape planned 6 scans and regrows under refactors
+    val n = count(physical("q_agg_full"),
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    assert(n <= 4, s"q_agg_full plans $n parquet scans (expected <= 4)")
+  }
+
+  test("q_agg_full data path shares one exchange between its windows") {
+    // The dedup lag-window and gap-fill lead-window must reuse the same
+    // chunk-hash partitioning, so exactly ONE shuffle carries the full-width
+    // rows. The remaining exchanges move only per-chunk summary data:
+    // ts-column aggregates and one-row-per-chunk frames (narrow or tiny at
+    // any scale). 7 today; a regression that re-shuffles the wide data path
+    // (e.g. losing the shared window partitioning) adds at least one more.
+    val plan = physical("q_agg_full")
+    val shuffles = nodes(plan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 7,
+      s"q_agg_full plans ${shuffles.length} shuffle exchanges")
+    // the wide data path (>= 5 output columns) shuffles exactly once
+    val wide = shuffles.count(_.output.length >= 5)
+    assert(wide == 1,
+      s"expected exactly 1 wide shuffle on the data path, got $wide")
+  }
+}
