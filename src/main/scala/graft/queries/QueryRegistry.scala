@@ -32,6 +32,31 @@ object QueryRegistry {
       e.withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1)
         .select("event_id", "ts", "user_id", "event_type", "value")
+    }),
+    // batch twin of StreamingAgg.sessionize (flatMapGroupsWithState):
+    // identical session semantics via keyed windows; session bounds in
+    // integer epoch-micros, v_sum decimal-exact then cast once
+    "stream_sessionize" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      import graft.core.{TimeSeriesAggregator => TSA}
+      val e = TSA.filterValid(AggQueries.events(s, dir), AggQueries.cfg)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col(TSA.T), col("event_id"))
+      val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+      e.withColumn("__prev", lag(col(TSA.T), 1).over(w))
+        .withColumn("__new",
+          when(col("__prev").isNull ||
+            col(TSA.T) - col("__prev") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("__sid", sum(col("__new")).over(wCum))
+        .groupBy(col("user_id"), col("__sid"))
+        .agg(min(TSA.T).as("session_start"), max(TSA.T).as("session_end"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+            .as("v_sum"))
+        .select("user_id", "session_start", "session_end", "n_events",
+          "v_sum")
     })
   )
 
@@ -49,7 +74,22 @@ object QueryRegistry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY b
         |             ORDER BY t, event_id) AS rn FROM e)
         |SELECT event_id, ts, user_id, event_type, value FROM r
-        |WHERE rn = 1""".stripMargin
+        |WHERE rn = 1""".stripMargin,
+    "stream_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events
+        |  WHERE ts IS NOT NULL AND epoch_us(ts) > 0),
+        |d AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |               ORDER BY t, event_id) AS prev_t FROM e),
+        |m AS (SELECT *, CASE WHEN prev_t IS NULL OR t - prev_t > 1800000000
+        |                     THEN 1 ELSE 0 END AS newsess FROM d),
+        |x AS (SELECT *, sum(newsess) OVER (PARTITION BY user_id
+        |               ORDER BY t, event_id ROWS UNBOUNDED PRECEDING)
+        |               AS sid FROM m)
+        |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |FROM x GROUP BY user_id, sid""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

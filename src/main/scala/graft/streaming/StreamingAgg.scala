@@ -1,8 +1,19 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DecimalType, DoubleType, TimestampType}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
+
+/** Typed rows of the stateful sessionizer (top level for Encoder
+  * derivation). `ts` carries the watermark (the event-time timeout checker
+  * requires the watermarked column in the grouped input); `t` is the same
+  * instant in integer epoch-micros for the arithmetic. */
+final case class SessionEvent(user_id: Long, t: Long, value: Double,
+    ts: java.sql.Timestamp)
+final case class SessionState(start: Long, end: Long, n: Long, vsum: Double)
+final case class Session(user_id: Long, session_start: Long,
+    session_end: Long, n_events: Long, v_sum: Double)
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -43,4 +54,68 @@ object StreamingAgg {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("cadence_bucket")
       .drop("cadence_bucket")
+
+  /** Streaming sessionization with custom per-key state
+    * (`flatMapGroupsWithState` + event-time timeout): the streaming analog
+    * of the batch gap-detection sessionizer (AggQueries.qAggSessionize, the
+    * generalization of the reference's gap handling, aggrelist.py:294-303).
+    *
+    * A session is a maximal run of a user's events with no gap wider than
+    * gapUs. Closed sessions are emitted as soon as a gap-crossing event
+    * arrives; the trailing open session is emitted when the watermark
+    * passes its end + gap (event-time timeout), so state is bounded: one
+    * in-flight session per active user, expired deterministically.
+    *
+    * Scale: state is partitioned by user across executors; each group's
+    * per-batch work is O(events in batch) after an in-batch sort. Event
+    * times are integer epoch-micros (SURVEY.md §3). */
+  def sessionize(events: DataFrame, gapUs: Long,
+      watermark: String = "30 minutes"): Dataset[Session] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        expr("unix_micros(ts)").as("t"),
+        col("value").cast(DoubleType).as("value"), col("ts"))
+      .as[SessionEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.EventTimeTimeout())(
+        (uid: Long, it: Iterator[SessionEvent],
+            st: GroupState[SessionState]) => {
+          if (st.hasTimedOut) {
+            // watermark passed end + gap: no further event can extend it
+            val fin = st.get
+            st.remove()
+            Iterator(Session(uid, fin.start, fin.end, fin.n, fin.vsum))
+          } else {
+            // arrival order within a batch is arbitrary; event-time order
+            // makes the fold deterministic
+            val evs = it.toArray.sortBy(_.t)
+            val closed = Seq.newBuilder[Session]
+            var cur = st.getOption
+            evs.foreach { e =>
+              cur match {
+                case Some(ses) if e.t - ses.end <= gapUs =>
+                  cur = Some(SessionState(ses.start,
+                    math.max(ses.end, e.t), ses.n + 1, ses.vsum + e.value))
+                case Some(ses) =>
+                  closed += Session(uid, ses.start, ses.end, ses.n, ses.vsum)
+                  cur = Some(SessionState(e.t, e.t, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(e.t, e.t, 1L, e.value))
+              }
+            }
+            cur.foreach { ses =>
+              st.update(ses)
+              st.setTimeoutTimestamp(math.max((ses.end + gapUs) / 1000L,
+                st.getCurrentWatermarkMs() + 1L))
+            }
+            closed.result().iterator
+          }
+        })
+  }
 }

@@ -7,6 +7,7 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.streaming.StreamingAgg
 
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
+case class UEv(ts: java.sql.Timestamp, user_id: Long, value: Double)
 
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
@@ -68,6 +69,89 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       val n2 = spark.table("fs").agg(sum("n")).first().getLong(0)
       assert(n2 === 3L)
+    } finally q.stop()
+  }
+
+  test("stateful sessionize closes sessions on gaps and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(sec: Long, uid: Long, v: Double) =
+      UEv(new java.sql.Timestamp(sec * 1000L), uid, v)
+    val gapUs = 1800000000L // 30 min
+    val mem = MemoryStream[UEv]
+    val q = graft.streaming.StreamingAgg
+      .sessionize(mem.toDF(), gapUs, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sess").start()
+    try {
+      // events start above t=0: a row at exactly the initial watermark
+      // (0 with a 0-second delay) is dropped as late by the state operator
+      // user 1: two events 60s apart (one session), then a 1h gap
+      mem.addData(uev(1000, 1, 1.0), uev(1060, 1, 2.0))
+      q.processAllAvailable()
+      assert(spark.table("sess").count() === 0) // still open
+      // the gap-crossing event closes the first session immediately
+      mem.addData(uev(4660, 1, 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess").as[graft.streaming.Session].collect()
+      assert(closed.toSeq ===
+        Seq(graft.streaming.Session(1L, 1000000000L, 1060000000L, 2L, 3.0)))
+      // advancing the watermark far past end+gap times out the open session
+      mem.addData(uev(20000, 2, 9.0))
+      q.processAllAvailable()
+      mem.addData(uev(40000, 2, 1.0))
+      q.processAllAvailable()
+      val after = spark.table("sess").as[graft.streaming.Session]
+        .collect().sortBy(s => (s.user_id, s.session_start))
+      assert(after.contains(
+        graft.streaming.Session(1L, 4660000000L, 4660000000L, 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize parity: streaming sessions == batch-twin sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(sec: Long, uid: Long, v: Double) =
+      UEv(new java.sql.Timestamp(sec * 1000L), uid, v)
+    val evs = Seq(
+      uev(1000, 1, 1.0), uev(1060, 1, 2.0), uev(4660, 1, 4.0),
+      uev(1010, 2, 8.0), uev(8200, 2, 16.0), uev(8260, 2, 32.0))
+    val gapUs = 1800000000L
+    // batch twin: same window-based session assignment as the registry's
+    // stream_sessionize entry
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("t")
+    val batch = evs.toDF()
+      .withColumn("t", expr("unix_micros(ts)"))
+      .withColumn("__new",
+        when(lag(col("t"), 1).over(w).isNull ||
+          col("t") - lag(col("t"), 1).over(w) > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("__new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("t").as("session_start"), max("t").as("session_end"),
+        count(lit(1)).as("n_events"), sum("value").as("v_sum"))
+      .select("user_id", "session_start", "session_end", "n_events", "v_sum")
+      .as[graft.streaming.Session].collect().toSet
+    // streaming: feed everything, then advance the watermark to flush
+    val mem = MemoryStream[UEv]
+    val q = graft.streaming.StreamingAgg
+      .sessionize(mem.toDF(), gapUs, watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessp").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      // two watermark pushes: batch N+1 runs with the watermark computed
+      // after batch N, so the second push is what expires the last open
+      // session of the data users
+      mem.addData(uev(100000, 99, 0.0))
+      q.processAllAvailable()
+      mem.addData(uev(200000, 99, 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("sessp").as[graft.streaming.Session]
+        .filter(_.user_id < 10).collect().toSet
+      assert(streamed === batch)
     } finally q.stop()
   }
 
