@@ -139,6 +139,38 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
+  /** IVF-style ANN (the second scale path next to [[annLsh]]): a
+    * deterministic coarse quantizer — the 16 lowest-id vectors as
+    * centroids — partitions the corpus into inverted lists; queries probe
+    * their 2 nearest centroids only. The candidate join is keyed on the
+    * centroid id, so each query scores ~n*nprobe/k candidates instead of
+    * the full corpus; at 100 TB the inverted lists are the partitioning
+    * (cluster-by cid on disk) and the 16-row centroid table broadcasts. */
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    // nearest centroids per vector: n x 16 scores, ties to the lower cid
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    val assigned = e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("crn", row_number().over(wAssign))
+    val lists = assigned.filter(col("crn") === 1)
+      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cid"))
+    val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"))
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "cos")
+  }
+
   // ----------------------------------------------------------- text analysis
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -281,6 +313,24 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_ivf" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         |sc AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |           AS crn
+         |  FROM emb e CROSS JOIN cent c),
+         |lists AS (SELECT vec_id AS n_id, v AS nv, cid FROM sc WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cid FROM sc
+         |           WHERE vec_id < 8 AND crn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, l.n_id, ${PV.cosineDuck("p.qv", "l.nv")} AS cos
+         |  FROM lists l JOIN probes p USING (cid) WHERE l.n_id <> p.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
     "ann_lsh" ->
       s"""WITH $bucketCte,
          |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 8),
@@ -358,6 +408,7 @@ object PipelineQueries {
     "d_embed_neardup" -> (dEmbedNeardup _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
+    "ann_ivf" -> (annIvf _),
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),

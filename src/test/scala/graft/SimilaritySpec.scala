@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The dedup + similarity family (SURVEY.md §2 C) on crafted corpora:
+  * near-duplicates the operators must find, distinct documents they must
+  * not conflate, and ANN recall vs the brute-force baseline. Oracle
+  * hash-parity with DuckDB is the driver gate; these specs pin the
+  * qualitative semantics locally. */
+class SimilaritySpec extends AnyFunSuite with SparkSpec {
+
+  import graft.queries.PipelineQueries
+
+  /** Tiny corpus in the testdata schemas: doc 1/2 near-identical, 3 exact
+    * copy of 1, 4 unrelated. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_sim").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    Seq(
+      (1L, base + "ending one", "en", "web", 1L),
+      (2L, base + "ending two", "en", "web", 2L),
+      (3L, base + "ending one", "en", "books", 3L),
+      (4L, "completely different text about spark plans and shuffles " * 6,
+        "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    // 64 vectors in 64 dims: 16 tight clusters around one-hot axes
+    // (cluster of i = i mod 16), matching ann_ivf's 16-centroid quantizer
+    val vecs = (0L until 64L).map { i =>
+      val axis = (i % 16).toInt
+      val v = Array.tabulate(64)(j =>
+        (if (j == axis) 1.0f else 0.0f) + 0.0005f * ((i * 7 + j) % 5))
+      (i, v.toSeq, axis)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("exact dedup groups identical texts and keeps the lowest doc id") {
+    val out = PipelineQueries.dExactDedup(spark, dir).collect()
+    val dup = out.filter(_.getLong(2) == 2L) // n_copies == 2
+    assert(dup.length === 1)
+    assert(dup.head.getLong(1) === 1L) // keeper is doc 1, not 3
+    assert(out.length === 3) // three distinct contents
+  }
+
+  test("minhash LSH surfaces the near-duplicate pair, not the unrelated doc") {
+    val pairs = PipelineQueries.dMinhashLsh(spark, dir)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 3L))) // exact copies share all bands
+    assert(pairs.contains((1L, 2L)) || pairs.contains((2L, 3L)),
+      "high-overlap docs should collide in at least one band")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L),
+      "the unrelated doc must not be a candidate")
+  }
+
+  test("ngram jaccard separates near-dups from the identical pair") {
+    val j = PipelineQueries.dNgramJaccard(spark, dir)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+      .toMap
+    assert(j((1L, 3L)) === 1.0)
+    j.get((1L, 2L)).foreach(v => assert(v > 0.7 && v < 1.0))
+  }
+
+  test("embedding near-dup pairs stay within clusters") {
+    val pairs = PipelineQueries.dEmbedNeardup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(a % 16 === b % 16,
+        s"cross-cluster pair ($a,$b) above the similarity threshold")
+    }
+  }
+
+  test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
+    def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.collect().groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).toSet }
+    val exact = top(PipelineQueries.annBruteforce(spark, dir))
+    for ((name, approx) <- Seq(
+        "ann_lsh" -> top(PipelineQueries.annLsh(spark, dir)),
+        "ann_ivf" -> top(PipelineQueries.annIvf(spark, dir)))) {
+      val recalls = exact.keys.toSeq.map { q =>
+        val got = approx.getOrElse(q, Set.empty)
+        (exact(q) intersect got).size.toDouble / exact(q).size
+      }
+      val mean = recalls.sum / recalls.length
+      assert(mean >= 0.6, s"$name mean recall $mean below 0.6")
+    }
+  }
+}
