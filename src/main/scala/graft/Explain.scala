@@ -11,7 +11,8 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q1_agg", "q3_join", "q5_join_agg", "q_agg_full",
-        "q_agg_dedup", "d_minhash_lsh", "ann_lsh", "q_agg_sessionize")
+        "q_agg_dedup", "d_minhash_lsh", "ann_lsh", "ann_ivf",
+        "q_agg_sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
