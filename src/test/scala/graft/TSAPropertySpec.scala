@@ -67,4 +67,49 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
       assert(gotFills === expFills.sorted, s"fills mismatch for seed ${7 + i}")
     }
   }
+
+  test("fused aggregate (bounds + edge fills) == naive on random inputs") {
+    val lo = base + 10 * us
+    val hi = base + 90 * us
+    val cfgB = cfg.copy(boundsUs = Some((lo, hi)), fillEdges = true)
+    def naiveFull(ts: Seq[Long]): (Seq[Long], Seq[Long]) = {
+      val sorted = ts.filter(t => t > 0 && t >= lo && t <= hi).sorted
+      val kept = sorted.zipWithIndex.filter { case (t, i) =>
+        i == 0 || t - sorted(i - 1) >= cfgB.minStepUs
+      }.map(_._1)
+      val interior = kept.zip(kept.drop(1)).flatMap { case (a, b) =>
+        if (b - a > cfgB.gapThresholdUs) {
+          val n = (b - a - 1) / cfgB.nomStepUs
+          (1L to n).map(k => a + k * cfgB.nomStepUs)
+        } else Nil
+      }
+      val edges =
+        if (kept.isEmpty) Nil
+        else {
+          val leads = (1L to (kept.head - lo) / cfgB.nomStepUs)
+            .map(k => kept.head - k * cfgB.nomStepUs)
+          val trails = (1L to (hi - kept.last) / cfgB.nomStepUs)
+            .map(k => kept.last + k * cfgB.nomStepUs)
+          leads ++ trails
+        }
+      (kept, (interior ++ edges).sorted)
+    }
+    val gen = Gen.chooseNum(1, 120)
+      .flatMap(n => Gen.listOfN(n,
+        Gen.chooseNum(0L, 100L * us).map(base + _)))
+      .map(_.distinct)
+    (0 until 12).foreach { i =>
+      val ts = gen.apply(Gen.Parameters.default, Seed(91L + i)).get
+      val (expKept, expFills) = naiveFull(ts)
+      val out = graft.core.TimeSeriesAggregator.aggregate(mk(ts), cfgB)
+        .select(unix_micros(col("ts").cast(TimestampType)).as("t"),
+          col("is_fill"))
+      val gotKept = out.filter(!col("is_fill")).select("t")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      val gotFills = out.filter(col("is_fill")).select("t")
+        .collect().map(_.getLong(0)).toSeq.sorted
+      assert(gotKept === expKept, s"kept mismatch for seed ${91 + i}")
+      assert(gotFills === expFills, s"fills mismatch for seed ${91 + i}")
+    }
+  }
 }
