@@ -30,4 +30,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // dozens of Janino-generated wholestage classes per bench run overflow
   // the default 240m code cache, silently disabling the JIT mid-run
   "-XX:ReservedCodeCacheSize=1g",
+  // batch throughput over pause latency: parallel GC avoids G1's
+  // concurrent-cycle interference with timed query runs
+  "-XX:+UseParallelGC",
 )

@@ -40,12 +40,15 @@ object Bench {
         catch { case _: Throwable => }
       }
 
-    // best of two timed runs per query: absorbs transient machine noise
-    // (GC, page cache) so the figure reflects steady-state throughput
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
-      val a = run(n)
-      val b = run(n)
-      n -> (if (a < 0) b else if (b < 0) a else math.min(a, b))
+    // best of three timed runs per query, taken as full round-robin passes
+    // (A..Z, A..Z, A..Z) rather than back-to-back: a transient slow phase
+    // (GC, JIT recompilation, page-cache eviction) then degrades at most
+    // one of a query's timings instead of all of them
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val passes = (1 to 3).map(_ => names.map(n => n -> run(n)).toMap)
+    val results = names.map { n =>
+      val ts = passes.map(_(n)).filter(_ >= 0)
+      n -> (if (ts.isEmpty) -1.0 else ts.min)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
