@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-row kernels behind the native expressions in [[native]]. A plain
+  * object with no companion class, so scalac emits static forwarders —
+  * whole-stage codegen calls these as `graft.functions.NativeOps.m(...)`
+  * straight from Janino-generated Java, keeping the expressions inside the
+  * codegen pipeline (no CodegenFallback boxing).
+  *
+  * Arithmetic is EXACTLY the dual-dialect [[PortableText]]/[[PortableVec]]
+  * builders' — same fold order, same modulus — so DuckDB oracle results
+  * stay bit-identical.
+  */
+object NativeOps {
+  final val P = 1000000007L
+
+  private def hashCodepoints(s: String): Long = {
+    var h = 0L
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val cp = s.codePointAt(i)
+      h = (h * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+
+  def stringHash(s: UTF8String): Long = hashCodepoints(s.toString)
+
+  def tokenHashes(arr: ArrayData): ArrayData = {
+    val out = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < out.length) {
+      out(i) = hashCodepoints(arr.getUTF8String(i).toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def shingles(input: ArrayData): ArrayData = {
+    val th = input.toLongArray()
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i + 2 < th.length) {
+      seen.add(java.lang.Long.valueOf(
+        ((th(i) * 31 + th(i + 1)) % P * 31 + th(i + 2)) % P))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
+  def minhashBands(input: ArrayData): ArrayData = {
+    val sh = input.toLongArray()
+    val mh = new Array[Long](32)
+    var j = 0
+    while (j < 32) {
+      val a = 2L * j + 1
+      val b = 10007L * j + 12345L
+      var m = Long.MaxValue
+      var k = 0
+      while (k < sh.length) {
+        val v = (a * sh(k) + b) % P
+        if (v < m) m = v
+        k += 1
+      }
+      mh(j) = m
+      j += 1
+    }
+    val bands = new Array[Long](8)
+    var bi = 0
+    while (bi < 8) {
+      var acc = 0L
+      var k = 0
+      while (k < 4) {
+        acc = (acc * 31 + mh(4 * bi + k)) % P
+        k += 1
+      }
+      bands(bi) = acc
+      bi += 1
+    }
+    new GenericArrayData(bands)
+  }
+
+  def simhash(input: ArrayData): Long = {
+    val th = input.toLongArray()
+    var fp = 0L
+    var b = 0
+    while (b < 32) {
+      var s = 0L
+      var i = 0
+      while (i < th.length) {
+        s += (if (((th(i) >> b) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (s > 0) fp += (1L << b)
+      b += 1
+    }
+    fp
+  }
+
+  def docFingerprint(input: ArrayData): Long = {
+    val th = input.toLongArray()
+    var h = 0L
+    var i = 0
+    while (i < th.length) { h = (h * 31 + th(i)) % P; i += 1 }
+    h
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) { dot += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; nx += v * v; i += 1 }
+    i = 0
+    while (i < n) { val v = b.getFloat(i).toDouble; ny += v * v; i += 1 }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  def lshBucket(v: ArrayData): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < 8) {
+      var s = 0.0
+      var i = 1
+      while (i <= 64) {
+        val w = ((1103515245L * (j.toLong * 257 + i) + 12345L) % 1000003L) - 501001L
+        s += w.toDouble * v.getFloat(i - 1).toDouble
+        i += 1
+      }
+      if (s >= 0.0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}

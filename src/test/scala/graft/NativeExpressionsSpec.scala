@@ -75,4 +75,33 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     checkRows(df, "graft_cosine(a, b)", PV.cosineSpark("a", "b"))
     checkRows(df, "graft_lsh_bucket(a)", PV.lshBucketSpark("a"))
   }
+
+  test("native expressions run under codegen-only (no interpreted fallback)") {
+    // a Janino compile error in doGenCode would silently fall back to the
+    // interpreted path in normal mode; CODEGEN_ONLY + fallback=false turns
+    // that silent performance loss into a test failure
+    graft.functions.native.register(spark)
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      import spark.implicits._
+      val docs = Seq("alpha beta gamma delta", "one two three four")
+        .toDF("text")
+      val textOut = docs.selectExpr(
+        "graft_string_hash(text) h",
+        "graft_doc_fingerprint(graft_token_hashes(split(text, ' '))) fp",
+        "graft_simhash(graft_token_hashes(split(text, ' '))) sh",
+        "graft_minhash_bands(graft_shingles(graft_token_hashes(split(text, ' ')))) mb"
+      ).collect()
+      assert(textOut.length === 2)
+      val vecs = Seq(Array.fill(64)(0.5f), Array.tabulate(64)(_.toFloat / 64))
+        .toDF("v")
+      val vecOut = vecs.selectExpr(
+        "graft_cosine(v, v) c", "graft_lsh_bucket(v) bk").collect()
+      assert(vecOut.length === 2)
+    } finally {
+      spark.conf.unset("spark.sql.codegen.fallback")
+      spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
 }
