@@ -236,6 +236,37 @@ object PipelineQueries {
     tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_doc_fingerprint(th)").as("fp"))
 
+  /** Repetition quality signals (the Gopher/DCLM-style filters a training
+    * corpus is screened with): duplicate-line fraction, duplicate-word
+    * fraction, and the share of all bigrams taken by the most frequent
+    * one. Line/word dedup is per-row collection arithmetic (no shuffle);
+    * the bigram mode is an explode + two-level aggregation keyed by
+    * doc_id, so it scales with corpus size, not vocabulary. */
+  def tRepetition(s: SparkSession, dir: String): DataFrame = {
+    val d = tbl(s, dir, "documents")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("text"),
+        expr(PT.tokensSpark("text")).as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val perDoc = d.select(col("doc_id"),
+      split(col("text"), "\n").as("lines"), col("toks"))
+      .select(col("doc_id"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        (lit(1.0) - size(array_distinct(col("lines"))).cast(DoubleType) /
+          size(col("lines")).cast(DoubleType)).as("dup_line_frac"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) /
+          size(col("toks")).cast(DoubleType)).as("dup_word_frac"))
+    val topBigram = d
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
+        .as("bigram"))
+      .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("tot_c"))
+      .select(col("doc_id"), (col("top_c").cast(DoubleType) /
+        col("tot_c").cast(DoubleType)).as("top_bigram_frac"))
+    perDoc.join(topBigram, "doc_id")
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing over the events props payload: real
@@ -391,6 +422,29 @@ object PipelineQueries {
     "t_fingerprint" ->
       s"""WITH $thCte
          |SELECT doc_id, ${PT.docFingerprintDuck("th")} AS fp FROM thT""".stripMargin,
+    "t_repetition" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, text, $toksDuck AS toks FROM documents
+         |  WHERE len($toksDuck) >= 3),
+         |l AS (
+         |  SELECT doc_id,
+         |    CAST(len(str_split(text, chr(10))) AS BIGINT) AS n_lines,
+         |    1.0 - CAST(len(list_distinct(str_split(text, chr(10)))) AS DOUBLE)
+         |          / CAST(len(str_split(text, chr(10))) AS DOUBLE)
+         |          AS dup_line_frac,
+         |    1.0 - CAST(len(list_distinct(toks)) AS DOUBLE)
+         |          / CAST(len(toks) AS DOUBLE) AS dup_word_frac
+         |  FROM d),
+         |bg AS (
+         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  FROM d),
+         |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
+         |bt AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)
+         |              AS top_bigram_frac FROM bc GROUP BY 1)
+         |SELECT l.doc_id, n_lines, dup_line_frac, dup_word_frac,
+         |       top_bigram_frac
+         |FROM l JOIN bt USING (doc_id)""".stripMargin,
     "mm_features" ->
       s"""SELECT event_id,
          |       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
@@ -413,6 +467,7 @@ object PipelineQueries {
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),
     "t_fingerprint" -> (tFingerprint _),
+    "t_repetition" -> (tRepetition _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _)
   )
