@@ -93,6 +93,48 @@ object PipelineQueries {
           .as("jaccard"))
   }
 
+  /** Near-duplicate cluster assignment: connected components over the
+    * verified near-dup graph (LSH candidates with n-gram Jaccard >= 0.5),
+    * labeling every doc with the minimum doc_id reachable from it. This is
+    * the step a real dedup pipeline runs after pair generation — keep one
+    * doc per cluster (`is_keeper`).
+    *
+    * Distributed min-label propagation: each round joins labels across the
+    * bidirectional edge list and takes the per-vertex min; rounds repeat
+    * until a fixpoint (bounded by component diameter — near-dup clusters
+    * are shallow). Every round is a keyed shuffle join; the only
+    * driver-side value is the scalar convergence count. Labels persist per
+    * round so lineage stays flat. */
+  def dDedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val edges = dNgramJaccard(s, dir)
+      .filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"))
+    val bidir = edges
+      .unionByName(edges.select(col("doc_b").as("doc_a"),
+        col("doc_a").as("doc_b")))
+      .toDF("id", "nbr")
+      .persist()
+    var labels = shingles(s, dir)
+      .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
+      .persist()
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = bidir
+        .join(labels.select(col("id").as("nbr"), col("lbl")), "nbr")
+        .select("id", "lbl")
+      val next = labels.unionByName(viaNbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") < col("old")).count()
+      labels.unpersist()
+      labels = next
+    }
+    bidir.unpersist()
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
+      (col("id") === col("lbl")).as("is_keeper"))
+  }
+
   // ------------------------------------------------- embeddings similarity
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
@@ -267,6 +309,24 @@ object PipelineQueries {
     perDoc.join(topBigram, "doc_id")
   }
 
+  /** PII scrub: mask email-like and long-digit-run (phone/account)
+    * patterns before a corpus ships to training. Pure per-row regexp
+    * columns — no shuffle, scan-speed at any scale. Patterns are kept to
+    * syntax with identical semantics in Java regex (Spark) and RE2
+    * (DuckDB). */
+  def tPiiMask(s: SparkSession, dir: String): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
+    val digits = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+    tbl(s, dir, "documents")
+      .select(col("doc_id"),
+        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+          digits, "<NUM>").as("masked"),
+        (length(col("text")) - length(regexp_replace(col("text"), email, "")))
+          .cast(LongType).as("email_chars"),
+        (length(col("text")) - length(regexp_replace(col("text"), digits, "")))
+          .cast(LongType).as("digit_run_chars"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing over the events props payload: real
@@ -328,6 +388,27 @@ object PipelineQueries {
          |FROM cand
          |JOIN shT sa ON sa.doc_id = cand.doc_a
          |JOIN shT sb ON sb.doc_id = cand.doc_b""".stripMargin,
+    "d_dedup_clusters" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id)
+         |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
+         |       id = min(lbl) AS is_keeper
+         |FROM reach GROUP BY id""".stripMargin,
     "d_embed_neardup" ->
       s"""WITH $bucketCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -445,6 +526,20 @@ object PipelineQueries {
          |SELECT l.doc_id, n_lines, dup_line_frac, dup_word_frac,
          |       top_bigram_frac
          |FROM l JOIN bt USING (doc_id)""".stripMargin,
+    "t_pii_mask" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(text,
+        |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+        |      '<EMAIL>', 'g'),
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '<NUM>', 'g') AS masked,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '', 'g'))
+        |    AS BIGINT) AS email_chars,
+        |  CAST(length(text) - length(regexp_replace(text,
+        |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '', 'g'))
+        |    AS BIGINT) AS digit_run_chars
+        |FROM documents""".stripMargin,
     "mm_features" ->
       s"""SELECT event_id,
          |       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
@@ -459,6 +554,7 @@ object PipelineQueries {
     "d_minhash_lsh" -> (dMinhashLsh _),
     "d_simhash" -> (dSimhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_dedup_clusters" -> (dDedupClusters _),
     "d_embed_neardup" -> (dEmbedNeardup _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
@@ -468,6 +564,7 @@ object PipelineQueries {
     "t_tokens" -> (tTokens _),
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
+    "t_pii_mask" -> (tPiiMask _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _)
   )
