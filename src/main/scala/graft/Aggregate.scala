@@ -114,7 +114,10 @@ object Aggregate {
     require(srcs.nonEmpty, "no input granules")
     val sorted = srcs.sorted // reference aggregator.py:65 sorted(files)
 
-    val raw = spark.read.parquet(sorted: _*)
+    // union schema across granules: the reference null-fills a variable in
+    // granules that lack it (aggrelist.py:545-566); without mergeSchema a
+    // single footer's schema would silently drop such variables
+    val raw = spark.read.option("mergeSchema", "true").parquet(sorted: _*)
     val data = selectVariables(raw, config)
 
     val (out, sortCol) = config.primaryUdim match {

@@ -176,6 +176,32 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     java.time.LocalDateTime.ofEpochSecond(
       t / us, ((t % us) * 1000).toInt, java.time.ZoneOffset.UTC)
 
+  test("a variable missing from some granules null-fills those records") {
+    // the reference inserts fill values for variables absent in a granule
+    // (aggrelist.py:545-566); across parquet granules that requires the
+    // union schema (mergeSchema), not one file's footer
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("graft_hetero").toString
+    Seq((ldt(base), "a0", 1.5)).toDF("time", "payload", "extra")
+      .write.parquet(s"$tmp/g_a")
+    Seq((ldt(base + us), "b0")).toDF("time", "payload")
+      .write.parquet(s"$tmp/g_b")
+    val cfg = Config(
+      dims = Seq(DimSpec("record", None, indexBy = Some("time"))),
+      vars = Seq(
+        VarSpec("time", Seq("record"), "timestamp"),
+        VarSpec("payload", Seq("record"), "string"),
+        VarSpec("extra", Seq("record"), "double")),
+      attrs = Nil)
+    // granule order b, a: the first footer read must not decide the schema
+    Aggregate.run(spark, Seq(s"$tmp/g_b", s"$tmp/g_a"), s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("time")
+    assert(out.columns.contains("extra"))
+    val extras = out.select("extra").collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getDouble(0))).toSeq
+    assert(extras === Seq(Some(1.5), None))
+  }
+
   test("copy_from_alt falls back and map_to renames") {
     import spark.implicits._
     val df = Seq((1L, 2.0)).toDF("id", "alt_v")
