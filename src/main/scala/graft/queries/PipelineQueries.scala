@@ -285,11 +285,14 @@ object PipelineQueries {
     * the bigram mode is an explode + two-level aggregation keyed by
     * doc_id, so it scales with corpus size, not vocabulary. */
   def tRepetition(s: SparkSession, dir: String): DataFrame = {
+    // cached: the tokenization (interpreted lambda filter) is the dominant
+    // cost and both output branches (per-doc ratios, bigram agg) consume it
     val d = tbl(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"),
         expr(PT.tokensSpark("text")).as("toks"))
       .filter(size(col("toks")) >= 3)
+      .cache()
     val perDoc = d.select(col("doc_id"),
       split(col("text"), "\n").as("lines"), col("toks"))
       .select(col("doc_id"),
