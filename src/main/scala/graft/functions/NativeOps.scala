@@ -30,6 +30,33 @@ object NativeOps {
 
   def stringHash(s: UTF8String): Long = hashCodepoints(s.toString)
 
+  /** Tokenize exactly like the portable SQL chain
+    * `filter(split(regexp_replace(lower(s), '[^a-z0-9 ]', ' '), ' '), x -> x != '')`:
+    * tokens are the maximal runs of [a-z0-9] in the lowercased string
+    * (every char outside that class becomes a separator, and empty splits
+    * are dropped — identical by construction). Lowercasing goes through
+    * UTF8String.toLowerCase, the same mapping Spark's `lower` uses, so
+    * unicode edge cases agree bit-for-bit. */
+  def tokens(s: UTF8String): ArrayData = {
+    val t = s.toLowerCase.toString
+    val out = new java.util.ArrayList[UTF8String]()
+    val n = t.length
+    var i = 0
+    var start = -1
+    while (i < n) {
+      val c = t.charAt(i)
+      val isTok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (isTok && start < 0) start = i
+      else if (!isTok && start >= 0) {
+        out.add(UTF8String.fromString(t.substring(start, i)))
+        start = -1
+      }
+      i += 1
+    }
+    if (start >= 0) out.add(UTF8String.fromString(t.substring(start)))
+    new GenericArrayData(out.toArray())
+  }
+
   def tokenHashes(arr: ArrayData): ArrayData = {
     val out = new Array[Long](arr.numElements())
     var i = 0

@@ -37,6 +37,18 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** String -> Array<String> tokens (maximal [a-z0-9] runs of the
+    * lowercased input). Parity: PortableText.tokens{Spark,Duck}. */
+  case class Tokens(child: Expression) extends UnaryExpression {
+    override def dataType: DataType =
+      ArrayType(StringType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.tokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Ops.tokens($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** String -> Long polynomial char hash. Parity: PortableText.charHash*. */
   case class PolyStringHash(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
@@ -119,6 +131,8 @@ object native {
   /** Register all native expressions as SQL functions (idempotent). */
   def register(s: SparkSession): Unit = {
     val r = s.sessionState.functionRegistry
+    r.createOrReplaceTempFunction("graft_tokens",
+      es => Tokens(es.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_token_hashes",
       es => PolyTokenHashes(es.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_string_hash",

@@ -30,7 +30,7 @@ object PipelineQueries {
     tbl(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("lang"), col("source"),
-        expr(PT.tokensSpark("text")).as("toks"))
+        expr("graft_tokens(text)").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"), col("toks"),
         expr("graft_token_hashes(toks)").as("th"))
@@ -230,7 +230,7 @@ object PipelineQueries {
   def tQuality(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
       .select(col("doc_id"), col("text"),
-        expr(PT.tokensSpark("text")).as("toks"))
+        expr("graft_tokens(text)").as("toks"))
       .filter(size(col("toks")) >= 1)
       .select(col("doc_id"),
         length(col("text")).cast(LongType).as("n_chars"),
@@ -258,7 +258,7 @@ object PipelineQueries {
   def tTokens(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .select(col("doc_id"),
-        expr(s"CAST(size(${PT.tokensSpark("text")}) AS BIGINT)").as("n_tokens"),
+        expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"),
         expr("CAST(length(text) AS BIGINT)").as("n_chars"),
         expr("CAST((length(text) + 3) div 4 AS BIGINT)").as("est_bpe_tokens"))
 
@@ -290,7 +290,7 @@ object PipelineQueries {
     val d = tbl(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), col("text"),
-        expr(PT.tokensSpark("text")).as("toks"))
+        expr("graft_tokens(text)").as("toks"))
       .filter(size(col("toks")) >= 3)
       .cache()
     val perDoc = d.select(col("doc_id"),

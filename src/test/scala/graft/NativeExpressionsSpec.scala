@@ -39,6 +39,20 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     checkRows(df, "graft_token_hashes(toks)", PT.tokenHashesSpark("toks"))
   }
 
+  test("tokenizer: native == portable lower/replace/split chain") {
+    graft.functions.native.register(spark)
+    // arbitrary unicode + ascii text, punctuation-heavy and empty cases
+    val text = Gen.listOf(Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.oneOf(' ', '.', ',', '!', '\n', '\t'),
+      1 -> Gen.oneOf('Ä', 'ß', 'é', 'И', '中', 'İ'),
+      1 -> Gen.asciiPrintableChar)).map(_.mkString)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        samples(text, 60).map(Row(_)), 2),
+      StructType(Seq(StructField("text", StringType))))
+    checkRows(df, "graft_tokens(text)", PT.tokensSpark("text"))
+  }
+
   test("shingles + minhash bands + simhash + fingerprint parity") {
     graft.functions.native.register(spark)
     val df = tokensDf(samples(Gen.listOfN(12, token), 30))
