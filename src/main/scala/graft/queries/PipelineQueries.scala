@@ -25,7 +25,9 @@ object PipelineQueries {
     * The documents table may arrive as few (even one) parquet files; the
     * expression chain downstream is compute-bound, so spread it across all
     * cores up front — at cluster scale this is the usual "repartition a
-    * small compute-heavy input to the executor count" move. */
+    * small compute-heavy input to the executor count" move. Cached: five
+    * operators (simhash, langid, fingerprint, ngram-freq, shingling)
+    * consume this frame, and the tokenization pass dominates its cost. */
   private def tokenHashes(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
       .repartition(s.sparkContext.defaultParallelism)
@@ -34,6 +36,7 @@ object PipelineQueries {
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), col("lang"), col("source"), col("toks"),
         expr("graft_token_hashes(toks)").as("th"))
+      .cache()
 
   /** doc_id -> distinct 3-gram shingle hashes (cached: feeds both the LSH
     * candidate join and the Jaccard verification). */

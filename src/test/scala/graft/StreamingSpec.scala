@@ -155,6 +155,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("end-to-end: granule file stream -> windowed agg -> parquet sink") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("graft_e2e").toString
+    def granule(name: String, evs: Seq[Ev]): Unit =
+      evs.toDF().write.mode("overwrite").parquet(s"$root/in/$name")
+    granule("g1", Seq(ev(0, "a", 1.0), ev(60, "a", 2.0)))
+    val stream = spark.readStream
+      .schema(Seq(ev(0, "a", 1.0)).toDF().schema)
+      .parquet(s"$root/in/*")
+    // append to a parquet sink: windows finalize once the watermark passes
+    val q = StreamingAgg.windowedCounts(stream, "1 hour", "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .format("parquet").option("path", s"$root/out").start()
+    try {
+      q.processAllAvailable()
+      // a much later granule pushes the watermark past hour zero's window
+      granule("g2", Seq(ev(7300, "b", 3.0)))
+      q.processAllAvailable()
+      granule("g3", Seq(ev(14500, "c", 5.0)))
+      q.processAllAvailable()
+      val out = spark.read.parquet(s"$root/out")
+      val hour0 = out.filter(col("event_type") === "a").collect()
+      assert(hour0.length === 1)
+      assert(hour0.head.getAs[Long]("n") === 2L)
+      assert(hour0.head.getAs[Double]("v_sum") === 3.0)
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (streaming/batch parity)") {
     import spark.implicits._
     val batch = Seq(ev(0, "a", 1.0), ev(60, "a", 2.0), ev(3700, "b", 3.0))
