@@ -156,6 +156,33 @@ object RelationalQueries {
         col("asof_orderkey"), col("asof_totalprice"))
   }
 
+  /** Range (band) join via time-bucketing: per event, the count and spend
+    * of the same user's orders in the trailing 7 days. A naive inequality
+    * join degenerates to per-user scans; bucketing both sides by 7-day
+    * windows turns it into an equi-join on (user, bucket) — each event
+    * probes at most two buckets — with the precise range predicate applied
+    * after the join. Shuffles once on the composite key; no nested loop at
+    * any scale. */
+  def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .select(col("event_id"), col("user_id"), col(TSA.T).as("et"))
+    val o = TSA.withEpochUs(tbl(s, dir, "orders"), "o_orderdate")
+      .select(col("o_custkey").as("user_id"), col(TSA.T).as("ot"),
+        col("o_totalprice"))
+      .withColumn("wk", expr(s"ot div ${weekUs}L"))
+    // an event's trailing window [et - 7d, et] spans at most two buckets
+    val eBuckets = e.select(col("event_id"), col("user_id"), col("et"),
+      explode(array_distinct(array(
+        expr(s"(et - ${weekUs}L) div ${weekUs}L"),
+        expr(s"et div ${weekUs}L")))).as("wk"))
+    eBuckets.join(o, Seq("user_id", "wk"))
+      .filter(col("ot") >= col("et") - weekUs && col("ot") <= col("et"))
+      .groupBy("event_id")
+      .agg(count(lit(1)).as("n_orders_7d"),
+        dsum(col("o_totalprice")).as("spend_7d"))
+  }
+
   /** Weekly cohort retention: active users per week and how many return
     * the following week. */
   def qRetention(s: SparkSession, dir: String): DataFrame = {
@@ -245,6 +272,15 @@ object RelationalQueries {
         |SELECT event_id, k AS user_id, make_timestamp(t) AS ts,
         |       asof_orderkey, asof_totalprice
         |FROM m WHERE is_order = 0""".stripMargin,
+    "q_range_join" ->
+      """SELECT event_id, count(*) AS n_orders_7d,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS spend_7d
+        |FROM events e
+        |JOIN orders o ON o.o_custkey = e.user_id
+        |  AND epoch_us(o.o_orderdate)
+        |      BETWEEN epoch_us(e.ts) - 604800000000 AND epoch_us(e.ts)
+        |GROUP BY event_id""".stripMargin,
     "q_retention" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk
@@ -270,6 +306,7 @@ object RelationalQueries {
     "q_topk" -> (qTopk _),
     "q_asof_join" -> (qAsofJoin _),
     "q_retention" -> (qRetention _),
+    "q_range_join" -> (qRangeJoin _),
     "q_window_tumbling" -> (qWindowTumbling _)
   )
 }
