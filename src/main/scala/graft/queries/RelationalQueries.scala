@@ -198,6 +198,18 @@ object RelationalQueries {
         sum(coalesce(col("ret"), lit(0L))).as("n_retained"))
   }
 
+  /** Exact per-group percentiles (linear interpolation). Spark's
+    * `percentile` and DuckDB's `quantile_cont` both compute
+    * lo + (hi - lo) * fraction over the sorted values, so results agree to
+    * the bit; Spark executes it as a single partial/final aggregation (no
+    * per-group sort shuffle beyond the group-by). */
+  def qPercentiles(s: SparkSession, dir: String): DataFrame =
+    AggQueries.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.5)").as("p50"),
+        expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
   private val discExpr =
     """CAST(l_extendedprice AS DECIMAL(18,4)) *
       |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
@@ -272,6 +284,10 @@ object RelationalQueries {
         |SELECT event_id, k AS user_id, make_timestamp(t) AS ts,
         |       asof_orderkey, asof_totalprice
         |FROM m WHERE is_order = 0""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type, quantile_cont(value, 0.5) AS p50,
+        |       quantile_cont(value, 0.95) AS p95, count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, count(*) AS n_orders_7d,
         |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
@@ -307,6 +323,7 @@ object RelationalQueries {
     "q_asof_join" -> (qAsofJoin _),
     "q_retention" -> (qRetention _),
     "q_range_join" -> (qRangeJoin _),
+    "q_percentiles" -> (qPercentiles _),
     "q_window_tumbling" -> (qWindowTumbling _)
   )
 }
