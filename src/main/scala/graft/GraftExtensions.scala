@@ -19,8 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   import graft.functions.native._
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
+  private def info(name: String, usage: String) = {
+    val _ = usage // retained for call-site docs
+    new ExpressionInfo("graft", null, name)
+  }
 
   override def apply(e: SparkSessionExtensions): Unit = {
     def inject(name: String, usage: String,

@@ -140,7 +140,7 @@ object TimeSeriesAggregator {
     * and a fills branch that would each re-scan the source (at 100 TB the
     * old two-branch shape doubles the dominant scan+window cost). */
   def gapFill(df: DataFrame, cfg: UdimConfig): DataFrame = {
-    val dataCols = df.columns.filter(_ != T)
+    val dataCols = df.columns.filter(_ != T).toSeq
     emitWithFills(withNextT(df, cfg), cfg, dataCols,
       df.schema, edges = None)
   }
@@ -203,16 +203,16 @@ object TimeSeriesAggregator {
             col("__tf"), col("__tl"))
           .withColumn(T, expr(tExpr))
           .select(
-            col(T) +:
+            (col(T) +:
               dataCols.map(c => lit(null).cast(df.schema(c).dataType).as(c)) :+
-              lit(true).as("__is_fill"): _*)
+              lit(true).as("__is_fill")).toSeq: _*)
       val lead = fillsFrom(
         s"(__tf - ${lo}L) div ${cfg.nomStepUs}L",
         s"__tf - __k * ${cfg.nomStepUs}L")
       val trail = fillsFrom(
         s"(${hi}L - __tl) div ${cfg.nomStepUs}L",
         s"__tl + __k * ${cfg.nomStepUs}L")
-      df.select((T +: dataCols :+ "__is_fill").map(col): _*)
+      df.select((T +: dataCols :+ "__is_fill").toSeq.map(col): _*)
         .unionByName(lead).unionByName(trail)
     }
 
@@ -264,6 +264,6 @@ object TimeSeriesAggregator {
     emitted
       .withColumn(cfg.tsCol, timestamp_micros(col(T)).cast(TimestampNTZType))
       .withColumn("is_fill", col("__is_fill"))
-      .select((cfg.tsCol +: outCols :+ "is_fill").map(col): _*)
+      .select((cfg.tsCol +: outCols :+ "is_fill").toSeq.map(col): _*)
   }
 }
