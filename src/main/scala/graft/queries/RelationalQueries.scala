@@ -210,6 +210,18 @@ object RelationalQueries {
         expr("percentile(value, 0.95)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Hierarchical totals via ROLLUP (event_type, week): per-(type,week)
+    * counts plus per-type and grand totals in one pass — Spark expands the
+    * grouping sets before the same partial/final hash aggregation, so it
+    * still shuffles once. */
+  def qRollup(s: SparkSession, dir: String): DataFrame = {
+    val weekUs = 604800000000L
+    TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .withColumn("wk", expr(s"${TSA.T} div ${weekUs}L"))
+      .rollup(col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
+  }
+
   private val discExpr =
     """CAST(l_extendedprice AS DECIMAL(18,4)) *
       |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
@@ -284,6 +296,12 @@ object RelationalQueries {
         |SELECT event_id, k AS user_id, make_timestamp(t) AS ts,
         |       asof_orderkey, asof_totalprice
         |FROM m WHERE is_order = 0""".stripMargin,
+    "q_rollup" ->
+      """SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |FROM events
+        |GROUP BY ROLLUP (event_type, wk)""".stripMargin,
     "q_percentiles" ->
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95, count(*) AS n
@@ -324,6 +342,7 @@ object RelationalQueries {
     "q_retention" -> (qRetention _),
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
+    "q_rollup" -> (qRollup _),
     "q_window_tumbling" -> (qWindowTumbling _)
   )
 }
