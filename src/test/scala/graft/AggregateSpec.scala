@@ -202,6 +202,17 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     assert(extras === Seq(Some(1.5), None))
   }
 
+  test("an empty granule contributes nothing and breaks nothing") {
+    val tmp = Files.createTempDirectory("graft_empty").toString
+    val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
+    val e = writeGranule(tmp, "g_empty", Seq.empty)
+    val attrs = Aggregate.run(spark, Seq(a, e), s"$tmp/out", config,
+      now = () => Instant.ofEpochSecond(1700000000L))
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.filter(!col("is_fill")).count() === 2)
+    assert(attrs("input_count") === "2") // provenance counts granules
+  }
+
   test("copy_from_alt falls back and map_to renames") {
     import spark.implicits._
     val df = Seq((1L, 2.0)).toDF("id", "alt_v")
