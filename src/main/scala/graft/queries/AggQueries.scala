@@ -78,6 +78,51 @@ object AggQueries {
     TSA.aggregate(events(s, dir), cfg.copy(fillEdges = true))
       .select("ts", "event_id", "user_id", "event_type", "value", "is_fill")
 
+  /** Gap fill with linear interpolation — the analyst-facing generalization
+    * of the reference's null-fill FillNode: synthesized records carry the
+    * value interpolated between the gap's endpoints instead of fill/null.
+    * Same chunk-partitioned single-pass emit as the core pipeline; the
+    * neighbor (t, value) pair is patched across chunk boundaries with a
+    * per-chunk first-record summary. All interpolation arithmetic is
+    * double ops in a fixed order, identical in the DuckDB oracle. */
+  def qAggInterp(s: SparkSession, dir: String): DataFrame = {
+    val deduped = TSA.dedupe(
+      TSA.clipBounds(TSA.filterValid(events(s, dir), cfg), cfg), cfg)
+      .select(col(TSA.T), col("event_id"), col("value"))
+    val chunkUs = cfg.chunkUs
+    val c = deduped.withColumn("__chunk", expr(s"${TSA.T} div ${chunkUs}L"))
+    val w = Window.partitionBy("__chunk").orderBy(col(TSA.T), col("event_id"))
+    val wc = Window.orderBy("__chunk")
+    // per-chunk first (t, value) of the next chunk patches the last row
+    val nextChunk = c
+      .groupBy("__chunk")
+      .agg(min(TSA.T).as("__cf_t"), min_by(col("value"), col(TSA.T)).as("__cf_v"))
+      .select(col("__chunk"),
+        lead(col("__cf_t"), 1).over(wc).as("__nc_t"),
+        lead(col("__cf_v"), 1).over(wc).as("__nc_v"))
+    val nbr = c
+      .withColumn("__n_t_in", lead(col(TSA.T), 1).over(w))
+      .withColumn("__n_v_in", lead(col("value"), 1).over(w))
+      .join(broadcast(nextChunk), Seq("__chunk"), "left")
+      .withColumn("__n_t", coalesce(col("__n_t_in"), col("__nc_t")))
+      .withColumn("__n_v", coalesce(col("__n_v_in"), col("__nc_v")))
+    val nFills = when(col("__n_t").isNotNull &&
+        col("__n_t") - col(TSA.T) > GapThrUs,
+      expr(s"(__n_t - ${TSA.T} - 1) div ${NomStepUs}L")).otherwise(lit(0L))
+    nbr
+      .withColumn("__k", explode(concat(array(lit(0L)),
+        when(nFills >= 1L, expr(s"sequence(1L, (__n_t - ${TSA.T} - 1) div ${NomStepUs}L"
+          + ")")).otherwise(array().cast("array<bigint>")))))
+      .select(
+        timestamp_micros(col(TSA.T) + col("__k") * lit(NomStepUs))
+          .cast(ntz).as("ts"),
+        when(col("__k") === 0L, col("value"))
+          .otherwise(col("value") + (col("__n_v") - col("value")) *
+            ((col("__k") * lit(NomStepUs)).cast(DoubleType) /
+              (col("__n_t") - col(TSA.T)).cast(DoubleType))).as("value"),
+        (col("__k") =!= 0L).as("is_fill"))
+  }
+
   /** Flatten a dependent unlimited dimension: per-record features packed
     * into a dense 1..n index (reference README flare-location example). */
   def qAggFlatten(s: SparkSession, dir: String): DataFrame = {
@@ -268,6 +313,25 @@ object AggQueries {
          |SELECT make_timestamp(t) AS ts, event_id, value, is_fill
          |FROM (SELECT t, event_id, value, FALSE AS is_fill FROM g
          |      UNION ALL SELECT * FROM fills)""".stripMargin,
+    "q_agg_interp" ->
+      s"""WITH e AS ($sqlValid AND epoch_us(ts) BETWEEN $boundLoUs AND $boundHiUs),
+         |d AS (SELECT t, event_id, value,
+         |             lag(t) OVER (ORDER BY t, event_id) AS prev_t FROM e),
+         |k AS (SELECT t, event_id, value FROM d
+         |      WHERE prev_t IS NULL OR t - prev_t >= $MinStepUs),
+         |g AS (SELECT *, lead(t) OVER (ORDER BY t, event_id) AS nt,
+         |             lead(value) OVER (ORDER BY t, event_id) AS nv FROM k),
+         |fills AS (
+         |  SELECT t + kk * $NomStepUs AS t,
+         |         value + (nv - value) *
+         |           (CAST(kk * $NomStepUs AS DOUBLE) / CAST(nt - t AS DOUBLE))
+         |           AS value,
+         |         TRUE AS is_fill
+         |  FROM g, unnest(generate_series(1, (nt - t - 1) // $NomStepUs)) AS u(kk)
+         |  WHERE nt IS NOT NULL AND nt - t > $GapThrUs)
+         |SELECT make_timestamp(t) AS ts, value, is_fill
+         |FROM (SELECT t, value, FALSE AS is_fill FROM g
+         |      UNION ALL SELECT * FROM fills)""".stripMargin,
     "q_agg_full" -> fullPipelineSql(withBounds = true),
     "q_agg_fill_edges" ->
       fullPipelineSql(withBounds = true, withEdges = true),
@@ -350,6 +414,7 @@ object AggQueries {
     "q_agg_bounds" -> (qAggBounds _),
     "q_agg_dedup" -> (qAggDedup _),
     "q_agg_gapfill" -> (qAggGapfill _),
+    "q_agg_interp" -> (qAggInterp _),
     "q_agg_full" -> (qAggFull _),
     "q_agg_fill_edges" -> (qAggFillEdges _),
     "q_agg_flatten" -> (qAggFlatten _),
