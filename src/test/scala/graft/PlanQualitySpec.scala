@@ -28,6 +28,17 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
   private def count(p: SparkPlan, pred: SparkPlan => Boolean): Int =
     nodes(p).count(pred)
 
+  test("every registry query has a DuckDB oracle unless known rows-only") {
+    // the driver's correctness gate hash-compares against oracleSql; a
+    // query without an oracle entry silently degrades to a rows-only check
+    val rowsOnly = Set("q_agg_chunked_write") // writes files; output shape
+    val missing = SparkEntry.queries.keySet --
+      SparkEntry.oracleSql.keySet -- rowsOnly
+    assert(missing.isEmpty, s"queries without oracle: $missing")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
   test("no query plans an unbounded cartesian product") {
     // ann_bruteforce is the explicitly-named O(n*q) baseline: its cross
     // join broadcasts the tiny fixed query set, which plans as a
