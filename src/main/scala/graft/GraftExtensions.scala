@@ -12,7 +12,7 @@ import org.apache.spark.sql.SparkSessionExtensions
   * }}}
   *
   * or `.withExtensions(new GraftExtensions)`. The injected functions are
-  * the codegen-fallback native expressions of [[graft.functions.native]].
+  * the codegen'd native expressions of [[graft.functions.native]].
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import org.apache.spark.sql.catalyst.FunctionIdentifier
@@ -29,6 +29,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         b: Seq[Expression] => Expression): Unit =
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
 
+    inject("graft_tokens",
+      "lowercase [a-z0-9]-run tokenizer", es => Tokens(es.head))
     inject("graft_token_hashes",
       "polynomial char hash per token", es => PolyTokenHashes(es.head))
     inject("graft_string_hash",
