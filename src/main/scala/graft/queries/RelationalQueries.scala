@@ -96,6 +96,35 @@ object RelationalQueries {
         .cast(DoubleType).as("revenue"))
   }
 
+  /** TPC-H Q6 shape: the purest pushdown test — every predicate reaches
+    * the parquet scan, no join, one partial/final agg. */
+  def q6Agg(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .filter(col("l_shipdate").cast(DateType) >=
+        lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("l_shipdate").cast(DateType) <
+          lit(java.sql.Date.valueOf("1997-01-01")) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount")))
+        .cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** Anti-join shape (NOT EXISTS): customers with no orders in a period.
+    * Plans as a broadcast/shuffled hash anti join — no subquery
+    * re-execution per row. */
+  def qAntiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord96 = tbl(s, dir, "orders")
+      .filter(col("o_orderdate").cast(DateType) >=
+        lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("o_orderdate").cast(DateType) <
+          lit(java.sql.Date.valueOf("1997-01-01")))
+      .select("o_custkey")
+    tbl(s, dir, "customer")
+      .join(ord96, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_inactive"))
+  }
+
   /** Keyed running aggregate — exact prefix sums in decimal. */
   def qWindow(s: SparkSession, dir: String): DataFrame = {
     val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
@@ -296,6 +325,23 @@ object RelationalQueries {
         |SELECT event_id, k AS user_id, make_timestamp(t) AS ts,
         |       asof_orderkey, asof_totalprice
         |FROM m WHERE is_order = 0""".stripMargin,
+    "q6_agg" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
+        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+        |         AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        |  AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+        |  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_inactive
+        |FROM customer c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_rollup" ->
       """SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
         |       count(*) AS n,
@@ -343,6 +389,8 @@ object RelationalQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_rollup" -> (qRollup _),
+    "q6_agg" -> (q6Agg _),
+    "q_anti_join" -> (qAntiJoin _),
     "q_window_tumbling" -> (qWindowTumbling _)
   )
 }
