@@ -168,6 +168,51 @@ object Aggregate {
     attrs
   }
 
+  /** Continuous variant of [[run]]: watch a granule directory and maintain
+    * the aggregated output incrementally (the reference re-runs the whole
+    * batch per delivery; a 100 TB feed wants incremental ingestion).
+    * Structured Streaming file source -> variable selection -> validity +
+    * bounds filters -> streaming cadence dedup (state bounded by the
+    * watermark) -> append-mode chunked parquet.
+    *
+    * Gap/edge fill needs future context and is deliberately left to a
+    * periodic batch [[run]] over the closed time range (the standard
+    * lambda split: the stream keeps the output current, the batch pass
+    * finalizes regularization).
+    */
+  def runStream(
+      spark: SparkSession,
+      srcGlob: String,
+      dst: String,
+      config: AggConfig.Config,
+      checkpointDir: String,
+      watermark: String = "10 minutes")
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val dim = config.primaryUdim.getOrElse(
+      throw new IllegalArgumentException("runStream needs an indexed udim"))
+    val ivar = dim.indexBy.getOrElse(
+      throw new IllegalArgumentException("runStream needs index_by"))
+    // schema from the granules present at start; later granules must match
+    val schema = spark.read.option("mergeSchema", "true")
+      .parquet(srcGlob).schema
+    val raw = spark.readStream.schema(schema).parquet(srcGlob)
+    val data = selectVariables(raw, config)
+    val cfg = udimConfigFor(dim, idCol = ivar)
+    val valid = graft.core.TimeSeriesAggregator
+      .clipBounds(graft.core.TimeSeriesAggregator.filterValid(data, cfg), cfg)
+      .drop(graft.core.TimeSeriesAggregator.T)
+    val deduped =
+      if (dim.expectedCadenceHz.exists(_ > 0))
+        graft.streaming.StreamingAgg
+          .cadenceDedup(valid, cfg.minStepUs, watermark, tsCol = ivar)
+      else valid
+    deduped.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .format("parquet").option("path", dst)
+      .start()
+  }
+
   private def escape(s: String): String = s.flatMap {
     case '"' => "\\\""
     case '\\' => "\\\\"

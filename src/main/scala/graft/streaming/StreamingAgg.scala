@@ -46,12 +46,12 @@ object StreamingAgg {
     * TimeSeriesAggregator.dedupe (the reference's too-close-record drop,
     * /root/reference/ncagg/aggrelist.py:290-292). */
   def cadenceDedup(events: DataFrame, minStepUs: Long,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes", tsCol: String = "ts"): DataFrame =
     events
-      .withColumn("ts", col("ts").cast(TimestampType))
+      .withColumn(tsCol, col(tsCol).cast(TimestampType))
       .withColumn("cadence_bucket",
-        expr(s"unix_micros(ts) div ${minStepUs}L"))
-      .withWatermark("ts", watermark)
+        expr(s"unix_micros($tsCol) div ${minStepUs}L"))
+      .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("cadence_bucket")
       .drop("cadence_bucket")
 

@@ -213,6 +213,25 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     assert(attrs("input_count") === "2") // provenance counts granules
   }
 
+  test("runStream ingests arriving granules incrementally with dedup") {
+    val tmp = Files.createTempDirectory("graft_stream_api").toString
+    // first granule exists before the stream starts (schema source)
+    writeGranule(s"$tmp/in", "g_a",
+      Seq(base, base + 1 * us, base + 1 * us + 100000L)) // third is a dup
+    val q = Aggregate.runStream(spark, s"$tmp/in/*", s"$tmp/out", config,
+      s"$tmp/ckpt", watermark = "0 seconds")
+    try {
+      q.processAllAvailable()
+      val n1 = spark.read.parquet(s"$tmp/out").count()
+      assert(n1 === 2) // dup dropped by streaming cadence dedup
+      // a new granule arrives; only its records are processed
+      writeGranule(s"$tmp/in", "g_b", Seq(base + 5 * us, base + 6 * us))
+      q.processAllAvailable()
+      val n2 = spark.read.parquet(s"$tmp/out").count()
+      assert(n2 === 4)
+    } finally q.stop()
+  }
+
   test("copy_from_alt falls back and map_to renames") {
     import spark.implicits._
     val df = Seq((1L, 2.0)).toDF("id", "alt_v")
