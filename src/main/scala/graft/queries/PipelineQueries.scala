@@ -346,6 +346,23 @@ object PipelineQueries {
       .withColumn("fake_w", lit(16L) + col("checksum") % 64)
       .withColumn("fake_h", lit(16L) + expr("(checksum div 64) % 64"))
 
+  /** Multimodal frame sampling: treat the payload as a video whose frame
+    * count derives from the (stub) codec checksum, sample every 30th
+    * frame, and emit per-record sampling metadata plus a deterministic
+    * signature of the sampled indices. The Spark-side plumbing — per-row
+    * frame enumeration, stride sampling, no shuffle — is the real part;
+    * the decode is the declared deterministic stand-in (Multimodal
+    * .StubCodec). */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_id"), expr("graft_string_hash(props)").as("checksum"))
+      .withColumn("n_frames", lit(1L) + col("checksum") % 240L)
+      .withColumn("n_sampled",
+        expr("CAST(size(sequence(1L, n_frames, 30L)) AS BIGINT)"))
+      .withColumn("frame_sig",
+        expr("aggregate(sequence(1L, n_frames, 30L), 0L, (a, x) -> (a * 31 + x) % 1000000007)"))
+      .select("event_id", "n_frames", "n_sampled", "frame_sig")
+
   // ------------------------------------------------------------ oracle SQL
 
   private val toksDuck = PT.tokensDuck("text")
@@ -546,6 +563,16 @@ object PipelineQueries {
         |    '[0-9][0-9][0-9][0-9][0-9][0-9]+', '', 'g'))
         |    AS BIGINT) AS digit_run_chars
         |FROM documents""".stripMargin,
+    "mm_frame_sample" ->
+      s"""WITH f AS (
+         |  SELECT event_id, ${PT.charHashDuck("props")} AS checksum FROM events),
+         |n AS (SELECT event_id, 1 + checksum % 240 AS n_frames FROM f)
+         |SELECT event_id, CAST(n_frames AS BIGINT) AS n_frames,
+         |  CAST(len(range(1, n_frames + 1, 30)) AS BIGINT) AS n_sampled,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(1, n_frames + 1, 30), x -> CAST(x AS BIGINT))),
+         |    (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS frame_sig
+         |FROM n""".stripMargin,
     "mm_features" ->
       s"""SELECT event_id,
          |       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
@@ -572,6 +599,7 @@ object PipelineQueries {
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
     "t_ngram_freq" -> (tNgramFreq _),
-    "mm_features" -> (mmFeatures _)
+    "mm_features" -> (mmFeatures _),
+    "mm_frame_sample" -> (mmFrameSample _)
   )
 }
