@@ -315,6 +315,25 @@ object PipelineQueries {
     perDoc.join(topBigram, "doc_id")
   }
 
+  /** Corpus mixing: deterministic stratified sampling with per-source
+    * rates (web 50%, books 80%, other 30%) — the data-mixture step of a
+    * training pipeline. The keep decision is a pure function of doc_id
+    * (multiplicative hash mod 100), so the sample is reproducible across
+    * runs and engines, needs no RNG state, and rebalancing a mixture is a
+    * rate change, not a reshuffle. Per-row compute + one count shuffle. */
+  def dSampleMix(s: SparkSession, dir: String): DataFrame = {
+    val coin = (col("doc_id") * lit(2654435761L) % lit(1000000007L)) % 100L
+    val rate = when(col("source") === "web", 50L)
+      .when(col("source") === "books", 80L)
+      .otherwise(30L)
+    tbl(s, dir, "documents")
+      .withColumn("__coin", coin).withColumn("__rate", rate)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("__coin") < col("__rate"), 1L).otherwise(0L))
+          .as("n_kept"))
+  }
+
   /** PII scrub: mask email-like and long-digit-run (phone/account)
     * patterns before a corpus ships to training. Pure per-row regexp
     * columns — no shuffle, scan-speed at any scale. Patterns are kept to
@@ -549,6 +568,14 @@ object PipelineQueries {
          |SELECT l.doc_id, n_lines, dup_line_frac, dup_word_frac,
          |       top_bigram_frac
          |FROM l JOIN bt USING (doc_id)""".stripMargin,
+    "d_sample_mix" ->
+      """SELECT source, count(*) AS n_total,
+        |       CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 <
+        |                     CASE WHEN source = 'web' THEN 50
+        |                          WHEN source = 'books' THEN 80
+        |                          ELSE 30 END
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |FROM documents GROUP BY source""".stripMargin,
     "t_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -598,6 +625,7 @@ object PipelineQueries {
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
+    "d_sample_mix" -> (dSampleMix _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _)
