@@ -10,9 +10,9 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names =
       if (args.length > 1) args.drop(1).toSeq
-      else Seq("q1_agg", "q3_join", "q5_join_agg", "q_agg_full",
-        "q_agg_dedup", "d_minhash_lsh", "ann_lsh", "ann_ivf",
-        "q_agg_sessionize")
+      else Seq("q1_agg", "q3_join", "q5_join_agg", "q6_agg", "q_anti_join",
+        "q_range_join", "q_agg_full", "q_agg_dedup", "d_minhash_lsh",
+        "ann_lsh", "ann_ivf", "q_agg_sessionize")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -62,6 +62,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(scans.head.requiredSchema.fields.length <= 6)
   }
 
+  test("q6_agg pushes every predicate into the scan") {
+    val scans = nodes(physical("q6_agg")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+      "GreaterThanOrEqual(l_discount", "LessThan(l_quantity")
+      .foreach(p => assert(pushed.contains(p), s"missing pushdown $p"))
+  }
+
+  test("band join and anti join never plan nested loops") {
+    for (q <- Seq("q_range_join", "q_anti_join")) {
+      val n = count(physical(q), p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(n == 0, s"$q plans $n nested-loop joins")
+    }
+  }
+
   test("fused q_agg_full pipeline keeps a bounded scan count") {
     // one wide data scan + narrow per-chunk summary scans; the old
     // union-of-branches shape planned 6 scans and regrows under refactors
