@@ -157,7 +157,7 @@ object AggQueries {
       .agg(
         max("event_type").as("attr"),
         count(lit(1)).as("nrec"),
-        sum(col("value").cast(DecimalType(18, 4))).as("vsum"),
+        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).as("vsum"),
         min("ts").as("g_first"), max("ts").as("g_last"))
     per.agg(
       min_by(col("attr"), col("g")).as("first_attr"),
@@ -197,7 +197,7 @@ object AggQueries {
     TSA.filterValid(events(s, dir), cfg)
       .groupBy(date_trunc("hour", col("ts")).cast(ntz).as("bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
           .as("v_sum"),
         min("value").as("v_min"), max("value").as("v_max"))
 
@@ -355,14 +355,14 @@ object AggQueries {
          |per AS (
          |  SELECT CAST(make_timestamp(t) AS DATE) AS g, max(event_type) AS attr,
          |         count(*) AS nrec,
-         |         sum(CAST(value AS DECIMAL(18,4))) AS vsum,
+         |         sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS vsum,
          |         min(make_timestamp(t)) AS g_first,
          |         max(make_timestamp(t)) AS g_last
          |  FROM e GROUP BY 1)
          |SELECT arg_min(attr, g) AS first_attr, arg_max(attr, g) AS last_attr,
          |       array_to_string(list_sort(list(DISTINCT attr)), ', ') AS unique_list,
          |       CAST(sum(nrec) AS BIGINT) AS int_sum,
-         |       CAST(sum(vsum) AS DOUBLE) AS float_sum,
+         |       CAST(CAST(sum(vsum) AS VARCHAR) AS DOUBLE) AS float_sum,
          |       count(*) AS input_count,
          |       min(strftime(g, '%Y-%m-%d')) AS first_input,
          |       max(strftime(g, '%Y-%m-%d')) AS last_input,
@@ -383,7 +383,7 @@ object AggQueries {
       s"""WITH e AS ($sqlValid)
          |SELECT date_trunc('hour', make_timestamp(t)) AS bucket,
          |       count(*) AS n,
-         |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum,
+         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum,
          |       min(value) AS v_min, max(value) AS v_max
          |FROM e GROUP BY 1""".stripMargin,
     "q_agg_sessionize" ->

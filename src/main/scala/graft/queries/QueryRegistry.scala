@@ -39,7 +39,7 @@ object QueryRegistry {
     "stream_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{DecimalType, DoubleType}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
       import graft.core.{TimeSeriesAggregator => TSA}
       val e = TSA.filterValid(AggQueries.events(s, dir), AggQueries.cfg)
       val w = Window.partitionBy("user_id")
@@ -53,7 +53,7 @@ object QueryRegistry {
         .groupBy(col("user_id"), col("__sid"))
         .agg(min(TSA.T).as("session_start"), max(TSA.T).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+          sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
             .as("v_sum"))
         .select("user_id", "session_start", "session_end", "n_events",
           "v_sum")
@@ -65,7 +65,7 @@ object QueryRegistry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |         AS bucket,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_dedup" ->
       """WITH e AS (
@@ -88,7 +88,7 @@ object QueryRegistry {
         |               AS sid FROM m)
         |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
         |       count(*) AS n_events,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM x GROUP BY user_id, sid""".stripMargin
   )
 

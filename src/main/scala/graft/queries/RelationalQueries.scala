@@ -20,7 +20,7 @@ object RelationalQueries {
   private def tbl(s: SparkSession, dir: String, name: String): DataFrame =
     graft.Tables.load(s, dir, name)
 
-  private def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  private def dec(c: Column): Column = c.cast(StringType).cast(DecimalType(18, 4))
   private def dsum(c: Column): Column = sum(dec(c)).cast(DoubleType)
 
   /** TPC-H Q1 shape: pruned scan + map-side partial aggregation. */
@@ -33,7 +33,7 @@ object RelationalQueries {
         dsum(col("l_quantity")).as("sum_qty"),
         dsum(col("l_extendedprice")).as("sum_base_price"),
         sum(dec(col("l_extendedprice")) *
-          (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+          (lit(1).cast(StringType).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
           .cast(DoubleType).as("sum_disc_price"),
         (sum(dec(col("l_quantity"))).cast(DoubleType) /
           count(lit(1)).cast(DoubleType)).as("avg_qty"),
@@ -60,7 +60,7 @@ object RelationalQueries {
       .join(cust, col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+        (lit(1).cast(StringType).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
   }
 
@@ -92,7 +92,7 @@ object RelationalQueries {
       .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
       .groupBy(col("n_name"))
       .agg(sum(dec(col("l_extendedprice")) *
-        (lit(1).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
+        (lit(1).cast(StringType).cast(DecimalType(18, 4)) - dec(col("l_discount"))))
         .cast(DoubleType).as("revenue"))
   }
 
@@ -252,18 +252,18 @@ object RelationalQueries {
   }
 
   private val discExpr =
-    """CAST(l_extendedprice AS DECIMAL(18,4)) *
-      |(CAST(1 AS DECIMAL(18,4)) - CAST(l_discount AS DECIMAL(18,4)))""".stripMargin
+    """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
+      |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "q1_agg" ->
       s"""SELECT l_returnflag, l_linestatus,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-         |  CAST(sum($discExpr) AS DOUBLE) AS sum_disc_price,
-         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+         |  CAST(CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+         |  CAST(CAST(sum($discExpr) AS VARCHAR) AS DOUBLE) AS sum_disc_price,
+         |  CAST(CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS avg_qty,
-         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+         |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
          |    / CAST(count(*) AS DOUBLE) AS avg_price,
          |  count(*) AS count_order
          |FROM lineitem
@@ -271,7 +271,7 @@ object RelationalQueries {
          |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_join" ->
       s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
-         |       CAST(sum($discExpr) AS DOUBLE) AS revenue
+         |       CAST(CAST(sum($discExpr) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN customer ON o_custkey = c_custkey
@@ -279,7 +279,7 @@ object RelationalQueries {
          |  AND CAST(o_orderdate AS DATE) < DATE '1998-01-01'
          |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
     "q5_join_agg" ->
-      s"""SELECT n_name, CAST(sum($discExpr) AS DOUBLE) AS revenue
+      s"""SELECT n_name, CAST(CAST(sum($discExpr) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM lineitem
          |JOIN orders ON l_orderkey = o_orderkey
          |JOIN supplier ON l_suppkey = s_suppkey
@@ -292,9 +292,9 @@ object RelationalQueries {
          |GROUP BY n_name""".stripMargin,
     "q_window" ->
       """SELECT event_id, user_id, ts,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) OVER (
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) OVER (
         |         PARTITION BY user_id ORDER BY epoch_us(ts), event_id
-        |         ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_sum
+        |         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_sum
         |FROM events""".stripMargin,
     "q_topk" ->
       """WITH r AS (
@@ -326,8 +326,8 @@ object RelationalQueries {
         |       asof_orderkey, asof_totalprice
         |FROM m WHERE is_order = 0""".stripMargin,
     "q6_agg" ->
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)) *
-        |                CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE)
+      """SELECT CAST(CAST(sum(CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
+        |                CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |         AS revenue,
         |       count(*) AS n
         |FROM lineitem
@@ -345,7 +345,7 @@ object RelationalQueries {
     "q_rollup" ->
       """SELECT event_type, epoch_us(ts) // 604800000000 AS wk,
         |       count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events
         |GROUP BY ROLLUP (event_type, wk)""".stripMargin,
     "q_percentiles" ->
@@ -354,7 +354,7 @@ object RelationalQueries {
         |FROM events GROUP BY event_type""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, count(*) AS n_orders_7d,
-        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |       CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |         AS spend_7d
         |FROM events e
         |JOIN orders o ON o.o_custkey = e.user_id
@@ -374,7 +374,7 @@ object RelationalQueries {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |         AS bucket,
         |       event_type, count(*) AS n,
-        |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS v_sum
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin
   )
 

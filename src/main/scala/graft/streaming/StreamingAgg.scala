@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, TimestampType}
 
 /** Typed rows of the stateful sessionizer (top level for Encoder
   * derivation). `ts` carries the watermark (the event-time timeout checker
@@ -36,7 +36,7 @@ object StreamingAgg {
       // decimal-exact sum cast to double once: order-independent, so batch
       // and streaming (and the DuckDB oracle) agree bit-for-bit
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType)
+        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
           .as("v_sum"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("v_sum"))
