@@ -229,8 +229,9 @@ object AggQueries {
     * by the index column and cap records per output file. Returns a summary;
     * rows-only check (writes to a temp dir). */
   def qAggChunkedWrite(s: SparkSession, dir: String): DataFrame = {
-    val out = java.nio.file.Files
-      .createTempDirectory("graft_chunked_write").toString
+    // fixed path, overwritten per run: repeated bench/verify invocations
+    // must not accumulate temp granule sets
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_chunked_write"
     graft.sources.ParquetGranuleSink.write(
       TSA.filterValid(events(s, dir), cfg).drop(TSA.T),
       out, sortCol = "ts", maxRecordsPerFile = 1000)
