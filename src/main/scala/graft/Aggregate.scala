@@ -206,7 +206,16 @@ object Aggregate {
         graft.streaming.StreamingAgg
           .cadenceDedup(valid, cfg.minStepUs, watermark, tsCol = ivar)
       else valid
-    deduped.writeStream
+    // batch run writes the index column as TIMESTAMP_NTZ
+    // (TimeSeriesAggregator regularize); cadenceDedup casts it to LTZ for
+    // the watermark. Normalize both paths so streamed granules and the
+    // batch-finalization pass share one timestamp type in the output.
+    val sunk = deduped.schema(ivar).dataType match {
+      case org.apache.spark.sql.types.TimestampType =>
+        deduped.withColumn(ivar, col(ivar).cast(TimestampNTZType))
+      case _ => deduped
+    }
+    sunk.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", dst)

@@ -229,9 +229,12 @@ object AggQueries {
     * by the index column and cap records per output file. Returns a summary;
     * rows-only check (writes to a temp dir). */
   def qAggChunkedWrite(s: SparkSession, dir: String): DataFrame = {
-    // fixed path, overwritten per run: repeated bench/verify invocations
-    // must not accumulate temp granule sets
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_chunked_write"
+    // fixed per-process path, overwritten per run: repeated invocations in
+    // one process must not accumulate temp granule sets, while two
+    // concurrent drivers (bench + verify side by side) must not interleave
+    // writes into each other's directory — namespace by application id
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_chunked_write_" +
+      s.sparkContext.applicationId
     graft.sources.ParquetGranuleSink.write(
       TSA.filterValid(events(s, dir), cfg).drop(TSA.T),
       out, sortCol = "ts", maxRecordsPerFile = 1000)

@@ -112,30 +112,59 @@ object PipelineQueries {
     val edges = dNgramJaccard(s, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
+    // Eager localCheckpoint, not persist: persist caches data but keeps the
+    // full logical plan, so an iterative loop's plan tree (which references
+    // the previous round's frame several times) grows exponentially with
+    // rounds and Catalyst analysis + CacheManager plan-matching come to
+    // dominate wall time. Checkpointing truncates the lineage to an RDD
+    // scan — every round plans against an O(1)-size tree. (On a real
+    // cluster a reliable `checkpoint` to the cluster FS gives the same
+    // truncation plus executor-loss recovery.)
     val bidir = edges
       .unionByName(edges.select(col("doc_b").as("doc_a"),
         col("doc_a").as("doc_b")))
       .toDF("id", "nbr")
-      .persist()
-    var labels = shingles(s, dir)
-      .select(col("doc_id").as("id"), col("doc_id").as("lbl"))
-      .persist()
-    var changed = 1L
-    while (changed > 0) {
+      .localCheckpoint(true)
+    // Propagate over edge vertices only: the near-dup graph is orders of
+    // magnitude smaller than the corpus, so every round's shuffles touch
+    // just the graph, and the full doc set is labeled once at the end.
+    var labels = bidir.select(col("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+      .localCheckpoint(true)
+    // Convergence via a monotone signature rather than a join+count: labels
+    // only ever decrease, so sum(lbl) is strictly decreasing until the
+    // fixpoint. Decimal sum: no overflow at any vertex-count/id scale.
+    def sig(df: DataFrame): java.math.BigDecimal = {
+      val v = df.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
+        .head.getDecimal(0)
+      if (v == null) java.math.BigDecimal.ZERO else v
+    }
+    var cur = sig(labels)
+    var last: java.math.BigDecimal = null
+    while (last == null || cur.compareTo(last) != 0) {
       val viaNbr = bidir
         .join(labels.select(col("id").as("nbr"), col("lbl")), "nbr")
         .select("id", "lbl")
-      val next = labels.unionByName(viaNbr)
+      // pointer jumping: also adopt the current label's own label, so
+      // label chains compress exponentially — O(log diameter) rounds
+      // instead of O(diameter)
+      val viaLbl = labels.toDF("id", "mid")
+        .join(labels.toDF("mid", "lbl"), "mid")
+        .select("id", "lbl")
+      val next = labels.unionByName(viaNbr).unionByName(viaLbl)
         .groupBy("id").agg(min("lbl").as("lbl"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") < col("old")).count()
-      labels.unpersist()
+        .localCheckpoint(true)
+      last = cur
+      cur = sig(next)
       labels = next
     }
-    bidir.unpersist()
-    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"),
-      (col("id") === col("lbl")).as("is_keeper"))
+    // one broadcast left join labels the whole corpus; isolated docs are
+    // their own singleton cluster
+    val out = shingles(s, dir).select(col("doc_id"))
+      .join(broadcast(labels.toDF("doc_id", "lbl")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
+    out.withColumn("is_keeper", col("doc_id") === col("cluster_id"))
   }
 
   // ------------------------------------------------- embeddings similarity
@@ -322,7 +351,11 @@ object PipelineQueries {
     * runs and engines, needs no RNG state, and rebalancing a mixture is a
     * rate change, not a reshuffle. Per-row compute + one count shuffle. */
   def dSampleMix(s: SparkSession, dir: String): DataFrame = {
-    val coin = (col("doc_id") * lit(2654435761L) % lit(1000000007L)) % 100L
+    // reduce doc_id mod p BEFORE the multiply: the raw product overflows
+    // Long for doc_id ≳ 3.47e9 (silent wrap in Spark, BIGINT error in the
+    // oracle); (p-1) * 2654435761 ≈ 2.65e18 stays within Long
+    val coin = (col("doc_id") % lit(1000000007L) * lit(2654435761L)
+      % lit(1000000007L)) % 100L
     val rate = when(col("source") === "web", 50L)
       .when(col("source") === "books", 80L)
       .otherwise(30L)
@@ -570,7 +603,7 @@ object PipelineQueries {
          |FROM l JOIN bt USING (doc_id)""".stripMargin,
     "d_sample_mix" ->
       """SELECT source, count(*) AS n_total,
-        |       CAST(sum(CASE WHEN (doc_id * 2654435761) % 1000000007 % 100 <
+        |       CAST(sum(CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 <
         |                     CASE WHEN source = 'web' THEN 50
         |                          WHEN source = 'books' THEN 80
         |                          ELSE 30 END

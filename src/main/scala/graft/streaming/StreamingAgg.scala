@@ -100,7 +100,10 @@ object StreamingAgg {
             evs.foreach { e =>
               cur match {
                 case Some(ses) if e.t - ses.end <= gapUs =>
-                  cur = Some(SessionState(ses.start,
+                  // min() on start too: a late out-of-order event (within
+                  // the watermark, in a later microbatch) may precede the
+                  // session's current start; batch twin uses min(t)
+                  cur = Some(SessionState(math.min(ses.start, e.t),
                     math.max(ses.end, e.t), ses.n + 1, ses.vsum + e.value))
                 case Some(ses) =>
                   closed += Session(uid, ses.start, ses.end, ses.n, ses.vsum)
