@@ -21,12 +21,19 @@ object Tables {
   private val nanosCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"))
 
-  def load(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/$name.parquet")
-    nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-      df.withColumn(c,
-        timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
-    }
-  }
+  /** Memo per (session, dir, table): a bench/verify run touches each table
+    * hundreds of times; re-resolving the relation re-lists files and
+    * re-reads footers. DataFrames are immutable, so sharing one is safe. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  def load(s: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent((s, dir, name), { case (s, dir, name) =>
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val raw = s.read.parquet(s"$dir/$name.parquet")
+      nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
+        df.withColumn(c,
+          timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
+      }
+    })
 }

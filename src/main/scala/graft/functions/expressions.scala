@@ -128,9 +128,14 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  /** Register all native expressions as SQL functions (idempotent). */
+  /** Register all native expressions as SQL functions (idempotent: a
+    * session that already has them is left untouched — replacing on every
+    * query call costs registry churn and a WARN per function). */
   def register(s: SparkSession): Unit = {
     val r = s.sessionState.functionRegistry
+    if (r.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens")))
+      return
     r.createOrReplaceTempFunction("graft_tokens",
       es => Tokens(es.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_token_hashes",

@@ -245,6 +245,47 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
+  /** Scalar-quantized ANN (the compression path next to [[annLsh]] /
+    * [[annIvf]]): vectors are quantized to int codes (per-dimension
+    * min/max → 0..255), candidates come from the same LSH buckets, and
+    * scoring is an integer dot product over the codes — 4× less memory
+    * bandwidth than float32 and exact integer arithmetic that
+    * hash-matches the oracle bit-for-bit. The per-dim stats frame is one
+    * 64-row aggregate broadcast to the quantization map; at 100 TB codes
+    * live alongside the raw vectors and queries touch only codes. */
+  def annSq(s: SparkSession, dir: String): DataFrame = {
+    val e = bucketed(s, dir)
+    val dims = e.select(posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("p")
+      .agg(min(col("x").cast(DoubleType)).as("mn"),
+        max(col("x").cast(DoubleType)).as("mx"))
+    val stats = dims.agg(
+      expr("transform(array_sort(collect_list(struct(p, mn))), y -> y.mn)")
+        .as("mns"),
+      expr("transform(array_sort(collect_list(struct(p, mx))), y -> y.mx)")
+        .as("mxs"))
+    // floor, not round: round's half-way rule differs between engines
+    // (HALF_UP vs half-even); floor is identical everywhere
+    val codes = e.crossJoin(broadcast(stats))
+      .withColumn("code", expr(
+        """transform(sequence(1, 64), i ->
+          |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0L
+          |  ELSE CAST(floor((CAST(element_at(v, i) AS DOUBLE) - element_at(mns, i))
+          |       * 255.0D / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)
+          |  END)""".stripMargin))
+      .select(col("vec_id"), col("code"), col("bucket"))
+    val q = codes.filter(col("vec_id") < 8).toDF("q_id", "qc", "bucket")
+    val cand = codes.toDF("n_id", "nc", "bucket")
+    val scored = cand.join(broadcast(q), Seq("bucket"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", expr(
+        "aggregate(zip_with(qc, nc, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "score")
+  }
+
   // ----------------------------------------------------------- text analysis
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -528,6 +569,30 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_sq" ->
+      s"""WITH $bucketCte,
+         |dim AS (
+         |  SELECT i, min(CAST(v[i] AS DOUBLE)) AS mn,
+         |         max(CAST(v[i] AS DOUBLE)) AS mx
+         |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY i),
+         |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |       FROM dim),
+         |c AS (
+         |  SELECT vec_id, bucket,
+         |         list_transform(range(1, 65), i ->
+         |           CASE WHEN mxs[i] = mns[i] THEN 0
+         |           ELSE CAST(floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+         |                / (mxs[i] - mns[i])) AS BIGINT) END) AS code
+         |  FROM e CROSS JOIN st),
+         |scored AS (
+         |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
+         |         CAST(list_sum(list_transform(range(1, 65),
+         |              i -> q.code[i] * n.code[i])) AS BIGINT) AS score
+         |  FROM c n JOIN c q ON n.bucket = q.bucket
+         |  WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY score DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
     "t_langid" ->
       s"""WITH $thCte
          |SELECT doc_id,
@@ -652,6 +717,7 @@ object PipelineQueries {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
+    "ann_sq" -> (annSq _),
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),

@@ -251,6 +251,71 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
   }
 
+  /** Semi-join shape (EXISTS): customers with at least one order in a
+    * period — the complement of [[qAntiJoin]]. Plans as a hash left-semi
+    * join: the probe side streams, no duplicate expansion, no per-row
+    * subquery. */
+  def qSemiJoin(s: SparkSession, dir: String): DataFrame = {
+    val ord96 = tbl(s, dir, "orders")
+      .filter(col("o_orderdate").cast(DateType) >=
+        lit(java.sql.Date.valueOf("1996-01-01")) &&
+        col("o_orderdate").cast(DateType) <
+          lit(java.sql.Date.valueOf("1997-01-01")))
+      .select("o_custkey")
+    tbl(s, dir, "customer")
+      .join(ord96, col("c_custkey") === col("o_custkey"), "left_semi")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_active"))
+  }
+
+  /** CUBE grouping sets over (lang, source): all four marginal totals in
+    * one pass. Like ROLLUP, Spark expands the grouping sets before a
+    * single partial/final hash aggregation — one shuffle regardless of
+    * how many grouping sets the cube expands to. */
+  def qCube(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .cube(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+
+  /** Skew-resistant fact⋈dim join via explicit key salting: the fact side
+    * gets a deterministic salt (event_id mod 8) and the dim side is
+    * replicated once per salt value, so one hot key's rows spread over 8
+    * reducers instead of one. This is the manual fallback when AQE's
+    * runtime skew split can't apply (e.g. the skew only materializes
+    * after upstream transforms); the result is identical to the unsalted
+    * join, which is exactly what the oracle checks. */
+  def qSkewSalt(s: SparkSession, dir: String): DataFrame = {
+    val nSalt = 8L
+    val e = AggQueries.events(s, dir)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("__salt", pmod(col("event_id"), lit(nSalt)))
+    val c = tbl(s, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .withColumn("__salt", explode(sequence(lit(0L), lit(nSalt - 1))))
+    e.join(c, col("user_id") === col("c_custkey") &&
+        e("__salt") === c("__salt"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("v_sum"))
+  }
+
+  /** CDC-style upsert compaction: treat events as an update stream keyed
+    * by (user_id, event_type) and keep only the latest version of each
+    * key (latest ts, ties to the highest event_id) — the merge-on-read
+    * compaction a continuously-ingested 100 TB table needs. One keyed
+    * window, no global sort; at scale the key partitioning aligns with
+    * the table's bucketing so compaction is shuffle-free. */
+  def qUpsertLatest(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col(TSA.T).desc, col("event_id").desc)
+    e.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"),
+        timestamp_micros(col(TSA.T)).cast(TimestampNTZType).as("last_ts"),
+        col("value").as("last_value"))
+  }
+
   private val discExpr =
     """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
       |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
@@ -375,7 +440,35 @@ object RelationalQueries {
         |         AS bucket,
         |       event_type, count(*) AS n,
         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_mktsegment, count(*) AS n_active
+        |FROM customer c
+        |WHERE EXISTS (
+        |  SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+        |    AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+        |    AND CAST(o.o_orderdate AS DATE) < DATE '1997-01-01')
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_cube" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents
+        |GROUP BY CUBE (lang, source)""".stripMargin,
+    // the oracle is the UNSALTED join: salting must not change results
+    "q_skew_salt" ->
+      """SELECT c_mktsegment, count(*) AS n_events,
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_upsert_latest" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, event_id AS last_event_id,
+        |       make_timestamp(t) AS last_ts, value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -391,6 +484,10 @@ object RelationalQueries {
     "q_rollup" -> (qRollup _),
     "q6_agg" -> (q6Agg _),
     "q_anti_join" -> (qAntiJoin _),
-    "q_window_tumbling" -> (qWindowTumbling _)
+    "q_window_tumbling" -> (qWindowTumbling _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_cube" -> (qCube _),
+    "q_skew_salt" -> (qSkewSalt _),
+    "q_upsert_latest" -> (qUpsertLatest _)
   )
 }

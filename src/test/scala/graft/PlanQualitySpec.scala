@@ -88,6 +88,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(n <= 4, s"q_agg_full plans $n parquet scans (expected <= 4)")
   }
 
+  test("bucketed granule tables co-locate an equi-join with zero shuffles") {
+    // SURVEY §4: "co-locate joins via bucketing" — evidence that the
+    // engine's write path supports it: two tables bucketed+sorted on the
+    // join key sort-merge-join with NO exchange and NO per-task sort, the
+    // layout that keeps a 100 TB fact⋈fact join shuffle-free.
+    val dir = java.nio.file.Files.createTempDirectory("graft_bucket").toString
+    val e = Tables.load(spark, sfDir, "events")
+      .select("event_id", "user_id", "value")
+    for (t <- Seq("graft_ba", "graft_bb")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      e.write.bucketBy(8, "user_id").sortBy("user_id")
+        .option("path", s"$dir/$t").saveAsTable(t)
+    }
+    val j = spark.table("graft_ba").hint("merge")
+      .join(spark.table("graft_bb").hint("merge"), "user_id")
+    val shuffles = count(j.queryExecution.executedPlan,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles == 0, s"bucketed join plans $shuffles shuffle exchanges")
+    for (t <- Seq("graft_ba", "graft_bb")) spark.sql(s"DROP TABLE $t")
+  }
+
   test("q_agg_full data path shares one exchange between its windows") {
     // The dedup lag-window and gap-fill lead-window must reuse the same
     // chunk-hash partitioning, so exactly ONE shuffle carries the full-width
