@@ -17,6 +17,11 @@ object QueryRegistry {
       graft.streaming.StreamingAgg
         .windowedCounts(AggQueries.events(s, dir))
         .withColumn("bucket", col("bucket").cast(TimestampNTZType))),
+    "stream_enrich" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .enrichedWindowedCounts(AggQueries.events(s, dir),
+          graft.Tables.load(s, dir, "customer"))
+        .withColumn("bucket", col("bucket").cast(TimestampNTZType))),
     // batch twin of StreamingAgg.cadenceDedup: dropDuplicatesWithinWatermark
     // is streaming-only, so the batch path keeps the deterministic first
     // record (t, event_id) of each cadence bucket — the event-time-order
@@ -67,6 +72,13 @@ object QueryRegistry {
         |       event_type, count(*) AS n,
         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_enrich" ->
+      """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
+        |         AS bucket,
+        |       c_mktsegment, count(*) AS n,
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     "stream_dedup" ->
       """WITH e AS (
         |  SELECT *, epoch_us(ts) AS t, epoch_us(ts) // 60000000 AS b

@@ -41,6 +41,27 @@ object StreamingAgg {
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("v_sum"))
 
+  /** Stream-static enrichment: join the event stream to a dimension table
+    * (broadcast — a dim is scale-invariant or pre-bucketed) and aggregate
+    * per tumbling window and dim attribute. The static side is re-read per
+    * microbatch by Structured Streaming, so a slowly-changing dim is picked
+    * up without restarting the query. Batch twin: the registry's
+    * `stream_enrich` entry (same transform on the batch frame). */
+  def enrichedWindowedCounts(events: DataFrame, dim: DataFrame,
+      windowDur: String = "6 hours",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim.select(col("c_custkey"), col("c_mktsegment"))),
+        col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), windowDur), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
+          .as("v_sum"))
+      .select(col("window.start").as("bucket"), col("c_mktsegment"),
+        col("n"), col("v_sum"))
+
   /** Streaming cadence dedup: keep one record per nominal-cadence bucket,
     * with state expired by the watermark. Streaming analog of
     * TimeSeriesAggregator.dedupe (the reference's too-close-record drop,

@@ -184,6 +184,29 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment joins the dim per microbatch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(sec: Long, uid: Long, v: Double) =
+      UEv(new java.sql.Timestamp(sec * 1000L), uid, v)
+    val dim = Seq((1L, "BUILDING"), (2L, "MACHINERY"))
+      .toDF("c_custkey", "c_mktsegment")
+    val mem = MemoryStream[UEv]
+    val q = StreamingAgg
+      .enrichedWindowedCounts(mem.toDF(), dim, "1 hour", "10 minutes")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("enr").start()
+    try {
+      mem.addData(uev(0, 1, 1.0), uev(60, 1, 2.0), uev(120, 2, 4.0),
+        uev(180, 9, 8.0)) // user 9 has no dim row: dropped by the inner join
+      q.processAllAvailable()
+      val rows = spark.table("enr")
+        .select("c_mktsegment", "n", "v_sum").orderBy("c_mktsegment")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.toSeq === Seq(("BUILDING", 2L, 3.0), ("MACHINERY", 1L, 4.0)))
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (streaming/batch parity)") {
     import spark.implicits._
     val batch = Seq(ev(0, "a", 1.0), ev(60, "a", 2.0), ev(3700, "b", 3.0))
