@@ -14,7 +14,6 @@ run / fork := true
 // The bench/verify driver parses our stdout for a bare JSON line; sbt's
 // default LoggedOutput prefixes every forked-process line with [info]/[error],
 // which breaks that parse. Pass the child's stdio straight through.
-run / outputStrategy := Some(StdoutOutput)
 Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches

@@ -102,64 +102,16 @@ object PipelineQueries {
     * the step a real dedup pipeline runs after pair generation — keep one
     * doc per cluster (`is_keeper`).
     *
-    * Distributed min-label propagation: each round joins labels across the
-    * bidirectional edge list and takes the per-vertex min; rounds repeat
-    * until a fixpoint (bounded by component diameter — near-dup clusters
-    * are shallow). Every round is a keyed shuffle join; the only
-    * driver-side value is the scalar convergence count. Labels persist per
-    * round so lineage stays flat. */
+    * The graph step is [[graft.core.Graph.minLabelComponents]] (min-label
+    * propagation with pointer jumping over the edge vertices only — the
+    * near-dup graph is orders of magnitude smaller than the corpus); one
+    * final broadcast left join labels the whole corpus. */
   def dDedupClusters(s: SparkSession, dir: String): DataFrame = {
     val edges = dNgramJaccard(s, dir)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"))
-    // Eager localCheckpoint, not persist: persist caches data but keeps the
-    // full logical plan, so an iterative loop's plan tree (which references
-    // the previous round's frame several times) grows exponentially with
-    // rounds and Catalyst analysis + CacheManager plan-matching come to
-    // dominate wall time. Checkpointing truncates the lineage to an RDD
-    // scan — every round plans against an O(1)-size tree. (On a real
-    // cluster a reliable `checkpoint` to the cluster FS gives the same
-    // truncation plus executor-loss recovery.)
-    val bidir = edges
-      .unionByName(edges.select(col("doc_b").as("doc_a"),
-        col("doc_a").as("doc_b")))
-      .toDF("id", "nbr")
-      .localCheckpoint(true)
-    // Propagate over edge vertices only: the near-dup graph is orders of
-    // magnitude smaller than the corpus, so every round's shuffles touch
-    // just the graph, and the full doc set is labeled once at the end.
-    var labels = bidir.select(col("id")).distinct()
-      .select(col("id"), col("id").as("lbl"))
-      .localCheckpoint(true)
-    // Convergence via a monotone signature rather than a join+count: labels
-    // only ever decrease, so sum(lbl) is strictly decreasing until the
-    // fixpoint. Decimal sum: no overflow at any vertex-count/id scale.
-    def sig(df: DataFrame): java.math.BigDecimal = {
-      val v = df.agg(sum(col("lbl").cast(DecimalType(38, 0))).as("s"))
-        .head.getDecimal(0)
-      if (v == null) java.math.BigDecimal.ZERO else v
-    }
-    var cur = sig(labels)
-    var last: java.math.BigDecimal = null
-    while (last == null || cur.compareTo(last) != 0) {
-      val viaNbr = bidir
-        .join(labels.select(col("id").as("nbr"), col("lbl")), "nbr")
-        .select("id", "lbl")
-      // pointer jumping: also adopt the current label's own label, so
-      // label chains compress exponentially — O(log diameter) rounds
-      // instead of O(diameter)
-      val viaLbl = labels.toDF("id", "mid")
-        .join(labels.toDF("mid", "lbl"), "mid")
-        .select("id", "lbl")
-      val next = labels.unionByName(viaNbr).unionByName(viaLbl)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      last = cur
-      cur = sig(next)
-      labels = next
-    }
-    // one broadcast left join labels the whole corpus; isolated docs are
-    // their own singleton cluster
+    val labels = graft.core.Graph.minLabelComponents(edges)
+    // isolated docs are their own singleton cluster
     val out = shingles(s, dir).select(col("doc_id"))
       .join(broadcast(labels.toDF("doc_id", "lbl")), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -253,7 +205,9 @@ object PipelineQueries {
     * hash-matches the oracle bit-for-bit. The per-dim stats frame is one
     * 64-row aggregate broadcast to the quantization map; at 100 TB codes
     * live alongside the raw vectors and queries touch only codes. */
-  def annSq(s: SparkSession, dir: String): DataFrame = {
+  /** Int codes per vector (cached: the scoring self-join consumes it from
+    * both sides, and at scale the codes ARE the stored index). */
+  private def sqCodes(s: SparkSession, dir: String): DataFrame = {
     val e = bucketed(s, dir)
     val dims = e.select(posexplode(col("v")).as(Seq("p", "x")))
       .groupBy("p")
@@ -266,7 +220,7 @@ object PipelineQueries {
         .as("mxs"))
     // floor, not round: round's half-way rule differs between engines
     // (HALF_UP vs half-even); floor is identical everywhere
-    val codes = e.crossJoin(broadcast(stats))
+    e.crossJoin(broadcast(stats))
       .withColumn("code", expr(
         """transform(sequence(1, 64), i ->
           |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0L
@@ -274,6 +228,11 @@ object PipelineQueries {
           |       * 255.0D / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)
           |  END)""".stripMargin))
       .select(col("vec_id"), col("code"), col("bucket"))
+      .cache()
+  }
+
+  def annSq(s: SparkSession, dir: String): DataFrame = {
+    val codes = sqCodes(s, dir)
     val q = codes.filter(col("vec_id") < 8).toDF("q_id", "qc", "bucket")
     val cand = codes.toDF("n_id", "nc", "bucket")
     val scored = cand.join(broadcast(q), Seq("bucket"))
