@@ -229,6 +229,11 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
       q.processAllAvailable()
       val n2 = spark.read.parquet(s"$tmp/out").count()
       assert(n2 === 4)
+      // streamed granules must share the batch run's index-column type
+      // (TIMESTAMP_NTZ) so a batch finalization pass over the same output
+      // directory reads one consistent schema
+      val tsType = spark.read.parquet(s"$tmp/out").schema("time").dataType
+      assert(tsType === org.apache.spark.sql.types.TimestampNTZType)
     } finally q.stop()
   }
 
