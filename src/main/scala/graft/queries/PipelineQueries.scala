@@ -227,18 +227,32 @@ object PipelineQueries {
           |  ELSE CAST(floor((CAST(element_at(v, i) AS DOUBLE) - element_at(mns, i))
           |       * 255.0D / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)
           |  END)""".stripMargin))
-      .select(col("vec_id"), col("code"), col("bucket"))
+      // scoring must run against the DEQUANTIZED reconstruction, not the
+      // raw codes: code ≈ (x - min) * s, and dot products of min-shifted
+      // vectors are not monotone in the original dot product. The
+      // reconstruction needs only the code plus the 64-entry min/max
+      // table, so at scale the codes remain the stored index (4× less
+      // bandwidth) and dequantization happens at scan time.
+      .withColumn("deq", expr(
+        """transform(sequence(1, 64), i ->
+          |  element_at(mns, i) + CAST(element_at(code, i) AS DOUBLE)
+          |    * (element_at(mxs, i) - element_at(mns, i)) / 255.0D)""".stripMargin))
+      .withColumn("cnorm", expr(PV.normSpark("deq")))
+      .select(col("vec_id"), col("code"), col("deq"), col("cnorm"),
+        col("bucket"))
       .cache()
   }
 
   def annSq(s: SparkSession, dir: String): DataFrame = {
     val codes = sqCodes(s, dir)
-    val q = codes.filter(col("vec_id") < 8).toDF("q_id", "qc", "bucket")
-    val cand = codes.toDF("n_id", "nc", "bucket")
+    val q = codes.toDF("q_id", "qc", "qd", "qn", "bucket")
+      .filter(col("q_id") < 8)
+    val cand = codes.toDF("n_id", "nc", "nd", "nn", "bucket")
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("score", expr(
-        "aggregate(zip_with(qc, nc, (x, y) -> x * y), 0L, (a, x) -> a + x)"))
+        s"""CASE WHEN qn * nn = 0.0D THEN 0.0D
+           |ELSE ${PV.dotSpark("qd", "nd")} / (qn * nn) END""".stripMargin))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
@@ -536,17 +550,28 @@ object PipelineQueries {
          |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY i),
          |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
          |       FROM dim),
-         |c AS (
+         |c0 AS (
          |  SELECT vec_id, bucket,
          |         list_transform(range(1, 65), i ->
          |           CASE WHEN mxs[i] = mns[i] THEN 0
          |           ELSE CAST(floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
          |                / (mxs[i] - mns[i])) AS BIGINT) END) AS code
          |  FROM e CROSS JOIN st),
+         |c1 AS (
+         |  SELECT vec_id, bucket, code,
+         |         list_transform(range(1, 65), i ->
+         |           mns[i] + CAST(code[i] AS DOUBLE)
+         |             * (mxs[i] - mns[i]) / 255.0) AS deq
+         |  FROM c0 CROSS JOIN st),
+         |c AS (
+         |  SELECT vec_id, bucket, code, deq,
+         |         ${PV.normDuck("deq")} AS cnorm
+         |  FROM c1),
          |scored AS (
          |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
-         |         CAST(list_sum(list_transform(range(1, 65),
-         |              i -> q.code[i] * n.code[i])) AS BIGINT) AS score
+         |         CASE WHEN q.cnorm * n.cnorm = 0.0 THEN 0.0
+         |         ELSE ${PV.dotDuck("q.deq", "n.deq")}
+         |              / (q.cnorm * n.cnorm) END AS score
          |  FROM c n JOIN c q ON n.bucket = q.bucket
          |  WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id

@@ -84,7 +84,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val exact = top(PipelineQueries.annBruteforce(spark, dir))
     for ((name, approx) <- Seq(
         "ann_lsh" -> top(PipelineQueries.annLsh(spark, dir)),
-        "ann_ivf" -> top(PipelineQueries.annIvf(spark, dir)))) {
+        "ann_ivf" -> top(PipelineQueries.annIvf(spark, dir)),
+        "ann_sq" -> top(PipelineQueries.annSq(spark, dir)))) {
       val recalls = exact.keys.toSeq.map { q =>
         val got = approx.getOrElse(q, Set.empty)
         (exact(q) intersect got).size.toDouble / exact(q).size
