@@ -298,6 +298,26 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("v_sum"))
   }
 
+  /** TPC-H Q18 shape — join against an aggregated subquery: orders whose
+    * total quantity exceeds a threshold, with customer attribution. The
+    * HAVING aggregate runs partial/final BEFORE the joins, so the join
+    * probe side is already reduced to the qualifying keys (a tiny
+    * fraction), and AQE sizes the join strategy on the post-aggregation
+    * cardinality, not the fact table's. */
+  def qHavingJoin(s: SparkSession, dir: String): DataFrame = {
+    val big = tbl(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(dsum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 150.0)
+    val ord = tbl(s, dir, "orders")
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val cust = tbl(s, dir, "customer").select("c_custkey", "c_name")
+    big.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+        col("total_qty"))
+  }
+
   /** CDC-style upsert compaction: treat events as an update stream keyed
     * by (user_id, event_type) and keep only the latest version of each
     * key (latest ts, ties to the highest event_id) — the merge-on-read
@@ -460,6 +480,17 @@ object RelationalQueries {
         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY c_mktsegment""".stripMargin,
+    "q_having_join" ->
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |           AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(CAST(sum(CAST(CAST(l_quantity AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) > 150.0)
+        |SELECT c_name, o_orderkey, o_orderdate, total_qty
+        |FROM big
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey""".stripMargin,
     "q_upsert_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t,
@@ -488,6 +519,7 @@ object RelationalQueries {
     "q_semi_join" -> (qSemiJoin _),
     "q_cube" -> (qCube _),
     "q_skew_salt" -> (qSkewSalt _),
-    "q_upsert_latest" -> (qUpsertLatest _)
+    "q_upsert_latest" -> (qUpsertLatest _),
+    "q_having_join" -> (qHavingJoin _)
   )
 }
