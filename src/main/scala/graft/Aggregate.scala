@@ -57,7 +57,11 @@ object Aggregate {
     * missing variables fall back through copy_from_alt then null-fill
     * (reference aggrelist.py:545-566), map_to renames on output
     * (reference aggregator.py:378), take_dim_indicies extracts one index
-    * of a fixed inner dimension (reference README; unimplemented there). */
+    * of a fixed inner dimension (reference README; unimplemented there).
+    * Per-variable attributes from the config (units, long_name, ... —
+    * reference config.py VariableConfig `attributes`, written to the
+    * output NetCDF by evaluate) ride along as column metadata, which
+    * Spark round-trips through parquet schema metadata. */
   def selectVariables(df: DataFrame, config: AggConfig.Config): DataFrame = {
     val present = df.columns.toSet
     val cols = config.vars.map { v =>
@@ -72,7 +76,9 @@ object Aggregate {
         case (Some(s), None) => s
         case (None, _) => lit(null)
       }
-      c.as(v.mapTo.getOrElse(v.name))
+      val md = new org.apache.spark.sql.types.MetadataBuilder()
+      v.attributes.foreach { case (k, x) => md.putString(k, x) }
+      c.as(v.mapTo.getOrElse(v.name), md.build())
     }
     df.select(cols: _*)
   }
@@ -91,6 +97,25 @@ object Aggregate {
       val idx = dim.otherDimInds.getOrElse(innerDims.head, 0)
       element_at(col(ivar), idx + 1)
     }
+  }
+
+  /** Re-attach the config's per-variable attributes as column metadata on
+    * the frame about to be written: the regularization pipeline (windows,
+    * unions, fill synthesis) rebuilds attributes and drops metadata, so
+    * attaching at the sink is the only placement that survives. */
+  private def applyVarMetadata(df: DataFrame,
+      config: AggConfig.Config): DataFrame = {
+    val byName = config.vars
+      .map(v => v.mapTo.getOrElse(v.name) -> v.attributes).toMap
+    df.select(df.columns.map { c =>
+      byName.get(c).filter(_.nonEmpty) match {
+        case Some(attrs) =>
+          val md = new org.apache.spark.sql.types.MetadataBuilder()
+          attrs.foreach { case (k, x) => md.putString(k, x) }
+          col(c).as(c, md.build())
+        case None => col(c)
+      }
+    }: _*)
   }
 
   /** Aggregate `srcs` (parquet granule paths/globs) into `dst`.
@@ -150,7 +175,8 @@ object Aggregate {
         // no indexed unlimited dim: plain concatenation in granule order
         (data.withColumn("is_fill", lit(false)), data.columns.head)
     }
-    ParquetGranuleSink.write(out, dst, sortCol, maxRecordsPerFile)
+    ParquetGranuleSink.write(applyVarMetadata(out, config), dst, sortCol,
+      maxRecordsPerFile)
 
     val granules = sorted.map(p => p -> granuleAttrs.getOrElse(p, Map.empty))
     val attrs = AttributeStrategies.finalizeAttrs(
@@ -215,7 +241,7 @@ object Aggregate {
         deduped.withColumn(ivar, col(ivar).cast(TimestampNTZType))
       case _ => deduped
     }
-    sunk.writeStream
+    applyVarMetadata(sunk, config).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", dst)

@@ -202,6 +202,22 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     assert(extras === Seq(Some(1.5), None))
   }
 
+  test("per-variable attributes ride into the output column metadata") {
+    val tmp = Files.createTempDirectory("graft_varattrs").toString
+    val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
+    val cfg = config.copy(vars = Seq(
+      VarSpec("time", Seq("record"), "timestamp",
+        attributes = Map("units" -> "microseconds since epoch",
+          "long_name" -> "record time")),
+      VarSpec("payload", Seq("record"), "string")))
+    Aggregate.run(spark, Seq(a), s"$tmp/out", cfg,
+      now = () => Instant.ofEpochSecond(1700000000L))
+    // parquet round-trips Spark column metadata through the schema blob
+    val md = spark.read.parquet(s"$tmp/out").schema("time").metadata
+    assert(md.getString("units") === "microseconds since epoch")
+    assert(md.getString("long_name") === "record time")
+  }
+
   test("an empty granule contributes nothing and breaks nothing") {
     val tmp = Files.createTempDirectory("graft_empty").toString
     val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
