@@ -16,11 +16,6 @@ import graft.core.{AggConfig, Bounds}
   */
 object Cli {
   def main(args: Array[String]): Unit = {
-    val (opts, pos) = parseArgs(args.toList)
-    require(pos.size >= 2, "usage: graft.Cli DST SRC... [-u ...] [-b ...]")
-    val dst = pos.head
-    val srcs = pos.tail
-
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,6 +24,15 @@ object Cli {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    try run(spark, args) finally spark.stop()
+  }
+
+  /** Session-agnostic entry point (testable; `main` owns the session). */
+  def run(spark: SparkSession, args: Array[String]): Map[String, String] = {
+    val (opts, pos) = parseArgs(args.toList)
+    require(pos.size >= 2, "usage: graft.Cli DST SRC... [-u ...] [-b ...]")
+    val dst = pos.head
+    val srcs = pos.tail
 
     var config = opts.get("t") match {
       case Some(path) => AggConfig.fromJson(
@@ -62,7 +66,7 @@ object Cli {
       maxRecordsPerFile = maxRecords)
     attrs.foreach { case (k, v) => println(s"$k = $v") }
     println(s"Finished: $dst")
-    spark.stop()
+    attrs
   }
 
   private def parseArgs(args: List[String],

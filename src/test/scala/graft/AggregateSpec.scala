@@ -202,6 +202,26 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     assert(extras === Seq(Some(1.5), None))
   }
 
+  test("Cli mirrors the reference command line end-to-end") {
+    val tmp = Files.createTempDirectory("graft_cli").toString
+    val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us,
+      base + 1 * us + 100000L)) // third record is a sub-cadence dup
+    val b = writeGranule(tmp, "g_b", Seq(base + 2 * us, base + 86400L * us))
+    // ncagg DST SRC... -u udim:ivar:hz -b Tday -c udim:chunksize
+    Cli.run(spark, Array(s"$tmp/out", a, b,
+      "-u", "record:time:1", "-b", "T20240101", "-c", "record:1000"))
+    val out = spark.read.parquet(s"$tmp/out")
+    val times = out.orderBy("time")
+      .select(unix_micros(col("time").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    // dup dropped; day-bound keeps the +86400s record out; no gap-fill
+    // between 2s and the day edge beyond the 2-step threshold applies
+    // at the leading edge only (bounds fill both edges)
+    assert(times.take(3) === Seq(base, base + us, base + 2 * us))
+    // the -b day bound clipped the next-day record
+    assert(times.forall(_ < base + 86400L * us))
+  }
+
   test("per-variable attributes ride into the output column metadata") {
     val tmp = Files.createTempDirectory("graft_varattrs").toString
     val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
