@@ -336,6 +336,38 @@ object RelationalQueries {
         col("value").as("last_value"))
   }
 
+  /** Ordered-sequence conversion funnel view -> click -> purchase: each
+    * stage's timestamp is the user's earliest qualifying event STRICTLY
+    * after the previous stage. Every step is a keyed aggregation or a
+    * keyed join on user_id — co-partitioned end to end, so at scale the
+    * whole funnel is one partitioning with no data movement between
+    * stages. */
+  def qFunnel(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .select(col("user_id"), col("event_type"), col(TSA.T).as("t"))
+    val s1 = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("t").as("t1"))
+    val s2 = e.join(s1, "user_id")
+      .filter(col("event_type") === "click" && col("t") > col("t1"))
+      .groupBy("user_id").agg(min("t").as("t2"))
+    val s3 = e.join(s2, "user_id")
+      .filter(col("event_type") === "purchase" && col("t") > col("t2"))
+      .groupBy("user_id").agg(min("t").as("t3"))
+    s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+      .agg(count(col("t1")).as("n_view"),
+        count(col("t2")).as("n_click_after_view"),
+        count(col("t3")).as("n_purchase_after_click"))
+  }
+
+  /** Fixed-width value histogram per event type — the profiling primitive
+    * behind quality dashboards. Grouping on a computed bin key: one
+    * partial/final aggregation, no shuffle beyond the group-by. */
+  def qHistogram(s: SparkSession, dir: String): DataFrame =
+    AggQueries.events(s, dir)
+      .groupBy(col("event_type"),
+        (floor(col("value") / 10.0d) * 10.0d).as("bin_lo"))
+      .agg(count(lit(1)).as("n"))
+
   private val discExpr =
     """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
       |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
@@ -491,6 +523,21 @@ object RelationalQueries {
         |FROM big
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS t FROM events),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+        |SELECT count(t1) AS n_view, count(t2) AS n_click_after_view,
+        |       count(t3) AS n_purchase_after_click
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)""".stripMargin,
+    "q_histogram" ->
+      """SELECT event_type, floor(value / 10.0) * 10.0 AS bin_lo,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
     "q_upsert_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t,
@@ -520,6 +567,8 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_skew_salt" -> (qSkewSalt _),
     "q_upsert_latest" -> (qUpsertLatest _),
-    "q_having_join" -> (qHavingJoin _)
+    "q_having_join" -> (qHavingJoin _),
+    "q_funnel" -> (qFunnel _),
+    "q_histogram" -> (qHistogram _)
   )
 }
