@@ -17,6 +17,12 @@ object QueryRegistry {
       graft.streaming.StreamingAgg
         .windowedCounts(AggQueries.events(s, dir))
         .withColumn("bucket", col("bucket").cast(TimestampNTZType))),
+    // the SAME stateful transform runs in batch mode (each group's
+    // iterator folds once against empty state), so the oracle checks the
+    // exact code path the stream executes
+    "stream_upsert" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .upsertLatest(AggQueries.events(s, dir)).toDF()),
     "stream_enrich" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .enrichedWindowedCounts(AggQueries.events(s, dir),
@@ -72,6 +78,15 @@ object QueryRegistry {
         |       event_type, count(*) AS n,
         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_upsert" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id, event_type
+        |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, t, event_id AS last_event_id,
+        |       value AS last_value
+        |FROM r WHERE rn = 1""".stripMargin,
     "stream_enrich" ->
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |         AS bucket,

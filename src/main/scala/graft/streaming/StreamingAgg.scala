@@ -14,6 +14,10 @@ final case class SessionEvent(user_id: Long, t: Long, value: Double,
 final case class SessionState(start: Long, end: Long, n: Long, vsum: Double)
 final case class Session(user_id: Long, session_start: Long,
     session_end: Long, n_events: Long, v_sum: Double)
+final case class UpEvent(user_id: Long, event_type: String, t: Long,
+    event_id: Long, value: Double)
+final case class UpLatest(user_id: Long, event_type: String, t: Long,
+    last_event_id: Long, last_value: Double)
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -75,6 +79,39 @@ object StreamingAgg {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("cadence_bucket")
       .drop("cadence_bucket")
+
+  /** Streaming upsert compaction (the continuous twin of the batch
+    * `q_upsert_latest` CDC query): maintain the latest version of every
+    * (user, event_type) key as updates stream in — latest event time wins,
+    * ties to the highest event_id, and late out-of-order updates never
+    * regress the state. Emits the key's current latest each time it
+    * changes (Update output mode). State is one row per live key —
+    * bounded by key cardinality, the same bound the compacted table
+    * itself has. */
+  def upsertLatest(events: DataFrame): Dataset[UpLatest] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .select(col("user_id").cast(LongType).as("user_id"),
+        col("event_type"),
+        // explicit LTZ cast: the SQL-string form "CAST(ts AS TIMESTAMP)"
+        // resolves to NTZ under spark.sql.timestampType=TIMESTAMP_NTZ and
+        // unix_micros rejects it
+        unix_micros(col("ts").cast(TimestampType)).as("t"),
+        col("event_id").cast(LongType).as("event_id"),
+        col("value").cast(DoubleType).as("value"))
+      .as[UpEvent]
+    typed.groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (k: (Long, String), it: Iterator[UpEvent],
+            st: GroupState[UpLatest]) => {
+          val cands = st.getOption.toSeq ++
+            it.map(e => UpLatest(k._1, k._2, e.t, e.event_id, e.value))
+          val best = cands.maxBy(l => (l.t, l.last_event_id))
+          st.update(best)
+          best
+        })
+  }
 
   /** Streaming sessionization with custom per-key state
     * (`flatMapGroupsWithState` + event-time timeout): the streaming analog

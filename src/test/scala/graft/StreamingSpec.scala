@@ -207,6 +207,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming upsert keeps the latest version; late updates never regress") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.UpEvent]
+    val q = StreamingAgg.upsertLatest(
+      mem.toDF().withColumn("ts", expr("timestamp_micros(t)")))
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ups").start()
+    def ev(u: Long, ty: String, t: Long, id: Long, v: Double) =
+      graft.streaming.UpEvent(u, ty, t, id, v)
+    try {
+      mem.addData(ev(1, "click", 100L, 1L, 1.0), ev(1, "click", 200L, 2L, 2.0))
+      q.processAllAvailable()
+      // a LATE update (t=150 < current 200) arrives in a later batch: the
+      // state must keep id=2, and a tie on t resolves to the higher id
+      mem.addData(ev(1, "click", 150L, 3L, 3.0), ev(1, "click", 200L, 4L, 4.0))
+      q.processAllAvailable()
+      val latest = spark.table("ups")
+        .as[graft.streaming.UpLatest].collect()
+        .groupBy(l => (l.user_id, l.event_type))
+        .map { case (_, ls) => ls.maxBy(l => (l.t, l.last_event_id)) }
+      assert(latest.toSeq ===
+        Seq(graft.streaming.UpLatest(1L, "click", 200L, 4L, 4.0)))
+    } finally q.stop()
+  }
+
   test("the same transform runs in batch mode (streaming/batch parity)") {
     import spark.implicits._
     val batch = Seq(ev(0, "a", 1.0), ev(60, "a", 2.0), ev(3700, "b", 3.0))
