@@ -58,10 +58,9 @@ object Aggregate {
     * (reference aggrelist.py:545-566), map_to renames on output
     * (reference aggregator.py:378), take_dim_indicies extracts one index
     * of a fixed inner dimension (reference README; unimplemented there).
-    * Per-variable attributes from the config (units, long_name, ... —
-    * reference config.py VariableConfig `attributes`, written to the
-    * output NetCDF by evaluate) ride along as column metadata, which
-    * Spark round-trips through parquet schema metadata. */
+    * Per-variable config attributes are NOT attached here — the
+    * regularization pipeline rebuilds attributes and would drop them;
+    * [[applyVarMetadata]] attaches them at the sink instead. */
   def selectVariables(df: DataFrame, config: AggConfig.Config): DataFrame = {
     val present = df.columns.toSet
     val cols = config.vars.map { v =>
@@ -76,9 +75,7 @@ object Aggregate {
         case (Some(s), None) => s
         case (None, _) => lit(null)
       }
-      val md = new org.apache.spark.sql.types.MetadataBuilder()
-      v.attributes.foreach { case (k, x) => md.putString(k, x) }
-      c.as(v.mapTo.getOrElse(v.name), md.build())
+      c.as(v.mapTo.getOrElse(v.name))
     }
     df.select(cols: _*)
   }

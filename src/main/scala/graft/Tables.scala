@@ -23,7 +23,10 @@ object Tables {
 
   /** Memo per (session, dir, table): a bench/verify run touches each table
     * hundreds of times; re-resolving the relation re-lists files and
-    * re-reads footers. DataFrames are immutable, so sharing one is safe. */
+    * re-reads footers. DataFrames are immutable, so sharing one is safe.
+    * Assumes the driver-generated testdata is immutable (TESTDATA.md:
+    * read-only) — the memoized frame freezes the file listing at first
+    * load, so this loader is NOT for tables that are rewritten in-process. */
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 

@@ -33,7 +33,8 @@ object Graph {
     */
   def minLabelComponents(edges: DataFrame): DataFrame = {
     val cols = edges.columns
-    require(cols.length == 2, s"edges must have 2 columns, got $cols")
+    require(cols.length == 2,
+      s"edges must have 2 columns, got ${cols.mkString(", ")}")
     val e2 = edges.toDF("src", "dst")
     val bidir = e2
       .unionByName(e2.select(col("dst").as("src"), col("src").as("dst")))

@@ -232,9 +232,26 @@ object AggQueries {
     // fixed per-process path, overwritten per run: repeated invocations in
     // one process must not accumulate temp granule sets, while two
     // concurrent drivers (bench + verify side by side) must not interleave
-    // writes into each other's directory — namespace by application id
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_chunked_write_" +
-      s.sparkContext.applicationId
+    // writes into each other's directory — namespace by application id.
+    // Predecessors' leftovers (older app ids) are swept here so repeated
+    // driver processes don't grow /tmp without bound. Only stale siblings
+    // (untouched > 6h) are deleted — a fresh sibling may be a CONCURRENT
+    // driver's live run, which the per-app namespacing exists to protect.
+    val tmpRoot = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val prefix = "graft_chunked_write_"
+    val mine = prefix + s.sparkContext.applicationId
+    val staleMs = System.currentTimeMillis() - 6L * 3600 * 1000
+    Option(tmpRoot.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(prefix) && f.getName != mine &&
+        f.lastModified() < staleMs)
+      .foreach { dir =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete(): Unit
+        }
+        rm(dir)
+      }
+    val out = s"$tmpRoot/$mine"
     graft.sources.ParquetGranuleSink.write(
       TSA.filterValid(events(s, dir), cfg).drop(TSA.T),
       out, sortCol = "ts", maxRecordsPerFile = 1000)

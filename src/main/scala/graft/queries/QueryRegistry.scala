@@ -83,7 +83,10 @@ object QueryRegistry {
         |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id, value,
         |         row_number() OVER (PARTITION BY user_id, event_type
         |           ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn
-        |  FROM events)
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL
+        |    AND value IS NOT NULL)
         |SELECT user_id, event_type, t, event_id AS last_event_id,
         |       value AS last_value
         |FROM r WHERE rn = 1""".stripMargin,

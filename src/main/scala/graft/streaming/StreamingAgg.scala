@@ -92,6 +92,13 @@ object StreamingAgg {
     val s = events.sparkSession
     import s.implicits._
     val typed = events
+      // validity guard before the primitive-field decode: a null
+      // ts/key/value row would crash the Encoder, and the reference
+      // semantics drop invalid-index records anyway (mirrored in the
+      // stream_upsert oracle's WHERE)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull &&
+        col("value").isNotNull)
       .select(col("user_id").cast(LongType).as("user_id"),
         col("event_type"),
         // explicit LTZ cast: the SQL-string form "CAST(ts AS TIMESTAMP)"
@@ -157,12 +164,20 @@ object StreamingAgg {
             var cur = st.getOption
             evs.foreach { e =>
               cur match {
-                case Some(ses) if e.t - ses.end <= gapUs =>
-                  // min() on start too: a late out-of-order event (within
-                  // the watermark, in a later microbatch) may precede the
-                  // session's current start; batch twin uses min(t)
+                case Some(ses) if e.t >= ses.start - gapUs &&
+                    e.t - ses.end <= gapUs =>
+                  // merge only when the event is within gap of the session
+                  // INTERVAL — `e.t - ses.end <= gapUs` alone is trivially
+                  // true for any out-of-order event. min() on start: a late
+                  // in-gap event may precede the current start (batch twin
+                  // uses min(t))
                   cur = Some(SessionState(math.min(ses.start, e.t),
                     math.max(ses.end, e.t), ses.n + 1, ses.vsum + e.value))
+                case Some(ses) if e.t < ses.start =>
+                  // late event more than gap BEFORE the session: it belongs
+                  // to an earlier, already-elapsed session — emit it as its
+                  // own closed session, keep the current one open
+                  closed += Session(uid, e.t, e.t, 1L, e.value)
                 case Some(ses) =>
                   closed += Session(uid, ses.start, ses.end, ses.n, ses.vsum)
                   cur = Some(SessionState(e.t, e.t, 1L, e.value))

@@ -101,12 +101,15 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       e.write.bucketBy(8, "user_id").sortBy("user_id")
         .option("path", s"$dir/$t").saveAsTable(t)
     }
-    val j = spark.table("graft_ba").hint("merge")
-      .join(spark.table("graft_bb").hint("merge"), "user_id")
-    val shuffles = count(j.queryExecution.executedPlan,
-      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
-    assert(shuffles == 0, s"bucketed join plans $shuffles shuffle exchanges")
-    for (t <- Seq("graft_ba", "graft_bb")) spark.sql(s"DROP TABLE $t")
+    try {
+      val j = spark.table("graft_ba").hint("merge")
+        .join(spark.table("graft_bb").hint("merge"), "user_id")
+      val shuffles = count(j.queryExecution.executedPlan,
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(shuffles == 0, s"bucketed join plans $shuffles shuffle exchanges")
+    } finally
+      for (t <- Seq("graft_ba", "graft_bb"))
+        spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
   test("q_agg_full data path shares one exchange between its windows") {

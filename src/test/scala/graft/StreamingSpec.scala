@@ -108,6 +108,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize: a stale late event becomes its own closed session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def uev(sec: Long, uid: Long, v: Double) =
+      UEv(new java.sql.Timestamp(sec * 1000L), uid, v)
+    val gapUs = 1800000000L // 30 min
+    val mem = MemoryStream[UEv]
+    // 2h watermark: events up to 2h late are admitted, so a late event can
+    // be in-watermark yet more than gap OLDER than the open session
+    val q = graft.streaming.StreamingAgg
+      .sessionize(mem.toDF(), gapUs, watermark = "2 hours")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stale").start()
+    try {
+      mem.addData(uev(10000, 1, 1.0))
+      q.processAllAvailable()
+      // 5000s is 5000s before the session start (> gap): it must NOT merge
+      // (merging would rewind session_start across a batch-twin session
+      // boundary) — it is emitted as its own already-elapsed session
+      mem.addData(uev(5000, 1, 5.0))
+      q.processAllAvailable()
+      val sessions = spark.table("stale")
+        .as[graft.streaming.Session].collect().toSeq
+      assert(sessions ===
+        Seq(graft.streaming.Session(1L, 5000000000L, 5000000000L, 1L, 5.0)))
+    } finally q.stop()
+  }
+
   test("sessionize parity: streaming sessions == batch-twin sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
