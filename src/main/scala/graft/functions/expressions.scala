@@ -154,5 +154,7 @@ object native {
       es => CosineSim(es.head, es(1)), "scala_udf")
     r.createOrReplaceTempFunction("graft_lsh_bucket",
       es => LshBucket(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_kmv_distinct",
+      es => KmvDistinct(es.head).toAggregateExpression(), "scala_udf")
   }
 }

@@ -359,6 +359,24 @@ object RelationalQueries {
         count(col("t3")).as("n_purchase_after_click"))
   }
 
+  /** Approximate distinct count via the KMV sketch
+    * ([[graft.functions.KmvDistinct]], a custom TypedImperativeAggregate):
+    * bounded k-long state per group, mergeable partials — a group's
+    * shuffle traffic is k*8 bytes regardless of row count. Unlike HLL
+    * (`approx_count_distinct`), the explicit-hash KMV estimate is
+    * engine-reproducible, so the DuckDB oracle checks it bit-for-bit;
+    * the exact count rides along for accuracy inspection. */
+  def qApproxDistinct(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    AggQueries.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        expr(
+          "graft_kmv_distinct((user_id % 1000000007) * 2654435761 % 1000000007)")
+          .as("est_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+  }
+
   /** Fixed-width value histogram per event type — the profiling primitive
     * behind quality dashboards. Grouping on a computed bin key: one
     * partial/final aggregation, no shuffle beyond the group-by. */
@@ -538,6 +556,26 @@ object RelationalQueries {
       """SELECT event_type, floor(value / 10.0) * 10.0 AS bin_lo,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_approx_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             (user_id % 1000000007) * 2654435761 % 1000000007 AS hv
+        |           FROM events),
+        |r AS (SELECT event_type, hv,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |k AS (SELECT event_type, max(nd) AS nd,
+        |             max(CASE WHEN rn = 64 THEN hv END) AS h64
+        |      FROM r GROUP BY event_type),
+        |x AS (SELECT event_type, count(DISTINCT user_id) AS nexact
+        |      FROM events GROUP BY event_type)
+        |SELECT k.event_type,
+        |       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |            ELSE 63.0 * 1000000007.0 / CAST(h64 AS DOUBLE) END
+        |         AS est_users,
+        |       CAST(nexact AS BIGINT) AS exact_users
+        |FROM k JOIN x USING (event_type)""".stripMargin,
     "q_upsert_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t,
@@ -569,6 +607,7 @@ object RelationalQueries {
     "q_upsert_latest" -> (qUpsertLatest _),
     "q_having_join" -> (qHavingJoin _),
     "q_funnel" -> (qFunnel _),
-    "q_histogram" -> (qHistogram _)
+    "q_histogram" -> (qHistogram _),
+    "q_approx_distinct" -> (qApproxDistinct _)
   )
 }

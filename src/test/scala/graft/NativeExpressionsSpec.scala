@@ -90,6 +90,28 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     checkRows(df, "graft_lsh_bucket(a)", PV.lshBucketSpark("a"))
   }
 
+  test("KMV sketch: exact under k, mergeable estimate within error bound") {
+    graft.functions.native.register(spark)
+    // under k distinct hashes the sketch IS the distinct set
+    val small = spark.range(0, 40)
+      .selectExpr("graft_kmv_distinct((id % 1000000007) * 2654435761 % 1000000007) est")
+      .head.getDouble(0)
+    assert(small === 40.0)
+    // 10k distinct over 8 partitions: partial sketches merge across
+    // partitions; KMV stderr ~ 1/sqrt(k-2) ~ 13% at k=64 — deterministic
+    // input, deterministic estimate, generous 3-sigma band
+    val big = spark.range(0, 10000, 1, 8)
+      .selectExpr("graft_kmv_distinct((id % 1000000007) * 2654435761 % 1000000007) est")
+      .head.getDouble(0)
+    assert(big > 6000.0 && big < 14000.0, s"estimate $big")
+    // duplicates don't inflate: 10k rows, 50 distinct (< k -> exact),
+    // and every partition's partial sketch saw all 50
+    val dup = spark.range(0, 10000, 1, 8)
+      .selectExpr("graft_kmv_distinct((id % 50 % 1000000007) * 2654435761 % 1000000007) est")
+      .head.getDouble(0)
+    assert(dup === 50.0)
+  }
+
   test("native expressions run under codegen-only (no interpreted fallback)") {
     // a Janino compile error in doGenCode would silently fall back to the
     // interpreted path in normal mode; CODEGEN_ONLY + fallback=false turns
