@@ -386,6 +386,35 @@ object RelationalQueries {
         (floor(col("value") / 10.0d) * 10.0d).as("bin_lo"))
       .agg(count(lit(1)).as("n"))
 
+  /** PIVOT: per-user event counts reshaped to one column per event type.
+    * The explicit value list keeps the schema static (no driver-side
+    * distinct scan) and plans as ONE conditional aggregation — same
+    * single-shuffle shape as a plain group-by. */
+  def qPivot(s: SparkSession, dir: String): DataFrame =
+    AggQueries.events(s, dir)
+      .groupBy("user_id")
+      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .select(col("user_id"),
+        coalesce(col("view"), lit(0L)).as("n_view"),
+        coalesce(col("click"), lit(0L)).as("n_click"),
+        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+        coalesce(col("signup"), lit(0L)).as("n_signup"),
+        coalesce(col("error"), lit(0L)).as("n_error"))
+
+  /** UNPIVOT (melt): wide per-row measures to long (measure, value) rows —
+    * the inverse reshaping, a pure per-row Expand with no shuffle before
+    * the aggregation. */
+  def qUnpivot(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"))
+      .unpivot(Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "measure", "val")
+      .groupBy("measure")
+      .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
+
   private val discExpr =
     """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
       |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
@@ -556,6 +585,25 @@ object RelationalQueries {
       """SELECT event_type, floor(value / 10.0) * 10.0 AS bin_lo,
         |       count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_pivot" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+        |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error
+        |FROM events GROUP BY user_id""".stripMargin,
+    "q_unpivot" ->
+      """WITH u AS (
+        |  SELECT l_orderkey, 'l_quantity' AS measure, l_quantity AS val
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL
+        |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+        |SELECT measure, count(*) AS n,
+        |       CAST(CAST(sum(CAST(CAST(val AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM u GROUP BY measure""".stripMargin,
     "q_approx_distinct" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |             (user_id % 1000000007) * 2654435761 % 1000000007 AS hv
@@ -608,6 +656,8 @@ object RelationalQueries {
     "q_having_join" -> (qHavingJoin _),
     "q_funnel" -> (qFunnel _),
     "q_histogram" -> (qHistogram _),
-    "q_approx_distinct" -> (qApproxDistinct _)
+    "q_approx_distinct" -> (qApproxDistinct _),
+    "q_pivot" -> (qPivot _),
+    "q_unpivot" -> (qUnpivot _)
   )
 }
