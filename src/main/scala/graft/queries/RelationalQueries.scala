@@ -387,20 +387,19 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
 
   /** PIVOT: per-user event counts reshaped to one column per event type.
-    * The explicit value list keeps the schema static (no driver-side
-    * distinct scan) and plans as ONE conditional aggregation — same
-    * single-shuffle shape as a plain group-by. */
-  def qPivot(s: SparkSession, dir: String): DataFrame =
+    * Realized as an explicit conditional aggregation rather than the
+    * `.pivot()` API: with a static value list the conditional form plans
+    * as ONE partial/final aggregate (one shuffle), while the pivot API
+    * always runs a two-phase pivot-first aggregation (two shuffles) —
+    * PlanQualitySpec pins the single-shuffle shape. */
+  def qPivot(s: SparkSession, dir: String): DataFrame = {
+    def cnt(t: String) =
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n_$t")
     AggQueries.events(s, dir)
       .groupBy("user_id")
-      .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
-      .agg(count(lit(1)))
-      .select(col("user_id"),
-        coalesce(col("view"), lit(0L)).as("n_view"),
-        coalesce(col("click"), lit(0L)).as("n_click"),
-        coalesce(col("purchase"), lit(0L)).as("n_purchase"),
-        coalesce(col("signup"), lit(0L)).as("n_signup"),
-        coalesce(col("error"), lit(0L)).as("n_error"))
+      .agg(cnt("view"), cnt("click"), cnt("purchase"), cnt("signup"),
+        cnt("error"))
+  }
 
   /** UNPIVOT (melt): wide per-row measures to long (measure, value) rows —
     * the inverse reshaping, a pure per-row Expand with no shuffle before

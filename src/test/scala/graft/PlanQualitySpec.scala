@@ -88,6 +88,23 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(n <= 4, s"q_agg_full plans $n parquet scans (expected <= 4)")
   }
 
+  test("pivot, cube, and the KMV sketch aggregate in one shuffle") {
+    // grouping-set expansion, the static-value-list pivot, and the custom
+    // TypedImperativeAggregate must all plan as ONE partial/final pair —
+    // a second exchange would mean the expansion/sketch lost its
+    // map-side combine
+    for (q <- Seq("q_pivot", "q_cube", "q_histogram")) {
+      val n = count(physical(q),
+        _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+      assert(n == 1, s"$q plans $n shuffle exchanges (expected 1)")
+    }
+    // the exact countDistinct riding along for accuracy inspection costs
+    // one extra expand/exchange; the KMV sketch itself is partial/final
+    val n = count(physical("q_approx_distinct"),
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(n <= 2, s"q_approx_distinct plans $n shuffle exchanges")
+  }
+
   test("bucketed granule tables co-locate an equi-join with zero shuffles") {
     // SURVEY §4: "co-locate joins via bucketing" — evidence that the
     // engine's write path supports it: two tables bucketed+sorted on the
