@@ -84,7 +84,10 @@ object PipelineQueries {
       count(lit(1)).over(Window.partitionBy("simhash")))
   }
 
-  def dNgramJaccard(s: SparkSession, dir: String): DataFrame = {
+  /** Jaccard-scored candidate pairs (cached: consumed as the query result
+    * AND as the edge input of the clustering loop, which would otherwise
+    * re-join the shingle sets on every invocation). */
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val cand = lshPairs(s, dir).select("doc_a", "doc_b").distinct()
     cand
@@ -94,7 +97,11 @@ object PipelineQueries {
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
           size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
           .as("jaccard"))
+      .cache()
   }
+
+  def dNgramJaccard(s: SparkSession, dir: String): DataFrame =
+    jaccardPairs(s, dir)
 
   /** Near-duplicate cluster assignment: connected components over the
     * verified near-dup graph (LSH candidates with n-gram Jaccard >= 0.5),
