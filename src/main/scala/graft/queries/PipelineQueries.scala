@@ -406,6 +406,35 @@ object PipelineQueries {
           .cast(LongType).as("digit_run_chars"))
   }
 
+  /** The capstone: the whole training-data preprocessing pipeline as ONE
+    * declarative plan — quality filter, language-ID, near-dup keeper
+    * selection (connected components), deterministic mixture sampling —
+    * ending in per-source corpus statistics. Every stage is one of this
+    * module's oracle-checked operators; composing them stays a single
+    * Catalyst plan (plus the clustering loop's bounded rounds), so the
+    * optimizer prunes/pushes across stage boundaries and the cached
+    * shared frames (tokens, shingles, clusters) are computed once. The
+    * final aggregates are integers — robust to compose across engines. */
+  def dCorpusPipeline(s: SparkSession, dir: String): DataFrame = {
+    val qual = tQuality(s, dir).select(col("doc_id"),
+      col("n_tokens"), col("quality"))
+    val lang = tLangid(s, dir).select(col("doc_id"), col("pred_lang"))
+    val keepers = dDedupClusters(s, dir)
+      .filter(col("is_keeper")).select("doc_id")
+    val coin = (col("doc_id") % lit(1000000007L) * lit(2654435761L)
+      % lit(1000000007L)) % 100L
+    val rate = when(col("source") === "web", 50L)
+      .when(col("source") === "books", 80L)
+      .otherwise(30L)
+    tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      .filter(coin < rate)
+      .join(qual, "doc_id").join(lang, "doc_id").join(keepers, "doc_id")
+      .filter(col("quality") > 0.1 && col("pred_lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("sum_tokens"))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   /** Multimodal binary-column plumbing over the events props payload: real
@@ -657,6 +686,56 @@ object PipelineQueries {
          |SELECT l.doc_id, n_lines, dup_line_frac, dup_word_frac,
          |       top_bigram_frac
          |FROM l JOIN bt USING (doc_id)""".stripMargin,
+    "d_corpus_pipeline" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |keepers AS (SELECT id AS doc_id FROM reach GROUP BY id
+         |            HAVING id = min(lbl)),
+         |qd AS (
+         |  SELECT doc_id, text, $toksDuck AS toks FROM documents
+         |  WHERE len($toksDuck) >= 1),
+         |qual AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         (0.5 * (CAST(len(list_filter(toks, t -> t IN ($stopListSql))) AS DOUBLE)
+         |                 / CAST(len(toks) AS DOUBLE)) +
+         |          0.5 * (CAST(LEAST(len(toks), 200) AS DOUBLE) / 200.0)) -
+         |         (CAST(length(text) -
+         |               length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |               AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+         |  FROM qd),
+         |lng AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(list_filter(toks, t -> t IN ($stopListSql))) * 100
+         |                   > len(toks) * 3
+         |              THEN 'en' ELSE 'und' END AS pred_lang
+         |  FROM thT)
+         |SELECT source, count(*) AS n_docs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM documents
+         |JOIN qual USING (doc_id)
+         |JOIN lng USING (doc_id)
+         |JOIN keepers USING (doc_id)
+         |WHERE (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 <
+         |      CASE WHEN source = 'web' THEN 50
+         |           WHEN source = 'books' THEN 80 ELSE 30 END
+         |  AND quality > 0.1 AND pred_lang = 'en'
+         |GROUP BY source""".stripMargin,
     "d_sample_mix" ->
       """SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 <
@@ -716,6 +795,7 @@ object PipelineQueries {
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
     "d_sample_mix" -> (dSampleMix _),
+    "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _),
     "mm_frame_sample" -> (mmFrameSample _)
