@@ -17,6 +17,9 @@ object QueryRegistry {
       graft.streaming.StreamingAgg
         .windowedCounts(AggQueries.events(s, dir))
         .withColumn("bucket", col("bucket").cast(TimestampNTZType))),
+    "stream_attrib" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .attributionJoin(AggQueries.events(s, dir))),
     // the SAME stateful transform runs in batch mode (each group's
     // iterator folds once against empty state), so the oracle checks the
     // exact code path the stream executes
@@ -78,6 +81,16 @@ object QueryRegistry {
         |       event_type, count(*) AS n,
         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "stream_attrib" ->
+      """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
+        |       p.user_id, epoch_us(p.ts) AS p_t, epoch_us(v.ts) AS v_t,
+        |       p.value
+        |FROM events p
+        |JOIN events v ON v.user_id = p.user_id
+        |  AND v.event_type = 'view'
+        |  AND epoch_us(v.ts) >= epoch_us(p.ts) - 3600000000
+        |  AND epoch_us(v.ts) <= epoch_us(p.ts)
+        |WHERE p.event_type = 'purchase'""".stripMargin,
     "stream_upsert" ->
       """WITH r AS (
         |  SELECT user_id, event_type, epoch_us(ts) AS t, event_id, value,

@@ -80,6 +80,37 @@ object StreamingAgg {
       .dropDuplicatesWithinWatermark("cadence_bucket")
       .drop("cadence_bucket")
 
+  /** Stream-stream attribution join: every purchase matched to the same
+    * user's view events in the trailing hour. Both sides carry watermarks
+    * and the join condition bounds the event-time distance, so Structured
+    * Streaming can size the join state (a view is droppable once the
+    * watermark passes its time + window; a purchase matches only buffered
+    * views) — the canonical bounded-state stream-stream join. The same
+    * transform runs on a batch frame (watermark is a no-op there), which
+    * is the oracle-checked `stream_attrib` registry entry. */
+  def attributionJoin(events: DataFrame, watermark: String = "1 hour")
+      : DataFrame = {
+    val v = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"),
+        col("ts").cast(TimestampType).as("v_ts"),
+        col("event_id").as("view_id"))
+      .withWatermark("v_ts", watermark)
+    val p = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").cast(TimestampType).as("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("p_ts", watermark)
+    // the bounds must be direct timestamp comparisons with interval
+    // arithmetic — that is the shape the streaming analyzer recognizes as
+    // a state-watermarkable time-range condition (micros arithmetic would
+    // still join correctly but with unbounded state)
+    p.join(v, expr(
+      """v_user = user_id AND
+        |v_ts >= p_ts - INTERVAL 1 HOUR AND v_ts <= p_ts""".stripMargin))
+      .select(col("purchase_id"), col("view_id"), col("user_id"),
+        unix_micros(col("p_ts")).as("p_t"),
+        unix_micros(col("v_ts")).as("v_t"), col("value"))
+  }
+
   /** Streaming upsert compaction (the continuous twin of the batch
     * `q_upsert_latest` CDC query): maintain the latest version of every
     * (user, event_type) key as updates stream in — latest event time wins,

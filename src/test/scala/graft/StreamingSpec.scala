@@ -8,6 +8,8 @@ import graft.streaming.StreamingAgg
 
 case class Ev(ts: java.sql.Timestamp, event_type: String, value: Double)
 case class UEv(ts: java.sql.Timestamp, user_id: Long, value: Double)
+case class AEv(ts: java.sql.Timestamp, user_id: Long, event_type: String,
+    event_id: Long, value: Double)
 
 class StreamingSpec extends AnyFunSuite with SparkSpec {
 
@@ -232,6 +234,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         .select("c_mktsegment", "n", "v_sum").orderBy("c_mktsegment")
         .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
       assert(rows.toSeq === Seq(("BUILDING", 2L, 3.0), ("MACHINERY", 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("stream-stream attribution join matches views in the trailing hour") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def aev(sec: Long, uid: Long, ty: String, id: Long) =
+      AEv(new java.sql.Timestamp(sec * 1000L), uid, ty, id, 1.0)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.attributionJoin(mem.toDF(), watermark = "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("attr").start()
+    try {
+      // user 1: views at t=100 and t=200, purchase at t=1000 (both within
+      // the hour); a view at t=5000 AFTER the purchase must not match;
+      // user 2's view must not leak into user 1's purchase
+      mem.addData(aev(100, 1, "view", 1), aev(200, 1, "view", 2),
+        aev(300, 2, "view", 3), aev(1000, 1, "purchase", 10))
+      q.processAllAvailable()
+      mem.addData(aev(5000, 1, "view", 4), aev(9000, 9, "view", 99))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("purchase_id", "view_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((10L, 1L), (10L, 2L)))
     } finally q.stop()
   }
 
