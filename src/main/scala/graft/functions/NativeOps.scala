@@ -83,6 +83,21 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** Adjacent-pair (bigram) hashes of a token-hash array, order-preserving
+    * with duplicates kept (unlike [[shingles]], which distincts): feeds
+    * the repetition signals, where the COUNT of the top bigram matters. */
+  def bigramHashes(input: ArrayData): ArrayData = {
+    val th = input.toLongArray()
+    val n = math.max(0, th.length - 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (th(i) * 31 + th(i + 1)) % P
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def minhashBands(input: ArrayData): ArrayData = {
     val sh = input.toLongArray()
     val mh = new Array[Long](32)

@@ -34,6 +34,12 @@ object PortableText {
   def tokenHashesDuck(toks: String): String =
     s"list_transform($toks, t -> ${charHashDuck("t")})"
 
+  /** Adjacent-pair (bigram) hashes, order-preserving with duplicates —
+    * twin of NativeOps.bigramHashes (repetition signals count the top
+    * bigram, so no distinct). */
+  def bigramHashesDuck(th: String): String =
+    s"list_transform(range(1, len($th)), i -> ($th[i] * 31 + $th[i + 1]) % $P)"
+
   /** Distinct 3-gram shingle hashes combining token hashes (assumes the
     * token-hash array expression `th` has size >= 3). */
   def shingleHashesSpark(th: String): String =

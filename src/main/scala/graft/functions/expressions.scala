@@ -128,6 +128,18 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Array<Long> token hashes -> Array<Long> adjacent-pair bigram hashes
+    * (order-preserving, duplicates kept). Parity:
+    * PortableText.bigramHashesDuck. */
+  case class BigramHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.bigramHashes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Ops.bigramHashes($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Register all native expressions as SQL functions (idempotent: a
     * session that already has them is left untouched — replacing on every
     * query call costs registry churn and a WARN per function). */
@@ -156,5 +168,7 @@ object native {
       es => LshBucket(es.head), "scala_udf")
     r.createOrReplaceTempFunction("graft_kmv_distinct",
       es => KmvDistinct(es.head).toAggregateExpression(), "scala_udf")
+    r.createOrReplaceTempFunction("graft_bigram_hashes",
+      es => BigramHashes(es.head), "scala_udf")
   }
 }

@@ -354,10 +354,14 @@ object PipelineQueries {
           size(col("lines")).cast(DoubleType)).as("dup_line_frac"),
         (lit(1.0) - size(array_distinct(col("toks"))).cast(DoubleType) /
           size(col("toks")).cast(DoubleType)).as("dup_word_frac"))
+    // bigram HASHES, not strings: the pair construction runs as a native
+    // codegen'd kernel instead of an interpreted transform+concat, and the
+    // two-level aggregation shuffles longs instead of concatenated strings
+    // (identical hash arithmetic in the oracle; collisions would merge
+    // counts identically on both sides)
     val topBigram = d
       .select(col("doc_id"), explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"))
-        .as("bigram"))
+        "graft_bigram_hashes(graft_token_hashes(toks))")).as("bigram"))
       .groupBy("doc_id", "bigram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("tot_c"))
       .select(col("doc_id"), (col("top_c").cast(DoubleType) /
@@ -677,8 +681,9 @@ object PipelineQueries {
          |          / CAST(len(toks) AS DOUBLE) AS dup_word_frac
          |  FROM d),
          |bg AS (
-         |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-         |                 i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+         |  SELECT doc_id,
+         |         unnest(${PT.bigramHashesDuck(PT.tokenHashesDuck("toks"))})
+         |           AS bigram
          |  FROM d),
          |bc AS (SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2),
          |bt AS (SELECT doc_id, CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE)

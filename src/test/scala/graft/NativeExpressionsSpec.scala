@@ -127,7 +127,8 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
         "graft_string_hash(text) h",
         "graft_doc_fingerprint(graft_token_hashes(split(text, ' '))) fp",
         "graft_simhash(graft_token_hashes(split(text, ' '))) sh",
-        "graft_minhash_bands(graft_shingles(graft_token_hashes(split(text, ' ')))) mb"
+        "graft_minhash_bands(graft_shingles(graft_token_hashes(split(text, ' ')))) mb",
+        "graft_bigram_hashes(graft_token_hashes(split(text, ' '))) bh"
       ).collect()
       assert(textOut.length === 2)
       val vecs = Seq(Array.fill(64)(0.5f), Array.tabulate(64)(_.toFloat / 64))
