@@ -129,6 +129,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
         spark.sql(s"DROP TABLE IF EXISTS $t")
   }
 
+  test("date-partitioned granule layout prunes partitions at the scan") {
+    // SURVEY §4: "day-granule parquet + range partitioning keep sort
+    // local" — at 100 TB the date filter must eliminate directories, not
+    // rows. Write events partitioned by day, read back with a day filter,
+    // and require the scan's partition count to shrink accordingly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune").toString
+    Tables.load(spark, sfDir, "events")
+      .withColumn("day", org.apache.spark.sql.functions.to_date(
+        org.apache.spark.sql.functions.col("ts")))
+      .write.partitionBy("day").parquet(s"$dir/by_day")
+    val all = spark.read.parquet(s"$dir/by_day")
+    val filtered = all.filter(
+      org.apache.spark.sql.functions.col("day") ===
+        java.sql.Date.valueOf("2024-01-02"))
+    val scan = nodes(filtered.queryExecution.executedPlan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.metadata.getOrElse("PartitionFilters", "").contains("day"),
+      "day filter did not reach the partition pruning step")
+    val nDays = all.select("day").distinct().count()
+    assert(nDays > 1)
+    assert(scan.selectedPartitions.partitionCount === 1,
+      s"expected 1 pruned partition of $nDays, " +
+        s"got ${scan.selectedPartitions.partitionCount}")
+  }
+
   test("q_agg_full data path shares one exchange between its windows") {
     // The dedup lag-window and gap-fill lead-window must reuse the same
     // chunk-hash partitioning, so exactly ONE shuffle carries the full-width
