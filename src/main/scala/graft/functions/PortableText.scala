@@ -39,6 +39,12 @@ object PortableText {
     * bigram, so no distinct). */
   def bigramHashesDuck(th: String): String =
     s"list_transform(range(1, len($th)), i -> ($th[i] * 31 + $th[i + 1]) % $P)"
+  def bigramHashesSpark(th: String): String =
+    // guard size < 2: Spark's sequence(1, 0) counts DOWN ([1, 0]) instead
+    // of producing an empty list
+    s"CASE WHEN size($th) < 2 THEN array_repeat(CAST(0 AS BIGINT), 0) " +
+      s"ELSE transform(sequence(1, size($th) - 1), " +
+      s"i -> (element_at($th, i) * 31 + element_at($th, i + 1)) % $P) END"
 
   /** Distinct 3-gram shingle hashes combining token hashes (assumes the
     * token-hash array expression `th` has size >= 3). */

@@ -65,6 +65,7 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
       PT.bandsSpark(PT.minhashSpark("sh")))
     checkRows(df, "graft_simhash(th)", PT.simhashSpark("th"))
     checkRows(df, "graft_doc_fingerprint(th)", PT.docFingerprintSpark("th"))
+    checkRows(df, "graft_bigram_hashes(th)", PT.bigramHashesSpark("th"))
   }
 
   test("string hash parity on printable ascii") {
