@@ -175,7 +175,14 @@ object Aggregate {
     ParquetGranuleSink.write(applyVarMetadata(out, config), dst, sortCol,
       maxRecordsPerFile)
 
-    val granules = sorted.map(p => p -> granuleAttrs.getOrElse(p, Map.empty))
+    // Hierarchical re-aggregation (the reference's daily -> monthly
+    // workflow): a granule that is itself a previous run's output carries
+    // a `_global_attrs.json` sidecar — read it as that granule's
+    // attributes so provenance (site lists, coverage, counts) flows up
+    // through levels. An explicit granuleAttrs entry overrides.
+    val granules = sorted.map { p =>
+      p -> (readSidecarAttrs(p) ++ granuleAttrs.getOrElse(p, Map.empty))
+    }
     val attrs = AttributeStrategies.finalizeAttrs(
       config.attrs, granules, dst,
       config.primaryUdim.flatMap(d =>
@@ -243,6 +250,22 @@ object Aggregate {
       .option("checkpointLocation", checkpointDir)
       .format("parquet").option("path", dst)
       .start()
+  }
+
+  /** Attributes from a granule directory's `_global_attrs.json` sidecar
+    * (written by [[run]]); empty for plain granules. */
+  private def readSidecarAttrs(path: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(path, "_global_attrs.json")
+    if (!java.nio.file.Files.isRegularFile(f)) Map.empty
+    else {
+      import org.json4s._
+      org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(f)) match {
+        case JObject(fields) =>
+          fields.collect { case (k, JString(v)) => k -> v }.toMap
+        case _ => Map.empty
+      }
+    }
   }
 
   private def escape(s: String): String = s.flatMap {

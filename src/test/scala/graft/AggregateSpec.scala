@@ -273,6 +273,26 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("hierarchical re-aggregation carries provenance through levels") {
+    val tmp = Files.createTempDirectory("graft_two_level").toString
+    val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
+    val b = writeGranule(tmp, "g_b", Seq(base + 3 * us, base + 4 * us))
+    // level 1: two runs, each writing a _global_attrs.json sidecar
+    Aggregate.run(spark, Seq(a), s"$tmp/day1", config,
+      granuleAttrs = Map(a -> Map("site" -> "boulder")),
+      now = () => Instant.ofEpochSecond(1700000000L))
+    Aggregate.run(spark, Seq(b), s"$tmp/day2", config,
+      granuleAttrs = Map(b -> Map("site" -> "toulouse")),
+      now = () => Instant.ofEpochSecond(1700000000L))
+    // level 2: aggregate the aggregates — the sidecars must be read as
+    // the granules' attributes without being passed explicitly
+    val attrs = Aggregate.run(spark, Seq(s"$tmp/day1", s"$tmp/day2"),
+      s"$tmp/month", config,
+      now = () => Instant.ofEpochSecond(1700000000L))
+    assert(attrs("site") === "boulder, toulouse")
+    assert(attrs("input_count") === "2")
+  }
+
   test("runStream resumes from its checkpoint without reprocessing") {
     val tmp = Files.createTempDirectory("graft_stream_ckpt").toString
     writeGranule(s"$tmp/in", "g_a", Seq(base, base + 1 * us))
