@@ -66,6 +66,19 @@ object PortableText {
   def bandsDuck(mh: String): String =
     s"list_transform(range(0, 8), b -> list_reduce(list_prepend(CAST(0 AS BIGINT), $mh[(4 * b + 1):(4 * b + 4)]), (a, x) -> (a * 31 + x) % $P))"
 
+  /** Distinct 8-token-span hashes (exact-substring dedup granularity —
+    * longer than shingles, so a match means a verbatim copied span). Empty
+    * below 8 tokens; the Spark CASE guards sequence()'s count-down on a
+    * negative span count. */
+  def spanHashesSpark(th: String): String =
+    s"CASE WHEN size($th) < 8 THEN array_repeat(CAST(0 AS BIGINT), 0) " +
+      s"ELSE array_distinct(transform(sequence(1, size($th) - 7), " +
+      s"i -> aggregate(slice($th, i, 8), 0L, (a, x) -> (a * 31 + x) % $P))) END"
+  def spanHashesDuck(th: String): String =
+    s"list_distinct(list_transform(range(1, len($th) - 6), i -> " +
+      s"list_reduce(list_prepend(CAST(0 AS BIGINT), $th[i:i + 7]), " +
+      s"(a, x) -> (a * 31 + x) % $P)))"
+
   /** Whole-document fingerprint: fold of token hashes. */
   def docFingerprintSpark(th: String): String =
     s"aggregate($th, 0L, (a, h) -> (a * 31 + h) % $P)"

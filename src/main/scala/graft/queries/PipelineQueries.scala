@@ -402,6 +402,93 @@ object PipelineQueries {
           .as("n_kept"))
   }
 
+  /** Exact-substring duplication signal (RefinedWeb/DCLM-style): for every
+    * doc, the fraction of its distinct 8-token spans that also occur in at
+    * least one other document. A high fraction means the doc is largely
+    * verbatim-copied text even when whole-doc hashes differ. Two keyed
+    * shuffles — explode spans, count docs per span hash, re-aggregate per
+    * doc — each linear in total span count; no pairwise comparison
+    * anywhere, so the shape survives 100 TB (span-hash keys partition
+    * uniformly by construction). */
+  def dSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    val sp = tokenHashes(s, dir)
+      .select(col("doc_id"), expr(PT.spanHashesSpark("th")).as("spans"))
+      .filter(size(col("spans")) >= 1)
+    val g = sp.select(col("doc_id"), explode(col("spans")).as("g"))
+    val perSpan = g.groupBy("g").agg(count(lit(1)).as("n_docs"))
+    g.join(perSpan, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+      .select(col("doc_id"), col("n_spans"), col("n_shared"),
+        (col("n_shared").cast(DoubleType) / col("n_spans").cast(DoubleType))
+          .as("dup_span_frac"))
+  }
+
+  /** Benchmark decontamination: flag corpus docs whose 3-gram shingle sets
+    * overlap a held-out benchmark set (here the deterministic pseudo-
+    * benchmark doc_id % 97 == 0) in >= 3 distinct shingles — the
+    * eval-leakage scrub every training corpus runs. The benchmark's
+    * distinct shingle hashes are orders of magnitude smaller than the
+    * corpus (benchmarks are small by nature), so the probe side
+    * broadcasts and the corpus-side explode never shuffles; per-doc
+    * overlap counting is one keyed aggregation. */
+  def dDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val bench = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("g")).distinct()
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .join(broadcast(bench), "g")
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_overlap"))
+      .filter(col("n_overlap") >= 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        (col("n_overlap").cast(DoubleType) / col("n_shingles").cast(DoubleType))
+          .as("overlap_frac"))
+  }
+
+  /** Per-doc top TF-IDF terms with rational (log-free) idf: score =
+    * tf * 1e6 div df in exact BIGINT arithmetic, so the ranking is
+    * engine-reproducible bit-for-bit (log-based idf is monotone in 1/df,
+    * so the per-doc ordering this produces matches classic tf-idf whenever
+    * tf ties break the same way; ties go to the lower term hash). Three
+    * keyed shuffles — tf by (doc, term), df by term, rank by doc — all
+    * linear; the df frame is vocabulary-sized, joined back on the term
+    * key, never collected. */
+  def tTfidf(s: SparkSession, dir: String): DataFrame = {
+    val tf = tokenHashes(s, dir)
+      .select(col("doc_id"), explode(col("th")).as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("t"))
+    tf.join(dfq, "t")
+      .withColumn("score", expr("tf * 1000000L div df"))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 3)
+      .select(col("doc_id"), col("rk"), col("t").as("term_hash"),
+        col("tf"), col("df"), col("score"))
+  }
+
+  /** Deterministic k-per-group sample (the "pull 5 docs per source for
+    * eval" primitive): rank docs inside each source by the multiplicative
+    * hash of doc_id and keep the first 5 — a reproducible uniform sample
+    * with no RNG state, stable under corpus growth within each group.
+    * One keyed window; at scale the rank is per-source-partition and
+    * nothing global exists. */
+  def dSampleK(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy(col("__coin"), col("doc_id"))
+    tbl(s, dir, "documents")
+      .withColumn("__coin",
+        col("doc_id") % lit(1000000007L) * lit(2654435761L)
+          % lit(1000000007L))
+      .withColumn("rk", row_number().over(w).cast(LongType))
+      .filter(col("rk") <= 5)
+      .select("source", "rk", "doc_id", "n_chars")
+  }
+
   /** PII scrub: mask email-like and long-digit-run (phone/account)
     * patterns before a corpus ships to training. Pure per-row regexp
     * columns — no shuffle, scan-speed at any scale. Patterns are kept to
@@ -759,6 +846,51 @@ object PipelineQueries {
         |                          ELSE 30 END
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source""".stripMargin,
+    "d_span_dedup" ->
+      s"""WITH $thCte,
+         |sp AS (SELECT doc_id, ${PT.spanHashesDuck("th")} AS spans FROM thT),
+         |gx AS (SELECT doc_id, unnest(spans) AS g FROM sp
+         |       WHERE len(spans) >= 1),
+         |ps AS (SELECT g, count(*) AS n_docs FROM gx GROUP BY g)
+         |SELECT doc_id, count(*) AS n_spans,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_shared,
+         |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+         |         / CAST(count(*) AS DOUBLE) AS dup_span_frac
+         |FROM gx JOIN ps USING (g) GROUP BY doc_id""".stripMargin,
+    "d_decontaminate" ->
+      s"""WITH $thCte,
+         |shT AS (SELECT doc_id, ${PT.shingleHashesDuck("th")} AS sh FROM thT),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shT
+         |          WHERE doc_id % 97 = 0),
+         |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |              unnest(sh) AS g
+         |       FROM shT WHERE doc_id % 97 <> 0)
+         |SELECT doc_id, n_shingles, count(*) AS n_overlap,
+         |       CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         |         AS overlap_frac
+         |FROM ex JOIN bench USING (g)
+         |GROUP BY doc_id, n_shingles
+         |HAVING count(*) >= 3""".stripMargin,
+    "t_tfidf" ->
+      s"""WITH $thCte,
+         |tu AS (SELECT doc_id, unnest(th) AS t FROM thT),
+         |tf AS (SELECT doc_id, t, count(*) AS tf FROM tu GROUP BY 1, 2),
+         |dfq AS (SELECT t, count(*) AS df FROM tf GROUP BY t),
+         |sc AS (SELECT doc_id, t, tf, df, tf * 1000000 // df AS score,
+         |              row_number() OVER (PARTITION BY doc_id
+         |                ORDER BY tf * 1000000 // df DESC, t) AS rk
+         |       FROM tf JOIN dfq USING (t))
+         |SELECT doc_id, rk, t AS term_hash, tf, df, score
+         |FROM sc WHERE rk <= 3""".stripMargin,
+    "d_sample_k" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS coin
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |             ORDER BY coin, doc_id) AS rk FROM h)
+        |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 5""".stripMargin,
     "t_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -809,6 +941,10 @@ object PipelineQueries {
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
+    "d_span_dedup" -> (dSpanDedup _),
+    "d_decontaminate" -> (dDecontaminate _),
+    "t_tfidf" -> (tTfidf _),
+    "d_sample_k" -> (dSampleK _),
     "d_sample_mix" -> (dSampleMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),

@@ -414,6 +414,49 @@ object RelationalQueries {
       .groupBy("measure")
       .agg(count(lit(1)).as("n"), dsum(col("val")).as("total"))
 
+  /** Semi-structured extraction: pull a typed field out of the JSON props
+    * payload at scan time and aggregate on it — the schema-on-read shape
+    * every event pipeline has. `get_json_object` is a codegen'd path
+    * expression (no UDF, no full parse tree materialized), so extraction
+    * runs inside the scan's WholeStageCodegen span and the only shuffle is
+    * the final partial/final aggregation. */
+  def qJsonProps(s: SparkSession, dir: String): DataFrame =
+    AggQueries.events(s, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast(LongType).as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("k")).as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(when(col("k") >= 50, 1L).otherwise(0L)).as("n_high"))
+
+  /** Interval union (gaps-and-islands): merge each user's overlapping
+    * activity intervals [t, t+30min] into maximal merged spans. The
+    * overlap test is against the running max of prior interval ends (not
+    * just the previous row — an earlier long interval can swallow later
+    * short ones), then a cumulative flag sum assigns island ids. Both
+    * windows share one (user_id) partitioning, so the whole operator is
+    * a single keyed shuffle at any scale. */
+  def qMergeIntervals(s: SparkSession, dir: String): DataFrame = {
+    val lenUs = 1800000000L
+    val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
+    TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .select(col("user_id"), col(TSA.T).as("t"), col("event_id"))
+      .withColumn("iv_end", col("t") + lit(lenUs))
+      .withColumn("__pmax", max(col("iv_end")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("t") > col("__pmax"), 1L)
+          .otherwise(0L))
+      .withColumn("__island", sum(col("__new")).over(wCum))
+      .groupBy("user_id", "__island")
+      .agg(min("t").as("span_start"), max("iv_end").as("span_end"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "span_start", "span_end", "n_events")
+  }
+
   private val discExpr =
     """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
       |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
@@ -623,6 +666,39 @@ object RelationalQueries {
         |         AS est_users,
         |       CAST(nexact AS BIGINT) AS exact_users
         |FROM k JOIN x USING (event_type)""".stripMargin,
+    "q_json_props" ->
+      """WITH x AS (
+        |  SELECT event_type,
+        |         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |SELECT event_type, count(*) AS n,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       min(k) AS min_k, max(k) AS max_k,
+        |       CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_high
+        |FROM x GROUP BY event_type""".stripMargin,
+    "q_merge_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         epoch_us(ts) + 1800000000 AS iv_end
+        |  FROM events),
+        |m AS (
+        |  SELECT *, max(iv_end) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pmax
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR t > pmax THEN 1 ELSE 0 END
+        |           AS newspan
+        |  FROM m),
+        |i AS (
+        |  SELECT *, sum(newspan) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f)
+        |SELECT user_id, min(t) AS span_start, max(iv_end) AS span_end,
+        |       count(*) AS n_events
+        |FROM i GROUP BY user_id, island""".stripMargin,
     "q_upsert_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t,
@@ -657,6 +733,8 @@ object RelationalQueries {
     "q_histogram" -> (qHistogram _),
     "q_approx_distinct" -> (qApproxDistinct _),
     "q_pivot" -> (qPivot _),
-    "q_unpivot" -> (qUnpivot _)
+    "q_unpivot" -> (qUnpivot _),
+    "q_json_props" -> (qJsonProps _),
+    "q_merge_intervals" -> (qMergeIntervals _)
   )
 }

@@ -18,6 +18,11 @@ final case class UpEvent(user_id: Long, event_type: String, t: Long,
     event_id: Long, value: Double)
 final case class UpLatest(user_id: Long, event_type: String, t: Long,
     last_event_id: Long, last_value: Double)
+final case class GapEvent(user_id: Long, t: Long, event_id: Long,
+    value: Double, ts: java.sql.Timestamp)
+final case class GapState(lastT: Long)
+final case class GapRow(user_id: Long, t: Long, event_id: Option[Long],
+    value: Option[Double], is_fill: Boolean)
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -148,6 +153,69 @@ object StreamingAgg {
           val best = cands.maxBy(l => (l.t, l.last_event_id))
           st.update(best)
           best
+        })
+  }
+
+  /** Streaming cadence gap-fill — the continuous twin of the reference's
+    * FillNode insertion (aggrelist.py:294-303, generalized per key): as a
+    * user's events stream in, any gap wider than gapUs between consecutive
+    * events is filled with synthetic records at the nominal cadence
+    * (`prev.t + k*nomUs`, k = 1..(gap-1) div nom — identical arithmetic to
+    * the batch TimeSeriesAggregator fill emitter). Real rows pass through
+    * with is_fill=false; fills carry null id/value.
+    *
+    * State is one long (the key's last event time) — constant per active
+    * key regardless of throughput. Fills for a gap are emitted when the
+    * gap-closing event arrives, so no timeout is needed; an open trailing
+    * gap has no fill target yet, exactly like the batch emitter's interior
+    * fills. The same transform folds a batch frame in one pass per key
+    * (each group's iterator against empty state) — that batch run is the
+    * oracle-checked `stream_gapfill` registry entry. */
+  def gapFillStream(events: DataFrame, nomUs: Long, gapUs: Long,
+      watermark: String = "30 minutes"): Dataset[GapRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("value").isNotNull)
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", watermark)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        expr("unix_micros(ts)").as("t"),
+        col("event_id").cast(LongType).as("event_id"),
+        col("value").cast(DoubleType).as("value"), col("ts"))
+      .filter(col("t") > 0L)
+      .as[GapEvent]
+    typed
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[GapEvent], st: GroupState[GapState]) => {
+          // event-time order makes the fold deterministic within a batch
+          val evs = it.toArray.sortBy(e => (e.t, e.event_id))
+          val out = Seq.newBuilder[GapRow]
+          var last = st.getOption.map(_.lastT)
+          evs.foreach { e =>
+            last match {
+              case Some(lt) if e.t > lt =>
+                val gap = e.t - lt
+                if (gap > gapUs) {
+                  var k = 1L
+                  val n = (gap - 1) / nomUs
+                  while (k <= n) {
+                    out += GapRow(uid, lt + k * nomUs, None, None,
+                      is_fill = true)
+                    k += 1
+                  }
+                }
+              case _ => // first event, or a late arrival: no retro-fill
+            }
+            out += GapRow(uid, e.t, Some(e.event_id), Some(e.value),
+              is_fill = false)
+            last = Some(math.max(last.getOrElse(Long.MinValue), e.t))
+          }
+          last.foreach(lt => st.update(GapState(lt)))
+          out.result().iterator
         })
   }
 

@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the round-3 corpus operators (SURVEY.md §2 C):
+  * exact-substring span duplication, benchmark decontamination, rational
+  * TF-IDF ranking, and the deterministic k-per-group sample. Oracle
+  * hash-parity with DuckDB is the driver gate; these specs assert the
+  * qualitative behavior on crafted corpora. */
+class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
+
+  import graft.queries.PipelineQueries
+
+  /** doc 0 (id % 97 == 0 -> pseudo-benchmark member) is the source text;
+    * doc 1 copies it with a different ending; doc 3 is a verbatim copy of
+    * doc 1; doc 4 shares nothing. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_corpus3").toString
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    Seq(
+      (0L, base + "benchmark tail", "en", "web", 0L),
+      (1L, base + "ending one", "en", "web", 1L),
+      (2L, "spark catalyst plans shuffles exchanges and codegen stages " * 5,
+        "en", "web", 2L),
+      (3L, base + "ending one", "en", "books", 3L),
+      (4L, "completely unrelated corpus text about gardens and rivers flowing " * 5,
+        "en", "web", 4L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("span dedup: verbatim copies share all spans, unique docs none") {
+    val r = PipelineQueries.dSpanDedup(spark, dir)
+      .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    // docs 1 and 3 are identical -> every span shared
+    assert(r(1L) === 1.0)
+    assert(r(3L) === 1.0)
+    // doc 4 repeats ITS OWN text but shares nothing across docs
+    assert(r(4L) === 0.0)
+    // doc 0 shares the base-spans with 1/3 but its tail spans are unique
+    assert(r(0L) > 0.5 && r(0L) < 1.0)
+  }
+
+  test("decontaminate flags docs overlapping the benchmark set, not clean ones") {
+    val flagged = PipelineQueries.dDecontaminate(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // 1 and 3 carry doc 0's benchmark text; 2 and 4 are clean
+    assert(flagged === Set(1L, 3L))
+  }
+
+  test("tfidf: a term unique to one doc outranks corpus-wide terms") {
+    val top1 = PipelineQueries.tTfidf(spark, dir)
+      .filter(col("doc_id") === 2L && col("rk") === 1L)
+      .head()
+    // doc 2's vocabulary appears nowhere else: its top term has df = 1
+    assert(top1.getAs[Long]("df") === 1L)
+    // identical docs 1 and 3 rank identical term lists
+    val t1 = PipelineQueries.tTfidf(spark, dir).filter(col("doc_id") === 1L)
+      .select("rk", "term_hash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val t3 = PipelineQueries.tTfidf(spark, dir).filter(col("doc_id") === 3L)
+      .select("rk", "term_hash").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(t1 === t3)
+  }
+
+  test("sample-k is deterministic and bounded per group") {
+    val a = PipelineQueries.dSampleK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    val b = PipelineQueries.dSampleK(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
+    assert(a.sameElements(b))
+    val perGroup = a.groupBy(_._1).view.mapValues(_.length).toMap
+    // 4 web docs, 1 books doc — all sampled (k=5 bounds, never pads)
+    assert(perGroup === Map("web" -> 4, "books" -> 1))
+    assert(a.forall(_._2 <= 5L))
+  }
+}
