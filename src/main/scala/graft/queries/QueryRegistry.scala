@@ -26,6 +26,12 @@ object QueryRegistry {
     "stream_upsert" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .upsertLatest(AggQueries.events(s, dir)).toDF()),
+    // per-user daily-cadence gap fill; same stateful transform in batch
+    // (one fold per key against empty state) — see StreamingAgg.gapFillStream
+    "stream_gapfill" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .gapFillStream(AggQueries.events(s, dir),
+          nomUs = 86400000000L, gapUs = 172800000000L).toDF()),
     "stream_enrich" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .enrichedWindowedCounts(AggQueries.events(s, dir),
@@ -110,6 +116,24 @@ object QueryRegistry {
         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
+    "stream_gapfill" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND value IS NOT NULL
+        |    AND epoch_us(ts) > 0),
+        |o AS (SELECT *, lag(t) OVER (PARTITION BY user_id
+        |             ORDER BY t, event_id) AS prev_t FROM e),
+        |f AS (SELECT user_id,
+        |             unnest(list_transform(
+        |               range(1, (t - prev_t - 1) // 86400000000 + 1),
+        |               k -> prev_t + k * 86400000000)) AS t
+        |      FROM o
+        |      WHERE prev_t IS NOT NULL AND t - prev_t > 172800000000)
+        |SELECT user_id, t, event_id, value, FALSE AS is_fill FROM e
+        |UNION ALL
+        |SELECT user_id, t, CAST(NULL AS BIGINT) AS event_id,
+        |       CAST(NULL AS DOUBLE) AS value, TRUE AS is_fill FROM f""".stripMargin,
     "stream_dedup" ->
       """WITH e AS (
         |  SELECT *, epoch_us(ts) AS t, epoch_us(ts) // 60000000 AS b

@@ -74,6 +74,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming gap fill inserts cadence fills when the closing event arrives") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AEv]
+    val hr = 3600L
+    val base = 1000000L // off epoch zero: t = 0 is an invalid index value
+    def aev(sec: Long, uid: Long, id: Long) =
+      AEv(new java.sql.Timestamp((base + sec) * 1000L), uid, "view", id, 1.0)
+    // nominal cadence 1h, fill gaps wider than 2h
+    val q = StreamingAgg.gapFillStream(mem.toDF(),
+      nomUs = 3600000000L, gapUs = 7200000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gf").start()
+    try {
+      mem.addData(aev(0, 1L, 1L))
+      q.processAllAvailable()
+      // no fills yet: an open trailing gap has no closing target
+      assert(spark.table("gf").filter(col("is_fill")).count() === 0)
+      // the closing event arrives 5h later in a NEW microbatch:
+      // fills at +1h..+4h materialize exactly once
+      mem.addData(aev(5 * hr, 1L, 2L), aev(5 * hr + 60, 2L, 3L))
+      q.processAllAvailable()
+      val fills = spark.table("gf").filter(col("is_fill"))
+        .select("user_id", "t").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted
+      assert(fills.toSeq ===
+        (1L to 4L).map(k => (1L, (base + k * hr) * 1000000L)))
+      // real rows pass through unfilled, ids intact
+      val real = spark.table("gf").filter(!col("is_fill"))
+        .select("event_id").collect().map(_.getLong(0)).sorted
+      assert(real.toSeq === Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("gap fill parity: streaming fills == batch-twin fills") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hr = 3600L
+    val base = 1000000L
+    def aev(sec: Long, uid: Long, id: Long) =
+      AEv(new java.sql.Timestamp((base + sec) * 1000L), uid, "view", id, 2.0)
+    val evs = Seq(aev(0, 1L, 1L), aev(hr, 1L, 2L), aev(6 * hr, 1L, 3L),
+      aev(2 * hr, 2L, 4L), aev(9 * hr, 2L, 5L))
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.gapFillStream(mem.toDF(),
+      nomUs = 3600000000L, gapUs = 7200000000L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gfp").start()
+    val streamed = try {
+      evs.grouped(2).foreach { batch =>
+        mem.addData(batch: _*); q.processAllAvailable()
+      }
+      spark.table("gfp").select("user_id", "t", "is_fill").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    } finally q.stop()
+    val batch = StreamingAgg.gapFillStream(evs.toDF(),
+      nomUs = 3600000000L, gapUs = 7200000000L)
+      .toDF().select("user_id", "t", "is_fill").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sorted
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("stateful sessionize closes sessions on gaps and on timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
