@@ -252,9 +252,13 @@ object AggQueries {
         rm(dir)
       }
     val out = s"$tmpRoot/$mine"
+    // 10k records/file: chunking still exercised end-to-end (sf0.1 writes
+    // ~60 granules) without the 600-tiny-file footer/open overhead that
+    // dominated the wall clock at chunk=1000 — at real scale chunk size is
+    // a config knob sized to the storage layer, not a fixed constant
     graft.sources.ParquetGranuleSink.write(
       TSA.filterValid(events(s, dir), cfg).drop(TSA.T),
-      out, sortCol = "ts", maxRecordsPerFile = 1000)
+      out, sortCol = "ts", maxRecordsPerFile = 10000)
     val back = s.read.parquet(out)
       .select(input_file_name().as("f"))
       .groupBy("f").agg(count(lit(1)).as("n"))

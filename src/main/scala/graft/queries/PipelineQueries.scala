@@ -20,6 +20,29 @@ object PipelineQueries {
     graft.Tables.load(s, dir, name)
   }
 
+  /** Memo for the shared cached frames below, per (session, dir, key).
+    * `.cache()` already dedupes the DATA via CacheManager plan-matching,
+    * but every call still re-builds and re-analyzes the (HOF-heavy) plan
+    * tree — measurable when 70+ bench queries each re-derive the same
+    * tokenization chain. DataFrames are immutable; sharing is safe. */
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+  private def memo(s: SparkSession, dir: String, key: String)(
+      build: => DataFrame): DataFrame = {
+    val k = (s, dir, key)
+    val hit = frameMemo.get(k)
+    if (hit != null) hit
+    else {
+      // NOT computeIfAbsent: builders memo their upstream frames through
+      // this same map, and nested computeIfAbsent throws Recursive update.
+      // A racing double-build is harmless — CacheManager dedupes the data
+      // and putIfAbsent keeps one winner.
+      val built = build
+      val prev = frameMemo.putIfAbsent(k, built)
+      if (prev != null) prev else built
+    }
+  }
+
   /** doc_id + token-hash array for docs with >= 3 tokens.
     *
     * The documents table may arrive as few (even one) parquet files; the
@@ -29,30 +52,36 @@ object PipelineQueries {
     * operators (simhash, langid, fingerprint, ngram-freq, shingling)
     * consume this frame, and the tokenization pass dominates its cost. */
   private def tokenHashes(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "documents")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("doc_id"), col("lang"), col("source"),
-        expr("graft_tokens(text)").as("toks"))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), col("lang"), col("source"), col("toks"),
-        expr("graft_token_hashes(toks)").as("th"))
-      .cache()
+    memo(s, dir, "tokenHashes") {
+      tbl(s, dir, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"), col("source"),
+          expr("graft_tokens(text)").as("toks"))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), col("lang"), col("source"), col("toks"),
+          expr("graft_token_hashes(toks)").as("th"))
+        .cache()
+    }
 
   /** doc_id -> distinct 3-gram shingle hashes (cached: feeds both the LSH
     * candidate join and the Jaccard verification). */
   private def shingles(s: SparkSession, dir: String): DataFrame =
-    tokenHashes(s, dir)
-      .select(col("doc_id"), expr("graft_shingles(th)").as("sh"))
-      .cache()
+    memo(s, dir, "shingles") {
+      tokenHashes(s, dir)
+        .select(col("doc_id"), expr("graft_shingles(th)").as("sh"))
+        .cache()
+    }
 
   /** doc_id, band_idx, band signature (8 LSH bands over 32 minhashes);
     * cached: self-joined for pairs and reused across queries. */
   private def ebands(s: SparkSession, dir: String): DataFrame =
-    shingles(s, dir)
-      .select(col("doc_id"), expr("graft_minhash_bands(sh)").as("bands"))
-      .select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band_idx", "sig")))
-      .cache()
+    memo(s, dir, "ebands") {
+      shingles(s, dir)
+        .select(col("doc_id"), expr("graft_minhash_bands(sh)").as("bands"))
+        .select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band_idx", "sig")))
+        .cache()
+    }
 
   /** Distinct LSH candidate pairs (doc_a < doc_b). */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
@@ -87,18 +116,19 @@ object PipelineQueries {
   /** Jaccard-scored candidate pairs (cached: consumed as the query result
     * AND as the edge input of the clustering loop, which would otherwise
     * re-join the shingle sets on every invocation). */
-  private def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingles(s, dir)
-    val cand = lshPairs(s, dir).select("doc_a", "doc_b").distinct()
-    cand
-      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
-      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
-      .select(col("doc_a"), col("doc_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
-          .as("jaccard"))
-      .cache()
-  }
+  private def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "jaccardPairs") {
+      val sh = shingles(s, dir)
+      val cand = lshPairs(s, dir).select("doc_a", "doc_b").distinct()
+      cand
+        .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+        .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType) /
+            size(array_union(col("sh_a"), col("sh_b"))).cast(DoubleType))
+            .as("jaccard"))
+        .cache()
+    }
 
   def dNgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir)
@@ -139,11 +169,13 @@ object PipelineQueries {
   // ------------------------------------------------- embeddings similarity
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding").as("v"))
-      .withColumn("bucket", expr("graft_lsh_bucket(v)"))
-      .cache()
+    memo(s, dir, "bucketed") {
+      tbl(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("bucket", expr("graft_lsh_bucket(v)"))
+        .cache()
+    }
 
   def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
     val e = bucketed(s, dir)
@@ -224,7 +256,8 @@ object PipelineQueries {
     * live alongside the raw vectors and queries touch only codes. */
   /** Int codes per vector (cached: the scoring self-join consumes it from
     * both sides, and at scale the codes ARE the stored index). */
-  private def sqCodes(s: SparkSession, dir: String): DataFrame = {
+  private def sqCodes(s: SparkSession, dir: String): DataFrame =
+      memo(s, dir, "sqCodes") {
     val e = bucketed(s, dir)
     val dims = e.select(posexplode(col("v")).as(Seq("p", "x")))
       .groupBy("p")

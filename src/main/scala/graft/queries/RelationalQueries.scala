@@ -457,6 +457,32 @@ object RelationalQueries {
       .select("user_id", "span_start", "span_end", "n_events")
   }
 
+  /** Explicit GROUPING SETS — the general grouping-set form that rollup
+    * and cube cannot express: two independent marginal aggregations
+    * ((event_type), (week)) computed in ONE pass over the data. Catalyst
+    * plans the set expansion as a per-row Expand feeding a single
+    * partial/final aggregate — one scan + one shuffle where running the
+    * two group-bys separately would scan and shuffle twice. */
+  def qGroupingSets(s: SparkSession, dir: String): DataFrame =
+    TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+      .withColumn("wk", expr(s"${TSA.T} div 604800000000L"))
+      .groupingSets(Seq(Seq(col("event_type")), Seq(col("wk"))),
+        col("event_type"), col("wk"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
+
+  /** Sliding (hopping) windows: 6-hour windows advancing every hour, so
+    * each record lands in 6 overlapping buckets — the moving-average shape
+    * a tumbling bucket can't express. The built-in `window()` with a slide
+    * plans the per-row window enumeration as an Expand (no join, no
+    * re-scan) into one partial/final aggregate: a 6x row multiplier into
+    * map-side combine, never a shuffle multiplier. */
+  def qWindowSliding(s: SparkSession, dir: String): DataFrame =
+    TSA.filterValid(AggQueries.events(s, dir), AggQueries.cfg)
+      .groupBy(window(col("ts"), "6 hours", "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
+      .select(col("window.start").cast(TimestampNTZType).as("win_start"),
+        col("event_type"), col("n"), col("v_sum"))
+
   private val discExpr =
     """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
       |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
@@ -666,6 +692,23 @@ object RelationalQueries {
         |         AS est_users,
         |       CAST(nexact AS BIGINT) AS exact_users
         |FROM k JOIN x USING (event_type)""".stripMargin,
+    "q_grouping_sets" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 604800000000 AS wk, value
+        |  FROM events)
+        |SELECT event_type, wk, count(*) AS n,
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |FROM e GROUP BY GROUPING SETS ((event_type), (wk))""".stripMargin,
+    "q_window_sliding" ->
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_type, value FROM events
+        |  WHERE ts IS NOT NULL AND epoch_us(ts) > 0)
+        |SELECT make_timestamp(((t // 3600000000) - k) * 3600000000)
+        |         AS win_start,
+        |       event_type, count(*) AS n,
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |FROM e CROSS JOIN range(0, 6) r(k)
+        |GROUP BY 1, 2""".stripMargin,
     "q_json_props" ->
       """WITH x AS (
         |  SELECT event_type,
@@ -735,6 +778,8 @@ object RelationalQueries {
     "q_pivot" -> (qPivot _),
     "q_unpivot" -> (qUnpivot _),
     "q_json_props" -> (qJsonProps _),
-    "q_merge_intervals" -> (qMergeIntervals _)
+    "q_merge_intervals" -> (qMergeIntervals _),
+    "q_grouping_sets" -> (qGroupingSets _),
+    "q_window_sliding" -> (qWindowSliding _)
   )
 }

@@ -105,6 +105,29 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(n <= 2, s"q_approx_distinct plans $n shuffle exchanges")
   }
 
+  test("json extraction aggregates in one shuffle off a two-column scan") {
+    // get_json_object must run inside the scan's projection (no second
+    // pass, no python/udf node) and the aggregation as one partial/final
+    val plan = physical("q_json_props")
+    val n = count(plan,
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(n == 1, s"q_json_props plans $n shuffle exchanges (expected 1)")
+    val scan = nodes(plan).collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.requiredSchema.fields.length == 2,
+      s"q_json_props reads ${scan.requiredSchema.fields.length} columns")
+  }
+
+  test("interval union shares one keyed shuffle between window and agg") {
+    // the running-max window clusters by user_id; the island aggregation
+    // keys on (user_id, island) — a superset, so the window's partitioning
+    // must satisfy the agg's distribution with NO second exchange
+    val n = count(physical("q_merge_intervals"),
+      _.isInstanceOf[org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(n == 1, s"q_merge_intervals plans $n shuffle exchanges (expected 1)")
+  }
+
   test("bucketed granule tables co-locate an equi-join with zero shuffles") {
     // SURVEY §4: "co-locate joins via bucketing" — evidence that the
     // engine's write path supports it: two tables bucketed+sorted on the
