@@ -448,8 +448,11 @@ object PipelineQueries {
       .select(col("doc_id"), expr(PT.spanHashesSpark("th")).as("spans"))
       .filter(size(col("spans")) >= 1)
     val g = sp.select(col("doc_id"), explode(col("spans")).as("g"))
-    val perSpan = g.groupBy("g").agg(count(lit(1)).as("n_docs"))
-    g.join(perSpan, "g")
+    // per-span doc count as a whole-partition window, not agg + join-back:
+    // one exchange on the span key instead of two, and the exploded frame
+    // is evaluated once
+    g.withColumn("n_docs",
+        count(lit(1)).over(Window.partitionBy("g")))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -494,10 +497,12 @@ object PipelineQueries {
     val tf = tokenHashes(s, dir)
       .select(col("doc_id"), explode(col("th")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("t"))
-    tf.join(dfq, "t")
+    // df = rows per term in the one-row-per-(doc,term) tf frame, computed
+    // as a whole-partition window: one exchange on the term key instead of
+    // a vocabulary aggregate joined back
+    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("t")))
       .withColumn("score", expr("tf * 1000000L div df"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3)
