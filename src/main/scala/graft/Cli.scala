@@ -9,10 +9,14 @@ import graft.core.{AggConfig, Bounds}
   *
   *   runMain graft.Cli DST SRC... [-u udim:ivar[:hz]] [-b bounds]
   *                                 [-c udim:chunksize] [-t template.json]
+  *   runMain graft.Cli --generate_template sample.parquet
   *
   * `-b` accepts `min:max` (epoch micros) or `TYYYY[MM[DD[HH[MM]]]]`
   * bound specs with inferred end. With no `-t`, a default config is
   * derived from the first granule (reference Config.from_nc).
+  * `--generate_template` prints the JSON config template derived from a
+  * sample granule and exits (reference cli.py:103-117) — the printed JSON
+  * feeds back in via `-t`.
   */
 object Cli {
   def main(args: Array[String]): Unit = {
@@ -29,6 +33,14 @@ object Cli {
 
   /** Session-agnostic entry point (testable; `main` owns the session). */
   def run(spark: SparkSession, args: Array[String]): Map[String, String] = {
+    args match {
+      case Array("--generate_template", sample) =>
+        val json = AggConfig.toJson(
+          AggConfig.fromGranule(spark.read.parquet(sample)))
+        println(json)
+        return Map("template" -> json)
+      case _ =>
+    }
     val (opts, pos) = parseArgs(args.toList)
     require(pos.size >= 2, "usage: graft.Cli DST SRC... [-u ...] [-b ...]")
     val dst = pos.head

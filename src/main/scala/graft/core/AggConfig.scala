@@ -132,7 +132,10 @@ object AggConfig {
               fields.flatMap { case (k, jv) => str(jv).map(k -> _) }.toMap
             case _ => Map.empty[String, String]
           },
-          chunksizes = (v \ "chunksizes").extractOpt[Seq[Int]],
+          // json4s extracts a MISSING field as Some(empty seq) for
+          // collection types — normalize to None so absent == absent
+          chunksizes = (v \ "chunksizes").extractOpt[Seq[Int]]
+            .filter(_.nonEmpty),
           copyFromAlt = (v \ "copy_from_alt").extractOpt[Seq[String]]
             .getOrElse(Nil),
           mapTo = (v \ "map_to").extractOpt[String])
@@ -157,6 +160,46 @@ object AggConfig {
     }
 
     Config(dims, vars, attrs, takeDimInds).validate()
+  }
+
+  /** Serialize a config to the same template JSON [[fromJson]] parses —
+    * the reference `Config.to_dict` + `--generate_template` path
+    * (cli.py:103-117): `fromJson(toJson(c))` round-trips. */
+  def toJson(c: Config): String = {
+    import org.json4s.JsonDSL._
+    val dims = c.dims.map { d =>
+      ("name" -> d.name) ~
+        ("size" -> d.size) ~
+        ("index_by" -> d.indexBy) ~
+        ("min" -> d.min) ~
+        ("max" -> d.max) ~
+        ("expected_cadence" ->
+          d.expectedCadenceHz.map(hz => JObject(d.name -> JDouble(hz)))) ~
+        ("flatten" -> d.flatten) ~
+        ("other_dim_indicies" ->
+          (if (d.otherDimInds.isEmpty) None
+           else Some(d.otherDimInds.view.mapValues(v => v: BigInt).toMap)))
+    }
+    val vars = c.vars.map { v =>
+      ("name" -> v.name) ~
+        ("dimensions" -> v.dimensions) ~
+        ("datatype" -> v.datatype) ~
+        ("attributes" -> v.attributes) ~
+        ("chunksizes" -> v.chunksizes) ~
+        ("copy_from_alt" ->
+          (if (v.copyFromAlt.isEmpty) None else Some(v.copyFromAlt))) ~
+        ("map_to" -> v.mapTo)
+    }
+    val attrs = c.attrs.map { a =>
+      ("name" -> a.name) ~ ("strategy" -> a.strategy) ~ ("value" -> a.value)
+    }
+    val root =
+      ("dimensions" -> dims) ~ ("variables" -> vars) ~
+        ("attributes" -> attrs) ~
+        ("take_dim_indicies" ->
+          (if (c.takeDimInds.isEmpty) None
+           else Some(c.takeDimInds.view.mapValues(v => v: BigInt).toMap)))
+    JsonMethods.pretty(JsonMethods.render(root))
   }
 
   /** Default config from a sample granule (reference Config.from_nc,

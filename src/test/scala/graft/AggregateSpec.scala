@@ -126,6 +126,39 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("toJson serializes the template shape fromJson parses (round-trip)") {
+    val c = AggConfig.Config(
+      dims = Seq(
+        AggConfig.DimSpec("record", size = None, indexBy = Some("time"),
+          min = Some(100L), max = Some(200L),
+          expectedCadenceHz = Some(10.0)),
+        AggConfig.DimSpec("samples", size = Some(4L),
+          otherDimInds = Map("samples" -> 2))),
+      vars = Seq(
+        AggConfig.VarSpec("time", Seq("record"), "float64",
+          attributes = Map("units" -> "s")),
+        AggConfig.VarSpec("irr", Seq("record"), "float32",
+          copyFromAlt = Seq("irr_alt"), mapTo = Some("irradiance"))),
+      attrs = Seq(AggConfig.AttrSpec("creator", "static", Some("sc"))),
+      takeDimInds = Map("samples" -> 1))
+    val back = AggConfig.fromJson(AggConfig.toJson(c))
+    assert(back === c)
+  }
+
+  test("CLI --generate_template prints a config usable via -t") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tpl").toString
+    Seq((1L, 2.5, Seq(1.0f, 2.0f)))
+      .toDF("time", "val", "arr")
+      .write.mode("overwrite").parquet(s"$tmp/sample")
+    val out = Cli.run(spark, Array("--generate_template", s"$tmp/sample"))
+    val cfg = AggConfig.fromJson(out("template"))
+    assert(cfg.vars.map(_.name).toSet === Set("time", "val", "arr"))
+    assert(cfg.dims.exists(_.isUnlimited))
+    // the array column got its fixed inner dimension
+    assert(cfg.vars.find(_.name == "arr").get.dimensions.length === 2)
+  }
+
   test("multidim index_by orders by the configured element (other_dim_inds)") {
     import java.time.LocalDateTime
     val rows = Seq(
