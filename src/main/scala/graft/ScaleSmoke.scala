@@ -47,6 +47,20 @@ object ScaleSmoke {
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dir/lineitem")
     }
+    // separate guard: a pre-existing events replica (earlier smoke run)
+    // must not skip the documents replica
+    if (!new java.io.File(s"$dir/documents.parquet").isDirectory) {
+      // documents: re-keyed + a per-copy marker token prepended so the
+      // copies are near-dupes (realistic), not byte-identical clones
+      Tables.load(spark, sf, "documents")
+        .withColumn("__i", explode(expr(s"sequence(0, ${factor - 1})")))
+        .withColumn("doc_id", col("doc_id") + col("__i") * 100000000L)
+        .withColumn("text",
+          concat(lit("copymark"), col("__i").cast("string"), lit(" "),
+            col("text")))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    }
 
     val cfgNB = graft.queries.AggQueries.cfg.copy(boundsUs = None)
     def aggCore(ev: DataFrame): DataFrame =
@@ -66,14 +80,24 @@ object ScaleSmoke {
     val li1 = Tables.load(spark, sf, "lineitem")
     val evN = spark.read.parquet(s"$dir/events")
     val liN = spark.read.parquet(s"$dir/lineitem")
+    import graft.queries.PipelineQueries
     val r = Map(
       "agg_core_1x" -> time(aggCore(ev1)),
       s"agg_core_${factor}x" -> time(aggCore(evN)),
       "q1_1x" -> time(q1(li1)),
-      s"q1_${factor}x" -> time(q1(liN)))
+      s"q1_${factor}x" -> time(q1(liN)),
+      // corpus family: $dir carries the replicated documents.parquet, so
+      // the registry operators run on it unmodified (linear span-hash and
+      // tf/df aggregations — the shapes that must not go quadratic)
+      "span_dedup_1x" -> time(PipelineQueries.dSpanDedup(spark, sf)),
+      s"span_dedup_${factor}x" -> time(PipelineQueries.dSpanDedup(spark, dir)),
+      "tfidf_1x" -> time(PipelineQueries.tTfidf(spark, sf)),
+      s"tfidf_${factor}x" -> time(PipelineQueries.tTfidf(spark, dir)))
     val js = r.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"""{"metric":"scale_smoke","factor":$factor,$js,""" +
-      s""""rows_events":${evN.count()},"rows_lineitem":${liN.count()}}""")
+      s""""rows_events":${evN.count()},"rows_lineitem":${liN.count()},""" +
+      s""""rows_documents":$nDocs}""")
     spark.stop()
   }
 }
