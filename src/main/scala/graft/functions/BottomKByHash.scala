@@ -1,0 +1,113 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+/** Deterministic bottom-k sampler as a custom Catalyst aggregate: keeps
+  * the k payloads with the smallest (hash, payload) keys — the
+  * bounded-state twin of the `d_sample_k` rank-window sampler.
+  *
+  * The window version sorts every group to rank it; this aggregate holds
+  * ONLY k (hash, payload) pairs per group (2k longs), merges partials by
+  * union+trim, and plans as a standard partial/final aggregation — at
+  * 100 TB a group's shuffle traffic is k*16 bytes regardless of its row
+  * count, the same bounded-state property as the KMV sketch
+  * ([[KmvDistinct]]). The hash is an explicit multiplicative hash
+  * computed by the caller, so the selected sample is identical to the
+  * rank-window version and reproducible in any engine; ties on the hash
+  * break by payload, making the result a pure function of the input SET.
+  *
+  * Reference context: a training pipeline samples eval splits per source
+  * (SURVEY.md §2 C `d_sample_k`); this is the form that survives groups
+  * of billions of rows.
+  */
+case class BottomKByHash(
+    hash: Expression,
+    payload: Expression,
+    k: Int = 5,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[(Long, Long), Long]] {
+
+  override def children: Seq[Expression] = Seq(hash, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  private implicit val ord: Ordering[(Long, Long)] = Ordering.Tuple2[Long, Long]
+
+  override def createAggregationBuffer(): java.util.TreeMap[(Long, Long), Long] =
+    new java.util.TreeMap[(Long, Long), Long](
+      implicitly[Ordering[(Long, Long)]])
+
+  private def add(buf: java.util.TreeMap[(Long, Long), Long],
+      h: Long, p: Long): Unit = {
+    buf.put((h, p), p)
+    if (buf.size > k) buf.pollLastEntry(): Unit
+  }
+
+  override def update(buf: java.util.TreeMap[(Long, Long), Long],
+      input: InternalRow): java.util.TreeMap[(Long, Long), Long] = {
+    val h = hash.eval(input)
+    val p = payload.eval(input)
+    if (h != null && p != null)
+      add(buf, h.asInstanceOf[Long], p.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(buf: java.util.TreeMap[(Long, Long), Long],
+      other: java.util.TreeMap[(Long, Long), Long]): java.util.TreeMap[(Long, Long), Long] = {
+    val it = other.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      add(buf, e.getKey._1, e.getKey._2)
+    }
+    buf
+  }
+
+  /** Payloads in ascending (hash, payload) order — rank order of the
+    * window twin. */
+  override def eval(buf: java.util.TreeMap[(Long, Long), Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.values().iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeMap[(Long, Long), Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    val it = buf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      bb.putLong(e.getKey._1); bb.putLong(e.getKey._2)
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[(Long, Long), Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var i = 0
+    while (i < n) {
+      val h = bb.getLong; val p = bb.getLong
+      buf.put((h, p), p)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BottomKByHash =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BottomKByHash =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(
+      c: IndexedSeq[Expression]): BottomKByHash =
+    copy(hash = c(0), payload = c(1))
+}

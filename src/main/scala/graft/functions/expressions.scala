@@ -170,5 +170,7 @@ object native {
       es => KmvDistinct(es.head).toAggregateExpression(), "scala_udf")
     r.createOrReplaceTempFunction("graft_bigram_hashes",
       es => BigramHashes(es.head), "scala_udf")
+    r.createOrReplaceTempFunction("graft_bottomk",
+      es => BottomKByHash(es(0), es(1)).toAggregateExpression(), "scala_udf")
   }
 }

@@ -527,6 +527,30 @@ object PipelineQueries {
       .select("source", "rk", "doc_id", "n_chars")
   }
 
+  /** The bounded-state twin of [[dSampleK]]: the same deterministic
+    * 5-per-source sample selected by a custom `TypedImperativeAggregate`
+    * ([[graft.functions.BottomKByHash]]) instead of a rank window. The
+    * window version sorts each group; this one carries 2k longs of state
+    * per group through a standard partial/final aggregation — the form
+    * that survives groups of billions of rows. Results are identical by
+    * construction (same multiplicative hash, same tie-break). */
+  def dSampleBottomk(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    tbl(s, dir, "documents")
+      .withColumn("__coin",
+        col("doc_id") % lit(1000000007L) * lit(2654435761L)
+          % lit(1000000007L))
+      .groupBy("source")
+      .agg(expr("graft_bottomk(__coin, doc_id)").as("sample_ids"))
+      // scalar rows out: the oracle comparator sorts on every output
+      // column and cannot order arrays; position in the bottom-k array IS
+      // the rank
+      .select(col("source"),
+        posexplode(col("sample_ids")).as(Seq("__i", "doc_id")))
+      .select(col("source"), (col("__i") + 1L).cast(LongType).as("rk"),
+        col("doc_id"))
+  }
+
   /** PII scrub: mask email-like and long-digit-run (phone/account)
     * patterns before a corpus ships to training. Pure per-row regexp
     * columns — no shuffle, scan-speed at any scale. Patterns are kept to
@@ -929,6 +953,14 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |             ORDER BY coin, doc_id) AS rk FROM h)
         |SELECT source, rk, doc_id, n_chars FROM r WHERE rk <= 5""".stripMargin,
+    "d_sample_bottomk" ->
+      """WITH h AS (
+        |  SELECT source, doc_id,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 AS coin
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source
+        |             ORDER BY coin, doc_id) AS rk FROM h)
+        |SELECT source, rk, doc_id FROM r WHERE rk <= 5""".stripMargin,
     "t_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -983,6 +1015,7 @@ object PipelineQueries {
     "d_decontaminate" -> (dDecontaminate _),
     "t_tfidf" -> (tTfidf _),
     "d_sample_k" -> (dSampleK _),
+    "d_sample_bottomk" -> (dSampleBottomk _),
     "d_sample_mix" -> (dSampleMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),

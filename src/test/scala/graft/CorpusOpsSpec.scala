@@ -65,6 +65,20 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(t1 === t3)
   }
 
+  test("bottom-k aggregate == rank-window sampler (bounded-state twin)") {
+    // real testdata: 20 sources, multiple partitions -> partial merges
+    val sfDir = "/root/testdata/sf0.001"
+    val win = PipelineQueries.dSampleK(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val agg = PipelineQueries.dSampleBottomk(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(agg === win)
+  }
+
   test("sample-k is deterministic and bounded per group") {
     val a = PipelineQueries.dSampleK(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
