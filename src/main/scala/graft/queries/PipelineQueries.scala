@@ -628,6 +628,24 @@ object PipelineQueries {
         expr("aggregate(sequence(1L, n_frames, 30L), 0L, (a, x) -> (a * 31 + x) % 1000000007)"))
       .select("event_id", "n_frames", "n_sampled", "frame_sig")
 
+  /** Multimodal audio-window plumbing: treat the payload as an audio clip
+    * (sample count derived from the stub codec checksum at a nominal
+    * 8 kHz), split it into 4000-sample windows hopping 2000 samples (50%
+    * overlap — the standard feature-extraction framing), and emit window
+    * count plus a deterministic signature of the window starts. Like
+    * [[mmFrameSample]], the Spark plumbing (per-row stride enumeration,
+    * no shuffle, scan-speed) is the real part; the decode is the declared
+    * deterministic stand-in. */
+  def mmAudioChunks(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "events")
+      .select(col("event_id"), expr("graft_string_hash(props)").as("checksum"))
+      .withColumn("n_samples", lit(8000L) + col("checksum") % 152000L)
+      .withColumn("n_windows",
+        expr("CAST(size(sequence(0L, n_samples - 4000L, 2000L)) AS BIGINT)"))
+      .withColumn("window_sig",
+        expr("aggregate(sequence(0L, n_samples - 4000L, 2000L), 0L, (a, x) -> (a * 31 + x + 1) % 1000000007)"))
+      .select("event_id", "n_samples", "n_windows", "window_sig")
+
   // ------------------------------------------------------------ oracle SQL
 
   private val toksDuck = PT.tokensDuck("text")
@@ -985,6 +1003,19 @@ object PipelineQueries {
          |    list_transform(range(1, n_frames + 1, 30), x -> CAST(x AS BIGINT))),
          |    (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS frame_sig
          |FROM n""".stripMargin,
+    "mm_audio_chunks" ->
+      s"""WITH f AS (
+         |  SELECT event_id, ${PT.charHashDuck("props")} AS checksum FROM events),
+         |n AS (SELECT event_id, 8000 + checksum % 152000 AS n_samples FROM f)
+         |SELECT event_id, CAST(n_samples AS BIGINT) AS n_samples,
+         |  CAST(len(range(0, n_samples - 4000 + 1, 2000)) AS BIGINT)
+         |    AS n_windows,
+         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |    list_transform(range(0, n_samples - 4000 + 1, 2000),
+         |      x -> CAST(x AS BIGINT))),
+         |    (a, x) -> (a * 31 + x + 1) % 1000000007) AS BIGINT)
+         |    AS window_sig
+         |FROM n""".stripMargin,
     "mm_features" ->
       s"""SELECT event_id,
          |       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
@@ -1020,6 +1051,7 @@ object PipelineQueries {
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _),
-    "mm_frame_sample" -> (mmFrameSample _)
+    "mm_frame_sample" -> (mmFrameSample _),
+    "mm_audio_chunks" -> (mmAudioChunks _)
   )
 }

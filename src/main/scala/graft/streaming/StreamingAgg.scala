@@ -34,14 +34,19 @@ final case class GapRow(user_id: Long, t: Long, event_id: Option[Long],
   */
 object StreamingAgg {
 
-  /** Tumbling-window per-type aggregation with late-data tolerance.
-    * Batch twin: RelationalQueries.qWindowTumbling. */
+  /** Tumbling (or, with `slide`, hopping) window per-type aggregation with
+    * late-data tolerance. Batch twins: RelationalQueries.qWindowTumbling /
+    * qWindowSliding. A slide shorter than the window multiplies rows into
+    * the overlapping buckets via Expand BEFORE map-side combine, so state
+    * and shuffle stay one row per (window, type). */
   def windowedCounts(events: DataFrame, windowDur: String = "6 hours",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      slide: Option[String] = None): DataFrame =
     events
       .withColumn("ts", col("ts").cast(TimestampType))
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowDur), col("event_type"))
+      .groupBy(window(col("ts"), windowDur, slide.getOrElse(windowDur)),
+        col("event_type"))
       // decimal-exact sum cast to double once: order-independent, so batch
       // and streaming (and the DuckDB oracle) agree bit-for-bit
       .agg(count(lit(1)).as("n"),

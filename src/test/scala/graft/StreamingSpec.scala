@@ -33,6 +33,25 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: each event lands in every overlapping bucket") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = StreamingAgg.windowedCounts(mem.toDF(), "1 hour", "10 minutes",
+      slide = Some("30 minutes"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("sw").start()
+    try {
+      // 10:15 -> windows [9:30,10:30) and [10:00,11:00)
+      mem.addData(ev(10 * 3600 + 15 * 60, "a", 2.0))
+      q.processAllAvailable()
+      val buckets = spark.table("sw")
+        .select("bucket").collect().map(_.getTimestamp(0).getTime / 1000)
+        .sorted
+      assert(buckets.toSeq === Seq(9L * 3600 + 1800, 10L * 3600))
+    } finally q.stop()
+  }
+
   test("cadence dedup keeps one record per nominal bucket across batches") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
