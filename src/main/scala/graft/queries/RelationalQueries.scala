@@ -443,7 +443,10 @@ object RelationalQueries {
     val w = Window.partitionBy("user_id").orderBy(col("t"), col("event_id"))
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+    // validity guard matters cross-engine even though the bench data has
+    // no invalid rows: a null t would sort FIRST in Spark's window order
+    // but LAST in the oracle's
+    TSA.filterValid(AggQueries.events(s, dir), AggQueries.cfg)
       .select(col("user_id"), col(TSA.T).as("t"), col("event_id"))
       .withColumn("iv_end", col("t") + lit(lenUs))
       .withColumn("__pmax", max(col("iv_end")).over(wPrev))
@@ -724,7 +727,8 @@ object RelationalQueries {
       """WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id,
         |         epoch_us(ts) + 1800000000 AS iv_end
-        |  FROM events),
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND epoch_us(ts) > 0),
         |m AS (
         |  SELECT *, max(iv_end) OVER (PARTITION BY user_id
         |           ORDER BY t, event_id

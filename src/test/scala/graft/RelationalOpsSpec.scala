@@ -24,24 +24,25 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
 
   test("merge intervals: chained overlaps merge, gaps split, long spans swallow") {
     val m = 60000000L // one minute in micros
+    val base = 1000000L * m // off epoch zero: t = 0 is an invalid index
     val dir = eventsDir(Seq(
-      // user 1: 0 and 10min overlap (30-min intervals); 29min chains the
-      // span further even though it doesn't overlap the FIRST interval —
-      // and 90min starts a new island
-      (1L, 0L * m, 1L, "view", 1.0, "{}"),
-      (2L, 10L * m, 1L, "view", 1.0, "{}"),
-      (3L, 29L * m, 1L, "view", 1.0, "{}"),
-      (4L, 90L * m, 1L, "view", 1.0, "{}"),
+      // user 1: +0 and +10min overlap (30-min intervals); +29min chains
+      // the span further even though it doesn't overlap the FIRST
+      // interval — and +90min starts a new island
+      (1L, base + 0L * m, 1L, "view", 1.0, "{}"),
+      (2L, base + 10L * m, 1L, "view", 1.0, "{}"),
+      (3L, base + 29L * m, 1L, "view", 1.0, "{}"),
+      (4L, base + 90L * m, 1L, "view", 1.0, "{}"),
       // user 2: a single event -> one island of exactly [t, t+30min]
-      (5L, 7L * m, 2L, "click", 1.0, "{}")))
+      (5L, base + 7L * m, 2L, "click", 1.0, "{}")))
     val r = RelationalQueries.qMergeIntervals(spark, dir)
       .collect()
       .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
       .sortBy(x => (x._1, x._2))
     assert(r === Array(
-      (1L, 0L, 59L * m, 3L),
-      (1L, 90L * m, 120L * m, 1L),
-      (2L, 7L * m, 37L * m, 1L)))
+      (1L, base, base + 59L * m, 3L),
+      (1L, base + 90L * m, base + 120L * m, 1L),
+      (2L, base + 7L * m, base + 37L * m, 1L)))
   }
 
   test("json props extraction: typed field, missing keys count as null") {
