@@ -309,6 +309,31 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "score")
   }
 
+  /** Per-label centroid vectors — the estimation step of k-means / IVF
+    * codebook training, as one relational pass: explode (label, dim, x),
+    * sum per (label, dim) in DECIMAL (order-independent, so partial
+    * aggregation across any partitioning is exact and engine-portable),
+    * divide by the count once in double. Output is scalar rows
+    * (label, dim, centroid) — labels*dims rows regardless of corpus
+    * size, and the shuffle carries one partial sum per (label, dim,
+    * partition), never vectors. Parity route: floor-quantize each
+    * component to 1e-4 as a BIGINT (float->double is exact; the double
+    * multiply and floor are deterministic IEEE ops identical in both
+    * engines — decimal PARSE rounding of full-precision doubles is NOT,
+    * which rules out the string->DECIMAL path here), sum integers
+    * exactly, divide once in double. */
+  def embCentroids(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "embeddings")
+      .select(col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("p", "x")))
+      .groupBy("label", "p")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("x").cast(DoubleType) * lit(10000.0d))
+          .cast(LongType)).cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * lit(10000.0d))).as("centroid"))
+      .select(col("label"), (col("p") + 1L).cast(LongType).as("dim"),
+        col("n_vecs"), col("centroid"))
+
   // ----------------------------------------------------------- text analysis
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -1003,6 +1028,13 @@ object PipelineQueries {
          |    list_transform(range(1, n_frames + 1, 30), x -> CAST(x AS BIGINT))),
          |    (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS frame_sig
          |FROM n""".stripMargin,
+    "emb_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
+        |       count(*) AS n_vecs,
+        |       CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0) AS BIGINT)) AS DOUBLE)
+        |         / (CAST(count(*) AS DOUBLE) * 10000.0) AS centroid
+        |FROM embeddings CROSS JOIN range(1, 65) r(i)
+        |GROUP BY 1, 2""".stripMargin,
     "mm_audio_chunks" ->
       s"""WITH f AS (
          |  SELECT event_id, ${PT.charHashDuck("props")} AS checksum FROM events),
@@ -1036,6 +1068,7 @@ object PipelineQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),
     "ann_sq" -> (annSq _),
+    "emb_centroids" -> (embCentroids _),
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),
