@@ -576,6 +576,28 @@ object PipelineQueries {
         col("doc_id"))
   }
 
+  /** Sequence packing — the step that turns a filtered corpus into fixed
+    * token-budget training bins: docs are packed in deterministic
+    * (doc_id) order per source, each doc placed at the running token
+    * offset, bin = offset div budget (the standard streaming pack; docs
+    * spanning a boundary belong to the bin their first token lands in).
+    * One keyed window (partition by source) — no global order exists, so
+    * packing parallelizes across sources/shards exactly as it does in a
+    * real pipeline. */
+  def dPackSequences(s: SparkSession, dir: String): DataFrame = {
+    val budget = 2048L
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
+      .withColumn("bin_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        expr(s"bin_offset div ${budget}L").as("bin_id"),
+        (col("bin_offset") % budget).as("offset_in_bin"))
+  }
+
   /** PII scrub: mask email-like and long-digit-run (phone/account)
     * patterns before a corpus ships to training. Pure per-row regexp
     * columns — no shuffle, scan-speed at any scale. Patterns are kept to
@@ -1004,6 +1026,21 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |             ORDER BY coin, doc_id) AS rk FROM h)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 5""".stripMargin,
+    "d_pack_sequences" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${PT.tokensDuck("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS bin_offset
+         |  FROM d)
+         |SELECT source, doc_id, n_tokens,
+         |       CAST(bin_offset // 2048 AS BIGINT) AS bin_id,
+         |       CAST(bin_offset % 2048 AS BIGINT) AS offset_in_bin
+         |FROM o""".stripMargin,
     "t_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -1080,6 +1117,7 @@ object PipelineQueries {
     "t_tfidf" -> (tTfidf _),
     "d_sample_k" -> (dSampleK _),
     "d_sample_bottomk" -> (dSampleBottomk _),
+    "d_pack_sequences" -> (dPackSequences _),
     "d_sample_mix" -> (dSampleMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
