@@ -33,13 +33,16 @@ object Cli {
 
   /** Session-agnostic entry point (testable; `main` owns the session). */
   def run(spark: SparkSession, args: Array[String]): Map[String, String] = {
-    args match {
-      case Array("--generate_template", sample) =>
-        val json = AggConfig.toJson(
-          AggConfig.fromGranule(spark.read.parquet(sample)))
-        println(json)
-        return Map("template" -> json)
-      case _ =>
+    if (args.contains("--generate_template")) {
+      // guard the arity, don't fall through: parseArgs would otherwise
+      // treat the flag as the DST positional and run a full aggregation
+      // into a directory literally named "--generate_template"
+      require(args.length == 2 && args.head == "--generate_template",
+        "usage: graft.Cli --generate_template SAMPLE_GRANULE")
+      val json = AggConfig.toJson(
+        AggConfig.fromGranule(spark.read.parquet(args(1))))
+      println(json)
+      return Map("template" -> json)
     }
     val (opts, pos) = parseArgs(args.toList)
     require(pos.size >= 2, "usage: graft.Cli DST SRC... [-u ...] [-b ...]")

@@ -98,6 +98,27 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** Distinct 8-token-span rolling hashes (exact-substring dedup
+    * granularity). Set semantics — downstream consumers count span
+    * occurrences, never rely on order. Twin: PortableText.spanHashes*. */
+  def spanHashes(input: ArrayData): ArrayData = {
+    val th = input.toLongArray()
+    val n = th.length - 7
+    if (n <= 0) return new GenericArrayData(new Array[Long](0))
+    val seen = new java.util.HashSet[java.lang.Long](n * 2)
+    val out = new Array[Long](n)
+    var m = 0
+    var i = 0
+    while (i < n) {
+      var a = 0L
+      var j = i
+      while (j < i + 8) { a = (a * 31 + th(j)) % P; j += 1 }
+      if (seen.add(a)) { out(m) = a; m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, m))
+  }
+
   def minhashBands(input: ArrayData): ArrayData = {
     val sh = input.toLongArray()
     val mh = new Array[Long](32)

@@ -128,6 +128,18 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Array<Long> token hashes -> Array<Long> distinct 8-token-span rolling
+    * hashes (set semantics; consumers count occurrences, never order).
+    * Parity: PortableText.spanHashes{Spark,Duck}. */
+  case class SpanHashes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.spanHashes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Ops.spanHashes($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Array<Long> token hashes -> Array<Long> adjacent-pair bigram hashes
     * (order-preserving, duplicates kept). Parity:
     * PortableText.bigramHashesDuck. */
@@ -140,37 +152,49 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
-  /** Register all native expressions as SQL functions (idempotent: a
-    * session that already has them is left untouched — replacing on every
-    * query call costs registry churn and a WARN per function). */
+  /** Single source of truth for every native SQL function: name, one-line
+    * usage, builder. Consumed by [[register]] (per-session temp functions)
+    * and [[graft.GraftExtensions]] (SparkSessionExtensions injection) so
+    * the two registration paths can never drift apart — a function added
+    * here is available everywhere. */
+  val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_tokens", "lowercase [a-z0-9]-run tokenizer",
+      es => Tokens(es.head)),
+    ("graft_token_hashes", "polynomial char hash per token",
+      es => PolyTokenHashes(es.head)),
+    ("graft_string_hash", "polynomial char hash of a string",
+      es => PolyStringHash(es.head)),
+    ("graft_shingles", "distinct 3-gram shingle hashes",
+      es => ShingleHashes(es.head)),
+    ("graft_span_hashes", "distinct 8-token span hashes",
+      es => SpanHashes(es.head)),
+    ("graft_minhash_bands", "8 LSH band signatures over 32 minhashes",
+      es => MinhashBandSigs(es.head)),
+    ("graft_simhash", "32-bit simhash", es => SimHash32(es.head)),
+    ("graft_doc_fingerprint", "document fingerprint fold",
+      es => DocFingerprint(es.head)),
+    ("graft_cosine", "cosine similarity of float vectors",
+      es => CosineSim(es.head, es(1))),
+    ("graft_lsh_bucket", "signed-random-projection bucket",
+      es => LshBucket(es.head)),
+    ("graft_kmv_distinct", "KMV distinct-count sketch (aggregate)",
+      es => KmvDistinct(es.head).toAggregateExpression()),
+    ("graft_bigram_hashes", "adjacent-pair bigram hashes",
+      es => BigramHashes(es.head)),
+    ("graft_bottomk", "bottom-k payloads by hash (aggregate)",
+      es => BottomKByHash(es(0), es(1)).toAggregateExpression()))
+
+  /** Register every native function missing from the session (idempotent
+    * per function: present ones are left untouched — re-replacing costs
+    * registry churn and a WARN each; and a partially-populated registry,
+    * e.g. a session configured with GraftExtensions from an older list,
+    * still picks up the rest). */
   def register(s: SparkSession): Unit = {
     val r = s.sessionState.functionRegistry
-    if (r.functionExists(
-        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_tokens")))
-      return
-    r.createOrReplaceTempFunction("graft_tokens",
-      es => Tokens(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_token_hashes",
-      es => PolyTokenHashes(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_string_hash",
-      es => PolyStringHash(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_shingles",
-      es => ShingleHashes(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_minhash_bands",
-      es => MinhashBandSigs(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_simhash",
-      es => SimHash32(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_doc_fingerprint",
-      es => DocFingerprint(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_cosine",
-      es => CosineSim(es.head, es(1)), "scala_udf")
-    r.createOrReplaceTempFunction("graft_lsh_bucket",
-      es => LshBucket(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_kmv_distinct",
-      es => KmvDistinct(es.head).toAggregateExpression(), "scala_udf")
-    r.createOrReplaceTempFunction("graft_bigram_hashes",
-      es => BigramHashes(es.head), "scala_udf")
-    r.createOrReplaceTempFunction("graft_bottomk",
-      es => BottomKByHash(es(0), es(1)).toAggregateExpression(), "scala_udf")
+    builders.foreach { case (name, _, b) =>
+      if (!r.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        r.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }

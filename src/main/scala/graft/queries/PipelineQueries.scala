@@ -24,7 +24,11 @@ object PipelineQueries {
     * `.cache()` already dedupes the DATA via CacheManager plan-matching,
     * but every call still re-builds and re-analyzes the (HOF-heavy) plan
     * tree — measurable when 70+ bench queries each re-derive the same
-    * tokenization chain. DataFrames are immutable; sharing is safe. */
+    * tokenization chain. DataFrames are immutable; sharing is safe.
+    * Entries live for the session's lifetime (no eviction): the drivers
+    * that exist (Verify/Bench/ScaleSmoke/Cli) touch at most two dirs per
+    * process, bounding retention at a handful of cached frames — a
+    * long-lived multi-tenant service would want unpersist-on-evict. */
   private val frameMemo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
   private def memo(s: SparkSession, dir: String, key: String)(
@@ -469,8 +473,12 @@ object PipelineQueries {
     * anywhere, so the shape survives 100 TB (span-hash keys partition
     * uniformly by construction). */
   def dSpanDedup(s: SparkSession, dir: String): DataFrame = {
+    // native kernel, not the interpreted HOF twin: the nested
+    // aggregate-over-slice lambda is exactly the per-row cost the native
+    // expressions exist to avoid (PT.spanHashesSpark stays as the
+    // dialect-parity reference, property-tested in NativeExpressionsSpec)
     val sp = tokenHashes(s, dir)
-      .select(col("doc_id"), expr(PT.spanHashesSpark("th")).as("spans"))
+      .select(col("doc_id"), expr("graft_span_hashes(th)").as("spans"))
       .filter(size(col("spans")) >= 1)
     val g = sp.select(col("doc_id"), explode(col("spans")).as("g"))
     // per-span doc count as a whole-partition window, not agg + join-back:
@@ -489,11 +497,13 @@ object PipelineQueries {
   /** Benchmark decontamination: flag corpus docs whose 3-gram shingle sets
     * overlap a held-out benchmark set (here the deterministic pseudo-
     * benchmark doc_id % 97 == 0) in >= 3 distinct shingles — the
-    * eval-leakage scrub every training corpus runs. The benchmark's
-    * distinct shingle hashes are orders of magnitude smaller than the
-    * corpus (benchmarks are small by nature), so the probe side
-    * broadcasts and the corpus-side explode never shuffles; per-doc
-    * overlap counting is one keyed aggregation. */
+    * eval-leakage scrub every training corpus runs. A REAL benchmark set
+    * is tiny and constant-size, but this pseudo-benchmark is 1/97 of the
+    * corpus — it grows with the data — so the join strategy is left to
+    * AQE: it broadcasts the probe side when measured small (as it is at
+    * bench SFs) and falls back to a shuffle equi-join on the shingle
+    * hash when it isn't, instead of a forced broadcast blowing the 8 GB
+    * cap at scale. Per-doc overlap counting is one keyed aggregation. */
   def dDecontaminate(s: SparkSession, dir: String): DataFrame = {
     val sh = shingles(s, dir)
     val bench = sh.filter(col("doc_id") % 97 === 0)
@@ -501,7 +511,7 @@ object PipelineQueries {
     sh.filter(col("doc_id") % 97 =!= 0)
       .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"),
         explode(col("sh")).as("g"))
-      .join(broadcast(bench), "g")
+      .join(bench, "g")
       .groupBy("doc_id", "n_shingles")
       .agg(count(lit(1)).as("n_overlap"))
       .filter(col("n_overlap") >= 3)

@@ -79,6 +79,25 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(agg === win)
   }
 
+  test("bottom-k carries multiplicity: duplicate rows rank like row_number") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_dupdoc").toString
+    // doc 7 appears twice in the same source — row_number gives it two
+    // ranks, so the bounded-state aggregate must keep both copies
+    Seq((7L, "dup text", "en", "web", 1L),
+      (7L, "dup text", "en", "web", 1L),
+      (8L, "other", "en", "web", 2L),
+      (9L, "third", "en", "web", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val win = PipelineQueries.dSampleK(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val agg = PipelineQueries.dSampleBottomk(spark, d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(agg.toSeq === win.toSeq)
+    assert(agg.count(_._2 == 7L) === 2)
+  }
+
   test("sample-k is deterministic and bounded per group") {
     val a = PipelineQueries.dSampleK(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))

@@ -24,17 +24,18 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
           Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
             org.apache.spark.sql.catalyst.expressions.Expression)]]
     val names = injected.map(_._1.funcName).toSet
-    val expected = Set("graft_tokens", "graft_token_hashes",
-      "graft_string_hash", "graft_shingles", "graft_minhash_bands",
-      "graft_simhash", "graft_doc_fingerprint", "graft_cosine",
-      "graft_lsh_bucket")
-    assert(expected.subsetOf(names),
-      s"missing injections: ${expected -- names}")
+    // the injection list IS native.builders, so a function registered for
+    // queries can never be missing from an extension-configured session
+    // (graft_bottomk was exactly that gap before the lists were unified)
+    val expected = graft.functions.native.builders.map(_._1).toSet
+    assert(names === expected,
+      s"extension/injection drift: ${expected -- names} ${names -- expected}")
     // each builder constructs a well-typed expression from dummy children
     import org.apache.spark.sql.catalyst.expressions.Literal
-    injected.filter(t => expected(t._1.funcName)).foreach {
+    val binary = Set("graft_cosine", "graft_bottomk")
+    injected.foreach {
       case (id, _, builder) =>
-        val arity = if (id.funcName == "graft_cosine") 2 else 1
+        val arity = if (binary(id.funcName)) 2 else 1
         val e = builder(Seq.fill(arity)(Literal(null)))
         assert(e.dataType != null, s"${id.funcName} builder failed")
     }

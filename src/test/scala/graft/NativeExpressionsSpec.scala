@@ -66,6 +66,13 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     checkRows(df, "graft_simhash(th)", PT.simhashSpark("th"))
     checkRows(df, "graft_doc_fingerprint(th)", PT.docFingerprintSpark("th"))
     checkRows(df, "graft_bigram_hashes(th)", PT.bigramHashesSpark("th"))
+    // span hashes: both sides dedupe keeping first occurrence, so the
+    // arrays are order-identical, not just set-equal
+    checkRows(df, "graft_span_hashes(th)", PT.spanHashesSpark("th"))
+    // variable-length docs exercise the <8-token empty-span guard
+    val varLen = tokensDf(samples(Gen.listOf(token), 40))
+      .select(expr("graft_token_hashes(toks)").as("th"))
+    checkRows(varLen, "graft_span_hashes(th)", PT.spanHashesSpark("th"))
   }
 
   test("string hash parity on printable ascii") {
