@@ -486,6 +486,38 @@ object RelationalQueries {
       .select(col("window.start").cast(TimestampNTZType).as("win_start"),
         col("event_type"), col("n"), col("v_sum"))
 
+  /** Bounded-frame moving aggregate: per-user 3-row trailing average —
+    * the ROWS BETWEEN k PRECEDING frame the unbounded running sum
+    * (q_window) doesn't exercise. Same single (user_id) keyed shuffle;
+    * the bounded frame keeps O(k) state per row at evaluation. */
+  def qMovingAvg(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("t"), col("event_id"))
+      .rowsBetween(-2, 0)
+    // ordering column must be validity-filtered (null ordering diverges
+    // across engines: Spark nulls-first, DuckDB nulls-last)
+    TSA.filterValid(AggQueries.events(s, dir), AggQueries.cfg)
+      .select(col("event_id"), col("user_id"), col(TSA.T).as("t"),
+        col("value"))
+      .withColumn("mov_avg",
+        sum(dec(col("value"))).over(w).cast(DoubleType) /
+          count(lit(1)).over(w).cast(DoubleType))
+      .select("event_id", "user_id", "t", "mov_avg")
+  }
+
+  /** NTILE bucketing: quartile of each event's value within its event
+    * type — the equal-frequency binning primitive (feature bucketing /
+    * outlier tiers). Partitioned by type, so no global sort exists; ties
+    * broken by event_id for a total order both engines agree on. */
+  def qNtile(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("value"), col("event_id"))
+    AggQueries.events(s, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .withColumn("quartile", ntile(4).over(w).cast(LongType))
+  }
+
   private val discExpr =
     """CAST(CAST(l_extendedprice AS VARCHAR) AS DECIMAL(18,4)) *
       |(CAST(CAST(1 AS VARCHAR) AS DECIMAL(18,4)) - CAST(CAST(l_discount AS VARCHAR) AS DECIMAL(18,4)))""".stripMargin
@@ -695,6 +727,20 @@ object RelationalQueries {
         |         AS est_users,
         |       CAST(nexact AS BIGINT) AS exact_users
         |FROM k JOIN x USING (event_type)""".stripMargin,
+    "q_moving_avg" ->
+      """SELECT event_id, user_id, epoch_us(ts) AS t,
+        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE)
+        |         / CAST(count(*) OVER w AS DOUBLE) AS mov_avg
+        |FROM events
+        |WHERE ts IS NOT NULL AND epoch_us(ts) > 0
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin,
+    "q_ntile" ->
+      """SELECT event_id, event_type, value,
+        |       CAST(ntile(4) OVER (PARTITION BY event_type
+        |         ORDER BY value, event_id) AS BIGINT) AS quartile
+        |FROM events
+        |WHERE value IS NOT NULL AND event_type IS NOT NULL""".stripMargin,
     "q_grouping_sets" ->
       """WITH e AS (
         |  SELECT event_type, epoch_us(ts) // 604800000000 AS wk, value
@@ -784,6 +830,8 @@ object RelationalQueries {
     "q_json_props" -> (qJsonProps _),
     "q_merge_intervals" -> (qMergeIntervals _),
     "q_grouping_sets" -> (qGroupingSets _),
-    "q_window_sliding" -> (qWindowSliding _)
+    "q_window_sliding" -> (qWindowSliding _),
+    "q_moving_avg" -> (qMovingAvg _),
+    "q_ntile" -> (qNtile _)
   )
 }

@@ -98,6 +98,26 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(agg.count(_._2 == 7L) === 2)
   }
 
+  test("sequence packing: offsets are contiguous and bins respect the order") {
+    val r = PipelineQueries.dPackSequences(spark, dir).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+      .groupBy(_._1)
+    r.values.foreach { docs =>
+      val inOrder = docs.sortBy(_._2) // doc_id order within the source
+      // offsets are the running token count: each doc starts where the
+      // previous ended, first starts at 0
+      var cum = 0L
+      inOrder.foreach { case (_, _, nTok, binId, off) =>
+        assert(binId === cum / 2048 && off === cum % 2048)
+        cum += nTok
+      }
+      // bin ids never decrease in pack order
+      assert(inOrder.map(_._4).sliding(2).forall(w =>
+        w.length < 2 || w(0) <= w(1)))
+    }
+  }
+
   test("sample-k is deterministic and bounded per group") {
     val a = PipelineQueries.dSampleK(spark, dir).collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(x => (x._1, x._2))
