@@ -467,11 +467,10 @@ object PipelineQueries {
   /** Exact-substring duplication signal (RefinedWeb/DCLM-style): for every
     * doc, the fraction of its distinct 8-token spans that also occur in at
     * least one other document. A high fraction means the doc is largely
-    * verbatim-copied text even when whole-doc hashes differ. Two keyed
-    * shuffles — explode spans, count docs per span hash, re-aggregate per
-    * doc — each linear in total span count; no pairwise comparison
-    * anywhere, so the shape survives 100 TB (span-hash keys partition
-    * uniformly by construction). */
+    * verbatim-copied text even when whole-doc hashes differ. Keyed
+    * shuffles only — explode spans, count docs per span hash, re-aggregate
+    * per doc — each linear in total span count; no pairwise comparison
+    * anywhere, so the shape survives 100 TB. */
   def dSpanDedup(s: SparkSession, dir: String): DataFrame = {
     // native kernel, not the interpreted HOF twin: the nested
     // aggregate-over-slice lambda is exactly the per-row cost the native
@@ -481,11 +480,15 @@ object PipelineQueries {
       .select(col("doc_id"), expr("graft_span_hashes(th)").as("spans"))
       .filter(size(col("spans")) >= 1)
     val g = sp.select(col("doc_id"), explode(col("spans")).as("g"))
-    // per-span doc count as a whole-partition window, not agg + join-back:
-    // one exchange on the span key instead of two, and the exploded frame
-    // is evaluated once
-    g.withColumn("n_docs",
-        count(lit(1)).over(Window.partitionBy("g")))
+    // per-span doc count as groupBy + join-back, NOT a span-key window:
+    // span-hash values are uniform over DISTINCT spans, but row count per
+    // span follows the duplication being measured — a license header shared
+    // by millions of docs is ONE window partition that AQE cannot split.
+    // The aggregate gets map-side partial combine (a hot span collapses to
+    // one row per map task) and the join-back is AQE-skew-splittable; the
+    // extra exchange moves only the distinct-span frame.
+    val perSpan = g.groupBy("g").agg(count(lit(1)).as("n_docs"))
+    g.join(perSpan, "g")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_spans"),
         sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
@@ -524,8 +527,8 @@ object PipelineQueries {
     * tf * 1e6 div df in exact BIGINT arithmetic, so the ranking is
     * engine-reproducible bit-for-bit (log-based idf is monotone in 1/df,
     * so the per-doc ordering this produces matches classic tf-idf whenever
-    * tf ties break the same way; ties go to the lower term hash). Three
-    * keyed shuffles — tf by (doc, term), df by term, rank by doc — all
+    * tf ties break the same way; ties go to the lower term hash). Keyed
+    * shuffles — tf by (doc, term), df by term, rank by doc — all
     * linear; the df frame is vocabulary-sized, joined back on the term
     * key, never collected. */
   def tTfidf(s: SparkSession, dir: String): DataFrame = {
@@ -534,10 +537,14 @@ object PipelineQueries {
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("t"))
-    // df = rows per term in the one-row-per-(doc,term) tf frame, computed
-    // as a whole-partition window: one exchange on the term key instead of
-    // a vocabulary aggregate joined back
-    tf.withColumn("df", count(lit(1)).over(Window.partitionBy("t")))
+    // df as groupBy + join-back, NOT a term-key window: term frequency is
+    // Zipfian, so the hottest stopword co-locates rows from nearly every
+    // doc into one window partition that AQE cannot split. The aggregate
+    // gets map-side partial combine (a stopword collapses to one row per
+    // map task) and the join-back on the term key is AQE-skew-splittable;
+    // the extra exchange moves only the vocabulary-sized df frame.
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(df, "t")
       .withColumn("score", expr("tf * 1000000L div df"))
       .withColumn("rk", row_number().over(w).cast(LongType))
       .filter(col("rk") <= 3)

@@ -178,6 +178,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
         s"got ${scan.selectedPartitions.partitionCount}")
   }
 
+  test("tfidf df and span-dedup counts are aggregates, not hot-key windows") {
+    // df-per-term and docs-per-span follow Zipf/duplication distributions:
+    // a stopword or boilerplate span puts a whole-corpus-sized partition
+    // under a Window that AQE cannot split. Both must plan the count as a
+    // partial/final aggregate joined back on the key (map-side combine +
+    // AQE skew join). t_tfidf keeps exactly one window — the per-doc rank,
+    // whose partition key (doc_id) is bounded by doc size; d_span_dedup
+    // keeps none.
+    def windows(q: String) = nodes(physical(q)).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    val tfidfWs = windows("t_tfidf")
+    assert(tfidfWs.length == 1,
+      s"t_tfidf plans ${tfidfWs.length} windows (expected only the doc rank)")
+    assert(tfidfWs.head.partitionSpec.exists(_.references.exists(
+      _.name == "doc_id")), "t_tfidf's surviving window must key on doc_id")
+    assert(windows("d_span_dedup").isEmpty,
+      "d_span_dedup must not compute per-span counts with a window")
+    for (q <- Seq("t_tfidf", "d_span_dedup")) {
+      val joins = count(physical(q), p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      assert(joins >= 1, s"$q lost its count join-back")
+    }
+  }
+
   test("q_agg_full data path shares one exchange between its windows") {
     // The dedup lag-window and gap-fill lead-window must reuse the same
     // chunk-hash partitioning, so exactly ONE shuffle carries the full-width
