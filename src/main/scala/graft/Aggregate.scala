@@ -30,7 +30,7 @@ object Aggregate {
     * minimal step, fill above two minimal steps. */
   def udimConfigFor(dim: AggConfig.DimSpec, idCol: String,
       tsCol: Option[String] = None): TSA.UdimConfig = {
-    val hz = dim.expectedCadenceHz.getOrElse(0.0)
+    val hz = dim.cadenceHz.getOrElse(0.0)
     val (minStep, nomStep, gapThr) =
       if (hz > 0) {
         val tol = 1e6 / ((2.0 - TimingCertainty) * hz)
@@ -93,6 +93,48 @@ object Aggregate {
     else {
       val idx = dim.otherDimInds.getOrElse(innerDims.head, 0)
       element_at(col(ivar), idx + 1)
+    }
+  }
+
+  /** Synthesized fill records of a MULTIDIM index variable carry computed
+    * index values, not nulls (reference FillNode.data_for,
+    * aggrelist.py:141-189): element j of the fill row's index array is an
+    * outer sum of per-dimension cadence linspaces — the row's scalar
+    * index_time (already placed on the udim cadence by the gap-fill)
+    * shifted by (j - anchor)/innerHz, where anchor is the
+    * other_dim_indicies element index_time tracks. Applies when the inner
+    * dimension has a configured cadence and fixed size and the element
+    * type is a timestamp; otherwise fill arrays stay null (matching the
+    * reference's plain fill-value path when cadences are absent). */
+  private def fillMultidimIndex(df: DataFrame, config: AggConfig.Config,
+      dim: AggConfig.DimSpec, ivar: String, tsName: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    if (tsName == ivar || !df.columns.contains("is_fill")) return df
+    val vSpec = config.vars.find(v => v.mapTo.getOrElse(v.name) == ivar)
+    val innerDims = vSpec.map(_.dimensions.filter(_ != dim.name))
+      .getOrElse(Nil)
+    val innerHz = innerDims.headOption
+      .flatMap(dim.expectedCadence.get).filter(_ > 0)
+    val innerSize = innerDims.headOption
+      .flatMap(dn => config.dim(dn).flatMap(_.size)).filter(_ > 0)
+    val elemT = df.schema(ivar).dataType match {
+      case ArrayType(t, _) => t
+      case _ => return df
+    }
+    (innerHz, innerSize) match {
+      case (Some(hz), Some(n))
+          if elemT == TimestampNTZType || elemT == TimestampType =>
+        val anchor = dim.otherDimInds.getOrElse(innerDims.head, 0)
+        val stepUs = math.round(1e6 / hz)
+        val baseUs = unix_micros(col(tsName).cast(TimestampType))
+        val arr = transform(
+          sequence(lit(0), lit(n.toInt - 1)),
+          j => timestamp_micros(
+            baseUs + (j - lit(anchor)).cast(LongType) * lit(stepUs))
+            .cast(elemT))
+        df.withColumn(ivar,
+          when(col("is_fill"), arr).otherwise(col(ivar)))
+      case _ => df
     }
   }
 
@@ -159,7 +201,7 @@ object Aggregate {
         val cfg = udimConfigFor(dim, idCol, Some(tsName))
         val withId = prepped.withColumn(idCol, monotonically_increasing_id())
         val aggregated =
-          if (dim.expectedCadenceHz.exists(_ > 0))
+          if (dim.cadenceHz.exists(_ > 0))
             TSA.aggregate(withId, cfg).drop(idCol)
           else {
             // no cadence: only drop invalid index values and clip bounds,
@@ -167,7 +209,7 @@ object Aggregate {
             val valid = TSA.clipBounds(TSA.filterValid(withId, cfg), cfg)
             valid.drop(TSA.T, idCol).withColumn("is_fill", lit(false))
           }
-        (aggregated, tsName)
+        (fillMultidimIndex(aggregated, config, dim, ivar, tsName), tsName)
       case _ =>
         // no indexed unlimited dim: plain concatenation in granule order
         (data.withColumn("is_fill", lit(false)), data.columns.head)
@@ -232,7 +274,7 @@ object Aggregate {
       .clipBounds(graft.core.TimeSeriesAggregator.filterValid(data, cfg), cfg)
       .drop(graft.core.TimeSeriesAggregator.T)
     val deduped =
-      if (dim.expectedCadenceHz.exists(_ > 0))
+      if (dim.cadenceHz.exists(_ > 0))
         graft.streaming.StreamingAgg
           .cadenceDedup(valid, cfg.minStepUs, watermark, tsCol = ivar)
       else valid

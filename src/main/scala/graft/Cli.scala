@@ -7,19 +7,29 @@ import graft.core.{AggConfig, Bounds}
 /** CLI mirroring the reference's `ncagg [OPTIONS] DST [SRC]...`
   * (reference: /root/reference/ncagg/cli.py:152-227):
   *
-  *   runMain graft.Cli DST SRC... [-u udim:ivar[:hz]] [-b bounds]
+  *   runMain graft.Cli DST SRC... [-u udim:ivar[:hz[:hz]]] [-b bounds]
   *                                 [-c udim:chunksize] [-t template.json]
+  *                                 [-l LEVEL]
   *   runMain graft.Cli --generate_template sample.parquet
+  *   runMain graft.Cli -v
   *
   * `-b` accepts `min:max` (epoch micros) or `TYYYY[MM[DD[HH[MM]]]]`
   * bound specs with inferred end. With no `-t`, a default config is
-  * derived from the first granule (reference Config.from_nc).
+  * derived from the first granule (reference Config.from_nc). With no
+  * SRC positionals and a non-interactive stdin, sources are read from
+  * stdin as a whitespace-separated list (reference cli.py:123-150).
+  * `-l` sets the log level (cli.py:181-185); `-v` prints the version.
   * `--generate_template` prints the JSON config template derived from a
   * sample granule and exits (reference cli.py:103-117) — the printed JSON
   * feeds back in via `-t`.
   */
 object Cli {
+  val Version = "0.4.0"
+
   def main(args: Array[String]): Unit = {
+    if (args.contains("-v") || args.contains("--version")) {
+      println(s"graft, version $Version"); return
+    }
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[*]"))
       .config("spark.sql.session.timeZone", "UTC")
@@ -31,8 +41,14 @@ object Cli {
     try run(spark, args) finally spark.stop()
   }
 
-  /** Session-agnostic entry point (testable; `main` owns the session). */
-  def run(spark: SparkSession, args: Array[String]): Map[String, String] = {
+  /** Session-agnostic entry point (testable; `main` owns the session).
+    * `stdinSrcs` injects the piped source list for tests; by default it is
+    * read from System.in when no SRC positionals are given and stdin is
+    * not a terminal. */
+  def run(spark: SparkSession, args: Array[String],
+      stdinSrcs: Option[String] = None): Map[String, String] = {
+    if (args.contains("-v") || args.contains("--version"))
+      return Map("version" -> Version)
     if (args.contains("--generate_template")) {
       // guard the arity, don't fall through: parseArgs would otherwise
       // treat the flag as the DST positional and run a full aggregation
@@ -45,9 +61,31 @@ object Cli {
       return Map("template" -> json)
     }
     val (opts, pos) = parseArgs(args.toList)
-    require(pos.size >= 2, "usage: graft.Cli DST SRC... [-u ...] [-b ...]")
+    // reference cli.py:181-185: -l sets the log level up front
+    opts.get("l").foreach { lvl =>
+      val ok = Set("DEBUG", "INFO", "WARN", "WARNING", "ERROR", "CRITICAL")
+      require(ok(lvl.toUpperCase), s"invalid -l log level: $lvl")
+      spark.sparkContext.setLogLevel(
+        if (lvl.equalsIgnoreCase("WARNING")) "WARN"
+        else if (lvl.equalsIgnoreCase("CRITICAL")) "FATAL"
+        else lvl.toUpperCase)
+    }
+    require(pos.nonEmpty, "usage: graft.Cli DST SRC... [-u ...] [-b ...]")
     val dst = pos.head
-    val srcs = pos.tail
+    // reference cli.py:123-150: with no SRC arguments and a piped stdin,
+    // the source list arrives on stdin whitespace-separated
+    val srcs =
+      if (pos.tail.nonEmpty) pos.tail
+      else {
+        val piped = stdinSrcs.orElse {
+          if (System.console() == null)
+            Some(new String(System.in.readAllBytes(), "UTF-8"))
+          else None
+        }
+        piped.map(_.trim.split("\\s+").filter(_.nonEmpty).toList)
+          .getOrElse(Nil)
+      }
+    require(srcs.nonEmpty, "No files provided as argument or via stdin.")
 
     var config = opts.get("t") match {
       case Some(path) => AggConfig.fromJson(
@@ -56,11 +94,21 @@ object Cli {
       case None => AggConfig.fromGranule(spark.read.parquet(srcs.head))
     }
 
-    // -u udim:ivar[:hz] (reference cli.py:194-201)
+    // -u udim:ivar[:hz[:hz]] (reference cli.py:194-202): the i-th cadence
+    // maps to the i-th dimension of the index VARIABLE — a multidim index
+    // var (e.g. time(record, sample)) takes one cadence per dimension
     opts.get("u").foreach { u =>
       val parts = u.split(":")
+      require(parts.length >= 2, s"-u expects udim:ivar[:hz[:hz]], got: $u")
       val (udim, ivar) = (parts(0), parts(1))
-      val hz = if (parts.length > 2) Some(parts(2).toDouble) else None
+      val cadences = parts.drop(2).map(_.toDouble).toSeq
+      val ivarDims = config.vars
+        .find(v => v.mapTo.getOrElse(v.name) == ivar || v.name == ivar)
+        .map(_.dimensions).getOrElse(Seq(udim))
+      require(cadences.length <= ivarDims.length,
+        s"-u gave ${cadences.length} cadences but $ivar has " +
+          s"${ivarDims.length} dimension(s)")
+      val cadMap = ivarDims.zip(cadences).toMap
       val (lo, hi) = opts.get("b") match {
         case Some(b) =>
           val (l, h) = Bounds.parse(b); (Some(l), Some(h))
@@ -68,7 +116,7 @@ object Cli {
       }
       config = config.copy(dims = config.dims.map { d =>
         if (d.name == udim)
-          d.copy(indexBy = Some(ivar), expectedCadenceHz = hz,
+          d.copy(indexBy = Some(ivar), expectedCadence = cadMap,
             min = lo, max = hi)
         else d
       })

@@ -4,12 +4,18 @@ import org.apache.spark.sql.SparkSession
   * at sf0.1 (usage: runMain graft.TimeOne q1_agg d_minhash_lsh ...). */
 object TimeOne {
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
+    val builder = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+    // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";")).map(_.split("=", 2))
+      .collect { case Array(k, v) => (k, v) }
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val dir = "/root/testdata/sf0.1"
     for (n <- args) {

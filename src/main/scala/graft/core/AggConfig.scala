@@ -23,10 +23,16 @@ object AggConfig {
       indexBy: Option[String] = None,
       min: Option[Long] = None, // epoch micros (or index-var units)
       max: Option[Long] = None,
-      expectedCadenceHz: Option[Double] = None,
+      /** Expected cadence per dimension of the index variable, keyed by
+        * dimension name (reference config.py:232, cli.py:200-202): a
+        * multidim index variable gets one cadence per dimension — e.g.
+        * time(record, sample) with 1 Hz reports of 10 Hz samples. */
+      expectedCadence: Map[String, Double] = Map.empty,
       flatten: Boolean = false,
       otherDimInds: Map[String, Int] = Map.empty) {
     def isUnlimited: Boolean = size.isEmpty
+    /** Cadence along this dimension itself (the single-cadence case). */
+    def cadenceHz: Option[Double] = expectedCadence.get(name)
   }
 
   /** reference config.py:262-303 (VariableConfig schema). */
@@ -101,14 +107,13 @@ object AggConfig {
           indexBy = (d \ "index_by").extractOpt[String],
           min = (d \ "min").extractOpt[Long],
           max = (d \ "max").extractOpt[Long],
-          expectedCadenceHz = (d \ "expected_cadence") match {
+          expectedCadence = (d \ "expected_cadence") match {
             case JObject(fields) =>
-              fields.collectFirst {
-                case (k, JDouble(hz)) if k == (d \ "name").extract[String] => hz
-                case (k, JInt(hz)) if k == (d \ "name").extract[String] =>
-                  hz.toDouble
-              }
-            case _ => None
+              fields.collect {
+                case (k, JDouble(hz)) => k -> hz
+                case (k, JInt(hz)) => k -> hz.toDouble
+              }.toMap
+            case _ => Map.empty[String, Double]
           },
           flatten = (d \ "flatten").extractOpt[Boolean].getOrElse(false),
           otherDimInds = (d \ "other_dim_indicies") match {
@@ -174,7 +179,10 @@ object AggConfig {
         ("min" -> d.min) ~
         ("max" -> d.max) ~
         ("expected_cadence" ->
-          d.expectedCadenceHz.map(hz => JObject(d.name -> JDouble(hz)))) ~
+          (if (d.expectedCadence.isEmpty) None
+           else Some(JObject(d.expectedCadence.toList.sortBy(_._1).map {
+             case (k, hz) => k -> (JDouble(hz): JValue)
+           })))) ~
         ("flatten" -> d.flatten) ~
         ("other_dim_indicies" ->
           (if (d.otherDimInds.isEmpty) None

@@ -226,8 +226,12 @@ object AggQueries {
   }
 
   /** Chunked granule write (reference `-c udim:chunksize`): range-partition
-    * by the index column and cap records per output file. Returns a summary;
-    * rows-only check (writes to a temp dir). */
+    * by the index column and cap records per output file. The result row is
+    * oracle-checkable: content aggregates computed from the READ-BACK files
+    * (count, exact id/value sums) must equal the oracle's aggregates over
+    * the same validity-filtered source — a dropped or duplicated row in the
+    * sink breaks the hash — plus layout invariants (file cap respected,
+    * multiple files written) as 0/1 columns the oracle pins to 1. */
   def qAggChunkedWrite(s: SparkSession, dir: String): DataFrame = {
     // fixed per-process path, overwritten per run: repeated invocations in
     // one process must not accumulate temp granule sets, while two
@@ -260,10 +264,15 @@ object AggQueries {
       TSA.filterValid(events(s, dir), cfg).drop(TSA.T),
       out, sortCol = "ts", maxRecordsPerFile = 10000)
     val back = s.read.parquet(out)
-      .select(input_file_name().as("f"))
+    val layout = back.select(input_file_name().as("f"))
       .groupBy("f").agg(count(lit(1)).as("n"))
-    back.agg(count(lit(1)).as("n_files"), max("n").as("max_rows_per_file"),
-      sum("n").as("total_rows"))
+      .agg((max(col("n")) <= 10000L).cast(LongType).as("chunk_cap_ok"),
+        (count(lit(1)) >= 2L).cast(LongType).as("multi_file"))
+    back.agg(count(lit(1)).as("total_rows"),
+        sum(col("event_id")).as("sum_event_id"),
+        sum(col("value").cast(StringType).cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("v_sum"))
+      .crossJoin(layout)
   }
 
   // ------------------------------------------------------------ oracle SQL
@@ -430,7 +439,17 @@ object AggQueries {
         |  ('T202402', 1706745600000000, 1709251199999999),
         |  ('T20240105:T20240115', 1704412800000000, 1705276800000000),
         |  ('T2023123123', 1704063600000000, 1704067199999999),
-        |  ('100:200', 100, 200)) AS t(spec, lo_us, hi_us)""".stripMargin
+        |  ('100:200', 100, 200)) AS t(spec, lo_us, hi_us)""".stripMargin,
+    // content aggregates over the sink's read-back rows; the layout flags
+    // (cap respected, >1 file) are engine-side invariants the oracle pins
+    "q_agg_chunked_write" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT CAST(count(*) AS BIGINT) AS total_rows,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum,
+         |       CAST(1 AS BIGINT) AS chunk_cap_ok,
+         |       CAST(1 AS BIGINT) AS multi_file
+         |FROM e""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

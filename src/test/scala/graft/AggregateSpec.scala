@@ -38,7 +38,7 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
   private val config = Config(
     dims = Seq(DimSpec("record", size = None, indexBy = Some("time"),
       min = Some(base), max = Some(base + 10L * us),
-      expectedCadenceHz = Some(1.0))),
+      expectedCadence = Map("record" -> 1.0))),
     vars = Seq(
       VarSpec("time", Seq("record"), "timestamp"),
       VarSpec("payload", Seq("record"), "string")),
@@ -114,7 +114,7 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
         |}""".stripMargin
     val c = AggConfig.fromJson(json)
     assert(c.primaryUdim.map(_.name) === Some("record_number"))
-    assert(c.primaryUdim.flatMap(_.expectedCadenceHz) === Some(10.0))
+    assert(c.primaryUdim.flatMap(_.cadenceHz) === Some(10.0))
     assert(c.vars.map(_.name) === Seq("time", "irradiance"))
     assert(c.vars(1).copyFromAlt === Seq("irr_alt"))
     assert(c.attrs.head.strategy === "unique_list")
@@ -131,7 +131,7 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
       dims = Seq(
         AggConfig.DimSpec("record", size = None, indexBy = Some("time"),
           min = Some(100L), max = Some(200L),
-          expectedCadenceHz = Some(10.0)),
+          expectedCadence = Map("record" -> 10.0, "samples" -> 4.0)),
         AggConfig.DimSpec("samples", size = Some(4L),
           otherDimInds = Map("samples" -> 2))),
       vars = Seq(
@@ -186,6 +186,103 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     assert(out.columns.contains("index_time"))
     assert(out.select("payload").collect().map(_.getString(0)).toSeq ===
       Seq("a", "b"))
+  }
+
+  test("multidim index var with two cadences fills computed index arrays") {
+    // time(record, samples): 1 Hz records of 2 samples at 2 Hz. A 3 s gap
+    // between records synthesizes fill rows whose ob_time ARRAYS carry the
+    // cadence-derived values (reference FillNode.data_for linspace sum,
+    // aggrelist.py:141-189), not nulls.
+    val rows = Seq(
+      Row(Seq(ldt(base), ldt(base + 500000L)), "a"),
+      Row(Seq(ldt(base + 3 * us), ldt(base + 3 * us + 500000L)), "b"))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("ob_time", ArrayType(TimestampNTZType)),
+        StructField("payload", StringType))))
+    val tmp = Files.createTempDirectory("graft_mc").toString
+    df.write.parquet(s"$tmp/g")
+    val cfg = Config(
+      dims = Seq(
+        DimSpec("record", None, indexBy = Some("ob_time"),
+          expectedCadence = Map("record" -> 1.0, "samples" -> 2.0),
+          otherDimInds = Map("samples" -> 0)),
+        DimSpec("samples", Some(2))),
+      vars = Seq(
+        VarSpec("ob_time", Seq("record", "samples"), "timestamp"),
+        VarSpec("payload", Seq("record"), "string")),
+      attrs = Nil)
+    Aggregate.run(spark, Seq(s"$tmp/g"), s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("index_time")
+    val fills = out.filter(col("is_fill"))
+      .select("ob_time", "index_time").collect()
+    assert(fills.length === 2) // gap fills at +1s, +2s
+    fills.foreach { r =>
+      val arr = r.getSeq[java.time.LocalDateTime](0)
+      val t0 = r.getAs[java.time.LocalDateTime]("index_time")
+      assert(arr.length === 2)
+      assert(arr(0) === t0) // anchor element = the scalar index
+      assert(arr(1) === t0.plusNanos(500000000L)) // +1/2Hz
+    }
+  }
+
+  test("Cli -u parses multiple cadences onto the index var's dimensions") {
+    val tmp = Files.createTempDirectory("graft_cli_mc").toString
+    val rows = Seq(
+      Row(Seq(ldt(base), ldt(base + 500000L)), "a"),
+      Row(Seq(ldt(base + 3 * us), ldt(base + 3 * us + 500000L)), "b"))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("ob_time", ArrayType(TimestampNTZType)),
+        StructField("payload", StringType))))
+      .write.parquet(s"$tmp/g")
+    // template declares the multidim shape; -u supplies both cadences
+    val tpl = AggConfig.toJson(Config(
+      dims = Seq(
+        DimSpec("record", None, otherDimInds = Map("samples" -> 0)),
+        DimSpec("samples", Some(2))),
+      vars = Seq(
+        VarSpec("ob_time", Seq("record", "samples"), "timestamp"),
+        VarSpec("payload", Seq("record"), "string")),
+      attrs = Nil))
+    val tplPath = s"$tmp/tpl.json"
+    Files.writeString(java.nio.file.Paths.get(tplPath), tpl)
+    Cli.run(spark, Array(s"$tmp/out", s"$tmp/g",
+      "-t", tplPath, "-u", "record:ob_time:1:2"))
+    val out = spark.read.parquet(s"$tmp/out")
+    val fill = out.filter(col("is_fill")).orderBy("index_time").first()
+    val arr = fill.getSeq[java.time.LocalDateTime](
+      fill.fieldIndex("ob_time"))
+    assert(arr(1) === arr(0).plusNanos(500000000L)) // inner 2 Hz applied
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array(s"$tmp/out2", s"$tmp/g",
+        "-t", tplPath, "-u", "record:ob_time:1:2:3")) // 3 cadences, 2 dims
+    }
+  }
+
+  test("Cli reads the source list from stdin when no SRC args are given") {
+    val tmp = Files.createTempDirectory("graft_cli_stdin").toString
+    val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
+    val b = writeGranule(tmp, "g_b", Seq(base + 2 * us, base + 3 * us))
+    Cli.run(spark, Array(s"$tmp/out", "-u", "record:time:1"),
+      stdinSrcs = Some(s"$a\n$b\n"))
+    assert(spark.read.parquet(s"$tmp/out").count() === 4)
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array(s"$tmp/out2"), stdinSrcs = Some("  "))
+    }
+  }
+
+  test("Cli -v prints the version; -l sets the log level") {
+    assert(Cli.run(spark, Array("-v")) === Map("version" -> Cli.Version))
+    val tmp = Files.createTempDirectory("graft_cli_l").toString
+    val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))
+    Cli.run(spark, Array(s"$tmp/out", a, "-l", "ERROR"))
+    assert(spark.read.parquet(s"$tmp/out").count() === 2)
+    intercept[IllegalArgumentException] {
+      Cli.run(spark, Array(s"$tmp/out2", a, "-l", "LOUD"))
+    }
   }
 
   test("take_dim_indicies extracts one inner-dim index from array vars") {

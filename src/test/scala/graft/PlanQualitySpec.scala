@@ -31,9 +31,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
   test("every registry query has a DuckDB oracle unless known rows-only") {
     // the driver's correctness gate hash-compares against oracleSql; a
     // query without an oracle entry silently degrades to a rows-only check
-    val rowsOnly = Set("q_agg_chunked_write") // writes files; output shape
-    val missing = SparkEntry.queries.keySet --
-      SparkEntry.oracleSql.keySet -- rowsOnly
+    val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
