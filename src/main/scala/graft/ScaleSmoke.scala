@@ -12,6 +12,15 @@ import graft.core.{TimeSeriesAggregator => TSA}
   * driver-side collect blows up superlinearly — this is the local stand-in
   * for the 100 TB scale-up question (SURVEY.md §4).
   *
+  * The SKEWED family exists because uniform replicas can't surface hot-key
+  * pathologies: `documents_zipf` gives every doc a shared token (df ≈ N)
+  * plus a verbatim boilerplate sentence on half the docs (one span hash
+  * covering N/2 docs) — the stopword-df / license-header skew every real
+  * corpus has; `events_hot` funnels half of all events onto one user_id.
+  * Each timed run reports max/median task duration: a hot key that lands
+  * in one unsplittable partition shows up as a straggler ratio even when
+  * wall-clock still looks fine at local scale.
+  *
   * Usage: runMain graft.ScaleSmoke [factor]   (default 10)
   */
 object ScaleSmoke {
@@ -62,6 +71,57 @@ object ScaleSmoke {
         .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     }
 
+    if (!new java.io.File(s"$dir/documents_zipf.parquet").isDirectory) {
+      // Zipfian skew: token z0 in EVERY doc (stopword df), z1 in half,
+      // z2 in a quarter; half the docs share a verbatim 9-token
+      // boilerplate sentence (license-header span skew)
+      val boiler = " all rights reserved redistribution permitted under" +
+        " the public license"
+      Tables.load(spark, sf, "documents")
+        .withColumn("__i", explode(expr(s"sequence(0, ${factor - 1})")))
+        .withColumn("doc_id", col("doc_id") + col("__i") * 100000000L)
+        .withColumn("text", concat(
+          col("text"), lit(" z0"),
+          when(col("doc_id") % 2 === 0, lit(" z1")).otherwise(lit("")),
+          when(col("doc_id") % 4 === 0, lit(" z2")).otherwise(lit("")),
+          when(col("doc_id") % 2 === 0, lit(boiler)).otherwise(lit(""))))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/documents_zipf.parquet")
+    }
+    if (!new java.io.File(s"$dir/events_hot.parquet").isDirectory) {
+      // hot-key events: half of all rows funneled onto user_id 1
+      Tables.load(spark, sf, "events")
+        .withColumn("__i", explode(expr(s"sequence(0, ${factor - 1})")))
+        .withColumn("ts",
+          col("ts") + expr("make_dt_interval(__i * 30, 0, 0, 0)"))
+        .withColumn("event_id", col("event_id") + col("__i") * 100000000L)
+        .withColumn("user_id",
+          when(col("event_id") % 2 === 0, 1L).otherwise(col("user_id")))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/events_hot.parquet")
+    }
+    val zipfDir = {
+      // PipelineQueries.tbl resolves "<dir>/documents.parquet": expose the
+      // zipf corpus through a directory of symlinks shaped like an sf dir
+      val d = java.nio.file.Paths.get(s"$dir/zipf_sf")
+      java.nio.file.Files.createDirectories(d)
+      val link = d.resolve("documents.parquet")
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.createSymbolicLink(link,
+        java.nio.file.Paths.get(s"$dir/documents_zipf.parquet"))
+      d.toString
+    }
+
+    // per-run task-duration stats: a hot key inside one unsplittable
+    // partition appears as max/median straggler ratio
+    val taskDurations = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onTaskEnd(
+            e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+          if (e.taskInfo != null) taskDurations.add(e.taskInfo.duration)
+      })
+
     val cfgNB = graft.queries.AggQueries.cfg.copy(boundsUs = None)
     def aggCore(ev: DataFrame): DataFrame =
       TSA.gapFill(TSA.dedupe(TSA.filterValid(ev, cfgNB), cfgNB), cfgNB)
@@ -69,11 +129,22 @@ object ScaleSmoke {
       li.groupBy("l_returnflag", "l_linestatus")
         .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
 
-    def time(df: => DataFrame): Double = {
+    val skewRatios = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def time(df: => DataFrame): Double = timeNamed(null, df)
+    def timeNamed(name: String, df: => DataFrame): Double = {
       df.write.format("noop").mode("overwrite").save() // warm
+      taskDurations.clear()
       val t0 = System.nanoTime()
       df.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (name != null) {
+        import scala.jdk.CollectionConverters._
+        val ds = taskDurations.asScala.toSeq.sorted
+        if (ds.nonEmpty && ds(ds.size / 2) > 0)
+          skewRatios(name) =
+            ds.last.toDouble / math.max(ds(ds.size / 2), 1L).toDouble
+      }
+      dt
     }
 
     val ev1 = Tables.load(spark, sf, "events")
@@ -92,10 +163,35 @@ object ScaleSmoke {
       "span_dedup_1x" -> time(PipelineQueries.dSpanDedup(spark, sf)),
       s"span_dedup_${factor}x" -> time(PipelineQueries.dSpanDedup(spark, dir)),
       "tfidf_1x" -> time(PipelineQueries.tTfidf(spark, sf)),
-      s"tfidf_${factor}x" -> time(PipelineQueries.tTfidf(spark, dir)))
+      s"tfidf_${factor}x" -> time(PipelineQueries.tTfidf(spark, dir)),
+      // skewed family: Zipf tokens + boilerplate spans; hot-key events
+      s"tfidf_zipf_${factor}x" ->
+        timeNamed("tfidf_zipf", PipelineQueries.tTfidf(spark, zipfDir)),
+      s"span_dedup_zipf_${factor}x" ->
+        timeNamed("span_dedup_zipf", PipelineQueries.dSpanDedup(spark, zipfDir)),
+      s"agg_core_hot_${factor}x" ->
+        timeNamed("agg_core_hot",
+          aggCore(spark.read.parquet(s"$dir/events_hot.parquet"))),
+      s"sessionize_hot_${factor}x" ->
+        timeNamed("sessionize_hot", {
+          val e = TSA.filterValid(TSA.withEpochUs(
+            spark.read.parquet(s"$dir/events_hot.parquet"), "ts"), cfgNB)
+          import org.apache.spark.sql.expressions.Window
+          val w = Window.partitionBy("user_id")
+            .orderBy(col(TSA.T), col("event_id"))
+          e.withColumn("__prev", lag(col(TSA.T), 1).over(w))
+            .withColumn("__new", when(col("__prev").isNull ||
+              col(TSA.T) - col("__prev") > 1800000000L, 1L).otherwise(0L))
+            .withColumn("session_id", sum(col("__new")).over(
+              w.rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy(col("user_id"), col("session_id"))
+            .agg(count(lit(1)).as("n_events"))
+        }))
     val js = r.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
+    val sk = skewRatios.map { case (k, v) =>
+      f""""skew_$k":$v%.1f""" }.mkString(",")
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
-    println(s"""{"metric":"scale_smoke","factor":$factor,$js,""" +
+    println(s"""{"metric":"scale_smoke","factor":$factor,$js,$sk,""" +
       s""""rows_events":${evN.count()},"rows_lineitem":${liN.count()},""" +
       s""""rows_documents":$nDocs}""")
     spark.stop()

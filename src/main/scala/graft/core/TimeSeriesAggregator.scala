@@ -159,10 +159,16 @@ object TimeSeriesAggregator {
     def fillSeq(n: Column, tOf: Column => Column): Column =
       when(n >= 1L, transform(sequence(lit(1L), n), k => tOf(k)))
         .otherwise(array().cast("array<bigint>"))
+    // fill count = round(gap/step) - 1 (reference aggregator.py:170-172:
+    // round((gap - dt_nom) * hz)): rounding keeps synthesized rows on the
+    // cadence grid never closer than ~half a step to the resuming record;
+    // a truncating (gap-1) div step overfills when the gap carries a small
+    // positive jitter. (2g - N) div 2N is the same value in exact integers.
     val interior = fillSeq(
       when(col("__next_t").isNotNull &&
           col("__next_t") - col(T) > cfg.gapThresholdUs,
-        expr(s"(__next_t - $T - 1) div ${nom}L")).otherwise(lit(0L)),
+        expr(s"(2 * (__next_t - $T) - ${nom}L) div ${2 * nom}L"))
+        .otherwise(lit(0L)),
       k => col(T) + k * lit(nom))
     val tsArr = edges match {
       case Some((lo, hi)) =>

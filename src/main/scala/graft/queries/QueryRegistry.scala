@@ -126,7 +126,7 @@ object QueryRegistry {
         |             ORDER BY t, event_id) AS prev_t FROM e),
         |f AS (SELECT user_id,
         |             unnest(list_transform(
-        |               range(1, (t - prev_t - 1) // 86400000000 + 1),
+        |               range(1, (2 * (t - prev_t) - 86400000000) // 172800000000 + 1),
         |               k -> prev_t + k * 86400000000)) AS t
         |      FROM o
         |      WHERE prev_t IS NOT NULL AND t - prev_t > 172800000000)

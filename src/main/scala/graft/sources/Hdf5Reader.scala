@@ -1,0 +1,791 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+/** Minimal pure-JVM reader for the HDF5 subset that netcdf-c writes
+  * (NetCDF-4 classic-model files) — enough to ingest the reference's own
+  * `.nc` fixtures (e.g. /root/reference/test/mag/magnl2hires_5min) without
+  * any native HDF5 dependency. Implemented from the public HDF5 File Format
+  * Specification (version 3); structure names below follow the spec.
+  *
+  * Supported (= what netcdf-c emits for classic-model files):
+  *   - superblock v0/v2/v3, 8-byte offsets/lengths
+  *   - object headers v1 and v2 (OHDR) with continuation blocks (OCHK)
+  *   - group links: inline Link messages, old-style symbol tables
+  *     (TREE/SNOD + local heap), and dense storage (fractal heap FRHP +
+  *     v2 B-tree BTHD)
+  *   - attributes: inline (v1/v2/v3 messages) and dense (Attribute Info +
+  *     fractal heap)
+  *   - datatypes: fixed ints (signed/unsigned, 1-8 bytes), IEEE floats
+  *     (4/8), fixed strings, vlen strings/sequences (global heap GCOL),
+  *     object references
+  *   - dataset layouts v3: compact, contiguous, chunked (v1 chunk B-tree)
+  *   - filters: deflate (java.util.zip) and shuffle; fletcher32 checksums
+  *     are stripped, not verified
+  *
+  * Not supported (not produced by netcdf-c for classic-model data):
+  *   user-block offsets, non-default size-of-offsets, compound datasets
+  *   (read as raw/skipped), szip, v4 layouts, file driver info.
+  */
+object Hdf5Reader {
+
+  private val Undefined = -1L // 0xFFFFFFFFFFFFFFFF as signed
+
+  // ------------------------------------------------------------- datatypes
+
+  sealed trait H5Type { def size: Int }
+  final case class H5Int(size: Int, signed: Boolean) extends H5Type
+  final case class H5Float(size: Int) extends H5Type
+  final case class H5FixedString(size: Int) extends H5Type
+  /** vlen of `base`; `isString` marks vlen strings. */
+  final case class H5Vlen(base: H5Type, isString: Boolean) extends H5Type {
+    val size = 16 // (length 4, gheap addr 8, index 4)
+  }
+  final case class H5Reference() extends H5Type { val size = 8 }
+  /** anything we don't decode (compound, enum...): kept as raw bytes. */
+  final case class H5Opaque(size: Int) extends H5Type
+
+  final case class Message(typ: Int, off: Int, size: Int)
+
+  final case class Dataset(
+      name: String,
+      addr: Long, // object header address (== reference target)
+      shape: Seq[Long],
+      maxShape: Seq[Long],
+      dtype: H5Type,
+      attrs: Map[String, Any]) {
+    def isUnlimited(i: Int): Boolean = maxShape.lift(i).contains(Undefined)
+  }
+
+  final case class H5File(
+      rootAttrs: Map[String, Any],
+      datasets: Seq[Dataset],
+      reader: Reader) {
+    /** Flat row-major values of a dataset: Array of Long/Double/Float/
+      * Int/String depending on the datatype. */
+    def read(ds: Dataset): AnyRef = reader.readData(ds)
+  }
+
+  def open(path: String): H5File =
+    open(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+
+  def open(bytes: Array[Byte]): H5File = {
+    val r = new Reader(bytes)
+    val root = r.superblockRootOH()
+    val msgs = r.objectHeader(root)
+    val links = r.groupLinks(msgs)
+    val dss = links.map { case (name, addr) =>
+      val m = r.objectHeader(addr)
+      val (shape, maxShape) = r.dataspace(m)
+      Dataset(name, addr, shape, maxShape, r.datatype(m), r.attributes(m))
+    }
+    H5File(r.attributes(msgs), dss, r)
+  }
+
+  /** Stateless over one file's bytes; all offsets are absolute. */
+  final class Reader(d: Array[Byte]) {
+
+    private def u8(p: Int): Int = d(p) & 0xff
+    private def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
+    private def u32(p: Int): Long =
+      u16(p).toLong | (u16(p + 2).toLong << 16)
+    private def u64(p: Int): Long = u32(p) | (u32(p + 4) << 32)
+    private def uN(p: Int, n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v |= (u8(p + i).toLong << (8 * i)); i += 1 }
+      v
+    }
+
+    // ------------------------------------------------------- superblock
+
+    def superblockRootOH(): Long = {
+      require(d.length > 72 &&
+        java.util.Arrays.equals(d.slice(0, 8),
+          Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+            .map(_.toByte)),
+        "not an HDF5 file")
+      u8(8) match {
+        case 0 | 1 =>
+          require(u8(13) == 8 && u8(14) == 8,
+            "only 8-byte offsets/lengths supported")
+          // root group symbol table entry at 56: name offset(8), OH addr(8)
+          u64(64)
+        case 2 | 3 =>
+          require(u8(9) == 8 && u8(10) == 8,
+            "only 8-byte offsets/lengths supported")
+          u64(36) // base(8) ext(8) eof(8) rootOH at 12+24
+        case v => throw new IllegalArgumentException(s"superblock v$v")
+      }
+    }
+
+    // --------------------------------------------------- object headers
+
+    /** All messages of a v1 or v2 object header, continuations followed. */
+    def objectHeader(addr: Long): Seq[Message] = {
+      val a = addr.toInt
+      if (sig(a, "OHDR")) ohV2(a) else ohV1(a)
+    }
+
+    private def sig(p: Int, s: String): Boolean =
+      p >= 0 && p + 4 <= d.length &&
+        (0 until 4).forall(i => d(p + i) == s.charAt(i).toByte)
+
+    private def ohV1(a: Int): Seq[Message] = {
+      require(u8(a) == 1, s"object header v${u8(a)} at $a")
+      val nmsg = u16(a + 2)
+      val hsize = u32(a + 8).toInt
+      val msgs = Seq.newBuilder[Message]
+      var blocks = List((a + 16, hsize))
+      var seen = 0
+      while (blocks.nonEmpty && seen < nmsg) {
+        val (boff, bsize) = blocks.head; blocks = blocks.tail
+        var p = boff
+        while (p + 8 <= boff + bsize && seen < nmsg) {
+          val t = u16(p); val sz = u16(p + 2); val body = p + 8
+          if (t == 0x10) blocks :+= ((u64(body).toInt, u64(body + 8).toInt))
+          msgs += Message(t, body, sz)
+          seen += 1
+          p = body + sz
+        }
+      }
+      msgs.result()
+    }
+
+    private def ohV2(a: Int): Seq[Message] = {
+      val flags = u8(a + 5)
+      var p = a + 6
+      if ((flags & 0x20) != 0) p += 16 // times
+      if ((flags & 0x10) != 0) p += 4 // compact/dense thresholds
+      val c0s = 1 << (flags & 3)
+      val size0 = uN(p, c0s).toInt; p += c0s
+      val trackOrder = (flags & 4) != 0
+      val msgs = Seq.newBuilder[Message]
+      // (start, end-exclusive-of-checksum)
+      var blocks = List((p, p + size0 - 4))
+      while (blocks.nonEmpty) {
+        var (q, end) = blocks.head; blocks = blocks.tail
+        var done = false
+        while (!done && q + 4 <= end) {
+          val t = u8(q); val sz = u16(q + 1)
+          q += 4
+          if (trackOrder) q += 2
+          if (q + sz > end) done = true
+          else {
+            if (t == 0x10) {
+              val caddr = u64(q).toInt; val csize = u64(q + 8).toInt
+              // continuation block: OCHK sig + messages + checksum
+              require(sig(caddr, "OCHK"), "bad OCHK continuation")
+              blocks :+= ((caddr + 4, caddr + csize - 4))
+            }
+            msgs += Message(t, q, sz)
+            q += sz
+          }
+        }
+      }
+      msgs.result()
+    }
+
+    // ----------------------------------------------------------- groups
+
+    /** (link name, object header address) pairs of a group. */
+    def groupLinks(msgs: Seq[Message]): Seq[(String, Long)] =
+      msgs.flatMap { m =>
+        m.typ match {
+          case 0x06 => parseLink(m.off).toSeq
+          case 0x11 => // old-style symbol table: v1 btree + local heap
+            val bt = u64(m.off); val heap = u64(m.off + 8)
+            walkGroupBtree(bt.toInt, heap.toInt)
+          case 0x02 => // link info -> dense storage
+            val flags = u8(m.off + 1)
+            var p = m.off + 2
+            if ((flags & 1) != 0) p += 8
+            val fheap = u64(p); val nameBt = u64(p + 8)
+            if (fheap == Undefined) Nil
+            else denseMessages(fheap, nameBt).flatMap(parseLinkBytes)
+          case _ => Nil
+        }
+      }
+
+    private def parseLink(off: Int): Option[(String, Long)] = {
+      val flags = u8(off + 1)
+      var p = off + 2
+      var ltype = 0
+      if ((flags & 8) != 0) { ltype = u8(p); p += 1 }
+      if ((flags & 4) != 0) p += 8
+      if ((flags & 0x10) != 0) p += 1
+      val lsz = 1 << (flags & 3)
+      val nlen = uN(p, lsz).toInt; p += lsz
+      val name = new String(d, p, nlen, "UTF-8"); p += nlen
+      if (ltype == 0) Some(name -> u64(p)) else None
+    }
+
+    private def parseLinkBytes(raw: Array[Byte]): Option[(String, Long)] = {
+      val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      val flags = raw(1) & 0xff
+      var p = 2
+      var ltype = 0
+      if ((flags & 8) != 0) { ltype = raw(p) & 0xff; p += 1 }
+      if ((flags & 4) != 0) p += 8
+      if ((flags & 0x10) != 0) p += 1
+      val lsz = 1 << (flags & 3)
+      var nlen = 0L; var i = 0
+      while (i < lsz) { nlen |= ((raw(p + i) & 0xffL) << (8 * i)); i += 1 }
+      p += lsz
+      val name = new String(raw, p, nlen.toInt, "UTF-8"); p += nlen.toInt
+      if (ltype == 0) Some(name -> b.getLong(p)) else None
+    }
+
+    private def walkGroupBtree(addr: Int, heap: Int): Seq[(String, Long)] = {
+      require(sig(addr, "TREE"), "expected v1 group B-tree")
+      val level = u8(addr + 5); val nent = u16(addr + 6)
+      var p = addr + 24 // past sig, type, level, entries, left, right
+      (0 until nent).flatMap { _ =>
+        p += 8 // key: offset into heap of first name (unused for full walk)
+        val child = u64(p).toInt; p += 8
+        if (level > 0) walkGroupBtree(child, heap) else snod(child, heap)
+      }
+    }
+
+    private def snod(addr: Int, heap: Int): Seq[(String, Long)] = {
+      require(sig(addr, "SNOD"), "expected SNOD")
+      val nsym = u16(addr + 6)
+      val dseg = u64(heap + 24).toInt // local heap data segment
+      (0 until nsym).map { i =>
+        val p = addr + 8 + i * 40
+        val nameOff = u64(p).toInt
+        var e = dseg + nameOff
+        while (d(e) != 0) e += 1
+        new String(d, dseg + nameOff, e - dseg - nameOff, "UTF-8") -> u64(p + 8)
+      }
+    }
+
+    // ------------------------------------------- dense storage (fractal)
+
+    private final case class Frhp(
+        idLen: Int, width: Int, startBlock: Long, maxDirect: Long,
+        maxHeapBits: Int, rootAddr: Long, curRows: Int, checksummed: Boolean)
+
+    private def frhp(addr: Long): Frhp = {
+      val a = addr.toInt
+      require(sig(a, "FRHP"), "expected FRHP fractal heap header")
+      var p = a + 5
+      val idLen = u16(p); p += 2
+      val ioFilt = u16(p); p += 2
+      val flags = u8(p); p += 1
+      p += 4 + 8 * 12 // max managed + 12 length/addr fields
+      val width = u16(p); p += 2
+      val startBlock = u64(p); p += 8
+      val maxDirect = u64(p); p += 8
+      val maxHeapBits = u16(p); p += 2
+      p += 2 // starting # rows
+      val rootAddr = u64(p); p += 8
+      val curRows = u16(p); p += 2
+      require(ioFilt == 0, "filtered fractal heaps unsupported")
+      Frhp(idLen, width, startBlock, maxDirect, maxHeapBits, rootAddr,
+        curRows, (flags & 2) != 0)
+    }
+
+    /** Read `len` bytes at fractal-heap offset `off` (heap address space
+      * includes block headers, so object bytes sit at
+      * blockAddr + (off - blockOffset)). */
+    private def heapRead(hp: Frhp, off: Long, len: Int): Array[Byte] = {
+      val offsz = (hp.maxHeapBits + 7) / 8
+      def fromDirect(daddr: Long): Array[Byte] = {
+        val a = daddr.toInt
+        require(sig(a, "FHDB"), "expected FHDB direct block")
+        val boff = uN(a + 4 + 1 + 8, offsz)
+        val start = a + (off - boff).toInt
+        java.util.Arrays.copyOfRange(d, start, start + len)
+      }
+      if (hp.curRows == 0) fromDirect(hp.rootAddr)
+      else {
+        val a = hp.rootAddr.toInt
+        require(sig(a, "FHIB"), "expected FHIB indirect block")
+        val ent = a + 4 + 1 + 8 + offsz
+        var cum = 0L
+        var row = 0
+        while (row < hp.curRows) {
+          val bs = if (row < 2) hp.startBlock
+                   else hp.startBlock << (row - 1)
+          require(bs <= hp.maxDirect, "indirect sub-blocks unsupported")
+          var c = 0
+          while (c < hp.width) {
+            if (off < cum + bs) {
+              val daddr = u64(ent + (row * hp.width + c) * 8)
+              return fromDirect(daddr)
+            }
+            cum += bs; c += 1
+          }
+          row += 1
+        }
+        throw new IllegalStateException("fractal heap offset out of range")
+      }
+    }
+
+    /** All managed-object payloads of a dense group/attr store, via the
+      * name-index v2 B-tree's records' heap IDs. */
+    private def denseMessages(fheapAddr: Long, btAddr: Long)
+        : Seq[Array[Byte]] = {
+      val hp = frhp(fheapAddr)
+      val a = btAddr.toInt
+      require(sig(a, "BTHD"), "expected BTHD v2 btree")
+      val btType = u8(a + 5)
+      val nodeSize = u32(a + 6).toInt
+      val recSize = u16(a + 10)
+      val depth = u16(a + 12)
+      val root = u64(a + 16)
+      val nrecRoot = u16(a + 24)
+      require(depth <= 1,
+        s"v2 btree depth $depth unsupported (would need >30k entries)")
+      // bytes needed to count the records of a leaf child
+      val maxLeafRec = (nodeSize - 10) / recSize
+      val nrecBytes = math.max(1, (64 - java.lang.Long
+        .numberOfLeadingZeros(maxLeafRec.toLong) + 7) / 8)
+
+      def recordsOf(addr: Int, nrec: Int, lvl: Int): Seq[Int] =
+        if (lvl == 0) {
+          require(sig(addr, "BTLF"), "expected BTLF leaf")
+          (0 until nrec).map(i => addr + 6 + i * recSize)
+        } else {
+          // internal node: the n records first, THEN the n+1 child
+          // pointers (addr + child record count each); internal records
+          // are real records too
+          require(sig(addr, "BTIN"), "expected BTIN internal node")
+          val out = Seq.newBuilder[Int]
+          (0 until nrec).foreach(i => out += addr + 6 + i * recSize)
+          var p = addr + 6 + nrec * recSize
+          var i = 0
+          while (i <= nrec) {
+            val child = u64(p).toInt; p += 8
+            val childN = uN(p, nrecBytes).toInt; p += nrecBytes
+            out ++= recordsOf(child, childN, lvl - 1)
+            i += 1
+          }
+          out.result()
+        }
+
+      recordsOf(root.toInt, nrecRoot, depth).map { r =>
+        // type 5 (link name): hash(4) + heapId(idLen)
+        // type 8 (attr name): heapId(8) + flags(1) + corder(4) + hash(4)
+        val idOff = if (btType == 5) r + 4 else r
+        val flags = u8(idOff)
+        require(((flags >> 4) & 3) == 0, "huge/tiny heap ids unsupported")
+        val offsz = (hp.maxHeapBits + 7) / 8
+        val lensz = hp.idLen - 1 - offsz
+        val off = uN(idOff + 1, offsz)
+        val len = uN(idOff + 1 + offsz, lensz).toInt
+        heapRead(hp, off, len)
+      }
+    }
+
+    // ------------------------------------------------------- dataspaces
+
+    def dataspace(msgs: Seq[Message]): (Seq[Long], Seq[Long]) =
+      msgs.find(_.typ == 0x01).map(m => dataspaceAt(m.off))
+        .getOrElse((Nil, Nil))
+
+    private def dataspaceAt(off: Int): (Seq[Long], Seq[Long]) = {
+      val ver = u8(off); val rank = u8(off + 1); val flags = u8(off + 2)
+      val p = if (ver == 1) off + 8 else off + 4
+      val dims = (0 until rank).map(i => u64(p + 8 * i))
+      val maxd =
+        if ((flags & 1) != 0)
+          (0 until rank).map(i => u64(p + 8 * rank + 8 * i))
+        else dims
+      (dims, maxd)
+    }
+
+    // -------------------------------------------------------- datatypes
+
+    def datatype(msgs: Seq[Message]): H5Type =
+      msgs.find(_.typ == 0x03).map(m => datatypeAt(m.off))
+        .getOrElse(H5Opaque(1))
+
+    private def datatypeAt(off: Int): H5Type = {
+      val cls = u8(off) & 0x0f
+      val b0 = u8(off + 1)
+      val size = u32(off + 4).toInt
+      cls match {
+        case 0 => H5Int(size, signed = (b0 & 0x08) != 0)
+        case 1 => H5Float(size)
+        case 3 => H5FixedString(size)
+        case 7 => H5Reference()
+        case 9 =>
+          val isStr = (b0 & 0x0f) == 1
+          H5Vlen(datatypeAt(off + 8), isStr)
+        case _ => H5Opaque(size)
+      }
+    }
+
+    // ------------------------------------------------------- attributes
+
+    def attributes(msgs: Seq[Message]): Map[String, Any] = {
+      val inline = msgs.filter(_.typ == 0x0c).flatMap { m =>
+        parseAttr(java.util.Arrays.copyOfRange(d, m.off, m.off + m.size))
+      }
+      val dense = msgs.filter(_.typ == 0x15).flatMap { m =>
+        val flags = u8(m.off + 1)
+        var p = m.off + 2
+        if ((flags & 1) != 0) p += 2
+        val fheap = u64(p); val nameBt = u64(p + 8)
+        if (fheap == Undefined || nameBt == Undefined) Nil
+        else denseMessages(fheap, nameBt).flatMap(parseAttr)
+      }
+      (inline ++ dense).toMap
+    }
+
+    private def pad8(n: Int): Int = (n + 7) / 8 * 8
+
+    private def parseAttr(raw: Array[Byte]): Option[(String, Any)] = {
+      def ru16(p: Int) = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8)
+      val ver = raw(0) & 0xff
+      var p = 0
+      val (nsize, dtsize, dssize) = (ru16(2), ru16(4), ru16(6))
+      var name = ""
+      var dtOff = 0; var dsOff = 0
+      ver match {
+        case 1 =>
+          p = 8
+          name = new String(raw, p, nsize, "UTF-8").takeWhile(_ != 0)
+          p += pad8(nsize); dtOff = p; p += pad8(dtsize)
+          dsOff = p; p += pad8(dssize)
+        case 2 | 3 =>
+          p = if (ver == 3) 9 else 8
+          name = new String(raw, p, nsize, "UTF-8").takeWhile(_ != 0)
+          p += nsize; dtOff = p; p += dtsize
+          dsOff = p; p += dssize
+        case _ => return None
+      }
+      // attribute datatype/dataspace are relative to `raw`
+      val rr = new Reader(raw)
+      val dt = rr.datatypeAt(dtOff)
+      val (dims, _) = rr.dataspaceAt(dsOff)
+      val n = dims.product.toInt max 1
+      Some(name -> decodeValues(raw, p, dt, n))
+    }
+
+    /** Decode `n` elements of `dt` at raw[p..]; vlen/reference elements
+      * resolve through THIS file's global heap. */
+    private def decodeValues(raw: Array[Byte], p0: Int, dt: H5Type,
+        n: Int): Any = {
+      val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+      def one(i: Int): Any = {
+        val p = p0 + i * dt.size
+        dt match {
+          case H5Int(1, s) => if (s) raw(p).toLong else (raw(p) & 0xff).toLong
+          case H5Int(2, s) =>
+            if (s) b.getShort(p).toLong else b.getShort(p) & 0xffffL
+          case H5Int(4, s) =>
+            if (s) b.getInt(p).toLong else b.getInt(p) & 0xffffffffL
+          case H5Int(8, _) => b.getLong(p)
+          case H5Float(4) => b.getFloat(p).toDouble
+          case H5Float(8) => b.getDouble(p)
+          case H5FixedString(sz) =>
+            new String(raw, p, sz, "UTF-8").takeWhile(_ != 0)
+          case H5Reference() => b.getLong(p) // object header address
+          case v: H5Vlen =>
+            val len = b.getInt(p)
+            val gaddr = b.getLong(p + 4)
+            val gidx = b.getInt(p + 12)
+            val obj = globalHeapObject(gaddr, gidx)
+            if (v.isString) new String(obj, "UTF-8")
+            else decodeValues(obj, 0, v.base, len) match {
+              case s: Seq[_] => s
+              case x => Seq(x)
+            }
+          case _: H5Int => 0L
+          case _: H5Float => 0.0
+          case H5Opaque(sz) =>
+            java.util.Arrays.copyOfRange(raw, p, p + sz)
+        }
+      }
+      if (n == 1) one(0) else (0 until n).map(one)
+    }
+
+    /** Global heap collection object lookup (GCOL). */
+    private def globalHeapObject(addr: Long, idx: Int): Array[Byte] = {
+      val a = addr.toInt
+      require(sig(a, "GCOL"), "expected GCOL global heap")
+      val total = u64(a + 8)
+      var p = a + 16
+      while (p < a + total) {
+        val oid = u16(p)
+        val osize = u64(p + 8).toInt
+        if (oid == 0) // free space terminator
+          throw new IllegalStateException(s"gheap object $idx not found")
+        if (oid == idx)
+          return java.util.Arrays.copyOfRange(d, p + 16, p + 16 + osize)
+        p += 16 + pad8(osize)
+      }
+      throw new IllegalStateException(s"gheap object $idx not found")
+    }
+
+    // ------------------------------------------------------ data access
+
+    private final case class Layout(kind: Int, addr: Long, size: Long,
+        chunkDims: Seq[Int], compactOff: Int)
+
+    private def layout(msgs: Seq[Message]): Layout = {
+      val m = msgs.find(_.typ == 0x08)
+        .getOrElse(throw new IllegalStateException("no layout message"))
+      val off = m.off
+      val ver = u8(off)
+      require(ver == 3, s"layout v$ver unsupported")
+      u8(off + 1) match {
+        case 0 => Layout(0, 0, u16(off + 2), Nil, off + 4)
+        case 1 => Layout(1, u64(off + 2), u64(off + 10), Nil, 0)
+        case 2 =>
+          val nd = u8(off + 2)
+          val bt = u64(off + 3)
+          val dims = (0 until nd).map(i => u32(off + 11 + 4 * i).toInt)
+          Layout(2, bt, 0, dims, 0)
+      }
+    }
+
+    private final case class Filter(id: Int, cd: Seq[Int])
+
+    private def filters(msgs: Seq[Message]): Seq[Filter] =
+      msgs.find(_.typ == 0x0b).map { m =>
+        val off = m.off
+        val ver = u8(off)
+        val nf = u8(off + 1)
+        var p = if (ver == 1) off + 8 else off + 2
+        (0 until nf).map { _ =>
+          val id = u16(p); p += 2
+          val nameLen =
+            if (ver == 1 || id >= 256) { val v = u16(p); p += 2; v } else 0
+          p += 2 // flags
+          val ncd = u16(p); p += 2
+          if (nameLen > 0) p += (if (ver == 1) pad8(nameLen) else nameLen)
+          val cd = (0 until ncd).map(i => u16(p + 2 * i)); p += 2 * ncd
+          if (ver == 1 && ncd % 2 == 1) p += 2
+          Filter(id, cd)
+        }
+      }.getOrElse(Nil)
+
+    private def fillValue(msgs: Seq[Message], elemSize: Int)
+        : Option[Array[Byte]] =
+      msgs.find(_.typ == 0x05).flatMap { m =>
+        val off = m.off
+        u8(off) match {
+          case v @ (1 | 2) =>
+            val defined = u8(off + 3)
+            if (defined == 0) None
+            else {
+              val sz = u32(off + 4).toInt
+              if (sz == 0) None
+              else Some(java.util.Arrays.copyOfRange(d, off + 8, off + 8 + sz))
+            }
+          case 3 =>
+            val flags = u8(off + 1)
+            if ((flags & 0x20) == 0) None
+            else {
+              val sz = u32(off + 2).toInt
+              if (sz == 0) None
+              else Some(java.util.Arrays.copyOfRange(d, off + 6, off + 6 + sz))
+            }
+          case _ => None
+        }
+      }
+
+    private def unfilter(chunk: Array[Byte], fs: Seq[Filter], mask: Long,
+        elemSize: Int): Array[Byte] = {
+      var out = chunk
+      // pipeline applies filters in order on write; reverse on read
+      fs.zipWithIndex.reverse.foreach { case (f, i) =>
+        if ((mask & (1L << i)) == 0) f.id match {
+          case 1 => // deflate
+            val inf = new java.util.zip.Inflater()
+            inf.setInput(out)
+            val buf = new java.io.ByteArrayOutputStream(out.length * 4)
+            val tmp = new Array[Byte](65536)
+            while (!inf.finished()) {
+              val k = inf.inflate(tmp)
+              if (k == 0 && inf.needsInput())
+                throw new IllegalStateException("truncated deflate chunk")
+              buf.write(tmp, 0, k)
+            }
+            inf.end()
+            out = buf.toByteArray
+          case 2 => // shuffle: cd(0) = element size
+            val es = f.cd.headOption.getOrElse(elemSize)
+            if (es > 1 && out.length % es == 0) {
+              val n = out.length / es
+              val r = new Array[Byte](out.length)
+              var j = 0
+              while (j < es) {
+                var i = 0
+                while (i < n) { r(i * es + j) = out(j * n + i); i += 1 }
+                j += 1
+              }
+              out = r
+            }
+          case 3 => // fletcher32: strip trailing checksum, don't verify
+            out = java.util.Arrays.copyOf(out, out.length - 4)
+          case other =>
+            throw new IllegalStateException(s"unsupported filter $other")
+        }
+      }
+      out
+    }
+
+    /** Raw row-major bytes of the dataset (fill-value padded). */
+    private def rawData(msgs: Seq[Message], shape: Seq[Long],
+        elemSize: Int): Array[Byte] = {
+      val n = shape.product.toInt max (if (shape.isEmpty) 1 else 0)
+      val total = n * elemSize
+      val lay = layout(msgs)
+      lay.kind match {
+        case 0 =>
+          java.util.Arrays.copyOfRange(d, lay.compactOff,
+            lay.compactOff + total)
+        case 1 =>
+          val out = new Array[Byte](total)
+          fillBytes(out, fillValue(msgs, elemSize), elemSize)
+          if (lay.addr != Undefined)
+            System.arraycopy(d, lay.addr.toInt, out, 0,
+              math.min(lay.size, total.toLong).toInt)
+          out
+        case 2 =>
+          val out = new Array[Byte](total)
+          fillBytes(out, fillValue(msgs, elemSize), elemSize)
+          val fs = filters(msgs)
+          // chunk dims include a trailing element-size dim
+          val cdims = lay.chunkDims.dropRight(1)
+          if (lay.addr != Undefined)
+            walkChunkBtree(lay.addr.toInt, cdims.length + 1) {
+              (csize, mask, offsets, caddr) =>
+                val raw = java.util.Arrays
+                  .copyOfRange(d, caddr.toInt, caddr.toInt + csize)
+                val bytes = unfilter(raw, fs, mask, elemSize)
+                copyChunk(bytes, offsets.dropRight(1), cdims, shape,
+                  elemSize, out)
+            }
+          out
+      }
+    }
+
+    private def fillBytes(out: Array[Byte], fill: Option[Array[Byte]],
+        elemSize: Int): Unit =
+      fill.foreach { fv =>
+        if (fv.length == elemSize && fv.exists(_ != 0)) {
+          var i = 0
+          while (i < out.length) {
+            System.arraycopy(fv, 0, out, i, elemSize); i += elemSize
+          }
+        }
+      }
+
+    /** v1 B-tree (node type 1) walk; callback per chunk record. */
+    private def walkChunkBtree(addr: Int, nkeyDims: Int)(
+        f: (Int, Long, Seq[Long], Long) => Unit): Unit = {
+      require(sig(addr, "TREE"), "expected v1 chunk B-tree")
+      require(u8(addr + 4) == 1, "expected chunk btree node type 1")
+      val level = u8(addr + 5); val nent = u16(addr + 6)
+      val keySize = 8 + 8 * nkeyDims
+      var p = addr + 24
+      var i = 0
+      while (i < nent) {
+        val csize = u32(p).toInt
+        val mask = u32(p + 4)
+        val offsets = (0 until nkeyDims).map(k => u64(p + 8 + 8 * k))
+        p += keySize
+        val child = u64(p); p += 8
+        if (level > 0) walkChunkBtree(child.toInt, nkeyDims)(f)
+        else f(csize, mask, offsets, child)
+        i += 1
+      }
+    }
+
+    /** Copy one decoded chunk into the row-major output, clipping edge
+      * chunks that extend past the dataset shape. */
+    private def copyChunk(bytes: Array[Byte], off: Seq[Long],
+        cdims: Seq[Int], shape: Seq[Long], elemSize: Int,
+        out: Array[Byte]): Unit = {
+      val rank = shape.length
+      if (rank == 0) return
+      // row-major strides of the full dataset
+      val stride = new Array[Long](rank)
+      stride(rank - 1) = 1
+      var k = rank - 2
+      while (k >= 0) { stride(k) = stride(k + 1) * shape(k + 1); k -= 1 }
+      // innermost contiguous run length (clipped)
+      val innerLen =
+        math.min(cdims(rank - 1).toLong, shape(rank - 1) - off(rank - 1))
+          .toInt
+      if (innerLen <= 0) return
+      // iterate over the outer dims of the chunk
+      val outerDims = (0 until rank - 1).map { i =>
+        math.min(cdims(i).toLong, shape(i) - off(i)).toInt
+      }
+      val idx = new Array[Int](math.max(rank - 1, 1))
+      val nOuter = outerDims.product max 1
+      var c = 0
+      while (c < nOuter) {
+        var srcPos = 0L
+        var dstPos = 0L
+        var i = 0
+        while (i < rank - 1) {
+          srcPos += idx(i).toLong *
+            (i + 1 until rank).map(j => cdims(j).toLong).product
+          dstPos += (off(i) + idx(i)) * stride(i)
+          i += 1
+        }
+        dstPos += off(rank - 1) * stride(rank - 1)
+        System.arraycopy(bytes, (srcPos * elemSize).toInt,
+          out, (dstPos * elemSize).toInt, innerLen * elemSize)
+        // odometer increment
+        var j = rank - 2
+        var carry = true
+        while (carry && j >= 0) {
+          idx(j) += 1
+          if (idx(j) >= outerDims(j)) { idx(j) = 0; j -= 1 }
+          else carry = false
+        }
+        c += 1
+      }
+    }
+
+    /** Typed flat values of a dataset. */
+    def readData(ds: Dataset): AnyRef = {
+      val msgs = objectHeader(ds.addr)
+      val n = ds.shape.product.toInt max (if (ds.shape.isEmpty) 1 else 0)
+      ds.dtype match {
+        case H5Vlen(_, true) =>
+          // vlen strings route through the global heap per element
+          val raw = rawData(msgs, ds.shape, 16)
+          val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          Array.tabulate(n) { i =>
+            val gaddr = b.getLong(i * 16 + 4)
+            val gidx = b.getInt(i * 16 + 12)
+            if (gaddr == 0 || gaddr == Undefined) ""
+            else new String(globalHeapObject(gaddr, gidx), "UTF-8")
+          }
+        case dt =>
+          val raw = rawData(msgs, ds.shape, dt.size)
+          val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          dt match {
+            case H5Float(8) => Array.tabulate(n)(i => b.getDouble(i * 8))
+            case H5Float(4) => Array.tabulate(n)(i => b.getFloat(i * 4))
+            case H5Int(1, true) => Array.tabulate(n)(i => raw(i).toLong)
+            case H5Int(1, false) =>
+              Array.tabulate(n)(i => (raw(i) & 0xff).toLong)
+            case H5Int(2, true) =>
+              Array.tabulate(n)(i => b.getShort(i * 2).toLong)
+            case H5Int(2, false) =>
+              Array.tabulate(n)(i => b.getShort(i * 2) & 0xffffL)
+            case H5Int(4, true) =>
+              Array.tabulate(n)(i => b.getInt(i * 4).toLong)
+            case H5Int(4, false) =>
+              Array.tabulate(n)(i => b.getInt(i * 4) & 0xffffffffL)
+            case H5Int(8, _) => Array.tabulate(n)(i => b.getLong(i * 8))
+            case H5FixedString(sz) =>
+              Array.tabulate(n)(i =>
+                new String(raw, i * sz, sz, "UTF-8").takeWhile(_ != 0))
+            case other =>
+              throw new IllegalStateException(s"cannot read $other data")
+          }
+      }
+    }
+  }
+}

@@ -1,0 +1,162 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import graft.core.AggConfig
+
+/** NetCDF-4 (classic model) semantics over [[Hdf5Reader]]: dimensions from
+  * HDF5 dimension-scale datasets, per-variable dimension lists, global and
+  * per-variable attributes — plus the ingest path that turns `.nc` granule
+  * files into the parquet granules every graft operator consumes
+  * (the reference's `Config.from_nc` + input side of `aggregate()`;
+  * /root/reference/ncagg/config.py:123-138, aggregator.py:36-51).
+  *
+  * The netCDF encoding conventions implemented here are the public
+  * netcdf-c ones: a dimension is a dataset with attribute
+  * `CLASS = "DIMENSION_SCALE"` (its id in `_Netcdf4Dimid`, unlimited when
+  * the HDF5 maxdims entry is unlimited); a pure dimension (not also a
+  * variable) has a NAME attribute starting with "This is a netCDF
+  * dimension but not a netCDF variable"; each variable's dimensions are
+  * object references in its `DIMENSION_LIST` attribute.
+  */
+object NetCDF4 {
+
+  final case class NcDim(name: String, size: Long, unlimited: Boolean,
+      dimid: Int)
+
+  final case class NcVar(
+      name: String,
+      dims: Seq[String],
+      shape: Seq[Long],
+      dtype: Hdf5Reader.H5Type,
+      attrs: Map[String, Any])
+
+  final case class NcFile(
+      dims: Seq[NcDim],
+      vars: Seq[NcVar],
+      attrs: Map[String, Any],
+      private[sources] val h5: Hdf5Reader.H5File) {
+    def read(v: NcVar): AnyRef =
+      h5.read(h5.datasets.find(_.name == v.name).get)
+  }
+
+  private val PhonyDimMarker = "This is a netCDF dimension but not"
+  private val NcInternalAttrs = Set("CLASS", "NAME", "REFERENCE_LIST",
+    "DIMENSION_LIST", "_Netcdf4Dimid", "_Netcdf4Coordinates")
+
+  def open(path: String): NcFile = {
+    val h5 = Hdf5Reader.open(path)
+    val byAddr = h5.datasets.map(ds => ds.addr -> ds.name).toMap
+    val dims = h5.datasets.flatMap { ds =>
+      ds.attrs.get("CLASS") match {
+        case Some("DIMENSION_SCALE") =>
+          val dimid = ds.attrs.get("_Netcdf4Dimid") match {
+            case Some(i: Long) => i.toInt
+            case Some(s: Seq[_]) => s.head.asInstanceOf[Long].toInt
+            case _ => -1
+          }
+          Some(NcDim(ds.name, ds.shape.headOption.getOrElse(0L),
+            ds.isUnlimited(0), dimid))
+        case _ => None
+      }
+    }
+    val vars = h5.datasets.flatMap { ds =>
+      val phony = ds.attrs.get("NAME") match {
+        case Some(s: String) => s.startsWith(PhonyDimMarker)
+        case _ => false
+      }
+      if (phony) None
+      else {
+        val dimNames = ds.attrs.get("DIMENSION_LIST") match {
+          case Some(refs: Seq[_]) =>
+            refs.flatMap {
+              case a: Long => byAddr.get(a)
+              case s: Seq[_] => s.headOption.collect { case a: Long => a }
+                .flatMap(byAddr.get)
+              case _ => None
+            }
+          case Some(a: Long) => byAddr.get(a).toSeq
+          case _ =>
+            // a coordinate variable IS its dimension; otherwise best-effort
+            // match dims by size (per-rank), unique in practice
+            if (dims.exists(_.name == ds.name)) Seq(ds.name)
+            else ds.shape.map(sz =>
+              dims.find(_.size == sz).map(_.name).getOrElse(s"dim_$sz"))
+        }
+        val userAttrs = ds.attrs.filterNot { case (k, _) =>
+          NcInternalAttrs(k)
+        }
+        Some(NcVar(ds.name, dimNames, ds.shape, ds.dtype, userAttrs))
+      }
+    }
+    NcFile(dims.sortBy(_.dimid), vars, h5.rootAttrs, h5)
+  }
+
+  /** Parse CF-style time units ("<unit> since <instant>") to (epoch-micros
+    * base, micros per unit). */
+  def timeUnits(units: String): Option[(Long, Double)] = {
+    val m = raw"^\s*(\w+)\s+since\s+(.+?)\s*$$".r
+    units match {
+      case m(u, base) =>
+        val per = u.toLowerCase match {
+          case "second" | "seconds" | "sec" | "secs" | "s" => 1e6
+          case "millisecond" | "milliseconds" | "ms" => 1e3
+          case "microsecond" | "microseconds" | "us" => 1.0
+          case "minute" | "minutes" | "min" | "mins" => 60e6
+          case "hour" | "hours" | "h" | "hr" | "hrs" => 3600e6
+          case "day" | "days" | "d" => 86400e6
+          case _ => return None
+        }
+        parseInstantUs(base).map(b => (b, per))
+      case _ => None
+    }
+  }
+
+  private def parseInstantUs(s: String): Option[Long] = {
+    val norm = s.trim.replace("T", " ").stripSuffix("Z").trim
+    val pats = Seq(
+      "yyyy-M-d H:m:s.SSSSSS", "yyyy-M-d H:m:s", "yyyy-M-d H:m",
+      "yyyy-M-d")
+    pats.view.flatMap { p =>
+      try {
+        val fmt = java.time.format.DateTimeFormatter.ofPattern(p)
+        val ldt =
+          if (p == "yyyy-M-d")
+            java.time.LocalDate.parse(norm, fmt).atStartOfDay()
+          else java.time.LocalDateTime.parse(norm, fmt)
+        Some(ldt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L +
+          ldt.getNano / 1000L)
+      } catch { case _: Exception => None }
+    }.headOption
+  }
+
+  /** The reference's `Config.from_nc` over a NetCDF granule
+    * (config.py:123-138): every dimension, every variable, every global
+    * attribute (strategy "first", as the reference defaults). */
+  def configFor(path: String): AggConfig.Config = {
+    val nc = open(path)
+    AggConfig.Config(
+      dims = nc.dims.map(d => AggConfig.DimSpec(d.name,
+        size = if (d.unlimited) None else Some(d.size))),
+      vars = nc.vars.map(v => AggConfig.VarSpec(v.name, v.dims,
+        datatype = typeName(v.dtype),
+        attributes = v.attrs.map { case (k, x) => k -> attrStr(x) })),
+      attrs = nc.attrs.keys.toSeq.sorted
+        .map(k => AggConfig.AttrSpec(k, "first")))
+  }
+
+  private def typeName(t: Hdf5Reader.H5Type): String = t match {
+    case Hdf5Reader.H5Float(8) => "double"
+    case Hdf5Reader.H5Float(_) => "float"
+    case Hdf5Reader.H5Int(8, _) => "bigint"
+    case Hdf5Reader.H5Int(_, _) => "int"
+    case _ => "string"
+  }
+
+  private[sources] def attrStr(v: Any): String = v match {
+    case s: Seq[_] => s.map(attrStr).mkString(", ")
+    case b: Array[Byte] => b.map("%02x".format(_)).mkString
+    case x => String.valueOf(x)
+  }
+}

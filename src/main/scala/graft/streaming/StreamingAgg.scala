@@ -165,9 +165,10 @@ object StreamingAgg {
     * FillNode insertion (aggrelist.py:294-303, generalized per key): as a
     * user's events stream in, any gap wider than gapUs between consecutive
     * events is filled with synthetic records at the nominal cadence
-    * (`prev.t + k*nomUs`, k = 1..(gap-1) div nom — identical arithmetic to
-    * the batch TimeSeriesAggregator fill emitter). Real rows pass through
-    * with is_fill=false; fills carry null id/value.
+    * (`prev.t + k*nomUs`, k = 1..round(gap/nom)-1 — identical arithmetic
+    * to the batch TimeSeriesAggregator fill emitter and the reference's
+    * round((gap - dt_nom) * hz), aggregator.py:170-172). Real rows pass
+    * through with is_fill=false; fills carry null id/value.
     *
     * State is one long (the key's last event time) — constant per active
     * key regardless of throughput. Fills for a gap are emitted when the
@@ -206,7 +207,7 @@ object StreamingAgg {
                 val gap = e.t - lt
                 if (gap > gapUs) {
                   var k = 1L
-                  val n = (gap - 1) / nomUs
+                  val n = (2 * gap - nomUs) / (2 * nomUs)
                   while (k <= n) {
                     out += GapRow(uid, lt + k * nomUs, None, None,
                       is_fill = true)

@@ -37,7 +37,7 @@ class IntervalPropertySpec extends AnyFunSuite with SparkSpec {
   private def naiveFills(ts: Seq[Long], nom: Long, thr: Long): Seq[Long] = {
     val sorted = ts.sorted
     sorted.zip(sorted.drop(1)).flatMap { case (a, b) =>
-      if (b - a > thr) (1L to ((b - a - 1) / nom)).map(k => a + k * nom)
+      if (b - a > thr) (1L to ((2 * (b - a) - nom) / (2 * nom))).map(k => a + k * nom)
       else Nil
     }
   }

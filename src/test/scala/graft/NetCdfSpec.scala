@@ -1,0 +1,159 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Hdf5Reader, NetCDF4, NetCDFIngest}
+
+/** End-to-end NetCDF ingest against the reference's OWN test fixtures:
+  * /root/reference/test/mag/magnl2hires_5min (7 contiguous one-minute
+  * 10 Hz granules) and magnl2hires_gap (6 granules around a ~1 h outage),
+  * reproducing the assertions of the reference's test_magnl2hires.py in
+  * both directories (bounds clipping, evenly spaced output, gap fill). */
+class NetCdfSpec extends AnyFunSuite with SparkSpec {
+
+  private def fixturesIn(dir: String): Seq[String] = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).map(_.getPath).sorted.toSeq
+  }
+
+  private def fixtures: Seq[String] =
+    fixturesIn("/root/reference/test/mag/magnl2hires_5min/data")
+
+  test("pure-JVM HDF5 reader parses a netcdf-c granule") {
+    assume(fixtures.nonEmpty)
+    val h5 = Hdf5Reader.open(fixtures.head)
+    val names = h5.datasets.map(_.name).toSet
+    assert(names.contains("time") && names.contains("b_total") &&
+      names.contains("b_gse"))
+    val time = h5.datasets.find(_.name == "time").get
+    assert(time.shape === Seq(600))
+    assert(time.isUnlimited(0))
+    assert(time.attrs("units") === "seconds since 2000-01-01 12:00:00")
+    // deflate-compressed chunked data decodes to monotone ~10 Hz seconds
+    val vals = h5.read(time).asInstanceOf[Array[Double]]
+    assert(vals.length === 600)
+    val diffs = vals.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(d => math.abs(d - 0.1) < 0.002))
+    // first fixture starts 2017-03-05T02:08:59.9Z (each minute-file's
+    // first record leads its label by one cadence step); J2000 base
+    val j2k = java.time.LocalDateTime.of(2000, 1, 1, 12, 0, 0)
+    val first = j2k.plusNanos(math.round(vals.head * 1e9))
+    assert(first.getYear === 2017 && first.getMonthValue === 3 &&
+      first.getDayOfMonth === 5 && first.getHour === 2 &&
+      (first.getMinute === 8 || first.getMinute === 9))
+    // 2-D var decodes with the right shape
+    val bgse = h5.datasets.find(_.name == "b_gse").get
+    assert(bgse.shape === Seq(600, 3))
+    assert(h5.read(bgse).asInstanceOf[Array[Float]].length === 1800)
+  }
+
+  test("NetCDF4 model: dimensions, variable dims, global attrs") {
+    assume(fixtures.nonEmpty)
+    val nc = NetCDF4.open(fixtures.head)
+    val time = nc.dims.find(_.name == "time").get
+    assert(time.unlimited && time.size === 600)
+    assert(nc.dims.exists(d => d.name == "coordinate" && d.size == 3))
+    val bgse = nc.vars.find(_.name == "b_gse").get
+    assert(bgse.dims === Seq("time", "coordinate"))
+    assert(nc.vars.find(_.name == "time").get.dims === Seq("time"))
+    assert(nc.attrs.nonEmpty) // netcdf global attributes surfaced
+  }
+
+  test("configFor mirrors Config.from_nc: all dims/vars/attrs") {
+    assume(fixtures.nonEmpty)
+    val cfg = NetCDF4.configFor(fixtures.head)
+    assert(cfg.dims.find(_.name == "time").get.size === None) // unlimited
+    assert(cfg.dims.find(_.name == "coordinate").get.size === Some(3))
+    assert(cfg.vars.map(_.name).toSet.contains("b_total"))
+    assert(cfg.vars.find(_.name == "b_gse").get.dimensions ===
+      Seq("time", "coordinate"))
+    assert(cfg.attrs.forall(_.strategy == "first"))
+  }
+
+  private val us = 1000000L
+
+  private def runFixture(srcs: Seq[String], tmp: String,
+      lo: Long, hi: Long): (Seq[Long], org.apache.spark.sql.DataFrame) = {
+    val granules = NetCDFIngest.convert(spark, srcs, s"$tmp/gr")
+    assert(granules.forall(g =>
+      Files.exists(java.nio.file.Paths.get(g, "_global_attrs.json"))))
+    var cfg = NetCDF4.configFor(srcs.head)
+    cfg = cfg.copy(dims = cfg.dims.map { d =>
+      if (d.name == "time")
+        d.copy(indexBy = Some("time"),
+          expectedCadence = Map("time" -> 10.0),
+          min = Some(lo), max = Some(hi))
+      else d
+    })
+    Aggregate.run(spark, granules, s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("time")
+    val times = out
+      .select(unix_micros(col("time").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    (times, out)
+  }
+
+  private def utcUs(y: Int, mo: Int, d: Int, h: Int, mi: Int): Long =
+    java.time.LocalDateTime.of(y, mo, d, h, mi, 0)
+      .toEpochSecond(java.time.ZoneOffset.UTC) * us
+
+  test("reference magnl2hires_5min aggregation end-to-end") {
+    assume(fixtures.size == 7)
+    val tmp = Files.createTempDirectory("graft_nc").toString
+    // reference test bounds: 2017-03-05 02:10:00 .. 02:15:00, 10 Hz
+    val lo = utcUs(2017, 3, 5, 2, 10)
+    val hi = utcUs(2017, 3, 5, 2, 15)
+    val (times, out) = runFixture(fixtures, tmp, lo, hi)
+
+    // reference test_time: evenly spaced at 0.1 s, first/last on bounds
+    val diffs = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(d => math.abs(d - 100000L) <= 2000L),
+      s"uneven spacing: ${diffs.filter(d => math.abs(d - 100000L) > 2000L).take(5)}")
+    assert(times.head >= lo && times.head - lo < 100000L)
+    assert(times.last <= hi && hi - times.last < 100000L)
+    // 02:10:00.0008 .. 02:14:59.9008: exactly 5 min of 10 Hz data
+    assert(times.length === 3000)
+    // the fixture minutes are contiguous: nothing to fill
+    assert(out.filter(col("is_fill")).count() === 0)
+    // data columns survive conversion
+    assert(!out.select("b_total").head().isNullAt(0))
+    assert(out.schema("b_gse").dataType.isInstanceOf[
+      org.apache.spark.sql.types.ArrayType])
+  }
+
+  test("reference magnl2hires_gap: the outage arrives as cadenced fill") {
+    val gapFixtures =
+      fixturesIn("/root/reference/test/mag/magnl2hires_gap/data")
+    assume(gapFixtures.size == 6)
+    val tmp = Files.createTempDirectory("graft_nc_gap").toString
+    // reference TestEvaluateAggregationList: 19:23:00 .. 20:30:00
+    val lo = utcUs(2017, 4, 14, 19, 23)
+    val hi = utcUs(2017, 4, 14, 20, 30)
+    val (times, out) = runFixture(gapFixtures, tmp, lo, hi)
+
+    // reference test_time (gap variant): spacing within 0.01 s
+    val diffs = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(d => math.abs(d - 100000L) <= 10000L),
+      s"bad spacing at ${diffs.zipWithIndex
+        .filter(p => math.abs(p._1 - 100000L) > 10000L).take(5)} of ${times.length}")
+    assert(times.head >= lo && times.head - lo < 100000L)
+    assert(times.last <= hi && hi - times.last < 100000L)
+    // 67 min of 10 Hz cadence, leading fill + ~1 h gap fill included
+    assert(times.length === 40200)
+    // the outage minutes (19:27..20:27) are all fill, the data minutes none
+    val gapRows = out.filter(
+      col("time") >= lit(java.time.LocalDateTime.of(2017, 4, 14, 19, 27)) &&
+        col("time") < lit(java.time.LocalDateTime.of(2017, 4, 14, 20, 27)))
+    assert(gapRows.count() === 36000)
+    assert(gapRows.filter(!col("is_fill")).count() === 0)
+    val dataRows = out.filter(
+      col("time") >= lit(java.time.LocalDateTime.of(2017, 4, 14, 19, 24)) &&
+        col("time") < lit(java.time.LocalDateTime.of(2017, 4, 14, 19, 26)))
+    assert(dataRows.filter(col("is_fill")).count() === 0)
+  }
+}

@@ -30,7 +30,7 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
     }.map(_._1)
     val fills = kept.zip(kept.drop(1)).flatMap { case (a, b) =>
       if (b - a > cfg.gapThresholdUs) {
-        val n = (b - a - 1) / cfg.nomStepUs
+        val n = (2 * (b - a) - cfg.nomStepUs) / (2 * cfg.nomStepUs)
         (1L to n).map(k => a + k * cfg.nomStepUs)
       } else Nil
     }
@@ -79,7 +79,7 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
       }.map(_._1)
       val interior = kept.zip(kept.drop(1)).flatMap { case (a, b) =>
         if (b - a > cfgB.gapThresholdUs) {
-          val n = (b - a - 1) / cfgB.nomStepUs
+          val n = (2 * (b - a) - cfgB.nomStepUs) / (2 * cfgB.nomStepUs)
           (1L to n).map(k => a + k * cfgB.nomStepUs)
         } else Nil
       }
