@@ -13,6 +13,10 @@ import graft.core.{AggConfig, Bounds}
   *   runMain graft.Cli --generate_template sample.parquet
   *   runMain graft.Cli -v
   *
+  * SRC granules may be parquet directories or raw `.nc` NetCDF files —
+  * `.nc` sources are ingested first via [[graft.sources.NetCDFIngest]]
+  * (so the reference's own `ncagg out.nc *.nc -u ...` invocation carries
+  * over verbatim), and the default config comes from the NetCDF header.
   * `-b` accepts `min:max` (epoch micros) or `TYYYY[MM[DD[HH[MM]]]]`
   * bound specs with inferred end. With no `-t`, a default config is
   * derived from the first granule (reference Config.from_nc). With no
@@ -56,7 +60,9 @@ object Cli {
       require(args.length == 2 && args.head == "--generate_template",
         "usage: graft.Cli --generate_template SAMPLE_GRANULE")
       val json = AggConfig.toJson(
-        AggConfig.fromGranule(spark.read.parquet(args(1))))
+        if (args(1).endsWith(".nc"))
+          graft.sources.NetCDF4.configFor(args(1)) // reference Config.from_nc
+        else AggConfig.fromGranule(spark.read.parquet(args(1))))
       println(json)
       return Map("template" -> json)
     }
@@ -87,10 +93,24 @@ object Cli {
       }
     require(srcs.nonEmpty, "No files provided as argument or via stdin.")
 
+    // `.nc` sources run the reference's own input path: ingest the NetCDF
+    // granules to parquet first (one decode task per granule), then
+    // aggregate the converted granule dirs — `ncagg out.nc *.nc -u ...`
+    // becomes `graft.Cli out *.nc -u ...` verbatim
+    val ncSrcs = srcs.count(_.endsWith(".nc"))
+    require(ncSrcs == 0 || ncSrcs == srcs.size,
+      "mixing .nc and parquet granules in one run is not supported")
+    val granules =
+      if (ncSrcs == 0) srcs
+      else graft.sources.NetCDFIngest.convert(spark, srcs,
+        s"$dst.__nc_ingest").toList
+
     var config = opts.get("t") match {
       case Some(path) => AggConfig.fromJson(
         new String(java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(path)), "UTF-8"))
+      case None if ncSrcs > 0 =>
+        graft.sources.NetCDF4.configFor(srcs.head) // reference Config.from_nc
       case None => AggConfig.fromGranule(spark.read.parquet(srcs.head))
     }
 
@@ -125,7 +145,7 @@ object Cli {
     val maxRecords = opts.get("c")
       .map(_.split(":")(1).toInt).getOrElse(1 << 20)
 
-    val attrs = Aggregate.run(spark, srcs, dst, config,
+    val attrs = Aggregate.run(spark, granules, dst, config,
       maxRecordsPerFile = maxRecords)
     attrs.foreach { case (k, v) => println(s"$k = $v") }
     println(s"Finished: $dst")

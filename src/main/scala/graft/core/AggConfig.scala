@@ -68,20 +68,57 @@ object AggConfig {
     def primaryUdim: Option[DimSpec] =
       dims.find(d => d.isUnlimited && d.indexBy.isDefined && !d.flatten)
 
-    /** Inter-validation (reference config.py:48-93): every variable
-      * dimension must be configured, every index_by variable must exist. */
+    /** Per-field + inter-validation (reference config.py:10-25 cerberus
+      * schemas and 160-186 ConfigDict.__setitem__): every variable
+      * dimension must be configured, every index_by variable must exist,
+      * sizes must be positive (or the -1 "unknown inner size" marker),
+      * chunksizes must align with dimensions, and a dimension without
+      * index_by is normalized to carry no bounds/cadence/other-dim-inds
+      * (the reference silently clears them the same way). */
     def validate(): Config = {
+      dims.foreach { d =>
+        require(d.name.nonEmpty, "dimension with empty name")
+        d.size.foreach(sz => require(sz >= 1 || sz == -1L,
+          s"dimension ${d.name}: size must be >= 1 (or -1 for unknown), " +
+            s"got $sz"))
+        d.expectedCadence.foreach { case (k, hz) =>
+          require(hz > 0, s"dimension ${d.name}: expected_cadence[$k] " +
+            s"must be positive, got $hz")
+        }
+        d.otherDimInds.foreach { case (k, i) =>
+          require(i >= 0, s"dimension ${d.name}: other_dim_indicies[$k] " +
+            s"must be >= 0, got $i")
+        }
+      }
       val dimNames = dims.map(_.name).toSet
-      val badDims = vars.flatMap(v => v.dimensions.filterNot(dimNames))
-      require(badDims.isEmpty,
-        s"Variable depends on unconfigured dimension: $badDims")
-      val varNames = vars.map(_.name).toSet
+      vars.foreach { v =>
+        require(v.name.nonEmpty, "variable with empty name")
+        val bad = v.dimensions.filterNot(dimNames)
+        require(bad.isEmpty,
+          s"variable ${v.name} depends on unconfigured dimension: $bad")
+        v.chunksizes.foreach(cs => require(cs.length == v.dimensions.length,
+          s"variable ${v.name}: required len(dims) == len(chunksizes), " +
+            s"got ${v.dimensions.length} != ${cs.length}"))
+      }
+      val varNames = vars.map(v => v.mapTo.getOrElse(v.name)).toSet ++
+        vars.map(_.name)
       val badIdx = dims.flatMap(_.indexBy).filterNot(varNames)
       require(badIdx.isEmpty, s"index_by variable not found: $badIdx")
       val okStrategies = AttributeStrategies.names
-      val badStrats = attrs.map(_.strategy).filterNot(okStrategies)
-      require(badStrats.isEmpty, s"unknown attribute strategies: $badStrats")
-      this
+      attrs.foreach { a =>
+        require(a.name.nonEmpty, "attribute with empty name")
+        require(okStrategies(a.strategy),
+          s"attribute ${a.name}: unknown strategy ${a.strategy}")
+      }
+      // normalization: no index_by -> no bounds/cadence/other-dim-inds
+      // (reference DimensionConfig.__setitem__, config.py:241-247)
+      val normDims = dims.map { d =>
+        if (d.indexBy.isEmpty)
+          d.copy(min = None, max = None,
+            expectedCadence = Map.empty, otherDimInds = Map.empty)
+        else d
+      }
+      copy(dims = normDims)
     }
   }
 

@@ -131,9 +131,9 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
       dims = Seq(
         AggConfig.DimSpec("record", size = None, indexBy = Some("time"),
           min = Some(100L), max = Some(200L),
-          expectedCadence = Map("record" -> 10.0, "samples" -> 4.0)),
-        AggConfig.DimSpec("samples", size = Some(4L),
-          otherDimInds = Map("samples" -> 2))),
+          expectedCadence = Map("record" -> 10.0, "samples" -> 4.0),
+          otherDimInds = Map("samples" -> 2)),
+        AggConfig.DimSpec("samples", size = Some(4L))),
       vars = Seq(
         AggConfig.VarSpec("time", Seq("record"), "float64",
           attributes = Map("units" -> "s")),
@@ -143,6 +143,34 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
       takeDimInds = Map("samples" -> 1))
     val back = AggConfig.fromJson(AggConfig.toJson(c))
     assert(back === c)
+  }
+
+  test("config schema validation: per-field errors like the reference") {
+    import AggConfig._
+    // size must be >= 1 (or the -1 unknown marker)
+    intercept[IllegalArgumentException] {
+      Config(Seq(DimSpec("r", Some(0L))), Nil, Nil).validate()
+    }
+    // reference VariableConfig: len(dims) == len(chunksizes)
+    intercept[IllegalArgumentException] {
+      Config(Seq(DimSpec("r", None)),
+        Seq(VarSpec("x", Seq("r"), "double", chunksizes = Some(Seq(1, 2)))),
+        Nil).validate()
+    }
+    // cadence must be positive
+    intercept[IllegalArgumentException] {
+      Config(
+        Seq(DimSpec("r", None, indexBy = Some("x"),
+          expectedCadence = Map("r" -> -1.0))),
+        Seq(VarSpec("x", Seq("r"), "double")), Nil).validate()
+    }
+    // reference DimensionConfig normalization: index_by absent clears
+    // bounds/cadence/other-dim-inds instead of erroring
+    val n = Config(
+      Seq(DimSpec("r", Some(4L), min = Some(1L), max = Some(9L),
+        otherDimInds = Map("r" -> 1))), Nil, Nil).validate()
+    assert(n.dims.head.min.isEmpty && n.dims.head.max.isEmpty &&
+      n.dims.head.otherDimInds.isEmpty)
   }
 
   test("CLI --generate_template prints a config usable via -t") {

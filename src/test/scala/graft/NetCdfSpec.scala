@@ -126,6 +126,22 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
       org.apache.spark.sql.types.ArrayType])
   }
 
+  test("Cli aggregates raw .nc granules like the reference command line") {
+    assume(fixtures.size == 7)
+    val tmp = Files.createTempDirectory("graft_cli_nc").toString
+    // ncagg OUT SRC.nc... -u time:time:10  — verbatim reference usage
+    Cli.run(spark, Array(s"$tmp/out") ++ fixtures.take(3) ++
+      Array("-u", "time:time:10"))
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() === 1800) // 3 contiguous granules x 600 records
+    assert(out.filter(col("is_fill")).count() === 0)
+    // template generation straight from a .nc sample
+    val tpl = Cli.run(spark,
+      Array("--generate_template", fixtures.head))("template")
+    val cfg = graft.core.AggConfig.fromJson(tpl)
+    assert(cfg.dims.exists(d => d.name == "time" && d.size.isEmpty))
+  }
+
   test("reference magnl2hires_gap: the outage arrives as cadenced fill") {
     val gapFixtures =
       fixturesIn("/root/reference/test/mag/magnl2hires_gap/data")
