@@ -90,7 +90,16 @@ object NetCDF4 {
         Some(NcVar(ds.name, dimNames, ds.shape, ds.dtype, userAttrs))
       }
     }
-    NcFile(dims.sortBy(_.dimid), vars, h5.rootAttrs, h5)
+    // a phony (non-coordinate) unlimited dim's scale dataset keeps its
+    // creation length (often 0) — the dimension's CURRENT size is the max
+    // extent of the variables laid out along it (netcdf-c semantics)
+    val sized = dims.map { d =>
+      val used = vars.flatMap(v => v.dims.zip(v.shape).collect {
+        case (dn, sz) if dn == d.name => sz
+      })
+      d.copy(size = (d.size +: used).max)
+    }
+    NcFile(sized.sortBy(_.dimid), vars, h5.rootAttrs, h5)
   }
 
   /** Parse CF-style time units ("<unit> since <instant>") to (epoch-micros

@@ -160,15 +160,22 @@ object NetCDFIngest {
       }
     spark.createDataFrame(rdd, withG)
       .write.mode("overwrite").partitionBy("__granule").parquet(outDir)
-    srcs.map { p =>
+    srcs.flatMap { p =>
       val dir = s"$outDir/__granule=${granuleName(p)}"
-      val attrs = open(p).attrs
-      val json = attrs.toSeq.sortBy(_._1).map { case (k, v) =>
-        "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
-      }.mkString("{", ", ", "}")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, "_global_attrs.json"), json)
-      dir
+      // an empty granule (zero records along the record dim) produces no
+      // partition directory — it contributes nothing, like the
+      // reference's empty-file handling (and AggregateSpec's empty case)
+      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
+        None
+      else {
+        val attrs = open(p).attrs
+        val json = attrs.toSeq.sortBy(_._1).map { case (k, v) =>
+          "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
+        }.mkString("{", ", ", "}")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "_global_attrs.json"), json)
+        Some(dir)
+      }
     }
   }
 

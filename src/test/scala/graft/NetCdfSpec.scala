@@ -75,6 +75,33 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
     assert(cfg.attrs.forall(_.strategy == "first"))
   }
 
+  test("reader decodes every reference fixture file completely") {
+    // breadth sweep: all ~200 granules across mag/exis/seis/generic — every
+    // dataset of every file must parse and decode without error
+    val root = new java.io.File("/root/reference/test")
+    assume(root.isDirectory)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+      else if (f.getName.endsWith(".nc")) Seq(f) else Nil
+    val files = walk(root)
+    assert(files.size > 100)
+    var datasets = 0L
+    files.foreach { f =>
+      val nc = NetCDF4.open(f.getPath)
+      assert(nc.dims.nonEmpty, s"${f.getName}: no dimensions")
+      nc.vars.foreach { v =>
+        val data = nc.read(v)
+        val n = java.lang.reflect.Array.getLength(data)
+        val expect = if (v.shape.isEmpty) 1 else v.shape.product
+        assert(n == expect,
+          s"${f.getName}/${v.name}: decoded $n of $expect")
+        datasets += 1
+      }
+    }
+    info(s"decoded $datasets datasets across ${files.size} files")
+  }
+
   private val us = 1000000L
 
   private def runFixture(srcs: Seq[String], tmp: String,
@@ -140,6 +167,39 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
       Array("--generate_template", fixtures.head))("template")
     val cfg = graft.core.AggConfig.fromJson(tpl)
     assert(cfg.dims.exists(d => d.name == "time" && d.size.isEmpty))
+  }
+
+  test("reference EXIS interleaved granules: index var != record dim") {
+    // test_EXISL1bSFXR.py: report_number indexed by `time` at 1 Hz;
+    // interleaved one-second granules must come out sorted and deduped,
+    // diffs in [0.854, 1.0] s (the sub-cadence interleave boundary is
+    // kept: 0.854 > the 1 Hz dedup tolerance)
+    val exis = fixturesIn(
+      "/root/reference/test/exis/EXISL1bSFXR_interleaved/data")
+    assume(exis.nonEmpty)
+    val tmp = Files.createTempDirectory("graft_nc_exis").toString
+    val granules = NetCDFIngest.convert(spark, exis, s"$tmp/gr")
+    var cfg = NetCDF4.configFor(exis.head)
+    assert(cfg.dims.exists(d => d.name == "report_number" && d.size.isEmpty))
+    cfg = cfg.copy(dims = cfg.dims.map { d =>
+      if (d.name == "report_number")
+        d.copy(indexBy = Some("time"),
+          expectedCadence = Map("report_number" -> 1.0))
+      else d
+    })
+    Aggregate.run(spark, granules, s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("time")
+    val times = out
+      .select(unix_micros(col("time").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(times.size >= 2)
+    val diffs = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    // reference asserts on this data: min diff ~0.854 s, max ~1.0 s — the
+    // sub-cadence interleave is deduped (not closer than the 1 Hz
+    // tolerance), fill-time records (-999) are dropped as invalid, and
+    // any synthesized fills land on the cadence grid
+    assert(diffs.min >= 800000L && diffs.min <= 1000000L, s"min ${diffs.min}")
+    assert(diffs.max <= 1001000L, s"max ${diffs.max}")
   }
 
   test("reference magnl2hires_gap: the outage arrives as cadenced fill") {
