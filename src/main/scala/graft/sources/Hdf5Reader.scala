@@ -160,8 +160,11 @@ object Hdf5Reader {
       val size0 = uN(p, c0s).toInt; p += c0s
       val trackOrder = (flags & 4) != 0
       val msgs = Seq.newBuilder[Message]
-      // (start, end-exclusive-of-checksum)
-      var blocks = List((p, p + size0 - 4))
+      // chunk0's size counts message data ONLY (the trailing checksum is
+      // not included — subtracting it here clips the final message when
+      // the chunk is exactly packed, e.g. the SEIS fixtures' units attr);
+      // continuation block sizes DO include their OCHK sig + checksum
+      var blocks = List((p, p + size0))
       while (blocks.nonEmpty) {
         var (q, end) = blocks.head; blocks = blocks.tail
         var done = false

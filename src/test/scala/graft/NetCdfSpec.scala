@@ -105,22 +105,23 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
   private val us = 1000000L
 
   private def runFixture(srcs: Seq[String], tmp: String,
-      lo: Long, hi: Long): (Seq[Long], org.apache.spark.sql.DataFrame) = {
+      lo: Long, hi: Long, dimName: String = "time", ivar: String = "time",
+      hz: Double = 10.0): (Seq[Long], org.apache.spark.sql.DataFrame) = {
     val granules = NetCDFIngest.convert(spark, srcs, s"$tmp/gr")
     assert(granules.forall(g =>
       Files.exists(java.nio.file.Paths.get(g, "_global_attrs.json"))))
     var cfg = NetCDF4.configFor(srcs.head)
     cfg = cfg.copy(dims = cfg.dims.map { d =>
-      if (d.name == "time")
-        d.copy(indexBy = Some("time"),
-          expectedCadence = Map("time" -> 10.0),
+      if (d.name == dimName)
+        d.copy(indexBy = Some(ivar),
+          expectedCadence = Map(dimName -> hz),
           min = Some(lo), max = Some(hi))
       else d
     })
     Aggregate.run(spark, granules, s"$tmp/out", cfg)
-    val out = spark.read.parquet(s"$tmp/out").orderBy("time")
+    val out = spark.read.parquet(s"$tmp/out").orderBy(ivar)
     val times = out
-      .select(unix_micros(col("time").cast(TimestampType)))
+      .select(unix_micros(col(ivar).cast(TimestampType)))
       .collect().map(_.getLong(0)).toSeq
     (times, out)
   }
@@ -200,6 +201,27 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
     // any synthesized fills land on the cadence grid
     assert(diffs.min >= 800000L && diffs.min <= 1000000L, s"min ${diffs.min}")
     assert(diffs.max <= 1001000L, s"max ${diffs.max}")
+  }
+
+  test("reference SEIS bound-between: midnight bounds split a granule") {
+    // test_mpsh_with_config: 3 one-second-cadence granules where the first
+    // 5 seconds of Jan 9 live in the LAST granule of Jan 8 — bounds
+    // [00:00:00, 00:01:00) must trim partial files on both ends and come
+    // out exactly 1 Hz, within one cadence of each bound
+    val seis = fixturesIn(
+      "/root/reference/test/seis/SEISL1bMPSH_boundbetween/data")
+    assume(seis.size == 3)
+    val tmp = Files.createTempDirectory("graft_nc_seis").toString
+    val lo = utcUs(2017, 1, 9, 0, 0)
+    val hi = utcUs(2017, 1, 9, 0, 1) - 1L
+    val (times, out) = runFixture(seis, tmp, lo, hi,
+      dimName = "report_number", ivar = "L1a_SciData_TimeStamp", hz = 1.0)
+    assert(times.nonEmpty)
+    val diffs = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(d => math.abs(d - 1000000L) <= 1000L),
+      s"spacing off: ${diffs.filter(d => math.abs(d - 1000000L) > 1000L).take(5)}")
+    assert(times.head >= lo && lo + 1000000L > times.head)
+    assert(times.last < hi && hi - times.last <= 1000000L)
   }
 
   test("reference magnl2hires_gap: the outage arrives as cadenced fill") {
