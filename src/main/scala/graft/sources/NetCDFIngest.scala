@@ -16,11 +16,18 @@ import org.apache.spark.sql.types._
   * ("<unit> since <instant>") become TIMESTAMP_NTZ; `_FillValue` matches
   * become SQL nulls.
   *
-  * Scale shape: one task per granule file — `parallelize(srcs).flatMap`
-  * parses each file on an executor (the pure-JVM [[Hdf5Reader]] needs no
-  * native lib), and a single `partitionBy("__granule")` write lays out one
-  * directory per input granule. A 100 TB feed of ~100 MB granules is ~1M
-  * tasks of independent decode — embarrassingly parallel, no shuffle.
+  * Scale shape: two distributed passes, both one task per granule file
+  * (the pure-JVM [[Hdf5Reader]] needs no native lib). Pass 1 parses each
+  * granule's HEADER on an executor and collects only tiny metadata
+  * (schema fields, global-attr JSON, record count — a few hundred bytes
+  * per granule); the driver unions the per-granule schemas (erroring
+  * loudly on type conflicts, like the reference's shape-mismatch error)
+  * and writes the attr sidecars from the collected strings. Pass 2
+  * decodes records, and a single `partitionBy("__granule")` write lays
+  * out one directory per input granule. The driver does O(#granules)
+  * string work only — it never opens or re-parses a granule file. A
+  * 100 TB feed of ~100 MB granules is ~1M tasks of independent decode —
+  * embarrassingly parallel, no shuffle.
   */
 object NetCDFIngest {
 
@@ -112,7 +119,11 @@ object NetCDFIngest {
           f.dataType match {
             case TimestampNTZType =>
               val (base, per) = v.attrs.get("units")
-                .collect { case s: String => s }.flatMap(timeUnits).get
+                .collect { case s: String => s }.flatMap(timeUnits)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"$path: variable ${f.name} is a time column in the " +
+                    "aggregation schema but this granule's copy has no " +
+                    "parseable CF time units — granule mismatch"))
               (i: Int) => {
                 val x = num(i)
                 if (x.isNaN || fill.contains(x)) null
@@ -126,6 +137,15 @@ object NetCDFIngest {
                 (_: Int) => const
               }
             case _ =>
+              // a scalar column must really be one value per record in
+              // THIS granule too: a [rec, k>1] variable indexed with the
+              // scalar getter would silently mis-stride (read element i
+              // instead of i*k). Error like the reference does on shape
+              // mismatch instead of producing wrong values.
+              require(inner == 1,
+                s"$path: variable ${f.name} has $inner values per record " +
+                  "but the aggregation schema expects a scalar — granule " +
+                  "shape mismatch")
               if (recordVar) (i: Int) => raw(i)
               else { val const = raw(0); (_: Int) => const }
           }
@@ -138,20 +158,71 @@ object NetCDFIngest {
     new java.io.File(path).getName
       .replaceAll("\\.nc$", "").replaceAll("[^A-Za-z0-9_.-]", "_")
 
+  /** Tiny per-granule header metadata (a few hundred bytes) — everything
+    * the driver needs so it never has to open the granule itself. */
+  final case class GranuleMeta(
+      path: String,
+      granule: String,
+      schema: StructType,
+      attrsJson: String,
+      records: Long)
+
+  /** Parse one granule's header into [[GranuleMeta]] (runs on executors). */
+  def granuleMeta(path: String): GranuleMeta = {
+    val nc = open(path)
+    val recDim = recordDimOf(nc)
+    val n = nc.dims.find(_.name == recDim).map(_.size).getOrElse(0L)
+    val json = nc.attrs.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
+    }.mkString("{", ", ", "}")
+    GranuleMeta(path, granuleName(path), schemaFor(nc, recDim), json, n)
+  }
+
+  /** Union of the per-granule schemas, first-seen field order. A variable
+    * appearing with two different column types (scalar vs array, float vs
+    * timestamp, ...) is a hard error naming both granules — the reference
+    * likewise errors on shape mismatch rather than guessing. */
+  def unionSchema(metas: Seq[GranuleMeta]): StructType = {
+    val fields =
+      scala.collection.mutable.LinkedHashMap[String, (StructField, String)]()
+    metas.foreach { m =>
+      m.schema.fields.foreach { f =>
+        fields.get(f.name) match {
+          case None => fields(f.name) = (f, m.granule)
+          case Some((prev, g0)) =>
+            require(prev.dataType == f.dataType,
+              s"variable ${f.name}: type ${prev.dataType.simpleString} in " +
+                s"granule $g0 vs ${f.dataType.simpleString} in " +
+                s"${m.granule} — granule schemas must agree")
+        }
+      }
+    }
+    StructType(fields.values.map(_._1).toSeq)
+  }
+
   /** Convert granule files to one parquet granule directory each (under
     * `outDir/__granule=<name>/`), with a `_global_attrs.json` sidecar per
     * granule so [[graft.Aggregate.run]] picks up NetCDF global attributes
     * exactly like a previous graft run's output. Returns the granule
-    * directories in input order. */
+    * directories in input order.
+    *
+    * Pass 1 (distributed) collects [[GranuleMeta]] per granule; the schema
+    * is the UNION of all granule schemas (a variable missing from some
+    * granules null-fills there, like the reference aggrelist.py:545-566),
+    * and the sidecars are written from the collected attr strings — the
+    * driver does O(#granules) string work only and never opens a granule.
+    * Pass 2 (distributed) decodes the records. */
   def convert(spark: SparkSession, srcs: Seq[String], outDir: String)
       : Seq[String] = {
     require(srcs.nonEmpty, "no input granules")
-    val first = open(srcs.head)
-    val recDim = recordDimOf(first)
-    val schema = schemaFor(first, recDim)
+    val paths = srcs.toIndexedSeq
+    val metas = spark.sparkContext
+      .parallelize(paths, paths.size)
+      .map(granuleMeta)
+      .collect().toSeq
+    val schema = unionSchema(metas)
     val withG = StructType(schema.fields :+
       StructField("__granule", StringType, nullable = false))
-    val paths = srcs.toIndexedSeq
     val rdd = spark.sparkContext
       .parallelize(paths, paths.size)
       .flatMap { p =>
@@ -160,22 +231,14 @@ object NetCDFIngest {
       }
     spark.createDataFrame(rdd, withG)
       .write.mode("overwrite").partitionBy("__granule").parquet(outDir)
-    srcs.flatMap { p =>
-      val dir = s"$outDir/__granule=${granuleName(p)}"
-      // an empty granule (zero records along the record dim) produces no
-      // partition directory — it contributes nothing, like the
-      // reference's empty-file handling (and AggregateSpec's empty case)
-      if (!java.nio.file.Files.isDirectory(java.nio.file.Paths.get(dir)))
-        None
-      else {
-        val attrs = open(p).attrs
-        val json = attrs.toSeq.sortBy(_._1).map { case (k, v) =>
-          "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
-        }.mkString("{", ", ", "}")
-        java.nio.file.Files.writeString(
-          java.nio.file.Paths.get(dir, "_global_attrs.json"), json)
-        Some(dir)
-      }
+    // an empty granule (zero records along the record dim) produces no
+    // partition directory — it contributes nothing, like the reference's
+    // empty-file handling (and AggregateSpec's empty case)
+    metas.filter(_.records > 0).map { m =>
+      val dir = s"$outDir/__granule=${m.granule}"
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(dir, "_global_attrs.json"), m.attrsJson)
+      dir
     }
   }
 
