@@ -145,8 +145,16 @@ object Cli {
     val maxRecords = opts.get("c")
       .map(_.split(":")(1).toInt).getOrElse(1 << 20)
 
-    val attrs = Aggregate.run(spark, granules, dst, config,
+    // a `.nc` DST produces an actual NetCDF output file (the reference's
+    // product, aggregator.py:239-359) via the pure-JVM writer: aggregate
+    // into a work directory, then write the finished frame as one .nc
+    val ncOut = dst.endsWith(".nc")
+    val aggDst = if (ncOut) s"$dst.__work" else dst
+    val attrs = Aggregate.run(spark, granules, aggDst, config,
       maxRecordsPerFile = maxRecords)
+    if (ncOut)
+      graft.sources.NetCDFWrite.write(spark, aggDst, dst, config,
+        Some(attrs))
     attrs.foreach { case (k, v) => println(s"$k = $v") }
     println(s"Finished: $dst")
     attrs

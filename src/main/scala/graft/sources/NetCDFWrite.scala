@@ -1,0 +1,350 @@
+package graft.sources
+
+import java.time.ZoneOffset
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+import graft.core.AggConfig
+import Hdf5Writer._
+
+/** NetCDF-4 (classic model) *output* over [[Hdf5Writer]] — the write side
+  * of [[NetCDF4]]: the aggregated frame goes back out as a `.nc` file the
+  * reference's own tooling can read (the reference's product IS this
+  * file: /root/reference/ncagg/aggregator.py:239-359
+  * `initialize_aggregation_file` + `evaluate_aggregation_list`).
+  *
+  * Encoding conventions are the public netcdf-c ones [[NetCDF4]] reads:
+  * every dimension is a dataset with `CLASS = "DIMENSION_SCALE"` and a
+  * `_Netcdf4Dimid` (creation-order) attribute; a dimension with no
+  * variable gets the "This is a netCDF dimension but not a netCDF
+  * variable" NAME marker; each data variable carries a `DIMENSION_LIST`
+  * of object references. TIMESTAMP columns become doubles in the
+  * variable's CF `units` ("<unit> since <instant>", kept from the config,
+  * defaulting to seconds since the epoch); SQL nulls become NaN (floats)
+  * or the `_FillValue` (ints, written as a typed attribute so a re-ingest
+  * restores the nulls).
+  *
+  * Scale shape: one `.nc` file is inherently a single-writer artifact
+  * (the reference is a single process for the same reason), so
+  * [[write]] streams the FINISHED aggregate — already reduced by the
+  * distributed pipeline — through the driver. For large outputs,
+  * [[writeGranules]] writes a partitioned `.nc` granule SET instead:
+  * each range partition writes its own file executor-side, fully
+  * parallel, and the set re-ingests through [[NetCDFIngest]] (the same
+  * granule model the inputs use). Files are buffered in memory: >2 GiB
+  * per file is unsupported (split with `maxRecordsPerFile` instead).
+  */
+object NetCDFWrite {
+
+  /** netcdf-c default fill values (public netcdf.h: NC_FILL_INT,
+    * NC_FILL_INT64). */
+  val FillInt = -2147483647L
+  val FillInt64 = -9223372036854775806L
+
+  private val EpochUnits = "seconds since 1970-01-01 00:00:00"
+
+  // ----------------------------------------------------- column encoding
+
+  private def usOf(v: Any): Long = v match {
+    case ldt: java.time.LocalDateTime =>
+      ldt.toEpochSecond(ZoneOffset.UTC) * 1000000L + ldt.getNano / 1000L
+    case ins: java.time.Instant =>
+      ins.getEpochSecond * 1000000L + ins.getNano / 1000L
+    case ts: java.sql.Timestamp =>
+      ts.getTime * 1000L + (ts.getNanos % 1000000) / 1000L
+    case other =>
+      throw new IllegalArgumentException(s"not a timestamp: $other")
+  }
+
+  private final case class Built(
+      dtype: WType, data: Array[Byte], extraAttrs: Seq[(String, WAttrVal)])
+
+  /** Encode flat element values (row-major, nulls = fill) for one
+    * variable. */
+  private def encode(vals: Array[Any], elemType: DataType,
+      v: AggConfig.VarSpec): Built = {
+    val cfgFillNum = v.attributes.get("_FillValue")
+      .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
+    elemType match {
+      case TimestampNTZType | TimestampType =>
+        val (base, per) = v.attributes.get("units")
+          .flatMap(NetCDF4.timeUnits)
+          .getOrElse(NetCDF4.timeUnits(EpochUnits).get)
+        val unitsAttr =
+          if (v.attributes.get("units").flatMap(NetCDF4.timeUnits).isDefined)
+            Nil
+          else Seq("units" -> WStrAttr(EpochUnits))
+        val b = java.nio.ByteBuffer.allocate(vals.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { x =>
+          b.putDouble(if (x == null) Double.NaN else (usOf(x) - base) / per)
+        }
+        Built(WF64, b.array(), unitsAttr)
+      case DoubleType =>
+        val b = java.nio.ByteBuffer.allocate(vals.length * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { x =>
+          b.putDouble(if (x == null) Double.NaN
+            else x.asInstanceOf[Number].doubleValue())
+        }
+        Built(WF64, b.array(),
+          cfgFillNum.map(f => "_FillValue" -> WDoubleAttr(f)).toSeq)
+      case FloatType =>
+        val b = java.nio.ByteBuffer.allocate(vals.length * 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        vals.foreach { x =>
+          b.putFloat(if (x == null) Float.NaN
+            else x.asInstanceOf[Number].floatValue())
+        }
+        Built(WF32, b.array(),
+          cfgFillNum.map(f => "_FillValue" -> WFloatAttr(f.toFloat)).toSeq)
+      case LongType | IntegerType | ShortType | ByteType =>
+        val longs = vals.map {
+          case null => null
+          case x => java.lang.Long.valueOf(x.asInstanceOf[Number].longValue())
+        }
+        val narrow = v.datatype.toLowerCase match {
+          case "bigint" | "long" | "int64" => false
+          case dt => dt.contains("int") || dt.contains("short") ||
+            dt.contains("byte")
+        }
+        val fits = longs.forall(l => l == null ||
+          (l >= Int.MinValue && l <= Int.MaxValue))
+        val size = if (narrow && fits) 4 else 8
+        val fill = cfgFillNum.map(_.toLong)
+          .getOrElse(if (size == 4) FillInt else FillInt64)
+        val b = java.nio.ByteBuffer.allocate(vals.length * size)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        longs.foreach { l =>
+          val x = if (l == null) fill else l.longValue()
+          if (size == 4) b.putInt(x.toInt) else b.putLong(x)
+        }
+        Built(WInt(size), b.array(),
+          Seq("_FillValue" -> WLongAttr(fill, size)))
+      case StringType =>
+        val strs = vals.map { case null => ""; case s => s.toString }
+        val width = math.max(strs.map(_.getBytes("UTF-8").length).max + 1, 1)
+        val out = new Array[Byte](strs.length * width)
+        strs.zipWithIndex.foreach { case (s, i) =>
+          val raw = s.getBytes("UTF-8")
+          System.arraycopy(raw, 0, out, i * width, raw.length)
+        }
+        Built(WStr(width), out, Nil)
+      case BooleanType =>
+        val out = vals.map {
+          case null => 0.toByte
+          case b: java.lang.Boolean => if (b) 1.toByte else 0.toByte
+        }
+        Built(WInt(1, signed = false), out, Nil)
+      case other =>
+        throw new IllegalArgumentException(
+          s"cannot write column type ${other.simpleString} to NetCDF")
+    }
+  }
+
+  // --------------------------------------------------------- file build
+
+  /** Build one `.nc` file from rows in record order. Only the config's
+    * variables are written (pipeline bookkeeping columns like `is_fill`
+    * stay out of the product, matching the reference output's shape). */
+  def writeFile(dst: java.nio.file.Path, schema: StructType,
+      rows: IndexedSeq[Row], config: AggConfig.Config,
+      globalAttrs: Map[String, String]): Unit = {
+    val n = rows.size
+    val recDim = config.primaryUdim
+      .orElse(config.dims.find(_.isUnlimited))
+      .map(_.name)
+      .getOrElse(config.dims.headOption.map(_.name).getOrElse("record"))
+    val fieldIdx = schema.fieldNames.zipWithIndex.toMap
+    val outVars = config.vars.filter(v =>
+      fieldIdx.contains(v.mapTo.getOrElse(v.name)))
+
+    // resolved dimension sizes: record dim = row count; fixed dims from
+    // the config, falling back to the first observed array length —
+    // covering both [recDim, dn] record vars and 1-D non-record vars
+    // (e.g. a secondary unlimited dimension's coordinate variable, which
+    // the ingest model carries as a per-row constant array)
+    def observedInner(dn: String): Option[Long] = outVars.collectFirst {
+      case v if (v.dimensions == Seq(recDim, dn) && dn != recDim) ||
+          (v.dimensions == Seq(dn) && dn != recDim) =>
+        val i = fieldIdx(v.mapTo.getOrElse(v.name))
+        rows.iterator.map(_.get(i)).collectFirst {
+          case s: scala.collection.Seq[_] => s.length.toLong
+        }
+    }.flatten
+    val dimSize: Map[String, Long] = config.dims.map { d =>
+      d.name -> (
+        if (d.name == recDim) n.toLong
+        else d.size.filter(_ > 0)
+          .orElse(observedInner(d.name))
+          .getOrElse(1L))
+    }.toMap
+
+    // flat element values per variable + its dataset shape
+    def flatVals(v: AggConfig.VarSpec): (Seq[Long], Array[Any], DataType) = {
+      val outName = v.mapTo.getOrElse(v.name)
+      val i = fieldIdx(outName)
+      val fieldType = schema(outName).dataType
+      val innerDims = if (v.dimensions.headOption.contains(recDim))
+        v.dimensions.drop(1) else v.dimensions
+      val inner = innerDims.map(dimSize.getOrElse(_, 1L))
+      val innerN = inner.product.toInt max 1
+      def elems(x: Any): Array[Any] = (x, fieldType) match {
+        case (s: scala.collection.Seq[_], _: ArrayType) =>
+          val a = s.toArray[Any]
+          if (a.length == innerN) a
+          else { // pad with nulls / truncate to the configured inner size
+            val out = new Array[Any](innerN)
+            System.arraycopy(a, 0, out, 0, math.min(a.length, innerN))
+            out
+          }
+        case (null, _: ArrayType) => new Array[Any](innerN)
+        case (x0, _) => Array[Any](x0)
+      }
+      if (v.dimensions.headOption.contains(recDim)) {
+        val out = new Array[Any](n * innerN)
+        var r = 0
+        while (r < n) {
+          val e = elems(rows(r).get(i))
+          System.arraycopy(e, 0, out, r * innerN, innerN)
+          r += 1
+        }
+        (n.toLong +: inner, out,
+          fieldType match { case ArrayType(t, _) => t; case t => t })
+      } else {
+        // constant (non-record) variable: first non-null record's value,
+        // like the reference copying static vars from the first granule
+        val x = rows.iterator.map(_.get(i)).collectFirst {
+          case v0 if v0 != null => v0
+        }.orNull
+        (inner, elems(x),
+          fieldType match { case ArrayType(t, _) => t; case t => t })
+      }
+    }
+
+    val dimIds = config.dims.map(_.name).zipWithIndex.toMap
+    val coordVars = outVars.filter(v =>
+      dimIds.contains(v.mapTo.getOrElse(v.name))).map(v =>
+      v.mapTo.getOrElse(v.name)).toSet
+
+    def scaleAttrs(dimName: String, phonySize: Option[Long])
+        : Seq[(String, WAttrVal)] = Seq(
+      "CLASS" -> WStrAttr("DIMENSION_SCALE"),
+      "NAME" -> WStrAttr(phonySize match {
+        case Some(sz) =>
+          "This is a netCDF dimension but not a netCDF variable." +
+            f"$sz%10d"
+        case None => dimName
+      }),
+      "_Netcdf4Dimid" -> WLongAttr(dimIds(dimName).toLong, 4))
+
+    def userAttrs(v: AggConfig.VarSpec): Seq[(String, WAttrVal)] =
+      v.attributes.toSeq.sortBy(_._1).collect {
+        case (k, s) if k != "_FillValue" => k -> WStrAttr(s)
+      }
+
+    def varDataset(v: AggConfig.VarSpec): WDataset = {
+      val outName = v.mapTo.getOrElse(v.name)
+      val (shape, vals, elemT) = flatVals(v)
+      val built = encode(vals, elemT, v)
+      val isCoord = coordVars(outName)
+      val dimList =
+        if (isCoord) Nil
+        else Seq("DIMENSION_LIST" -> WDimListAttr(
+          v.dimensions.filter(dimIds.contains)))
+      val scale =
+        if (isCoord) scaleAttrs(outName, None) else Nil
+      WDataset(outName, shape, built.dtype, Some(built.data),
+        scale ++ userAttrs(v) ++ built.extraAttrs ++
+          (if (v.dimensions.nonEmpty && !isCoord) dimList else Nil),
+        unlimited0 = v.dimensions.headOption.contains(recDim) &&
+          config.dim(recDim).exists(_.isUnlimited))
+    }
+
+    // phony dims (no variable of the same name) are bare scales
+    val phonyDims = config.dims.filterNot(d => coordVars(d.name)).map { d =>
+      WDataset(d.name, Seq(dimSize(d.name)), WF32, None,
+        scaleAttrs(d.name, Some(dimSize(d.name))),
+        unlimited0 = d.name == recDim && d.isUnlimited)
+    }
+    val coordDatasets = outVars.filter(v => coordVars(v.mapTo.getOrElse(v.name)))
+      .map(varDataset)
+    val dataDatasets = outVars.filterNot(v => coordVars(v.mapTo.getOrElse(v.name)))
+      .map(varDataset)
+
+    // dimension-scale datasets first so DIMENSION_LIST references resolve
+    Hdf5Writer.write(dst,
+      (phonyDims ++ coordDatasets) ++ dataDatasets,
+      globalAttrs.toSeq.sortBy(_._1).map { case (k, s) => k -> WStrAttr(s) })
+  }
+
+  // ------------------------------------------------------------- fronts
+
+  /** The sort/order column of an aggregated frame (scalar `index_time`
+    * stands in for a multidim index variable, matching Aggregate.run). */
+  private def sortColOf(config: AggConfig.Config, columns: Set[String])
+      : Option[String] =
+    config.primaryUdim.flatMap(_.indexBy).map { ivar =>
+      if (columns.contains("index_time")) "index_time" else ivar
+    }.filter(columns.contains)
+
+  /** Write an aggregated parquet output (as produced by
+    * [[graft.Aggregate.run]]) back out as ONE `.nc` file, global attrs
+    * from its `_global_attrs.json` sidecar unless given explicitly. */
+  def write(spark: SparkSession, srcParquet: String, dst: String,
+      config: AggConfig.Config,
+      globalAttrs: Option[Map[String, String]] = None): Unit = {
+    val df = spark.read.parquet(srcParquet)
+    val sorted = sortColOf(config, df.columns.toSet)
+      .map(c => df.orderBy(col(c))).getOrElse(df)
+    val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
+    writeFile(java.nio.file.Paths.get(dst), sorted.schema,
+      sorted.collect().toIndexedSeq, config, attrs)
+  }
+
+  /** Distributed `.nc` granule-SET output: range-partition on the index
+    * column and write one `.nc` file per partition executor-side (the
+    * scale path — a single `.nc` is single-writer by construction). The
+    * output set re-ingests through [[NetCDFIngest.convert]]. Requires
+    * `dstDir` to be a filesystem path visible to the executors. */
+  def writeGranules(df: DataFrame, dstDir: String,
+      config: AggConfig.Config, globalAttrs: Map[String, String],
+      maxRecordsPerFile: Int = 1 << 20): Seq[String] = {
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
+    val sortCol = sortColOf(config, df.columns.toSet)
+    val total = df.count()
+    val parts = math.max(1, math.ceil(total.toDouble /
+      math.max(maxRecordsPerFile, 1)).toInt)
+    val arranged = sortCol match {
+      case Some(c) if parts > 1 =>
+        df.repartitionByRange(parts, col(c)).sortWithinPartitions(col(c))
+      case Some(c) => df.coalesce(1).sortWithinPartitions(col(c))
+      case None => df.coalesce(parts)
+    }
+    val schema = arranged.schema
+    arranged.foreachPartition { (it: Iterator[Row]) =>
+      val rows = it.toIndexedSeq
+      if (rows.nonEmpty) {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        writeFile(
+          java.nio.file.Paths.get(dstDir, f"part-$pid%05d.nc"),
+          schema, rows, config, globalAttrs)
+      }
+    }
+    Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.endsWith(".nc")).map(_.getPath).sorted.toSeq
+  }
+
+  private def readSidecar(dir: String): Map[String, String] = {
+    val f = java.nio.file.Paths.get(dir, "_global_attrs.json")
+    if (!java.nio.file.Files.isRegularFile(f)) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(f)) match {
+      case org.json4s.JObject(fields) =>
+        fields.collect { case (k, org.json4s.JString(v)) => k -> v }.toMap
+      case _ => Map.empty
+    }
+  }
+}
