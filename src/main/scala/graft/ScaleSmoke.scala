@@ -174,18 +174,11 @@ object ScaleSmoke {
           aggCore(spark.read.parquet(s"$dir/events_hot.parquet"))),
       s"sessionize_hot_${factor}x" ->
         timeNamed("sessionize_hot", {
+          // the REAL operator (bounded-key two-level plan) — this smoke
+          // previously inlined the single-window formulation it replaced
           val e = TSA.filterValid(TSA.withEpochUs(
             spark.read.parquet(s"$dir/events_hot.parquet"), "ts"), cfgNB)
-          import org.apache.spark.sql.expressions.Window
-          val w = Window.partitionBy("user_id")
-            .orderBy(col(TSA.T), col("event_id"))
-          e.withColumn("__prev", lag(col(TSA.T), 1).over(w))
-            .withColumn("__new", when(col("__prev").isNull ||
-              col(TSA.T) - col("__prev") > 1800000000L, 1L).otherwise(0L))
-            .withColumn("session_id", sum(col("__new")).over(
-              w.rowsBetween(Window.unboundedPreceding, 0)))
-            .groupBy(col("user_id"), col("session_id"))
-            .agg(count(lit(1)).as("n_events"))
+          graft.queries.AggQueries.sessionizeEvents(e)
         }))
     val js = r.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
     val sk = skewRatios.map { case (k, v) =>

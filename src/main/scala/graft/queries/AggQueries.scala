@@ -205,20 +205,56 @@ object AggQueries {
           .as("v_sum"),
         min("value").as("v_min"), max("value").as("v_max"))
 
-  /** Gap detection generalized: sessionize per user at 30-minute gaps. */
-  def qAggSessionize(s: SparkSession, dir: String): DataFrame = {
-    val e = TSA.filterValid(events(s, dir), cfg)
-    val w = Window.partitionBy("user_id").orderBy(col(TSA.T), col("event_id"))
-    val wCum = w.rowsBetween(Window.unboundedPreceding, 0)
-    e.withColumn("__prev", lag(col(TSA.T), 1).over(w))
+  /** Gap detection generalized: sessionize per user at 30-minute gaps.
+    *
+    * Bounded-key two-level plan: a single `Window.partitionBy(user_id)`
+    * over EVENT rows puts a hot user's whole history in one unsplittable
+    * partition (the r4 hot-key smoke measured max/median task time 26).
+    * Instead (1) sessionize within (user, hour-bucket) partitions — the
+    * per-key data is bounded by one user-hour — and collapse each local
+    * session to a 5-column summary; (2) re-run the SAME gap rule over the
+    * per-user session summaries, which both stitches bucket-boundary
+    * sessions and assigns the global session numbers. Gap-run merging is
+    * associative, so the composition is exact for ANY contiguous
+    * bucketing — the bucket size is purely a performance knob (and the
+    * occasional double-rounded boundary assignment is harmless for the
+    * same reason). The second window still partitions by user, but over
+    * session SUMMARIES: the hot key's row count drops from its event
+    * count to its session count, and each row is 5 scalars. */
+  def sessionizeEvents(e: DataFrame): DataFrame = {
+    val thr = 1800000000L
+    val bucketUs = 3600000000L
+    val eb = e.withColumn("__bkt",
+      floor(col(TSA.T) / lit(bucketUs)).cast(LongType))
+    val wLoc = Window.partitionBy("user_id", "__bkt")
+      .orderBy(col(TSA.T), col("event_id"))
+    val local = eb
+      .withColumn("__prev", lag(col(TSA.T), 1).over(wLoc))
       .withColumn("__new",
-        when(col("__prev").isNull ||
-          col(TSA.T) - col("__prev") > 1800000000L, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("__new")).over(wCum))
+        when(col("__prev").isNull || col(TSA.T) - col("__prev") > thr, 1L)
+          .otherwise(0L))
+      .withColumn("__lsid", sum(col("__new"))
+        .over(wLoc.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("__bkt"), col("__lsid"))
+      .agg(count(lit(1)).as("__n"),
+        min(col(TSA.T)).as("__start_us"), max(col(TSA.T)).as("__end_us"),
+        min("ts").as("__start"), max("ts").as("__end"))
+    val wUser = Window.partitionBy("user_id")
+      .orderBy(col("__start_us"), col("__bkt"))
+    local
+      .withColumn("__pend", lag(col("__end_us"), 1).over(wUser))
+      .withColumn("__snew",
+        when(col("__pend").isNull || col("__start_us") - col("__pend") > thr,
+          1L).otherwise(0L))
+      .withColumn("session_id", sum(col("__snew"))
+        .over(wUser.rowsBetween(Window.unboundedPreceding, 0)))
       .groupBy(col("user_id"), col("session_id"))
-      .agg(count(lit(1)).as("n_events"),
-        min("ts").as("session_start"), max("ts").as("session_end"))
+      .agg(sum("__n").as("n_events"),
+        min("__start").as("session_start"), max("__end").as("session_end"))
   }
+
+  def qAggSessionize(s: SparkSession, dir: String): DataFrame =
+    sessionizeEvents(TSA.filterValid(events(s, dir), cfg))
 
   /** Bound-spec parsing demonstrated as data (parser itself is pure Scala;
     * the oracle pins independently-computed expected values). */

@@ -203,6 +203,30 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_agg_sessionize never windows event rows by user_id alone") {
+    // a hot user must not become one unsplittable window partition: the
+    // event-level pass partitions by (user_id, hour bucket); only the
+    // stitching pass over collapsed session SUMMARIES (strictly above an
+    // aggregate) may key on user_id alone
+    val ws = nodes(physical("q_agg_sessionize")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.nonEmpty)
+    def aggBelow(p: SparkPlan): Boolean = nodes(p).drop(1).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec])
+    ws.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (keys == Set("user_id"))
+        assert(aggBelow(w),
+          "user_id-only window must run over collapsed session summaries")
+      else
+        assert(keys.contains("__bkt"),
+          s"event-level window keys $keys must include the hour bucket")
+    }
+  }
+
   test("q_agg_full data path shares one exchange between its windows") {
     // The dedup lag-window and gap-fill lead-window must reuse the same
     // chunk-hash partitioning, so exactly ONE shuffle carries the full-width
