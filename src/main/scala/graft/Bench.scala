@@ -18,6 +18,13 @@ object Bench {
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      // stall-proofing: BENCH_r04 died to "unable to send heartbeats to
+      // driver more than 60 times" during a co-tenant machine stall
+      // (sporadic 20-110 s freezes adjudicated in r3/r4). Generous
+      // timeouts let a stall degrade one timing, not kill the artifact.
+      .config("spark.network.timeout", "600s")
+      .config("spark.executor.heartbeatInterval", "30s")
+      .config("spark.network.timeoutInterval", "60s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

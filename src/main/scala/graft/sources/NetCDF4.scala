@@ -36,16 +36,27 @@ object NetCDF4 {
       dims: Seq[NcDim],
       vars: Seq[NcVar],
       attrs: Map[String, Any],
-      private[sources] val h5: Hdf5Reader.H5File) {
-    def read(v: NcVar): AnyRef =
-      h5.read(h5.datasets.find(_.name == v.name).get)
+      private[sources] val readFn: NcVar => AnyRef) {
+    def read(v: NcVar): AnyRef = readFn(v)
   }
 
   private val PhonyDimMarker = "This is a netCDF dimension but not"
   private val NcInternalAttrs = Set("CLASS", "NAME", "REFERENCE_LIST",
     "DIMENSION_LIST", "_Netcdf4Dimid", "_Netcdf4Coordinates")
 
+  /** Open either flavor the reference accepts transparently through
+    * netCDF4-python: NetCDF-4 (HDF5 container) or NetCDF-3 classic
+    * (`CDF\x01/\x02/\x05` magic, [[NetCDF3Reader]]). */
   def open(path: String): NcFile = {
+    val head = {
+      val in = java.nio.file.Files.newInputStream(
+        java.nio.file.Paths.get(path))
+      try in.readNBytes(4) finally in.close()
+    }
+    if (head.length >= 4 && head(0) == 'C'.toByte && head(1) == 'D'.toByte &&
+        head(2) == 'F'.toByte)
+      return NetCDF3Reader.open(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
     val h5 = Hdf5Reader.open(path)
     val byAddr = h5.datasets.map(ds => ds.addr -> ds.name).toMap
     val dims = h5.datasets.flatMap { ds =>
@@ -99,7 +110,8 @@ object NetCDF4 {
       })
       d.copy(size = (d.size +: used).max)
     }
-    NcFile(sized.sortBy(_.dimid), vars, h5.rootAttrs, h5)
+    NcFile(sized.sortBy(_.dimid), vars, h5.rootAttrs,
+      v => h5.read(h5.datasets.find(_.name == v.name).get))
   }
 
   /** Parse CF-style time units ("<unit> since <instant>") to (epoch-micros
