@@ -98,14 +98,19 @@ object Aggregate {
 
   /** Synthesized fill records of a MULTIDIM index variable carry computed
     * index values, not nulls (reference FillNode.data_for,
-    * aggrelist.py:141-189): element j of the fill row's index array is an
-    * outer sum of per-dimension cadence linspaces — the row's scalar
-    * index_time (already placed on the udim cadence by the gap-fill)
-    * shifted by (j - anchor)/innerHz, where anchor is the
-    * other_dim_indicies element index_time tracks. Applies when the inner
-    * dimension has a configured cadence and fixed size and the element
-    * type is a timestamp; otherwise fill arrays stay null (matching the
-    * reference's plain fill-value path when cadences are absent). */
+    * aggrelist.py:141-189): element j of the fill row's index array is
+    * the row's scalar index_time (already placed on the udim cadence by
+    * the gap-fill) shifted by (j - anchor)/innerHz, where anchor is the
+    * other_dim_indicies element index_time tracks. NOTE a deliberate
+    * divergence from the reference: its inner linspace always starts at
+    * element 0 (no anchor subtraction), so for anchor != 0 the reference
+    * offsets the whole fill array by anchor/innerHz — keeping the anchor
+    * ELEMENT on the cadence grid (as here) makes the synthesized index at
+    * the tracked position consistent with index_time. Applies when the
+    * inner dimension has a configured cadence and fixed size and the
+    * element type is a timestamp; otherwise fill arrays stay null
+    * (matching the reference's plain fill-value path when cadences are
+    * absent). */
   private def fillMultidimIndex(df: DataFrame, config: AggConfig.Config,
       dim: AggConfig.DimSpec, ivar: String, tsName: String): DataFrame = {
     import org.apache.spark.sql.types._

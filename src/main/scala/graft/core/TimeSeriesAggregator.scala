@@ -163,7 +163,13 @@ object TimeSeriesAggregator {
     // round((gap - dt_nom) * hz)): rounding keeps synthesized rows on the
     // cadence grid never closer than ~half a step to the resuming record;
     // a truncating (gap-1) div step overfills when the gap carries a small
-    // positive jitter. (2g - N) div 2N is the same value in exact integers.
+    // positive jitter. (2g - N) div 2N computes this in exact integers
+    // with a HALF-UP tie-break; numpy's round is half-EVEN, so a gap of
+    // exactly k+0.5 steps (never produced by real cadenced data, where
+    // jitter keeps gaps off exact half-steps) yields one more fill here
+    // when k is even — a deliberate divergence kept for exact integer
+    // arithmetic (same rule in the AggQueries/QueryRegistry oracles and
+    // StreamingAgg, so Spark and DuckDB always agree with each other).
     val interior = fillSeq(
       when(col("__next_t").isNotNull &&
           col("__next_t") - col(T) > cfg.gapThresholdUs,

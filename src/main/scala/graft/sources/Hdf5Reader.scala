@@ -20,12 +20,17 @@ import java.nio.{ByteBuffer, ByteOrder}
   *     (4/8), fixed strings, vlen strings/sequences (global heap GCOL),
   *     object references
   *   - dataset layouts v3: compact, contiguous, chunked (v1 chunk B-tree)
-  *   - filters: deflate (java.util.zip) and shuffle; fletcher32 checksums
-  *     are stripped, not verified
+  *   - filters: deflate (java.util.zip), shuffle, and fletcher32 (chunk
+  *     checksums VERIFIED on read — a corrupt chunk fails loudly with its
+  *     file offset; both the little-endian encoding and the byte-swapped
+  *     pre-1.6.3 legacy encoding are accepted, mirroring the public
+  *     library's compatibility rule)
   *
   * Not supported (not produced by netcdf-c for classic-model data):
   *   user-block offsets, non-default size-of-offsets, compound datasets
-  *   (read as raw/skipped), szip, v4 layouts, file driver info.
+  *   (read as raw/skipped), szip, v4 layouts, file driver info. Files are
+  *   buffered in one JVM array: granules >= 2 GiB are rejected up front
+  *   with a clear error (offsets are also 32-bit internally).
   */
 object Hdf5Reader {
 
@@ -66,8 +71,45 @@ object Hdf5Reader {
     def read(ds: Dataset): AnyRef = reader.readData(ds)
   }
 
-  def open(path: String): H5File =
-    open(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+  def open(path: String): H5File = {
+    val p = java.nio.file.Paths.get(path)
+    val size = java.nio.file.Files.size(p)
+    require(size < (2L << 30),
+      s"$path is $size bytes: granules >= 2 GiB are unsupported (the " +
+        "reader buffers the file in one JVM array; split the granule)")
+    open(java.nio.file.Files.readAllBytes(p))
+  }
+
+  /** HDF5's Fletcher-32 variant (public spec / H5_checksum_fletcher32):
+    * big-endian 16-bit word assembly, 360-word partial-sum blocks, odd
+    * trailing byte as `b << 8`. */
+  def fletcher32(data: Array[Byte], len: Int): Long = {
+    var sum1 = 0L
+    var sum2 = 0L
+    var i = 0
+    val words = len / 2
+    var remaining = words
+    while (remaining > 0) {
+      var tlen = math.min(remaining, 360)
+      remaining -= tlen
+      while (tlen > 0) {
+        sum1 += ((data(i) & 0xffL) << 8) | (data(i + 1) & 0xffL)
+        sum2 += sum1
+        i += 2; tlen -= 1
+      }
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    if (len % 2 == 1) {
+      sum1 += (data(i) & 0xffL) << 8
+      sum2 += sum1
+      sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+      sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    }
+    sum1 = (sum1 & 0xffff) + (sum1 >> 16)
+    sum2 = (sum2 & 0xffff) + (sum2 >> 16)
+    (sum2 << 16) | sum1
+  }
 
   def open(bytes: Array[Byte]): H5File = {
     val r = new Reader(bytes)
@@ -592,7 +634,7 @@ object Hdf5Reader {
       }
 
     private def unfilter(chunk: Array[Byte], fs: Seq[Filter], mask: Long,
-        elemSize: Int): Array[Byte] = {
+        elemSize: Int, chunkAddr: Long = -1L): Array[Byte] = {
       var out = chunk
       // pipeline applies filters in order on write; reverse on read
       fs.zipWithIndex.reverse.foreach { case (f, i) =>
@@ -623,8 +665,21 @@ object Hdf5Reader {
               }
               out = r
             }
-          case 3 => // fletcher32: strip trailing checksum, don't verify
-            out = java.util.Arrays.copyOf(out, out.length - 4)
+          case 3 => // fletcher32: verify the trailing checksum, then strip
+            val n = out.length - 4
+            val stored = // little-endian (modern); byte-swapped = legacy
+              (out(n) & 0xffL) | ((out(n + 1) & 0xffL) << 8) |
+                ((out(n + 2) & 0xffL) << 16) | ((out(n + 3) & 0xffL) << 24)
+            val swapped =
+              (out(n + 3) & 0xffL) | ((out(n + 2) & 0xffL) << 8) |
+                ((out(n + 1) & 0xffL) << 16) | ((out(n) & 0xffL) << 24)
+            val computed = fletcher32(out, n)
+            if (computed != stored && computed != swapped)
+              throw new IllegalStateException(
+                f"fletcher32 mismatch on chunk at file offset $chunkAddr: " +
+                  f"stored 0x$stored%08x, computed 0x$computed%08x — " +
+                  "corrupt granule")
+            out = java.util.Arrays.copyOf(out, n)
           case other =>
             throw new IllegalStateException(s"unsupported filter $other")
         }
@@ -660,7 +715,7 @@ object Hdf5Reader {
               (csize, mask, offsets, caddr) =>
                 val raw = java.util.Arrays
                   .copyOfRange(d, caddr.toInt, caddr.toInt + csize)
-                val bytes = unfilter(raw, fs, mask, elemSize)
+                val bytes = unfilter(raw, fs, mask, elemSize, caddr)
                 copyChunk(bytes, offsets.dropRight(1), cdims, shape,
                   elemSize, out)
             }

@@ -55,7 +55,10 @@ object Hdf5Writer {
       dtype: WType,
       data: Option[Array[Byte]],
       attrs: Seq[(String, WAttrVal)],
-      unlimited0: Boolean = false)
+      unlimited0: Boolean = false,
+      /** append + declare a fletcher32 chunk checksum (chunked layout
+        * only, i.e. requires `unlimited0`) */
+      fletcher32: Boolean = false)
 
   // ------------------------------------------------------------------ buf
 
@@ -205,6 +208,12 @@ object Hdf5Writer {
         buf.align8()
         val dataAddr = buf.pos.toLong
         ds.data.foreach(buf.bytes)
+        val stored = if (ds.fletcher32 && ds.data.isDefined) {
+          // trailing checksum over the chunk payload, little-endian
+          val sum = Hdf5Reader.fletcher32(ds.data.get, ds.data.get.length)
+          buf.u32(sum)
+          total + 4
+        } else total
         buf.align8()
         val btAddr = buf.pos.toLong
         val rank = ds.shape.length
@@ -216,7 +225,7 @@ object Hdf5Writer {
         buf.u64(Undefined); buf.u64(Undefined) // siblings
         if (hasChunk) {
           // key: chunk size (bytes), filter mask, offsets (rank + elem dim)
-          buf.u32(total); buf.u32(0)
+          buf.u32(stored); buf.u32(0)
           (0 to rank).foreach(_ => buf.u64(0))
           buf.u64(dataAddr) // child = chunk address
         }
@@ -316,6 +325,14 @@ object Hdf5Writer {
       msgs += 0x01 -> (() => dsBytes(ds.shape, maxShape))
       msgs += 0x03 -> (() => dtBytes(ds.dtype))
       msgs += 0x05 -> (() => Array[Byte](2, 2, 0, 0)) // fill v2, undefined
+      if (ds.fletcher32 && ds.unlimited0)
+        msgs += 0x0b -> { () => // filter pipeline v1: fletcher32 (id 3)
+          val b = new Buf
+          b.u8(1); b.u8(1); b.zeros(6) // version, nfilters, reserved
+          b.u16(3); b.u16(0) // filter id, name length
+          b.u16(0); b.u16(0) // flags, client data count
+          b.result()
+        }
       msgs += 0x08 -> { () =>
         val b = new Buf
         b.u8(3) // layout v3
