@@ -205,9 +205,28 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
+  /** Multi-probe expansion of a query frame's LSH bucket: the exact
+    * bucket plus every bucket within Hamming distance 2 of it (8 single
+    * flips + 28 double flips = 37 probes). A drift query that sits on
+    * the far side of one or two hyperplanes from its true neighbors
+    * (e.g. midway between two clusters) still reaches them through the
+    * flipped-bit probes — single-bucket LSH measured ZERO recall on the
+    * drift fixture. Query-side only: the corpus stays one row per
+    * vector and the join stays an equi-join (probe rows = 37x queries,
+    * still a broadcast-size frame at any corpus scale). */
+  private def multiProbe(df: DataFrame): DataFrame =
+    df.withColumnRenamed("bucket", "__qb")
+      .withColumn("bucket", explode(expr(
+        "concat(array(__qb), " +
+          "transform(sequence(0, 7), j -> __qb ^ shiftleft(1L, j)), " +
+          "flatten(transform(sequence(0, 6), j -> " +
+          "transform(sequence(j + 1, 7), k -> " +
+          "__qb ^ shiftleft(1L, j) ^ shiftleft(1L, k)))))")))
+      .drop("__qb")
+
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = bucketed(s, dir)
-    val q = e.filter(col("vec_id") < 8).toDF("q_id", "qv", "bucket")
+    val q = multiProbe(e.filter(col("vec_id") < 8).toDF("q_id", "qv", "bucket"))
     val cand = e.toDF("n_id", "nv", "bucket")
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
@@ -299,8 +318,8 @@ object PipelineQueries {
 
   def annSq(s: SparkSession, dir: String): DataFrame = {
     val codes = sqCodes(s, dir)
-    val q = codes.toDF("q_id", "qc", "qd", "qn", "bucket")
-      .filter(col("q_id") < 8)
+    val q = multiProbe(codes.toDF("q_id", "qc", "qd", "qn", "bucket")
+      .filter(col("q_id") < 8))
     val cand = codes.toDF("n_id", "nc", "nd", "nn", "bucket")
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
@@ -815,7 +834,16 @@ object PipelineQueries {
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
     "ann_lsh" ->
       s"""WITH $bucketCte,
-         |q AS (SELECT vec_id AS q_id, v AS qv, bucket FROM e WHERE vec_id < 8),
+         |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e
+         |       WHERE vec_id < 8),
+         |q AS (SELECT q_id, qv, UNNEST(list_concat(
+         |        list_prepend(qb, list_transform(range(0, 8),
+         |          j -> xor(qb, CAST(1 AS BIGINT) << j))),
+         |        flatten(list_transform(range(0, 7), j ->
+         |          list_transform(range(j + 1, 8), k ->
+         |            xor(xor(qb, CAST(1 AS BIGINT) << j),
+         |                CAST(1 AS BIGINT) << k)))))) AS bucket
+         |      FROM q0),
          |scored AS (
          |  SELECT q.q_id, e.vec_id AS n_id,
          |         ${PV.cosineDuck("q.qv", "e.v")} AS cos
@@ -848,13 +876,24 @@ object PipelineQueries {
          |  SELECT vec_id, bucket, code, deq,
          |         ${PV.normDuck("deq")} AS cnorm
          |  FROM c1),
+         |q0 AS (SELECT vec_id, deq, cnorm, bucket AS qb FROM c
+         |       WHERE vec_id < 8),
+         |qp AS (
+         |  SELECT vec_id, deq, cnorm, UNNEST(list_concat(
+         |    list_prepend(qb, list_transform(range(0, 8),
+         |      j -> xor(qb, CAST(1 AS BIGINT) << j))),
+         |    flatten(list_transform(range(0, 7), j ->
+         |      list_transform(range(j + 1, 8), k ->
+         |        xor(xor(qb, CAST(1 AS BIGINT) << j),
+         |            CAST(1 AS BIGINT) << k)))))) AS bucket
+         |  FROM q0),
          |scored AS (
          |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          |         CASE WHEN q.cnorm * n.cnorm = 0.0 THEN 0.0
          |         ELSE ${PV.dotDuck("q.deq", "n.deq")}
          |              / (q.cnorm * n.cnorm) END AS score
-         |  FROM c n JOIN c q ON n.bucket = q.bucket
-         |  WHERE q.vec_id < 8 AND n.vec_id <> q.vec_id),
+         |  FROM c n JOIN qp q ON n.bucket = q.bucket
+         |  WHERE n.vec_id <> q.vec_id),
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY score DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
