@@ -28,8 +28,9 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Not supported (not produced by netcdf-c for classic-model data):
   *   user-block offsets, non-default size-of-offsets, compound datasets
-  *   (read as raw/skipped), szip, v4 layouts, file driver info. Files are
-  *   buffered in one JVM array: granules >= 2 GiB are rejected up front
+  *   (read as raw/skipped), szip, v4 layouts, file driver info. Files
+  *   are addressed through one read-only memory mapping (header parses
+  *   touch only header pages): granules >= 2 GiB are rejected up front
   *   with a clear error (offsets are also 32-bit internally).
   */
 object Hdf5Reader {
@@ -71,13 +72,51 @@ object Hdf5Reader {
     def read(ds: Dataset): AnyRef = reader.readData(ds)
   }
 
+  /** Random-access byte source: a heap array or a read-only mapped file.
+    * The mapped flavor means opening a granule touches only the PAGES the
+    * parse actually reads — the distributed header-metadata pass of
+    * [[NetCDFIngest.convert]] costs O(header bytes) of I/O per granule,
+    * not O(file), and the decode pass reads only the variables the
+    * schema selects. */
+  sealed trait ByteSrc {
+    def length: Int
+    def get(i: Int): Byte
+    def copy(from: Int, until: Int): Array[Byte]
+    def copyTo(from: Int, dst: Array[Byte], dstOff: Int, len: Int): Unit
+  }
+  private final class ArraySrc(a: Array[Byte]) extends ByteSrc {
+    def length: Int = a.length
+    def get(i: Int): Byte = a(i)
+    def copy(from: Int, until: Int): Array[Byte] =
+      java.util.Arrays.copyOfRange(a, from, until)
+    def copyTo(from: Int, dst: Array[Byte], dstOff: Int, len: Int): Unit =
+      System.arraycopy(a, from, dst, dstOff, len)
+  }
+  private final class MappedSrc(bb: java.nio.MappedByteBuffer)
+      extends ByteSrc {
+    def length: Int = bb.limit()
+    def get(i: Int): Byte = bb.get(i)
+    def copy(from: Int, until: Int): Array[Byte] = {
+      val out = new Array[Byte](until - from)
+      bb.get(from, out, 0, out.length) // absolute read: thread-safe
+      out
+    }
+    def copyTo(from: Int, dst: Array[Byte], dstOff: Int, len: Int): Unit =
+      bb.get(from, dst, dstOff, len)
+  }
+
   def open(path: String): H5File = {
     val p = java.nio.file.Paths.get(path)
     val size = java.nio.file.Files.size(p)
     require(size < (2L << 30),
       s"$path is $size bytes: granules >= 2 GiB are unsupported (the " +
-        "reader buffers the file in one JVM array; split the granule)")
-    open(java.nio.file.Files.readAllBytes(p))
+        "reader addresses the file through one mapping; split the granule)")
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.READ)
+    val bb =
+      try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, size)
+      finally ch.close() // the mapping outlives the channel
+    openSrc(new MappedSrc(bb))
   }
 
   /** HDF5's Fletcher-32 variant (public spec / H5_checksum_fletcher32):
@@ -111,8 +150,10 @@ object Hdf5Reader {
     (sum2 << 16) | sum1
   }
 
-  def open(bytes: Array[Byte]): H5File = {
-    val r = new Reader(bytes)
+  def open(bytes: Array[Byte]): H5File = openSrc(new ArraySrc(bytes))
+
+  private def openSrc(src: ByteSrc): H5File = {
+    val r = new Reader(src)
     val root = r.superblockRootOH()
     val msgs = r.objectHeader(root)
     val links = r.groupLinks(msgs)
@@ -125,9 +166,11 @@ object Hdf5Reader {
   }
 
   /** Stateless over one file's bytes; all offsets are absolute. */
-  final class Reader(d: Array[Byte]) {
+  final class Reader(d: ByteSrc) {
 
-    private def u8(p: Int): Int = d(p) & 0xff
+    def this(bytes: Array[Byte]) = this(new ArraySrc(bytes))
+
+    private def u8(p: Int): Int = d.get(p) & 0xff
     private def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
     private def u32(p: Int): Long =
       u16(p).toLong | (u16(p + 2).toLong << 16)
@@ -142,7 +185,7 @@ object Hdf5Reader {
 
     def superblockRootOH(): Long = {
       require(d.length > 72 &&
-        java.util.Arrays.equals(d.slice(0, 8),
+        java.util.Arrays.equals(d.copy(0, 8),
           Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
             .map(_.toByte)),
         "not an HDF5 file")
@@ -170,7 +213,7 @@ object Hdf5Reader {
 
     private def sig(p: Int, s: String): Boolean =
       p >= 0 && p + 4 <= d.length &&
-        (0 until 4).forall(i => d(p + i) == s.charAt(i).toByte)
+        (0 until 4).forall(i => d.get(p + i) == s.charAt(i).toByte)
 
     private def ohV1(a: Int): Seq[Message] = {
       require(u8(a) == 1, s"object header v${u8(a)} at $a")
@@ -260,7 +303,7 @@ object Hdf5Reader {
       if ((flags & 0x10) != 0) p += 1
       val lsz = 1 << (flags & 3)
       val nlen = uN(p, lsz).toInt; p += lsz
-      val name = new String(d, p, nlen, "UTF-8"); p += nlen
+      val name = new String(d.copy(p, p + nlen), "UTF-8"); p += nlen
       if (ltype == 0) Some(name -> u64(p)) else None
     }
 
@@ -299,8 +342,8 @@ object Hdf5Reader {
         val p = addr + 8 + i * 40
         val nameOff = u64(p).toInt
         var e = dseg + nameOff
-        while (d(e) != 0) e += 1
-        new String(d, dseg + nameOff, e - dseg - nameOff, "UTF-8") -> u64(p + 8)
+        while (d.get(e) != 0) e += 1
+        new String(d.copy(dseg + nameOff, e), "UTF-8") -> u64(p + 8)
       }
     }
 
@@ -340,7 +383,7 @@ object Hdf5Reader {
         require(sig(a, "FHDB"), "expected FHDB direct block")
         val boff = uN(a + 4 + 1 + 8, offsz)
         val start = a + (off - boff).toInt
-        java.util.Arrays.copyOfRange(d, start, start + len)
+        d.copy(start, start + len)
       }
       if (hp.curRows == 0) fromDirect(hp.rootAddr)
       else {
@@ -466,7 +509,7 @@ object Hdf5Reader {
 
     def attributes(msgs: Seq[Message]): Map[String, Any] = {
       val inline = msgs.filter(_.typ == 0x0c).flatMap { m =>
-        parseAttr(java.util.Arrays.copyOfRange(d, m.off, m.off + m.size))
+        parseAttr(d.copy(m.off, m.off + m.size))
       }
       val dense = msgs.filter(_.typ == 0x15).flatMap { m =>
         val flags = u8(m.off + 1)
@@ -559,7 +602,7 @@ object Hdf5Reader {
         if (oid == 0) // free space terminator
           throw new IllegalStateException(s"gheap object $idx not found")
         if (oid == idx)
-          return java.util.Arrays.copyOfRange(d, p + 16, p + 16 + osize)
+          return d.copy(p + 16, p + 16 + osize)
         p += 16 + pad8(osize)
       }
       throw new IllegalStateException(s"gheap object $idx not found")
@@ -619,7 +662,7 @@ object Hdf5Reader {
             else {
               val sz = u32(off + 4).toInt
               if (sz == 0) None
-              else Some(java.util.Arrays.copyOfRange(d, off + 8, off + 8 + sz))
+              else Some(d.copy(off + 8, off + 8 + sz))
             }
           case 3 =>
             val flags = u8(off + 1)
@@ -627,7 +670,7 @@ object Hdf5Reader {
             else {
               val sz = u32(off + 2).toInt
               if (sz == 0) None
-              else Some(java.util.Arrays.copyOfRange(d, off + 6, off + 6 + sz))
+              else Some(d.copy(off + 6, off + 6 + sz))
             }
           case _ => None
         }
@@ -695,13 +738,12 @@ object Hdf5Reader {
       val lay = layout(msgs)
       lay.kind match {
         case 0 =>
-          java.util.Arrays.copyOfRange(d, lay.compactOff,
-            lay.compactOff + total)
+          d.copy(lay.compactOff, lay.compactOff + total)
         case 1 =>
           val out = new Array[Byte](total)
           fillBytes(out, fillValue(msgs, elemSize), elemSize)
           if (lay.addr != Undefined)
-            System.arraycopy(d, lay.addr.toInt, out, 0,
+            d.copyTo(lay.addr.toInt, out, 0,
               math.min(lay.size, total.toLong).toInt)
           out
         case 2 =>
@@ -713,8 +755,7 @@ object Hdf5Reader {
           if (lay.addr != Undefined)
             walkChunkBtree(lay.addr.toInt, cdims.length + 1) {
               (csize, mask, offsets, caddr) =>
-                val raw = java.util.Arrays
-                  .copyOfRange(d, caddr.toInt, caddr.toInt + csize)
+                val raw = d.copy(caddr.toInt, caddr.toInt + csize)
                 val bytes = unfilter(raw, fs, mask, elemSize, caddr)
                 copyChunk(bytes, offsets.dropRight(1), cdims, shape,
                   elemSize, out)
