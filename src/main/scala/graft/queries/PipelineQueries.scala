@@ -345,6 +345,58 @@ object PipelineQueries {
     * engines — decimal PARSE rounding of full-precision doubles is NOT,
     * which rules out the string->DECIMAL path here), sum integers
     * exactly, divide once in double. */
+  /** One Lloyd's iteration of k-means over the embeddings — the codebook
+    * TRAINING step behind [[annIvf]]'s coarse quantizer: assign every
+    * vector to its nearest seed centroid (the 16 lowest-id vectors,
+    * cosine, ties to the lower cid — the same deterministic rule
+    * ann_ivf probes with), then recompute each centroid as the member
+    * mean per (cid, dim) with [[embCentroids]]'s floor-quantized exact
+    * BIGINT partial sums. Scale shape: a 16-row broadcast cross join
+    * for assignment (linear scan, whole-stage codegen) and one keyed
+    * aggregate whose shuffle carries a BIGINT partial per
+    * (cid, dim, partition) — never vectors; iterate by feeding the
+    * output back as the next seed table. */
+  def embKmeansIter(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cent = e.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val wAssign = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    e.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr("graft_cosine(v, cv)"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+      .groupBy("cid", "p")
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(floor(col("x").cast(DoubleType) * lit(10000.0d))
+          .cast(LongType)).cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * lit(10000.0d))).as("centroid"))
+      .select(col("cid"), (col("p") + 1L).cast(LongType).as("dim"),
+        col("n_vecs"), col("centroid"))
+  }
+
+  /** Deterministic training-shard assignment — the write-side primitive
+    * for shuffled training data: every doc gets a shard (multiplicative-
+    * hash bucket, RNG-free so re-runs and engines agree) and a
+    * reproducible position within its shard. This is a global shuffle
+    * WITHOUT a global sort: the plan is one hash shuffle on the shard
+    * key plus an in-partition sort — exactly
+    * `repartition(shard).sortWithinPartitions(hash)`, the shape shard
+    * writers need at any scale. Hash reduces mod p BEFORE multiplying
+    * (SURVEY §3: the raw product overflows Long). */
+  def dShardAssign(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents").select("doc_id")
+    val w = Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))
+    docs
+      .withColumn("hv",
+        expr("((doc_id % 1000003) * 2654435761) % 1000003"))
+      .withColumn("shard", col("hv") % 64L)
+      .withColumn("pos", row_number().over(w).cast(LongType))
+      .select("doc_id", "shard", "pos")
+  }
+
   def embCentroids(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "embeddings")
       .select(col("label").cast(LongType).as("label"),
@@ -1128,6 +1180,30 @@ object PipelineQueries {
         |         / (CAST(count(*) AS DOUBLE) * 10000.0) AS centroid
         |FROM embeddings CROSS JOIN range(1, 65) r(i)
         |GROUP BY 1, 2""".stripMargin,
+    "emb_kmeans_iter" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |scored AS (
+         |  SELECT e.vec_id, e.v, cent.cid,
+         |         ${PV.cosineDuck("e.v", "cent.cv")} AS ccos
+         |  FROM e CROSS JOIN cent),
+         |a AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+         |             ORDER BY ccos DESC, cid) AS crn FROM scored),
+         |m AS (SELECT cid, i, CAST(v[i] AS DOUBLE) AS x
+         |      FROM a CROSS JOIN range(1, 65) r(i) WHERE crn = 1)
+         |SELECT cid, CAST(i AS BIGINT) AS dim, count(*) AS n_vecs,
+         |       CAST(sum(CAST(floor(x * 10000.0) AS BIGINT)) AS DOUBLE)
+         |         / (CAST(count(*) AS DOUBLE) * 10000.0) AS centroid
+         |FROM m GROUP BY cid, i""".stripMargin,
+    "d_shard_assign" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |         ((doc_id % 1000003) * 2654435761) % 1000003 AS hv
+        |  FROM documents)
+        |SELECT doc_id, hv % 64 AS shard,
+        |       CAST(row_number() OVER (PARTITION BY hv % 64
+        |            ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h""".stripMargin,
     "mm_audio_chunks" ->
       s"""WITH f AS (
          |  SELECT event_id, ${PT.charHashDuck("props")} AS checksum FROM events),
@@ -1162,6 +1238,8 @@ object PipelineQueries {
     "ann_ivf" -> (annIvf _),
     "ann_sq" -> (annSq _),
     "emb_centroids" -> (embCentroids _),
+    "emb_kmeans_iter" -> (embKmeansIter _),
+    "d_shard_assign" -> (dShardAssign _),
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),

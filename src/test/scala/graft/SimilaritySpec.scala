@@ -144,6 +144,35 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(sq >= 0.1, f"ann_sq drift recall $sq%.2f below floor")
   }
 
+  test("k-means iteration recovers the cluster axes from the seeds") {
+    // fixture: 16 tight clusters around one-hot axes; seeds = ids 0..15 =
+    // one member per cluster. One Lloyd's step must place centroid c's
+    // mass on dim c (value near 1) and spread members evenly.
+    val out = PipelineQueries.embKmeansIter(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.size === 16 * 64)
+    (0 until 16).foreach { c =>
+      val (n, onAxis) = out((c.toLong, c + 1L)) // dim is 1-based
+      assert(n === 4L, s"cluster $c size $n") // 64 vectors / 16 clusters
+      assert(onAxis > 0.9 && onAxis < 1.1, s"cluster $c axis mass $onAxis")
+      val offAxis = out((c.toLong, ((c + 8) % 16) + 1L))._2
+      assert(math.abs(offAxis) < 0.1, s"cluster $c off-axis $offAxis")
+    }
+  }
+
+  test("shard assignment is deterministic with contiguous in-shard order") {
+    val a = PipelineQueries.dShardAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val b = PipelineQueries.dShardAssign(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(a.sortBy(_._1).toSeq === b.sortBy(_._1).toSeq) // reproducible
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      assert(rows.map(_._3).sorted.toSeq === (1L to rows.length).toSeq,
+        s"shard $shard positions not contiguous")
+    }
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
