@@ -142,19 +142,22 @@ object Cli {
       })
     }
 
-    val maxRecords = opts.get("c")
-      .map(_.split(":")(1).toInt).getOrElse(1 << 20)
+    val chunkSize = opts.get("c").map(_.split(":")(1).toInt)
+    val maxRecords = chunkSize.getOrElse(1 << 20)
 
     // a `.nc` DST produces an actual NetCDF output file (the reference's
     // product, aggregator.py:239-359) via the pure-JVM writer: aggregate
-    // into a work directory, then write the finished frame as one .nc
+    // into a work directory, then write the finished frame as one .nc;
+    // `-c udim:chunksize` becomes the file's real HDF5 chunk extent
+    // (reference cli.py:207-218 → aggregator.py:391-398)
     val ncOut = dst.endsWith(".nc")
     val aggDst = if (ncOut) s"$dst.__work" else dst
     val attrs = Aggregate.run(spark, granules, aggDst, config,
       maxRecordsPerFile = maxRecords)
     if (ncOut)
       graft.sources.NetCDFWrite.write(spark, aggDst, dst, config,
-        Some(attrs))
+        Some(attrs),
+        graft.sources.NetCDFWrite.NcOpts(chunkRows = chunkSize))
     attrs.foreach { case (k, v) => println(s"$k = $v") }
     println(s"Finished: $dst")
     attrs

@@ -59,7 +59,10 @@ object Hdf5Reader {
       shape: Seq[Long],
       maxShape: Seq[Long],
       dtype: H5Type,
-      attrs: Map[String, Any]) {
+      attrs: Map[String, Any],
+      /** storage chunk extents (dataset dims only, element dim stripped);
+        * empty for contiguous/compact layouts */
+      chunkDims: Seq[Int] = Nil) {
     def isUnlimited(i: Int): Boolean = maxShape.lift(i).contains(Undefined)
   }
 
@@ -160,7 +163,8 @@ object Hdf5Reader {
     val dss = links.map { case (name, addr) =>
       val m = r.objectHeader(addr)
       val (shape, maxShape) = r.dataspace(m)
-      Dataset(name, addr, shape, maxShape, r.datatype(m), r.attributes(m))
+      Dataset(name, addr, shape, maxShape, r.datatype(m), r.attributes(m),
+        r.storageChunkDims(m))
     }
     H5File(r.attributes(msgs), dss, r)
   }
@@ -629,6 +633,14 @@ object Hdf5Reader {
           Layout(2, bt, 0, dims, 0)
       }
     }
+
+    /** Chunk extents of a chunked-layout dataset (element dim stripped);
+      * Nil for contiguous/compact. */
+    def storageChunkDims(msgs: Seq[Message]): Seq[Int] =
+      if (msgs.exists(_.typ == 0x08)) {
+        val lay = layout(msgs)
+        if (lay.kind == 2) lay.chunkDims.dropRight(1) else Nil
+      } else Nil
 
     private final case class Filter(id: Int, cd: Seq[Int])
 

@@ -11,17 +11,22 @@ package graft.sources
   *   - superblock v0 (no checksums anywhere in the v0/v1 structures)
   *   - v1 object headers with inline (v1) attribute messages
   *   - old-style root group: v1 B-tree + SNOD + local heap
-  *   - contiguous layout for fixed-shape datasets; single-chunk v1-B-tree
-  *     chunked layout for datasets over the unlimited dimension (HDF5
-  *     requires chunking for extendible datasets)
+  *   - contiguous layout for fixed-shape datasets; v1-B-tree chunked
+  *     layout for datasets over the unlimited dimension (HDF5 requires
+  *     chunking for extendible datasets) — multi-chunk with a
+  *     caller-chosen record count per chunk (the reference's
+  *     `-c udim:chunksize`, cli.py:207-218 → aggregator.py:391-398),
+  *     multi-level B-trees past 32 entries per node
+  *   - filters: deflate (zlib, `java.util.zip`) and fletcher32 chunk
+  *     checksums, declared through a v1 filter-pipeline message
   *   - fixed-point / IEEE float / fixed-string datatypes
   *   - vlen-of-object-reference attributes (netCDF `DIMENSION_LIST`)
   *     through a global heap collection (GCOL)
   *
-  * Not emitted (not needed for the reference's outputs): compression
-  * filters, dense attribute/link storage, v2+ object headers. Files are
-  * built in one in-memory buffer — outputs >2 GiB are unsupported, the
-  * same bound as [[Hdf5Reader]].
+  * Not emitted (not needed for the reference's outputs): shuffle filter,
+  * dense attribute/link storage, v2+ object headers. Files are built in
+  * one in-memory buffer — outputs >2 GiB are unsupported, the same bound
+  * as [[Hdf5Reader]].
   */
 object Hdf5Writer {
 
@@ -58,7 +63,12 @@ object Hdf5Writer {
       unlimited0: Boolean = false,
       /** append + declare a fletcher32 chunk checksum (chunked layout
         * only, i.e. requires `unlimited0`) */
-      fletcher32: Boolean = false)
+      fletcher32: Boolean = false,
+      /** records per chunk along dim 0 (chunked layout only); None = one
+        * chunk spanning the whole current extent */
+      chunkRows: Option[Int] = None,
+      /** zlib deflate level 1-9 per chunk (chunked layout only) */
+      deflate: Option[Int] = None)
 
   // ------------------------------------------------------------------ buf
 
@@ -155,6 +165,91 @@ object Hdf5Writer {
     def add(payload: Array[Byte]): Int = { objs += payload; objs.size }
   }
 
+  // ------------------------------------------------------- chunk B-trees
+
+  /** zlib-wrapped deflate of one chunk ([[Hdf5Reader]]'s `Inflater`
+    * default format, and what the HDF5 deflate filter stores). */
+  private def deflateBytes(in: Array[Byte], level: Int): Array[Byte] = {
+    val d = new java.util.zip.Deflater(level)
+    d.setInput(in); d.finish()
+    val out = new java.io.ByteArrayOutputStream(math.max(64, in.length / 4))
+    val tmp = new Array[Byte](65536)
+    while (!d.finished()) out.write(tmp, 0, d.deflate(tmp))
+    d.end()
+    out.toByteArray
+  }
+
+  /** Entries per v1 B-tree node. 32 stays within the C library's default
+    * indexed-storage K=32 (max 2K=64 entries/node), so external HDF5
+    * readers accept the nodes. */
+  private val BtNodeMax = 32
+
+  /** Write the (possibly multi-level) v1 chunk B-tree for one dataset.
+    * `entries` = (dim-0 offset in rows, stored byte size, chunk address)
+    * in ascending offset order. Returns the root node address.
+    *
+    * v1 B-tree node (spec III.A.1): TREE, node type 1, level, entries
+    * used, left/right sibling, then key0, child0, key1, ..., key_n.
+    * A chunk key = stored size (u32), filter mask (u32), chunk offset
+    * (u64 per dataset dim + one trailing element-dim 0). */
+  private def writeChunkBtree(buf: Buf, rank: Int,
+      entries: Seq[(Long, Int, Long)], shape: Seq[Long], cr: Long): Long = {
+    // key = (stored size, dim-0 offset); inner-dim offsets are always 0
+    // (chunks span the full inner extent)
+    def putKey(size: Int, off: Long): Unit = {
+      buf.u32(size); buf.u32(0) // size, filter mask
+      buf.u64(off)
+      (1 until rank).foreach(_ => buf.u64(0))
+      buf.u64(0) // element dim
+    }
+    val upperOff = // upper-bound key offset after the last chunk
+      math.max(shape.headOption.getOrElse(0L),
+        entries.lastOption.map(_._1 + cr).getOrElse(0L))
+    /** One level: write nodes of up to [[BtNodeMax]] children, link
+      * siblings, return (node addr, first-key size, first-key offset). */
+    def writeLevel(level: Int, children: Seq[(Long, Int, Long)])
+        : Seq[(Long, Int, Long)] = {
+      val groups =
+        if (children.isEmpty) Seq(Seq.empty[(Long, Int, Long)])
+        else children.grouped(BtNodeMax).toSeq
+      val addrs = groups.zipWithIndex.map { case (g, gi) =>
+        buf.align8()
+        val addr = buf.pos.toLong
+        buf.bytes("TREE".getBytes("US-ASCII"))
+        buf.u8(1) // node type 1: raw data chunks
+        buf.u8(level)
+        buf.u16(g.size)
+        buf.u64(Undefined); buf.u64(Undefined) // siblings (patched below)
+        g.foreach { case (off, size, child) =>
+          putKey(size, off); buf.u64(child)
+        }
+        // trailing key: first key of the next node's subtree, or the
+        // upper bound past the last chunk (readers stop at nent; the C
+        // library uses it for key-order checks only)
+        val next = groups.lift(gi + 1).flatMap(_.headOption)
+        putKey(next.map(_._2).getOrElse(0),
+          next.map(_._1).getOrElse(upperOff))
+        addr
+      }
+      // sibling links
+      addrs.zipWithIndex.foreach { case (a, i) =>
+        if (i > 0) buf.patch64(a.toInt + 8, addrs(i - 1))
+        if (i < addrs.size - 1) buf.patch64(a.toInt + 16, addrs(i + 1))
+      }
+      addrs.zip(groups).map { case (a, g) =>
+        (g.headOption.map(_._1).getOrElse(0L),
+          g.headOption.map(_._2).getOrElse(0), a)
+      }
+    }
+    var level = 0
+    var nodes = writeLevel(0, entries)
+    while (nodes.size > 1) {
+      level += 1
+      nodes = writeLevel(level, nodes)
+    }
+    nodes.head._3
+  }
+
   // ---------------------------------------------------------------- write
 
   def write(dst: java.nio.file.Path, datasets: Seq[WDataset],
@@ -170,6 +265,14 @@ object Hdf5Writer {
       ds.data.foreach(d => require(d.length == n * ds.dtype.size,
         s"${ds.name}: ${d.length} data bytes for shape ${ds.shape} x " +
           s"${ds.dtype.size}"))
+      require(ds.unlimited0 || (ds.chunkRows.isEmpty && ds.deflate.isEmpty
+        && !ds.fletcher32),
+        s"${ds.name}: chunkRows/deflate/fletcher32 need chunked layout " +
+          "(unlimited0 = true)")
+      ds.deflate.foreach(l => require(l >= 1 && l <= 9,
+        s"${ds.name}: deflate level $l out of range 1-9"))
+      ds.chunkRows.foreach(c => require(c > 0,
+        s"${ds.name}: chunkRows $c must be positive"))
     }
     val buf = new Buf
     val gheap = new GHeap
@@ -198,41 +301,61 @@ object Hdf5Writer {
     buf.zeros(16) // scratch
 
     // ---- data regions (contiguous blocks / chunk data + chunk B-trees)
-    // layoutRef: dataset name -> (layout class, address, size-or-chunkdims)
     val contAddr = scala.collection.mutable.Map[String, (Long, Long)]()
     val chunkBt = scala.collection.mutable.Map[String, Long]()
+    val chunkRowsUsed = scala.collection.mutable.Map[String, Long]()
     datasets.foreach { ds =>
       val total = ds.data.map(_.length.toLong).getOrElse(0L)
       if (ds.unlimited0) {
-        // one chunk spanning the whole current extent
-        buf.align8()
-        val dataAddr = buf.pos.toLong
-        ds.data.foreach(buf.bytes)
-        val stored = if (ds.fletcher32 && ds.data.isDefined) {
-          // trailing checksum over the chunk payload, little-endian
-          val sum = Hdf5Reader.fletcher32(ds.data.get, ds.data.get.length)
-          buf.u32(sum)
-          total + 4
-        } else total
-        buf.align8()
-        val btAddr = buf.pos.toLong
         val rank = ds.shape.length
-        val hasChunk = total > 0
-        buf.bytes("TREE".getBytes("US-ASCII"))
-        buf.u8(1) // node type 1: raw data chunks
-        buf.u8(0) // level 0 (leaf)
-        buf.u16(if (hasChunk) 1 else 0)
-        buf.u64(Undefined); buf.u64(Undefined) // siblings
-        if (hasChunk) {
-          // key: chunk size (bytes), filter mask, offsets (rank + elem dim)
-          buf.u32(stored); buf.u32(0)
-          (0 to rank).foreach(_ => buf.u64(0))
-          buf.u64(dataAddr) // child = chunk address
+        val nRows = ds.shape.headOption.getOrElse(0L)
+        val rowBytes = math.max(ds.shape.drop(1).product, 1L) * ds.dtype.size
+        // chunk extent along dim 0: caller's chunkRows, else one chunk
+        // spanning the whole current extent (the pre-r5 shape)
+        val cr = ds.chunkRows.map(_.toLong).filter(_ > 0)
+          .getOrElse(math.max(nRows, 1L))
+        chunkRowsUsed(ds.name) = cr
+        // write chunk payloads; edge chunks are padded to the full chunk
+        // extent (the on-disk convention — readers clip by dataset shape)
+        final case class CEntry(offRows: Long, stored: Int, addr: Long)
+        val entries = scala.collection.mutable.ArrayBuffer[CEntry]()
+        if (ds.data.isDefined && total > 0) {
+          val data = ds.data.get
+          val logical = (cr * rowBytes).toInt
+          var off = 0L
+          while (off < nRows) {
+            val at = (off * rowBytes).toInt
+            val avail = (math.min(nRows - off, cr) * rowBytes).toInt
+            var payload =
+              if (avail == logical)
+                java.util.Arrays.copyOfRange(data, at, at + logical)
+              else {
+                val p = new Array[Byte](logical)
+                System.arraycopy(data, at, p, 0, avail)
+                p
+              }
+            ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
+            if (ds.fletcher32) {
+              // trailing checksum, little-endian, over the (possibly
+              // compressed) chunk as stored — matching the pipeline order
+              // declared in the filter message (deflate, then fletcher32)
+              val sum = Hdf5Reader.fletcher32(payload, payload.length)
+              val w = java.util.Arrays.copyOf(payload, payload.length + 4)
+              w(payload.length) = (sum & 0xff).toByte
+              w(payload.length + 1) = ((sum >> 8) & 0xff).toByte
+              w(payload.length + 2) = ((sum >> 16) & 0xff).toByte
+              w(payload.length + 3) = ((sum >> 24) & 0xff).toByte
+              payload = w
+            }
+            buf.align8()
+            entries += CEntry(off, payload.length, buf.pos.toLong)
+            buf.bytes(payload)
+            off += cr
+          }
         }
-        // trailing key (marks the upper bound; readers stop at nent)
-        buf.u32(0); buf.u32(0)
-        ds.shape.foreach(buf.u64); buf.u64(0)
-        chunkBt(ds.name) = btAddr
+        chunkBt(ds.name) =
+          writeChunkBtree(buf, rank, entries.toSeq.map(e =>
+            (e.offRows, e.stored, e.addr)), ds.shape, cr)
       } else if (ds.data.isDefined) {
         buf.align8()
         contAddr(ds.name) = (buf.pos.toLong, total)
@@ -325,12 +448,21 @@ object Hdf5Writer {
       msgs += 0x01 -> (() => dsBytes(ds.shape, maxShape))
       msgs += 0x03 -> (() => dtBytes(ds.dtype))
       msgs += 0x05 -> (() => Array[Byte](2, 2, 0, 0)) // fill v2, undefined
-      if (ds.fletcher32 && ds.unlimited0)
-        msgs += 0x0b -> { () => // filter pipeline v1: fletcher32 (id 3)
+      // filter pipeline v1, filters in write-application order:
+      // deflate (id 1, client data = level), then fletcher32 (id 3)
+      val pipeline: Seq[(Int, Seq[Int])] =
+        ds.deflate.map(lvl => 1 -> Seq(lvl)).toSeq ++
+          (if (ds.fletcher32) Seq(3 -> Seq.empty[Int]) else Nil)
+      if (pipeline.nonEmpty && ds.unlimited0)
+        msgs += 0x0b -> { () =>
           val b = new Buf
-          b.u8(1); b.u8(1); b.zeros(6) // version, nfilters, reserved
-          b.u16(3); b.u16(0) // filter id, name length
-          b.u16(0); b.u16(0) // flags, client data count
+          b.u8(1); b.u8(pipeline.size); b.zeros(6) // version, nf, reserved
+          pipeline.foreach { case (id, cd) =>
+            b.u16(id); b.u16(0) // filter id, name length
+            b.u16(0); b.u16(cd.size) // flags, client data count
+            cd.foreach(b.u16)
+            if (cd.size % 2 == 1) b.u16(0) // v1 pads odd cd to 4 bytes
+          }
           b.result()
         }
       msgs += 0x08 -> { () =>
@@ -340,7 +472,8 @@ object Hdf5Writer {
           b.u8(2) // chunked
           b.u8(ds.shape.length + 1)
           b.u64(chunkBt(ds.name))
-          ds.shape.foreach(s => b.u32(math.max(s, 1L)))
+          b.u32(math.max(chunkRowsUsed(ds.name), 1L))
+          ds.shape.drop(1).foreach(s => b.u32(math.max(s, 1L)))
           b.u32(ds.dtype.size)
         } else {
           b.u8(1) // contiguous

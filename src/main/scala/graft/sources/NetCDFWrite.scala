@@ -38,6 +38,16 @@ import Hdf5Writer._
   */
 object NetCDFWrite {
 
+  /** Storage options for record (unlimited-dim) variables: records per
+    * HDF5 chunk (the reference's `-c udim:chunksize`), zlib deflate
+    * level, and fletcher32 chunk checksums. `chunkRows = None` writes one
+    * chunk per dataset; an explicit value (or a variable's configured
+    * `chunksizes`) produces real multi-chunk output. */
+  final case class NcOpts(
+      chunkRows: Option[Int] = None,
+      deflate: Option[Int] = None,
+      fletcher32: Boolean = false)
+
   /** netcdf-c default fill values (public netcdf.h: NC_FILL_INT,
     * NC_FILL_INT64). */
   val FillInt = -2147483647L
@@ -151,7 +161,7 @@ object NetCDFWrite {
     * stay out of the product, matching the reference output's shape). */
   def writeFile(dst: java.nio.file.Path, schema: StructType,
       rows: IndexedSeq[Row], config: AggConfig.Config,
-      globalAttrs: Map[String, String]): Unit = {
+      globalAttrs: Map[String, String], opts: NcOpts = NcOpts()): Unit = {
     val n = rows.size
     val recDim = config.primaryUdim
       .orElse(config.dims.find(_.isUnlimited))
@@ -256,11 +266,21 @@ object NetCDFWrite {
           v.dimensions.filter(dimIds.contains)))
       val scale =
         if (isCoord) scaleAttrs(outName, None) else Nil
+      val unlim = v.dimensions.headOption.contains(recDim) &&
+        config.dim(recDim).exists(_.isUnlimited)
+      // chunk extent: CLI/caller option first, else the variable's own
+      // configured chunksizes (reference template field; record dim leads)
+      val cr = if (!unlim) None
+        else opts.chunkRows.orElse(
+          v.chunksizes.flatMap(_.headOption).filter(_ > 0))
+          .filter(_ < shape.headOption.getOrElse(0L))
       WDataset(outName, shape, built.dtype, Some(built.data),
         scale ++ userAttrs(v) ++ built.extraAttrs ++
           (if (v.dimensions.nonEmpty && !isCoord) dimList else Nil),
-        unlimited0 = v.dimensions.headOption.contains(recDim) &&
-          config.dim(recDim).exists(_.isUnlimited))
+        unlimited0 = unlim,
+        fletcher32 = unlim && opts.fletcher32,
+        chunkRows = cr,
+        deflate = if (unlim) opts.deflate else None)
     }
 
     // phony dims (no variable of the same name) are bare scales
@@ -295,13 +315,14 @@ object NetCDFWrite {
     * from its `_global_attrs.json` sidecar unless given explicitly. */
   def write(spark: SparkSession, srcParquet: String, dst: String,
       config: AggConfig.Config,
-      globalAttrs: Option[Map[String, String]] = None): Unit = {
+      globalAttrs: Option[Map[String, String]] = None,
+      opts: NcOpts = NcOpts()): Unit = {
     val df = spark.read.parquet(srcParquet)
     val sorted = sortColOf(config, df.columns.toSet)
       .map(c => df.orderBy(col(c))).getOrElse(df)
     val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
     writeFile(java.nio.file.Paths.get(dst), sorted.schema,
-      sorted.collect().toIndexedSeq, config, attrs)
+      sorted.collect().toIndexedSeq, config, attrs, opts)
   }
 
   /** Distributed `.nc` granule-SET output: range-partition on the index
@@ -311,7 +332,8 @@ object NetCDFWrite {
     * `dstDir` to be a filesystem path visible to the executors. */
   def writeGranules(df: DataFrame, dstDir: String,
       config: AggConfig.Config, globalAttrs: Map[String, String],
-      maxRecordsPerFile: Int = 1 << 20): Seq[String] = {
+      maxRecordsPerFile: Int = 1 << 20,
+      opts: NcOpts = NcOpts()): Seq[String] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
     val sortCol = sortColOf(config, df.columns.toSet)
     val total = df.count()
@@ -330,7 +352,7 @@ object NetCDFWrite {
         val pid = org.apache.spark.TaskContext.getPartitionId()
         writeFile(
           java.nio.file.Paths.get(dstDir, f"part-$pid%05d.nc"),
-          schema, rows, config, globalAttrs)
+          schema, rows, config, globalAttrs, opts)
       }
     }
     Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
