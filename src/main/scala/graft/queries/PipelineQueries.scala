@@ -409,6 +409,88 @@ object PipelineQueries {
       .select(col("label"), (col("p") + 1L).cast(LongType).as("dim"),
         col("n_vecs"), col("centroid"))
 
+  /** One power-iteration step toward the corpus' top principal direction
+    * (uncentered Gram): w = Σ_x x·(x·v₀) with the deterministic seed
+    * v₀ = 1⃗ — the embedding-analytics twin of [[embKmeansIter]]
+    * (iterate by refeeding the output direction as the next v). All
+    * arithmetic is engine-exact: components floor-quantize to BIGINT
+    * (q = ⌊x·10⁴⌋), the dot and the partial products stay integer, and
+    * the only doubles are one division per output row over identical
+    * operands. Scale shape: per-row dot (whole-stage codegen) →
+    * posexplode → ONE keyed shuffle of dims·partitions partial sums —
+    * never vectors; the normalizing max runs over the dims-row result
+    * (64 rows at any corpus size). Magnitude bound: |q|·|dotq| ≤
+    * 10⁴·64·10⁴ ≈ 6.4e9 per row, so BIGINT sums hold past 10⁹ rows. */
+  def embPcaPower(s: SparkSession, dir: String): DataFrame = {
+    val q = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))")
+        .as("qv"))
+      .select(col("vec_id"),
+        expr("aggregate(qv, 0L, (a, x) -> a + x)").as("dotq"),
+        col("qv"))
+    q.select(col("dotq"), posexplode(col("qv")).as(Seq("p", "xq")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("xq") * col("dotq")).as("power_sum"))
+      .select((col("p") + 1L).cast(LongType).as("dim"), col("n_vecs"),
+        col("power_sum"),
+        (col("power_sum").cast(DoubleType) /
+          max(abs(col("power_sum")))
+            .over(Window.partitionBy()).cast(DoubleType)).as("direction"))
+  }
+
+  /** Embedding outlier detection: the 5 vectors farthest from their
+    * label's centroid — the data-cleaning step that surfaces mislabeled
+    * or corrupt vectors before training. Exact integer arithmetic:
+    * dist² = Σ_d (n·q_d − S_d)² = n²·10⁸·‖x − μ‖² with q = ⌊x·10⁴⌋,
+    * S = per-(label,dim) quantized sum — rank order equals true distance
+    * order within a label and both engines agree bit-for-bit. Scale
+    * shape: explode → per-(label,dim) aggregate (labels·dims rows,
+    * broadcast back) → per-vec re-aggregate (one keyed shuffle) →
+    * per-label rank window (bounded: 5·labels survivors). Magnitude
+    * bound: (n·10⁴)²·64 per row — BIGINT holds to n ≈ 4e5 rows/label;
+    * past that, rescale q to ⌊x·10²⌋ (same ordering, 10⁴ more
+    * headroom). */
+  def embOutliers(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        posexplode(expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))"))
+          .as(Seq("p", "xq")))
+    val stats = e.groupBy("label", "p")
+      .agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("dist2").desc, col("vec_id"))
+    e.join(broadcast(stats), Seq("label", "p"))
+      .select(col("vec_id"), col("label"),
+        ((col("n") * col("xq") - col("sd")) *
+          (col("n") * col("xq") - col("sd"))).as("term"))
+      .groupBy("vec_id", "label")
+      .agg(sum(col("term")).as("dist2"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("vec_id", "label", "dist2", "rnk")
+  }
+
+  /** Per-source length-quantile gate: flag docs under their source's
+    * 25th-percentile token count (the "too short for this source"
+    * corpus-quality filter — a fixed global threshold misfires when
+    * sources have different length profiles). Exact interpolated
+    * percentile as a partial/final aggregate (no per-group sort), one
+    * row per source broadcast back over the scan — two linear passes,
+    * no skew surface (the threshold frame is |sources| rows). */
+  def dQuantileFilter(s: SparkSession, dir: String): DataFrame = {
+    val t = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
+    val thr = t.groupBy("source")
+      .agg(expr("percentile(n_tokens, 0.25)").as("p25"))
+    t.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("p25"),
+        (col("n_tokens").cast(DoubleType) >= col("p25")).as("kept"))
+  }
+
   // ----------------------------------------------------------- text analysis
 
   private val Stopwords = Seq("the", "a", "of", "and", "to", "in", "is")
@@ -1195,6 +1277,55 @@ object PipelineQueries {
          |       CAST(sum(CAST(floor(x * 10000.0) AS BIGINT)) AS DOUBLE)
          |         / (CAST(count(*) AS DOUBLE) * 10000.0) AS centroid
          |FROM m GROUP BY cid, i""".stripMargin,
+    "emb_pca_power" ->
+      """WITH q AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, qv,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+        |      (a, x) -> a + x) AS dotq
+        |  FROM q),
+        |e AS (SELECT dotq, i, qv[i] AS xq FROM d CROSS JOIN range(1, 65) r(i)),
+        |s AS (
+        |  SELECT CAST(i AS BIGINT) AS dim, count(*) AS n_vecs,
+        |    CAST(sum(xq * dotq) AS BIGINT) AS power_sum
+        |  FROM e GROUP BY i)
+        |SELECT dim, n_vecs, power_sum,
+        |  CAST(power_sum AS DOUBLE) /
+        |    CAST(max(abs(power_sum)) OVER () AS DOUBLE) AS direction
+        |FROM s""".stripMargin,
+    "emb_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |e AS (SELECT vec_id, label, i, qv[i] AS xq
+        |      FROM q CROSS JOIN range(1, 65) r(i)),
+        |st AS (SELECT label, i, CAST(sum(xq) AS BIGINT) AS sd, count(*) AS n
+        |       FROM e GROUP BY 1, 2),
+        |d AS (
+        |  SELECT e.vec_id, e.label,
+        |    CAST(sum((st.n * e.xq - st.sd) * (st.n * e.xq - st.sd))
+        |      AS BIGINT) AS dist2
+        |  FROM e JOIN st ON st.label = e.label AND st.i = e.i
+        |  GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY label
+        |        ORDER BY dist2 DESC, vec_id) AS rnk FROM d)
+        |SELECT vec_id, label, dist2, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 5""".stripMargin,
+    "d_quantile_filter" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len($toksDuck) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |thr AS (SELECT source, quantile_cont(n_tokens, 0.25) AS p25
+         |        FROM t GROUP BY source)
+         |SELECT doc_id, t.source, n_tokens, p25, n_tokens >= p25 AS kept
+         |FROM t JOIN thr ON thr.source = t.source""".stripMargin,
     "d_shard_assign" ->
       """WITH h AS (
         |  SELECT doc_id,
@@ -1239,6 +1370,9 @@ object PipelineQueries {
     "ann_sq" -> (annSq _),
     "emb_centroids" -> (embCentroids _),
     "emb_kmeans_iter" -> (embKmeansIter _),
+    "emb_pca_power" -> (embPcaPower _),
+    "emb_outliers" -> (embOutliers _),
+    "d_quantile_filter" -> (dQuantileFilter _),
     "d_shard_assign" -> (dShardAssign _),
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),

@@ -129,4 +129,23 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(perGroup === Map("web" -> 4, "books" -> 1))
     assert(a.forall(_._2 <= 5L))
   }
+
+  test("quantile filter gates per source, not globally") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_qf").toString
+    def doc(n: Int) = ("tok " * n).trim
+    // source a: 10/20/30/40 tokens -> p25 = 17.5, only the 10-token doc
+    // drops; source b: all 5 tokens -> p25 = 5, everything passes (a
+    // global threshold would drop all of b or none of a)
+    (Seq((1L, doc(10), "en", "a", 0L), (2L, doc(20), "en", "a", 0L),
+      (3L, doc(30), "en", "a", 0L), (4L, doc(40), "en", "a", 0L),
+      (5L, doc(5), "en", "b", 0L), (6L, doc(5), "en", "b", 0L),
+      (7L, doc(5), "en", "b", 0L), (8L, doc(5), "en", "b", 0L)))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val out = PipelineQueries.dQuantileFilter(spark, d).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(4)).toMap
+    assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true, 7L -> true, 8L -> true))
+  }
 }

@@ -173,6 +173,47 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("PCA power step: principal mass sits on the cluster axes") {
+    // fixture: 16 one-hot cluster axes (dims 1..16) + noise elsewhere.
+    // One power step from v0 = 1-vector must put its largest components
+    // on the populated axes and near-zero on the noise dims.
+    val out = PipelineQueries.embPcaPower(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.length === 64)
+    assert(out.forall(_._2 == 64L)) // every dim sees every vector
+    val byDim = out.map(r => r._1 -> r._4).toMap
+    assert(math.abs(out.map(r => math.abs(r._4)).max - 1.0) < 1e-12,
+      "direction must be max-normalized to 1")
+    val argmax = out.maxBy(r => math.abs(r._4))._1
+    assert(argmax >= 1L && argmax <= 16L, s"principal dim $argmax")
+    (17L to 64L).foreach { d =>
+      assert(math.abs(byDim(d)) < 0.25, s"noise dim $d mass ${byDim(d)}")
+    }
+  }
+
+  test("embedding outliers: the far vector ranks first in its label") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_out").toString
+    def near(axis: Int, jitter: Int): Seq[Float] =
+      Seq.tabulate(64)(j =>
+        (if (j == axis) 1.0f else 0.0f) + 0.001f * ((jitter + j) % 3))
+    val vecs =
+      (0L to 4L).map(i => (i, near(0, i.toInt), 0)) ++
+        Seq((5L, near(7, 0), 0)) ++ // mislabeled: axis-7 vector in label 0
+        (6L to 9L).map(i => (i, near(1, i.toInt), 1))
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = PipelineQueries.embOutliers(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val label0 = out.filter(_._2 == 0L).sortBy(_._4)
+    assert(label0.head._1 === 5L, s"rank-1 outlier: ${label0.head}")
+    // the mislabeled vector is far beyond the jitter cloud
+    assert(label0.head._3 > 10L * label0(1)._3,
+      s"outlier separation: ${label0.map(_._3).toSeq}")
+    assert(out.groupBy(_._2).forall(_._2.length <= 5))
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
