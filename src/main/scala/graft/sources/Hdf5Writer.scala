@@ -17,16 +17,17 @@ package graft.sources
   *     caller-chosen record count per chunk (the reference's
   *     `-c udim:chunksize`, cli.py:207-218 → aggregator.py:391-398),
   *     multi-level B-trees past 32 entries per node
-  *   - filters: deflate (zlib, `java.util.zip`) and fletcher32 chunk
-  *     checksums, declared through a v1 filter-pipeline message
+  *   - filters: byte-shuffle, deflate (zlib, `java.util.zip`) and
+  *     fletcher32 chunk checksums, declared through a v1 filter-pipeline
+  *     message in netcdf-c's order (shuffle → deflate → fletcher32)
   *   - fixed-point / IEEE float / fixed-string datatypes
   *   - vlen-of-object-reference attributes (netCDF `DIMENSION_LIST`)
   *     through a global heap collection (GCOL)
   *
-  * Not emitted (not needed for the reference's outputs): shuffle filter,
-  * dense attribute/link storage, v2+ object headers. Files are built in
-  * one in-memory buffer — outputs >2 GiB are unsupported, the same bound
-  * as [[Hdf5Reader]].
+  * Not emitted (not needed for the reference's outputs): dense
+  * attribute/link storage, v2+ object headers. Files are built in one
+  * in-memory buffer — outputs >2 GiB are unsupported, the same bound as
+  * [[Hdf5Reader]].
   */
 object Hdf5Writer {
 
@@ -68,7 +69,11 @@ object Hdf5Writer {
         * chunk spanning the whole current extent */
       chunkRows: Option[Int] = None,
       /** zlib deflate level 1-9 per chunk (chunked layout only) */
-      deflate: Option[Int] = None)
+      deflate: Option[Int] = None,
+      /** byte-shuffle before deflate (netcdf-c's usual companion filter:
+        * groups the k-th byte of every element together so deflate sees
+        * long runs; chunked layout only) */
+      shuffle: Boolean = false)
 
   // ------------------------------------------------------------------ buf
 
@@ -179,6 +184,23 @@ object Hdf5Writer {
     out.toByteArray
   }
 
+  /** HDF5 shuffle filter, write direction: byte-transpose so the k-th
+    * byte of every element lands together (the exact inverse of
+    * [[Hdf5Reader]]'s unshuffle). */
+  private def shuffleBytes(in: Array[Byte], es: Int): Array[Byte] =
+    if (es <= 1 || in.length % es != 0) in
+    else {
+      val n = in.length / es
+      val out = new Array[Byte](in.length)
+      var j = 0
+      while (j < es) {
+        var i = 0
+        while (i < n) { out(j * n + i) = in(i * es + j); i += 1 }
+        j += 1
+      }
+      out
+    }
+
   /** Entries per v1 B-tree node. 32 stays within the C library's default
     * indexed-storage K=32 (max 2K=64 entries/node), so external HDF5
     * readers accept the nodes. */
@@ -266,9 +288,9 @@ object Hdf5Writer {
         s"${ds.name}: ${d.length} data bytes for shape ${ds.shape} x " +
           s"${ds.dtype.size}"))
       require(ds.unlimited0 || (ds.chunkRows.isEmpty && ds.deflate.isEmpty
-        && !ds.fletcher32),
-        s"${ds.name}: chunkRows/deflate/fletcher32 need chunked layout " +
-          "(unlimited0 = true)")
+        && !ds.fletcher32 && !ds.shuffle),
+        s"${ds.name}: chunkRows/deflate/shuffle/fletcher32 need chunked " +
+          "layout (unlimited0 = true)")
       ds.deflate.foreach(l => require(l >= 1 && l <= 9,
         s"${ds.name}: deflate level $l out of range 1-9"))
       ds.chunkRows.foreach(c => require(c > 0,
@@ -334,6 +356,7 @@ object Hdf5Writer {
                 System.arraycopy(data, at, p, 0, avail)
                 p
               }
+            if (ds.shuffle) payload = shuffleBytes(payload, ds.dtype.size)
             ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
             if (ds.fletcher32) {
               // trailing checksum, little-endian, over the (possibly
@@ -448,10 +471,12 @@ object Hdf5Writer {
       msgs += 0x01 -> (() => dsBytes(ds.shape, maxShape))
       msgs += 0x03 -> (() => dtBytes(ds.dtype))
       msgs += 0x05 -> (() => Array[Byte](2, 2, 0, 0)) // fill v2, undefined
-      // filter pipeline v1, filters in write-application order:
-      // deflate (id 1, client data = level), then fletcher32 (id 3)
+      // filter pipeline v1, filters in write-application order: shuffle
+      // (id 2, client data = element size), deflate (id 1, client data =
+      // level), then fletcher32 (id 3)
       val pipeline: Seq[(Int, Seq[Int])] =
-        ds.deflate.map(lvl => 1 -> Seq(lvl)).toSeq ++
+        (if (ds.shuffle) Seq(2 -> Seq(ds.dtype.size)) else Nil) ++
+          ds.deflate.map(lvl => 1 -> Seq(lvl)).toSeq ++
           (if (ds.fletcher32) Seq(3 -> Seq.empty[Int]) else Nil)
       if (pipeline.nonEmpty && ds.unlimited0)
         msgs += 0x0b -> { () =>

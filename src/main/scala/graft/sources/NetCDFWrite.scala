@@ -46,7 +46,9 @@ object NetCDFWrite {
   final case class NcOpts(
       chunkRows: Option[Int] = None,
       deflate: Option[Int] = None,
-      fletcher32: Boolean = false)
+      fletcher32: Boolean = false,
+      /** byte-shuffle before deflate (netcdf-c's usual pairing) */
+      shuffle: Boolean = false)
 
   /** netcdf-c default fill values (public netcdf.h: NC_FILL_INT,
     * NC_FILL_INT64). */
@@ -280,7 +282,8 @@ object NetCDFWrite {
         unlimited0 = unlim,
         fletcher32 = unlim && opts.fletcher32,
         chunkRows = cr,
-        deflate = if (unlim) opts.deflate else None)
+        deflate = if (unlim) opts.deflate else None,
+        shuffle = unlim && opts.shuffle)
     }
 
     // phony dims (no variable of the same name) are bare scales
