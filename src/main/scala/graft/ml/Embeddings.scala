@@ -1,0 +1,142 @@
+package graft.ml
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Embedding-analytics training loops over an embeddings frame
+  * (`vec_id: BIGINT, embedding: ARRAY<FLOAT>`): the multi-iteration
+  * drivers behind the registry's single-step, oracle-checked operators
+  * (`emb_kmeans_iter`, `emb_pca_power` in
+  * [[graft.queries.PipelineQueries]]).
+  *
+  * Scale design: each iteration is a constant number of Spark jobs whose
+  * shuffles carry only per-partition partial sums (dims·k scalars), never
+  * vectors. The only driver-side state is the MODEL — a k·dims codebook
+  * or one dims-long direction — whose size is independent of the corpus,
+  * so collecting it between iterations is the scale-correct move (the
+  * alternative, chaining lazy frames across iterations, grows the plan
+  * lineage linearly with no smaller shuffle). The data itself never
+  * leaves the executors.
+  */
+object Embeddings {
+
+  /** `k` centroids after `iters` Lloyd's iterations, cosine assignment.
+    * Seeds are the `k` lowest-`vec_id` vectors — deterministic, matching
+    * the registry's `emb_kmeans_iter`/`ann_ivf` quantizer rule. Returns
+    * (cid, cv, n_members); `n_members` is from the LAST assignment (an
+    * emptied centroid keeps its previous position with n_members = 0).
+    *
+    * Per iteration: one k-row broadcast cross join (assignment, linear
+    * scan) + one keyed aggregate of (cid, dim) partial sums; the k·dims
+    * codebook is collected and re-broadcast, cutting lineage. */
+  def kmeansFit(emb: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 0, s"k=$k, iters=$iters")
+    val s = emb.sparkSession
+    graft.functions.native.register(s)
+    val e = emb.select(col("vec_id"), col("embedding"))
+    // seed codebook: k lowest ids (tiny: k rows through a TakeOrdered)
+    var codebook: Array[(Long, Array[Float])] =
+      e.orderBy("vec_id").limit(k).collect().map { r =>
+        (r.getLong(0), floats(r, 1))
+      }
+    var members: Map[Long, Long] =
+      codebook.map(c => c._1 -> 0L).toMap
+    for (_ <- 0 until iters) {
+      val means = assign(e, centFrame(s, codebook))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy("cid", "p")
+        .agg(sum(col("x").cast(DoubleType)).as("sx"),
+          count(lit(1)).as("n"))
+        .collect()
+      val byCid = means.groupBy(_.getLong(0))
+      members = codebook.map { case (cid, _) =>
+        cid -> byCid.get(cid).map(_.head.getLong(3)).getOrElse(0L)
+      }.toMap
+      codebook = codebook.map { case (cid, prev) =>
+        byCid.get(cid) match {
+          case Some(rows) =>
+            val cv = prev.clone()
+            rows.foreach { r =>
+              cv(r.getInt(1)) = (r.getDouble(2) / r.getLong(3)).toFloat
+            }
+            (cid, cv)
+          case None => (cid, prev) // emptied centroid: keep position
+        }
+      }
+    }
+    val out = codebook.map { case (cid, cv) =>
+      Row(cid, cv.toSeq, members(cid))
+    }
+    s.createDataFrame(
+      s.sparkContext.parallelize(out.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("cid", LongType),
+        StructField("cv", ArrayType(FloatType)),
+        StructField("n_members", LongType))))
+  }
+
+  /** Nearest-centroid assignment (cosine, ties to the lower cid): the
+    * reusable half of the Lloyd's step — also the IVF list-builder for
+    * a trained codebook. `cent` must have (cid, cv). */
+  def assign(emb: DataFrame, cent: DataFrame): DataFrame = {
+    graft.functions.native.register(emb.sparkSession)
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("ccos").desc, col("cid"))
+    emb.crossJoin(broadcast(cent))
+      .withColumn("ccos", expr("graft_cosine(embedding, cv)"))
+      .withColumn("crn", row_number().over(w))
+      .filter(col("crn") === 1)
+      .drop("crn")
+  }
+
+  /** Top principal direction of the (uncentered) Gram matrix by power
+    * iteration from the all-ones seed — the converged form of the
+    * registry's `emb_pca_power` step. Returns (direction, eigenvalue
+    * estimate): `direction` is L2-normalized, dims long;
+    * `lambda` ≈ vᵀAᵀAv / vᵀv of the final iterate. Each iteration is one
+    * linear job shuffling dims·partitions partial sums. */
+  def pcaPower(emb: DataFrame, iters: Int): (Array[Double], Double) = {
+    require(iters >= 1, s"iters=$iters")
+    val s = emb.sparkSession
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    var v = Array.fill(dims)(1.0)
+    var lambda = 0.0
+    for (_ <- 0 until iters) {
+      // w_d = sum_x x_d * (x . v): per-row dot in codegen, one keyed
+      // shuffle of per-partition (dim, partial) sums
+      val w = emb
+        .withColumn("__v", array(v.map(lit): _*))
+        .withColumn("dot", expr(
+          "aggregate(zip_with(embedding, __v, (a, b) -> CAST(a AS DOUBLE) * b), 0.0D, (a, x) -> a + x)"))
+        .select(col("dot"), posexplode(col("embedding")).as(Seq("p", "x")))
+        .groupBy("p")
+        .agg(sum(col("x").cast(DoubleType) * col("dot")).as("w"))
+        .collect()
+        .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      val wv = Array.tabulate(dims)(d => w.getOrElse(d, 0.0))
+      val vNorm2 = math.sqrt(v.map(x => x * x).sum)
+      // Rayleigh quotient on the pre-normalization iterate: v.w / v.v
+      lambda = v.zip(wv).map { case (a, b) => a * b }.sum / (vNorm2 * vNorm2)
+      val n = math.sqrt(wv.map(x => x * x).sum)
+      v = if (n == 0.0) v else wv.map(_ / n)
+    }
+    (v, lambda)
+  }
+
+  // ------------------------------------------------------------- helpers
+
+  private def floats(r: Row, i: Int): Array[Float] =
+    r.getSeq[Float](i).toArray
+
+  private def centFrame(s: org.apache.spark.sql.SparkSession,
+      codebook: Array[(Long, Array[Float])]): DataFrame =
+    s.createDataFrame(
+      s.sparkContext.parallelize(
+        codebook.map { case (cid, cv) => Row(cid, cv.toSeq) }.toIndexedSeq,
+        1),
+      StructType(Seq(
+        StructField("cid", LongType),
+        StructField("cv", ArrayType(FloatType)))))
+}

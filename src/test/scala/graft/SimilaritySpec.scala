@@ -214,6 +214,43 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_._2).forall(_._2.length <= 5))
   }
 
+  test("kmeansFit converges to the cluster axes with full membership") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val out = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getLong(2)))
+    assert(out.length === 16)
+    assert(out.map(_._3).sum === 64L) // every vector assigned somewhere
+    out.foreach { case (cid, cv, n) =>
+      assert(n === 4L, s"centroid $cid members $n")
+      val axis = cv.indexOf(cv.max)
+      assert(cv(axis) > 0.9f, s"centroid $cid axis mass ${cv(axis)}")
+      assert(axis === (cid % 16).toInt, s"centroid $cid on axis $axis")
+    }
+  }
+
+  test("pcaPower converges to the dominant variance axis") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_pca").toString
+    // 50 vectors spread along axis 2 (both signs), tiny noise elsewhere:
+    // the top eigenvector of the uncentered Gram is ±e2
+    val vecs = (0L until 50L).map { i =>
+      val a = (if (i % 2 == 0) 1.0f else -1.0f) * (0.5f + 0.02f * (i % 25))
+      (i, Seq.tabulate(8)(j =>
+        (if (j == 2) a else 0.0f) + 0.002f * ((i + j) % 3)), 0)
+    }
+    vecs.toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val emb = spark.read.parquet(s"$d/embeddings.parquet")
+    val (v, lambda) = graft.ml.Embeddings.pcaPower(emb, iters = 8)
+    assert(v.length === 8)
+    assert(math.abs(math.abs(v(2)) - 1.0) < 0.01,
+      s"principal direction ${v.toSeq}")
+    assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    assert(lambda > 0.0)
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
