@@ -227,6 +227,41 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("emb_outliers bounds its top-k windows (no hot-label partition)") {
+    // a label owning the whole corpus must not become one unsplittable
+    // window partition: the first top-k level keys on (label, __salt),
+    // the label-only level runs over the <= 5·32 per-salt survivors
+    val ws = nodes(physical("emb_outliers")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.length == 2, s"expected 2 window levels, got ${ws.length}")
+    val keySets = ws.map(_.partitionSpec.flatMap(
+      _.references.map(_.name)).toSet)
+    assert(keySets.contains(Set("label", "__salt")),
+      s"missing salted first level: $keySets")
+    val labelOnly = ws.zip(keySets).filter(_._2 == Set("label")).map(_._1)
+    assert(labelOnly.nonEmpty, s"missing label-level rank: $keySets")
+    labelOnly.foreach { w =>
+      assert(nodes(w).drop(1).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.FilterExec]),
+        "label-only window must consume the per-salt top-5 filter")
+    }
+  }
+
+  test("emb_pca_power's normalizing window runs over the dims-row agg") {
+    // the only unpartitioned window is above the per-dim aggregate, so
+    // its input is exactly dims rows at any corpus size
+    val ws = nodes(physical("emb_pca_power")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(ws.length == 1)
+    assert(nodes(ws.head).drop(1).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      "normalizing window must run over the per-dim aggregate output")
+  }
+
   test("q_agg_full data path shares one exchange between its windows") {
     // The dedup lag-window and gap-fill lead-window must reuse the same
     // chunk-hash partitioning, so exactly ONE shuffle carries the full-width
