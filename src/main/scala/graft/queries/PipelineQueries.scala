@@ -448,13 +448,12 @@ object PipelineQueries {
     * order within a label and both engines agree bit-for-bit. Scale
     * shape: explode → per-(label,dim) aggregate (labels·dims rows,
     * broadcast back) → per-vec re-aggregate (one keyed shuffle) →
-    * two-level EXACT top-k: per-(label, salt) top 5 (every window
-    * partition bounded to corpus/32 even when one label owns the whole
-    * corpus), then top 5 per label over the ≤ 5·32 survivors — the
-    * global top 5 is always contained in the union of per-salt top 5s.
-    * Magnitude bound: (n·10⁴)²·64 per row — BIGINT holds to n ≈ 4e5
-    * rows/label; past that, rescale q to ⌊x·10²⌋ (same ordering, 10⁴
-    * more headroom). */
+    * per-label rank filter, which Catalyst map-side-bounds with Partial
+    * `WindowGroupLimit` below the exchange (≤ 5 rows per label per
+    * input partition shuffle even when one label owns the corpus;
+    * pinned in PlanQualitySpec). Magnitude bound: (n·10⁴)²·64 per row —
+    * BIGINT holds to n ≈ 4e5 rows/label; past that, rescale q to
+    * ⌊x·10²⌋ (same ordering, 10⁴ more headroom). */
   def embOutliers(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
@@ -463,20 +462,15 @@ object PipelineQueries {
           .as(Seq("p", "xq")))
     val stats = e.groupBy("label", "p")
       .agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
-    val dist = e.join(broadcast(stats), Seq("label", "p"))
+    val w = Window.partitionBy("label")
+      .orderBy(col("dist2").desc, col("vec_id"))
+    e.join(broadcast(stats), Seq("label", "p"))
       .select(col("vec_id"), col("label"),
         ((col("n") * col("xq") - col("sd")) *
           (col("n") * col("xq") - col("sd"))).as("term"))
       .groupBy("vec_id", "label")
       .agg(sum(col("term")).as("dist2"))
-    val w1 = Window.partitionBy("label", "__salt")
-      .orderBy(col("dist2").desc, col("vec_id"))
-    val w2 = Window.partitionBy("label")
-      .orderBy(col("dist2").desc, col("vec_id"))
-    dist.withColumn("__salt", pmod(col("vec_id"), lit(32L)))
-      .withColumn("__r1", row_number().over(w1))
-      .filter(col("__r1") <= 5)
-      .withColumn("rnk", row_number().over(w2).cast(LongType))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
       .select("vec_id", "label", "dist2", "rnk")
   }

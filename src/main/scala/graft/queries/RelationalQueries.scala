@@ -135,6 +135,12 @@ object RelationalQueries {
   }
 
   /** Per-group top-k without a global sort. */
+  /** Top-3 events per user. A hot user cannot flood the window: Catalyst
+    * plans the rank-filter pattern with `WindowGroupLimit` in Partial
+    * mode BELOW the exchange (each map task pre-prunes to its local
+    * top 3 per key), so the shuffle carries ≤ 3 rows per (key, input
+    * partition) — skew-bounded without manual salting (pinned in
+    * PlanQualitySpec). */
   def qTopk(s: SparkSession, dir: String): DataFrame = {
     val e = AggQueries.events(s, dir)
     val w = Window.partitionBy("user_id")
@@ -324,6 +330,10 @@ object RelationalQueries {
     * compaction a continuously-ingested 100 TB table needs. One keyed
     * window, no global sort; at scale the key partitioning aligns with
     * the table's bucketing so compaction is shuffle-free. */
+  /** Latest version per (user, type) — keep-1 via the rank-filter
+    * pattern, which Catalyst map-side-bounds with Partial
+    * `WindowGroupLimit` below the exchange (≤ 1 row per key per input
+    * partition shuffles; see [[qTopk]], pinned in PlanQualitySpec). */
   def qUpsertLatest(s: SparkSession, dir: String): DataFrame = {
     val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
     val w = Window.partitionBy("user_id", "event_type")

@@ -227,24 +227,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("emb_outliers bounds its top-k windows (no hot-label partition)") {
-    // a label owning the whole corpus must not become one unsplittable
-    // window partition: the first top-k level keys on (label, __salt),
-    // the label-only level runs over the <= 5·32 per-salt survivors
-    val ws = nodes(physical("emb_outliers")).collect {
-      case w: org.apache.spark.sql.execution.window.WindowExec => w
-    }
-    assert(ws.length == 2, s"expected 2 window levels, got ${ws.length}")
-    val keySets = ws.map(_.partitionSpec.flatMap(
-      _.references.map(_.name)).toSet)
-    assert(keySets.contains(Set("label", "__salt")),
-      s"missing salted first level: $keySets")
-    val labelOnly = ws.zip(keySets).filter(_._2 == Set("label")).map(_._1)
-    assert(labelOnly.nonEmpty, s"missing label-level rank: $keySets")
-    labelOnly.foreach { w =>
-      assert(nodes(w).drop(1).exists(
-        _.isInstanceOf[org.apache.spark.sql.execution.FilterExec]),
-        "label-only window must consume the per-salt top-5 filter")
+  test("keep-k windows are map-side bounded by WindowGroupLimit") {
+    // a hot key (one user/label owning the corpus) must not flood the
+    // rank window's shuffle: Catalyst's InferWindowGroupLimit plans the
+    // rank-filter pattern with a Partial WindowGroupLimit BELOW the
+    // exchange (each map task pre-prunes to its local top-k per key) and
+    // a Final one above — the exchange then carries at most k rows per
+    // (key, input partition). Pin it so a refactor that breaks the
+    // pattern (e.g. casting the rank before filtering) fails here.
+    for (q <- Seq("q_topk", "q_upsert_latest", "emb_outliers",
+        "d_sample_k")) {
+      val limits = nodes(physical(q)).collect {
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+          => w
+      }
+      assert(limits.length == 2,
+        s"$q: expected Partial+Final WindowGroupLimit, got " +
+          s"${limits.length} — the keep-k filter no longer matches " +
+          "InferWindowGroupLimit")
     }
   }
 
