@@ -251,6 +251,29 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(lambda > 0.0)
   }
 
+  test("ml.Similarity: IVF with a TRAINED codebook keeps the recall floor") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    // 8 query vectors drawn from the corpus, self-matches excluded below
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("vec_id") =!= col("q_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).take(5).toSet }
+    val exact = top(graft.ml.Similarity.bruteForce(emb, queries, k = 6))
+    val approx = top(graft.ml.Similarity.ivfSearch(
+      emb, queries, codebook, k = 6, nprobe = 2))
+    val recalls = exact.keys.toSeq.map { q =>
+      val got = approx.getOrElse(q, Set.empty)
+      (exact(q) intersect got).size.toDouble / exact(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, s"trained-codebook IVF mean recall $mean")
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
