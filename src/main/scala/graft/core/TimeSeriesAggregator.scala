@@ -49,6 +49,35 @@ object TimeSeriesAggregator {
   val T = "__t"
   private val CHUNK = "__chunk"
 
+  /** Interior fill count = round_half_even(gap/step) - 1, in exact integer
+    * microseconds — numpy's tie rule, so the count matches the reference's
+    * np.round((gap - dt_nom) * hz) (aggregator.py:170-172) bit-for-bit.
+    * (2g - N) div 2N is the HALF-UP count; an exact half-step tie
+    * (2*(g mod N) == N, only possible when N is even) with an even
+    * quotient rounds DOWN under half-even — one fewer fill. The same
+    * arithmetic must appear in the Spark plans, the DuckDB oracles
+    * ([[fillCountDuck]]) and the streaming state fold ([[fillCount]]),
+    * so all three engines agree exactly. */
+  def fillCountSpark(g: String, nom: Long): String =
+    s"(2 * ($g) - ${nom}L) div ${2 * nom}L - " +
+      s"(CASE WHEN (($g) % ${nom}L) * 2 = ${nom}L AND " +
+      s"(($g) div ${nom}L) % 2 = 0 THEN 1 ELSE 0 END)"
+
+  /** DuckDB twin of [[fillCountSpark]] (`//` = floor division; operands are
+    * positive, so `//`/`%` agree with Spark's `div`/`%`). */
+  def fillCountDuck(g: String, nom: Long): String =
+    s"(2 * ($g) - $nom) // ${2 * nom} - " +
+      s"(CASE WHEN (($g) % $nom) * 2 = $nom AND " +
+      s"(($g) // $nom) % 2 = 0 THEN 1 ELSE 0 END)"
+
+  /** JVM twin of [[fillCountSpark]] for the streaming state fold and the
+    * property-spec naive model. Requires gap > 0. */
+  def fillCount(gap: Long, nom: Long): Long = {
+    val halfUp = (2 * gap - nom) / (2 * nom)
+    if ((gap % nom) * 2 == nom && (gap / nom) % 2 == 0) halfUp - 1
+    else halfUp
+  }
+
   /** Add integer epoch-microseconds `__t` derived from the index column.
     * Cast through TIMESTAMP_LTZ explicitly (the "timestamp" name resolves to
     * NTZ under spark.sql.timestampType=TIMESTAMP_NTZ); with the session in
@@ -163,17 +192,14 @@ object TimeSeriesAggregator {
     // round((gap - dt_nom) * hz)): rounding keeps synthesized rows on the
     // cadence grid never closer than ~half a step to the resuming record;
     // a truncating (gap-1) div step overfills when the gap carries a small
-    // positive jitter. (2g - N) div 2N computes this in exact integers
-    // with a HALF-UP tie-break; numpy's round is half-EVEN, so a gap of
-    // exactly k+0.5 steps (never produced by real cadenced data, where
-    // jitter keeps gaps off exact half-steps) yields one more fill here
-    // when k is even — a deliberate divergence kept for exact integer
-    // arithmetic (same rule in the AggQueries/QueryRegistry oracles and
-    // StreamingAgg, so Spark and DuckDB always agree with each other).
+    // positive jitter. fillCountSpark computes this in exact integers with
+    // numpy's HALF-EVEN tie-break, so exact half-step gaps (possible under
+    // integer cadences, e.g. 1 Hz with a 3.5 s gap) produce the same count
+    // as the reference.
     val interior = fillSeq(
       when(col("__next_t").isNotNull &&
           col("__next_t") - col(T) > cfg.gapThresholdUs,
-        expr(s"(2 * (__next_t - $T) - ${nom}L) div ${2 * nom}L"))
+        expr(fillCountSpark(s"__next_t - $T", nom)))
         .otherwise(lit(0L)),
       k => col(T) + k * lit(nom))
     val tsArr = edges match {

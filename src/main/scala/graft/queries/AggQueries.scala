@@ -106,10 +106,9 @@ object AggQueries {
       .join(broadcast(nextChunk), Seq("__chunk"), "left")
       .withColumn("__n_t", coalesce(col("__n_t_in"), col("__nc_t")))
       .withColumn("__n_v", coalesce(col("__n_v_in"), col("__nc_v")))
-    // round(gap/step) - 1 in exact integers (reference rule; see
-    // TimeSeriesAggregator.emitWithFills)
-    val nFillsExpr =
-      s"(2 * (__n_t - ${TSA.T}) - ${NomStepUs}L) div ${2 * NomStepUs}L"
+    // round_half_even(gap/step) - 1 in exact integers (reference rule; see
+    // TimeSeriesAggregator.fillCountSpark)
+    val nFillsExpr = TSA.fillCountSpark(s"__n_t - ${TSA.T}", NomStepUs)
     val nFills = when(col("__n_t").isNotNull &&
         col("__n_t") - col(TSA.T) > GapThrUs,
       expr(nFillsExpr)).otherwise(lit(0L))
@@ -350,7 +349,7 @@ object AggQueries {
        |g AS (SELECT *, lead(t) OVER (ORDER BY t, event_id) AS next_t FROM kept),
        |fills AS (
        |  SELECT t + k * $NomStepUs AS t, $nullCols
-       |  FROM g, unnest(generate_series(1, (2 * (next_t - t) - $NomStepUs) // ${2 * NomStepUs})) AS u(k)
+       |  FROM g, unnest(generate_series(1, ${TSA.fillCountDuck("next_t - t", NomStepUs)})) AS u(k)
        |  WHERE next_t IS NOT NULL AND next_t - t > $GapThrUs)$edges
        |SELECT make_timestamp(t) AS ts, event_id, user_id, event_type, value, is_fill
        |FROM (SELECT t, event_id, user_id, event_type, value, FALSE AS is_fill
@@ -382,7 +381,7 @@ object AggQueries {
          |fills AS (
          |  SELECT t + k * $NomStepUs AS t, CAST(NULL AS BIGINT) AS event_id,
          |         CAST(NULL AS DOUBLE) AS value, TRUE AS is_fill
-         |  FROM g, unnest(generate_series(1, (2 * (next_t - t) - $NomStepUs) // ${2 * NomStepUs})) AS u(k)
+         |  FROM g, unnest(generate_series(1, ${TSA.fillCountDuck("next_t - t", NomStepUs)})) AS u(k)
          |  WHERE next_t IS NOT NULL AND next_t - t > $GapThrUs)
          |SELECT make_timestamp(t) AS ts, event_id, value, is_fill
          |FROM (SELECT t, event_id, value, FALSE AS is_fill FROM g
@@ -401,7 +400,7 @@ object AggQueries {
          |           (CAST(kk * $NomStepUs AS DOUBLE) / CAST(nt - t AS DOUBLE))
          |           AS value,
          |         TRUE AS is_fill
-         |  FROM g, unnest(generate_series(1, (2 * (nt - t) - $NomStepUs) // ${2 * NomStepUs})) AS u(kk)
+         |  FROM g, unnest(generate_series(1, ${TSA.fillCountDuck("nt - t", NomStepUs)})) AS u(kk)
          |  WHERE nt IS NOT NULL AND nt - t > $GapThrUs)
          |SELECT make_timestamp(t) AS ts, value, is_fill
          |FROM (SELECT t, value, FALSE AS is_fill FROM g

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.{TimeSeriesAggregator => TSA}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Aggregates every query group's `queries`/`oracle` maps into the single
@@ -117,7 +118,7 @@ object QueryRegistry {
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
     "stream_gapfill" ->
-      """WITH e AS (
+      s"""WITH e AS (
         |  SELECT user_id, epoch_us(ts) AS t, event_id, value FROM events
         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
         |    AND event_id IS NOT NULL AND value IS NOT NULL
@@ -126,7 +127,7 @@ object QueryRegistry {
         |             ORDER BY t, event_id) AS prev_t FROM e),
         |f AS (SELECT user_id,
         |             unnest(list_transform(
-        |               range(1, (2 * (t - prev_t) - 86400000000) // 172800000000 + 1),
+        |               range(1, ${TSA.fillCountDuck("t - prev_t", 86400000000L)} + 1),
         |               k -> prev_t + k * 86400000000)) AS t
         |      FROM o
         |      WHERE prev_t IS NOT NULL AND t - prev_t > 172800000000)

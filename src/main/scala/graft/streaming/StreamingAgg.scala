@@ -1,5 +1,6 @@
 package graft.streaming
 
+import graft.core.TimeSeriesAggregator
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -165,7 +166,8 @@ object StreamingAgg {
     * FillNode insertion (aggrelist.py:294-303, generalized per key): as a
     * user's events stream in, any gap wider than gapUs between consecutive
     * events is filled with synthetic records at the nominal cadence
-    * (`prev.t + k*nomUs`, k = 1..round(gap/nom)-1 — identical arithmetic
+    * (`prev.t + k*nomUs`, k = 1..round_half_even(gap/nom)-1 — identical
+    * arithmetic
     * to the batch TimeSeriesAggregator fill emitter and the reference's
     * round((gap - dt_nom) * hz), aggregator.py:170-172). Real rows pass
     * through with is_fill=false; fills carry null id/value.
@@ -207,7 +209,7 @@ object StreamingAgg {
                 val gap = e.t - lt
                 if (gap > gapUs) {
                   var k = 1L
-                  val n = (2 * gap - nomUs) / (2 * nomUs)
+                  val n = TimeSeriesAggregator.fillCount(gap, nomUs)
                   while (k <= n) {
                     out += GapRow(uid, lt + k * nomUs, None, None,
                       is_fill = true)

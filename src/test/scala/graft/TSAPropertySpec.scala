@@ -29,10 +29,9 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
       i == 0 || t - sorted(i - 1) >= cfg.minStepUs
     }.map(_._1)
     val fills = kept.zip(kept.drop(1)).flatMap { case (a, b) =>
-      if (b - a > cfg.gapThresholdUs) {
-        val n = (2 * (b - a) - cfg.nomStepUs) / (2 * cfg.nomStepUs)
-        (1L to n).map(k => a + k * cfg.nomStepUs)
-      } else Nil
+      if (b - a > cfg.gapThresholdUs)
+        (1L to fillCount(b - a, cfg.nomStepUs)).map(k => a + k * cfg.nomStepUs)
+      else Nil
     }
     (kept, fills)
   }
@@ -68,6 +67,26 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("fill count uses numpy's half-even tie rule (reference parity)") {
+    // np.round((gap - dt_nom) * hz): round(2.5)=2 (even quotient rounds
+    // DOWN), round(3.5)=4 — half-up would give 3 and 4. fills = round - 1.
+    val n = cfg.nomStepUs
+    assert(fillCount(5 * n / 2, n) === 1)  // gap = 2.5 steps -> 1 fill
+    assert(fillCount(7 * n / 2, n) === 3)  // gap = 3.5 steps -> 3 fills
+    assert(fillCount(9 * n / 2, n) === 3)  // gap = 4.5 steps -> 3 (not 4)
+    assert(fillCount(3 * n, n) === 2)      // exact 3 steps  -> 2 fills
+    assert(fillCount(3 * n + 1, n) === 2)  // jitter stays put
+    // end-to-end through the Spark plan: two records 4.5 steps apart
+    // (exceeds the 2.5-step gap threshold; even quotient, so half-up
+    // would wrongly synthesize a 4th fill half a step before the
+    // resuming record)
+    val ts = Seq(base, base + 9 * n / 2)
+    val out = gapFill(filterValid(mk(ts), cfg), cfg)
+    val fills = out.filter(col("__is_fill")).select(T)
+      .collect().map(_.getLong(0)).toSeq.sorted
+    assert(fills === Seq(base + n, base + 2 * n, base + 3 * n))
+  }
+
   test("fused aggregate (bounds + edge fills) == naive on random inputs") {
     val lo = base + 10 * us
     val hi = base + 90 * us
@@ -78,10 +97,10 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
         i == 0 || t - sorted(i - 1) >= cfgB.minStepUs
       }.map(_._1)
       val interior = kept.zip(kept.drop(1)).flatMap { case (a, b) =>
-        if (b - a > cfgB.gapThresholdUs) {
-          val n = (2 * (b - a) - cfgB.nomStepUs) / (2 * cfgB.nomStepUs)
-          (1L to n).map(k => a + k * cfgB.nomStepUs)
-        } else Nil
+        if (b - a > cfgB.gapThresholdUs)
+          (1L to fillCount(b - a, cfgB.nomStepUs))
+            .map(k => a + k * cfgB.nomStepUs)
+        else Nil
       }
       val edges =
         if (kept.isEmpty) Nil
