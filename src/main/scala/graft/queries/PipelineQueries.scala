@@ -192,6 +192,58 @@ object PipelineQueries {
       .select("vec_a", "vec_b", "cos")
   }
 
+  /** SemDeDup threshold: a pair within one cluster closer than this in
+    * cosine is a semantic duplicate (the paper tunes ~0.95+ on real
+    * embeddings; the synthetic fixture's clusters are looser — 0.35
+    * sits at ~p97 of its within-cluster pair cosines, dropping ~12%). */
+  private val SemTau = 0.35d
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic
+    * deduplication" — public paper): cluster the embedding space, then
+    * search for duplicate pairs WITHIN clusters only, so the quadratic
+    * pair scan is bounded by cluster size instead of corpus size.
+    * Assignment reuses the deterministic 16-seed coarse quantizer
+    * (cosine, ties to the lower cid — the same rule as [[annIvf]] /
+    * [[embKmeansIter]]); a vector is dropped when a lower-id vector in
+    * its cluster is closer than [[SemTau]]. One verdict row per vector,
+    * like [[dDedupClusters]].
+    *
+    * Scale shape: assignment is a 16-row broadcast cross join over a
+    * linear scan; the pair search is an equi-join on cid — key-
+    * partitioned and AQE-splittable, and at fleet scale k grows with
+    * the corpus (the paper uses ~corpus_size/10k clusters) so per-
+    * cluster work stays bounded. The assignment frame feeds both self-
+    * join sides and the verdict join, so it is cached via [[memo]]
+    * (one corpus scan + assignment pass, not three) — the same
+    * persist-the-assignment step a fleet deployment would run. */
+  def dSemdedup(s: SparkSession, dir: String): DataFrame = {
+    val asn = memo(s, dir, "semAssign") {
+      val e = tbl(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("v"))
+      val cent = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val wAssign = Window.partitionBy("vec_id")
+        .orderBy(col("ccos").desc, col("cid"))
+      e.crossJoin(broadcast(cent))
+        .withColumn("ccos", expr("graft_cosine(v, cv)"))
+        .withColumn("crn", row_number().over(wAssign))
+        .filter(col("crn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+        .cache()
+    }
+    val a = asn.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
+    val b = asn.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))
+    val dropped = a.join(b, Seq("cid"))
+      .filter(col("ia") < col("ib") &&
+        expr("graft_cosine(va, vb)") > lit(SemTau))
+      .select(col("ib").as("vec_id")).distinct()
+      .withColumn("__dropped", lit(true))
+    asn.join(dropped, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").cast(LongType).as("cluster_id"),
+        col("__dropped").isNull.as("is_kept"))
+  }
+
   def annBruteforce(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
     val q = e.filter(col("vec_id") < 8).toDF("q_id", "qv")
@@ -940,6 +992,22 @@ object PipelineQueries {
          |       ${PV.cosineDuck("a.v", "b.v")} AS cos
          |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
          |WHERE ${PV.cosineDuck("a.v", "b.v")} > 0.3""".stripMargin,
+    "d_semdedup" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, e.v, c.cid,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |               AS crn
+         |      FROM emb e CROSS JOIN cent c),
+         |asn AS (SELECT vec_id, v, cid FROM sc WHERE crn = 1),
+         |dup AS (SELECT DISTINCT b.vec_id
+         |        FROM asn a JOIN asn b
+         |          ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |        WHERE ${PV.cosineDuck("a.v", "b.v")} > 0.35)
+         |SELECT asn.vec_id, CAST(asn.cid AS BIGINT) AS cluster_id,
+         |       dup.vec_id IS NULL AS is_kept
+         |FROM asn LEFT JOIN dup ON dup.vec_id = asn.vec_id""".stripMargin,
     "ann_bruteforce" ->
       s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
          |           WHERE vec_id < 8),
@@ -1366,6 +1434,7 @@ object PipelineQueries {
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_dedup_clusters" -> (dDedupClusters _),
     "d_embed_neardup" -> (dEmbedNeardup _),
+    "d_semdedup" -> (dSemdedup _),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> (annIvf _),

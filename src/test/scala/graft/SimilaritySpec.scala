@@ -77,6 +77,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d_semdedup keeps exactly one representative per tight cluster") {
+    // 16 one-hot clusters of 4 near-identical vectors: within-cluster
+    // cosine ~1, cross-cluster ~0, so SemDeDup must keep the lowest id
+    // of each cluster and drop the other three.
+    val out = PipelineQueries.dSemdedup(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(out.length === 64)
+    val kept = out.filter(_._3).map(_._1).sorted
+    assert(kept === (0L until 16L).toArray,
+      "each cluster must keep exactly its lowest-id vector")
+    out.groupBy(_._2).foreach { case (cid, vs) =>
+      assert(vs.count(_._3) === 1, s"cluster $cid kept ${vs.count(_._3)}")
+    }
+  }
+
   /** Adversarial drift corpus: query vectors sit BETWEEN cluster axes
     * (equidistant from two centroids — the classic IVF hard case where
     * nprobe decides recall). ids 0..7 = drift queries (axis-pair
