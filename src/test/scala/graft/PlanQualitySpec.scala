@@ -126,6 +126,21 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(n == 1, s"q_merge_intervals plans $n shuffle exchanges (expected 1)")
   }
 
+  test("d_semdedup reads the cached assignment, not three corpus scans") {
+    // the assignment frame feeds both self-join sides and the verdict
+    // join; the memo+cache must turn those into InMemoryTableScans over
+    // ONE parquet source scan — a regression here re-scans (and
+    // re-assigns) the whole corpus per consumer at fleet scale
+    val p = physical("d_semdedup")
+    val parquetScans = count(p,
+      _.isInstanceOf[org.apache.spark.sql.execution.FileSourceScanExec])
+    val memScans = count(p, _.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    assert(memScans >= 3, s"expected >=3 cached-assignment scans, got $memScans")
+    assert(parquetScans == 0,
+      s"$parquetScans parquet scans outside the cached assignment (expected 0)")
+  }
+
   test("bucketed granule tables co-locate an equi-join with zero shuffles") {
     // SURVEY §4: "co-locate joins via bucketing" — evidence that the
     // engine's write path supports it: two tables bucketed+sorted on the
