@@ -26,15 +26,29 @@ object Aggregate {
   val TimingCertainty = 0.9 // reference aggregator.py:33
 
   /** Derive the [[TSA.UdimConfig]] thresholds from an expected cadence the
-    * way the reference does (aggrelist.py:290-299): dedup below half a
-    * minimal step, fill above two minimal steps. */
+    * way the reference does: dedup below half a minimal step
+    * (aggrelist.py:290-292). The reference carries TWO gap-fill
+    * thresholds — within a file `2/((2-c)·hz)` ≈ 1.818 steps
+    * (aggrelist.py:294) and between files `1.6·dt_max` = 1.6/(c·hz) ≈
+    * 1.778 steps (aggregator.py:167). graft's pipeline is one relational
+    * stream with no granule boundaries, so one threshold must serve both;
+    * the between-file rule wins because granule-boundary gaps are the
+    * common case at fleet scale and the reference's own
+    * SEISL1bEHIS_overlaps test pins a 540 s gap at 1/300 Hz (= 1.8 steps,
+    * inside the two rules' divergence window) expecting a fill. The cost:
+    * a WITHIN-file gap in (1.778, 1.818) steps gets one fill the
+    * reference would not insert — that needs timing jitter of more than
+    * 3/4 of a step inside one granule, which the cadence model already
+    * treats as an outage. */
   def udimConfigFor(dim: AggConfig.DimSpec, idCol: String,
       tsCol: Option[String] = None): TSA.UdimConfig = {
     val hz = dim.cadenceHz.getOrElse(0.0)
     val (minStep, nomStep, gapThr) =
       if (hz > 0) {
         val tol = 1e6 / ((2.0 - TimingCertainty) * hz)
-        (math.round(0.5 * tol), math.round(1e6 / hz), math.round(2.0 * tol))
+        val dtMax = 1e6 / (TimingCertainty * hz)
+        (math.round(0.5 * tol), math.round(1e6 / hz),
+          math.round(1.6 * dtMax))
       } else (0L, Long.MaxValue, Long.MaxValue)
     TSA.UdimConfig(
       tsCol = tsCol.getOrElse(dim.indexBy.get),

@@ -103,7 +103,11 @@ object Cli {
     val granules =
       if (ncSrcs == 0) srcs
       else graft.sources.NetCDFIngest.convert(spark, srcs,
-        s"$dst.__nc_ingest").toList
+        s"$dst.__nc_ingest",
+        // the -u option names the unlimited (record) dimension explicitly;
+        // without it the per-granule heuristic (unlimited else largest)
+        // decides
+        recDim = opts.get("u").map(_.split(":")(0))).toList
 
     var config = opts.get("t") match {
       case Some(path) => AggConfig.fromJson(

@@ -39,8 +39,27 @@ object NetCDFIngest {
       .map(_.name)
       .getOrElse(throw new IllegalArgumentException("no dimensions"))
 
+  /** Resolve the record dim: an explicit name (the configured unlimited
+    * dim — fixtures like SEIS EHIS mark report_number neither unlimited
+    * nor largest, so the heuristic alone would pick the wrong axis, which
+    * the reference avoids because its config names the dim) must exist in
+    * the granule; otherwise fall back to [[recordDimOf]]. */
+  private def resolveRecDim(nc: NcFile, path: String,
+      recDim: Option[String]): String = recDim match {
+    case Some(d) =>
+      require(nc.dims.exists(_.name == d),
+        s"$path: configured record dimension '$d' not present " +
+          s"(has: ${nc.dims.map(_.name).mkString(", ")})")
+      d
+    case None => recordDimOf(nc)
+  }
+
+  /** A per-record numeric variable with parseable CF time units. 1-D
+    * becomes a TIMESTAMP_NTZ column; multi-dim (e.g. MAG's 2-D OB_time,
+    * report_number x samples) becomes an array of timestamps so a
+    * multidim index_by (reference other_dim_indicies) stays typed. */
   private def isTimeVar(v: NcVar, recDim: String): Boolean =
-    v.dims == Seq(recDim) &&
+    v.dims.headOption.contains(recDim) &&
       (v.dtype.isInstanceOf[Hdf5Reader.H5Float] ||
         v.dtype.isInstanceOf[Hdf5Reader.H5Int]) &&
       v.attrs.get("units").collect { case s: String => s }
@@ -59,7 +78,9 @@ object NetCDFIngest {
         if (v.dims.headOption.contains(recDim)) v.shape.drop(1)
         else v.shape
       val t =
-        if (isTimeVar(v, recDim)) TimestampNTZType
+        if (isTimeVar(v, recDim) && perRecord.product > 1)
+          ArrayType(TimestampNTZType, containsNull = true)
+        else if (isTimeVar(v, recDim)) TimestampNTZType
         else if (perRecord.product > 1)
           ArrayType(elemType(v.dtype), containsNull = true)
         else elemType(v.dtype)
@@ -86,9 +107,10 @@ object NetCDFIngest {
   /** One row per record of one granule, projected onto `schema` (variables
     * a granule lacks become nulls — the reference null-fills the same way,
     * aggrelist.py:545-566). */
-  def granuleRows(path: String, schema: StructType): Iterator[Row] = {
+  def granuleRows(path: String, schema: StructType,
+      recDimHint: Option[String] = None): Iterator[Row] = {
     val nc = open(path)
-    val recDim = recordDimOf(nc)
+    val recDim = resolveRecDim(nc, path, recDimHint)
     val n = nc.dims.find(_.name == recDim).map(_.size.toInt).getOrElse(0)
     val getters: Array[Int => Any] = schema.fields.map { f =>
       nc.vars.find(_.name == f.name) match {
@@ -129,6 +151,24 @@ object NetCDFIngest {
                 if (x.isNaN || fill.contains(x)) null
                 else ldtOfUs(base + math.round(x * per))
               }
+            case ArrayType(TimestampNTZType, _) =>
+              val (base, per) = v.attrs.get("units")
+                .collect { case s: String => s }.flatMap(timeUnits)
+                .getOrElse(throw new IllegalArgumentException(
+                  s"$path: variable ${f.name} is a time-array column in " +
+                    "the aggregation schema but this granule's copy has " +
+                    "no parseable CF time units — granule mismatch"))
+              def ts(idx: Int): Any = {
+                val x = num(idx)
+                if (x.isNaN || fill.contains(x)) null
+                else ldtOfUs(base + math.round(x * per))
+              }
+              if (recordVar)
+                (i: Int) => Seq.tabulate(inner)(j => ts(i * inner + j))
+              else {
+                val const = Seq.tabulate(total)(ts)
+                (_: Int) => const
+              }
             case ArrayType(_, _) =>
               if (recordVar)
                 (i: Int) => Seq.tabulate(inner)(j => raw(i * inner + j))
@@ -168,9 +208,10 @@ object NetCDFIngest {
       records: Long)
 
   /** Parse one granule's header into [[GranuleMeta]] (runs on executors). */
-  def granuleMeta(path: String): GranuleMeta = {
+  def granuleMeta(path: String,
+      recDimHint: Option[String] = None): GranuleMeta = {
     val nc = open(path)
-    val recDim = recordDimOf(nc)
+    val recDim = resolveRecDim(nc, path, recDimHint)
     val n = nc.dims.find(_.name == recDim).map(_.size).getOrElse(0L)
     val json = nc.attrs.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
@@ -212,13 +253,13 @@ object NetCDFIngest {
     * and the sidecars are written from the collected attr strings — the
     * driver does O(#granules) string work only and never opens a granule.
     * Pass 2 (distributed) decodes the records. */
-  def convert(spark: SparkSession, srcs: Seq[String], outDir: String)
-      : Seq[String] = {
+  def convert(spark: SparkSession, srcs: Seq[String], outDir: String,
+      recDim: Option[String] = None): Seq[String] = {
     require(srcs.nonEmpty, "no input granules")
     val paths = srcs.toIndexedSeq
     val metas = spark.sparkContext
       .parallelize(paths, paths.size)
-      .map(granuleMeta)
+      .map(granuleMeta(_, recDim))
       .collect().toSeq
     val schema = unionSchema(metas)
     val withG = StructType(schema.fields :+
@@ -227,7 +268,7 @@ object NetCDFIngest {
       .parallelize(paths, paths.size)
       .flatMap { p =>
         val g = granuleName(p)
-        granuleRows(p, schema).map(r => Row.fromSeq(r.toSeq :+ g))
+        granuleRows(p, schema, recDim).map(r => Row.fromSeq(r.toSeq :+ g))
       }
     spark.createDataFrame(rdd, withG)
       .write.mode("overwrite").partitionBy("__granule").parquet(outDir)

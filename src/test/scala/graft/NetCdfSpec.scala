@@ -254,4 +254,127 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
         col("time") < lit(java.time.LocalDateTime.of(2017, 4, 14, 19, 26)))
     assert(dataRows.filter(col("is_fill")).count() === 0)
   }
+
+  test("reference MAGL1bGEOF with0timestamp: invalid index record dropped") {
+    // test_MAGL1bGEOF.py (5min_with0timestamp): OB_time is 2-D
+    // (report_number x 10 samples) indexed at element 0, 1 Hz records /
+    // 10 Hz samples; one granule carries a zero timestamp that must be
+    // dropped as invalid (aggrelist.py:253-283), its slot filled on the
+    // cadence. Reference asserts: record diffs ~1 s, flattened sample
+    // diffs ~0.1 s, first/last within 1 s inside the bounds.
+    val geof = fixturesIn(
+      "/root/reference/test/mag/MAGL1bGEOF_5min_with0timestamp/data")
+    assume(geof.size == 7)
+    val tmp = Files.createTempDirectory("graft_nc_geof").toString
+    val lo = utcUs(2017, 3, 16, 15, 25)
+    val hi = utcUs(2017, 3, 16, 15, 30)
+    val granules = NetCDFIngest.convert(spark, geof, s"$tmp/gr")
+    var cfg = NetCDF4.configFor(geof.head)
+    val inner = cfg.vars.find(_.name == "OB_time").get
+      .dimensions.filter(_ != "report_number").head
+    cfg = cfg.copy(dims = cfg.dims.map { d =>
+      if (d.name == "report_number")
+        d.copy(indexBy = Some("OB_time"),
+          expectedCadence =
+            Map("report_number" -> 1.0, inner -> 10.0),
+          otherDimInds = Map(inner -> 0),
+          min = Some(lo), max = Some(hi))
+      else d
+    })
+    Aggregate.run(spark, granules, s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("index_time")
+    val times = out
+      .select(unix_micros(col("index_time").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(times.length === 300) // 5 min of 1 Hz records
+    assert(times.forall(_ > 0), "zero/invalid timestamps must be dropped")
+    val diffs = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(d => math.abs(d - 1000000L) <= 10000L),
+      s"record spacing off: ${diffs.filter(d =>
+        math.abs(d - 1000000L) > 10000L).take(5)}")
+    assert(times.head > lo && times.head - lo < 1000000L)
+    assert(times.last < hi && hi - times.last < 1000000L)
+    // flattened 10 Hz samples stay evenly spaced through fill rows
+    val flat = out
+      .select(posexplode(col("OB_time")).as(Seq("j", "st")))
+      .select(unix_micros(col("st").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(flat.length === 3000)
+    val fdiffs = flat.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(fdiffs.forall(d => math.abs(d - 100000L) <= 2000L),
+      s"sample spacing off: ${fdiffs.filter(d =>
+        math.abs(d - 100000L) > 2000L).take(5)}")
+  }
+
+  test("reference SEIS MPSL swapped: input order does not matter") {
+    // test_SEISL1bMPSL.py (1min_swapped): two half-minute granules given
+    // out of order must aggregate identically to the sorted order —
+    // 60 records at exactly 1 Hz inside [00:37, 00:38).
+    val mpsl = fixturesIn(
+      "/root/reference/test/seis/SEISL1bMPSL_1min_swapped/data")
+    assume(mpsl.size == 2)
+    val lo = utcUs(2017, 1, 18, 0, 37)
+    val hi = utcUs(2017, 1, 18, 0, 38) - 1L // exclusive end, 60 x 1 Hz
+    def runOrder(srcs: Seq[String], tag: String): Seq[Long] = {
+      val tmp = Files.createTempDirectory(s"graft_nc_mpsl_$tag").toString
+      val (times, _) = runFixture(srcs, tmp, lo, hi,
+        dimName = "report_number", ivar = "L1a_SciData_TimeStamp", hz = 1.0)
+      times
+    }
+    val sortedTimes = runOrder(mpsl, "fwd")
+    val swappedTimes = runOrder(mpsl.reverse, "rev")
+    assert(sortedTimes === swappedTimes, "input order changed the output")
+    assert(sortedTimes.length === 60)
+    val diffs = sortedTimes.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(d => math.abs(d - 1000000L) <= 1000L),
+      s"spacing off: ${diffs.filter(d => math.abs(d - 1000000L) > 1000L)}")
+    assert(sortedTimes.head >= lo && sortedTimes.head - lo <= 1000000L)
+    assert(sortedTimes.last < hi && hi - sortedTimes.last <= 1000000L)
+  }
+
+  test("reference SEIS EHIS overlaps: dedup + the 540 s gap splits 300/240") {
+    // test_SEISL1bEHIS.py: 5-min-cadence granules that OVERLAP by four
+    // minutes (each pair 60 s apart) — the sub-cadence duplicates must
+    // dedup away — and one 540 s granule gap that the reference pins as
+    // a fill at +300 s leaving a 240 s step (its own comment documents
+    // choosing round() over floor() for exactly this case). 540 s =
+    // 1.8 steps sits between the reference's within-file (1.818) and
+    // between-file (1.778) thresholds; graft's unified threshold takes
+    // the between-file rule, so this asserts the fill IS inserted.
+    val ehis = fixturesIn(
+      "/root/reference/test/seis/SEISL1bEHIS_overlaps/data")
+    assume(ehis.size == 20)
+    val tmp = Files.createTempDirectory("graft_nc_ehis").toString
+    val lo = utcUs(2018, 1, 17, 15, 5)
+    val hi = utcUs(2018, 1, 17, 15, 56)
+    // report_number is neither unlimited nor the largest dim in this
+    // fixture (size 1 per granule): name it explicitly, like the
+    // reference's config does
+    val granules = NetCDFIngest.convert(spark, ehis, s"$tmp/gr",
+      recDim = Some("report_number"))
+    var cfg = NetCDF4.configFor(ehis.head)
+    cfg = cfg.copy(dims = cfg.dims.map { d =>
+      if (d.name == "report_number")
+        // the reference test sets "size": None — this fixture's
+        // report_number is not marked unlimited in the files
+        d.copy(size = None,
+          indexBy = Some("ELF_StartStopTime"),
+          expectedCadence = Map("report_number" -> (1.0 / 300.0)),
+          min = Some(lo), max = Some(hi))
+      else d
+    })
+    Aggregate.run(spark, granules, s"$tmp/out", cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("index_time")
+    val times = out
+      .select(unix_micros(col("index_time").cast(TimestampType)))
+      .collect().map(_.getLong(0)).toSeq
+    assert(times.length >= 2)
+    val diffs = times.sliding(2).map(p => p(1) - p(0)).toSeq
+    // reference test_time: min diff 240 s, max 300 s, mean ~294 s
+    assert(math.abs(diffs.min - 240000000L) <= 10000L, s"min ${diffs.min}")
+    assert(math.abs(diffs.max - 300000000L) <= 10000L, s"max ${diffs.max}")
+    val mean = diffs.sum.toDouble / diffs.size
+    assert(math.abs(mean - 294000000.0) <= 1000000.0, s"mean $mean")
+    assert(times.head >= lo && times.last <= hi)
+  }
 }
