@@ -88,6 +88,33 @@ object ScaleSmoke {
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dir/documents_zipf.parquet")
     }
+    if (!new java.io.File(s"$dir/embeddings.parquet").isDirectory) {
+      // uniform replica: re-keyed copies keep the original 16 seed
+      // vectors (vec_id < 16) as the coarse centroids
+      Tables.load(spark, sf, "embeddings")
+        .withColumn("__i", explode(expr(s"sequence(0, ${factor - 1})")))
+        .withColumn("vec_id", col("vec_id") + col("__i") * 100000000L)
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    if (!new java.io.File(s"$dir/embeddings_hot.parquet").isDirectory) {
+      // hot-cluster embeddings: every vector of the odd copies collapses
+      // onto one near-constant direction, so ONE coarse cluster holds
+      // half the corpus — the SemDeDup worst case (the paper's k must
+      // grow with the corpus; this pins that the within-cluster equi-join
+      // stays an AQE-splittable join, not an unsplittable partition)
+      Tables.load(spark, sf, "embeddings")
+        .withColumn("__i", explode(expr(s"sequence(0, ${factor - 1})")))
+        .withColumn("vec_id", col("vec_id") + col("__i") * 100000000L)
+        .withColumn("embedding",
+          when(col("__i") % 2 === 1, expr(
+            "transform(sequence(0, 63), j -> CAST(CASE WHEN j = 0 " +
+              "THEN 1.0 ELSE 0.0001 * ((vec_id * 7 + CAST(j AS BIGINT))" +
+              " % 5) END AS FLOAT))"))
+            .otherwise(col("embedding")))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/embeddings_hot.parquet")
+    }
     if (!new java.io.File(s"$dir/events_hot.parquet").isDirectory) {
       // hot-key events: half of all rows funneled onto user_id 1
       Tables.load(spark, sf, "events")
@@ -100,17 +127,20 @@ object ScaleSmoke {
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dir/events_hot.parquet")
     }
-    val zipfDir = {
-      // PipelineQueries.tbl resolves "<dir>/documents.parquet": expose the
-      // zipf corpus through a directory of symlinks shaped like an sf dir
-      val d = java.nio.file.Paths.get(s"$dir/zipf_sf")
+    def linkDir(name: String, target: String, as: String): String = {
+      // PipelineQueries.tbl resolves "<dir>/<table>.parquet": expose a
+      // variant table through a directory of symlinks shaped like an sf dir
+      val d = java.nio.file.Paths.get(s"$dir/$name")
       java.nio.file.Files.createDirectories(d)
-      val link = d.resolve("documents.parquet")
+      val link = d.resolve(s"$as.parquet")
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.createSymbolicLink(link,
-        java.nio.file.Paths.get(s"$dir/documents_zipf.parquet"))
+        java.nio.file.Paths.get(s"$dir/$target"))
       d.toString
     }
+    val zipfDir = linkDir("zipf_sf", "documents_zipf.parquet", "documents")
+    val hotEmbDir =
+      linkDir("hot_emb_sf", "embeddings_hot.parquet", "embeddings")
 
     // per-run task-duration stats: a hot key inside one unsplittable
     // partition appears as max/median straggler ratio
@@ -130,6 +160,7 @@ object ScaleSmoke {
         .agg(sum("l_quantity").as("q"), count(lit(1)).as("n"))
 
     val skewRatios = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val maxTaskSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     def time(df: => DataFrame): Double = timeNamed(null, df)
     def timeNamed(name: String, df: => DataFrame): Double = {
       df.write.format("noop").mode("overwrite").save() // warm
@@ -140,9 +171,14 @@ object ScaleSmoke {
       if (name != null) {
         import scala.jdk.CollectionConverters._
         val ds = taskDurations.asScala.toSeq.sorted
-        if (ds.nonEmpty && ds(ds.size / 2) > 0)
+        if (ds.nonEmpty && ds(ds.size / 2) > 0) {
           skewRatios(name) =
             ds.last.toDouble / math.max(ds(ds.size / 2), 1L).toDouble
+          // the straggler metric that matters for wall-clock: the single
+          // longest task (max/median alone over-flags runs whose median
+          // task is a trivial metadata stage)
+          maxTaskSec(name) = ds.last / 1e3
+        }
       }
       dt
     }
@@ -169,6 +205,11 @@ object ScaleSmoke {
         timeNamed("tfidf_zipf", PipelineQueries.tTfidf(spark, zipfDir)),
       s"span_dedup_zipf_${factor}x" ->
         timeNamed("span_dedup_zipf", PipelineQueries.dSpanDedup(spark, zipfDir)),
+      "semdedup_1x" -> time(PipelineQueries.dSemdedup(spark, sf)),
+      s"semdedup_${factor}x" -> time(PipelineQueries.dSemdedup(spark, dir)),
+      s"semdedup_hot_${factor}x" ->
+        timeNamed("semdedup_hot",
+          PipelineQueries.dSemdedup(spark, hotEmbDir)),
       s"agg_core_hot_${factor}x" ->
         timeNamed("agg_core_hot",
           aggCore(spark.read.parquet(s"$dir/events_hot.parquet"))),
@@ -181,8 +222,9 @@ object ScaleSmoke {
           graft.queries.AggQueries.sessionizeEvents(e)
         }))
     val js = r.map { case (k, v) => f""""$k":$v%.3f""" }.mkString(",")
-    val sk = skewRatios.map { case (k, v) =>
-      f""""skew_$k":$v%.1f""" }.mkString(",")
+    val sk = (skewRatios.map { case (k, v) =>
+      f""""skew_$k":$v%.1f""" } ++ maxTaskSec.map { case (k, v) =>
+      f""""maxtask_$k":$v%.2f""" }).mkString(",")
     val nDocs = spark.read.parquet(s"$dir/documents.parquet").count()
     println(s"""{"metric":"scale_smoke","factor":$factor,$js,$sk,""" +
       s""""rows_events":${evN.count()},"rows_lineitem":${liN.count()},""" +

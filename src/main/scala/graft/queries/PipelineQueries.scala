@@ -210,11 +210,12 @@ object PipelineQueries {
     * like [[dDedupClusters]].
     *
     * Scale shape: assignment is a 16-row broadcast cross join over a
-    * linear scan; the pair search is an equi-join on cid — key-
-    * partitioned and AQE-splittable, and at fleet scale k grows with
-    * the corpus (the paper uses ~corpus_size/10k clusters) so per-
-    * cluster work stays bounded. The assignment frame feeds both self-
-    * join sides and the verdict join, so it is cached via [[memo]]
+    * linear scan; the pair search is an equi-join keyed by cluster —
+    * blocked adaptively (see below) so even a hot cluster spreads its
+    * quadratic scan across B(B+1)/2 shuffle keys, and at fleet scale k
+    * grows with the corpus (the paper uses ~corpus_size/10k clusters)
+    * so per-cluster work stays bounded. The assignment frame feeds both
+    * self-join sides and the verdict join, so it is cached via [[memo]]
     * (one corpus scan + assignment pass, not three) — the same
     * persist-the-assignment step a fleet deployment would run. */
   def dSemdedup(s: SparkSession, dir: String): DataFrame = {
@@ -232,12 +233,55 @@ object PipelineQueries {
         .select(col("vec_id"), col("v"), col("cid"))
         .cache()
     }
-    val a = asn.select(col("cid"), col("vec_id").as("ia"), col("v").as("va"))
-    val b = asn.select(col("cid"), col("vec_id").as("ib"), col("v").as("vb"))
-    val dropped = a.join(b, Seq("cid"))
-      .filter(col("ia") < col("ib") &&
+    // Adaptive blocked self-join for the pair scan. A hot cluster is
+    // COMPUTE-dense at tiny byte size (n² cosines over n rows), so AQE's
+    // byte-based skew split never fires and one shuffle key would carry
+    // the whole quadratic scan (measured 139x max/median task skew on
+    // the half-corpus-hot smoke). Clusters above the threshold hash
+    // their rows into B blocks; the pair scan becomes an equi-join on
+    // ORDERED block pairs — the a side emits each row under keys
+    // (blk, j) for j ≥ blk (its block as the LOW side), the b side
+    // under (i, blk) for i ≤ blk (its block as the HIGH side) — so
+    // every unordered row pair meets on exactly ONE of B(B+1)/2 keys
+    // and no shuffle key carries more than ~(n/B)² cosines. Cross-block
+    // pairs arrive in arbitrary id order, so the dropped vector is
+    // greatest(ia, ib) and the ia<ib dedup applies only to same-block
+    // keys. Small clusters keep nb = 1 (one key, zero replication); the
+    // 4096 threshold caps an unblocked key at ~17M cosines (~1 s of one
+    // core) — below it the fan-out costs more than the skew it
+    // prevents. shuffle_hash, NOT broadcast: the assignment frame is
+    // byte-small, so Spark would broadcast the build side, and a
+    // broadcast join never partitions by the join key — the whole scan
+    // would land back in however few partitions the probe side has
+    // (measured: 6 tasks, 23 s max).
+    val blocks = 16
+    val sizes = asn.groupBy("cid").agg(count(lit(1)).as("__cn"))
+    val base = asn.join(broadcast(sizes), Seq("cid"))
+      .withColumn("__nb",
+        when(col("__cn") > 4096L, lit(blocks.toLong)).otherwise(lit(1L)))
+      .withColumn("__blk",
+        expr("pmod(((vec_id % 1000003) * 2654435761) % 1000003, __nb)"))
+    val a = base
+      .withColumn("__bj", explode(expr("sequence(__blk, __nb - 1)")))
+      .select(col("cid"), col("__blk").as("__bi"), col("__bj"),
+        col("vec_id").as("ia"), col("v").as("va"))
+    val b = base
+      .withColumn("__bi", explode(expr("sequence(0L, __blk)")))
+      .select(col("cid"), col("__bi"), col("__blk").as("__bj"),
+        col("vec_id").as("ib"), col("v").as("vb"))
+    // explicit repartition on the join keys: AQE coalesces byte-small
+    // shuffle partitions, which re-merges the block keys into a handful
+    // of tasks (measured: the join stage ran 8 tasks at 32 shuffle
+    // partitions). A user repartition with an explicit count is exempt
+    // from coalescing, and the join reuses its partitioning directly.
+    val nPart = s.sessionState.conf.numShufflePartitions
+    val jk = Seq(col("cid"), col("__bi"), col("__bj"))
+    val dropped = a.repartition(nPart, jk: _*).hint("shuffle_hash")
+      .join(b.repartition(nPart, jk: _*).hint("shuffle_hash"),
+        Seq("cid", "__bi", "__bj"))
+      .filter((col("__bi") =!= col("__bj") || col("ia") < col("ib")) &&
         expr("graft_cosine(va, vb)") > lit(SemTau))
-      .select(col("ib").as("vec_id")).distinct()
+      .select(greatest(col("ia"), col("ib")).as("vec_id")).distinct()
       .withColumn("__dropped", lit(true))
     asn.join(dropped, Seq("vec_id"), "left")
       .select(col("vec_id"), col("cid").cast(LongType).as("cluster_id"),
