@@ -334,6 +334,58 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     java.time.LocalDateTime.ofEpochSecond(
       t / us, ((t % us) * 1000).toInt, java.time.ZoneOffset.UTC)
 
+  test("second unlimited dim flattens to packed-left ragged arrays " +
+      "(reference test_multi_unlim_dims)") {
+    // Reference test_collapse_second_dim: 3 granules, dim `a` (3 records
+    // each), second unlimited dim `b` of per-granule size i+1, variable
+    // c(a, b). The reference's flatten packs each granule's c values left
+    // against the merged b index and masks the rest (9 masked cells of a
+    // 9x3 rectangle, sum 90). The relational model carries the SAME
+    // information as ragged per-record arrays — packed left by
+    // construction, absence instead of mask — so the assertions map to:
+    // 9 records in granule order, per-granule array length i+1, total
+    // sum 90, and each record's b ids aligned to its c values.
+    val tmp = Files.createTempDirectory("graft_multiunlim").toString
+    val bNames = Seq("a", "b", "c")
+    (0 until 3).foreach { i =>
+      val rows = (0 until 3).map { r =>
+        Row((i * 3 + r).toLong,
+          bNames.take(i + 1),
+          Seq.fill(i + 1)((i * 3 + r).toLong))
+      }
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1),
+        StructType(Seq(
+          StructField("a", LongType),
+          StructField("b", ArrayType(StringType)),
+          StructField("c", ArrayType(LongType)))))
+        .write.mode("overwrite").parquet(s"$tmp/g_$i")
+    }
+    val cfg = Config(
+      dims = Seq(
+        DimSpec("a_dim", size = None),
+        DimSpec("b_dim", size = None, flatten = true)),
+      vars = Seq(
+        VarSpec("a", Seq("a_dim"), "int64"),
+        VarSpec("b", Seq("b_dim"), "string"),
+        VarSpec("c", Seq("a_dim", "b_dim"), "int64")),
+      attrs = Nil)
+    Aggregate.run(spark, (0 until 3).map(i => s"$tmp/g_$i"), s"$tmp/out",
+      cfg)
+    val out = spark.read.parquet(s"$tmp/out").orderBy("a")
+      .select("a", "b", "c").collect()
+    assert(out.length === 9)
+    assert(out.map(_.getLong(0)).toSeq === (0L until 9L))
+    val lens = out.map(_.getSeq[Long](2).length).toSeq
+    assert(lens === Seq(1, 1, 1, 2, 2, 2, 3, 3, 3),
+      "c must stay packed-left at each granule's own b size")
+    assert(out.map(_.getSeq[Long](2).sum).sum === 90L)
+    out.foreach { r =>
+      assert(r.getSeq[String](1) === bNames.take(r.getSeq[Long](2).length),
+        "each record's b ids align with its c values")
+    }
+  }
+
   test("a variable missing from some granules null-fills those records") {
     // the reference inserts fill values for variables absent in a granule
     // (aggrelist.py:545-566); across parquet granules that requires the
