@@ -50,8 +50,15 @@ object TimeSeriesAggregator {
   private val CHUNK = "__chunk"
 
   /** Interior fill count = round_half_even(gap/step) - 1, in exact integer
-    * microseconds — numpy's tie rule, so the count matches the reference's
-    * np.round((gap - dt_nom) * hz) (aggregator.py:170-172) bit-for-bit.
+    * microseconds — numpy's half-even tie rule over the reference's
+    * WITHIN-file formula np.round(gap*hz)-1 (aggrelist.py:298-299). The
+    * reference's between-file formula np.round((gap-dt_nom)*hz)
+    * (aggregator.py:170-172) agrees everywhere EXCEPT exact half-step
+    * ties, where the two reference formulas themselves differ by one;
+    * graft applies one rule to its single post-ingest stream, so a
+    * granule-boundary gap landing exactly on a half step yields one
+    * fewer fill than ncagg (deliberate divergence, pinned in
+    * TimeSeriesAggregatorSpec).
     * (2g - N) div 2N is the HALF-UP count; an exact half-step tie
     * (2*(g mod N) == N, only possible when N is even) with an even
     * quotient rounds DOWN under half-even — one fewer fill. The same

@@ -77,19 +77,26 @@ object Embeddings {
         StructField("n_members", LongType))))
   }
 
-  /** Nearest-centroid assignment (cosine, ties to the lower cid): the
-    * reusable half of the Lloyd's step — also the IVF list-builder for
-    * a trained codebook. `cent` must have (cid, cv). */
-  def assign(emb: DataFrame, cent: DataFrame): DataFrame = {
+  /** Centroid ranking per vector (cosine, ties to the lower cid):
+    * `crn` = 1 is the nearest centroid, `crn` ≤ nprobe the multi-probe
+    * set. THE single home of the assignment tie-break rule —
+    * [[assign]], `ann_ivf`, `emb_kmeans_iter`, and `d_semdedup` all
+    * route through here, so the rule cannot silently fork between the
+    * IVF lists and the dedup verdicts. `cent` must have (cid, cv). */
+  def assignRanked(emb: DataFrame, cent: DataFrame): DataFrame = {
     graft.functions.native.register(emb.sparkSession)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
     emb.crossJoin(broadcast(cent))
       .withColumn("ccos", expr("graft_cosine(embedding, cv)"))
       .withColumn("crn", row_number().over(w))
-      .filter(col("crn") === 1)
-      .drop("crn")
   }
+
+  /** Nearest-centroid assignment (cosine, ties to the lower cid): the
+    * reusable half of the Lloyd's step — also the IVF list-builder for
+    * a trained codebook. `cent` must have (cid, cv). */
+  def assign(emb: DataFrame, cent: DataFrame): DataFrame =
+    assignRanked(emb, cent).filter(col("crn") === 1).drop("crn")
 
   /** Top principal direction of the (uncentered) Gram matrix by power
     * iteration from the all-ones seed — the converged form of the

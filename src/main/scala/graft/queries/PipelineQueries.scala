@@ -220,17 +220,11 @@ object PipelineQueries {
     * persist-the-assignment step a fleet deployment would run. */
   def dSemdedup(s: SparkSession, dir: String): DataFrame = {
     val asn = memo(s, dir, "semAssign") {
-      val e = tbl(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding").as("v"))
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
       val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      val wAssign = Window.partitionBy("vec_id")
-        .orderBy(col("ccos").desc, col("cid"))
-      e.crossJoin(broadcast(cent))
-        .withColumn("ccos", expr("graft_cosine(v, cv)"))
-        .withColumn("crn", row_number().over(wAssign))
-        .filter(col("crn") === 1)
-        .select(col("vec_id"), col("v"), col("cid"))
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      graft.ml.Embeddings.assign(e, cent)
+        .select(col("vec_id"), col("embedding").as("v"), col("cid"))
         .cache()
     }
     // Adaptive blocked self-join for the pair scan. A hot cluster is
@@ -343,19 +337,15 @@ object PipelineQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), col("embedding").as("v"))
+      .select("vec_id", "embedding")
     val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     // nearest centroids per vector: n x 16 scores, ties to the lower cid
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    val assigned = e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr("graft_cosine(v, cv)"))
-      .withColumn("crn", row_number().over(wAssign))
+    val assigned = graft.ml.Embeddings.assignRanked(e, cent)
     val lists = assigned.filter(col("crn") === 1)
-      .select(col("vec_id").as("n_id"), col("v").as("nv"), col("cid"))
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cid"))
     val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("cid"))
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"), col("cid"))
     val scored = lists.join(broadcast(probes), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
       .withColumn("cos", expr("graft_cosine(qv, nv)"))
@@ -453,17 +443,11 @@ object PipelineQueries {
     * (cid, dim, partition) — never vectors; iterate by feeding the
     * output back as the next seed table. */
   def embKmeansIter(s: SparkSession, dir: String): DataFrame = {
-    val e = tbl(s, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").as("v"))
+    val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
     val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val wAssign = Window.partitionBy("vec_id")
-      .orderBy(col("ccos").desc, col("cid"))
-    e.crossJoin(broadcast(cent))
-      .withColumn("ccos", expr("graft_cosine(v, cv)"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select(col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    graft.ml.Embeddings.assign(e, cent)
+      .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "x")))
       .groupBy("cid", "p")
       .agg(count(lit(1)).as("n_vecs"),
         (sum(floor(col("x").cast(DoubleType) * lit(10000.0d))

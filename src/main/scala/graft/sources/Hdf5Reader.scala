@@ -657,8 +657,10 @@ object Hdf5Reader {
           p += 2 // flags
           val ncd = u16(p); p += 2
           if (nameLen > 0) p += (if (ver == 1) pad8(nameLen) else nameLen)
-          val cd = (0 until ncd).map(i => u16(p + 2 * i)); p += 2 * ncd
-          if (ver == 1 && ncd % 2 == 1) p += 2
+          // client-data values are FOUR-byte integers (spec III.A.2, both
+          // message versions); v1 pads an odd count with four zero bytes
+          val cd = (0 until ncd).map(i => u32(p + 4 * i).toInt); p += 4 * ncd
+          if (ver == 1 && ncd % 2 == 1) p += 4
           Filter(id, cd)
         }
       }.getOrElse(Nil)

@@ -485,8 +485,8 @@ object Hdf5Writer {
           pipeline.foreach { case (id, cd) =>
             b.u16(id); b.u16(0) // filter id, name length
             b.u16(0); b.u16(cd.size) // flags, client data count
-            cd.foreach(b.u16)
-            if (cd.size % 2 == 1) b.u16(0) // v1 pads odd cd to 4 bytes
+            cd.foreach(v => b.u32(v & 0xffffffffL)) // 4-byte values (spec)
+            if (cd.size % 2 == 1) b.u32(0) // v1 pads odd count with 4 bytes
           }
           b.result()
         }
@@ -516,32 +516,6 @@ object Hdf5Writer {
       buf.align8()
       ohAddr(ds.name) = buf.pos.toLong
       writeOH(msgs.result())
-    }
-
-    // ---- global heap collection (DIMENSION_LIST reference payloads)
-    var gcolAddr = Undefined
-    if (gheap.objs.nonEmpty) {
-      buf.align8()
-      gcolAddr = buf.pos.toLong
-      val objBytes = gheap.objs.map(o => 16 + (o.length + 7) / 8 * 8).sum
-      // collections are at least 4096 bytes per the spec; pad with the
-      // terminating free-space object
-      val total = math.max(16L + objBytes + 16, 4096L)
-      buf.bytes("GCOL".getBytes("US-ASCII"))
-      buf.u8(1); buf.zeros(3)
-      buf.u64(total)
-      gheap.objs.zipWithIndex.foreach { case (o, i) =>
-        buf.u16(i + 1) // object index (1-based)
-        buf.u16(1) // reference count
-        buf.u32(0)
-        buf.u64(o.length)
-        buf.bytes(o); buf.align8()
-      }
-      val used = buf.pos - gcolAddr.toInt
-      buf.u16(0); buf.u16(0); buf.u32(0) // free-space object (index 0)
-      buf.u64(total - used) // remaining bytes incl. this header
-      buf.zeros((gcolAddr + total - buf.pos).toInt)
-      gheap.addrSlots.foreach(slot => buf.patch64(slot, gcolAddr))
     }
 
     // ---- local heap with all link names
@@ -597,6 +571,35 @@ object Hdf5Writer {
       rootMsgs += 0x0c -> (() => attrBody(an, av))
     }
     val rootOh = writeOH(rootMsgs.result())
+
+    // ---- global heap collection (DIMENSION_LIST reference payloads).
+    // Emitted LAST, after every object header — attrBody may add gheap
+    // objects while any OH (including the root's) is being built, and the
+    // address-slot patch below must see all of them. Readers chase the
+    // patched address, so the collection's file position is irrelevant.
+    if (gheap.objs.nonEmpty) {
+      buf.align8()
+      val gcolAddr = buf.pos.toLong
+      val objBytes = gheap.objs.map(o => 16 + (o.length + 7) / 8 * 8).sum
+      // collections are at least 4096 bytes per the spec; pad with the
+      // terminating free-space object
+      val total = math.max(16L + objBytes + 16, 4096L)
+      buf.bytes("GCOL".getBytes("US-ASCII"))
+      buf.u8(1); buf.zeros(3)
+      buf.u64(total)
+      gheap.objs.zipWithIndex.foreach { case (o, i) =>
+        buf.u16(i + 1) // object index (1-based)
+        buf.u16(1) // reference count
+        buf.u32(0)
+        buf.u64(o.length)
+        buf.bytes(o); buf.align8()
+      }
+      val used = buf.pos - gcolAddr.toInt
+      buf.u16(0); buf.u16(0); buf.u32(0) // free-space object (index 0)
+      buf.u64(total - used) // remaining bytes incl. this header
+      buf.zeros((gcolAddr + total - buf.pos).toInt)
+      gheap.addrSlots.foreach(slot => buf.patch64(slot, gcolAddr))
+    }
 
     buf.patch64(rootOhSlot, rootOh)
     buf.patch64(eofSlot, buf.pos.toLong)

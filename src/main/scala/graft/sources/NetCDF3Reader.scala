@@ -121,7 +121,9 @@ object NetCDF3Reader {
     val rawVars = (0 until nVars).map { _ =>
       val nm = name()
       val nd = nonNeg().toInt
-      val dimids = (0 until nd).map(_ => u32().toInt)
+      // dimid is NON_NEG in the grammar: 64-bit in CDF-5 (netcdf-c
+      // v1hpg.c reads an int64 per dimid when the version flag is 5)
+      val dimids = (0 until nd).map(_ => nonNeg().toInt)
       val attrs = attrList()
       val t = nonNeg().toInt
       val vsize = nonNeg()

@@ -137,7 +137,10 @@ object NetCDFWrite {
           Seq("_FillValue" -> WLongAttr(fill, size)))
       case StringType =>
         val strs = vals.map { case null => ""; case s => s.toString }
-        val width = math.max(strs.map(_.getBytes("UTF-8").length).max + 1, 1)
+        // maxOption: a zero-row record variable must write an empty
+        // dataset, not crash on empty.max
+        val width =
+          math.max(strs.map(_.getBytes("UTF-8").length).maxOption.getOrElse(0) + 1, 1)
         val out = new Array[Byte](strs.length * width)
         strs.zipWithIndex.foreach { case (s, i) =>
           val raw = s.getBytes("UTF-8")
@@ -339,25 +342,33 @@ object NetCDFWrite {
       opts: NcOpts = NcOpts()): Seq[String] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
     val sortCol = sortColOf(config, df.columns.toSet)
-    val total = df.count()
-    val parts = math.max(1, math.ceil(total.toDouble /
-      math.max(maxRecordsPerFile, 1)).toInt)
-    val arranged = sortCol match {
-      case Some(c) if parts > 1 =>
-        df.repartitionByRange(parts, col(c)).sortWithinPartitions(col(c))
-      case Some(c) => df.coalesce(1).sortWithinPartitions(col(c))
-      case None => df.coalesce(parts)
-    }
-    val schema = arranged.schema
-    arranged.foreachPartition { (it: Iterator[Row]) =>
-      val rows = it.toIndexedSeq
-      if (rows.nonEmpty) {
-        val pid = org.apache.spark.TaskContext.getPartitionId()
-        writeFile(
-          java.nio.file.Paths.get(dstDir, f"part-$pid%05d.nc"),
-          schema, rows, config, globalAttrs, opts)
+    // Persist before the sizing count: the count job and the write job
+    // would otherwise each execute the full upstream lineage — doubling
+    // the most expensive scan in exactly the scale path this method
+    // exists for. The write pass reads back from the cache (spilling to
+    // local disk when the aggregate exceeds executor memory).
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = cached.count()
+      val parts = math.max(1, math.ceil(total.toDouble /
+        math.max(maxRecordsPerFile, 1)).toInt)
+      val arranged = sortCol match {
+        case Some(c) if parts > 1 =>
+          cached.repartitionByRange(parts, col(c)).sortWithinPartitions(col(c))
+        case Some(c) => cached.coalesce(1).sortWithinPartitions(col(c))
+        case None => cached.coalesce(parts)
       }
-    }
+      val schema = arranged.schema
+      arranged.foreachPartition { (it: Iterator[Row]) =>
+        val rows = it.toIndexedSeq
+        if (rows.nonEmpty) {
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          writeFile(
+            java.nio.file.Paths.get(dstDir, f"part-$pid%05d.nc"),
+            schema, rows, config, globalAttrs, opts)
+        }
+      }
+    } finally cached.unpersist()
     Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".nc")).map(_.getPath).sorted.toSeq
   }

@@ -50,7 +50,7 @@ class NetCdf3Spec extends AnyFunSuite with SparkSpec {
     def varEntry(nm: String, dimids: Seq[Int], attrs: Boolean, ncType: Int,
         vsize: Long): Unit = {
       name(nm)
-      nonNeg(dimids.length); dimids.foreach(i => bb.putInt(i))
+      nonNeg(dimids.length); dimids.foreach(i => nonNeg(i)) // dimid is NON_NEG
       if (attrs) {
         val units = "seconds since 2020-01-01 00:00:00" // 33 chars
         nonNeg(12); nonNeg(1)

@@ -67,9 +67,14 @@ class TSAPropertySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("fill count uses numpy's half-even tie rule (reference parity)") {
-    // np.round((gap - dt_nom) * hz): round(2.5)=2 (even quotient rounds
-    // DOWN), round(3.5)=4 — half-up would give 3 and 4. fills = round - 1.
+  test("fill count uses numpy's half-even tie rule (within-file formula)") {
+    // Reference WITHIN-file rule np.round(gap*hz)-1 (aggrelist.py:298):
+    // round_he(2.5)-1=1, round_he(3.5)-1=3, round_he(4.5)-1=3 — half-up
+    // would give 2/3/4. The reference's BETWEEN-file formula
+    // np.round((gap-dt_nom)*hz) (aggregator.py:171) disagrees with its
+    // own within-file rule by exactly 1 at these half-step ties; graft
+    // applies the within-file arithmetic to its single unified stream
+    // (deliberate divergence, see TimeSeriesAggregator.fillCountSpark).
     val n = cfg.nomStepUs
     assert(fillCount(5 * n / 2, n) === 1)  // gap = 2.5 steps -> 1 fill
     assert(fillCount(7 * n / 2, n) === 3)  // gap = 3.5 steps -> 3 fills
