@@ -177,18 +177,23 @@ object NetCDFWrite {
       fieldIdx.contains(v.mapTo.getOrElse(v.name)))
 
     // resolved dimension sizes: record dim = row count; fixed dims from
-    // the config, falling back to the first observed array length —
-    // covering both [recDim, dn] record vars and 1-D non-record vars
-    // (e.g. a secondary unlimited dimension's coordinate variable, which
-    // the ingest model carries as a per-row constant array)
-    def observedInner(dn: String): Option[Long] = outVars.collectFirst {
-      case v if (v.dimensions == Seq(recDim, dn) && dn != recDim) ||
-          (v.dimensions == Seq(dn) && dn != recDim) =>
-        val i = fieldIdx(v.mapTo.getOrElse(v.name))
-        rows.iterator.map(_.get(i)).collectFirst {
-          case s: scala.collection.Seq[_] => s.length.toLong
-        }
-    }.flatten
+    // the config, falling back to the MAX observed array length across
+    // every row of every variable on the dim — covering [recDim, dn]
+    // record vars and 1-D non-record vars, and sizing a ragged column
+    // (a second unlimited dim is packed-left arrays of varying length,
+    // see Hdf5Reader's multi-unlim model) to its longest row so shorter
+    // rows pad with fill instead of longer rows being truncated
+    def observedInner(dn: String): Option[Long] = {
+      val lens = for {
+        v <- outVars
+        if (v.dimensions == Seq(recDim, dn) && dn != recDim) ||
+          (v.dimensions == Seq(dn) && dn != recDim)
+        i = fieldIdx(v.mapTo.getOrElse(v.name))
+        row <- rows.iterator
+        s <- Option(row.get(i)).collect { case s: scala.collection.Seq[_] => s }
+      } yield s.length.toLong
+      lens.maxOption
+    }
     val dimSize: Map[String, Long] = config.dims.map { d =>
       d.name -> (
         if (d.name == recDim) n.toLong
