@@ -1,5 +1,7 @@
 package graft.sources
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.types._
 
@@ -241,6 +243,15 @@ object NetCDFIngest {
     StructType(fields.values.map(_._1).toSeq)
   }
 
+  /** A granule excluded by permissive ingest: which file, which pass
+    * rejected it (`header` / `decode`), and the parse error. */
+  final case class Quarantined(path: String, stage: String, error: String)
+
+  /** [[convertChecked]]'s result: the produced granule directories plus
+    * every quarantined input. */
+  final case class IngestResult(
+      granuleDirs: Seq[String], quarantined: Seq[Quarantined])
+
   /** Convert granule files to one parquet granule directory each (under
     * `outDir/__granule=<name>/`), with a `_global_attrs.json` sidecar per
     * granule so [[graft.Aggregate.run]] picks up NetCDF global attributes
@@ -254,34 +265,91 @@ object NetCDFIngest {
     * driver does O(#granules) string work only and never opens a granule.
     * Pass 2 (distributed) decodes the records. */
   def convert(spark: SparkSession, srcs: Seq[String], outDir: String,
-      recDim: Option[String] = None): Seq[String] = {
+      recDim: Option[String] = None): Seq[String] =
+    convertChecked(spark, srcs, outDir, recDim).granuleDirs
+
+  /** [[convert]] with a corrupt-granule policy. Strict (default) fails the
+    * job on the first unreadable granule, like the reference (whose
+    * netCDF4 `Dataset(...)` call raises). Permissive QUARANTINES bad
+    * granules instead — a fleet-scale necessity: at ~1M granules a single
+    * truncated delivery must cost one file, not the job. Each pass
+    * catches per-granule parse errors task-side (pass 2 via an
+    * accumulator — decode work happens before the first row is emitted,
+    * so a caught granule contributes zero rows, never partial output);
+    * the quarantine list is returned AND written to
+    * `outDir/_quarantine.json` as an audit artifact. Schema conflicts
+    * between two readable granules stay hard errors in both modes: the
+    * conflict names two files and cannot be attributed to one. */
+  def convertChecked(spark: SparkSession, srcs: Seq[String], outDir: String,
+      recDim: Option[String] = None,
+      permissive: Boolean = false): IngestResult = {
     require(srcs.nonEmpty, "no input granules")
     val paths = srcs.toIndexedSeq
-    val metas = spark.sparkContext
+    val metaTries = spark.sparkContext
       .parallelize(paths, paths.size)
-      .map(granuleMeta(_, recDim))
+      .map { p =>
+        if (permissive)
+          try Right(granuleMeta(p, recDim))
+          catch { case scala.util.control.NonFatal(e) =>
+            Left(Quarantined(p, "header", errMsg(e))) }
+        else Right(granuleMeta(p, recDim))
+      }
       .collect().toSeq
+    val headerBad = metaTries.collect { case Left(q) => q }
+    val metas = metaTries.collect { case Right(m) => m }
     val schema = unionSchema(metas)
     val withG = StructType(schema.fields :+
       StructField("__granule", StringType, nullable = false))
+    val goodPaths = metas.map(_.path).toIndexedSeq
+    val decodeBad =
+      spark.sparkContext.collectionAccumulator[Quarantined]("quarantined")
     val rdd = spark.sparkContext
-      .parallelize(paths, paths.size)
+      .parallelize(goodPaths, math.max(goodPaths.size, 1))
       .flatMap { p =>
         val g = granuleName(p)
-        granuleRows(p, schema, recDim).map(r => Row.fromSeq(r.toSeq :+ g))
+        val rows =
+          if (permissive)
+            // granuleRows does all nc reads (incl. fletcher32 checks)
+            // before returning its iterator, so failures surface here
+            // and a quarantined granule emits nothing
+            try granuleRows(p, schema, recDim)
+            catch { case scala.util.control.NonFatal(e) =>
+              decodeBad.add(Quarantined(p, "decode", errMsg(e)))
+              Iterator.empty
+            }
+          else granuleRows(p, schema, recDim)
+        rows.map(r => Row.fromSeq(r.toSeq :+ g))
       }
     spark.createDataFrame(rdd, withG)
       .write.mode("overwrite").partitionBy("__granule").parquet(outDir)
+    // .distinct: accumulator updates inside a transformation can double
+    // count on task retry/speculation; the quarantine record is
+    // value-identical across retries, so dedup restores exactly-once
+    val quarantined = (headerBad ++
+      decodeBad.value.asScala.toSeq).distinct.sortBy(_.path)
+    val quarantinedPaths = quarantined.map(_.path).toSet
+    if (permissive) java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(outDir, "_quarantine.json"),
+      quarantined.map(q =>
+        s"""{"path": "${esc(q.path)}", "stage": "${q.stage}", """ +
+          s""""error": "${esc(q.error)}"}""")
+        .mkString("[", ",\n ", "]"))
     // an empty granule (zero records along the record dim) produces no
     // partition directory — it contributes nothing, like the reference's
     // empty-file handling (and AggregateSpec's empty case)
-    metas.filter(_.records > 0).map { m =>
-      val dir = s"$outDir/__granule=${m.granule}"
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(dir, "_global_attrs.json"), m.attrsJson)
-      dir
-    }
+    val dirs = metas
+      .filter(m => m.records > 0 && !quarantinedPaths.contains(m.path))
+      .map { m =>
+        val dir = s"$outDir/__granule=${m.granule}"
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(dir, "_global_attrs.json"), m.attrsJson)
+        dir
+      }
+    IngestResult(dirs, quarantined)
   }
+
+  private def errMsg(e: Throwable): String =
+    s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}"
 
   private def esc(s: String): String = s.flatMap {
     case '"' => "\\\""
