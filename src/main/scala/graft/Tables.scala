@@ -2,22 +2,25 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Central loader for the driver-generated parquet tables.
   *
-  * The testdata parquet stores timestamps as TIMESTAMP(NANOS), which Spark's
-  * parquet reader rejects; with `spark.sql.legacy.parquet.nanosAsLong` the
-  * column surfaces as LongType nanoseconds, which we floor-divide to integer
-  * microseconds — the same truncation DuckDB applies reading nanos into its
-  * microsecond TIMESTAMP — and materialize as TIMESTAMP_NTZ so both engines
-  * hold identical values and types end-to-end.
+  * Timestamp normalization: the driver's generator has shipped `events.ts`
+  * as TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS) in others, so
+  * the loader adapts to what the file actually contains. Nanos parquet is
+  * rejected by Spark's reader; with `spark.sql.legacy.parquet.nanosAsLong`
+  * the column surfaces as LongType nanoseconds, which we floor-divide to
+  * integer microseconds — the same truncation DuckDB applies reading nanos
+  * into its microsecond TIMESTAMP. Either way the column materializes as
+  * TIMESTAMP_NTZ so both engines hold identical values and types
+  * end-to-end.
   */
 object Tables {
 
-  /** Nanosecond-timestamp columns per table, normalized to NTZ on load.
+  /** Timestamp columns per table, normalized to NTZ on load.
     * (orders.o_orderdate / lineitem.l_shipdate are millis — Spark reads
-    * those natively as TIMESTAMP_NTZ; only events.ts is nanos.) */
+    * those natively as TIMESTAMP_NTZ; only events.ts has varied.) */
   private val nanosCols: Map[String, Seq[String]] = Map(
     "events" -> Seq("ts"))
 
@@ -35,8 +38,14 @@ object Tables {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val raw = s.read.parquet(s"$dir/$name.parquet")
       nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
-        df.withColumn(c,
-          timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
+        df.schema(c).dataType match {
+          case LongType => // TIMESTAMP(NANOS) surfaced as Long nanoseconds
+            df.withColumn(c,
+              timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
+          case TimestampNTZType => df
+          case _ => // TIMESTAMP(MICROS) with UTC adjustment, or millis
+            df.withColumn(c, col(c).cast(TimestampNTZType))
+        }
       }
     })
 }
