@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central loader for the driver-generated parquet tables.
   *
@@ -33,18 +33,63 @@ object Tables {
   private val memo =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
+  /** Parquet-footer timestamp unit for one column ("NANOS"/"MICROS"/
+    * "MILLIS"), or None when the column carries no timestamp annotation.
+    * Footer-only read — no Spark job, no data pages touched. Guards the
+    * LongType branch below: a plain INT64 column (no logical type) must
+    * NOT be divided by 1000 just because nanosAsLong surfaced it as Long. */
+  private def footerTsUnit(s: SparkSession, path: String, column: String): Option[String] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+    val conf = s.sessionState.newHadoopConf()
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val file =
+      if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).iterator
+          .map(_.getPath)
+          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .getOrElse(sys.error(s"no parquet part files under $path"))
+      else p
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      val schema = reader.getFooter.getFileMetaData.getSchema
+      if (!schema.containsField(column)) None
+      else schema.getType(schema.getFieldIndex(column)).getLogicalTypeAnnotation match {
+        case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit.toString)
+        case _ => None
+      }
+    } finally reader.close()
+  }
+
   def load(s: SparkSession, dir: String, name: String): DataFrame =
     memo.computeIfAbsent((s, dir, name), { case (s, dir, name) =>
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val raw = s.read.parquet(s"$dir/$name.parquet")
+      // TimestampType normalization below is only value-preserving when the
+      // session reads UTC-adjusted micros in UTC; pin it rather than assume.
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val path = s"$dir/$name.parquet"
+      val raw = s.read.parquet(path)
       nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
         df.schema(c).dataType match {
-          case LongType => // TIMESTAMP(NANOS) surfaced as Long nanoseconds
-            df.withColumn(c,
-              timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
+          case LongType =>
+            // Only TIMESTAMP(NANOS) may be rescaled; a plain INT64 ts would
+            // also surface as Long and dividing it would corrupt 1000x.
+            footerTsUnit(s, path, c) match {
+              case Some("NANOS") =>
+                df.withColumn(c,
+                  timestamp_micros(expr(s"$c div 1000L")).cast(TimestampNTZType))
+              case other =>
+                sys.error(s"$name.$c is INT64 with logical type $other — " +
+                  "refusing to guess a timestamp unit; fix the loader for this encoding")
+            }
           case TimestampNTZType => df
-          case _ => // TIMESTAMP(MICROS) with UTC adjustment, or millis
+          case TimestampType => // TIMESTAMP(MICROS/MILLIS) with UTC adjustment
             df.withColumn(c, col(c).cast(TimestampNTZType))
+          case other =>
+            sys.error(s"$name.$c has unexpected type $other — a blind cast " +
+              "would null out malformed values; fix the loader for this encoding")
         }
       }
     })
