@@ -165,7 +165,7 @@ object NetCDFWrite {
     * variables are written (pipeline bookkeeping columns like `is_fill`
     * stay out of the product, matching the reference output's shape). */
   def writeFile(dst: java.nio.file.Path, schema: StructType,
-      rows: IndexedSeq[Row], config: AggConfig.Config,
+      rows: collection.IndexedSeq[Row], config: AggConfig.Config,
       globalAttrs: Map[String, String], opts: NcOpts = NcOpts()): Unit = {
     val n = rows.size
     val recDim = config.primaryUdim
@@ -321,19 +321,46 @@ object NetCDFWrite {
       if (columns.contains("index_time")) "index_time" else ivar
     }.filter(columns.contains)
 
+  /** Row-count ceiling for the single-file path: one `.nc` is assembled
+    * driver-side by construction, so [[write]] refuses above this rather
+    * than OOM the driver. 16M scalar-double records ≈ 128 MiB per
+    * variable — comfortably inside a default driver heap, and far below
+    * the writer's own 2 GiB/file limit for narrow schemas. */
+  val DefaultSingleFileMaxRows: Long = 16L << 20
+
   /** Write an aggregated parquet output (as produced by
     * [[graft.Aggregate.run]]) back out as ONE `.nc` file, global attrs
-    * from its `_global_attrs.json` sidecar unless given explicitly. */
+    * from its `_global_attrs.json` sidecar unless given explicitly.
+    *
+    * Scale guard: counts first and REFUSES above `maxRows` (the error
+    * names [[writeGranules]], the distributed granule-set path, which is
+    * what a corpus-sized output should use — the reference's single
+    * process streams node-by-node into one file, aggregator.py:239-359,
+    * and one file is exactly as single-writer here). Under the gate the
+    * rows stream to the driver per range-partition (`toLocalIterator`)
+    * instead of one all-partitions `collect()`, so peak driver memory is
+    * the row buffer plus ONE partition's fetch block, not 2x the frame. */
   def write(spark: SparkSession, srcParquet: String, dst: String,
       config: AggConfig.Config,
       globalAttrs: Option[Map[String, String]] = None,
-      opts: NcOpts = NcOpts()): Unit = {
+      opts: NcOpts = NcOpts(),
+      maxRows: Long = DefaultSingleFileMaxRows): Unit = {
     val df = spark.read.parquet(srcParquet)
+    val total = df.count()
+    if (total > maxRows) throw new IllegalArgumentException(
+      s"single-file .nc output of $total rows exceeds the driver-side " +
+        s"assembly limit ($maxRows): a single .nc file is single-writer " +
+        "by construction. Use NetCDFWrite.writeGranules for a " +
+        "distributed .nc granule-set output (re-ingestable through " +
+        "NetCDFIngest), or raise maxRows if the driver heap allows.")
     val sorted = sortColOf(config, df.columns.toSet)
       .map(c => df.orderBy(col(c))).getOrElse(df)
     val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
+    val buf = new scala.collection.mutable.ArrayBuffer[Row](total.toInt)
+    val it = sorted.toLocalIterator()
+    while (it.hasNext) buf += it.next()
     writeFile(java.nio.file.Paths.get(dst), sorted.schema,
-      sorted.collect().toIndexedSeq, config, attrs, opts)
+      buf, config, attrs, opts)
   }
 
   /** Distributed `.nc` granule-SET output: range-partition on the index
