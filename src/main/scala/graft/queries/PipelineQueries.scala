@@ -198,13 +198,38 @@ object PipelineQueries {
     * sits at ~p97 of its within-cluster pair cosines, dropping ~12%). */
   private val SemTau = 0.35d
 
+  /** Rows per coarse-quantizer centroid: k = max(16, n / this). SemDeDup
+    * (Abbas et al. 2023) sizes k ∝ corpus (~10k rows/centroid at web
+    * scale) so per-cluster pair-scan work stays BOUNDED as the corpus
+    * grows — a fixed k would make every cluster, and the quadratic scan
+    * inside it, grow linearly with n. 50 here (vs the paper's 10k) so
+    * the shipped fixtures actually exercise the scaled-k path (sf0.1's
+    * 2000 vectors → k=40); a production deployment raises it. */
+  private val RowsPerCentroid = 50L
+
+  /** Corpus-scaled coarse quantizer shared by [[dSemdedup]] and
+    * [[annIvf]]: k lowest-id seed vectors with k = max(16, n/
+    * [[RowsPerCentroid]]), via [[graft.ml.Embeddings.kmeansFit]] (iters
+    * = 0 keeps the seed codebook — the deterministic, oracle-expressible
+    * quantizer; a fleet run would pass iters > 0 for a trained one).
+    * The count is one cheap parquet count-scan; the codebook is k·dims
+    * floats of driver state, independent of corpus size. */
+  private def corpusCentroids(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "corpusCent") {
+      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
+      val k = math.max(16L, e.count() / RowsPerCentroid).toInt
+      graft.ml.Embeddings.kmeansFit(e, k, iters = 0)
+        .select(col("cid"), col("cv")).cache()
+    }
+
   /** SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
     * Data-efficient learning at web-scale through semantic
     * deduplication" — public paper): cluster the embedding space, then
     * search for duplicate pairs WITHIN clusters only, so the quadratic
     * pair scan is bounded by cluster size instead of corpus size.
-    * Assignment reuses the deterministic 16-seed coarse quantizer
-    * (cosine, ties to the lower cid — the same rule as [[annIvf]] /
+    * Assignment reuses the CORPUS-SCALED coarse quantizer
+    * [[corpusCentroids]] (k ∝ n, cosine, ties to the lower cid — the
+    * same rule as [[annIvf]] /
     * [[embKmeansIter]]); a vector is dropped when a lower-id vector in
     * its cluster is closer than [[SemTau]]. One verdict row per vector,
     * like [[dDedupClusters]].
@@ -221,9 +246,7 @@ object PipelineQueries {
   def dSemdedup(s: SparkSession, dir: String): DataFrame = {
     val asn = memo(s, dir, "semAssign") {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val cent = e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      graft.ml.Embeddings.assign(e, cent)
+      graft.ml.Embeddings.assign(e, corpusCentroids(s, dir))
         .select(col("vec_id"), col("embedding").as("v"), col("cid"))
         .cache()
     }
@@ -327,21 +350,21 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
-  /** IVF-style ANN (the second scale path next to [[annLsh]]): a
-    * deterministic coarse quantizer — the 16 lowest-id vectors as
-    * centroids — partitions the corpus into inverted lists; queries probe
-    * their 2 nearest centroids only. The candidate join is keyed on the
-    * centroid id, so each query scores ~n*nprobe/k candidates instead of
-    * the full corpus; at 100 TB the inverted lists are the partitioning
-    * (cluster-by cid on disk) and the 16-row centroid table broadcasts. */
+  /** IVF-style ANN (the second scale path next to [[annLsh]]): the
+    * corpus-scaled coarse quantizer [[corpusCentroids]] (k = max(16,
+    * n/[[RowsPerCentroid]]) lowest-id seeds) partitions the corpus into
+    * inverted lists; queries probe their 2 nearest centroids only. The
+    * candidate join is keyed on the centroid id, so each query scores
+    * ~n*nprobe/k candidates — and because k grows with n, per-list work
+    * stays BOUNDED as the corpus grows; at 100 TB the inverted lists are
+    * the partitioning (cluster-by cid on disk) and the k·dims centroid
+    * table broadcasts. */
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select("vec_id", "embedding")
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    // nearest centroids per vector: n x 16 scores, ties to the lower cid
-    val assigned = graft.ml.Embeddings.assignRanked(e, cent)
+    // nearest centroids per vector: n x k scores, ties to the lower cid
+    val assigned = graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir))
     val lists = assigned.filter(col("crn") === 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cid"))
     val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
@@ -1022,7 +1045,11 @@ object PipelineQueries {
          |WHERE ${PV.cosineDuck("a.v", "b.v")} > 0.3""".stripMargin,
     "d_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
          |sc AS (SELECT e.vec_id, e.v, c.cid,
          |             row_number() OVER (PARTITION BY e.vec_id
          |               ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
@@ -1048,7 +1075,11 @@ object PipelineQueries {
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
     "ann_ivf" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM emb WHERE vec_id < 16),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
          |sc AS (
          |  SELECT e.vec_id, e.v, c.cid,
          |         row_number() OVER (PARTITION BY e.vec_id

@@ -306,4 +306,37 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       assert(mean >= 0.6, s"$name mean recall $mean below 0.6")
     }
   }
+
+  /** One-hot corpus of n vectors on max(16, n/50) axes — the same k the
+    * corpus-scaled quantizer derives, so each axis becomes one cluster. */
+  private def scaledCorpus(n: Int): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory(s"graft_scaled$n").toString
+    val k = math.max(16, n / 50)
+    val dims = math.max(64, k)
+    (0L until n.toLong).map { i =>
+      val axis = (i % k).toInt
+      val v = Array.tabulate(dims)(j =>
+        (if (j == axis) 1.0f else 0.0f) + 0.0004f * ((i * 13 + j) % 5))
+      (i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    d
+  }
+
+  test("corpus-scaled k: cluster sizes stay bounded as the corpus grows") {
+    // k ∝ n is THE SemDeDup scale property: per-cluster pair-scan work is
+    // quadratic in cluster size, so max cluster size must not grow with n.
+    def clusterSizes(n: Int): Seq[Long] =
+      PipelineQueries.dSemdedup(spark, scaledCorpus(n))
+        .groupBy("cluster_id").agg(count(lit(1)).as("cn"))
+        .collect().map(_.getLong(1)).toSeq
+    val small = clusterSizes(800)   // k = 16
+    val large = clusterSizes(3200)  // k = 64
+    assert(small.max <= 60, s"small corpus max cluster ${small.max}")
+    assert(large.max <= 60,
+      s"4x corpus must NOT grow clusters: max ${large.max}")
+    assert(large.size >= 60, s"expected ~64 clusters, got ${large.size}")
+  }
 }
