@@ -554,14 +554,28 @@ object PipelineQueries {
     * per-label rank filter, which Catalyst map-side-bounds with Partial
     * `WindowGroupLimit` below the exchange (≤ 5 rows per label per
     * input partition shuffle even when one label owns the corpus;
-    * pinned in PlanQualitySpec). Magnitude bound: (n·10⁴)²·64 per row —
-    * BIGINT holds to n ≈ 4e5 rows/label; past that, rescale q to
-    * ⌊x·10²⌋ (same ordering, 10⁴ more headroom). */
+    * pinned in PlanQualitySpec).
+    *
+    * AUTO-RESCALED magnitude bound: each term is (n·xq − S_d)² ≤
+    * (2·n·scale·⌈m⌉)² with m = max|x|, summed over 64 dims, so dist² ≤
+    * 256·(nm·scale)² with nm = maxRowsPerLabel·⌈m⌉. [[outlierScale]]
+    * picks the largest power-of-10 scale with nm·scale ≤ 1.8e8, keeping
+    * dist² < 2⁶³ at ANY label cardinality (a coarser grid changes
+    * precision, not rank order, for separated outliers). The pick uses
+    * only integer comparisons on nm, so Spark and the DuckDB oracle
+    * derive bit-identical scales; nm costs two cheap linear aggregates. */
   def embOutliers(s: SparkSession, dir: String): DataFrame = {
-    val e = tbl(s, dir, "embeddings")
+    val base = tbl(s, dir, "embeddings")
+    val nmax = Option(base.groupBy("label").agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).head().get(0)).fold(1L)(_.asInstanceOf[Long])
+    val mmax = Option(base.agg(max(expr(
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")))
+      .head().get(0)).fold(1.0)(_.asInstanceOf[Double])
+    val sc = outlierScale(nmax * math.max(1L, math.ceil(mmax).toLong))
+    val e = base
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
         posexplode(expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0D) AS BIGINT))"))
+          s"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * $sc.0D) AS BIGINT))"))
           .as(Seq("p", "xq")))
     val stats = e.groupBy("label", "p")
       .agg(sum(col("xq")).as("sd"), count(lit(1)).as("n"))
@@ -577,6 +591,17 @@ object PipelineQueries {
       .filter(col("rnk") <= 5)
       .select("vec_id", "label", "dist2", "rnk")
   }
+
+  /** Quantization scale for [[embOutliers]]: the largest power of 10
+    * with nm·scale ≤ 1.8e8 (⟹ dist² ≤ 256·(1.8e8)² ≈ 8.3e18 < 2⁶³).
+    * Integer thresholds only, so the DuckDB oracle's CASE chain derives
+    * the identical scale. */
+  private[graft] def outlierScale(nm: Long): Long =
+    if (nm <= 18000L) 10000L
+    else if (nm <= 180000L) 1000L
+    else if (nm <= 1800000L) 100L
+    else if (nm <= 18000000L) 10L
+    else 1L
 
   /** Per-source length-quantile gate: flag docs under their source's
     * 25th-percentile token count (the "too short for this source"
@@ -1427,11 +1452,22 @@ object PipelineQueries {
         |    CAST(max(abs(power_sum)) OVER () AS DOUBLE) AS direction
         |FROM s""".stripMargin,
     "emb_outliers" ->
-      """WITH q AS (
+      """WITH nmx AS (
+        |  SELECT (SELECT max(cnt) FROM (
+        |            SELECT count(*) AS cnt FROM embeddings GROUP BY label)) *
+        |         greatest(1, CAST(ceil((SELECT max(list_max(list_transform(
+        |           embedding, x -> abs(CAST(x AS DOUBLE))))) FROM embeddings))
+        |           AS BIGINT)) AS nm),
+        |sc AS (SELECT CASE WHEN nm <= 18000 THEN 10000.0
+        |                   WHEN nm <= 180000 THEN 1000.0
+        |                   WHEN nm <= 1800000 THEN 100.0
+        |                   WHEN nm <= 18000000 THEN 10.0
+        |                   ELSE 1.0 END AS s FROM nmx),
+        |q AS (
         |  SELECT vec_id, CAST(label AS BIGINT) AS label,
         |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)) AS qv
-        |  FROM embeddings),
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * s) AS BIGINT)) AS qv
+        |  FROM embeddings CROSS JOIN sc),
         |e AS (SELECT vec_id, label, i, qv[i] AS xq
         |      FROM q CROSS JOIN range(1, 65) r(i)),
         |st AS (SELECT label, i, CAST(sum(xq) AS BIGINT) AS sd, count(*) AS n

@@ -325,6 +325,46 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     d
   }
 
+  test("outlierScale keeps dist2 inside BIGINT at any label cardinality") {
+    import graft.queries.PipelineQueries.outlierScale
+    assert(outlierScale(500L) == 10000L)       // fixture scale: unchanged
+    assert(outlierScale(90000L) == 1000L)
+    assert(outlierScale(1000000L) == 100L)     // 1e6-row label
+    assert(outlierScale(1000000000L) == 1L)    // 1e9-row label
+    // the invariant the thresholds encode: 256*(nm*scale)^2 < 2^63, which
+    // scale=1 can honor up to nm = 1.8e8 (past that, a label needs sharding
+    // before outlier detection — 180M rows of |x| >= 1 in ONE label)
+    for (nm <- Seq(1L, 18000L, 180000L, 1800000L, 18000000L, 180000000L))
+      assert(256.0 * math.pow(nm.toDouble * outlierScale(nm), 2) < math.pow(2, 63))
+  }
+
+  test("emb_outliers auto-rescales on a big label and keeps the rank order") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_biglabel").toString
+    val n = 30000
+    // one hot label of 30k near-origin vectors + 5 planted outliers whose
+    // offsets grow with id: max|x| ~ 3.5 makes nm = 30005 * 4 > 18000, so
+    // the quantizer must drop to scale=1000 to stay inside BIGINT
+    val planted = (0 until 5).map { i =>
+      val v = Array.tabulate(64)(j => if (j == 0) 3.0f + 0.1f * i else 0.01f)
+      ((n + i).toLong, v.toSeq, 0L)
+    }
+    val bulk = (0 until n).map { i =>
+      val v = Array.tabulate(64)(j => 0.01f * ((i * 31 + j * 7) % 20))
+      (i.toLong, v.toSeq, 0L)
+    }
+    (bulk ++ planted).toDF("vec_id", "embedding", "label")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+      .write.mode("overwrite").parquet(s"$d/embeddings.parquet")
+    val out = PipelineQueries.embOutliers(spark, d)
+      .orderBy("rnk").collect()
+    assert(out.length == 5)
+    assert(out.forall(_.getLong(2) > 0L), "dist2 must stay positive (no overflow)")
+    // farthest planted vector (largest offset = highest id) ranks first
+    assert(out.map(_.getLong(0)).toSeq ==
+      (0 until 5).map(i => (n + 4 - i).toLong))
+  }
+
   test("corpus-scaled k: cluster sizes stay bounded as the corpus grows") {
     // k ∝ n is THE SemDeDup scale property: per-cluster pair-scan work is
     // quadratic in cluster size, so max cluster size must not grow with n.
