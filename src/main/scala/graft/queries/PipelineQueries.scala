@@ -609,13 +609,36 @@ object PipelineQueries {
     * sources have different length profiles). Exact interpolated
     * percentile as a partial/final aggregate (no per-group sort), one
     * row per source broadcast back over the scan — two linear passes,
-    * no skew surface (the threshold frame is |sources| rows). */
+    * no skew surface (the threshold frame is |sources| rows).
+    *
+    * SCALE NOTE: exact `percentile` state grows with distinct values per
+    * source (oracle-forced exactness — DuckDB hash-parity). Production
+    * at corpus scale should use [[dQuantileFilterApprox]]: same output
+    * shape, bounded sketch state. */
   def dQuantileFilter(s: SparkSession, dir: String): DataFrame = {
     val t = tbl(s, dir, "documents")
       .select(col("doc_id"), col("source"),
         expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
     val thr = t.groupBy("source")
       .agg(expr("percentile(n_tokens, 0.25)").as("p25"))
+    t.join(broadcast(thr), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("p25"),
+        (col("n_tokens").cast(DoubleType) >= col("p25")).as("kept"))
+  }
+
+  /** Bounded-state twin of [[dQuantileFilter]] — THE production path at
+    * corpus scale: `approx_percentile` keeps O(accuracy) sketch state per
+    * source (rank error ≤ n/accuracy) instead of a value→count map that
+    * grows with distinct token counts. Same plan shape: one sketch
+    * aggregate, |sources|-row broadcast join-back, two linear passes. */
+  def dQuantileFilterApprox(s: SparkSession, dir: String,
+      accuracy: Int = 1000000): DataFrame = {
+    val t = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
+    val thr = t.groupBy("source")
+      .agg(expr(s"CAST(approx_percentile(n_tokens, 0.25, $accuracy) AS DOUBLE)")
+        .as("p25"))
     t.join(broadcast(thr), Seq("source"))
       .select(col("doc_id"), col("source"), col("n_tokens"), col("p25"),
         (col("n_tokens").cast(DoubleType) >= col("p25")).as("kept"))

@@ -237,12 +237,34 @@ object RelationalQueries {
     * `percentile` and DuckDB's `quantile_cont` both compute
     * lo + (hi - lo) * fraction over the sorted values, so results agree to
     * the bit; Spark executes it as a single partial/final aggregation (no
-    * per-group sort shuffle beyond the group-by). */
+    * per-group sort shuffle beyond the group-by).
+    *
+    * SCALE NOTE: exact `percentile` buffers a value→count map per group,
+    * so aggregate state grows with DISTINCT values per group — unbounded
+    * on near-unique doubles at 100 TB. The exactness here is
+    * oracle-forced (the driver hash-compares against DuckDB's
+    * `quantile_cont`); production at corpus scale should use
+    * [[qPercentilesApprox]], whose sketch state is bounded. */
   def qPercentiles(s: SparkSession, dir: String): DataFrame =
     AggQueries.events(s, dir)
       .groupBy("event_type")
       .agg(expr("percentile(value, 0.5)").as("p50"),
         expr("percentile(value, 0.95)").as("p95"),
+        count(lit(1)).as("n"))
+
+  /** Bounded-state twin of [[qPercentiles]] — THE production path at
+    * corpus scale. `approx_percentile` (Greenwald-Khanna sketch) keeps
+    * O(accuracy) state per group regardless of distinct-value count and
+    * merges partial sketches map-side like any algebraic aggregate; rank
+    * error is ≤ n/accuracy (≤ 0.01% of the group at the default 10⁶).
+    * Not oracle-hashable (sketch results are engine-specific), so the
+    * spec pins rank error against the exact result instead. */
+  def qPercentilesApprox(s: SparkSession, dir: String,
+      accuracy: Int = 1000000): DataFrame =
+    AggQueries.events(s, dir)
+      .groupBy("event_type")
+      .agg(expr(s"approx_percentile(value, 0.5, $accuracy)").as("p50"),
+        expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"),
         count(lit(1)).as("n"))
 
   /** Hierarchical totals via ROLLUP (event_type, week): per-(type,week)

@@ -43,14 +43,18 @@ class IntervalPropertySpec extends AnyFunSuite with SparkSpec {
   }
 
   private def eventsDf(rows: Seq[(Long, Long, Long)]) = {
-    // (user_id, t_us, event_id) with the nanos-long ts layout of testdata
-    val rr = rows.map { case (u, t, id) => Row(id, t * 1000L, u, "view", 1.0, "{}") }
+    // (user_id, t_us, event_id) in the TIMESTAMP(MICROS)-as-NTZ layout of
+    // testdata (Tables.load now REJECTS un-annotated INT64 ts columns)
+    val rr = rows.map { case (u, t, id) => Row(id, t, u, "view", 1.0, "{}") }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rr, 4),
       StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType))))
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.col("ts")).cast("timestamp_ntz"))
   }
 
   private def writeDir(rows: Seq[(Long, Long, Long)]): String = {

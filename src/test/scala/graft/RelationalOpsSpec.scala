@@ -13,10 +13,10 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
       : String = {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_rel3").toString
-    // the real testdata stores events.ts as TIMESTAMP(NANOS), which
-    // Tables.load surfaces as nanosecond longs — mirror that layout
+    // TIMESTAMP(MICROS)-as-NTZ layout of the current testdata
+    // (Tables.load now REJECTS un-annotated INT64 ts columns)
     rows.toDF("event_id", "t_us", "user_id", "event_type", "value", "props")
-      .withColumn("ts", col("t_us") * lit(1000L))
+      .withColumn("ts", timestamp_micros(col("t_us")).cast("timestamp_ntz"))
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$d/events.parquet")
     d
