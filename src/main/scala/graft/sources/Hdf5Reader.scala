@@ -28,10 +28,16 @@ import java.nio.{ByteBuffer, ByteOrder}
   *
   * Not supported (not produced by netcdf-c for classic-model data):
   *   user-block offsets, non-default size-of-offsets, compound datasets
-  *   (read as raw/skipped), szip, v4 layouts, file driver info. Files
-  *   are addressed through one read-only memory mapping (header parses
-  *   touch only header pages): granules >= 2 GiB are rejected up front
-  *   with a clear error (offsets are also 32-bit internally).
+  *   (read as raw/skipped), szip, v4 layouts, file driver info.
+  *
+  * I/O model: files under 2 GiB are addressed through one read-only
+  * memory mapping (header parses touch only header pages); larger files
+  * fall back to positional ranged reads (pread) with a per-thread page
+  * cache, so a multi-GB granule decodes without full-file buffering —
+  * only the pages a parse touches and the chunks a read selects are
+  * pulled in. Offsets are 64-bit end to end; the remaining bound is per
+  * DATASET READ (one variable's decoded array must fit a JVM array,
+  * < 2^31 bytes), matching netcdf-c's per-request in-memory model.
   */
 object Hdf5Reader {
 
@@ -51,7 +57,7 @@ object Hdf5Reader {
   /** anything we don't decode (compound, enum...): kept as raw bytes. */
   final case class H5Opaque(size: Int) extends H5Type
 
-  final case class Message(typ: Int, off: Int, size: Int)
+  final case class Message(typ: Int, off: Long, size: Int)
 
   final case class Dataset(
       name: String,
@@ -82,44 +88,94 @@ object Hdf5Reader {
     * not O(file), and the decode pass reads only the variables the
     * schema selects. */
   sealed trait ByteSrc {
-    def length: Int
-    def get(i: Int): Byte
-    def copy(from: Int, until: Int): Array[Byte]
-    def copyTo(from: Int, dst: Array[Byte], dstOff: Int, len: Int): Unit
+    def length: Long
+    def get(i: Long): Byte
+    def copy(from: Long, until: Long): Array[Byte]
+    def copyTo(from: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit
   }
   private final class ArraySrc(a: Array[Byte]) extends ByteSrc {
-    def length: Int = a.length
-    def get(i: Int): Byte = a(i)
-    def copy(from: Int, until: Int): Array[Byte] =
-      java.util.Arrays.copyOfRange(a, from, until)
-    def copyTo(from: Int, dst: Array[Byte], dstOff: Int, len: Int): Unit =
-      System.arraycopy(a, from, dst, dstOff, len)
+    def length: Long = a.length.toLong
+    def get(i: Long): Byte = a(i.toInt)
+    def copy(from: Long, until: Long): Array[Byte] =
+      java.util.Arrays.copyOfRange(a, from.toInt, until.toInt)
+    def copyTo(from: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit =
+      System.arraycopy(a, from.toInt, dst, dstOff, len)
   }
   private final class MappedSrc(bb: java.nio.MappedByteBuffer)
       extends ByteSrc {
-    def length: Int = bb.limit()
-    def get(i: Int): Byte = bb.get(i)
-    def copy(from: Int, until: Int): Array[Byte] = {
-      val out = new Array[Byte](until - from)
-      bb.get(from, out, 0, out.length) // absolute read: thread-safe
+    def length: Long = bb.limit().toLong
+    def get(i: Long): Byte = bb.get(i.toInt)
+    def copy(from: Long, until: Long): Array[Byte] = {
+      val out = new Array[Byte]((until - from).toInt)
+      bb.get(from.toInt, out, 0, out.length) // absolute read: thread-safe
       out
     }
-    def copyTo(from: Int, dst: Array[Byte], dstOff: Int, len: Int): Unit =
-      bb.get(from, dst, dstOff, len)
+    def copyTo(from: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit =
+      bb.get(from.toInt, dst, dstOff, len)
+  }
+
+  /** Positional-read source for files a single mapping can't address
+    * (>= 2 GiB). `FileChannel.read(buf, pos)` (pread) is thread-safe by
+    * contract; single-byte header probes go through a per-thread 64 KiB
+    * page cache so a parse costs page-sized syscalls, not one per byte.
+    * Bulk chunk reads bypass the cache with one ranged read each. */
+  private final class ChannelSrc(ch: java.nio.channels.FileChannel,
+      val length: Long) extends ByteSrc {
+    private val PageBits = 16
+    private val PageSize = 1 << PageBits
+    private final class Page {
+      var pageNo: Long = -1L
+      val bytes = new Array[Byte](PageSize)
+      var valid: Int = 0
+    }
+    private val tlPage = ThreadLocal.withInitial[Page](() => new Page)
+    private def pread(pos: Long, dst: Array[Byte], off: Int, len: Int): Unit = {
+      val bb = ByteBuffer.wrap(dst, off, len)
+      var p = pos
+      while (bb.hasRemaining) {
+        val k = ch.read(bb, p)
+        if (k < 0) throw new java.io.EOFException(
+          s"read past EOF at $p (file length $length)")
+        p += k
+      }
+    }
+    def get(i: Long): Byte = {
+      val pg = tlPage.get()
+      val pageNo = i >>> PageBits
+      if (pg.pageNo != pageNo) {
+        val base = pageNo << PageBits
+        val want = math.min(PageSize.toLong, length - base).toInt
+        pread(base, pg.bytes, 0, want)
+        pg.pageNo = pageNo
+        pg.valid = want
+      }
+      pg.bytes((i & (PageSize - 1)).toInt)
+    }
+    def copy(from: Long, until: Long): Array[Byte] = {
+      val out = new Array[Byte]((until - from).toInt)
+      pread(from, out, 0, out.length)
+      out
+    }
+    def copyTo(from: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit =
+      pread(from, dst, dstOff, len)
   }
 
   def open(path: String): H5File = {
     val p = java.nio.file.Paths.get(path)
     val size = java.nio.file.Files.size(p)
-    require(size < (2L << 30),
-      s"$path is $size bytes: granules >= 2 GiB are unsupported (the " +
-        "reader addresses the file through one mapping; split the granule)")
     val ch = java.nio.channels.FileChannel.open(p,
       java.nio.file.StandardOpenOption.READ)
-    val bb =
-      try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, size)
-      finally ch.close() // the mapping outlives the channel
-    openSrc(new MappedSrc(bb))
+    if (size < (2L << 30)) {
+      // one read-only mapping: header parses touch only header pages
+      val bb =
+        try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, size)
+        finally ch.close() // the mapping outlives the channel
+      openSrc(new MappedSrc(bb))
+    } else {
+      // a MappedByteBuffer is Int-indexed, so multi-GB granules switch to
+      // ranged positional reads — never the whole file in memory
+      openSrc(new ChannelSrc(ch, size))
+    }
   }
 
   /** HDF5's Fletcher-32 variant (public spec / H5_checksum_fletcher32):
@@ -174,12 +230,12 @@ object Hdf5Reader {
 
     def this(bytes: Array[Byte]) = this(new ArraySrc(bytes))
 
-    private def u8(p: Int): Int = d.get(p) & 0xff
-    private def u16(p: Int): Int = u8(p) | (u8(p + 1) << 8)
-    private def u32(p: Int): Long =
+    private def u8(p: Long): Int = d.get(p) & 0xff
+    private def u16(p: Long): Int = u8(p) | (u8(p + 1) << 8)
+    private def u32(p: Long): Long =
       u16(p).toLong | (u16(p + 2).toLong << 16)
-    private def u64(p: Int): Long = u32(p) | (u32(p + 4) << 32)
-    private def uN(p: Int, n: Int): Long = {
+    private def u64(p: Long): Long = u32(p) | (u32(p + 4) << 32)
+    private def uN(p: Long, n: Int): Long = {
       var v = 0L; var i = 0
       while (i < n) { v |= (u8(p + i).toLong << (8 * i)); i += 1 }
       v
@@ -211,18 +267,18 @@ object Hdf5Reader {
 
     /** All messages of a v1 or v2 object header, continuations followed. */
     def objectHeader(addr: Long): Seq[Message] = {
-      val a = addr.toInt
+      val a = addr
       if (sig(a, "OHDR")) ohV2(a) else ohV1(a)
     }
 
-    private def sig(p: Int, s: String): Boolean =
+    private def sig(p: Long, s: String): Boolean =
       p >= 0 && p + 4 <= d.length &&
         (0 until 4).forall(i => d.get(p + i) == s.charAt(i).toByte)
 
-    private def ohV1(a: Int): Seq[Message] = {
+    private def ohV1(a: Long): Seq[Message] = {
       require(u8(a) == 1, s"object header v${u8(a)} at $a")
       val nmsg = u16(a + 2)
-      val hsize = u32(a + 8).toInt
+      val hsize = u32(a + 8)
       val msgs = Seq.newBuilder[Message]
       var blocks = List((a + 16, hsize))
       var seen = 0
@@ -231,7 +287,7 @@ object Hdf5Reader {
         var p = boff
         while (p + 8 <= boff + bsize && seen < nmsg) {
           val t = u16(p); val sz = u16(p + 2); val body = p + 8
-          if (t == 0x10) blocks :+= ((u64(body).toInt, u64(body + 8).toInt))
+          if (t == 0x10) blocks :+= ((u64(body), u64(body + 8)))
           msgs += Message(t, body, sz)
           seen += 1
           p = body + sz
@@ -240,13 +296,13 @@ object Hdf5Reader {
       msgs.result()
     }
 
-    private def ohV2(a: Int): Seq[Message] = {
+    private def ohV2(a: Long): Seq[Message] = {
       val flags = u8(a + 5)
       var p = a + 6
       if ((flags & 0x20) != 0) p += 16 // times
       if ((flags & 0x10) != 0) p += 4 // compact/dense thresholds
       val c0s = 1 << (flags & 3)
-      val size0 = uN(p, c0s).toInt; p += c0s
+      val size0 = uN(p, c0s); p += c0s
       val trackOrder = (flags & 4) != 0
       val msgs = Seq.newBuilder[Message]
       // chunk0's size counts message data ONLY (the trailing checksum is
@@ -264,7 +320,7 @@ object Hdf5Reader {
           if (q + sz > end) done = true
           else {
             if (t == 0x10) {
-              val caddr = u64(q).toInt; val csize = u64(q + 8).toInt
+              val caddr = u64(q); val csize = u64(q + 8)
               // continuation block: OCHK sig + messages + checksum
               require(sig(caddr, "OCHK"), "bad OCHK continuation")
               blocks :+= ((caddr + 4, caddr + csize - 4))
@@ -286,7 +342,7 @@ object Hdf5Reader {
           case 0x06 => parseLink(m.off).toSeq
           case 0x11 => // old-style symbol table: v1 btree + local heap
             val bt = u64(m.off); val heap = u64(m.off + 8)
-            walkGroupBtree(bt.toInt, heap.toInt)
+            walkGroupBtree(bt, heap)
           case 0x02 => // link info -> dense storage
             val flags = u8(m.off + 1)
             var p = m.off + 2
@@ -298,7 +354,7 @@ object Hdf5Reader {
         }
       }
 
-    private def parseLink(off: Int): Option[(String, Long)] = {
+    private def parseLink(off: Long): Option[(String, Long)] = {
       val flags = u8(off + 1)
       var p = off + 2
       var ltype = 0
@@ -327,24 +383,24 @@ object Hdf5Reader {
       if (ltype == 0) Some(name -> b.getLong(p)) else None
     }
 
-    private def walkGroupBtree(addr: Int, heap: Int): Seq[(String, Long)] = {
+    private def walkGroupBtree(addr: Long, heap: Long): Seq[(String, Long)] = {
       require(sig(addr, "TREE"), "expected v1 group B-tree")
       val level = u8(addr + 5); val nent = u16(addr + 6)
       var p = addr + 24 // past sig, type, level, entries, left, right
       (0 until nent).flatMap { _ =>
         p += 8 // key: offset into heap of first name (unused for full walk)
-        val child = u64(p).toInt; p += 8
+        val child = u64(p); p += 8
         if (level > 0) walkGroupBtree(child, heap) else snod(child, heap)
       }
     }
 
-    private def snod(addr: Int, heap: Int): Seq[(String, Long)] = {
+    private def snod(addr: Long, heap: Long): Seq[(String, Long)] = {
       require(sig(addr, "SNOD"), "expected SNOD")
       val nsym = u16(addr + 6)
-      val dseg = u64(heap + 24).toInt // local heap data segment
+      val dseg = u64(heap + 24) // local heap data segment
       (0 until nsym).map { i =>
         val p = addr + 8 + i * 40
-        val nameOff = u64(p).toInt
+        val nameOff = u64(p)
         var e = dseg + nameOff
         while (d.get(e) != 0) e += 1
         new String(d.copy(dseg + nameOff, e), "UTF-8") -> u64(p + 8)
@@ -358,7 +414,7 @@ object Hdf5Reader {
         maxHeapBits: Int, rootAddr: Long, curRows: Int, checksummed: Boolean)
 
     private def frhp(addr: Long): Frhp = {
-      val a = addr.toInt
+      val a = addr
       require(sig(a, "FRHP"), "expected FRHP fractal heap header")
       var p = a + 5
       val idLen = u16(p); p += 2
@@ -383,15 +439,15 @@ object Hdf5Reader {
     private def heapRead(hp: Frhp, off: Long, len: Int): Array[Byte] = {
       val offsz = (hp.maxHeapBits + 7) / 8
       def fromDirect(daddr: Long): Array[Byte] = {
-        val a = daddr.toInt
+        val a = daddr
         require(sig(a, "FHDB"), "expected FHDB direct block")
         val boff = uN(a + 4 + 1 + 8, offsz)
-        val start = a + (off - boff).toInt
+        val start = a + (off - boff)
         d.copy(start, start + len)
       }
       if (hp.curRows == 0) fromDirect(hp.rootAddr)
       else {
-        val a = hp.rootAddr.toInt
+        val a = hp.rootAddr
         require(sig(a, "FHIB"), "expected FHIB indirect block")
         val ent = a + 4 + 1 + 8 + offsz
         var cum = 0L
@@ -419,7 +475,7 @@ object Hdf5Reader {
     private def denseMessages(fheapAddr: Long, btAddr: Long)
         : Seq[Array[Byte]] = {
       val hp = frhp(fheapAddr)
-      val a = btAddr.toInt
+      val a = btAddr
       require(sig(a, "BTHD"), "expected BTHD v2 btree")
       val btType = u8(a + 5)
       val nodeSize = u32(a + 6).toInt
@@ -434,7 +490,7 @@ object Hdf5Reader {
       val nrecBytes = math.max(1, (64 - java.lang.Long
         .numberOfLeadingZeros(maxLeafRec.toLong) + 7) / 8)
 
-      def recordsOf(addr: Int, nrec: Int, lvl: Int): Seq[Int] =
+      def recordsOf(addr: Long, nrec: Int, lvl: Int): Seq[Long] =
         if (lvl == 0) {
           require(sig(addr, "BTLF"), "expected BTLF leaf")
           (0 until nrec).map(i => addr + 6 + i * recSize)
@@ -443,12 +499,12 @@ object Hdf5Reader {
           // pointers (addr + child record count each); internal records
           // are real records too
           require(sig(addr, "BTIN"), "expected BTIN internal node")
-          val out = Seq.newBuilder[Int]
+          val out = Seq.newBuilder[Long]
           (0 until nrec).foreach(i => out += addr + 6 + i * recSize)
           var p = addr + 6 + nrec * recSize
           var i = 0
           while (i <= nrec) {
-            val child = u64(p).toInt; p += 8
+            val child = u64(p); p += 8
             val childN = uN(p, nrecBytes).toInt; p += nrecBytes
             out ++= recordsOf(child, childN, lvl - 1)
             i += 1
@@ -456,7 +512,7 @@ object Hdf5Reader {
           out.result()
         }
 
-      recordsOf(root.toInt, nrecRoot, depth).map { r =>
+      recordsOf(root, nrecRoot, depth).map { r =>
         // type 5 (link name): hash(4) + heapId(idLen)
         // type 8 (attr name): heapId(8) + flags(1) + corder(4) + hash(4)
         val idOff = if (btType == 5) r + 4 else r
@@ -476,7 +532,7 @@ object Hdf5Reader {
       msgs.find(_.typ == 0x01).map(m => dataspaceAt(m.off))
         .getOrElse((Nil, Nil))
 
-    private def dataspaceAt(off: Int): (Seq[Long], Seq[Long]) = {
+    private def dataspaceAt(off: Long): (Seq[Long], Seq[Long]) = {
       val ver = u8(off); val rank = u8(off + 1); val flags = u8(off + 2)
       val p = if (ver == 1) off + 8 else off + 4
       val dims = (0 until rank).map(i => u64(p + 8 * i))
@@ -493,7 +549,7 @@ object Hdf5Reader {
       msgs.find(_.typ == 0x03).map(m => datatypeAt(m.off))
         .getOrElse(H5Opaque(1))
 
-    private def datatypeAt(off: Int): H5Type = {
+    private def datatypeAt(off: Long): H5Type = {
       val cls = u8(off) & 0x0f
       val b0 = u8(off + 1)
       val size = u32(off + 4).toInt
@@ -527,6 +583,7 @@ object Hdf5Reader {
     }
 
     private def pad8(n: Int): Int = (n + 7) / 8 * 8
+    private def pad8(n: Long): Long = (n + 7) / 8 * 8
 
     private def parseAttr(raw: Array[Byte]): Option[(String, Any)] = {
       def ru16(p: Int) = (raw(p) & 0xff) | ((raw(p + 1) & 0xff) << 8)
@@ -596,13 +653,13 @@ object Hdf5Reader {
 
     /** Global heap collection object lookup (GCOL). */
     private def globalHeapObject(addr: Long, idx: Int): Array[Byte] = {
-      val a = addr.toInt
+      val a = addr
       require(sig(a, "GCOL"), "expected GCOL global heap")
       val total = u64(a + 8)
       var p = a + 16
       while (p < a + total) {
         val oid = u16(p)
-        val osize = u64(p + 8).toInt
+        val osize = u64(p + 8)
         if (oid == 0) // free space terminator
           throw new IllegalStateException(s"gheap object $idx not found")
         if (oid == idx)
@@ -615,7 +672,7 @@ object Hdf5Reader {
     // ------------------------------------------------------ data access
 
     private final case class Layout(kind: Int, addr: Long, size: Long,
-        chunkDims: Seq[Int], compactOff: Int)
+        chunkDims: Seq[Int], compactOff: Long)
 
     private def layout(msgs: Seq[Message]): Layout = {
       val m = msgs.find(_.typ == 0x08)
@@ -757,7 +814,7 @@ object Hdf5Reader {
           val out = new Array[Byte](total)
           fillBytes(out, fillValue(msgs, elemSize), elemSize)
           if (lay.addr != Undefined)
-            d.copyTo(lay.addr.toInt, out, 0,
+            d.copyTo(lay.addr, out, 0,
               math.min(lay.size, total.toLong).toInt)
           out
         case 2 =>
@@ -767,9 +824,9 @@ object Hdf5Reader {
           // chunk dims include a trailing element-size dim
           val cdims = lay.chunkDims.dropRight(1)
           if (lay.addr != Undefined)
-            walkChunkBtree(lay.addr.toInt, cdims.length + 1) {
+            walkChunkBtree(lay.addr, cdims.length + 1) {
               (csize, mask, offsets, caddr) =>
-                val raw = d.copy(caddr.toInt, caddr.toInt + csize)
+                val raw = d.copy(caddr, caddr + csize)
                 val bytes = unfilter(raw, fs, mask, elemSize, caddr)
                 copyChunk(bytes, offsets.dropRight(1), cdims, shape,
                   elemSize, out)
@@ -790,7 +847,7 @@ object Hdf5Reader {
       }
 
     /** v1 B-tree (node type 1) walk; callback per chunk record. */
-    private def walkChunkBtree(addr: Int, nkeyDims: Int)(
+    private def walkChunkBtree(addr: Long, nkeyDims: Int)(
         f: (Int, Long, Seq[Long], Long) => Unit): Unit = {
       require(sig(addr, "TREE"), "expected v1 chunk B-tree")
       require(u8(addr + 4) == 1, "expected chunk btree node type 1")
@@ -804,7 +861,7 @@ object Hdf5Reader {
         val offsets = (0 until nkeyDims).map(k => u64(p + 8 + 8 * k))
         p += keySize
         val child = u64(p); p += 8
-        if (level > 0) walkChunkBtree(child.toInt, nkeyDims)(f)
+        if (level > 0) walkChunkBtree(child, nkeyDims)(f)
         else f(csize, mask, offsets, child)
         i += 1
       }
