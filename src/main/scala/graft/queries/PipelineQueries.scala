@@ -110,6 +110,24 @@ object PipelineQueries {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_bands"))
 
+  /** Batch twin of [[graft.streaming.StreamingAgg.minhashDedupStream]]:
+    * the SAME stateful band-bucket transform folds once per bucket
+    * against empty state, then per-doc verdicts aggregate to keep/drop —
+    * `first_dup` is the lowest doc id sharing any LSH band (null = kept).
+    * Docs under 3 tokens have no bands and are trivially kept. The
+    * streaming side persists bucket owners across batches, so a
+    * near-duplicate arriving a batch LATER inherits the earlier owner
+    * (StreamingSpec pins the cross-batch case). */
+  def streamMinhashDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = tbl(s, dir, "documents")
+    val v = graft.streaming.StreamingAgg.minhashDedupStream(docs).toDF()
+    val dup = v.filter(col("owner_id") < col("doc_id"))
+      .groupBy("doc_id").agg(min("owner_id").as("first_dup"))
+    docs.select("doc_id").join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("first_dup").isNull.as("kept"),
+        col("first_dup"))
+  }
+
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     val f = tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
@@ -1049,6 +1067,12 @@ object PipelineQueries {
       s"""WITH $pairsCte
          |SELECT doc_a, doc_b, count(*) AS shared_bands
          |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "stream_minhash_dedup" ->
+      s"""WITH $pairsCte,
+         |dup AS (SELECT doc_b AS doc_id, min(doc_a) AS first_dup
+         |        FROM pairs GROUP BY doc_b)
+         |SELECT d.doc_id, dup.doc_id IS NULL AS kept, dup.first_dup
+         |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id""".stripMargin,
     "d_simhash" ->
       s"""WITH $thCte,
          |f AS (SELECT doc_id, ${PT.simhashDuck("th")} AS simhash FROM thT)
@@ -1548,6 +1572,7 @@ object PipelineQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "d_exact_dedup" -> (dExactDedup _),
     "d_minhash_lsh" -> (dMinhashLsh _),
+    "stream_minhash_dedup" -> (streamMinhashDedup _),
     "d_simhash" -> (dSimhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_dedup_clusters" -> (dDedupClusters _),

@@ -24,6 +24,11 @@ final case class GapEvent(user_id: Long, t: Long, event_id: Long,
 final case class GapState(lastT: Long)
 final case class GapRow(user_id: Long, t: Long, event_id: Option[Long],
     value: Option[Double], is_fill: Boolean)
+final case class BandDoc(doc_id: Long, band_idx: Int, sig: Long)
+/** Per-(doc, band) dedup verdict: `owner_id` is the bucket's owning doc —
+  * equal to `doc_id` when this doc owns the bucket, a lower/earlier doc id
+  * when the bucket already had a near-duplicate. */
+final case class BandVerdict(doc_id: Long, band_idx: Int, owner_id: Long)
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -299,6 +304,54 @@ object StreamingAgg {
             }
             closed.result().iterator
           }
+        })
+  }
+
+  /** Streaming MinHash near-dup dedup — the continuous twin of
+    * `d_minhash_lsh`: each document's 8 LSH band signatures probe a
+    * STATEFUL bucket store (`flatMapGroupsWithState` keyed by
+    * (band_idx, sig)), so a near-duplicate arriving in a LATER batch
+    * still collides with the bucket its earlier twin opened. One
+    * [[BandVerdict]] row per (doc, band): `owner_id == doc_id` marks
+    * bucket ownership; a later arrival inherits the earlier owner. The
+    * consumer drops a doc whose buckets name any foreign owner (see the
+    * `stream_minhash_dedup` registry twin).
+    *
+    * Determinism: a bucket's owner is min(state, min incoming doc_id) —
+    * identical in batch (one fold, arbitrary iterator order) and in
+    * arrival-ordered streaming when ids ascend with time; ties across
+    * engines resolve to the lowest id, which is what the DuckDB oracle
+    * computes.
+    *
+    * Scale shape: state per DISTINCT occupied bucket is one Long — the
+    * store grows with corpus novelty, not corpus size, and buckets
+    * partition across executors by hash of (band_idx, sig). No watermark
+    * timeout: dedup history must be unbounded by design (a duplicate of
+    * a year-old doc is still a duplicate); at fleet scale the store is
+    * RocksDB-backed and the operator's state column family compacts to
+    * |buckets|·16 bytes. */
+  def minhashDedupStream(docs: DataFrame): Dataset[BandVerdict] = {
+    val s = docs.sparkSession
+    graft.functions.native.register(s)
+    import s.implicits._
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        expr("graft_tokens(text)").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "graft_minhash_bands(graft_shingles(graft_token_hashes(toks)))"))
+          .as(Seq("band_idx", "sig")))
+      .as[BandDoc]
+      .groupByKey(bd => (bd.band_idx, bd.sig))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (key: (Int, Long), it: Iterator[BandDoc],
+            st: GroupState[Long]) => {
+          val ids = it.map(_.doc_id).toArray
+          val owner = math.min(st.getOption.getOrElse(Long.MaxValue), ids.min)
+          st.update(owner)
+          ids.iterator.map(d => BandVerdict(d, key._1, owner))
         })
   }
 }

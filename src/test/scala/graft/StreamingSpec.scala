@@ -376,4 +376,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val out = StreamingAgg.windowedCounts(batch, "1 hour", "10 minutes")
     assert(out.agg(sum("n")).first().getLong(0) === 3L)
   }
+
+  test("streaming minhash dedup drops a near-duplicate arriving a batch later") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = "the quick brown fox jumps over the lazy dog and runs far away " * 4
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAgg.minhashDedupStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mhd").start()
+    try {
+      mem.addData((1L, base + "ending one"))
+      q.processAllAvailable()
+      // batch 2: a NEAR-DUP of doc 1 plus an unrelated doc — the dup must
+      // collide with the bucket state doc 1 opened in the earlier batch
+      mem.addData(
+        (10L, base + "ending two"),
+        (11L, "completely different text about spark plans and shuffles " * 6))
+      q.processAllAvailable()
+      val v = spark.table("mhd").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      val dupOwners = v.filter(_._1 == 10L).map(_._3).toSet
+      assert(dupOwners.contains(1L),
+        s"doc 10 should inherit doc 1's bucket in some band: $dupOwners")
+      assert(v.filter(_._1 == 11L).forall(_._3 == 11L),
+        "unrelated doc must own all its buckets")
+      assert(v.filter(_._1 == 1L).forall(_._3 == 1L),
+        "first arrival owns its buckets")
+    } finally q.stop()
+  }
 }
