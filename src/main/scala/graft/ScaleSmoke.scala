@@ -207,6 +207,15 @@ object ScaleSmoke {
         timeNamed("span_dedup_zipf", PipelineQueries.dSpanDedup(spark, zipfDir)),
       "semdedup_1x" -> time(PipelineQueries.dSemdedup(spark, sf)),
       s"semdedup_${factor}x" -> time(PipelineQueries.dSemdedup(spark, dir)),
+      // params sweep: the tunables must not change the plan SHAPE — a
+      // tighter tau or twice the centroids should scale work smoothly,
+      // never tip into a different (quadratic/broadcast-lost) regime
+      s"semdedup_sweep_tau05_${factor}x" ->
+        timeNamed("semdedup_sweep_tau05", PipelineQueries.dSemdedup(
+          spark, dir, graft.queries.PipelineParams(semTau = 0.5))),
+      s"semdedup_sweep_rpc25_${factor}x" ->
+        timeNamed("semdedup_sweep_rpc25", PipelineQueries.dSemdedup(
+          spark, dir, graft.queries.PipelineParams(rowsPerCentroid = 25L))),
       s"semdedup_hot_${factor}x" ->
         timeNamed("semdedup_hot",
           PipelineQueries.dSemdedup(spark, hotEmbDir)),

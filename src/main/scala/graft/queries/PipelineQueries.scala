@@ -210,32 +210,22 @@ object PipelineQueries {
       .select("vec_a", "vec_b", "cos")
   }
 
-  /** SemDeDup threshold: a pair within one cluster closer than this in
-    * cosine is a semantic duplicate (the paper tunes ~0.95+ on real
-    * embeddings; the synthetic fixture's clusters are looser — 0.35
-    * sits at ~p97 of its within-cluster pair cosines, dropping ~12%). */
-  private val SemTau = 0.35d
-
-  /** Rows per coarse-quantizer centroid: k = max(16, n / this). SemDeDup
-    * (Abbas et al. 2023) sizes k ∝ corpus (~10k rows/centroid at web
-    * scale) so per-cluster pair-scan work stays BOUNDED as the corpus
-    * grows — a fixed k would make every cluster, and the quadratic scan
-    * inside it, grow linearly with n. 50 here (vs the paper's 10k) so
-    * the shipped fixtures actually exercise the scaled-k path (sf0.1's
-    * 2000 vectors → k=40); a production deployment raises it. */
-  private val RowsPerCentroid = 50L
+  // params-carrying operators keep (SparkSession, String) entries in the
+  // registry via defaults; ScaleSmoke sweeps non-default values
 
   /** Corpus-scaled coarse quantizer shared by [[dSemdedup]] and
     * [[annIvf]]: k lowest-id seed vectors with k = max(16, n/
-    * [[RowsPerCentroid]]), via [[graft.ml.Embeddings.kmeansFit]] (iters
+    * [[PipelineParams.rowsPerCentroid]]), via
+    * [[graft.ml.Embeddings.kmeansFit]] (iters
     * = 0 keeps the seed codebook — the deterministic, oracle-expressible
     * quantizer; a fleet run would pass iters > 0 for a trained one).
     * The count is one cheap parquet count-scan; the codebook is k·dims
     * floats of driver state, independent of corpus size. */
-  private def corpusCentroids(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "corpusCent") {
+  private def corpusCentroids(s: SparkSession, dir: String,
+      p: PipelineParams): DataFrame =
+    memo(s, dir, s"corpusCent:${p.rowsPerCentroid}") {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      val k = math.max(16L, e.count() / RowsPerCentroid).toInt
+      val k = math.max(16L, e.count() / p.rowsPerCentroid).toInt
       graft.ml.Embeddings.kmeansFit(e, k, iters = 0)
         .select(col("cid"), col("cv")).cache()
     }
@@ -249,7 +239,8 @@ object PipelineQueries {
     * [[corpusCentroids]] (k ∝ n, cosine, ties to the lower cid — the
     * same rule as [[annIvf]] /
     * [[embKmeansIter]]); a vector is dropped when a lower-id vector in
-    * its cluster is closer than [[SemTau]]. One verdict row per vector,
+    * its cluster is closer than [[PipelineParams.semTau]]. One verdict
+    * row per vector,
     * like [[dDedupClusters]].
     *
     * Scale shape: assignment is a 16-row broadcast cross join over a
@@ -261,10 +252,11 @@ object PipelineQueries {
     * self-join sides and the verdict join, so it is cached via [[memo]]
     * (one corpus scan + assignment pass, not three) — the same
     * persist-the-assignment step a fleet deployment would run. */
-  def dSemdedup(s: SparkSession, dir: String): DataFrame = {
-    val asn = memo(s, dir, "semAssign") {
+  def dSemdedup(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    val asn = memo(s, dir, s"semAssign:${p.rowsPerCentroid}") {
       val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      graft.ml.Embeddings.assign(e, corpusCentroids(s, dir))
+      graft.ml.Embeddings.assign(e, corpusCentroids(s, dir, p))
         .select(col("vec_id"), col("embedding").as("v"), col("cid"))
         .cache()
     }
@@ -315,7 +307,7 @@ object PipelineQueries {
       .join(b.repartition(nPart, jk: _*).hint("shuffle_hash"),
         Seq("cid", "__bi", "__bj"))
       .filter((col("__bi") =!= col("__bj") || col("ia") < col("ib")) &&
-        expr("graft_cosine(va, vb)") > lit(SemTau))
+        expr("graft_cosine(va, vb)") > lit(p.semTau))
       .select(greatest(col("ia"), col("ib")).as("vec_id")).distinct()
       .withColumn("__dropped", lit(true))
     asn.join(dropped, Seq("vec_id"), "left")
@@ -377,12 +369,14 @@ object PipelineQueries {
     * stays BOUNDED as the corpus grows; at 100 TB the inverted lists are
     * the partitioning (cluster-by cid on disk) and the k·dims centroid
     * table broadcasts. */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
+  def annIvf(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select("vec_id", "embedding")
     // nearest centroids per vector: n x k scores, ties to the lower cid
-    val assigned = graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir))
+    val assigned =
+      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p))
     val lists = assigned.filter(col("crn") === 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cid"))
     val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
@@ -507,13 +501,14 @@ object PipelineQueries {
     * `repartition(shard).sortWithinPartitions(hash)`, the shape shard
     * writers need at any scale. Hash reduces mod p BEFORE multiplying
     * (SURVEY §3: the raw product overflows Long). */
-  def dShardAssign(s: SparkSession, dir: String): DataFrame = {
+  def dShardAssign(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
     val docs = tbl(s, dir, "documents").select("doc_id")
     val w = Window.partitionBy("shard").orderBy(col("hv"), col("doc_id"))
     docs
       .withColumn("hv",
         expr("((doc_id % 1000003) * 2654435761) % 1000003"))
-      .withColumn("shard", col("hv") % 64L)
+      .withColumn("shard", col("hv") % p.nShards)
       .withColumn("pos", row_number().over(w).cast(LongType))
       .select("doc_id", "shard", "pos")
   }
@@ -925,8 +920,9 @@ object PipelineQueries {
     * One keyed window (partition by source) — no global order exists, so
     * packing parallelizes across sources/shards exactly as it does in a
     * real pipeline. */
-  def dPackSequences(s: SparkSession, dir: String): DataFrame = {
-    val budget = 2048L
+  def dPackSequences(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    val budget = p.packBudget
     val w = Window.partitionBy("source").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
     tbl(s, dir, "documents")
@@ -1577,17 +1573,17 @@ object PipelineQueries {
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_dedup_clusters" -> (dDedupClusters _),
     "d_embed_neardup" -> (dEmbedNeardup _),
-    "d_semdedup" -> (dSemdedup _),
+    "d_semdedup" -> ((s, d) => dSemdedup(s, d)),
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
-    "ann_ivf" -> (annIvf _),
+    "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_sq" -> (annSq _),
     "emb_centroids" -> (embCentroids _),
     "emb_kmeans_iter" -> (embKmeansIter _),
     "emb_pca_power" -> (embPcaPower _),
     "emb_outliers" -> (embOutliers _),
     "d_quantile_filter" -> (dQuantileFilter _),
-    "d_shard_assign" -> (dShardAssign _),
+    "d_shard_assign" -> ((s, d) => dShardAssign(s, d)),
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),
@@ -1599,7 +1595,7 @@ object PipelineQueries {
     "t_tfidf" -> (tTfidf _),
     "d_sample_k" -> (dSampleK _),
     "d_sample_bottomk" -> (dSampleBottomk _),
-    "d_pack_sequences" -> (dPackSequences _),
+    "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_sample_mix" -> (dSampleMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
