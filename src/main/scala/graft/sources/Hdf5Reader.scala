@@ -160,7 +160,11 @@ object Hdf5Reader {
       pread(from, dst, dstOff, len)
   }
 
-  def open(path: String): H5File = {
+  /** Random-access source for a file: mapped under 2 GiB, pread-backed
+    * above (a MappedByteBuffer is Int-indexed). Shared with
+    * [[NetCDF3Reader]], which has the same large-file concern — CDF-2/5
+    * exist precisely for multi-GB datasets. */
+  private[sources] def srcFor(path: String): ByteSrc = {
     val p = java.nio.file.Paths.get(path)
     val size = java.nio.file.Files.size(p)
     val ch = java.nio.channels.FileChannel.open(p,
@@ -170,13 +174,18 @@ object Hdf5Reader {
       val bb =
         try ch.map(java.nio.channels.FileChannel.MapMode.READ_ONLY, 0, size)
         finally ch.close() // the mapping outlives the channel
-      openSrc(new MappedSrc(bb))
+      new MappedSrc(bb)
     } else {
-      // a MappedByteBuffer is Int-indexed, so multi-GB granules switch to
-      // ranged positional reads — never the whole file in memory
-      openSrc(new ChannelSrc(ch, size))
+      // multi-GB granules switch to ranged positional reads — never the
+      // whole file in memory
+      new ChannelSrc(ch, size)
     }
   }
+
+  private[sources] def srcFor(bytes: Array[Byte]): ByteSrc =
+    new ArraySrc(bytes)
+
+  def open(path: String): H5File = openSrc(srcFor(path))
 
   /** HDF5's Fletcher-32 variant (public spec / H5_checksum_fletcher32):
     * big-endian 16-bit word assembly, 360-word partial-sum blocks, odd

@@ -1,7 +1,5 @@
 package graft.sources
 
-import java.nio.{ByteBuffer, ByteOrder}
-
 /** Pure-JVM reader for the NetCDF *classic* formats — `CDF\x01` (classic,
   * 32-bit offsets), `CDF\x02` (64-bit offsets) and `CDF\x05` (CDF-5,
   * 64-bit data) — implemented from the public "NetCDF Classic Format
@@ -20,8 +18,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   * length (the classic-model convention), so it decodes to one string
   * per leading-dims element and drops the trailing dim from its shape —
   * giving [[NetCDFIngest]] the same StringType column a vlen-string
-  * NetCDF-4 variable produces. Files are buffered in memory; >2 GiB is
-  * unsupported (same bound as [[Hdf5Reader]]).
+  * NetCDF-4 variable produces.
+  *
+  * I/O model: random access through [[Hdf5Reader.srcFor]] — mapped under
+  * 2 GiB, positional ranged reads above, so the multi-GB files CDF-2/5
+  * were designed for decode without full-file buffering (the 64-bit
+  * `begin` offsets are honored end to end). The per-VARIABLE decoded
+  * array must still fit a JVM array (< 2^31 bytes), netcdf-c's
+  * per-request bound.
   */
 object NetCDF3Reader {
 
@@ -31,27 +35,37 @@ object NetCDF3Reader {
   private val TagVar = 11
   private val TagAttr = 12
 
-  def open(d: Array[Byte]): NcFile = {
-    require(d.length >= 8 && d(0) == 'C' && d(1) == 'D' && d(2) == 'F',
-      "not a NetCDF classic file")
-    val ver = d(3).toInt
+  def open(d: Array[Byte]): NcFile = open(Hdf5Reader.srcFor(d))
+
+  def open(src: Hdf5Reader.ByteSrc): NcFile = {
+    require(src.length >= 8 && src.get(0) == 'C' && src.get(1) == 'D' &&
+      src.get(2) == 'F', "not a NetCDF classic file")
+    val ver = src.get(3).toInt
     require(ver == 1 || ver == 2 || ver == 5,
       s"unsupported NetCDF classic version $ver")
-    val b = ByteBuffer.wrap(d).order(ByteOrder.BIG_ENDIAN)
-    var p = 4
+    var p = 4L
 
-    def u32(): Long = { val v = b.getInt(p) & 0xffffffffL; p += 4; v }
+    // big-endian primitives over the random-access source
+    def u8At(q: Long): Int = src.get(q) & 0xff
+    def i16At(q: Long): Int = (u8At(q) << 8) | u8At(q + 1)
+    def i32At(q: Long): Int = (i16At(q) << 16) | i16At(q + 2)
+    def i64At(q: Long): Long =
+      ((i32At(q) & 0xffffffffL) << 32) | (i32At(q + 4) & 0xffffffffL)
+    def f32At(q: Long): Float = java.lang.Float.intBitsToFloat(i32At(q))
+    def f64At(q: Long): Double = java.lang.Double.longBitsToDouble(i64At(q))
+
+    def u32(): Long = { val v = i32At(p) & 0xffffffffL; p += 4; v }
     /** NON_NEG: 32-bit in CDF-1/2, 64-bit in CDF-5. */
     def nonNeg(): Long =
-      if (ver == 5) { val v = b.getLong(p); p += 8; v } else u32()
+      if (ver == 5) { val v = i64At(p); p += 8; v } else u32()
     /** OFFSET (begin): 32-bit in CDF-1, 64-bit in CDF-2/5. */
     def offset(): Long =
-      if (ver == 1) u32() else { val v = b.getLong(p); p += 8; v }
+      if (ver == 1) u32() else { val v = i64At(p); p += 8; v }
     def pad4(n: Long): Long = (n + 3) / 4 * 4
     def name(): String = {
-      val n = nonNeg().toInt
-      val s = new String(d, p, n, "UTF-8")
-      p += pad4(n).toInt
+      val n = nonNeg()
+      val s = new String(src.copy(p, p + n), "UTF-8")
+      p += pad4(n)
       s
     }
 
@@ -81,18 +95,19 @@ object NetCDF3Reader {
     def attrValue(t: Int, n: Int): Any = {
       val out: Any = t match {
         case 2 =>
-          val s = new String(d, p, n, "UTF-8"); s.takeWhile(_ != 0)
-        case 1 => Seq.tabulate(n)(i => d(p + i).toLong)
-        case 7 => Seq.tabulate(n)(i => (d(p + i) & 0xff).toLong)
-        case 3 => Seq.tabulate(n)(i => b.getShort(p + 2 * i).toLong)
-        case 8 => Seq.tabulate(n)(i => (b.getShort(p + 2 * i) & 0xffff).toLong)
-        case 4 => Seq.tabulate(n)(i => b.getInt(p + 4 * i).toLong)
-        case 9 => Seq.tabulate(n)(i => b.getInt(p + 4 * i) & 0xffffffffL)
-        case 5 => Seq.tabulate(n)(i => b.getFloat(p + 4 * i).toDouble)
-        case 6 => Seq.tabulate(n)(i => b.getDouble(p + 8 * i))
-        case 10 | 11 => Seq.tabulate(n)(i => b.getLong(p + 8 * i))
+          val s = new String(src.copy(p, p + n), "UTF-8")
+          s.takeWhile(_ != 0)
+        case 1 => Seq.tabulate(n)(i => src.get(p + i).toLong)
+        case 7 => Seq.tabulate(n)(i => (src.get(p + i) & 0xff).toLong)
+        case 3 => Seq.tabulate(n)(i => i16At(p + 2 * i).toShort.toLong)
+        case 8 => Seq.tabulate(n)(i => i16At(p + 2 * i).toLong)
+        case 4 => Seq.tabulate(n)(i => i32At(p + 4 * i).toLong)
+        case 9 => Seq.tabulate(n)(i => i32At(p + 4 * i) & 0xffffffffL)
+        case 5 => Seq.tabulate(n)(i => f32At(p + 4 * i).toDouble)
+        case 6 => Seq.tabulate(n)(i => f64At(p + 8 * i))
+        case 10 | 11 => Seq.tabulate(n)(i => i64At(p + 8 * i))
       }
-      p += pad4(n.toLong * typeSize(t)).toInt
+      p += pad4(n.toLong * typeSize(t))
       out match {
         case s: Seq[_] if s.length == 1 => s.head
         case x => x
@@ -146,7 +161,7 @@ object NetCDF3Reader {
     val numrecs =
       if (!streaming) numrecsRaw
       else recordVars.headOption.map { v =>
-        (d.length - v.begin) / math.max(recSize, 1)
+        (src.length - v.begin) / math.max(recSize, 1)
       }.getOrElse(0L)
 
     def dimLen(i: Int): Long =
@@ -192,15 +207,17 @@ object NetCDF3Reader {
       val es = typeSize(v.ncType)
       val stride = if (isRec) recSize else slab(v)
       // gather the (possibly interleaved) slabs into one contiguous
-      // big-endian buffer, then decode
+      // big-endian buffer, then decode — one ranged read per record slab,
+      // 64-bit offsets (a fixed var is a single ranged read)
       val raw = new Array[Byte](nRecs * perRecElems * es)
       var r = 0
       while (r < nRecs) {
-        val src = (v.begin + (if (isRec) r * stride else 0L)).toInt
-        System.arraycopy(d, src, raw, r * perRecElems * es, perRecElems * es)
+        val srcPos = v.begin + (if (isRec) r * stride else 0L)
+        src.copyTo(srcPos, raw, r * perRecElems * es, perRecElems * es)
         r += 1
       }
-      val rb = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
+      val rb = java.nio.ByteBuffer.wrap(raw)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
       val n = nRecs * perRecElems
       v.ncType match {
         case 1 => Array.tabulate(n)(i => raw(i).toLong)

@@ -55,8 +55,9 @@ object NetCDF4 {
     }
     if (head.length >= 4 && head(0) == 'C'.toByte && head(1) == 'D'.toByte &&
         head(2) == 'F'.toByte)
-      return NetCDF3Reader.open(
-        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)))
+      // random access (mapped / pread), not readAllBytes: CDF-2/5 files
+      // are routinely multi-GB — that is what those formats are FOR
+      return NetCDF3Reader.open(Hdf5Reader.srcFor(path))
     val h5 = Hdf5Reader.open(path)
     val byAddr = h5.datasets.map(ds => ds.addr -> ds.name).toMap
     val dims = h5.datasets.flatMap { ds =>

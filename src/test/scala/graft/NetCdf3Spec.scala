@@ -132,4 +132,50 @@ class NetCdf3Spec extends AnyFunSuite with SparkSpec {
       assert(df.select("station_lat").head().getSeq[Float](0) ===
         Seq(11.5f, -33.25f))
     }
+
+  test("CDF-5 with data beyond 2 GiB decodes through ranged reads") {
+    // 64-bit begin offsets are WHAT CDF-2/5 are for: a sparse file whose
+    // variable data sits past the 2 GiB line must decode without
+    // readAllBytes (which would need a >2 GiB heap array)
+    val tmp = Files.createTempDirectory("graft_cdf5big")
+    val f = tmp.resolve("big.nc")
+    val hiOff = (2L << 30) + 1024L
+    val nVals = 8
+    val bb = ByteBuffer.allocate(1 << 10).order(ByteOrder.BIG_ENDIAN)
+    def nonNeg(v: Long): Unit = bb.putLong(v) // CDF-5: 64-bit NON_NEG
+    def name(s: String): Unit = {
+      nonNeg(s.length); bb.put(s.getBytes("US-ASCII"))
+      (s.length until (s.length + 3) / 4 * 4).foreach(_ => bb.put(0.toByte))
+    }
+    bb.put('C'.toByte); bb.put('D'.toByte); bb.put('F'.toByte)
+    bb.put(5.toByte)
+    nonNeg(0) // numrecs
+    nonNeg(10); nonNeg(1) // dim_list: x = nVals
+    name("x"); nonNeg(nVals)
+    nonNeg(0); nonNeg(0) // no global attrs
+    nonNeg(11); nonNeg(1) // var_list: v double [x]
+    name("v")
+    nonNeg(1); nonNeg(0) // 1 dim, dimid 0
+    nonNeg(0); nonNeg(0) // no attrs
+    nonNeg(6) // double
+    nonNeg(nVals * 8L) // vsize
+    bb.putLong(hiOff) // begin: PAST the 2 GiB line
+    val header = new Array[Byte](bb.position())
+    bb.rewind(); bb.get(header)
+    val ch = java.nio.channels.FileChannel.open(f,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE)
+    try {
+      ch.write(ByteBuffer.wrap(header), 0L)
+      val data = ByteBuffer.allocate(nVals * 8).order(ByteOrder.BIG_ENDIAN)
+      (0 until nVals).foreach(i => data.putDouble(1e9 + i * 0.5))
+      data.rewind()
+      ch.write(data, hiOff)
+    } finally ch.close()
+    assert(Files.size(f) > (2L << 30))
+    val nc = NetCDF4.open(f.toString)
+    val vs = nc.read(nc.vars.find(_.name == "v").get)
+      .asInstanceOf[Array[Double]]
+    assert(vs.toSeq === (0 until nVals).map(1e9 + _ * 0.5))
+  }
 }
