@@ -69,6 +69,11 @@ object Tables {
       // TimestampType normalization below is only value-preserving when the
       // session reads UTC-adjusted micros in UTC; pin it rather than assume.
       s.conf.set("spark.sql.session.timeZone", "UTC")
+      // filterless count()/min/max answer from parquet FOOTER metadata
+      // instead of scanning data pages — the corpus-count derivations
+      // (corpus-scaled codebook k, outlier quantization scale) become
+      // metadata reads, which is exactly what they should cost at 100 TB
+      s.conf.set("spark.sql.parquet.aggregatePushDown", "true")
       val path = s"$dir/$name.parquet"
       val raw = s.read.parquet(path)
       nanosCols.getOrElse(name, Nil).foldLeft(raw) { (df, c) =>
