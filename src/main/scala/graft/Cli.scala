@@ -17,6 +17,9 @@ import graft.core.{AggConfig, Bounds}
   * `.nc` sources are ingested first via [[graft.sources.NetCDFIngest]]
   * (so the reference's own `ncagg out.nc *.nc -u ...` invocation carries
   * over verbatim), and the default config comes from the NetCDF header.
+  * A `.ncd` DST writes a DISTRIBUTED `.nc` granule-set directory
+  * (executor-side, one file per range partition) instead of one
+  * driver-assembled file — the corpus-scale output path.
   * `-b` accepts `min:max` (epoch micros) or `TYYYY[MM[DD[HH[MM]]]]`
   * bound specs with inferred end. With no `-t`, a default config is
   * derived from the first granule (reference Config.from_nc). With no
@@ -153,15 +156,26 @@ object Cli {
     // product, aggregator.py:239-359) via the pure-JVM writer: aggregate
     // into a work directory, then write the finished frame as one .nc;
     // `-c udim:chunksize` becomes the file's real HDF5 chunk extent
-    // (reference cli.py:207-218 → aggregator.py:391-398)
+    // (reference cli.py:207-218 → aggregator.py:391-398). A `.ncd` DST is
+    // the DISTRIBUTED twin: a directory of `.nc` granules written
+    // executor-side (NetCDFWrite.writeGranules) — the path a corpus-sized
+    // output must take, since one .nc file is single-writer by
+    // construction (the single-file path refuses above its row gate,
+    // naming this one)
     val ncOut = dst.endsWith(".nc")
-    val aggDst = if (ncOut) s"$dst.__work" else dst
+    val ncdOut = dst.endsWith(".ncd")
+    val aggDst = if (ncOut || ncdOut) s"$dst.__work" else dst
     val attrs = Aggregate.run(spark, granules, aggDst, config,
       maxRecordsPerFile = maxRecords)
     if (ncOut)
       graft.sources.NetCDFWrite.write(spark, aggDst, dst, config,
         Some(attrs),
         graft.sources.NetCDFWrite.NcOpts(chunkRows = chunkSize))
+    else if (ncdOut)
+      graft.sources.NetCDFWrite.writeGranules(
+        spark.read.parquet(aggDst), dst, config, attrs,
+        maxRecordsPerFile = maxRecords,
+        opts = graft.sources.NetCDFWrite.NcOpts(chunkRows = chunkSize))
     attrs.foreach { case (k, v) => println(s"$k = $v") }
     println(s"Finished: $dst")
     attrs

@@ -350,9 +350,10 @@ object NetCDFWrite {
     if (total > maxRows) throw new IllegalArgumentException(
       s"single-file .nc output of $total rows exceeds the driver-side " +
         s"assembly limit ($maxRows): a single .nc file is single-writer " +
-        "by construction. Use NetCDFWrite.writeGranules for a " +
-        "distributed .nc granule-set output (re-ingestable through " +
-        "NetCDFIngest), or raise maxRows if the driver heap allows.")
+        "by construction. Use NetCDFWrite.writeGranules (CLI: a .ncd " +
+        "DST) for a distributed .nc granule-set output (re-ingestable " +
+        "through NetCDFIngest), or raise maxRows if the driver heap " +
+        "allows.")
     val sorted = sortColOf(config, df.columns.toSet)
       .map(c => df.orderBy(col(c))).getOrElse(df)
     val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
