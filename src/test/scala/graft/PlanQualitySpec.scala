@@ -295,4 +295,52 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(wide == 1,
       s"expected exactly 1 wide shuffle on the data path, got $wide")
   }
+
+  test("ann_ivf broadcasts the COLLECTED codebook, never re-scanning parquet") {
+    // the corpus-scaled quantizer's codebook is k·dims of driver state
+    // (kmeansFit collects it); the assignment cross join must broadcast
+    // that local relation — a parquet scan on the build side would mean
+    // the centroids are re-derived from the corpus on every use
+    val joins = nodes(physical("ann_ivf")).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
+    }
+    assert(joins.nonEmpty, "assignment cross join missing")
+    joins.foreach { j =>
+      val buildSide = j.buildSide match {
+        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        case _ => j.left
+      }
+      val build = nodes(buildSide)
+      assert(!build.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.FileSourceScanExec]),
+        "codebook build side must be the collected local relation, not a scan")
+    }
+  }
+
+  test("stream_minhash_dedup: one stateful keyed shuffle + broadcast verdict join") {
+    val plan = physical("stream_minhash_dedup")
+    // batch rendering of flatMapGroupsWithState is a MapGroups over one
+    // keyed Exchange; the only other shuffle is the per-doc verdict
+    // aggregate — the join back to doc ids must broadcast the (small)
+    // dup-verdict side, not sort-merge the corpus
+    val shuffles = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles == 2, s"expected 2 keyed shuffles, got $shuffles")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.MapGroupsExec]) == 1)
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) == 0,
+      "verdict join-back must broadcast, not sort-merge")
+  }
+
+  test("dQuantileFilterApprox keeps the broadcast join-back shape") {
+    // the approx production twin must keep the exact twin's plan: one
+    // sketch aggregate, |sources|-row broadcast join back over the scan
+    val plan = graft.queries.PipelineQueries
+      .dQuantileFilterApprox(spark, sfDir).queryExecution.executedPlan
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 1)
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.SortMergeJoinExec]) == 0)
+  }
 }
