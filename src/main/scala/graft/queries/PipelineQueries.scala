@@ -477,11 +477,10 @@ object PipelineQueries {
     * aggregate whose shuffle carries a BIGINT partial per
     * (cid, dim, partition) — never vectors; iterate by feeding the
     * output back as the next seed table. */
-  def embKmeansIter(s: SparkSession, dir: String): DataFrame = {
+  def embKmeansIter(s: SparkSession, dir: String,
+      p0: PipelineParams = PipelineParams.Default): DataFrame = {
     val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-    val cent = e.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    graft.ml.Embeddings.assign(e, cent)
+    graft.ml.Embeddings.assign(e, corpusCentroids(s, dir, p0))
       .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "x")))
       .groupBy("cid", "p")
       .agg(count(lit(1)).as("n_vecs"),
@@ -1461,7 +1460,11 @@ object PipelineQueries {
         |GROUP BY 1, 2""".stripMargin,
     "emb_kmeans_iter" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM e)
+         |  WHERE rn <= greatest(16, n // 50)),
          |scored AS (
          |  SELECT e.vec_id, e.v, cent.cid,
          |         ${PV.cosineDuck("e.v", "cent.cv")} AS ccos
@@ -1579,7 +1582,7 @@ object PipelineQueries {
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_sq" -> (annSq _),
     "emb_centroids" -> (embCentroids _),
-    "emb_kmeans_iter" -> (embKmeansIter _),
+    "emb_kmeans_iter" -> ((s, d) => embKmeansIter(s, d)),
     "emb_pca_power" -> (embPcaPower _),
     "emb_outliers" -> (embOutliers _),
     "d_quantile_filter" -> (dQuantileFilter _),
