@@ -377,6 +377,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.agg(sum("n")).first().getLong(0) === 3L)
   }
 
+  test("minhash dedup parity: streamed batches == one batch fold (random docs)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // small vocab + shared phrase stubs => plenty of genuine near-dups;
+    // ids ascend with arrival order, so streaming first-arrival ownership
+    // must equal the batch twin's min-id ownership exactly
+    val rnd = new scala.util.Random(20260813)
+    val vocab = Vector("spark", "plan", "shuffle", "granule", "window",
+      "records", "fill", "cadence", "bucket", "hash", "join", "scan")
+    val stubs = Vector.tabulate(4)(i =>
+      Seq.fill(20)(vocab((i * 5 + 7) % vocab.length)).mkString(" "))
+    val docs = (0L until 40L).map { id =>
+      val stub = stubs(rnd.nextInt(stubs.length))
+      val tail = Seq.fill(4)(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+      (id, s"$stub $tail")
+    }
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getInt(1))
+    val batch = StreamingAgg.minhashDedupStream(
+        docs.toDF("doc_id", "text")).toDF().collect()
+      .map(r => key(r) -> r.getLong(2)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAgg.minhashDedupStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mhdp").start()
+    try {
+      docs.grouped(10).foreach { g =>
+        mem.addData(g: _*); q.processAllAvailable()
+      }
+      val streamed = spark.table("mhdp").collect()
+        .map(r => key(r) -> r.getLong(2)).toMap
+      assert(streamed.keySet == batch.keySet)
+      val diff = streamed.collect {
+        case (k, o) if batch(k) != o => (k, o, batch(k))
+      }
+      assert(diff.isEmpty, s"owner mismatches: ${diff.take(5)}")
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup drops a near-duplicate arriving a batch later") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
