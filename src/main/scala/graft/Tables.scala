@@ -6,6 +6,14 @@ import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Central loader for the driver-generated parquet tables.
   *
+  * SESSION-CONFIG SIDE EFFECT: the first load pins
+  * `spark.sql.session.timeZone=UTC` (plus `nanosAsLong` and parquet
+  * aggregate pushdown) on the session — the timestamp normalization
+  * below is only value-preserving under UTC, and every graft entry point
+  * (Verify/Bench/Cli/ScaleSmoke/specs) already runs UTC. A caller that
+  * deliberately needs a non-UTC session must not share that session with
+  * this loader.
+  *
   * Timestamp normalization: the driver's generator has shipped `events.ts`
   * as TIMESTAMP(NANOS) in some rounds and TIMESTAMP(MICROS) in others, so
   * the loader adapts to what the file actually contains. Nanos parquet is

@@ -243,8 +243,10 @@ object PipelineQueries {
     * row per vector,
     * like [[dDedupClusters]].
     *
-    * Scale shape: assignment is a 16-row broadcast cross join over a
-    * linear scan; the pair search is an equi-join keyed by cluster —
+    * Scale shape: assignment is a k-row broadcast cross join over a
+    * linear scan (k = max(16, n/rowsPerCentroid) — driver-collected
+    * codebook, constant-size state); the pair search is an equi-join
+    * keyed by cluster —
     * blocked adaptively (see below) so even a hot cluster spreads its
     * quadratic scan across B(B+1)/2 shuffle keys, and at fleet scale k
     * grows with the corpus (the paper uses ~corpus_size/10k clusters)
@@ -362,7 +364,7 @@ object PipelineQueries {
 
   /** IVF-style ANN (the second scale path next to [[annLsh]]): the
     * corpus-scaled coarse quantizer [[corpusCentroids]] (k = max(16,
-    * n/[[RowsPerCentroid]]) lowest-id seeds) partitions the corpus into
+    * n/[[PipelineParams.rowsPerCentroid]]) lowest-id seeds) partitions the corpus into
     * inverted lists; queries probe their 2 nearest centroids only. The
     * candidate join is keyed on the centroid id, so each query scores
     * ~n*nprobe/k candidates — and because k grows with n, per-list work
@@ -468,11 +470,12 @@ object PipelineQueries {
     * exactly, divide once in double. */
   /** One Lloyd's iteration of k-means over the embeddings — the codebook
     * TRAINING step behind [[annIvf]]'s coarse quantizer: assign every
-    * vector to its nearest seed centroid (the 16 lowest-id vectors,
-    * cosine, ties to the lower cid — the same deterministic rule
+    * vector to its nearest seed centroid (the corpus-scaled
+    * [[corpusCentroids]] codebook — k ∝ n lowest-id vectors, cosine,
+    * ties to the lower cid — the same deterministic rule
     * ann_ivf probes with), then recompute each centroid as the member
     * mean per (cid, dim) with [[embCentroids]]'s floor-quantized exact
-    * BIGINT partial sums. Scale shape: a 16-row broadcast cross join
+    * BIGINT partial sums. Scale shape: a k-row broadcast cross join
     * for assignment (linear scan, whole-stage codegen) and one keyed
     * aggregate whose shuffle carries a BIGINT partial per
     * (cid, dim, partition) — never vectors; iterate by feeding the
@@ -576,13 +579,28 @@ object PipelineQueries {
     * precision, not rank order, for separated outliers). The pick uses
     * only integer comparisons on nm, so Spark and the DuckDB oracle
     * derive bit-identical scales; nm costs two cheap linear aggregates. */
+  /** (maxRowsPerLabel, maxAbsValue) of the embeddings table — ONE job
+    * (per-label partial agg, then a global fold of the label rows),
+    * memoized per (session, dir): the scale derivation must not re-scan
+    * the corpus on every plan construction (bench/Explain/spec all
+    * build this plan repeatedly). */
+  private val scalarMemo =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), (Long, Double)]()
+  private def outlierStats(s: SparkSession, dir: String): (Long, Double) =
+    scalarMemo.computeIfAbsent((s, dir), { _ =>
+      val r = tbl(s, dir, "embeddings")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"), max(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+          .as("m"))
+        .agg(max(col("n")), max(col("m"))).head()
+      (Option(r.get(0)).fold(1L)(_.asInstanceOf[Long]),
+        Option(r.get(1)).fold(1.0)(_.asInstanceOf[Double]))
+    })
+
   def embOutliers(s: SparkSession, dir: String): DataFrame = {
     val base = tbl(s, dir, "embeddings")
-    val nmax = Option(base.groupBy("label").agg(count(lit(1)).as("n"))
-      .agg(max(col("n"))).head().get(0)).fold(1L)(_.asInstanceOf[Long])
-    val mmax = Option(base.agg(max(expr(
-      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))")))
-      .head().get(0)).fold(1.0)(_.asInstanceOf[Double])
+    val (nmax, mmax) = outlierStats(s, dir)
     val sc = outlierScale(nmax * math.max(1L, math.ceil(mmax).toLong))
     val e = base
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
@@ -607,13 +625,21 @@ object PipelineQueries {
   /** Quantization scale for [[embOutliers]]: the largest power of 10
     * with nm·scale ≤ 1.8e8 (⟹ dist² ≤ 256·(1.8e8)² ≈ 8.3e18 < 2⁶³).
     * Integer thresholds only, so the DuckDB oracle's CASE chain derives
-    * the identical scale. */
+    * the identical scale. Past the scale-1 floor no power of 10 can
+    * keep the exact-integer path inside BIGINT — that is a label of
+    * 180M+ unit-magnitude rows, which needs sharding BEFORE outlier
+    * detection — so fail loudly rather than wrap dist² negative. */
   private[graft] def outlierScale(nm: Long): Long =
     if (nm <= 18000L) 10000L
     else if (nm <= 180000L) 1000L
     else if (nm <= 1800000L) 100L
     else if (nm <= 18000000L) 10L
-    else 1L
+    else if (nm <= 180000000L) 1L
+    else throw new IllegalArgumentException(
+      s"emb_outliers: maxRowsPerLabel x ceil(max|x|) = $nm exceeds 1.8e8 " +
+        "— exact integer dist² would overflow BIGINT at any " +
+        "quantization. Shard the label (e.g. d_shard_assign) or rescale " +
+        "the embeddings before outlier detection.")
 
   /** Per-source length-quantile gate: flag docs under their source's
     * 25th-percentile token count (the "too short for this source"

@@ -79,6 +79,10 @@ object Hdf5Reader {
     /** Flat row-major values of a dataset: Array of Long/Double/Float/
       * Int/String depending on the datatype. */
     def read(ds: Dataset): AnyRef = reader.readData(ds)
+    /** Release the underlying source (the pread channel of a >= 2 GiB
+      * file — without this, a per-granule ingest loop leaks one fd per
+      * large granule until EMFILE). No further reads after close. */
+    def close(): Unit = reader.close()
   }
 
   /** Random-access byte source: a heap array or a read-only mapped file.
@@ -92,6 +96,9 @@ object Hdf5Reader {
     def get(i: Long): Byte
     def copy(from: Long, until: Long): Array[Byte]
     def copyTo(from: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit
+    /** Release any OS resource (the pread channel); mapped/array sources
+      * are GC-managed and no-op. Safe to call more than once. */
+    def close(): Unit = ()
   }
   private final class ArraySrc(a: Array[Byte]) extends ByteSrc {
     def length: Long = a.length.toLong
@@ -158,6 +165,7 @@ object Hdf5Reader {
     }
     def copyTo(from: Long, dst: Array[Byte], dstOff: Int, len: Int): Unit =
       pread(from, dst, dstOff, len)
+    override def close(): Unit = ch.close()
   }
 
   /** Random-access source for a file: mapped under 2 GiB, pread-backed
@@ -238,6 +246,8 @@ object Hdf5Reader {
   final class Reader(d: ByteSrc) {
 
     def this(bytes: Array[Byte]) = this(new ArraySrc(bytes))
+
+    def close(): Unit = d.close()
 
     private def u8(p: Long): Int = d.get(p) & 0xff
     private def u16(p: Long): Int = u8(p) | (u8(p + 1) << 8)
@@ -813,8 +823,17 @@ object Hdf5Reader {
     /** Raw row-major bytes of the dataset (fill-value padded). */
     private def rawData(msgs: Seq[Message], shape: Seq[Long],
         elemSize: Int): Array[Byte] = {
-      val n = shape.product.toInt max (if (shape.isEmpty) 1 else 0)
-      val total = n * elemSize
+      // per-DATASET bound: one variable's decoded bytes must fit a JVM
+      // array. Checked in Long BEFORE the Int narrowing — silent wrap
+      // here would allocate a wrong-size array and corrupt the decode.
+      val nL = shape.product max (if (shape.isEmpty) 1L else 0L)
+      val totalL = nL * elemSize
+      require(totalL <= Int.MaxValue,
+        s"dataset of $nL elements x $elemSize B = $totalL bytes exceeds " +
+          "the 2 GiB per-variable read bound; read a hyperslab or split " +
+          "the granule")
+      val n = nL.toInt
+      val total = totalL.toInt
       val lay = layout(msgs)
       lay.kind match {
         case 0 =>
@@ -928,7 +947,12 @@ object Hdf5Reader {
     /** Typed flat values of a dataset. */
     def readData(ds: Dataset): AnyRef = {
       val msgs = objectHeader(ds.addr)
-      val n = ds.shape.product.toInt max (if (ds.shape.isEmpty) 1 else 0)
+      // rawData enforces the Long-checked per-variable byte bound; the
+      // element count therefore fits an Int once that call returns
+      val nL = ds.shape.product max (if (ds.shape.isEmpty) 1L else 0L)
+      require(nL <= Int.MaxValue,
+        s"dataset of $nL elements exceeds the per-variable read bound")
+      val n = nL.toInt
       ds.dtype match {
         case H5Vlen(_, true) =>
           // vlen strings route through the global heap per element

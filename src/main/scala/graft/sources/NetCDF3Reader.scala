@@ -201,10 +201,20 @@ object NetCDF3Reader {
     def readVar(nc: NcVar): AnyRef = {
       val v = byName(nc.name)
       val isRec = v.dimids.headOption.contains(recDimId)
-      val perRecElems = v.dimids.drop(if (isRec) 1 else 0)
-        .map(dimLen(_).toInt).product max 1
-      val nRecs = if (isRec) numrecs.toInt else 1
+      val perRecElemsL = v.dimids.drop(if (isRec) 1 else 0)
+        .map(dimLen).product max 1L
+      val nRecsL = if (isRec) numrecs else 1L
       val es = typeSize(v.ncType)
+      // per-VARIABLE bound, checked in Long BEFORE any Int narrowing: a
+      // multi-GB CDF-5 file is now accepted, so a silent Int wrap here
+      // would allocate a wrong-size buffer and corrupt the decode
+      val totalBytes = nRecsL * perRecElemsL * es
+      require(totalBytes <= Int.MaxValue,
+        s"variable ${v.nm}: $nRecsL records x $perRecElemsL elems x $es B " +
+          s"= $totalBytes bytes exceeds the 2 GiB per-variable read " +
+          "bound; read a record range or split the granule")
+      val perRecElems = perRecElemsL.toInt
+      val nRecs = nRecsL.toInt
       val stride = if (isRec) recSize else slab(v)
       // gather the (possibly interleaved) slabs into one contiguous
       // big-endian buffer, then decode — one ranged read per record slab,
@@ -237,6 +247,6 @@ object NetCDF3Reader {
       }
     }
 
-    NcFile(dims, vars, globalAttrs, readVar)
+    NcFile(dims, vars, globalAttrs, readVar, () => src.close())
   }
 }

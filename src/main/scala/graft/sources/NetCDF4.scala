@@ -36,8 +36,12 @@ object NetCDF4 {
       dims: Seq[NcDim],
       vars: Seq[NcVar],
       attrs: Map[String, Any],
-      private[sources] val readFn: NcVar => AnyRef) {
+      private[sources] val readFn: NcVar => AnyRef,
+      private[sources] val closeFn: () => Unit = () => ()) {
     def read(v: NcVar): AnyRef = readFn(v)
+    /** Release the file's OS resource (the pread channel of a >= 2 GiB
+      * granule). Safe to call more than once; no reads after close. */
+    def close(): Unit = closeFn()
   }
 
   private val PhonyDimMarker = "This is a netCDF dimension but not"
@@ -112,7 +116,8 @@ object NetCDF4 {
       d.copy(size = (d.size +: used).max)
     }
     NcFile(sized.sortBy(_.dimid), vars, h5.rootAttrs,
-      v => h5.read(h5.datasets.find(_.name == v.name).get))
+      v => h5.read(h5.datasets.find(_.name == v.name).get),
+      () => h5.close())
   }
 
   /** Parse CF-style time units ("<unit> since <instant>") to (epoch-micros
@@ -158,7 +163,7 @@ object NetCDF4 {
     * attribute (strategy "first", as the reference defaults). */
   def configFor(path: String): AggConfig.Config = {
     val nc = open(path)
-    AggConfig.Config(
+    try AggConfig.Config(
       dims = nc.dims.map(d => AggConfig.DimSpec(d.name,
         size = if (d.unlimited) None else Some(d.size))),
       vars = nc.vars.map(v => AggConfig.VarSpec(v.name, v.dims,
@@ -166,6 +171,7 @@ object NetCDF4 {
         attributes = v.attrs.map { case (k, x) => k -> attrStr(x) })),
       attrs = nc.attrs.keys.toSeq.sorted
         .map(k => AggConfig.AttrSpec(k, "first")))
+    finally nc.close()
   }
 
   private def typeName(t: Hdf5Reader.H5Type): String = t match {

@@ -193,6 +193,10 @@ object NetCDFIngest {
           }
       }
     }
+    // every variable's data is materialized into the getters above, so
+    // the OS resource (pread channel of a large granule) releases here —
+    // before the returned iterator is consumed
+    nc.close()
     Iterator.tabulate(n)(i => Row.fromSeq(getters.toSeq.map(_(i))))
   }
 
@@ -218,7 +222,10 @@ object NetCDFIngest {
     val json = nc.attrs.toSeq.sortBy(_._1).map { case (k, v) =>
       "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
     }.mkString("{", ", ", "}")
-    GranuleMeta(path, granuleName(path), schemaFor(nc, recDim), json, n)
+    val meta = GranuleMeta(path, granuleName(path), schemaFor(nc, recDim),
+      json, n)
+    nc.close()
+    meta
   }
 
   /** Union of the per-granule schemas, first-seen field order. A variable

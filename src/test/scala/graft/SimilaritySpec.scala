@@ -330,12 +330,16 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(outlierScale(500L) == 10000L)       // fixture scale: unchanged
     assert(outlierScale(90000L) == 1000L)
     assert(outlierScale(1000000L) == 100L)     // 1e6-row label
-    assert(outlierScale(1000000000L) == 1L)    // 1e9-row label
+    assert(outlierScale(100000000L) == 1L)     // 1e8-row label: scale floor
     // the invariant the thresholds encode: 256*(nm*scale)^2 < 2^63, which
     // scale=1 can honor up to nm = 1.8e8 (past that, a label needs sharding
     // before outlier detection — 180M rows of |x| >= 1 in ONE label)
     for (nm <- Seq(1L, 18000L, 180000L, 1800000L, 18000000L, 180000000L))
       assert(256.0 * math.pow(nm.toDouble * outlierScale(nm), 2) < math.pow(2, 63))
+    // past the scale-1 floor the exact-integer path CANNOT stay in BIGINT:
+    // fail loudly (pointing at sharding) instead of wrapping dist2 negative
+    val e = intercept[IllegalArgumentException](outlierScale(180000001L))
+    assert(e.getMessage.contains("Shard"))
   }
 
   test("emb_outliers auto-rescales on a big label and keeps the rank order") {
