@@ -25,9 +25,17 @@ package graft.sources
   *     through a global heap collection (GCOL)
   *
   * Not emitted (not needed for the reference's outputs): dense
-  * attribute/link storage, v2+ object headers. Files are built in one
-  * in-memory buffer — outputs >2 GiB are unsupported, the same bound as
-  * [[Hdf5Reader]].
+  * attribute/link storage, v2+ object headers.
+  *
+  * I/O model: [[write]] STREAMS to the destination through a buffered
+  * 64-bit file sink ([[FileOut]]) — the file is never held in memory and
+  * output size is unbounded; back-references (superblock slots, OH
+  * sizes, B-tree siblings, GCOL addresses) patch via positional writes.
+  * [[StreamWriter]] exposes the same assembly incrementally: feed each
+  * dataset's chunk payloads from an iterator (one chunk in memory at a
+  * time — the reference's node-by-node streaming model,
+  * aggregator.py:239-359), then `finish()` writes the metadata. The
+  * in-memory [[build]] remains for byte-level tests.
   */
 object Hdf5Writer {
 
@@ -53,7 +61,8 @@ object Hdf5Writer {
   /** One dataset to write. `data` is the raw little-endian row-major
     * element bytes (`shape.product * dtype.size` long); `None` leaves the
     * storage unallocated (reads back as zeros/fill — how netcdf-c leaves
-    * never-written phony dimension scales). `unlimited0` marks dimension
+    * never-written phony dimension scales) unless chunk payloads are fed
+    * through [[StreamWriter.datasetChunks]]. `unlimited0` marks dimension
     * 0 as unlimited (maxdims entry unlimited + chunked layout). */
   final case class WDataset(
       name: String,
@@ -75,37 +84,110 @@ object Hdf5Writer {
         * long runs; chunked layout only) */
       shuffle: Boolean = false)
 
-  // ------------------------------------------------------------------ buf
+  // ------------------------------------------------------------------ out
 
-  private final class Buf {
-    private var a = new Array[Byte](1 << 16)
-    var pos = 0
-    private def ensure(n: Int): Unit =
-      if (pos + n > a.length) {
-        var cap = a.length
-        while (cap < pos + n) cap *= 2
-        a = java.util.Arrays.copyOf(a, cap)
-      }
-    def u8(v: Int): Unit = { ensure(1); a(pos) = v.toByte; pos += 1 }
-    def u16(v: Int): Unit = { u8(v & 0xff); u8((v >> 8) & 0xff) }
-    def u32(v: Long): Unit = { u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt) }
-    def u64(v: Long): Unit = { u32(v & 0xffffffffL); u32((v >>> 32) & 0xffffffffL) }
-    def bytes(b: Array[Byte]): Unit = {
-      ensure(b.length)
-      System.arraycopy(b, 0, a, pos, b.length); pos += b.length
+  /** Append-mostly output sink with 64-bit positions and positional
+    * patching of already-written slots. */
+  private[sources] sealed trait Out {
+    def pos: Long
+    def u8(v: Int): Unit
+    def bytes(b: Array[Byte]): Unit
+    def zeros(n: Int): Unit
+    def patchBytes(at: Long, b: Array[Byte]): Unit
+    def close(): Unit = ()
+
+    final def u16(v: Int): Unit = { u8(v & 0xff); u8((v >> 8) & 0xff) }
+    final def u32(v: Long): Unit = {
+      u16((v & 0xffff).toInt); u16(((v >> 16) & 0xffff).toInt)
     }
-    def zeros(n: Int): Unit = { ensure(n); pos += n } // array is zeroed
-    def align8(): Unit = if (pos % 8 != 0) zeros(8 - pos % 8)
-    def patch16(at: Int, v: Int): Unit = {
-      a(at) = (v & 0xff).toByte; a(at + 1) = ((v >> 8) & 0xff).toByte
+    final def u64(v: Long): Unit = {
+      u32(v & 0xffffffffL); u32((v >>> 32) & 0xffffffffL)
     }
-    def patch32(at: Int, v: Long): Unit = {
-      patch16(at, (v & 0xffff).toInt); patch16(at + 2, ((v >> 16) & 0xffff).toInt)
+    final def align8(): Unit =
+      if (pos % 8 != 0) zeros((8 - pos % 8).toInt)
+    final def patch16(at: Long, v: Int): Unit =
+      patchBytes(at, Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+    final def patch32(at: Long, v: Long): Unit = {
+      patch16(at, (v & 0xffff).toInt)
+      patch16(at + 2, ((v >> 16) & 0xffff).toInt)
     }
-    def patch64(at: Int, v: Long): Unit = {
+    final def patch64(at: Long, v: Long): Unit = {
       patch32(at, v & 0xffffffffL); patch32(at + 4, (v >>> 32) & 0xffffffffL)
     }
-    def result(): Array[Byte] = java.util.Arrays.copyOf(a, pos)
+  }
+
+  /** Growable in-memory sink (also the builder for small message
+    * bodies). */
+  private[sources] final class MemOut extends Out {
+    private var a = new Array[Byte](1 << 16)
+    private var p = 0
+    def pos: Long = p.toLong
+    private def ensure(n: Int): Unit =
+      if (p + n > a.length) {
+        var cap = a.length
+        while (cap < p + n) cap *= 2
+        a = java.util.Arrays.copyOf(a, cap)
+      }
+    def u8(v: Int): Unit = { ensure(1); a(p) = v.toByte; p += 1 }
+    def bytes(b: Array[Byte]): Unit = {
+      ensure(b.length)
+      System.arraycopy(b, 0, a, p, b.length); p += b.length
+    }
+    def zeros(n: Int): Unit = { ensure(n); p += n } // array is zeroed
+    def patchBytes(at: Long, b: Array[Byte]): Unit =
+      System.arraycopy(b, 0, a, at.toInt, b.length)
+    def result(): Array[Byte] = java.util.Arrays.copyOf(a, p)
+  }
+
+  /** Buffered file sink: sequential appends coalesce into 64 KiB channel
+    * writes; a patch behind the buffer becomes one positional write. The
+    * output file can exceed 2 GiB — nothing is held in memory beyond the
+    * append buffer. */
+  private[sources] final class FileOut(path: java.nio.file.Path) extends Out {
+    private val ch = java.nio.channels.FileChannel.open(path,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    private val buf = new Array[Byte](1 << 16)
+    private var base = 0L // file offset of buf(0)
+    private var len = 0
+    def pos: Long = base + len
+    private def writeFully(bb: java.nio.ByteBuffer, at: Long): Unit = {
+      var p = at
+      while (bb.hasRemaining) p += ch.write(bb, p)
+    }
+    private def flush(): Unit = if (len > 0) {
+      writeFully(java.nio.ByteBuffer.wrap(buf, 0, len), base)
+      base += len; len = 0
+    }
+    def u8(v: Int): Unit = {
+      if (len == buf.length) flush()
+      buf(len) = v.toByte; len += 1
+    }
+    def bytes(b: Array[Byte]): Unit = {
+      var off = 0
+      while (off < b.length) {
+        if (len == buf.length) flush()
+        val k = math.min(buf.length - len, b.length - off)
+        System.arraycopy(b, off, buf, len, k); len += k; off += k
+      }
+    }
+    def zeros(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        if (len == buf.length) flush()
+        val k = math.min(buf.length - len, left)
+        java.util.Arrays.fill(buf, len, len + k, 0.toByte)
+        len += k; left -= k
+      }
+    }
+    def patchBytes(at: Long, b: Array[Byte]): Unit =
+      if (at >= base) // still in the append buffer
+        System.arraycopy(b, 0, buf, (at - base).toInt, b.length)
+      else if (at + b.length <= base)
+        writeFully(java.nio.ByteBuffer.wrap(b), at)
+      else { flush(); writeFully(java.nio.ByteBuffer.wrap(b), at) }
+    override def close(): Unit = { flush(); ch.close() }
   }
 
   // ------------------------------------------------------- message bodies
@@ -113,7 +195,7 @@ object Hdf5Writer {
   /** Datatype message bytes (v1 encoding; properties per the spec's
     * fixed-point / floating-point / string classes). */
   private def dtBytes(t: WType): Array[Byte] = {
-    val b = new Buf
+    val b = new MemOut
     t match {
       case WInt(size, signed) =>
         b.u8(0x10); b.u8(if (signed) 0x08 else 0x00); b.u8(0); b.u8(0)
@@ -142,7 +224,7 @@ object Hdf5Writer {
 
   /** vlen(sequence) of object references — the `DIMENSION_LIST` type. */
   private def dtVlenRefBytes(): Array[Byte] = {
-    val b = new Buf
+    val b = new MemOut
     b.u8(0x19); b.u8(0x00); b.u8(0); b.u8(0) // vlen, sequence
     b.u32(16) // in-file vlen datum: length(4) + gheap addr(8) + index(4)
     b.u8(0x17); b.u8(0x00); b.u8(0); b.u8(0) // base: object reference
@@ -153,7 +235,7 @@ object Hdf5Writer {
   /** Dataspace message bytes, v1: rank 0 = scalar. */
   private def dsBytes(shape: Seq[Long], maxShape: Option[Seq[Long]])
       : Array[Byte] = {
-    val b = new Buf
+    val b = new MemOut
     b.u8(1); b.u8(shape.length); b.u8(if (maxShape.isDefined) 1 else 0)
     b.zeros(5)
     shape.foreach(b.u64)
@@ -161,11 +243,11 @@ object Hdf5Writer {
     b.result()
   }
 
-  /** A pending global-heap object: payload + the absolute buf position of
+  /** A pending global-heap object: payload + the absolute out position of
     * the 8-byte collection-address slot to patch once the GCOL lands. */
   private final class GHeap {
     val objs = scala.collection.mutable.ArrayBuffer[Array[Byte]]()
-    val addrSlots = scala.collection.mutable.ArrayBuffer[Int]()
+    val addrSlots = scala.collection.mutable.ArrayBuffer[Long]()
     /** Returns the 1-based heap object index. */
     def add(payload: Array[Byte]): Int = { objs += payload; objs.size }
   }
@@ -214,15 +296,15 @@ object Hdf5Writer {
     * used, left/right sibling, then key0, child0, key1, ..., key_n.
     * A chunk key = stored size (u32), filter mask (u32), chunk offset
     * (u64 per dataset dim + one trailing element-dim 0). */
-  private def writeChunkBtree(buf: Buf, rank: Int,
+  private def writeChunkBtree(out: Out, rank: Int,
       entries: Seq[(Long, Int, Long)], shape: Seq[Long], cr: Long): Long = {
     // key = (stored size, dim-0 offset); inner-dim offsets are always 0
     // (chunks span the full inner extent)
     def putKey(size: Int, off: Long): Unit = {
-      buf.u32(size); buf.u32(0) // size, filter mask
-      buf.u64(off)
-      (1 until rank).foreach(_ => buf.u64(0))
-      buf.u64(0) // element dim
+      out.u32(size); out.u32(0) // size, filter mask
+      out.u64(off)
+      (1 until rank).foreach(_ => out.u64(0))
+      out.u64(0) // element dim
     }
     val upperOff = // upper-bound key offset after the last chunk
       math.max(shape.headOption.getOrElse(0L),
@@ -235,15 +317,15 @@ object Hdf5Writer {
         if (children.isEmpty) Seq(Seq.empty[(Long, Int, Long)])
         else children.grouped(BtNodeMax).toSeq
       val addrs = groups.zipWithIndex.map { case (g, gi) =>
-        buf.align8()
-        val addr = buf.pos.toLong
-        buf.bytes("TREE".getBytes("US-ASCII"))
-        buf.u8(1) // node type 1: raw data chunks
-        buf.u8(level)
-        buf.u16(g.size)
-        buf.u64(Undefined); buf.u64(Undefined) // siblings (patched below)
+        out.align8()
+        val addr = out.pos
+        out.bytes("TREE".getBytes("US-ASCII"))
+        out.u8(1) // node type 1: raw data chunks
+        out.u8(level)
+        out.u16(g.size)
+        out.u64(Undefined); out.u64(Undefined) // siblings (patched below)
         g.foreach { case (off, size, child) =>
-          putKey(size, off); buf.u64(child)
+          putKey(size, off); out.u64(child)
         }
         // trailing key: first key of the next node's subtree, or the
         // upper bound past the last chunk (readers stop at nent; the C
@@ -255,8 +337,8 @@ object Hdf5Writer {
       }
       // sibling links
       addrs.zipWithIndex.foreach { case (a, i) =>
-        if (i > 0) buf.patch64(a.toInt + 8, addrs(i - 1))
-        if (i < addrs.size - 1) buf.patch64(a.toInt + 16, addrs(i + 1))
+        if (i > 0) out.patch64(a + 8, addrs(i - 1))
+        if (i < addrs.size - 1) out.patch64(a + 16, addrs(i + 1))
       }
       addrs.zip(groups).map { case (a, g) =>
         (g.headOption.map(_._1).getOrElse(0L),
@@ -272,17 +354,55 @@ object Hdf5Writer {
     nodes.head._3
   }
 
-  // ---------------------------------------------------------------- write
+  // --------------------------------------------------------- StreamWriter
 
-  def write(dst: java.nio.file.Path, datasets: Seq[WDataset],
-      rootAttrs: Seq[(String, WAttrVal)]): Unit =
-    java.nio.file.Files.write(dst, build(datasets, rootAttrs))
+  /** Incremental single-file assembly: construct over an [[Out]], feed
+    * each dataset (whole-array via [[dataset]], or chunk-at-a-time via
+    * [[datasetChunks]] — the streamed path holds ONE chunk in memory),
+    * then [[finish]] writes object headers, the root group, and the
+    * global heap, and patches the superblock. Dimension-scale datasets
+    * must be fed before the variables whose `DIMENSION_LIST` references
+    * them (same caller contract as before). */
+  final class StreamWriter private[Hdf5Writer] (out: Out) {
 
-  def build(datasets: Seq[WDataset],
-      rootAttrs: Seq[(String, WAttrVal)]): Array[Byte] = {
-    require(datasets.map(_.name).distinct.size == datasets.size,
-      "duplicate dataset names")
-    datasets.foreach { ds =>
+    private val gheap = new GHeap
+    private val ohAddr = scala.collection.mutable.LinkedHashMap[String, Long]()
+    private val contAddr = scala.collection.mutable.Map[String, (Long, Long)]()
+    private val chunkBt = scala.collection.mutable.Map[String, Long]()
+    private val chunkRowsUsed = scala.collection.mutable.Map[String, Long]()
+    private val metas = scala.collection.mutable.ArrayBuffer[WDataset]()
+    private var finished = false
+
+    // ---- superblock v0 (96 bytes incl. root symbol-table entry)
+    out.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
+      .map(_.toByte))
+    out.u8(0) // superblock v0
+    out.u8(0); out.u8(0) // free space / root symbol table versions
+    out.u8(0) // reserved
+    out.u8(0) // shared header message version
+    out.u8(8); out.u8(8) // size of offsets / lengths
+    out.u8(0) // reserved
+    // group leaf K must cover the single SNOD's entry count (<= 2K for
+    // strict readers); the dataset count isn't known yet — patched in
+    // finish() to max(4, n), the value the one-shot writer always used
+    private val leafKSlot = out.pos
+    out.u16(4) // group leaf K (patched)
+    out.u16(16) // group internal K
+    out.u32(0) // file consistency flags
+    out.u64(0) // base address
+    out.u64(Undefined) // free-space info
+    private val eofSlot = out.pos; out.u64(0) // end-of-file (patched)
+    out.u64(Undefined) // driver info block
+    // root group symbol table entry
+    out.u64(0) // link name offset
+    private val rootOhSlot = out.pos; out.u64(0) // root OH addr (patched)
+    out.u32(0); out.u32(0) // cache type, reserved
+    out.zeros(16) // scratch
+
+    private def validate(ds: WDataset): Unit = {
+      require(!finished, "StreamWriter already finished")
+      require(!metas.exists(_.name == ds.name),
+        s"duplicate dataset name ${ds.name}")
       val n = ds.shape.product max (if (ds.shape.isEmpty) 1L else 0L)
       ds.data.foreach(d => require(d.length == n * ds.dtype.size,
         s"${ds.name}: ${d.length} data bytes for shape ${ds.shape} x " +
@@ -296,127 +416,129 @@ object Hdf5Writer {
       ds.chunkRows.foreach(c => require(c > 0,
         s"${ds.name}: chunkRows $c must be positive"))
     }
-    val buf = new Buf
-    val gheap = new GHeap
-    val ohAddr = scala.collection.mutable.LinkedHashMap[String, Long]()
 
-    // ---- superblock v0 (96 bytes incl. root symbol-table entry)
-    buf.bytes(Array(0x89, 'H', 'D', 'F', '\r', '\n', 0x1a, '\n')
-      .map(_.toByte))
-    buf.u8(0) // superblock v0
-    buf.u8(0); buf.u8(0) // free space / root symbol table versions
-    buf.u8(0) // reserved
-    buf.u8(0) // shared header message version
-    buf.u8(8); buf.u8(8) // size of offsets / lengths
-    buf.u8(0) // reserved
-    buf.u16(math.max(4, datasets.size)) // group leaf K (one SNOD suffices)
-    buf.u16(16) // group internal K
-    buf.u32(0) // file consistency flags
-    buf.u64(0) // base address
-    buf.u64(Undefined) // free-space info
-    val eofSlot = buf.pos; buf.u64(0) // end-of-file address (patched)
-    buf.u64(Undefined) // driver info block
-    // root group symbol table entry
-    buf.u64(0) // link name offset
-    val rootOhSlot = buf.pos; buf.u64(0) // root OH address (patched)
-    buf.u32(0); buf.u32(0) // cache type, reserved
-    buf.zeros(16) // scratch
+    /** Shared chunked-data writer: `payloads` yields LOGICAL chunk bytes
+      * (cr rows x rowBytes, edge chunk already padded to the full chunk
+      * extent); filters apply here. */
+    private def writeChunks(ds: WDataset, cr: Long,
+        payloads: Iterator[Array[Byte]]): Unit = {
+      chunkRowsUsed(ds.name) = cr
+      val entries = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+      var off = 0L
+      payloads.foreach { raw =>
+        var payload = raw
+        if (ds.shuffle) payload = shuffleBytes(payload, ds.dtype.size)
+        ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
+        if (ds.fletcher32) {
+          // trailing checksum, little-endian, over the (possibly
+          // compressed) chunk as stored — matching the pipeline order
+          // declared in the filter message (deflate, then fletcher32)
+          val sum = Hdf5Reader.fletcher32(payload, payload.length)
+          val w = java.util.Arrays.copyOf(payload, payload.length + 4)
+          w(payload.length) = (sum & 0xff).toByte
+          w(payload.length + 1) = ((sum >> 8) & 0xff).toByte
+          w(payload.length + 2) = ((sum >> 16) & 0xffL).toByte
+          w(payload.length + 3) = ((sum >> 24) & 0xff).toByte
+          payload = w
+        }
+        out.align8()
+        entries += ((off, payload.length, out.pos))
+        out.bytes(payload)
+        off += cr
+      }
+      chunkBt(ds.name) = writeChunkBtree(out, ds.shape.length,
+        entries.toSeq, ds.shape, cr)
+    }
 
-    // ---- data regions (contiguous blocks / chunk data + chunk B-trees)
-    val contAddr = scala.collection.mutable.Map[String, (Long, Long)]()
-    val chunkBt = scala.collection.mutable.Map[String, Long]()
-    val chunkRowsUsed = scala.collection.mutable.Map[String, Long]()
-    datasets.foreach { ds =>
+    /** Feed one dataset whose data (if any) is fully in memory. */
+    def dataset(ds: WDataset): Unit = {
+      validate(ds)
       val total = ds.data.map(_.length.toLong).getOrElse(0L)
       if (ds.unlimited0) {
-        val rank = ds.shape.length
         val nRows = ds.shape.headOption.getOrElse(0L)
         val rowBytes = math.max(ds.shape.drop(1).product, 1L) * ds.dtype.size
         // chunk extent along dim 0: caller's chunkRows, else one chunk
         // spanning the whole current extent (the pre-r5 shape)
         val cr = ds.chunkRows.map(_.toLong).filter(_ > 0)
           .getOrElse(math.max(nRows, 1L))
-        chunkRowsUsed(ds.name) = cr
-        // write chunk payloads; edge chunks are padded to the full chunk
-        // extent (the on-disk convention — readers clip by dataset shape)
-        final case class CEntry(offRows: Long, stored: Int, addr: Long)
-        val entries = scala.collection.mutable.ArrayBuffer[CEntry]()
-        if (ds.data.isDefined && total > 0) {
-          val data = ds.data.get
-          val logical = (cr * rowBytes).toInt
-          var off = 0L
-          while (off < nRows) {
-            val at = (off * rowBytes).toInt
-            val avail = (math.min(nRows - off, cr) * rowBytes).toInt
-            var payload =
-              if (avail == logical)
-                java.util.Arrays.copyOfRange(data, at, at + logical)
+        val payloads: Iterator[Array[Byte]] =
+          if (ds.data.isEmpty || total == 0) Iterator.empty
+          else {
+            val data = ds.data.get
+            val logical = (cr * rowBytes).toInt
+            Iterator.unfold(0L) { off =>
+              if (off >= nRows) None
               else {
-                val p = new Array[Byte](logical)
-                System.arraycopy(data, at, p, 0, avail)
-                p
+                val at = (off * rowBytes).toInt
+                val avail = (math.min(nRows - off, cr) * rowBytes).toInt
+                val p =
+                  if (avail == logical)
+                    java.util.Arrays.copyOfRange(data, at, at + logical)
+                  else { // edge chunk: pad to the full chunk extent
+                    val q = new Array[Byte](logical)
+                    System.arraycopy(data, at, q, 0, avail)
+                    q
+                  }
+                Some((p, off + cr))
               }
-            if (ds.shuffle) payload = shuffleBytes(payload, ds.dtype.size)
-            ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
-            if (ds.fletcher32) {
-              // trailing checksum, little-endian, over the (possibly
-              // compressed) chunk as stored — matching the pipeline order
-              // declared in the filter message (deflate, then fletcher32)
-              val sum = Hdf5Reader.fletcher32(payload, payload.length)
-              val w = java.util.Arrays.copyOf(payload, payload.length + 4)
-              w(payload.length) = (sum & 0xff).toByte
-              w(payload.length + 1) = ((sum >> 8) & 0xff).toByte
-              w(payload.length + 2) = ((sum >> 16) & 0xff).toByte
-              w(payload.length + 3) = ((sum >> 24) & 0xff).toByte
-              payload = w
             }
-            buf.align8()
-            entries += CEntry(off, payload.length, buf.pos.toLong)
-            buf.bytes(payload)
-            off += cr
           }
-        }
-        chunkBt(ds.name) =
-          writeChunkBtree(buf, rank, entries.toSeq.map(e =>
-            (e.offRows, e.stored, e.addr)), ds.shape, cr)
+        writeChunks(ds, cr, payloads)
       } else if (ds.data.isDefined) {
-        buf.align8()
-        contAddr(ds.name) = (buf.pos.toLong, total)
-        ds.data.foreach(buf.bytes)
+        out.align8()
+        contAddr(ds.name) = (out.pos, total)
+        ds.data.foreach(out.bytes)
       } // else: unallocated contiguous storage (address undefined)
+      metas += ds.copy(data = None) // free the data; finish needs meta only
+    }
+
+    /** Feed one chunked dataset from an iterator of logical chunk
+      * payloads (each `chunkRows x rowBytes`, the last one padded to the
+      * full extent by the CALLER) — one chunk in driver memory at a
+      * time. `ds.data` must be None; `ds.shape.head` must already be the
+      * final row count; `ds.chunkRows` must be set. */
+    def datasetChunks(ds: WDataset, payloads: Iterator[Array[Byte]]): Unit = {
+      require(ds.data.isEmpty, s"${ds.name}: datasetChunks takes payloads")
+      require(ds.unlimited0 && ds.chunkRows.exists(_ > 0),
+        s"${ds.name}: streamed chunks need unlimited0 + chunkRows")
+      validate(ds)
+      writeChunks(ds, ds.chunkRows.get.toLong, payloads)
+      metas += ds
     }
 
     // gheap address slots of the attr body being built (body-relative;
     // rebased to absolute positions by writeOH)
-    val pendingGheapSlots = scala.collection.mutable.ArrayBuffer[Int]()
+    private val pendingGheapSlots = scala.collection.mutable.ArrayBuffer[Int]()
 
     // ---- one v1 attribute message body
-    def attrBody(name: String, v: WAttrVal): Array[Byte] = {
-      val b = new Buf
+    private def attrBody(name: String, v: WAttrVal): Array[Byte] = {
+      val b = new MemOut
       val (dt, ds, data: Array[Byte], gSlots) = v match {
         case WStrAttr(s) =>
           val raw = s.getBytes("UTF-8")
           (dtBytes(WStr(raw.length + 1)), dsBytes(Nil, None),
             java.util.Arrays.copyOf(raw, raw.length + 1), Nil)
         case WLongAttr(x, size) =>
-          val d = new Buf; (0 until size).foreach(i => d.u8(((x >> (8 * i)) & 0xff).toInt))
+          val d = new MemOut
+          (0 until size).foreach(i => d.u8(((x >> (8 * i)) & 0xff).toInt))
           (dtBytes(WInt(size, signed = true)), dsBytes(Nil, None),
             d.result(), Nil)
         case WDoubleAttr(x) =>
-          val d = new Buf; d.u64(java.lang.Double.doubleToLongBits(x))
+          val d = new MemOut; d.u64(java.lang.Double.doubleToLongBits(x))
           (dtBytes(WF64), dsBytes(Nil, None), d.result(), Nil)
         case WFloatAttr(x) =>
-          val d = new Buf; d.u32(java.lang.Float.floatToIntBits(x) & 0xffffffffL)
+          val d = new MemOut
+          d.u32(java.lang.Float.floatToIntBits(x) & 0xffffffffL)
           (dtBytes(WF32), dsBytes(Nil, None), d.result(), Nil)
         case WDimListAttr(dimNames) =>
-          val d = new Buf
+          val d = new MemOut
           val slots = dimNames.map { dn =>
             val target = ohAddr.getOrElse(dn, throw new IllegalStateException(
               s"DIMENSION_LIST references $dn before its dataset is written"))
-            val ref = new Buf; ref.u64(target)
+            val ref = new MemOut; ref.u64(target)
             val idx = gheap.add(ref.result())
             d.u32(1) // vlen length: one reference
-            val slot = d.pos; d.u64(0) // collection address (patched)
+            val slot = d.pos.toInt; d.u64(0) // collection address (patched)
             d.u32(idx)
             slot
           }
@@ -430,7 +552,7 @@ object Hdf5Writer {
       b.bytes(nameRaw); b.u8(0); b.align8()
       b.bytes(dt); b.align8()
       b.bytes(ds); b.align8()
-      val dataStart = b.pos
+      val dataStart = b.pos.toInt
       b.bytes(data)
       // remember gheap address slots relative to the body start
       gSlots.foreach(s => pendingGheapSlots += (dataStart + s))
@@ -438,171 +560,208 @@ object Hdf5Writer {
     }
 
     // ---- one v1 object header from (type, body) messages
-    def writeOH(msgs: Seq[(Int, () => Array[Byte])]): Long = {
-      buf.align8()
-      val addr = buf.pos.toLong
-      buf.u8(1); buf.u8(0)
-      buf.u16(msgs.size)
-      buf.u32(1) // object reference count
-      val sizeSlot = buf.pos; buf.u32(0)
-      buf.u32(0) // pad to 8-align message start
-      val start = buf.pos
+    private def writeOH(msgs: Seq[(Int, () => Array[Byte])]): Long = {
+      out.align8()
+      val addr = out.pos
+      out.u8(1); out.u8(0)
+      out.u16(msgs.size)
+      out.u32(1) // object reference count
+      val sizeSlot = out.pos; out.u32(0)
+      out.u32(0) // pad to 8-align message start
+      val start = out.pos
       msgs.foreach { case (t, mkBody) =>
         pendingGheapSlots.clear()
         val body = mkBody()
         val padded = (body.length + 7) / 8 * 8
-        buf.u16(t); buf.u16(padded)
-        buf.u8(0); buf.u8(0); buf.u8(0); buf.u8(0) // flags + reserved
-        val bodyAt = buf.pos
-        buf.bytes(body); buf.zeros(padded - body.length)
+        out.u16(t); out.u16(padded)
+        out.u8(0); out.u8(0); out.u8(0); out.u8(0) // flags + reserved
+        val bodyAt = out.pos
+        out.bytes(body); out.zeros(padded - body.length)
         pendingGheapSlots.foreach(rel => gheap.addrSlots += (bodyAt + rel))
       }
-      buf.patch32(sizeSlot, buf.pos - start)
+      out.patch32(sizeSlot, out.pos - start)
       addr
     }
 
-    // ---- dataset object headers (caller orders dims before referencers)
-    datasets.foreach { ds =>
-      val maxShape =
-        if (ds.unlimited0)
-          Some(Undefined +: ds.shape.drop(1))
-        else None
-      val msgs = Seq.newBuilder[(Int, () => Array[Byte])]
-      msgs += 0x01 -> (() => dsBytes(ds.shape, maxShape))
-      msgs += 0x03 -> (() => dtBytes(ds.dtype))
-      msgs += 0x05 -> (() => Array[Byte](2, 2, 0, 0)) // fill v2, undefined
-      // filter pipeline v1, filters in write-application order: shuffle
-      // (id 2, client data = element size), deflate (id 1, client data =
-      // level), then fletcher32 (id 3)
-      val pipeline: Seq[(Int, Seq[Int])] =
-        (if (ds.shuffle) Seq(2 -> Seq(ds.dtype.size)) else Nil) ++
-          ds.deflate.map(lvl => 1 -> Seq(lvl)).toSeq ++
-          (if (ds.fletcher32) Seq(3 -> Seq.empty[Int]) else Nil)
-      if (pipeline.nonEmpty && ds.unlimited0)
-        msgs += 0x0b -> { () =>
-          val b = new Buf
-          b.u8(1); b.u8(pipeline.size); b.zeros(6) // version, nf, reserved
-          pipeline.foreach { case (id, cd) =>
-            b.u16(id); b.u16(0) // filter id, name length
-            b.u16(0); b.u16(cd.size) // flags, client data count
-            cd.foreach(v => b.u32(v & 0xffffffffL)) // 4-byte values (spec)
-            if (cd.size % 2 == 1) b.u32(0) // v1 pads odd count with 4 bytes
+    /** Write every object header, the root group, and the global heap;
+      * patch the superblock. The sink stays open (caller closes). */
+    def finish(rootAttrs: Seq[(String, WAttrVal)]): Unit = {
+      require(!finished, "StreamWriter already finished")
+      finished = true
+      val datasets = metas.toSeq
+      out.patch16(leafKSlot, math.max(4, datasets.size))
+
+      // ---- dataset object headers (caller ordered dims before referencers)
+      datasets.foreach { ds =>
+        val maxShape =
+          if (ds.unlimited0)
+            Some(Undefined +: ds.shape.drop(1))
+          else None
+        val msgs = Seq.newBuilder[(Int, () => Array[Byte])]
+        msgs += 0x01 -> (() => dsBytes(ds.shape, maxShape))
+        msgs += 0x03 -> (() => dtBytes(ds.dtype))
+        msgs += 0x05 -> (() => Array[Byte](2, 2, 0, 0)) // fill v2, undefined
+        // filter pipeline v1, filters in write-application order: shuffle
+        // (id 2, client data = element size), deflate (id 1, client data =
+        // level), then fletcher32 (id 3)
+        val pipeline: Seq[(Int, Seq[Int])] =
+          (if (ds.shuffle) Seq(2 -> Seq(ds.dtype.size)) else Nil) ++
+            ds.deflate.map(lvl => 1 -> Seq(lvl)).toSeq ++
+            (if (ds.fletcher32) Seq(3 -> Seq.empty[Int]) else Nil)
+        if (pipeline.nonEmpty && ds.unlimited0)
+          msgs += 0x0b -> { () =>
+            val b = new MemOut
+            b.u8(1); b.u8(pipeline.size); b.zeros(6) // version, nf, reserved
+            pipeline.foreach { case (id, cd) =>
+              b.u16(id); b.u16(0) // filter id, name length
+              b.u16(0); b.u16(cd.size) // flags, client data count
+              cd.foreach(v => b.u32(v & 0xffffffffL)) // 4-byte values (spec)
+              if (cd.size % 2 == 1) b.u32(0) // v1 pads odd count with 4 B
+            }
+            b.result()
+          }
+        msgs += 0x08 -> { () =>
+          val b = new MemOut
+          b.u8(3) // layout v3
+          if (ds.unlimited0) {
+            b.u8(2) // chunked
+            b.u8(ds.shape.length + 1)
+            b.u64(chunkBt(ds.name))
+            b.u32(math.max(chunkRowsUsed(ds.name), 1L))
+            ds.shape.drop(1).foreach(s => b.u32(math.max(s, 1L)))
+            b.u32(ds.dtype.size)
+          } else {
+            b.u8(1) // contiguous
+            val (addr, size) = contAddr.getOrElse(ds.name, (Undefined, 0L))
+            b.u64(addr); b.u64(size)
           }
           b.result()
         }
-      msgs += 0x08 -> { () =>
-        val b = new Buf
-        b.u8(3) // layout v3
-        if (ds.unlimited0) {
-          b.u8(2) // chunked
-          b.u8(ds.shape.length + 1)
-          b.u64(chunkBt(ds.name))
-          b.u32(math.max(chunkRowsUsed(ds.name), 1L))
-          ds.shape.drop(1).foreach(s => b.u32(math.max(s, 1L)))
-          b.u32(ds.dtype.size)
-        } else {
-          b.u8(1) // contiguous
-          val (addr, size) = contAddr.getOrElse(ds.name, (Undefined, 0L))
-          b.u64(addr); b.u64(size)
+        ds.attrs.foreach { case (an, av) =>
+          msgs += 0x0c -> (() => attrBody(an, av))
         }
-        b.result()
+        // record the address BEFORE building messages so a later
+        // variable's DIMENSION_LIST resolves this dataset; writeOH
+        // computes the address at align8 time, so pre-compute it:
+        out.align8()
+        ohAddr(ds.name) = out.pos
+        writeOH(msgs.result())
       }
-      ds.attrs.foreach { case (an, av) =>
-        msgs += 0x0c -> (() => attrBody(an, av))
+
+      // ---- local heap with all link names
+      out.align8()
+      val heapAddr = out.pos
+      val nameOff = scala.collection.mutable.Map[String, Long]()
+      val heapData = new MemOut
+      heapData.zeros(8) // offset 0: empty name (root entry) + alignment
+      datasets.foreach { ds =>
+        nameOff(ds.name) = heapData.pos
+        heapData.bytes(ds.name.getBytes("UTF-8")); heapData.u8(0)
+        heapData.align8()
       }
-      // record the address BEFORE building messages so a coordinate
-      // variable's own DIMENSION_LIST (if any) could self-resolve; writeOH
-      // computes the address at buf.align8 time, so pre-compute it:
-      buf.align8()
-      ohAddr(ds.name) = buf.pos.toLong
-      writeOH(msgs.result())
-    }
+      val hd = heapData.result()
+      out.bytes("HEAP".getBytes("US-ASCII"))
+      out.u8(0); out.zeros(3)
+      out.u64(hd.length)
+      out.u64(1) // free list: none
+      out.u64(heapAddr + 32) // data segment directly follows the header
+      out.bytes(hd)
 
-    // ---- local heap with all link names
-    buf.align8()
-    val heapAddr = buf.pos.toLong
-    val nameOff = scala.collection.mutable.Map[String, Long]()
-    val heapData = new Buf
-    heapData.zeros(8) // offset 0: empty name (root entry) + alignment
-    datasets.foreach { ds =>
-      nameOff(ds.name) = heapData.pos.toLong
-      heapData.bytes(ds.name.getBytes("UTF-8")); heapData.u8(0)
-      heapData.align8()
-    }
-    val hd = heapData.result()
-    buf.bytes("HEAP".getBytes("US-ASCII"))
-    buf.u8(0); buf.zeros(3)
-    buf.u64(hd.length)
-    buf.u64(1) // free list: none
-    buf.u64(heapAddr + 32) // data segment directly follows the header
-    buf.bytes(hd)
-
-    // ---- SNOD with all entries, sorted by link name
-    buf.align8()
-    val snodAddr = buf.pos.toLong
-    val sorted = datasets.map(_.name).sorted
-    buf.bytes("SNOD".getBytes("US-ASCII"))
-    buf.u8(1); buf.u8(0)
-    buf.u16(sorted.size)
-    sorted.foreach { n =>
-      buf.u64(nameOff(n))
-      buf.u64(ohAddr(n))
-      buf.u32(0); buf.u32(0) // cache type, reserved
-      buf.zeros(16)
-    }
-
-    // ---- group B-tree (single leaf entry -> the SNOD)
-    buf.align8()
-    val btreeAddr = buf.pos.toLong
-    buf.bytes("TREE".getBytes("US-ASCII"))
-    buf.u8(0) // node type 0: group nodes
-    buf.u8(0) // level
-    buf.u16(1)
-    buf.u64(Undefined); buf.u64(Undefined)
-    buf.u64(0) // key 0: empty name (sorts before everything)
-    buf.u64(snodAddr)
-    buf.u64(sorted.lastOption.map(nameOff).getOrElse(0L)) // key 1
-    // ---- root group object header
-    val rootMsgs = Seq.newBuilder[(Int, () => Array[Byte])]
-    rootMsgs += 0x11 -> { () =>
-      val b = new Buf; b.u64(btreeAddr); b.u64(heapAddr); b.result()
-    }
-    rootAttrs.foreach { case (an, av) =>
-      rootMsgs += 0x0c -> (() => attrBody(an, av))
-    }
-    val rootOh = writeOH(rootMsgs.result())
-
-    // ---- global heap collection (DIMENSION_LIST reference payloads).
-    // Emitted LAST, after every object header — attrBody may add gheap
-    // objects while any OH (including the root's) is being built, and the
-    // address-slot patch below must see all of them. Readers chase the
-    // patched address, so the collection's file position is irrelevant.
-    if (gheap.objs.nonEmpty) {
-      buf.align8()
-      val gcolAddr = buf.pos.toLong
-      val objBytes = gheap.objs.map(o => 16 + (o.length + 7) / 8 * 8).sum
-      // collections are at least 4096 bytes per the spec; pad with the
-      // terminating free-space object
-      val total = math.max(16L + objBytes + 16, 4096L)
-      buf.bytes("GCOL".getBytes("US-ASCII"))
-      buf.u8(1); buf.zeros(3)
-      buf.u64(total)
-      gheap.objs.zipWithIndex.foreach { case (o, i) =>
-        buf.u16(i + 1) // object index (1-based)
-        buf.u16(1) // reference count
-        buf.u32(0)
-        buf.u64(o.length)
-        buf.bytes(o); buf.align8()
+      // ---- SNOD with all entries, sorted by link name
+      out.align8()
+      val snodAddr = out.pos
+      val sorted = datasets.map(_.name).sorted
+      out.bytes("SNOD".getBytes("US-ASCII"))
+      out.u8(1); out.u8(0)
+      out.u16(sorted.size)
+      sorted.foreach { n =>
+        out.u64(nameOff(n))
+        out.u64(ohAddr(n))
+        out.u32(0); out.u32(0) // cache type, reserved
+        out.zeros(16)
       }
-      val used = buf.pos - gcolAddr.toInt
-      buf.u16(0); buf.u16(0); buf.u32(0) // free-space object (index 0)
-      buf.u64(total - used) // remaining bytes incl. this header
-      buf.zeros((gcolAddr + total - buf.pos).toInt)
-      gheap.addrSlots.foreach(slot => buf.patch64(slot, gcolAddr))
-    }
 
-    buf.patch64(rootOhSlot, rootOh)
-    buf.patch64(eofSlot, buf.pos.toLong)
-    buf.result()
+      // ---- group B-tree (single leaf entry -> the SNOD)
+      out.align8()
+      val btreeAddr = out.pos
+      out.bytes("TREE".getBytes("US-ASCII"))
+      out.u8(0) // node type 0: group nodes
+      out.u8(0) // level
+      out.u16(1)
+      out.u64(Undefined); out.u64(Undefined)
+      out.u64(0) // key 0: empty name (sorts before everything)
+      out.u64(snodAddr)
+      out.u64(sorted.lastOption.map(nameOff).getOrElse(0L)) // key 1
+      // ---- root group object header
+      val rootMsgs = Seq.newBuilder[(Int, () => Array[Byte])]
+      rootMsgs += 0x11 -> { () =>
+        val b = new MemOut; b.u64(btreeAddr); b.u64(heapAddr); b.result()
+      }
+      rootAttrs.foreach { case (an, av) =>
+        rootMsgs += 0x0c -> (() => attrBody(an, av))
+      }
+      val rootOh = writeOH(rootMsgs.result())
+
+      // ---- global heap collection (DIMENSION_LIST reference payloads).
+      // Emitted LAST, after every object header — attrBody may add gheap
+      // objects while any OH (including the root's) is being built, and
+      // the address-slot patch below must see all of them. Readers chase
+      // the patched address, so the collection's position is irrelevant.
+      if (gheap.objs.nonEmpty) {
+        out.align8()
+        val gcolAddr = out.pos
+        val objBytes = gheap.objs.map(o => 16 + (o.length + 7) / 8 * 8).sum
+        // collections are at least 4096 bytes per the spec; pad with the
+        // terminating free-space object
+        val total = math.max(16L + objBytes + 16, 4096L)
+        out.bytes("GCOL".getBytes("US-ASCII"))
+        out.u8(1); out.zeros(3)
+        out.u64(total)
+        gheap.objs.zipWithIndex.foreach { case (o, i) =>
+          out.u16(i + 1) // object index (1-based)
+          out.u16(1) // reference count
+          out.u32(0)
+          out.u64(o.length)
+          out.bytes(o); out.align8()
+        }
+        val used = out.pos - gcolAddr
+        out.u16(0); out.u16(0); out.u32(0) // free-space object (index 0)
+        out.u64(total - used) // remaining bytes incl. this header
+        out.zeros((gcolAddr + total - out.pos).toInt)
+        gheap.addrSlots.foreach(slot => out.patch64(slot, gcolAddr))
+      }
+
+      out.patch64(rootOhSlot, rootOh)
+      out.patch64(eofSlot, out.pos)
+    }
+  }
+
+  // ---------------------------------------------------------------- write
+
+  /** Open a [[StreamWriter]] over a buffered file sink. Caller feeds
+    * datasets then calls `finish` and [[closeStream]]. */
+  def stream(dst: java.nio.file.Path): (StreamWriter, Out) = {
+    val out = new FileOut(dst)
+    (new StreamWriter(out), out)
+  }
+
+  def write(dst: java.nio.file.Path, datasets: Seq[WDataset],
+      rootAttrs: Seq[(String, WAttrVal)]): Unit = {
+    val out = new FileOut(dst)
+    try {
+      val w = new StreamWriter(out)
+      datasets.foreach(w.dataset)
+      w.finish(rootAttrs)
+    } finally out.close()
+  }
+
+  /** In-memory assembly (byte-level tests). */
+  def build(datasets: Seq[WDataset],
+      rootAttrs: Seq[(String, WAttrVal)]): Array[Byte] = {
+    val out = new MemOut
+    val w = new StreamWriter(out)
+    datasets.foreach(w.dataset)
+    w.finish(rootAttrs)
+    out.result()
   }
 }

@@ -29,12 +29,14 @@ import Hdf5Writer._
   * Scale shape: one `.nc` file is inherently a single-writer artifact
   * (the reference is a single process for the same reason), so
   * [[write]] streams the FINISHED aggregate — already reduced by the
-  * distributed pipeline — through the driver. For large outputs,
-  * [[writeGranules]] writes a partitioned `.nc` granule SET instead:
-  * each range partition writes its own file executor-side, fully
-  * parallel, and the set re-ingests through [[NetCDFIngest]] (the same
-  * granule model the inputs use). Files are buffered in memory: >2 GiB
-  * per file is unsupported (split with `maxRecordsPerFile` instead).
+  * distributed pipeline — through the driver: row-buffered up to
+  * `maxRows`, then failing over to [[writeSingleStreamed]] (columnar,
+  * one chunk in memory, unbounded output size — the reference's own
+  * node-by-node streaming, aggregator.py:239-359). For PARALLEL large
+  * outputs, [[writeGranules]] writes a partitioned `.nc` granule SET
+  * instead: each range partition writes its own file executor-side,
+  * fully parallel, and the set re-ingests through [[NetCDFIngest]] (the
+  * same granule model the inputs use).
   */
 object NetCDFWrite {
 
@@ -73,10 +75,20 @@ object NetCDFWrite {
   private final case class Built(
       dtype: WType, data: Array[Byte], extraAttrs: Seq[(String, WAttrVal)])
 
-  /** Encode flat element values (row-major, nulls = fill) for one
-    * variable. */
-  private def encode(vals: Array[Any], elemType: DataType,
-      v: AggConfig.VarSpec): Built = {
+  /** An encoding PLAN for one variable: the on-disk type and attrs are
+    * decided once (from whole-dataset knowledge), then `put` converts any
+    * value batch to bytes — so the streamed path can encode
+    * chunk-at-a-time under decisions made from one stats pass, and the
+    * in-memory path derives the same decisions from its full batch. */
+  private final case class Enc(
+      dtype: WType, extraAttrs: Seq[(String, WAttrVal)],
+      put: Array[Any] => Array[Byte])
+
+  /** Plan the encoding of one variable. `strWidth` is the cell width for
+    * StringType (max UTF-8 bytes + 1 over the WHOLE dataset); `intFits`
+    * says every integral value fits 32 bits (whole dataset). */
+  private def planEnc(elemType: DataType, v: AggConfig.VarSpec,
+      strWidth: Int, intFits: Boolean): Enc = {
     val cfgFillNum = v.attributes.get("_FillValue")
       .flatMap(s => scala.util.Try(s.trim.toDouble).toOption)
     elemType match {
@@ -88,75 +100,105 @@ object NetCDFWrite {
           if (v.attributes.get("units").flatMap(NetCDF4.timeUnits).isDefined)
             Nil
           else Seq("units" -> WStrAttr(EpochUnits))
-        val b = java.nio.ByteBuffer.allocate(vals.length * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vals.foreach { x =>
-          b.putDouble(if (x == null) Double.NaN else (usOf(x) - base) / per)
-        }
-        Built(WF64, b.array(), unitsAttr)
+        Enc(WF64, unitsAttr, { vals =>
+          val b = java.nio.ByteBuffer.allocate(vals.length * 8)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          vals.foreach { x =>
+            b.putDouble(if (x == null) Double.NaN else (usOf(x) - base) / per)
+          }
+          b.array()
+        })
       case DoubleType =>
-        val b = java.nio.ByteBuffer.allocate(vals.length * 8)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vals.foreach { x =>
-          b.putDouble(if (x == null) Double.NaN
-            else x.asInstanceOf[Number].doubleValue())
-        }
-        Built(WF64, b.array(),
-          cfgFillNum.map(f => "_FillValue" -> WDoubleAttr(f)).toSeq)
+        Enc(WF64, cfgFillNum.map(f => "_FillValue" -> WDoubleAttr(f)).toSeq,
+          { vals =>
+            val b = java.nio.ByteBuffer.allocate(vals.length * 8)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            vals.foreach { x =>
+              b.putDouble(if (x == null) Double.NaN
+                else x.asInstanceOf[Number].doubleValue())
+            }
+            b.array()
+          })
       case FloatType =>
-        val b = java.nio.ByteBuffer.allocate(vals.length * 4)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        vals.foreach { x =>
-          b.putFloat(if (x == null) Float.NaN
-            else x.asInstanceOf[Number].floatValue())
-        }
-        Built(WF32, b.array(),
-          cfgFillNum.map(f => "_FillValue" -> WFloatAttr(f.toFloat)).toSeq)
+        Enc(WF32,
+          cfgFillNum.map(f => "_FillValue" -> WFloatAttr(f.toFloat)).toSeq,
+          { vals =>
+            val b = java.nio.ByteBuffer.allocate(vals.length * 4)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            vals.foreach { x =>
+              b.putFloat(if (x == null) Float.NaN
+                else x.asInstanceOf[Number].floatValue())
+            }
+            b.array()
+          })
       case LongType | IntegerType | ShortType | ByteType =>
-        val longs = vals.map {
-          case null => null
-          case x => java.lang.Long.valueOf(x.asInstanceOf[Number].longValue())
-        }
         val narrow = v.datatype.toLowerCase match {
           case "bigint" | "long" | "int64" => false
           case dt => dt.contains("int") || dt.contains("short") ||
             dt.contains("byte")
         }
-        val fits = longs.forall(l => l == null ||
-          (l >= Int.MinValue && l <= Int.MaxValue))
-        val size = if (narrow && fits) 4 else 8
+        val size = if (narrow && intFits) 4 else 8
         val fill = cfgFillNum.map(_.toLong)
           .getOrElse(if (size == 4) FillInt else FillInt64)
-        val b = java.nio.ByteBuffer.allocate(vals.length * size)
-          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-        longs.foreach { l =>
-          val x = if (l == null) fill else l.longValue()
-          if (size == 4) b.putInt(x.toInt) else b.putLong(x)
-        }
-        Built(WInt(size), b.array(),
-          Seq("_FillValue" -> WLongAttr(fill, size)))
+        Enc(WInt(size), Seq("_FillValue" -> WLongAttr(fill, size)),
+          { vals =>
+            val b = java.nio.ByteBuffer.allocate(vals.length * size)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            vals.foreach { x =>
+              val l = if (x == null) fill
+                else x.asInstanceOf[Number].longValue()
+              if (size == 4) b.putInt(l.toInt) else b.putLong(l)
+            }
+            b.array()
+          })
       case StringType =>
-        val strs = vals.map { case null => ""; case s => s.toString }
-        // maxOption: a zero-row record variable must write an empty
-        // dataset, not crash on empty.max
-        val width =
-          math.max(strs.map(_.getBytes("UTF-8").length).maxOption.getOrElse(0) + 1, 1)
-        val out = new Array[Byte](strs.length * width)
-        strs.zipWithIndex.foreach { case (s, i) =>
-          val raw = s.getBytes("UTF-8")
-          System.arraycopy(raw, 0, out, i * width, raw.length)
-        }
-        Built(WStr(width), out, Nil)
+        val width = math.max(strWidth, 1)
+        Enc(WStr(width), Nil, { vals =>
+          val out = new Array[Byte](vals.length * width)
+          vals.zipWithIndex.foreach { case (s0, i) =>
+            val raw = (if (s0 == null) "" else s0.toString).getBytes("UTF-8")
+            System.arraycopy(raw, 0, out, i * width,
+              math.min(raw.length, width - 1))
+          }
+          out
+        })
       case BooleanType =>
-        val out = vals.map {
+        Enc(WInt(1, signed = false), Nil, _.map {
           case null => 0.toByte
           case b: java.lang.Boolean => if (b) 1.toByte else 0.toByte
-        }
-        Built(WInt(1, signed = false), out, Nil)
+        })
       case other =>
         throw new IllegalArgumentException(
           s"cannot write column type ${other.simpleString} to NetCDF")
     }
+  }
+
+  /** Encode flat element values (row-major, nulls = fill) for one
+    * variable — the in-memory path: encoding decisions derive from the
+    * full batch (same results as before the plan/put split). */
+  private def encode(vals: Array[Any], elemType: DataType,
+      v: AggConfig.VarSpec): Built = {
+    // maxOption: a zero-row record variable must write an empty dataset,
+    // not crash on empty.max
+    val strWidth = elemType match {
+      case StringType => vals.map {
+        case null => 0
+        case s => s.toString.getBytes("UTF-8").length
+      }.maxOption.getOrElse(0) + 1
+      case _ => 1
+    }
+    val intFits = elemType match {
+      case LongType | IntegerType | ShortType | ByteType =>
+        vals.forall { x =>
+          x == null || {
+            val l = x.asInstanceOf[Number].longValue()
+            l >= Int.MinValue && l <= Int.MaxValue
+          }
+        }
+      case _ => true
+    }
+    val e = planEnc(elemType, v, strWidth, intFits)
+    Built(e.dtype, e.put(vals), e.extraAttrs)
   }
 
   // --------------------------------------------------------- file build
@@ -321,25 +363,26 @@ object NetCDFWrite {
       if (columns.contains("index_time")) "index_time" else ivar
     }.filter(columns.contains)
 
-  /** Row-count ceiling for the single-file path: one `.nc` is assembled
-    * driver-side by construction, so [[write]] refuses above this rather
-    * than OOM the driver. 16M scalar-double records ≈ 128 MiB per
-    * variable — comfortably inside a default driver heap, and far below
-    * the writer's own 2 GiB/file limit for narrow schemas. */
+  /** Row-count switchover for the single-file path: up to this many rows
+    * the frame is row-buffered driver-side (fast, one pass); above it,
+    * [[write]] fails over to the streamed columnar assembly
+    * ([[writeSingleStreamed]]: bounded memory, K column passes). */
   val DefaultSingleFileMaxRows: Long = 16L << 20
 
   /** Write an aggregated parquet output (as produced by
     * [[graft.Aggregate.run]]) back out as ONE `.nc` file, global attrs
     * from its `_global_attrs.json` sidecar unless given explicitly.
     *
-    * Scale guard: counts first and REFUSES above `maxRows` (the error
-    * names [[writeGranules]], the distributed granule-set path, which is
-    * what a corpus-sized output should use — the reference's single
-    * process streams node-by-node into one file, aggregator.py:239-359,
-    * and one file is exactly as single-writer here). Under the gate the
-    * rows stream to the driver per range-partition (`toLocalIterator`)
-    * instead of one all-partitions `collect()`, so peak driver memory is
-    * the row buffer plus ONE partition's fetch block, not 2x the frame. */
+    * Scale guard: counts first; above `maxRows` the write FAILS OVER to
+    * [[writeSingleStreamed]] — columnar, one chunk in driver memory,
+    * unbounded output size — so a corpus-sized single `.nc` always
+    * succeeds with bounded memory (the reference's single process
+    * streams node-by-node into one file the same way,
+    * aggregator.py:239-359; [[writeGranules]] / CLI `.ncd` remains the
+    * PARALLEL path). Under the gate the rows stream to the driver per
+    * range-partition (`toLocalIterator`) instead of one all-partitions
+    * `collect()`, so peak driver memory is the row buffer plus ONE
+    * partition's fetch block, not 2x the frame. */
   def write(spark: SparkSession, srcParquet: String, dst: String,
       config: AggConfig.Config,
       globalAttrs: Option[Map[String, String]] = None,
@@ -347,13 +390,15 @@ object NetCDFWrite {
       maxRows: Long = DefaultSingleFileMaxRows): Unit = {
     val df = spark.read.parquet(srcParquet)
     val total = df.count()
-    if (total > maxRows) throw new IllegalArgumentException(
-      s"single-file .nc output of $total rows exceeds the driver-side " +
-        s"assembly limit ($maxRows): a single .nc file is single-writer " +
-        "by construction. Use NetCDFWrite.writeGranules (CLI: a .ncd " +
-        "DST) for a distributed .nc granule-set output (re-ingestable " +
-        "through NetCDFIngest), or raise maxRows if the driver heap " +
-        "allows.")
+    if (total > maxRows) {
+      // CORPUS-SIZED single file: fail over to the streamed columnar
+      // assembly — one variable at a time, one chunk in driver memory —
+      // the same node-by-node streaming model the reference uses
+      // (aggregator.py:239-359). writeGranules (CLI: .ncd) remains the
+      // PARALLEL scale path; this one is single-writer but bounded-memory.
+      writeSingleStreamed(spark, srcParquet, dst, config, globalAttrs, opts)
+      return
+    }
     val sorted = sortColOf(config, df.columns.toSet)
       .map(c => df.orderBy(col(c))).getOrElse(df)
     val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
@@ -362,6 +407,224 @@ object NetCDFWrite {
     while (it.hasNext) buf += it.next()
     writeFile(java.nio.file.Paths.get(dst), sorted.schema,
       buf, config, attrs, opts)
+  }
+
+  /** Default record count per streamed chunk (bounded further so one
+    * chunk stays under ~256 MiB). */
+  val DefaultStreamChunkRows: Int = 1 << 18
+
+  /** Streamed single-file `.nc` assembly for outputs too large to hold
+    * driver-side: ONE stats job plans every variable's encoding (string
+    * width, int narrowing, ragged inner-dim extents), then each record
+    * variable streams through the driver column-at-a-time in
+    * `chunkRows`-row chunks ([[Hdf5Writer.StreamWriter.datasetChunks]]).
+    * Peak driver memory is one chunk (≤ ~256 MiB), independent of row
+    * count; the output file size is unbounded (64-bit writer sink).
+    * Single-writer by construction — wall-clock is K linear passes over
+    * the cached sorted frame (the reference's own streaming model);
+    * [[writeGranules]] stays the parallel path. */
+  def writeSingleStreamed(spark: SparkSession, srcParquet: String,
+      dst: String, config: AggConfig.Config,
+      globalAttrs: Option[Map[String, String]] = None,
+      opts: NcOpts = NcOpts()): Unit = {
+    import org.apache.spark.sql.functions.{expr, max, min, size}
+    val df = spark.read.parquet(srcParquet)
+    val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
+    val sorted = sortColOf(config, df.columns.toSet)
+      .map(c => df.orderBy(col(c))).getOrElse(df)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val total = sorted.count()
+      val schema = sorted.schema
+      val fieldIdx = schema.fieldNames.zipWithIndex.toMap
+      val recDim = config.primaryUdim
+        .orElse(config.dims.find(_.isUnlimited))
+        .map(_.name)
+        .getOrElse(config.dims.headOption.map(_.name).getOrElse("record"))
+      val outVars = config.vars.filter(v =>
+        fieldIdx.contains(v.mapTo.getOrElse(v.name)))
+
+      // ---- ONE stats job: per-variable string width / int range /
+      // observed inner length (the global decisions planEnc needs)
+      val aggs = Seq.newBuilder[org.apache.spark.sql.Column]
+      outVars.foreach { v =>
+        val c = v.mapTo.getOrElse(v.name)
+        val (elemT, isArr) = schema(c).dataType match {
+          case ArrayType(t, _) => (t, true)
+          case t => (t, false)
+        }
+        elemT match {
+          case StringType =>
+            aggs += (if (isArr)
+              max(expr(s"aggregate(`$c`, 0, (a, x) -> greatest(a, octet_length(x)))"))
+            else max(expr(s"octet_length(`$c`)"))).as(s"__w_$c")
+          case LongType | IntegerType | ShortType | ByteType =>
+            aggs += (if (isArr)
+              min(expr(s"aggregate(`$c`, ${Long.MaxValue}L, (a, x) -> least(a, CAST(x AS BIGINT)))"))
+            else min(col(s"`$c`").cast(org.apache.spark.sql.types.LongType)))
+              .as(s"__lo_$c")
+            aggs += (if (isArr)
+              max(expr(s"aggregate(`$c`, ${Long.MinValue}L, (a, x) -> greatest(a, CAST(x AS BIGINT)))"))
+            else max(col(s"`$c`").cast(org.apache.spark.sql.types.LongType)))
+              .as(s"__hi_$c")
+          case _ => ()
+        }
+        if (isArr) aggs += max(size(col(s"`$c`"))).as(s"__n_$c")
+      }
+      val aggCols = aggs.result()
+      val stats: Map[String, Any] =
+        if (aggCols.isEmpty) Map.empty
+        else {
+          val r = sorted.agg(aggCols.head, aggCols.tail: _*).head()
+          r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
+            n -> r.get(i)
+          }.toMap
+        }
+      def statLong(key: String, dflt: Long): Long =
+        stats.get(key).flatMap(Option(_))
+          .map(_.asInstanceOf[Number].longValue()).getOrElse(dflt)
+
+      // ---- dimension sizes: record = total; fixed from config, else the
+      // observed max inner length (ragged second-dim rule of writeFile)
+      def observedInner(dn: String): Option[Long] = {
+        val lens = outVars.filter(v =>
+          (v.dimensions == Seq(recDim, dn) && dn != recDim) ||
+            (v.dimensions == Seq(dn) && dn != recDim))
+          .map(v => statLong(s"__n_${v.mapTo.getOrElse(v.name)}", 0L))
+          .filter(_ > 0)
+        if (lens.isEmpty) None else Some(lens.max)
+      }
+      val dimSize: Map[String, Long] = config.dims.map { d =>
+        d.name -> (
+          if (d.name == recDim) total
+          else d.size.filter(_ > 0)
+            .orElse(observedInner(d.name))
+            .getOrElse(1L))
+      }.toMap
+
+      val dimIds = config.dims.map(_.name).zipWithIndex.toMap
+      val coordVars = outVars.filter(v =>
+        dimIds.contains(v.mapTo.getOrElse(v.name))).map(v =>
+        v.mapTo.getOrElse(v.name)).toSet
+
+      def scaleAttrs(dimName: String, phonySize: Option[Long])
+          : Seq[(String, WAttrVal)] = Seq(
+        "CLASS" -> WStrAttr("DIMENSION_SCALE"),
+        "NAME" -> WStrAttr(phonySize match {
+          case Some(sz) =>
+            "This is a netCDF dimension but not a netCDF variable." +
+              f"$sz%10d"
+          case None => dimName
+        }),
+        "_Netcdf4Dimid" -> WLongAttr(dimIds(dimName).toLong, 4))
+
+      def userAttrs(v: AggConfig.VarSpec): Seq[(String, WAttrVal)] =
+        v.attributes.toSeq.sortBy(_._1).collect {
+          case (k, s) if k != "_FillValue" => k -> WStrAttr(s)
+        }
+
+      def planFor(v: AggConfig.VarSpec, elemT: DataType): Enc = {
+        val c = v.mapTo.getOrElse(v.name)
+        val strWidth = statLong(s"__w_$c", 0L).toInt + 1
+        val lo = statLong(s"__lo_$c", 0L)
+        val hi = statLong(s"__hi_$c", 0L)
+        planEnc(elemT, v, strWidth,
+          intFits = lo >= Int.MinValue && hi <= Int.MaxValue)
+      }
+
+      def elemsOf(x: Any, innerN: Int, isArr: Boolean): Array[Any] =
+        if (!isArr) Array[Any](x)
+        else x match {
+          case null => new Array[Any](innerN)
+          case s: scala.collection.Seq[_] =>
+            val a = s.toArray[Any]
+            if (a.length == innerN) a
+            else {
+              val out = new Array[Any](innerN)
+              System.arraycopy(a, 0, out, 0, math.min(a.length, innerN))
+              out
+            }
+        }
+
+      val (w, out) = Hdf5Writer.stream(java.nio.file.Paths.get(dst))
+      try {
+        // phony dims first (bare scales), then coord vars, then data vars
+        config.dims.filterNot(d => coordVars(d.name)).foreach { d =>
+          w.dataset(WDataset(d.name, Seq(dimSize(d.name)), WF32, None,
+            scaleAttrs(d.name, Some(dimSize(d.name))),
+            unlimited0 = d.name == recDim && d.isUnlimited))
+        }
+        def feed(v: AggConfig.VarSpec): Unit = {
+          val outName = v.mapTo.getOrElse(v.name)
+          val (elemT, isArr) = schema(outName).dataType match {
+            case ArrayType(t, _) => (t, true)
+            case t => (t, false)
+          }
+          val isCoord = coordVars(outName)
+          val isRec = v.dimensions.headOption.contains(recDim)
+          val innerDims = if (isRec) v.dimensions.drop(1) else v.dimensions
+          val inner = innerDims.map(dimSize.getOrElse(_, 1L))
+          val innerN = inner.product.toInt max 1
+          val enc = planFor(v, elemT)
+          val dimList =
+            if (isCoord) Nil
+            else Seq("DIMENSION_LIST" -> WDimListAttr(
+              v.dimensions.filter(dimIds.contains)))
+          val attrsOut =
+            (if (isCoord) scaleAttrs(outName, None) else Nil) ++
+              userAttrs(v) ++ enc.extraAttrs ++
+              (if (v.dimensions.nonEmpty && !isCoord) dimList else Nil)
+          if (isRec) {
+            require(config.dim(recDim).exists(_.isUnlimited),
+              s"$outName: streamed single-file output needs the record " +
+                s"dimension $recDim to be unlimited (chunked layout)")
+            val rowBytes = innerN.toLong * enc.dtype.size
+            // chunk rows: caller/template choice, capped so one chunk
+            // stays ~256 MiB and addressable
+            val crReq = opts.chunkRows.orElse(
+              v.chunksizes.flatMap(_.headOption).filter(_ > 0))
+              .getOrElse(DefaultStreamChunkRows).toLong
+            val cr = math.max(1L, math.min(math.min(crReq, total max 1L),
+              (1L << 28) / math.max(rowBytes, 1L))).toInt
+            val logical = cr * rowBytes.toInt
+            val colIt = sorted.select(col(s"`$outName`")).toLocalIterator()
+            val payloads = new Iterator[Array[Byte]] {
+              def hasNext: Boolean = colIt.hasNext
+              def next(): Array[Byte] = {
+                val vals = new scala.collection.mutable.ArrayBuffer[Any](
+                  cr * innerN)
+                var r = 0
+                while (r < cr && colIt.hasNext) {
+                  vals ++= elemsOf(colIt.next().get(0), innerN, isArr)
+                  r += 1
+                }
+                val bytes = enc.put(vals.toArray)
+                if (bytes.length == logical) bytes
+                else java.util.Arrays.copyOf(bytes, logical) // edge: pad
+              }
+            }
+            w.datasetChunks(WDataset(outName, total +: inner, enc.dtype,
+              None, attrsOut, unlimited0 = true,
+              fletcher32 = opts.fletcher32, chunkRows = Some(cr),
+              deflate = opts.deflate, shuffle = opts.shuffle), payloads)
+          } else {
+            // constant (non-record) variable: first non-null value, like
+            // the reference copying static vars from the first granule
+            val x = sorted.select(col(s"`$outName`"))
+              .where(col(s"`$outName`").isNotNull).limit(1)
+              .collect().headOption.map(_.get(0)).orNull
+            val vals = elemsOf(x, innerN, isArr)
+            w.dataset(WDataset(outName, inner, enc.dtype,
+              Some(enc.put(vals)), attrsOut))
+          }
+        }
+        outVars.filter(v => coordVars(v.mapTo.getOrElse(v.name))).foreach(feed)
+        outVars.filterNot(v => coordVars(v.mapTo.getOrElse(v.name))).foreach(feed)
+        w.finish(attrs.toSeq.sortBy(_._1).map { case (k, s) =>
+          k -> WStrAttr(s)
+        })
+      } finally out.close()
+    } finally sorted.unpersist()
   }
 
   /** Distributed `.nc` granule-SET output: range-partition on the index

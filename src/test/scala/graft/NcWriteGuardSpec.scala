@@ -7,9 +7,12 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.core.AggConfig._
 import graft.sources.{NetCDF4, NetCDFWrite}
 
-/** The single-file `.nc` path assembles driver-side by construction (one
-  * HDF5 file = one writer), so it must REFUSE corpus-sized frames with an
-  * actionable error naming the distributed path, never OOM the driver.
+/** Single-file `.nc` output at corpus scale: up to `maxRows` the frame is
+  * assembled in driver memory; above it, `write` FAILS OVER to the
+  * streamed columnar assembly — one variable at a time, one chunk in
+  * driver memory, unbounded output size — the reference's own
+  * node-by-node streaming model (aggregator.py:239-359). Both paths must
+  * produce semantically identical files.
   */
 class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
 
@@ -20,28 +23,89 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
       VarSpec("x", Seq("record"), "double")),
     attrs = Nil)
 
-  test("write refuses a frame above maxRows, naming writeGranules") {
-    val tmp = Files.createTempDirectory("ncguard").toString
-    spark.range(1000).selectExpr("cast(id as double) as t", "cast(id as double) * 2 as x")
-      .write.parquet(s"$tmp/agg")
-    val e = intercept[IllegalArgumentException] {
-      NetCDFWrite.write(spark, s"$tmp/agg", s"$tmp/out.nc", cfg,
-        globalAttrs = Some(Map.empty), maxRows = 999)
-    }
-    assert(e.getMessage.contains("writeGranules"))
-    assert(e.getMessage.contains("1000"))
-    assert(!Files.exists(java.nio.file.Paths.get(s"$tmp/out.nc")))
-  }
-
-  test("under the gate, the streamed toLocalIterator path writes a sorted file") {
-    val tmp = Files.createTempDirectory("ncguard2").toString
-    // write unsorted on purpose: the single-file path must range-sort on
-    // the index var and the partition-by-partition stream must preserve
-    // that global order
-    spark.range(1000).selectExpr(
-        "cast((id * 7919) % 1000 as double) as t", "cast(id as double) * 2 as x")
+  private def shuffledFrame(tmp: String, n: Int): Unit =
+    spark.range(n).selectExpr(
+        s"cast((id * 7919) % $n as double) as t", "cast(id as double) * 2 as x")
       .repartition(8)
       .write.parquet(s"$tmp/agg")
+
+  test("above maxRows, write fails over to the streamed columnar assembly") {
+    val tmp = Files.createTempDirectory("ncguard").toString
+    shuffledFrame(tmp, 2000)
+    // maxRows = 100 forces the streamed path; chunkRows = 64 forces real
+    // multi-chunk output through datasetChunks
+    NetCDFWrite.write(spark, s"$tmp/agg", s"$tmp/out.nc", cfg,
+      globalAttrs = Some(Map("title" -> "streamed")), maxRows = 100,
+      opts = NetCDFWrite.NcOpts(chunkRows = Some(64)))
+    val nc = NetCDF4.open(s"$tmp/out.nc")
+    assert(nc.attrs("title") === "streamed")
+    val t = nc.read(nc.vars.find(_.name == "t").get).asInstanceOf[Array[Double]]
+    val x = nc.read(nc.vars.find(_.name == "x").get).asInstanceOf[Array[Double]]
+    assert(t.length == 2000)
+    assert(t.toSeq == t.sorted.toSeq, "record order must follow the index var")
+    assert(t.toSet == (0 until 2000).map(_.toDouble).toSet)
+    // x stays row-aligned with t through the columnar passes
+    val tx = t.zip(x).toMap
+    assert((0 until 2000).forall { i =>
+      val tv = ((i.toLong * 7919) % 2000).toDouble
+      tx(tv) == i * 2.0
+    }, "x must stay row-aligned with t")
+  }
+
+  test("streamed and in-memory assemblies produce equivalent files") {
+    val tmp = Files.createTempDirectory("ncguard_eq").toString
+    shuffledFrame(tmp, 500)
+    NetCDFWrite.write(spark, s"$tmp/agg", s"$tmp/mem.nc", cfg,
+      globalAttrs = Some(Map("k" -> "v")), maxRows = 10000)
+    NetCDFWrite.writeSingleStreamed(spark, s"$tmp/agg", s"$tmp/str.nc", cfg,
+      globalAttrs = Some(Map("k" -> "v")))
+    val (a, b) = (NetCDF4.open(s"$tmp/mem.nc"), NetCDF4.open(s"$tmp/str.nc"))
+    assert(a.attrs === b.attrs)
+    assert(a.vars.map(_.name).toSet === b.vars.map(_.name).toSet)
+    a.vars.foreach { va =>
+      val vb = b.vars.find(_.name == va.name).get
+      assert(va.dtype === vb.dtype, s"${va.name} dtype")
+      assert(a.read(va).asInstanceOf[Array[Double]].toSeq ===
+        b.read(vb).asInstanceOf[Array[Double]].toSeq, s"${va.name} values")
+    }
+  }
+
+  test("streamed path: strings and ragged arrays with stats-planned extents") {
+    val tmp = Files.createTempDirectory("ncguard_str").toString
+    import spark.implicits._
+    (0 until 300).map { i =>
+      (i.toDouble, s"s$i" * (1 + i % 3), Seq.tabulate(1 + i % 3)(j => i + j * 0.5))
+    }.toDF("t", "name", "vals")
+      .repartition(4)
+      .write.parquet(s"$tmp/agg")
+    val c = Config(
+      dims = Seq(DimSpec("record", None, indexBy = Some("t")),
+        DimSpec("d2", None)),
+      vars = Seq(
+        VarSpec("t", Seq("record"), "double"),
+        VarSpec("name", Seq("record"), "string"),
+        VarSpec("vals", Seq("record", "d2"), "double")),
+      attrs = Nil)
+    NetCDFWrite.writeSingleStreamed(spark, s"$tmp/agg", s"$tmp/out.nc", c,
+      globalAttrs = Some(Map.empty),
+      opts = NetCDFWrite.NcOpts(chunkRows = Some(32)))
+    val nc = NetCDF4.open(s"$tmp/out.nc")
+    val names = nc.read(nc.vars.find(_.name == "name").get)
+      .asInstanceOf[Array[String]]
+    assert(names.length == 300)
+    assert((0 until 300).forall(i => names(i) == s"s$i" * (1 + i % 3)),
+      "string cells must hold the stats-planned global width")
+    val valsVar = nc.vars.find(_.name == "vals").get
+    assert(valsVar.shape === Seq(300L, 3L), "ragged inner dim sized to max")
+    val vals = nc.read(valsVar).asInstanceOf[Array[Double]]
+    // row i holds its 1 + i%3 values, shorter rows padded (null -> NaN)
+    assert(vals(0 * 3) == 0.0 && vals(0 * 3 + 1).isNaN)
+    assert(vals(2 * 3) == 2.0 && vals(2 * 3 + 1) == 2.5 && vals(2 * 3 + 2) == 3.0)
+  }
+
+  test("under the gate, the in-memory path writes a sorted file") {
+    val tmp = Files.createTempDirectory("ncguard2").toString
+    shuffledFrame(tmp, 1000)
     NetCDFWrite.write(spark, s"$tmp/agg", s"$tmp/out.nc", cfg,
       globalAttrs = Some(Map("title" -> "guard spec")), maxRows = 1000)
     val nc = NetCDF4.open(s"$tmp/out.nc")
