@@ -103,6 +103,49 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
     assert(vals(2 * 3) == 2.0 && vals(2 * 3 + 1) == 2.5 && vals(2 * 3 + 2) == 3.0)
   }
 
+  test("a single .nc OVER 2 GiB streams out and reads back (64-bit both ways)") {
+    import graft.sources.{Hdf5Reader, Hdf5Writer}
+    import Hdf5Writer._
+    val tmp = Files.createTempDirectory("ncguard_big").toString
+    val dst = java.nio.file.Paths.get(tmp, "big.nc")
+    // 3 record datasets x 96M doubles (768 MiB each) = 2.25 GiB of data;
+    // 8 MiB chunks fed from an iterator that reuses one buffer — driver
+    // memory stays one chunk regardless of file size
+    val rowsPerChunk = 1 << 20
+    val chunksPerDs = 96
+    val nRows = rowsPerChunk.toLong * chunksPerDs
+    val (w, out) = Hdf5Writer.stream(dst)
+    try {
+      for (d <- 0 until 3) {
+        val buf = java.nio.ByteBuffer.allocate(rowsPerChunk * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        val payloads = Iterator.tabulate(chunksPerDs) { ci =>
+          buf.clear()
+          var i = 0
+          while (i < rowsPerChunk) { buf.putDouble(d * 1000.0 + ci); i += 1 }
+          buf.array()
+        }
+        w.datasetChunks(WDataset(s"v$d", Seq(nRows), WF64, None, Nil,
+          unlimited0 = true, chunkRows = Some(rowsPerChunk)), payloads)
+      }
+      w.finish(Seq("title" -> WStrAttr("big streamed")))
+    } finally out.close()
+    assert(Files.size(dst) > (2L << 30), s"file is ${Files.size(dst)} B")
+    val h5 = Hdf5Reader.open(dst.toString) // >= 2 GiB: the pread source
+    try {
+      assert(h5.rootAttrs("title") === "big streamed")
+      val v2 = h5.datasets.find(_.name == "v2").get
+      assert(v2.shape === Seq(nRows))
+      val vals = h5.read(v2).asInstanceOf[Array[Double]]
+      assert(vals(0) == 2000.0)
+      assert(vals((5L * rowsPerChunk).toInt) == 2005.0) // chunk 5
+      assert(vals.last == 2000.0 + chunksPerDs - 1)
+    } finally {
+      h5.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("under the gate, the in-memory path writes a sorted file") {
     val tmp = Files.createTempDirectory("ncguard2").toString
     shuffledFrame(tmp, 1000)
