@@ -240,7 +240,10 @@ object NetCDFWrite {
       d.name -> (
         if (d.name == recDim) n.toLong
         else d.size.filter(_ > 0)
-          .orElse(observedInner(d.name))
+          // filter(_ > 0): every row's array may be EMPTY — a 0-length
+          // inner dim would break the shape==data invariant (innerN is
+          // floored at 1); write a 1-wide fill column instead
+          .orElse(observedInner(d.name).filter(_ > 0))
           .getOrElse(1L))
     }.toMap
 

@@ -146,6 +146,65 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: streamed == in-memory across random schemas and data") {
+    import spark.implicits._
+    for (seed <- Seq(7, 21, 1717); n <- Seq(0, 1, 137)) {
+      val rnd = new scala.util.Random(seed * 1000 + n)
+      val tmp = Files.createTempDirectory(s"ncguard_prop$seed$n").toString
+      val rows = (0 until n).map { i =>
+        (i.toDouble,
+          if (rnd.nextInt(10) == 0) null
+          else "x" * rnd.nextInt(12), // varying width incl. empty
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(
+            if (rnd.nextBoolean()) rnd.nextInt(1000).toLong
+            else Long.MaxValue - rnd.nextInt(1000)), // forces 64-bit ints
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Float.valueOf(rnd.nextFloat()),
+          Seq.tabulate(rnd.nextInt(4))(j => i + j * 0.25)) // ragged 0..3
+      }
+      rows.toDF("t", "s", "l", "f", "a").repartition(3)
+        .write.parquet(s"$tmp/agg")
+      val c = Config(
+        dims = Seq(DimSpec("record", None, indexBy = Some("t")),
+          DimSpec("d2", None)),
+        vars = Seq(
+          VarSpec("t", Seq("record"), "double"),
+          VarSpec("s", Seq("record"), "string"),
+          VarSpec("l", Seq("record"), "long"),
+          VarSpec("f", Seq("record"), "float"),
+          VarSpec("a", Seq("record", "d2"), "double")),
+        attrs = Nil)
+      NetCDFWrite.write(spark, s"$tmp/agg", s"$tmp/mem.nc", c,
+        globalAttrs = Some(Map("seed" -> seed.toString)), maxRows = 1 << 20)
+      NetCDFWrite.writeSingleStreamed(spark, s"$tmp/agg", s"$tmp/str.nc", c,
+        globalAttrs = Some(Map("seed" -> seed.toString)),
+        opts = NetCDFWrite.NcOpts(chunkRows = Some(13))) // force multi-chunk
+      val (x, y) = (NetCDF4.open(s"$tmp/mem.nc"), NetCDF4.open(s"$tmp/str.nc"))
+      assert(x.attrs === y.attrs, s"seed=$seed n=$n attrs")
+      x.vars.foreach { vx =>
+        val vy = y.vars.find(_.name == vx.name).get
+        assert(vx.dtype === vy.dtype, s"seed=$seed n=$n ${vx.name} dtype")
+        assert(vx.shape === vy.shape, s"seed=$seed n=$n ${vx.name} shape")
+        (x.read(vx), y.read(vy)) match {
+          case (a: Array[Double], b: Array[Double]) =>
+            assert(a.length == b.length)
+            assert(a.indices.forall(i =>
+              a(i) == b(i) || (a(i).isNaN && b(i).isNaN)),
+              s"seed=$seed n=$n ${vx.name} doubles")
+          case (a: Array[Float], b: Array[Float]) =>
+            assert(a.indices.forall(i =>
+              a(i) == b(i) || (a(i).isNaN && b(i).isNaN)),
+              s"seed=$seed n=$n ${vx.name} floats")
+          case (a, b) =>
+            assert(a.asInstanceOf[Array[_]].toSeq ===
+              b.asInstanceOf[Array[_]].toSeq, s"seed=$seed n=$n ${vx.name}")
+        }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("under the gate, the in-memory path writes a sorted file") {
     val tmp = Files.createTempDirectory("ncguard2").toString
     shuffledFrame(tmp, 1000)
