@@ -105,15 +105,14 @@ object Hdf5Writer {
     }
     final def align8(): Unit =
       if (pos % 8 != 0) zeros((8 - pos % 8).toInt)
+    // each patch builds ONE byte array -> one positional write on the
+    // file sink (a decomposed patch64 would cost 4 pwrite syscalls)
     final def patch16(at: Long, v: Int): Unit =
       patchBytes(at, Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
-    final def patch32(at: Long, v: Long): Unit = {
-      patch16(at, (v & 0xffff).toInt)
-      patch16(at + 2, ((v >> 16) & 0xffff).toInt)
-    }
-    final def patch64(at: Long, v: Long): Unit = {
-      patch32(at, v & 0xffffffffL); patch32(at + 4, (v >>> 32) & 0xffffffffL)
-    }
+    final def patch32(at: Long, v: Long): Unit =
+      patchBytes(at, Array.tabulate(4)(i => ((v >> (8 * i)) & 0xff).toByte))
+    final def patch64(at: Long, v: Long): Unit =
+      patchBytes(at, Array.tabulate(8)(i => ((v >> (8 * i)) & 0xff).toByte))
   }
 
   /** Growable in-memory sink (also the builder for small message
@@ -458,9 +457,17 @@ object Hdf5Writer {
         val nRows = ds.shape.headOption.getOrElse(0L)
         val rowBytes = math.max(ds.shape.drop(1).product, 1L) * ds.dtype.size
         // chunk extent along dim 0: caller's chunkRows, else one chunk
-        // spanning the whole current extent (the pre-r5 shape)
+        // spanning the whole current extent (the pre-r5 shape) — CLAMPED
+        // so a declared chunk never exceeds HDF5's 4 GiB-per-chunk limit
+        // or the u32 chunk-dim field (a phony unlimited dim with
+        // billions of rows and no data would otherwise declare an
+        // illegal chunk in the layout message)
         val cr = ds.chunkRows.map(_.toLong).filter(_ > 0)
-          .getOrElse(math.max(nRows, 1L))
+          .getOrElse(math.max(1L,
+            math.min(nRows, (1L << 30) / math.max(rowBytes, 1L))))
+        require(cr * rowBytes < (4L << 30) && cr <= 0xffffffffL,
+          s"${ds.name}: chunk of $cr rows x $rowBytes B exceeds the HDF5 " +
+            "4 GiB/chunk limit; pass a smaller chunkRows")
         val payloads: Iterator[Array[Byte]] =
           if (ds.data.isEmpty || total == 0) Iterator.empty
           else {
@@ -738,22 +745,35 @@ object Hdf5Writer {
 
   // ---------------------------------------------------------------- write
 
-  /** Open a [[StreamWriter]] over a buffered file sink. Caller feeds
-    * datasets then calls `finish` and [[closeStream]]. */
-  def stream(dst: java.nio.file.Path): (StreamWriter, Out) = {
-    val out = new FileOut(dst)
-    (new StreamWriter(out), out)
+  /** Run a streamed assembly against `dst` SAFELY: the body writes to a
+    * sibling temp file which moves into place only after `finish`
+    * succeeds — a mid-write failure (bad dataset, upstream job error)
+    * never truncates or corrupts a pre-existing output. The body must
+    * call `finish` itself (so it can feed datasets lazily). */
+  def streamTo[A](dst: java.nio.file.Path)(body: StreamWriter => A): A = {
+    val tmp = dst.resolveSibling(dst.getFileName.toString + ".__tmp")
+    val out = new FileOut(tmp)
+    var ok = false
+    try {
+      val a = body(new StreamWriter(out))
+      ok = true
+      a
+    } finally {
+      out.close()
+      if (ok)
+        java.nio.file.Files.move(tmp, dst,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else java.nio.file.Files.deleteIfExists(tmp)
+    }
   }
 
   def write(dst: java.nio.file.Path, datasets: Seq[WDataset],
-      rootAttrs: Seq[(String, WAttrVal)]): Unit = {
-    val out = new FileOut(dst)
-    try {
-      val w = new StreamWriter(out)
+      rootAttrs: Seq[(String, WAttrVal)]): Unit =
+    streamTo(dst) { w =>
       datasets.foreach(w.dataset)
       w.finish(rootAttrs)
-    } finally out.close()
-  }
+    }
 
   /** In-memory assembly (byte-level tests). */
   def build(datasets: Seq[WDataset],

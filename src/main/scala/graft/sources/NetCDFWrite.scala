@@ -43,8 +43,11 @@ object NetCDFWrite {
   /** Storage options for record (unlimited-dim) variables: records per
     * HDF5 chunk (the reference's `-c udim:chunksize`), zlib deflate
     * level, and fletcher32 chunk checksums. `chunkRows = None` writes one
-    * chunk per dataset; an explicit value (or a variable's configured
-    * `chunksizes`) produces real multi-chunk output. */
+    * chunk per dataset on the in-memory path (clamped to the 4 GiB HDF5
+    * chunk limit) but [[DefaultStreamChunkRows]]-row chunks on the
+    * streamed path (a single chunk cannot span an unbounded row count);
+    * an explicit value (or a variable's configured `chunksizes`) makes
+    * the chunking deterministic on both paths. */
   final case class NcOpts(
       chunkRows: Option[Int] = None,
       deflate: Option[Int] = None,
@@ -255,6 +258,9 @@ object NetCDFWrite {
       val innerDims = if (v.dimensions.headOption.contains(recDim))
         v.dimensions.drop(1) else v.dimensions
       val inner = innerDims.map(dimSize.getOrElse(_, 1L))
+      require(inner.product <= Int.MaxValue,
+        s"$outName: inner extent ${inner.product} exceeds the " +
+          "per-record element bound")
       val innerN = inner.product.toInt max 1
       def elems(x: Any): Array[Any] = (x, fieldType) match {
         case (s: scala.collection.Seq[_], _: ArrayType) =>
@@ -399,7 +405,8 @@ object NetCDFWrite {
       // the same node-by-node streaming model the reference uses
       // (aggregator.py:239-359). writeGranules (CLI: .ncd) remains the
       // PARALLEL scale path; this one is single-writer but bounded-memory.
-      writeSingleStreamed(spark, srcParquet, dst, config, globalAttrs, opts)
+      writeSingleStreamed(spark, srcParquet, dst, config, globalAttrs, opts,
+        knownTotal = Some(total))
       return
     }
     val sorted = sortColOf(config, df.columns.toSet)
@@ -429,15 +436,27 @@ object NetCDFWrite {
   def writeSingleStreamed(spark: SparkSession, srcParquet: String,
       dst: String, config: AggConfig.Config,
       globalAttrs: Option[Map[String, String]] = None,
-      opts: NcOpts = NcOpts()): Unit = {
+      opts: NcOpts = NcOpts(),
+      knownTotal: Option[Long] = None): Unit = {
     import org.apache.spark.sql.functions.{expr, max, min, size}
     val df = spark.read.parquet(srcParquet)
     val attrs = globalAttrs.getOrElse(readSidecar(srcParquet))
+    // TOTAL-ORDER sort: the K column passes must see the SAME row order
+    // even if a cached partition is evicted and recomputed mid-write — a
+    // sort on the index column alone leaves tie order shuffle-dependent,
+    // which would tear records across columns. Tie-breaking on every
+    // remaining column makes reordering observable only between fully
+    // identical rows, where it cannot change the output.
     val sorted = sortColOf(config, df.columns.toSet)
-      .map(c => df.orderBy(col(c))).getOrElse(df)
+      .map { c =>
+        df.orderBy((col(c) +: df.columns.filterNot(_ == c)
+          .map(n => col(s"`$n`"))): _*)
+      }
+      .getOrElse(df)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      val total = sorted.count()
+      // the count doubles as cache materialization when not pre-counted
+      val total = knownTotal.getOrElse(sorted.count())
       val schema = sorted.schema
       val fieldIdx = schema.fieldNames.zipWithIndex.toMap
       val recDim = config.primaryUdim
@@ -549,8 +568,7 @@ object NetCDFWrite {
             }
         }
 
-      val (w, out) = Hdf5Writer.stream(java.nio.file.Paths.get(dst))
-      try {
+      Hdf5Writer.streamTo(java.nio.file.Paths.get(dst)) { w =>
         // phony dims first (bare scales), then coord vars, then data vars
         config.dims.filterNot(d => coordVars(d.name)).foreach { d =>
           w.dataset(WDataset(d.name, Seq(dimSize(d.name)), WF32, None,
@@ -567,6 +585,10 @@ object NetCDFWrite {
           val isRec = v.dimensions.headOption.contains(recDim)
           val innerDims = if (isRec) v.dimensions.drop(1) else v.dimensions
           val inner = innerDims.map(dimSize.getOrElse(_, 1L))
+          require(inner.product <= Int.MaxValue,
+            s"$outName: inner extent ${inner.product} exceeds the " +
+              "per-record element bound — a silent Int wrap here would " +
+              "write garbage-width rows against a wider declared shape")
           val innerN = inner.product.toInt max 1
           val enc = planFor(v, elemT)
           val dimList =
@@ -626,7 +648,7 @@ object NetCDFWrite {
         w.finish(attrs.toSeq.sortBy(_._1).map { case (k, s) =>
           k -> WStrAttr(s)
         })
-      } finally out.close()
+      }
     } finally sorted.unpersist()
   }
 

@@ -114,8 +114,7 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
     val rowsPerChunk = 1 << 20
     val chunksPerDs = 96
     val nRows = rowsPerChunk.toLong * chunksPerDs
-    val (w, out) = Hdf5Writer.stream(dst)
-    try {
+    Hdf5Writer.streamTo(dst) { w =>
       for (d <- 0 until 3) {
         val buf = java.nio.ByteBuffer.allocate(rowsPerChunk * 8)
           .order(java.nio.ByteOrder.LITTLE_ENDIAN)
@@ -129,7 +128,7 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
           unlimited0 = true, chunkRows = Some(rowsPerChunk)), payloads)
       }
       w.finish(Seq("title" -> WStrAttr("big streamed")))
-    } finally out.close()
+    }
     assert(Files.size(dst) > (2L << 30), s"file is ${Files.size(dst)} B")
     val h5 = Hdf5Reader.open(dst.toString) // >= 2 GiB: the pread source
     try {
@@ -203,6 +202,31 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     }
+  }
+
+  test("a failed write never truncates a pre-existing output file") {
+    import graft.sources.Hdf5Writer
+    import Hdf5Writer._
+    val tmp = Files.createTempDirectory("ncguard_atomic")
+    val dst = tmp.resolve("out.nc")
+    val good = java.nio.ByteBuffer.allocate(32)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 4).foreach(i => good.putDouble(i * 1.5))
+    Hdf5Writer.write(dst, Seq(
+      WDataset("v", Seq(4L), WF64, Some(good.array()), Nil)), Nil)
+    val origSize = Files.size(dst)
+    // second write fails validation mid-feed (wrong data length): the
+    // temp-and-rename protocol must leave the original file untouched
+    intercept[IllegalArgumentException] {
+      Hdf5Writer.write(dst, Seq(
+        WDataset("v", Seq(4L), WF64, Some(new Array[Byte](8)), Nil)), Nil)
+    }
+    assert(Files.size(dst) === origSize, "original must survive the failure")
+    val h5 = graft.sources.Hdf5Reader.open(dst.toString)
+    assert(h5.read(h5.datasets.find(_.name == "v").get)
+      .asInstanceOf[Array[Double]].toSeq === Seq(0.0, 1.5, 3.0, 4.5))
+    assert(Option(tmp.toFile.listFiles()).getOrElse(Array.empty)
+      .forall(!_.getName.endsWith(".__tmp")), "temp file must be cleaned up")
   }
 
   test("under the gate, the in-memory path writes a sorted file") {
