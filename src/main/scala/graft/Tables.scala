@@ -53,22 +53,39 @@ object Tables {
     val conf = s.sessionState.newHadoopConf()
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val file =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).iterator
+    val files =
+      if (fs.getFileStatus(p).isDirectory) {
+        val fl = fs.listStatus(p).iterator
           .map(_.getPath)
-          .find(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
-          .getOrElse(sys.error(s"no parquet part files under $path"))
-      else p
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
-    try {
-      val schema = reader.getFooter.getFileMetaData.getSchema
-      if (!schema.containsField(column)) None
-      else schema.getType(schema.getFieldIndex(column)).getLogicalTypeAnnotation match {
-        case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit.toString)
-        case _ => None
-      }
-    } finally reader.close()
+          .filter(f => f.getName.endsWith(".parquet") && !f.getName.startsWith("_"))
+          .toSeq
+        require(fl.nonEmpty, s"no parquet part files under $path")
+        fl
+      } else Seq(p)
+    // read EVERY part footer: one file's unit applied to a mixed-unit
+    // directory would silently rescale rows 1000x — the exact drift this
+    // guard exists to catch. Footer reads only; still no Spark job.
+    val units = files.map { file =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val u =
+          if (!schema.containsField(column)) None
+          else schema.getType(schema.getFieldIndex(column)).getLogicalTypeAnnotation match {
+            case ts: TimestampLogicalTypeAnnotation => Some(ts.getUnit.toString)
+            case _ => None
+          }
+        file.getName -> u
+      } finally reader.close()
+    }
+    val distinct = units.map(_._2).distinct
+    require(distinct.size == 1,
+      s"$path.$column: part files disagree on timestamp unit — " +
+        units.groupBy(_._2).map { case (u, fs) =>
+          s"$u in ${fs.head._1}${if (fs.size > 1) s" (+${fs.size - 1} more)" else ""}"
+        }.mkString("; ") +
+        " — refusing to rescale the whole directory by one file's unit")
+    distinct.head
   }
 
   def load(s: SparkSession, dir: String, name: String): DataFrame =

@@ -509,6 +509,16 @@ object Hdf5Writer {
       require(ds.unlimited0 && ds.chunkRows.exists(_ > 0),
         s"${ds.name}: streamed chunks need unlimited0 + chunkRows")
       validate(ds)
+      // same clamp dataset() enforces: a declared chunk must stay under
+      // HDF5's 4 GiB/chunk limit and the u32 chunk-dim field, or the
+      // layout message silently truncates for readers
+      locally {
+        val cr = ds.chunkRows.get.toLong
+        val rowBytes = math.max(ds.shape.drop(1).product, 1L) * ds.dtype.size
+        require(cr * rowBytes < (4L << 30) && cr <= 0xffffffffL,
+          s"${ds.name}: chunk of $cr rows x $rowBytes B exceeds the HDF5 " +
+            "4 GiB/chunk limit; pass a smaller chunkRows")
+      }
       writeChunks(ds, ds.chunkRows.get.toLong, payloads)
       metas += ds
     }

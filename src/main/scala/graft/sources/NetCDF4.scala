@@ -63,6 +63,9 @@ object NetCDF4 {
       // are routinely multi-GB — that is what those formats are FOR
       return NetCDF3Reader.open(Hdf5Reader.srcFor(path))
     val h5 = Hdf5Reader.open(path)
+    // on a metadata-derivation throw the channel must not leak; on
+    // success ownership transfers to the returned NcFile's closeFn
+    try {
     val byAddr = h5.datasets.map(ds => ds.addr -> ds.name).toMap
     val dims = h5.datasets.flatMap { ds =>
       ds.attrs.get("CLASS") match {
@@ -118,6 +121,7 @@ object NetCDF4 {
     NcFile(sized.sortBy(_.dimid), vars, h5.rootAttrs,
       v => h5.read(h5.datasets.find(_.name == v.name).get),
       () => h5.close())
+    } catch { case e: Throwable => h5.close(); throw e }
   }
 
   /** Parse CF-style time units ("<unit> since <instant>") to (epoch-micros

@@ -112,6 +112,10 @@ object NetCDFIngest {
   def granuleRows(path: String, schema: StructType,
       recDimHint: Option[String] = None): Iterator[Row] = {
     val nc = open(path)
+    // try/finally (close is idempotent): a throw during getter
+    // construction — granule mismatch, missing time units — must not
+    // leak the pread FileChannel of a multi-GiB granule
+    try {
     val recDim = resolveRecDim(nc, path, recDimHint)
     val n = nc.dims.find(_.name == recDim).map(_.size.toInt).getOrElse(0)
     val getters: Array[Int => Any] = schema.fields.map { f =>
@@ -194,10 +198,10 @@ object NetCDFIngest {
       }
     }
     // every variable's data is materialized into the getters above, so
-    // the OS resource (pread channel of a large granule) releases here —
-    // before the returned iterator is consumed
-    nc.close()
+    // the OS resource (pread channel of a large granule) releases in the
+    // finally — before the returned iterator is consumed
     Iterator.tabulate(n)(i => Row.fromSeq(getters.toSeq.map(_(i))))
+    } finally nc.close()
   }
 
   private def granuleName(path: String): String =
@@ -217,15 +221,14 @@ object NetCDFIngest {
   def granuleMeta(path: String,
       recDimHint: Option[String] = None): GranuleMeta = {
     val nc = open(path)
-    val recDim = resolveRecDim(nc, path, recDimHint)
-    val n = nc.dims.find(_.name == recDim).map(_.size).getOrElse(0L)
-    val json = nc.attrs.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
-    }.mkString("{", ", ", "}")
-    val meta = GranuleMeta(path, granuleName(path), schemaFor(nc, recDim),
-      json, n)
-    nc.close()
-    meta
+    try {
+      val recDim = resolveRecDim(nc, path, recDimHint)
+      val n = nc.dims.find(_.name == recDim).map(_.size).getOrElse(0L)
+      val json = nc.attrs.toSeq.sortBy(_._1).map { case (k, v) =>
+        "\"" + esc(k) + "\": \"" + esc(NetCDF4.attrStr(v)) + "\""
+      }.mkString("{", ", ", "}")
+      GranuleMeta(path, granuleName(path), schemaFor(nc, recDim), json, n)
+    } finally nc.close()
   }
 
   /** Union of the per-granule schemas, first-seen field order. A variable

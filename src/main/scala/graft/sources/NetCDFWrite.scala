@@ -604,6 +604,11 @@ object NetCDFWrite {
               s"$outName: streamed single-file output needs the record " +
                 s"dimension $recDim to be unlimited (chunked layout)")
             val rowBytes = innerN.toLong * enc.dtype.size
+            require(rowBytes > 0 && rowBytes <= Int.MaxValue,
+              s"$outName: one record is $rowBytes B ($innerN elems x " +
+                s"${enc.dtype.size} B cells) — exceeds the per-chunk " +
+                "addressable bound; narrow the cell width or split the " +
+                "variable")
             // chunk rows: caller/template choice, capped so one chunk
             // stays ~256 MiB and addressable
             val crReq = opts.chunkRows.orElse(
@@ -611,7 +616,11 @@ object NetCDFWrite {
               .getOrElse(DefaultStreamChunkRows).toLong
             val cr = math.max(1L, math.min(math.min(crReq, total max 1L),
               (1L << 28) / math.max(rowBytes, 1L))).toInt
-            val logical = cr * rowBytes.toInt
+            val logicalL = cr.toLong * rowBytes
+            require(logicalL <= Int.MaxValue,
+              s"$outName: chunk of $cr rows x $rowBytes B/row does not " +
+                "fit one byte array; lower chunkRows")
+            val logical = logicalL.toInt
             val colIt = sorted.select(col(s"`$outName`")).toLocalIterator()
             val payloads = new Iterator[Array[Byte]] {
               def hasNext: Boolean = colIt.hasNext

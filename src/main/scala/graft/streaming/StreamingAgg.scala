@@ -317,11 +317,13 @@ object StreamingAgg {
     * consumer drops a doc whose buckets name any foreign owner (see the
     * `stream_minhash_dedup` registry twin).
     *
-    * Determinism: a bucket's owner is min(state, min incoming doc_id) —
-    * identical in batch (one fold, arbitrary iterator order) and in
-    * arrival-ordered streaming when ids ascend with time; ties across
-    * engines resolve to the lowest id, which is what the DuckDB oracle
-    * computes.
+    * Determinism: a bucket's owner is its FIRST-ARRIVAL min doc_id and
+    * never changes — identical to batch (one fold, min id) when ids
+    * ascend with arrival time; when they don't, a late lower-id doc
+    * reports the existing owner, so the collision is still detectable
+    * (owner != doc_id) rather than silently keeping both sides as a
+    * retroactive-min would (the earlier doc's verdict is already
+    * emitted and Append output cannot retract).
     *
     * Scale shape: state per DISTINCT occupied bucket is one Long — the
     * store grows with corpus novelty, not corpus size, and buckets
@@ -349,7 +351,16 @@ object StreamingAgg {
         (key: (Int, Long), it: Iterator[BandDoc],
             st: GroupState[Long]) => {
           val ids = it.map(_.doc_id).toArray
-          val owner = math.min(st.getOption.getOrElse(Long.MaxValue), ids.min)
+          // FIRST-ARRIVAL ownership: once a bucket has an owner it never
+          // changes. When ids ascend with arrival (the documented
+          // regime) this equals min-id ownership, matching the batch
+          // twin. When a LOWER id arrives in a LATER batch than its
+          // near-duplicate, it still reports the existing owner — the
+          // collision stays detectable (owner != doc_id → drop) instead
+          // of the silent keep-both a retroactive min would produce,
+          // because the earlier doc's owner-of-self verdict is already
+          // emitted and Append output cannot retract it.
+          val owner = st.getOption.getOrElse(ids.min)
           st.update(owner)
           ids.iterator.map(d => BandVerdict(d, key._1, owner))
         })
