@@ -24,6 +24,21 @@ import graft.core.{TimeSeriesAggregator => TSA}
   * Usage: runMain graft.ScaleSmoke [factor]   (default 10)
   */
 object ScaleSmoke {
+  /** Nearest-centroid assignment over a k-seed codebook (iters = 0 —
+    * the deterministic quantizer rule), through the production indexed
+    * path or the flat reference ranking. */
+  private def assignSweep(spark: SparkSession, embPath: String, k: Int,
+      flat: Boolean): DataFrame = {
+    val e = spark.read.parquet(embPath).select("vec_id", "embedding")
+    val cent = graft.ml.Embeddings.kmeansFit(e, k, iters = 0)
+      .select(col("cid"), col("cv"))
+    if (flat)
+      graft.ml.Embeddings.assignRankedFlat(e, cent)
+        .filter(col("crn") === 1).select("vec_id", "cid")
+    else
+      graft.ml.Embeddings.assign(e, cent).select("vec_id", "cid")
+  }
+
   def main(args: Array[String]): Unit = {
     val factor = args.headOption.map(_.toInt).getOrElse(10)
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -219,6 +234,21 @@ object ScaleSmoke {
       s"semdedup_hot_${factor}x" ->
         timeNamed("semdedup_hot",
           PipelineQueries.dSemdedup(spark, hotEmbDir)),
+      // assignment-vs-k sweep: the corpus-scaled quantizer grows k with
+      // n, so the ASSIGNMENT step is where an O(n·k) flat scan becomes
+      // the asymptote. The indexed two-level search must stay ~sublinear
+      // in k (per-row work ~2√k) while the flat reference grows
+      // linearly — both timed on the same replicated corpus.
+      s"assign_k40_idx_${factor}x" -> timeNamed("assign_k40_idx",
+        assignSweep(spark, s"$dir/embeddings.parquet", 40, flat = false)),
+      s"assign_k400_idx_${factor}x" -> timeNamed("assign_k400_idx",
+        assignSweep(spark, s"$dir/embeddings.parquet", 400, flat = false)),
+      s"assign_k2000_idx_${factor}x" -> timeNamed("assign_k2000_idx",
+        assignSweep(spark, s"$dir/embeddings.parquet", 2000, flat = false)),
+      s"assign_k400_flat_${factor}x" -> timeNamed("assign_k400_flat",
+        assignSweep(spark, s"$dir/embeddings.parquet", 400, flat = true)),
+      s"assign_k2000_flat_${factor}x" -> timeNamed("assign_k2000_flat",
+        assignSweep(spark, s"$dir/embeddings.parquet", 2000, flat = true)),
       s"agg_core_hot_${factor}x" ->
         timeNamed("agg_core_hot",
           aggCore(spark.read.parquet(s"$dir/events_hot.parquet"))),

@@ -184,6 +184,26 @@ object native {
     ("graft_bottomk", "bottom-k payloads by hash (aggregate)",
       es => BottomKByHash(es(0), es(1)).toAggregateExpression()))
 
+  private val paramFnCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Wrap a DRIVER-PARAMETERIZED expression (one whose constructor
+    * carries model-sized state, e.g. [[TopCentroids]]'s codebook index)
+    * as a [[org.apache.spark.sql.Column]]: registers a uniquely-named
+    * session temp function whose builder closes over the parameter and
+    * returns a column invoking it. The public Column API has no
+    * Expression injection point (`ExpressionUtils` is private[sql]), and
+    * this matches how every other graft native function reaches plans.
+    * The registry entry is session-scoped and a few hundred bytes — one
+    * per distinct driver-state instance, model-count not row-count. */
+  def parameterized(s: SparkSession,
+      build: Seq[Expression] => Expression,
+      args: org.apache.spark.sql.Column*): org.apache.spark.sql.Column = {
+    val name = s"graft_param_${paramFnCounter.incrementAndGet()}"
+    s.sessionState.functionRegistry
+      .createOrReplaceTempFunction(name, build, "scala_udf")
+    org.apache.spark.sql.functions.call_function(name, args: _*)
+  }
+
   /** Register every native function missing from the session (idempotent
     * per function: present ones are left untouched — re-replacing costs
     * registry churn and a WARN each; and a partially-populated registry,

@@ -82,8 +82,56 @@ object Embeddings {
     * set. THE single home of the assignment tie-break rule —
     * [[assign]], `ann_ivf`, `emb_kmeans_iter`, and `d_semdedup` all
     * route through here, so the rule cannot silently fork between the
-    * IVF lists and the dedup verdicts. `cent` must have (cid, cv). */
-  def assignRanked(emb: DataFrame, cent: DataFrame): DataFrame = {
+    * IVF lists and the dedup verdicts. `cent` must have (cid, cv),
+    * distinct cids, and be model-sized (it is collected to the driver —
+    * the same contract under which the flat path broadcast it).
+    *
+    * Implementation: the ranking is computed by
+    * [[graft.functions.CentroidIndex]], an EXACT two-level search —
+    * coarse cells over the codebook plus angle-triangle ball-bound
+    * pruning, per-row work ~2√k·dims instead of the flat scan's k·dims
+    * (the corpus-scaled quantizer grows k with n, so the flat rule was
+    * an O(n²/rowsPerCentroid) asymptote). Exactness is by construction
+    * (a cell is skipped only when it provably cannot beat the kept
+    * rank-`maxRank` candidate), pinned against [[assignRankedFlat]] by
+    * SimilaritySpec's parity property. Bonus over the flat path: the
+    * ranking is a map-only codegen'd projection — no n·k-row shuffle
+    * through a `row_number` window.
+    *
+    * Returns `emb`'s columns plus (cid, ccos, crn), `crn` = 1..maxRank
+    * (at most k rows per vector). */
+  def assignRanked(emb: DataFrame, cent: DataFrame,
+      maxRank: Int = 8): DataFrame = {
+    val cb = cent.select(col("cid").cast(LongType), col("cv")).collect()
+    val index = graft.functions.CentroidIndex.build(
+      cb.map(_.getLong(0)), cb.map(r => floats(r, 1)), maxRank)
+    val topCol = graft.functions.native.parameterized(emb.sparkSession,
+      es => graft.functions.TopCentroids(es.head, index),
+      col("embedding"))
+    val keep = emb.columns.map(c => col(s"`$c`"))
+    // posexplode_OUTER, deliberately: for the non-outer form the
+    // optimizer infers `isnotnull && size > 0` filters on the generator
+    // input and pushes them through the projection, re-evaluating the
+    // index search 3x per row (measured: 60k topK calls for 20k rows).
+    // The outer form skips that rule, and the search never returns an
+    // empty array for a non-null vector, so the semantics are identical
+    // (a NULL vector yields one null-ranked row, like the flat path's
+    // null-cosine rows).
+    emb.withColumn("__top", topCol)
+      .select(keep :+
+        posexplode_outer(col("__top")).as(Seq("__p", "__c")): _*)
+      .withColumn("cid", col("__c.cid"))
+      .withColumn("ccos", col("__c.ccos"))
+      .withColumn("crn", col("__p") + 1)
+      .drop("__p", "__c")
+  }
+
+  /** The flat reference ranking — every centroid scored, ranked by a
+    * `row_number` window: the definitional form of the rule
+    * [[assignRanked]] must reproduce, kept as the parity oracle for
+    * SimilaritySpec's flat-vs-indexed property (and for ad-hoc audits).
+    * O(n·k) with a full shuffle; never on the production path. */
+  def assignRankedFlat(emb: DataFrame, cent: DataFrame): DataFrame = {
     graft.functions.native.register(emb.sparkSession)
     val w = Window.partitionBy("vec_id")
       .orderBy(col("ccos").desc, col("cid"))
@@ -96,7 +144,7 @@ object Embeddings {
     * reusable half of the Lloyd's step — also the IVF list-builder for
     * a trained codebook. `cent` must have (cid, cv). */
   def assign(emb: DataFrame, cent: DataFrame): DataFrame =
-    assignRanked(emb, cent).filter(col("crn") === 1).drop("crn")
+    assignRanked(emb, cent, maxRank = 1).drop("crn")
 
   /** Top principal direction of the (uncentered) Gram matrix by power
     * iteration from the all-ones seed — the converged form of the

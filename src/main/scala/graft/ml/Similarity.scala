@@ -44,14 +44,13 @@ object Similarity {
     val lists = Embeddings.assign(
       emb.select(col("vec_id"), col("embedding")), codebook)
       .select(col("vec_id"), col("embedding"), col("cid"))
-    val wProbe = Window.partitionBy("q_id")
-      .orderBy(col("qcos").desc, col("cid"))
-    val probes = queries.select(col("q_id"), col("q_emb"))
-      .crossJoin(broadcast(codebook))
-      .withColumn("qcos", expr("graft_cosine(q_emb, cv)"))
-      .withColumn("crn", row_number().over(wProbe))
-      .filter(col("crn") <= nprobe)
-      .select("q_id", "q_emb", "cid")
+    // probe lists via the same exact two-level ranking the corpus side
+    // uses — identical (cos desc, cid) rule, ~2√k scores per query
+    val probes = Embeddings.assignRanked(
+      queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      codebook, maxRank = nprobe)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("cid"))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     lists.join(broadcast(probes), Seq("cid"))
       .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))

@@ -376,9 +376,11 @@ object PipelineQueries {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select("vec_id", "embedding")
-    // nearest centroids per vector: n x k scores, ties to the lower cid
+    // top-2 centroids per vector (exact two-level search — ~2√k scores
+    // per row, not k), ties to the lower cid
     val assigned =
-      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p))
+      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p),
+        maxRank = 2)
     val lists = assigned.filter(col("crn") === 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cid"))
     val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)

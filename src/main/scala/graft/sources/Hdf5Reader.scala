@@ -54,7 +54,16 @@ object Hdf5Reader {
     val size = 16 // (length 4, gheap addr 8, index 4)
   }
   final case class H5Reference() extends H5Type { val size = 8 }
-  /** anything we don't decode (compound, enum...): kept as raw bytes. */
+  /** one compound member: name, byte offset within the element, scalar
+    * base type, and element count (> 1 for v1 array members). */
+  final case class H5CompoundMember(
+      name: String, offset: Int, dtype: H5Type, count: Int = 1)
+  /** compound (datatype class 6) with decodable members — surfaces as a
+    * Spark struct column through [[NetCDFIngest]]. A compound with a
+    * member class the reader can't decode falls back to [[H5Opaque]]. */
+  final case class H5Compound(size: Int, members: Seq[H5CompoundMember])
+      extends H5Type
+  /** anything we don't decode: kept as raw bytes. */
   final case class H5Opaque(size: Int) extends H5Type
 
   final case class Message(typ: Int, off: Long, size: Int)
@@ -576,12 +585,88 @@ object Hdf5Reader {
         case 0 => H5Int(size, signed = (b0 & 0x08) != 0)
         case 1 => H5Float(size)
         case 3 => H5FixedString(size)
+        case 6 => parseCompound(off, size).getOrElse(H5Opaque(size))
         case 7 => H5Reference()
+        case 8 =>
+          // enum (class 8): the base type message follows the header;
+          // values decode as the base integer — the same view netcdf-c
+          // gives a reader that ignores the name map
+          datatypeAt(off + 8) match {
+            case base: H5Int => base
+            case _ => H5Opaque(size)
+          }
         case 9 =>
           val isStr = (b0 & 0x0f) == 1
           H5Vlen(datatypeAt(off + 8), isStr)
         case _ => H5Opaque(size)
       }
+    }
+
+    /** Compound (class 6) member list, datatype-message versions 1-3
+      * (HDF5 spec IV.A.2.d). Members must be scalar int/float/string
+      * classes (possibly v1 array members); anything else — nested
+      * compounds, vlens — returns None and the whole type stays
+      * [[H5Opaque]], the previous behavior. */
+    private def parseCompound(off: Long, size: Int): Option[H5Compound] = {
+      val ver = (u8(off) >>> 4) & 0x0f
+      val nm = u8(off + 1) | (u8(off + 2) << 8)
+      if (nm == 0 || ver < 1 || ver > 3) return None
+      // v3 member offsets use the minimum bytes that hold the size
+      var offBytes = 1
+      while (offBytes < 8 && (size.toLong >>> (8 * offBytes)) != 0)
+        offBytes += 1
+      var p = off + 8
+      val members = Seq.newBuilder[H5CompoundMember]
+      var i = 0
+      while (i < nm) {
+        val nameBytes = {
+          var q = p
+          while (u8(q) != 0) q += 1
+          (q - p).toInt
+        }
+        val name = new String(d.copy(p, p + nameBytes), "UTF-8")
+        p += (ver match {
+          case 3 => nameBytes + 1
+          case _ => ((nameBytes + 1 + 7) / 8) * 8 // NUL then pad to 8
+        })
+        var moff = 0L
+        var cnt = 1L
+        ver match {
+          case 1 =>
+            moff = u32(p)
+            val dimy = u8(p + 4)
+            // offset(4) dimensionality(1) reserved(3) perm(4) reserved(4)
+            // dim sizes 4 x u32
+            cnt = (0 until math.min(dimy, 4))
+              .map(j => u32(p + 16 + 4L * j)).product max 1L
+            p += 32
+          case 2 => moff = u32(p); p += 4
+          case _ =>
+            var v = 0L
+            (0 until offBytes).foreach(j => v |= u8(p + j).toLong << (8 * j))
+            moff = v; p += offBytes
+        }
+        val mlen = scalarDtMsgLen(p)
+        if (mlen < 0) return None
+        val mdt = datatypeAt(p)
+        p += mlen
+        require(moff + mdt.size.toLong * cnt <= size,
+          s"compound member $name at $moff x $cnt overruns element size " +
+            s"$size")
+        members += H5CompoundMember(name, moff.toInt, mdt, cnt.toInt)
+        i += 1
+      }
+      Some(H5Compound(size, members.result()))
+    }
+
+    /** Byte length of a SCALAR datatype message (header + properties) —
+      * what's needed to advance past a compound member's type; -1 for
+      * classes whose property size isn't fixed. */
+    private def scalarDtMsgLen(off: Long): Int = (u8(off) & 0x0f) match {
+      case 0 => 12 // fixed-point: offset u16 + precision u16
+      case 1 => 20 // float: 12 property bytes
+      case 3 => 8 // string: no properties
+      case _ => -1
     }
 
     // ------------------------------------------------------- attributes
@@ -985,10 +1070,40 @@ object Hdf5Reader {
             case H5FixedString(sz) =>
               Array.tabulate(n)(i =>
                 new String(raw, i * sz, sz, "UTF-8").takeWhile(_ != 0))
+            case c: H5Compound =>
+              // one Seq of member values per element (array members as
+              // nested Seqs) — [[NetCDFIngest]] surfaces these as Spark
+              // struct columns
+              Array.tabulate(n) { i =>
+                val base = i * c.size
+                c.members.map { m =>
+                  if (m.count == 1)
+                    memberVal(raw, b, base + m.offset, m.dtype)
+                  else
+                    Seq.tabulate(m.count)(j => memberVal(raw, b,
+                      base + m.offset + j * m.dtype.size, m.dtype))
+                }
+              }
             case other =>
               throw new IllegalStateException(s"cannot read $other data")
           }
       }
+    }
+
+    private def memberVal(raw: Array[Byte], b: ByteBuffer, p: Int,
+        t: H5Type): Any = t match {
+      case H5Int(1, s) => if (s) raw(p).toLong else (raw(p) & 0xff).toLong
+      case H5Int(2, s) =>
+        if (s) b.getShort(p).toLong else b.getShort(p) & 0xffffL
+      case H5Int(4, s) =>
+        if (s) b.getInt(p).toLong else b.getInt(p) & 0xffffffffL
+      case H5Int(8, _) => b.getLong(p)
+      case H5Float(4) => b.getFloat(p).toDouble
+      case H5Float(8) => b.getDouble(p)
+      case H5FixedString(sz) =>
+        new String(raw, p, sz, "UTF-8").takeWhile(_ != 0)
+      case other =>
+        throw new IllegalStateException(s"compound member type $other")
     }
   }
 }

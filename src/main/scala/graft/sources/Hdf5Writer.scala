@@ -47,6 +47,19 @@ object Hdf5Writer {
   final case class WInt(size: Int, signed: Boolean = true) extends WType
   /** fixed-size NUL-padded string */
   final case class WStr(size: Int) extends WType
+  /** compound (HDF5 datatype class 6, packed members in declaration
+    * order — the netCDF user-defined compound type); members are the
+    * scalar classes above. Data bytes are the packed member encodings
+    * per element. */
+  /** `v1 = true` emits the version-1 message layout (names padded to 8,
+    * 32-byte member dim info) — what libhdf5/netcdf-c default-writes —
+    * so the reader's v1 parse path round-trips under test; v3 is the
+    * compact modern form. */
+  final case class WCompound(members: Seq[(String, WType)],
+      v1: Boolean = false) extends WType {
+    require(members.nonEmpty, "compound needs at least one member")
+    val size: Int = members.map(_._2.size).sum
+  }
 
   sealed trait WAttrVal
   final case class WStrAttr(v: String) extends WAttrVal
@@ -217,8 +230,52 @@ object Hdf5Writer {
       case WStr(size) =>
         b.u8(0x13); b.u8(0x00); b.u8(0); b.u8(0) // NUL-terminated, ASCII
         b.u32(math.max(size, 1))
+      case c @ WCompound(members, true) =>
+        // version 1 compound: names NUL-terminated padded to 8; member
+        // info = offset u32, dimensionality u8 (0: scalar), 3 reserved,
+        // permutation u32, reserved u32, 4 x u32 dim sizes
+        b.u8(0x16); b.u8(members.size & 0xff)
+        b.u8((members.size >> 8) & 0xff); b.u8(0)
+        b.u32(c.size)
+        var moff1 = 0
+        members.foreach { case (name, mt) =>
+          val raw = name.getBytes("UTF-8")
+          b.bytes(raw); b.u8(0)
+          b.zeros((8 - (raw.length + 1) % 8) % 8)
+          b.u32(moff1)
+          b.u8(0); b.zeros(3) // scalar member: dimensionality 0
+          b.u32(0); b.u32(0) // permutation, reserved
+          (0 until 4).foreach(_ => b.u32(0))
+          b.bytes(dtBytes(mt))
+          moff1 += mt.size
+        }
+      case c @ WCompound(members, false) =>
+        // version 3 compound (spec IV.A.2.d): member name NUL-terminated
+        // unpadded, byte offset in the minimum bytes that hold the
+        // compound size, then the member's own datatype message
+        b.u8(0x36); b.u8(members.size & 0xff)
+        b.u8((members.size >> 8) & 0xff); b.u8(0)
+        b.u32(c.size)
+        val offBytes = minBytesFor(c.size)
+        var moff = 0
+        members.foreach { case (name, mt) =>
+          val raw = name.getBytes("UTF-8")
+          b.bytes(raw); b.u8(0)
+          var v = moff.toLong
+          (0 until offBytes).foreach { _ => b.u8((v & 0xff).toInt); v >>= 8 }
+          b.bytes(dtBytes(mt))
+          moff += mt.size
+        }
     }
     b.result()
+  }
+
+  /** Minimum bytes needed to represent values in [0, size]: the v3
+    * compound member-offset width rule. */
+  private def minBytesFor(size: Int): Int = {
+    var nb = 1
+    while (nb < 8 && (size.toLong >>> (8 * nb)) != 0) nb += 1
+    nb
   }
 
   /** vlen(sequence) of object references — the `DIMENSION_LIST` type. */
@@ -353,6 +410,26 @@ object Hdf5Writer {
     nodes.head._3
   }
 
+  /** One chunked dataset being fed INTERLEAVED with others: HDF5's
+    * chunk B-tree records each chunk's file address, so chunks of
+    * different datasets may alternate freely in the file — the
+    * single-pass streamed `.nc` assembly appends one chunk per
+    * variable per row window instead of one full column pass per
+    * variable. Obtain via [[StreamWriter.openChunked]], feed with
+    * [[StreamWriter.appendChunk]], finalize with
+    * [[StreamWriter.closeChunked]] (B-tree + meta registration — close
+    * dimension/coordinate datasets before the data variables that
+    * reference them, the same ordering contract as the one-shot
+    * paths). */
+  final class ChunkStream private[Hdf5Writer] (
+      private[Hdf5Writer] val ds: WDataset,
+      private[Hdf5Writer] val cr: Long) {
+    private[Hdf5Writer] val entries =
+      scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
+    private[Hdf5Writer] var off = 0L
+    private[Hdf5Writer] var closed = false
+  }
+
   // --------------------------------------------------------- StreamWriter
 
   /** Incremental single-file assembly: construct over an [[Out]], feed
@@ -416,37 +493,77 @@ object Hdf5Writer {
         s"${ds.name}: chunkRows $c must be positive"))
     }
 
-    /** Shared chunked-data writer: `payloads` yields LOGICAL chunk bytes
-      * (cr rows x rowBytes, edge chunk already padded to the full chunk
-      * extent); filters apply here. */
+    private val openStreams = scala.collection.mutable.Set[String]()
+
+    /** Open an interleaved chunk stream for `ds` (data must be None,
+      * `unlimited0` + `chunkRows` set, shape.head = final row count). */
+    def openChunked(ds: WDataset): ChunkStream = {
+      require(ds.data.isEmpty, s"${ds.name}: openChunked takes payloads")
+      require(ds.unlimited0 && ds.chunkRows.exists(_ > 0),
+        s"${ds.name}: streamed chunks need unlimited0 + chunkRows")
+      require(!openStreams.contains(ds.name),
+        s"${ds.name}: chunk stream already open")
+      validate(ds)
+      val cr = ds.chunkRows.get.toLong
+      // same clamp dataset() enforces: a declared chunk must stay under
+      // HDF5's 4 GiB/chunk limit and the u32 chunk-dim field, or the
+      // layout message silently truncates for readers
+      val rowBytes = math.max(ds.shape.drop(1).product, 1L) * ds.dtype.size
+      require(cr * rowBytes < (4L << 30) && cr <= 0xffffffffL,
+        s"${ds.name}: chunk of $cr rows x $rowBytes B exceeds the HDF5 " +
+          "4 GiB/chunk limit; pass a smaller chunkRows")
+      openStreams += ds.name
+      chunkRowsUsed(ds.name) = cr
+      new ChunkStream(ds, cr)
+    }
+
+    /** Append one LOGICAL chunk (cr rows x rowBytes, edge chunk already
+      * padded to the full chunk extent by the caller); the declared
+      * filter pipeline applies here. */
+    def appendChunk(h: ChunkStream, raw: Array[Byte]): Unit = {
+      require(!h.closed, s"${h.ds.name}: chunk stream already closed")
+      val ds = h.ds
+      var payload = raw
+      if (ds.shuffle) payload = shuffleBytes(payload, ds.dtype.size)
+      ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
+      if (ds.fletcher32) {
+        // trailing checksum, little-endian, over the (possibly
+        // compressed) chunk as stored — matching the pipeline order
+        // declared in the filter message (deflate, then fletcher32)
+        val sum = Hdf5Reader.fletcher32(payload, payload.length)
+        val w = java.util.Arrays.copyOf(payload, payload.length + 4)
+        w(payload.length) = (sum & 0xff).toByte
+        w(payload.length + 1) = ((sum >> 8) & 0xff).toByte
+        w(payload.length + 2) = ((sum >> 16) & 0xffL).toByte
+        w(payload.length + 3) = ((sum >> 24) & 0xff).toByte
+        payload = w
+      }
+      out.align8()
+      h.entries += ((h.off, payload.length, out.pos))
+      out.bytes(payload)
+      h.off += h.cr
+    }
+
+    /** Write the stream's chunk B-tree and register the dataset. */
+    def closeChunked(h: ChunkStream): Unit = {
+      require(!h.closed, s"${h.ds.name}: chunk stream already closed")
+      h.closed = true
+      chunkBt(h.ds.name) = writeChunkBtree(out, h.ds.shape.length,
+        h.entries.toSeq, h.ds.shape, h.cr)
+      metas += h.ds
+      openStreams -= h.ds.name
+    }
+
+    /** Shared chunked-data writer for the non-interleaved paths:
+      * `payloads` yields LOGICAL chunk bytes, one dataset at a time. */
     private def writeChunks(ds: WDataset, cr: Long,
         payloads: Iterator[Array[Byte]]): Unit = {
       chunkRowsUsed(ds.name) = cr
-      val entries = scala.collection.mutable.ArrayBuffer[(Long, Int, Long)]()
-      var off = 0L
-      payloads.foreach { raw =>
-        var payload = raw
-        if (ds.shuffle) payload = shuffleBytes(payload, ds.dtype.size)
-        ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
-        if (ds.fletcher32) {
-          // trailing checksum, little-endian, over the (possibly
-          // compressed) chunk as stored — matching the pipeline order
-          // declared in the filter message (deflate, then fletcher32)
-          val sum = Hdf5Reader.fletcher32(payload, payload.length)
-          val w = java.util.Arrays.copyOf(payload, payload.length + 4)
-          w(payload.length) = (sum & 0xff).toByte
-          w(payload.length + 1) = ((sum >> 8) & 0xff).toByte
-          w(payload.length + 2) = ((sum >> 16) & 0xffL).toByte
-          w(payload.length + 3) = ((sum >> 24) & 0xff).toByte
-          payload = w
-        }
-        out.align8()
-        entries += ((off, payload.length, out.pos))
-        out.bytes(payload)
-        off += cr
-      }
+      val h = new ChunkStream(ds, cr)
+      payloads.foreach(appendChunk(h, _))
+      h.closed = true
       chunkBt(ds.name) = writeChunkBtree(out, ds.shape.length,
-        entries.toSeq, ds.shape, cr)
+        h.entries.toSeq, ds.shape, cr)
     }
 
     /** Feed one dataset whose data (if any) is fully in memory. */
@@ -604,6 +721,9 @@ object Hdf5Writer {
       * patch the superblock. The sink stays open (caller closes). */
     def finish(rootAttrs: Seq[(String, WAttrVal)]): Unit = {
       require(!finished, "StreamWriter already finished")
+      require(openStreams.isEmpty,
+        s"chunk streams still open: ${openStreams.mkString(", ")} — " +
+          "closeChunked each before finish")
       finished = true
       val datasets = metas.toSeq
       out.patch16(leafKSlot, math.max(4, datasets.size))

@@ -71,6 +71,20 @@ object NetCDFIngest {
     case Hdf5Reader.H5Float(8) => DoubleType
     case Hdf5Reader.H5Float(_) => FloatType
     case Hdf5Reader.H5Int(_, _) => LongType
+    case c: Hdf5Reader.H5Compound =>
+      // netCDF user-defined compound type -> Spark struct column.
+      // Member floats decode as Double (Hdf5Reader.memberVal), ints as
+      // Long, fixed strings as String; v1 array members as arrays.
+      StructType(c.members.map { m =>
+        val base: DataType = m.dtype match {
+          case Hdf5Reader.H5Float(_) => DoubleType
+          case Hdf5Reader.H5Int(_, _) => LongType
+          case _ => StringType
+        }
+        StructField(m.name,
+          if (m.count > 1) ArrayType(base, containsNull = false) else base,
+          nullable = true)
+      })
     case _ => StringType
   }
 
@@ -174,6 +188,29 @@ object NetCDFIngest {
               else {
                 val const = Seq.tabulate(total)(ts)
                 (_: Int) => const
+              }
+            case ArrayType(_: StructType, _) =>
+              throw new IllegalArgumentException(
+                s"$path: variable ${f.name} is an ARRAY of compound " +
+                  "elements per record — not supported; flatten the " +
+                  "inner dimension or split the members")
+            case _: StructType =>
+              // compound variable: one struct Row per record
+              require(inner == 1,
+                s"$path: compound variable ${f.name} has $inner values " +
+                  "per record but compound columns are scalar-per-record")
+              def rowOf(x: Any): Any = x match {
+                case s: scala.collection.Seq[_] => Row.fromSeq(s.toSeq)
+                case _ => null
+              }
+              data match {
+                case a: Array[_] =>
+                  if (recordVar) (i: Int) => rowOf(a(i))
+                  else {
+                    val const = a.headOption.map(rowOf).orNull
+                    (_: Int) => const
+                  }
+                case _ => (_: Int) => null
               }
             case ArrayType(_, _) =>
               if (recordVar)

@@ -40,6 +40,16 @@ import Hdf5Writer._
   */
 object NetCDFWrite {
 
+  /** Full passes over the sorted frame made by [[writeSingleStreamed]]
+    * since the last reset — instrumentation for the NetCdfWriteSpec
+    * pass-count pin. The structural invariant: ONE stats aggregate +
+    * ONE row pass = 2, independent of variable count (the cache-
+    * materializing count() when the caller didn't pre-count is the
+    * load, not a pass). A regression back to per-variable column
+    * passes bumps this by the variable count. */
+  private[graft] val passCounter =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Storage options for record (unlimited-dim) variables: records per
     * HDF5 chunk (the reference's `-c udim:chunksize`), zlib deflate
     * level, and fletcher32 chunk checksums. `chunkRows = None` writes one
@@ -497,6 +507,7 @@ object NetCDFWrite {
       val stats: Map[String, Any] =
         if (aggCols.isEmpty) Map.empty
         else {
+          passCounter.incrementAndGet()
           val r = sorted.agg(aggCols.head, aggCols.tail: _*).head()
           r.schema.fieldNames.zipWithIndex.map { case (n, i) =>
             n -> r.get(i)
@@ -575,7 +586,24 @@ object NetCDFWrite {
             scaleAttrs(d.name, Some(dimSize(d.name))),
             unlimited0 = d.name == recDim && d.isUnlimited))
         }
-        def feed(v: AggConfig.VarSpec): Unit = {
+
+        // ---- plan every output variable up front (coords before data
+        // vars — DIMENSION_LIST referencing order), then run ONE data
+        // pass: record variables append interleaved chunk streams
+        // ([[Hdf5Writer.StreamWriter.openChunked]]), constant variables
+        // capture their first non-null value in row order (writeFile's
+        // rule) from the same rows. Pass count is structural: the stats
+        // aggregate + this row pass — 2, independent of variable count
+        // (the reference likewise streams all variables in one
+        // node-by-node traversal, aggregator.py:239-359).
+        final case class Planned(v: AggConfig.VarSpec, outName: String,
+            fi: Int, enc: Enc, isArr: Boolean, isCoord: Boolean,
+            inner: Seq[Long], innerN: Int,
+            attrsOut: Seq[(String, WAttrVal)])
+        val ordered = outVars.filter(v =>
+          coordVars(v.mapTo.getOrElse(v.name))) ++
+          outVars.filterNot(v => coordVars(v.mapTo.getOrElse(v.name)))
+        val planned = ordered.map { v =>
           val outName = v.mapTo.getOrElse(v.name)
           val (elemT, isArr) = schema(outName).dataType match {
             case ArrayType(t, _) => (t, true)
@@ -599,61 +627,95 @@ object NetCDFWrite {
             (if (isCoord) scaleAttrs(outName, None) else Nil) ++
               userAttrs(v) ++ enc.extraAttrs ++
               (if (v.dimensions.nonEmpty && !isCoord) dimList else Nil)
-          if (isRec) {
-            require(config.dim(recDim).exists(_.isUnlimited),
-              s"$outName: streamed single-file output needs the record " +
-                s"dimension $recDim to be unlimited (chunked layout)")
-            val rowBytes = innerN.toLong * enc.dtype.size
-            require(rowBytes > 0 && rowBytes <= Int.MaxValue,
-              s"$outName: one record is $rowBytes B ($innerN elems x " +
-                s"${enc.dtype.size} B cells) — exceeds the per-chunk " +
-                "addressable bound; narrow the cell width or split the " +
-                "variable")
-            // chunk rows: caller/template choice, capped so one chunk
-            // stays ~256 MiB and addressable
-            val crReq = opts.chunkRows.orElse(
-              v.chunksizes.flatMap(_.headOption).filter(_ > 0))
-              .getOrElse(DefaultStreamChunkRows).toLong
-            val cr = math.max(1L, math.min(math.min(crReq, total max 1L),
-              (1L << 28) / math.max(rowBytes, 1L))).toInt
-            val logicalL = cr.toLong * rowBytes
-            require(logicalL <= Int.MaxValue,
-              s"$outName: chunk of $cr rows x $rowBytes B/row does not " +
-                "fit one byte array; lower chunkRows")
-            val logical = logicalL.toInt
-            val colIt = sorted.select(col(s"`$outName`")).toLocalIterator()
-            val payloads = new Iterator[Array[Byte]] {
-              def hasNext: Boolean = colIt.hasNext
-              def next(): Array[Byte] = {
-                val vals = new scala.collection.mutable.ArrayBuffer[Any](
-                  cr * innerN)
-                var r = 0
-                while (r < cr && colIt.hasNext) {
-                  vals ++= elemsOf(colIt.next().get(0), innerN, isArr)
-                  r += 1
-                }
-                val bytes = enc.put(vals.toArray)
-                if (bytes.length == logical) bytes
-                else java.util.Arrays.copyOf(bytes, logical) // edge: pad
-              }
+          Planned(v, outName, fieldIdx(outName), enc, isArr, isCoord,
+            inner, innerN, attrsOut)
+        }
+        val (recPlans, constPlans) = planned.partition(
+          _.v.dimensions.headOption.contains(recDim))
+
+        // one interleaved stream per record variable; the per-chunk
+        // memory budget (~256 MiB of logical bytes) is SHARED across
+        // the simultaneously-open streams so total buffered data stays
+        // bounded regardless of variable count
+        final class RecState(val p: Planned,
+            val cr: Int, val logical: Int,
+            val stream: Hdf5Writer.ChunkStream) {
+          val buf = new scala.collection.mutable.ArrayBuffer[Any](
+            cr * p.innerN)
+          var rowsInBuf = 0
+        }
+        val nRec = math.max(1, recPlans.size)
+        val recStates = recPlans.map { p =>
+          require(config.dim(recDim).exists(_.isUnlimited),
+            s"${p.outName}: streamed single-file output needs the record " +
+              s"dimension $recDim to be unlimited (chunked layout)")
+          val rowBytes = p.innerN.toLong * p.enc.dtype.size
+          require(rowBytes > 0 && rowBytes <= Int.MaxValue,
+            s"${p.outName}: one record is $rowBytes B (${p.innerN} elems " +
+              s"x ${p.enc.dtype.size} B cells) — exceeds the per-chunk " +
+              "addressable bound; narrow the cell width or split the " +
+              "variable")
+          val crReq = opts.chunkRows.orElse(
+            p.v.chunksizes.flatMap(_.headOption).filter(_ > 0))
+            .getOrElse(DefaultStreamChunkRows).toLong
+          val cr = math.max(1L, math.min(math.min(crReq, total max 1L),
+            ((1L << 28) / nRec) / math.max(rowBytes, 1L))).toInt
+          val logicalL = cr.toLong * rowBytes
+          require(logicalL <= Int.MaxValue,
+            s"${p.outName}: chunk of $cr rows x $rowBytes B/row does not " +
+              "fit one byte array; lower chunkRows")
+          val stream = w.openChunked(WDataset(p.outName,
+            total +: p.inner, p.enc.dtype, None, p.attrsOut,
+            unlimited0 = true, fletcher32 = opts.fletcher32,
+            chunkRows = Some(cr), deflate = opts.deflate,
+            shuffle = opts.shuffle))
+          new RecState(p, cr, logicalL.toInt, stream)
+        }
+        val constVals = new Array[Any](constPlans.size)
+        val constSeen = new Array[Boolean](constPlans.size)
+
+        def flush(rs: RecState): Unit = {
+          val bytes = rs.p.enc.put(rs.buf.toArray)
+          w.appendChunk(rs.stream,
+            if (bytes.length == rs.logical) bytes
+            else java.util.Arrays.copyOf(bytes, rs.logical)) // edge: pad
+          rs.buf.clear()
+          rs.rowsInBuf = 0
+        }
+
+        // ---- THE single data pass
+        passCounter.incrementAndGet()
+        val rowIt = sorted.toLocalIterator()
+        while (rowIt.hasNext) {
+          val row = rowIt.next()
+          recStates.foreach { rs =>
+            rs.buf ++= elemsOf(row.get(rs.p.fi), rs.p.innerN, rs.p.isArr)
+            rs.rowsInBuf += 1
+            if (rs.rowsInBuf == rs.cr) flush(rs)
+          }
+          var ci = 0
+          while (ci < constPlans.size) {
+            if (!constSeen(ci)) {
+              val x = row.get(constPlans(ci).fi)
+              if (x != null) { constVals(ci) = x; constSeen(ci) = true }
             }
-            w.datasetChunks(WDataset(outName, total +: inner, enc.dtype,
-              None, attrsOut, unlimited0 = true,
-              fletcher32 = opts.fletcher32, chunkRows = Some(cr),
-              deflate = opts.deflate, shuffle = opts.shuffle), payloads)
-          } else {
-            // constant (non-record) variable: first non-null value, like
-            // the reference copying static vars from the first granule
-            val x = sorted.select(col(s"`$outName`"))
-              .where(col(s"`$outName`").isNotNull).limit(1)
-              .collect().headOption.map(_.get(0)).orNull
-            val vals = elemsOf(x, innerN, isArr)
-            w.dataset(WDataset(outName, inner, enc.dtype,
-              Some(enc.put(vals)), attrsOut))
+            ci += 1
           }
         }
-        outVars.filter(v => coordVars(v.mapTo.getOrElse(v.name))).foreach(feed)
-        outVars.filterNot(v => coordVars(v.mapTo.getOrElse(v.name))).foreach(feed)
+        // constant (non-record) variables: first non-null value in row
+        // order, like the reference copying static vars from the first
+        // granule — registered BEFORE the record streams close so a
+        // constant coordinate's dataset precedes any DIMENSION_LIST
+        // that references it
+        constPlans.zipWithIndex.foreach { case (p, ci) =>
+          val vals = elemsOf(constVals(ci), p.innerN, p.isArr)
+          w.dataset(WDataset(p.outName, p.inner, p.enc.dtype,
+            Some(p.enc.put(vals)), p.attrsOut))
+        }
+        recStates.foreach { rs =>
+          if (rs.rowsInBuf > 0) flush(rs)
+          w.closeChunked(rs.stream)
+        }
         w.finish(attrs.toSeq.sortBy(_._1).map { case (k, s) =>
           k -> WStrAttr(s)
         })

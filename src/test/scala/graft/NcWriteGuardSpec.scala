@@ -204,6 +204,44 @@ class NcWriteGuardSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streamed assembly makes exactly 2 full passes, independent of variable count") {
+    // The single-pass restructure's structural pin: one stats aggregate
+    // + one interleaved row pass. A regression to per-variable column
+    // passes would count 1 + nVars (here 6) instead of 2.
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("ncguard_pass").toString
+    (0 until 200).map { i =>
+      (i.toDouble, s"n$i", i.toLong, i * 0.5f, i * 2.0,
+        Seq.tabulate(1 + i % 3)(j => i + j * 0.25))
+    }.toDF("t", "s", "l", "f", "x", "a").repartition(4)
+      .write.parquet(s"$tmp/agg")
+    val c = Config(
+      dims = Seq(DimSpec("record", None, indexBy = Some("t")),
+        DimSpec("d2", None)),
+      vars = Seq(
+        VarSpec("t", Seq("record"), "double"),
+        VarSpec("s", Seq("record"), "string"),
+        VarSpec("l", Seq("record"), "long"),
+        VarSpec("f", Seq("record"), "float"),
+        VarSpec("x", Seq("record"), "double"),
+        VarSpec("a", Seq("record", "d2"), "double")),
+      attrs = Nil)
+    NetCDFWrite.passCounter.set(0)
+    NetCDFWrite.writeSingleStreamed(spark, s"$tmp/agg", s"$tmp/out.nc", c,
+      globalAttrs = Some(Map.empty),
+      opts = NetCDFWrite.NcOpts(chunkRows = Some(16)))
+    assert(NetCDFWrite.passCounter.get === 2,
+      "streamed assembly must stay at stats + data = 2 full passes")
+    // and the interleaved pass still wrote a coherent file
+    val nc = NetCDF4.open(s"$tmp/out.nc")
+    val t = nc.read(nc.vars.find(_.name == "t").get).asInstanceOf[Array[Double]]
+    val x = nc.read(nc.vars.find(_.name == "x").get).asInstanceOf[Array[Double]]
+    assert(t.length == 200 && x.length == 200)
+    assert(t.indices.forall(i => x(i) == t(i) * 2.0),
+      "columns must stay row-aligned through the interleaved streams")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
   test("a failed write never truncates a pre-existing output file") {
     import graft.sources.Hdf5Writer
     import Hdf5Writer._

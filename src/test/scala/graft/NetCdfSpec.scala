@@ -377,4 +377,75 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(mean - 294000000.0) <= 1000000.0, s"mean $mean")
     assert(times.head >= lo && times.last <= hi)
   }
+
+  test("compound (class 6) variables decode to Spark struct columns") {
+    import graft.sources.Hdf5Writer
+    import Hdf5Writer._
+    val tmp = Files.createTempDirectory("nc_compound").toString
+    val dst = java.nio.file.Paths.get(tmp, "granule.nc")
+    // compound element: a: i32 @0, x: f64 @4, tag: char[4] @12 -> 16 B
+    val comp = WCompound(Seq(
+      "a" -> WInt(4), "x" -> WF64, "tag" -> WStr(4)))
+    assert(comp.size === 16)
+    val n = 4
+    val data = java.nio.ByteBuffer.allocate(n * comp.size)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach { i =>
+      data.putInt(10 + i)
+      data.putDouble(0.5 * i)
+      data.put(java.util.Arrays.copyOf(s"t$i".getBytes("UTF-8"), 4))
+    }
+    val timeB = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => timeB.putDouble(i * 60.0))
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("time", Seq(n.toLong), WF64, Some(timeB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"),
+          "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true))
+      w.dataset(WDataset("obs", Seq(n.toLong), comp, Some(data.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time")))))
+      // same element bytes under the VERSION-1 message layout (what
+      // libhdf5/netcdf-c default-writes) — pins the v1 parse path
+      w.dataset(WDataset("obs_v1", Seq(n.toLong),
+        comp.copy(v1 = true), Some(data.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time")))))
+      w.finish(Seq("title" -> WStrAttr("compound fixture")))
+    }
+    // reader level: the type parses and the elements decode
+    val h5 = Hdf5Reader.open(dst.toString)
+    try {
+      val obs = h5.datasets.find(_.name == "obs").get
+      val c = obs.dtype.asInstanceOf[Hdf5Reader.H5Compound]
+      assert(c.members.map(m => (m.name, m.offset)) ===
+        Seq(("a", 0), ("x", 4), ("tag", 12)))
+      val vals = h5.read(obs).asInstanceOf[Array[scala.collection.Seq[Any]]]
+      assert(vals(2) === Seq(12L, 1.0, "t2"))
+      val obsV1 = h5.datasets.find(_.name == "obs_v1").get
+      val cV1 = obsV1.dtype.asInstanceOf[Hdf5Reader.H5Compound]
+      assert(cV1.members.map(m => (m.name, m.offset)) ===
+        Seq(("a", 0), ("x", 4), ("tag", 12)))
+      assert(h5.read(obsV1).asInstanceOf[Array[scala.collection.Seq[Any]]]
+        .toSeq === vals.toSeq, "v1 and v3 layouts decode identically")
+    } finally h5.close()
+    // ingest level: struct column through schemaFor + granuleRows,
+    // then through Spark and parquet (the full plumbing)
+    val meta = NetCDFIngest.granuleMeta(dst.toString)
+    val st = meta.schema("obs").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq === Seq("a", "x", "tag"))
+    assert(st("a").dataType === LongType)
+    assert(st("x").dataType === DoubleType)
+    assert(st("tag").dataType === StringType)
+    val rows = NetCDFIngest.granuleRows(dst.toString, meta.schema).toSeq
+    assert(rows.length === n)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), meta.schema)
+    df.write.mode("overwrite").parquet(s"$tmp/out.parquet")
+    val back = spark.read.parquet(s"$tmp/out.parquet")
+      .selectExpr("obs.a", "obs.x", "obs.tag").orderBy("a").collect()
+    assert(back.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+      .toSeq === (0 until n).map(i => (10L + i, 0.5 * i, s"t$i")))
+  }
 }

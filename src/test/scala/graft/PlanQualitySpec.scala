@@ -296,25 +296,28 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"expected exactly 1 wide shuffle on the data path, got $wide")
   }
 
-  test("ann_ivf broadcasts the COLLECTED codebook, never re-scanning parquet") {
-    // the corpus-scaled quantizer's codebook is k·dims of driver state
-    // (kmeansFit collects it); the assignment cross join must broadcast
-    // that local relation — a parquet scan on the build side would mean
-    // the centroids are re-derived from the corpus on every use
-    val joins = nodes(physical("ann_ivf")).collect {
-      case j: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => j
-    }
-    assert(joins.nonEmpty, "assignment cross join missing")
-    joins.foreach { j =>
-      val buildSide = j.buildSide match {
-        case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
-        case _ => j.left
-      }
-      val build = nodes(buildSide)
-      assert(!build.exists(_.isInstanceOf[
-        org.apache.spark.sql.execution.FileSourceScanExec]),
-        "codebook build side must be the collected local relation, not a scan")
-    }
+  test("ann_ivf assignment is a map-only indexed search — no cross join, no assignment shuffle") {
+    // the corpus-scaled quantizer's codebook is k·dims of driver state;
+    // the indexed two-level assignment ships it to executors as a
+    // codegen reference object and ranks per-row in a projection — the
+    // old shape (k-row broadcast cross join + a vec_id window shuffle
+    // of n·k rows) must NOT come back, and nothing may re-derive the
+    // centroids from a parquet re-scan inside a join build side
+    val plan = physical("ann_ivf")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]) == 0,
+      "indexed assignment must not plan a cross join")
+    // remaining shuffles: the explicit corpus repartition (appearing in
+    // both the lists and probes branches pre-reuse) and the final
+    // per-query top-k window — NOT an n·k ranking exchange
+    val shuffles = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles <= 3, s"expected <= 3 shuffles, got $shuffles")
+    // the per-vector ranking must not be a row_number window anymore
+    // (one bounded top-k window for the query results is expected)
+    val windows = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec])
+    assert(windows <= 1, s"assignment must be windowless, got $windows")
   }
 
   test("stream_minhash_dedup: one stateful keyed shuffle + broadcast verdict join") {

@@ -229,6 +229,57 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(out.groupBy(_._2).forall(_._2.length <= 5))
   }
 
+  test("indexed two-level assignment == flat window ranking (randomized parity)") {
+    // The exactness claim of CentroidIndex: the pruned two-level search
+    // must reproduce the flat (score ALL k, rank by ccos desc / cid asc)
+    // rule bit-for-bit — on a corpus nasty enough to exercise every edge:
+    // k > FlatMax (coarse cells + pruning engaged), exact-duplicate
+    // centroids (cos ties -> cid tie-break), a zero-norm centroid (NaN
+    // cosine, sorts FIRST under Spark's NaN-greatest desc order), and
+    // zero-norm row vectors (every cosine NaN -> pure cid order).
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814L)
+    val dims = 24
+    val baseCents = Array.tabulate(140)(i =>
+      if (i == 37) Array.fill(dims)(0.0f)
+      else Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat))
+    // ids 140..149 duplicate ids 40..49 exactly: same cosine to every
+    // row, so their relative rank is decided ONLY by the cid tie-break
+    val cents = baseCents ++ Array.tabulate(10)(j => baseCents(40 + j).clone())
+    val centDf = cents.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq.toDF("cid", "cv")
+      .withColumn("cv", col("cv").cast("array<float>"))
+    val rows = Array.tabulate(400) { i =>
+      val v =
+        if (i < 3) Array.fill(dims)(0.0f) // zero rows: NaN vs everything
+        else if (i == 3) cents(77).clone() // exact centroid hit
+        else if (i % 7 == 0) // near-tie: tiny perturbation of a dup pair
+          cents(40 + i % 10).map(x => x + (rnd.nextInt(3) - 1) * 1e-7f)
+        else Array.fill(dims)((rnd.nextDouble() * 2 - 1).toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val emb = rows.toSeq.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    for (m <- Seq(1, 3, 8)) {
+      val flat = graft.ml.Embeddings.assignRankedFlat(emb, centDf)
+        .filter(col("crn") <= m)
+        .select("vec_id", "crn", "cid", "ccos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      val idx = graft.ml.Embeddings.assignRanked(emb, centDf, maxRank = m)
+        .select("vec_id", "crn", "cid", "ccos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+      assert(idx.length === flat.length, s"maxRank=$m row counts")
+      flat.zip(idx).foreach { case (f, x) =>
+        assert(f._1 == x._1 && f._2 == x._2 && f._3 == x._3,
+          s"maxRank=$m rank mismatch: flat=$f indexed=$x")
+        assert(java.lang.Double.compare(f._4, x._4) == 0,
+          s"maxRank=$m ccos mismatch: flat=$f indexed=$x")
+      }
+    }
+  }
+
   test("kmeansFit converges to the cluster axes with full membership") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
     val out = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 3)
