@@ -181,8 +181,18 @@ object native {
       es => KmvDistinct(es.head).toAggregateExpression()),
     ("graft_bigram_hashes", "adjacent-pair bigram hashes",
       es => BigramHashes(es.head)),
-    ("graft_bottomk", "bottom-k payloads by hash (aggregate)",
-      es => BottomKByHash(es(0), es(1)).toAggregateExpression()))
+    ("graft_bottomk", "bottom-k payloads by hash (aggregate; optional k)",
+      es => {
+        val k =
+          if (es.length >= 3) es(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.asInstanceOf[Number].intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_bottomk k must be a literal, got $other")
+          }
+          else 5
+        BottomKByHash(es(0), es(1), k).toAggregateExpression()
+      }))
 
   private val paramFnCounter = new java.util.concurrent.atomic.AtomicLong()
 

@@ -267,6 +267,47 @@ object RelationalQueries {
         expr(s"approx_percentile(value, 0.95, $accuracy)").as("p95"),
         count(lit(1)).as("n"))
 
+  /** Deterministic bounded-state quantile sketch — the ENGINE-
+    * REPRODUCIBLE production quantile path (fixes the one gap
+    * [[qPercentilesApprox]] leaves: Greenwald-Khanna sketches are
+    * engine-specific, so that twin can only ever be spec-banded, never
+    * oracle-hashed). Per group, keep the k = 1024 rows with the
+    * smallest multiplicative row-hash — a deterministic uniform sample
+    * via [[graft.functions.BottomKByHash]] (3k longs of state,
+    * mergeable partials, one partial/final shuffle of k·24 B per
+    * group) — then interpolate p50/p95 EXACTLY over the sorted sample
+    * with explicit arithmetic mirrored verbatim in the DuckDB oracle.
+    * Values quantize to integer micro-units (floor — round's half-rule
+    * differs across engines) so both the sample selection and the
+    * interpolation are bit-identical cross-engine. Rank error is the
+    * sampling error O(1/√k) ≈ 3%, pinned in ApproxQuantileSpec. */
+  def qQuantileSketch(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    AggQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .withColumn("__pay", expr("CAST(floor(value * 1000000) AS BIGINT)"))
+      .withColumn("__coin", expr(
+        "(event_id % 1000000007) * 2654435761 % 1000000007"))
+      .groupBy("event_type")
+      .agg(expr("graft_bottomk(__coin, __pay, 1024)").as("sample"))
+      .select(col("event_type"), expr("array_sort(sample)").as("v"))
+      .selectExpr("event_type", "CAST(size(v) AS BIGINT) AS n_sample",
+        quantileExpr("0.5") + " AS p50",
+        quantileExpr("0.95") + " AS p95")
+  }
+
+  /** Linear-interpolation quantile over the sorted sample array `v` —
+    * the exact expression the DuckDB oracle mirrors term for term
+    * (identical IEEE evaluation order; integer payloads promote to
+    * double identically in both engines). */
+  private def quantileExpr(p: String): String = {
+    val pos = s"$p * (CAST(size(v) AS BIGINT) - 1)"
+    val lo = s"CAST(floor($pos) AS INT)"
+    val vlo = s"CAST(element_at(v, $lo + 1) AS DOUBLE)"
+    val vhi = s"CAST(element_at(v, least($lo + 2, size(v))) AS DOUBLE)"
+    s"($vlo + ($pos - floor($pos)) * ($vhi - $vlo)) / 1000000.0"
+  }
+
   /** Hierarchical totals via ROLLUP (event_type, week): per-(type,week)
     * counts plus per-type and grand totals in one pass — Spark expands the
     * grouping sets before the same partial/final hash aggregation, so it
@@ -651,6 +692,39 @@ object RelationalQueries {
       """SELECT event_type, quantile_cont(value, 0.5) AS p50,
         |       quantile_cont(value, 0.95) AS p95, count(*) AS n
         |FROM events GROUP BY event_type""".stripMargin,
+    // mirrors qQuantileSketch term for term: same bottom-1024-by-hash
+    // sample (rank window ordered (coin, pay) = BottomKByHash's key),
+    // same floor-quantized payloads, same interpolation arithmetic
+    "q_quantile_sketch" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS pay,
+        |         (event_id % 1000000007) * 2654435761 % 1000000007 AS coin
+        |  FROM events WHERE value IS NOT NULL),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |             ORDER BY coin, pay) AS rk FROM h),
+        |s AS (SELECT event_type, pay FROM r WHERE rk <= 1024),
+        |v AS (SELECT event_type, pay,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY pay) AS vr,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM s),
+        |g AS (SELECT event_type, n, 0.5 * (n - 1) AS pos50,
+        |             0.95 * (n - 1) AS pos95,
+        |             MAX(CASE WHEN vr = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |                      THEN pay END) AS lo50,
+        |             MAX(CASE WHEN vr = least(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)
+        |                      THEN pay END) AS hi50,
+        |             MAX(CASE WHEN vr = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+        |                      THEN pay END) AS lo95,
+        |             MAX(CASE WHEN vr = least(CAST(floor(0.95 * (n - 1)) AS BIGINT) + 2, n)
+        |                      THEN pay END) AS hi95
+        |      FROM v GROUP BY event_type, n)
+        |SELECT event_type, n AS n_sample,
+        |       (CAST(lo50 AS DOUBLE) + (pos50 - floor(pos50)) *
+        |        (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE))) / 1000000.0 AS p50,
+        |       (CAST(lo95 AS DOUBLE) + (pos95 - floor(pos95)) *
+        |        (CAST(hi95 AS DOUBLE) - CAST(lo95 AS DOUBLE))) / 1000000.0 AS p95
+        |FROM g""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, count(*) AS n_orders_7d,
         |       CAST(CAST(sum(CAST(CAST(o_totalprice AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
@@ -845,6 +919,7 @@ object RelationalQueries {
     "q_retention" -> (qRetention _),
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
+    "q_quantile_sketch" -> (qQuantileSketch _),
     "q_rollup" -> (qRollup _),
     "q6_agg" -> (q6Agg _),
     "q_anti_join" -> (qAntiJoin _),

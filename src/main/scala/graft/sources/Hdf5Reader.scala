@@ -898,8 +898,23 @@ object Hdf5Reader {
                   f"stored 0x$stored%08x, computed 0x$computed%08x — " +
                   "corrupt granule")
             out = java.util.Arrays.copyOf(out, n)
+          case 4 =>
+            // szip (filter id 4): patent-encumbered CCSDS entropy coder;
+            // netcdf-c reads it only when libhdf5 is built against
+            // libsz. Name the filter and the workaround instead of a
+            // bare number — the fix is a one-time re-encode, not a
+            // reader change. Spec-pinned in NetCdfSpec.
+            throw new IllegalStateException(
+              "chunk uses the szip filter (H5Z_FILTER_SZIP, id 4), " +
+                "which graft does not decode — re-encode the granule " +
+                "with deflate (e.g. `h5repack -f SHUF,GZIP=4 in.nc " +
+                "out.nc` or `nccopy -d4 in.nc out.nc`) and re-ingest")
           case other =>
-            throw new IllegalStateException(s"unsupported filter $other")
+            throw new IllegalStateException(
+              s"unsupported HDF5 filter id $other on a chunk — graft " +
+                "decodes deflate(1), shuffle(2), fletcher32(3); " +
+                "re-encode the granule with a supported pipeline " +
+                "(`h5repack -f SHUF,GZIP=4`)")
         }
       }
       out

@@ -36,6 +36,34 @@ class ApproxQuantileSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("qQuantileSketch (deterministic bottom-k sample) stays in the exact rank bands") {
+    // the engine-reproducible sketch: 1024-row deterministic sample per
+    // group -> rank error O(1/sqrt(k)) ~ 3%; pin p50 in [p40, p60] and
+    // p95 in [p88, p995] of the EXACT distribution (wider than the
+    // GK-sketch bands because sampling error dominates at k=1024)
+    val exactBands = graft.queries.AggQueries.events(spark, sf)
+      .groupBy("event_type")
+      .agg(expr("percentile(value, 0.40)").as("lo50"),
+        expr("percentile(value, 0.60)").as("hi50"),
+        expr("percentile(value, 0.88)").as("lo95"),
+        expr("percentile(value, 0.995)").as("hi95"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val sketch = RelationalQueries.qQuantileSketch(spark, sf).collect()
+    assert(sketch.nonEmpty)
+    sketch.foreach { r =>
+      val (lo50, hi50, lo95, hi95) = exactBands(r.getString(0))
+      val (p50, p95) = (r.getDouble(2), r.getDouble(3))
+      assert(p50 >= lo50 && p50 <= hi50,
+        s"${r.getString(0)} sketch p50=$p50 outside [$lo50,$hi50]")
+      assert(p95 >= lo95 && p95 <= hi95,
+        s"${r.getString(0)} sketch p95=$p95 outside [$lo95,$hi95]")
+    }
+    // determinism: a re-run reproduces the sketch bit for bit (no RNG)
+    val again = RelationalQueries.qQuantileSketch(spark, sf).collect()
+    assert(sketch.map(_.toSeq).toSeq === again.map(_.toSeq).toSeq)
+  }
+
   test("dQuantileFilterApprox agrees with the exact filter on >= 98% of docs") {
     val exact = PipelineQueries.dQuantileFilter(spark, sf)
       .select("doc_id", "kept").withColumnRenamed("kept", "kept_exact")

@@ -448,4 +448,45 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
     assert(back.map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
       .toSeq === (0 until n).map(i => (10L + i, 0.5 * i, s"t$i")))
   }
+
+  test("szip-filtered chunks fail with an actionable error naming the filter") {
+    import graft.sources.Hdf5Writer
+    import Hdf5Writer._
+    val tmp = Files.createTempDirectory("nc_szip").toString
+    val dst = java.nio.file.Paths.get(tmp, "szip.nc")
+    val vals = java.nio.ByteBuffer.allocate(64 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until 64).foreach(i => vals.putDouble(i * 1.0))
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("v", Seq(64L), WF64, Some(vals.array()), Nil,
+        unlimited0 = true, chunkRows = Some(64), deflate = Some(4)))
+      w.finish(Nil)
+    }
+    // rewrite the declared filter id from deflate(1) to szip(4): the
+    // v1 filter-pipeline message for deflate level 4 is a unique
+    // 24-byte pattern (version 1, nf 1, 6 reserved, id 1, name len 0,
+    // flags 0, cd count 1, cd value 4, odd-count pad)
+    val bytes = Files.readAllBytes(dst)
+    val pat = Array[Byte](1, 1, 0, 0, 0, 0, 0, 0, 1, 0, 0, 0, 0, 0, 1, 0,
+      4, 0, 0, 0, 0, 0, 0, 0)
+    val hits = bytes.indices.filter(i =>
+      i + pat.length <= bytes.length &&
+        (0 until pat.length).forall(j => bytes(i + j) == pat(j)))
+    assert(hits.length === 1, s"filter message pattern hits: $hits")
+    bytes(hits.head + 8) = 4 // filter id u16 low byte: 1 -> 4 (szip)
+    Files.write(dst, bytes)
+    val h5 = graft.sources.Hdf5Reader.open(dst.toString)
+    try {
+      val ex = intercept[IllegalStateException] {
+        h5.read(h5.datasets.find(_.name == "v").get)
+      }
+      assert(ex.getMessage.contains("szip"), ex.getMessage)
+      assert(ex.getMessage.contains("H5Z_FILTER_SZIP"), ex.getMessage)
+      assert(ex.getMessage.contains("h5repack") ||
+        ex.getMessage.contains("nccopy"), ex.getMessage)
+    } finally {
+      h5.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
 }

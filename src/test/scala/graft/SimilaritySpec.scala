@@ -340,6 +340,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(mean >= 0.6, s"trained-codebook IVF mean recall $mean")
   }
 
+  test("persisted IVF index: build -> persist -> reopen == in-memory results, pruned scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfidx").toString
+    graft.ml.Similarity.writeIndex(emb, codebook, idxDir)
+    val index = graft.ml.Similarity.openIndex(spark, idxDir)
+    // reopened-index search must equal the in-memory path row for row:
+    // same codebook -> same assignments, probes, ties
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val mem = rows(graft.ml.Similarity.ivfSearch(
+      emb, queries, codebook, k = 6, nprobe = 2))
+    val persisted = rows(graft.ml.Similarity.ivfSearchIndex(
+      index, queries, k = 6, nprobe = 2))
+    assert(persisted.toSeq === mem.toSeq,
+      "persisted-index search must reproduce the in-memory results")
+    // and the probe set reaches the lists scan as a pushed cid filter —
+    // the index's point is reading ONLY the probed lists' bytes
+    val plan = graft.ml.Similarity.ivfSearchIndex(
+      index, queries, k = 6, nprobe = 2)
+      .queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => nodes(a.initialPlan)
+        case _ => Seq.empty
+      })
+    val scans = nodes(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("lists.parquet")) => s
+    }
+    assert(scans.nonEmpty, "lists scan missing")
+    assert(scans.forall(_.metadata("PushedFilters").contains("In(cid")),
+      s"cid probe set must push into the lists scan: " +
+        scans.map(_.metadata("PushedFilters")).mkString("; "))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))

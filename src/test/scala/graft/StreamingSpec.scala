@@ -416,6 +416,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("minhash dedup 100-batch soak: state grows with novelty, not stream size") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 100 batches x 8 docs = 800 docs, but only 25 DISTINCT contents
+    // cycling through: after the first few batches every arrival hits
+    // existing band buckets, so the state store must plateau at
+    // |distinct contents| x 8 bands and never track stream length.
+    val vocab = Vector("spark", "plan", "shuffle", "granule", "window",
+      "records", "fill", "cadence", "bucket", "hash", "join", "scan")
+    val distinctDocs = Vector.tabulate(25) { i =>
+      Seq.tabulate(24)(j => vocab((i * 7 + j * 3 + i * j) % vocab.length))
+        .mkString(" ")
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAgg.minhashDedupStream(
+        mem.toDF().toDF("doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("mhsoak").start()
+    try {
+      var id = 0L
+      var plateau = -1L
+      for (b <- 0 until 100) {
+        val batch = (0 until 8).map { j =>
+          val d = distinctDocs(((b * 8 + j) * 13) % distinctDocs.length)
+          id += 1
+          (id, d)
+        }
+        mem.addData(batch: _*)
+        q.processAllAvailable()
+        val rows = q.lastProgress.stateOperators
+          .map(_.numRowsTotal).sum
+        if (b == 20) plateau = rows
+        if (b > 20)
+          assert(rows == plateau,
+            s"batch $b: state rows $rows grew past the batch-20 " +
+              s"plateau $plateau — dedup state must track novelty")
+      }
+      val finalRows = q.lastProgress.stateOperators
+        .map(_.numRowsTotal).sum
+      // ceiling: one Long-owner row per occupied (band, sig) bucket;
+      // 25 distinct contents x 8 bands = 200 buckets max (shared bands
+      // between similar contents only shrink it)
+      assert(finalRows <= 25L * 8L,
+        s"state rows $finalRows exceed the |distinct docs| x bands bound")
+      assert(finalRows > 0)
+      // and every duplicate of a seen content was flagged: 800 arrivals,
+      // 25 owners — every non-first arrival reports a foreign owner
+      val out = spark.table("mhsoak").collect()
+        .map(r => (r.getLong(0), r.getLong(2)))
+      val dropped = out.groupBy(_._1)
+        .count { case (_, vs) => vs.exists { case (d, o) => o != d } }
+      assert(dropped >= 800 - 25,
+        s"only $dropped of 800 arrivals flagged as duplicates")
+    } finally q.stop()
+  }
+
   test("streaming minhash dedup drops a near-duplicate arriving a batch later") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
