@@ -50,9 +50,11 @@ object Bench {
     // best of three timed runs per query, taken as full round-robin passes
     // (A..Z, A..Z, A..Z) rather than back-to-back: a transient slow phase
     // (GC, JIT recompilation, page-cache eviction) then degrades at most
-    // one of a query's timings instead of all of them
+    // one of a query's timings instead of all of them. Pass count is
+    // overridable for long large-SF runs (BENCH_SUMMARY.md 10× rows).
+    val passesN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     val names = SparkEntry.queries.keys.toSeq.sorted
-    val passes = (1 to 3).map(_ => names.map(n => n -> run(n)).toMap)
+    val passes = (1 to passesN).map(_ => names.map(n => n -> run(n)).toMap)
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)
       n -> (if (ts.isEmpty) -1.0 else ts.min)
@@ -66,9 +68,10 @@ object Bench {
     // the full per-query line outgrew the harness's tail-capture window at
     // 82 queries (BENCH_r03 parsed:null) — repeat a compact parseable line
     // last and keep the full record on disk
-    java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+    java.nio.file.Files.write(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")),
       (full + "\n").getBytes("UTF-8"))
-    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"bench_full.json"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","sf":"$sfDir","queries_file":"${sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_full.json")}"}""")
     spark.stop()
   }
 }

@@ -17,7 +17,7 @@ object TimeOne {
       .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    val dir = "/root/testdata/sf0.1"
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (n <- args) {
       // warm
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()

@@ -457,6 +457,84 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "score")
   }
 
+  /** Product-quantized ANN (the second compression path next to
+    * [[annSq]], after Jegou et al. 2011, "Product Quantization for
+    * Nearest Neighbor Search" — public paper): the 64-dim space splits
+    * into m = 8 subspaces of 8 dims; each subspace gets its own
+    * 16-entry codebook (here the 16 lowest-id vectors' sub-slices — the
+    * same deterministic seed rule as [[corpusCentroids]]; a fleet run
+    * trains each with per-subspace Lloyd's), and a vector stores ONE
+    * CODE PER SUBSPACE: 8 nibbles + a precomputed reconstruction norm
+    * instead of 256 float bytes. Scoring is the paper's asymmetric
+    * distance computation: per query one 8×16 dot-product lookup table
+    * against the codebook, then each candidate costs m = 8 table
+    * lookups + adds — no per-candidate float-vector math at all.
+    *
+    * Scale shape: the codebook is one broadcast row (16×64 floats), the
+    * encode pass is map-only over the corpus scan, and scoring joins
+    * the (code, rnorm) scan — the stored index; raw vectors are never
+    * read after encode — against the broadcast per-query LUTs, ending
+    * in the same WindowGroupLimit-bounded rank window as the other ANN
+    * paths. All arithmetic is fixed-order double folds, so the DuckDB
+    * oracle hash-matches bit-for-bit (SURVEY §3). */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("v"))
+    // one broadcast row: the 16 lowest-id vectors, id-ordered
+    val cb = e.filter(col("vec_id") < 16)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(vec_id, v))), y -> y.v)")
+        .as("cb"))
+    // encode: per subspace 16 L2 distances -> 1-based argmin
+    // (array_position takes the FIRST minimum: ties to the lower code,
+    // identically in DuckDB's list_position), then the reconstruction
+    // norm from the chosen centroids — subspace norms add, so it needs
+    // only codebook lookups, not the raw vector
+    val coded = e.crossJoin(broadcast(cb))
+      .withColumn("dists", expr(
+        """transform(sequence(0, 7), sub ->
+          |  transform(sequence(0, 15), c ->
+          |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
+          |      a + (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+          |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE))
+          |        * (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+          |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin))
+      .withColumn("code", expr(
+        "transform(dists, d -> array_position(d, array_min(d)))"))
+      .withColumn("rnorm", expr(
+        """sqrt(aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
+          |  a + aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (b, j) ->
+          |    b + CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE)
+          |      * CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE))))""".stripMargin))
+      .select("vec_id", "v", "code", "rnorm")
+    // queries keep their RAW vector (asymmetric: only the corpus side is
+    // quantized) — one 128-entry LUT each, broadcast to the code scan
+    val q = coded.filter(col("vec_id") < 8)
+      .crossJoin(broadcast(cb))
+      .withColumn("lut", expr(
+        """flatten(transform(sequence(0, 7), sub ->
+          |  transform(sequence(0, 15), c ->
+          |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
+          |      a + CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+          |        * CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin))
+      .withColumn("qn", expr(PV.normSpark("v")))
+      .select(col("vec_id").as("q_id"), col("lut"), col("qn"))
+    val scored = coded
+      .select(col("vec_id").as("n_id"), col("code"), col("rnorm"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", expr(
+        """CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+          |ELSE aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
+          |  a + element_at(lut, sub * 16 + CAST(element_at(code, sub + 1) AS INT)))
+          |  / (qn * rnorm) END""".stripMargin))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "score")
+  }
+
   /** Per-label centroid vectors — the estimation step of k-means / IVF
     * codebook training, as one relational pass: explode (label, dim, x),
     * sum per (label, dim) in DECIMAL (order-independent, so partial
@@ -1255,6 +1333,60 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY score DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_pq" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cbt AS (SELECT list(v ORDER BY vec_id) AS cb FROM emb
+         |        WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id, v,
+         |    list_transform(range(0, 8), sub ->
+         |      list_transform(range(0, 16), c ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 9), j ->
+         |            (CAST(v[sub * 8 + j] AS DOUBLE)
+         |             - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))
+         |            * (CAST(v[sub * 8 + j] AS DOUBLE)
+         |               - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE)))),
+         |          (x, y) -> x + y))) AS dists
+         |  FROM emb CROSS JOIN cbt),
+         |coded AS (
+         |  SELECT vec_id, v,
+         |    list_transform(dists, d -> list_position(d, list_min(d))) AS code
+         |  FROM enc),
+         |codn AS (
+         |  SELECT vec_id, code,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), sub ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 9), j ->
+         |            CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE)
+         |            * CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE))),
+         |          (x, y) -> x + y))),
+         |      (x, y) -> x + y)) AS rnorm
+         |  FROM coded CROSS JOIN cbt),
+         |q AS (
+         |  SELECT vec_id AS q_id,
+         |    flatten(list_transform(range(0, 8), sub ->
+         |      list_transform(range(0, 16), c ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 9), j ->
+         |            CAST(v[sub * 8 + j] AS DOUBLE)
+         |            * CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))),
+         |          (x, y) -> x + y)))) AS lut,
+         |    ${PV.normDuck("v")} AS qn
+         |  FROM emb CROSS JOIN cbt WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT q.q_id, n.vec_id AS n_id,
+         |    CASE WHEN q.qn * n.rnorm = CAST(0 AS DOUBLE)
+         |         THEN CAST(0 AS DOUBLE)
+         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), sub ->
+         |        q.lut[sub * 16 + n.code[sub + 1]])), (x, y) -> x + y)
+         |      / (q.qn * n.rnorm) END AS score
+         |  FROM codn n CROSS JOIN q WHERE n.vec_id <> q.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY score DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
     "t_langid" ->
       s"""WITH $thCte
          |SELECT doc_id,
@@ -1609,6 +1741,7 @@ object PipelineQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_sq" -> (annSq _),
+    "ann_pq" -> (annPq _),
     "emb_centroids" -> (embCentroids _),
     "emb_kmeans_iter" -> ((s, d) => embKmeansIter(s, d)),
     "emb_pca_power" -> (embPcaPower _),

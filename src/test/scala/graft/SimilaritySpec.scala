@@ -143,7 +143,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val ivf = meanRecall(top(PipelineQueries.annIvf(spark, driftDir)))
     val lsh = meanRecall(top(PipelineQueries.annLsh(spark, driftDir)))
     val sq = meanRecall(top(PipelineQueries.annSq(spark, driftDir)))
-    info(f"drift recall: ivf=$ivf%.2f lsh=$lsh%.2f sq=$sq%.2f")
+    val pq = meanRecall(top(PipelineQueries.annPq(spark, driftDir)))
+    info(f"drift recall: ivf=$ivf%.2f lsh=$lsh%.2f sq=$sq%.2f pq=$pq%.2f")
     // IVF is the drift-robust path: nprobe=2 holds a real floor even when
     // a query is equidistant from two centroids (probe 1 is the query's
     // own singleton list, probe 2 reaches exactly one of its two true
@@ -157,6 +158,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(ivf >= 0.3, f"ann_ivf drift recall $ivf%.2f below floor")
     assert(lsh >= 0.1, f"ann_lsh drift recall $lsh%.2f below floor")
     assert(sq >= 0.1, f"ann_sq drift recall $sq%.2f below floor")
+    // PQ scans ALL candidates (compression, not pruning — there is no
+    // bucket/list to miss), so drift cannot zero it the way it zeroes
+    // the candidate-generation paths; what remains is pure quantization
+    // loss (measured 0.20 with the untrained 16-seed subspace codebooks
+    // on this adversarial axis-pair fixture — above both pruning-based
+    // compression paths; per-subspace Lloyd's training raises it).
+    assert(pq >= 0.15, f"ann_pq drift recall $pq%.2f below floor")
   }
 
   test("k-means iteration recovers the cluster axes from the seeds") {
@@ -393,7 +401,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     for ((name, approx) <- Seq(
         "ann_lsh" -> top(PipelineQueries.annLsh(spark, dir)),
         "ann_ivf" -> top(PipelineQueries.annIvf(spark, dir)),
-        "ann_sq" -> top(PipelineQueries.annSq(spark, dir)))) {
+        "ann_sq" -> top(PipelineQueries.annSq(spark, dir)),
+        "ann_pq" -> top(PipelineQueries.annPq(spark, dir)))) {
       val recalls = exact.keys.toSeq.map { q =>
         val got = approx.getOrElse(q, Set.empty)
         (exact(q) intersect got).size.toDouble / exact(q).size
