@@ -160,14 +160,15 @@ object AggQueries {
       .agg(
         max("event_type").as("attr"),
         count(lit(1)).as("nrec"),
-        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).as("vsum"),
+        sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).as("vsum"),
         min("ts").as("g_first"), max("ts").as("g_last"))
     per.agg(
       min_by(col("attr"), col("g")).as("first_attr"),
       max_by(col("attr"), col("g")).as("last_attr"),
       array_join(array_sort(collect_set(col("attr"))), ", ").as("unique_list"),
       sum(col("nrec")).as("int_sum"),
-      sum(col("vsum")).cast(DoubleType).as("float_sum"),
+      (sum(col("vsum")).cast(DoubleType) / lit(10000.0)).as("float_sum"),
       count(lit(1)).as("input_count"),
       min(date_format(col("g"), "yyyy-MM-dd")).as("first_input"),
       max(date_format(col("g"), "yyyy-MM-dd")).as("last_input"),
@@ -200,7 +201,8 @@ object AggQueries {
     TSA.filterValid(events(s, dir), cfg)
       .groupBy(date_trunc("hour", col("ts")).cast(ntz).as("bucket"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
           .as("v_sum"),
         min("value").as("v_min"), max("value").as("v_max"))
 
@@ -309,8 +311,9 @@ object AggQueries {
         (count(lit(1)) >= 2L).cast(LongType).as("multi_file"))
     back.agg(count(lit(1)).as("total_rows"),
         sum(col("event_id")).as("sum_event_id"),
-        sum(col("value").cast(StringType).cast(DecimalType(18, 4)))
-          .cast(DoubleType).as("v_sum"))
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
+          .as("v_sum"))
       .crossJoin(layout)
   }
 
@@ -428,14 +431,14 @@ object AggQueries {
          |per AS (
          |  SELECT CAST(make_timestamp(t) AS DATE) AS g, max(event_type) AS attr,
          |         count(*) AS nrec,
-         |         sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS vsum,
+         |         sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS vsum,
          |         min(make_timestamp(t)) AS g_first,
          |         max(make_timestamp(t)) AS g_last
          |  FROM e GROUP BY 1)
          |SELECT arg_min(attr, g) AS first_attr, arg_max(attr, g) AS last_attr,
          |       array_to_string(list_sort(list(DISTINCT attr)), ', ') AS unique_list,
          |       CAST(sum(nrec) AS BIGINT) AS int_sum,
-         |       CAST(CAST(sum(vsum) AS VARCHAR) AS DOUBLE) AS float_sum,
+         |       (CAST(sum(vsum) AS DOUBLE) / 10000.0) AS float_sum,
          |       count(*) AS input_count,
          |       min(strftime(g, '%Y-%m-%d')) AS first_input,
          |       max(strftime(g, '%Y-%m-%d')) AS last_input,
@@ -456,7 +459,7 @@ object AggQueries {
       s"""WITH e AS ($sqlValid)
          |SELECT date_trunc('hour', make_timestamp(t)) AS bucket,
          |       count(*) AS n,
-         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum,
          |       min(value) AS v_min, max(value) AS v_max
          |FROM e GROUP BY 1""".stripMargin,
     "q_agg_sessionize" ->
@@ -485,7 +488,7 @@ object AggQueries {
       s"""WITH e AS ($sqlValid)
          |SELECT CAST(count(*) AS BIGINT) AS total_rows,
          |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
-         |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum,
          |       CAST(1 AS BIGINT) AS chunk_cap_ok,
          |       CAST(1 AS BIGINT) AS multi_file
          |FROM e""".stripMargin

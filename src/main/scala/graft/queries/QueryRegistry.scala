@@ -60,7 +60,7 @@ object QueryRegistry {
     "stream_sessionize" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       import org.apache.spark.sql.functions._
-      import org.apache.spark.sql.types.{DecimalType, DoubleType, StringType}
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
       import graft.core.{TimeSeriesAggregator => TSA}
       val e = TSA.filterValid(AggQueries.events(s, dir), AggQueries.cfg)
       val w = Window.partitionBy("user_id")
@@ -74,7 +74,8 @@ object QueryRegistry {
         .groupBy(col("user_id"), col("__sid"))
         .agg(min(TSA.T).as("session_start"), max(TSA.T).as("session_end"),
           count(lit(1)).as("n_events"),
-          sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
+          (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+            .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
             .as("v_sum"))
         .select("user_id", "session_start", "session_end", "n_events",
           "v_sum")
@@ -86,7 +87,7 @@ object QueryRegistry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |         AS bucket,
         |       event_type, count(*) AS n,
-        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
         |FROM events GROUP BY 1, 2""".stripMargin,
     "stream_attrib" ->
       """SELECT p.event_id AS purchase_id, v.event_id AS view_id,
@@ -114,7 +115,7 @@ object QueryRegistry {
       """SELECT make_timestamp((epoch_us(ts) // 21600000000) * 21600000000)
         |         AS bucket,
         |       c_mktsegment, count(*) AS n,
-        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
         |FROM events JOIN customer ON user_id = c_custkey
         |GROUP BY 1, 2""".stripMargin,
     "stream_gapfill" ->
@@ -156,7 +157,7 @@ object QueryRegistry {
         |               AS sid FROM m)
         |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
         |       count(*) AS n_events,
-        |       CAST(CAST(sum(CAST(CAST(value AS VARCHAR) AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS v_sum
+        |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
         |FROM x GROUP BY user_id, sid""".stripMargin
   )
 

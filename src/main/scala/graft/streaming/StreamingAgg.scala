@@ -56,7 +56,8 @@ object StreamingAgg {
       // decimal-exact sum cast to double once: order-independent, so batch
       // and streaming (and the DuckDB oracle) agree bit-for-bit
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
           .as("v_sum"))
       .select(col("window.start").as("bucket"), col("event_type"),
         col("n"), col("v_sum"))
@@ -77,7 +78,8 @@ object StreamingAgg {
         col("user_id") === col("c_custkey"))
       .groupBy(window(col("ts"), windowDur), col("c_mktsegment"))
       .agg(count(lit(1)).as("n"),
-        sum(col("value").cast(StringType).cast(DecimalType(18, 4))).cast(DoubleType)
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
           .as("v_sum"))
       .select(col("window.start").as("bucket"), col("c_mktsegment"),
         col("n"), col("v_sum"))
