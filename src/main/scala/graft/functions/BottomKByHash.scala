@@ -19,6 +19,38 @@ final class BottomKBuffer {
   var total = 0L
 }
 
+object BottomKByHash {
+  /** The shared bottom-k fold: merge `n` occurrences of (h, p) into the
+    * buffer, keeping the k smallest (hash, payload) keys with
+    * multiplicity. ORDER-INDEPENDENT: the final buffer is exactly the
+    * multiset of the k smallest inputs regardless of arrival order —
+    * which is what lets the streaming quantile sketch
+    * (StreamingAgg.quantileSketchStream) fold batches incrementally and
+    * still match the one-shot batch aggregate bit-for-bit. */
+  def add(buf: BottomKBuffer, k: Int, h: Long, p: Long, n: Long): Unit = {
+    if (buf.total >= k) {
+      // full-buffer quick reject: a key ≥ the current max can only be
+      // trimmed right back out (equal keys add multiplicity to the last
+      // entry, which the trim removes first — same net no-op)
+      val last = buf.map.lastKey()
+      if (h > last._1 || (h == last._1 && p >= last._2)) return
+    }
+    val key = (h, p)
+    val cur = buf.map.get(key)
+    buf.map.put(key, if (cur == null) n else cur + n)
+    buf.total += n
+    var excess = buf.total - k
+    while (excess > 0) {
+      val last = buf.map.lastEntry()
+      val take = math.min(last.getValue, excess)
+      if (take == last.getValue) buf.map.remove(last.getKey)
+      else buf.map.put(last.getKey, last.getValue - take)
+      buf.total -= take
+      excess -= take
+    }
+  }
+}
+
 /** Deterministic bottom-k sampler as a custom Catalyst aggregate: keeps
   * the k payloads with the smallest (hash, payload) keys — the
   * bounded-state twin of the `d_sample_k` rank-window sampler.
@@ -58,34 +90,11 @@ case class BottomKByHash(
 
   override def createAggregationBuffer(): BottomKBuffer = new BottomKBuffer
 
-  private def add(buf: BottomKBuffer, h: Long, p: Long, n: Long): Unit = {
-    if (buf.total >= k) {
-      // full-buffer quick reject: a key ≥ the current max can only be
-      // trimmed right back out (equal keys add multiplicity to the last
-      // entry, which the trim removes first — same net no-op)
-      val last = buf.map.lastKey()
-      if (h > last._1 || (h == last._1 && p >= last._2)) return
-    }
-    val key = (h, p)
-    val cur = buf.map.get(key)
-    buf.map.put(key, if (cur == null) n else cur + n)
-    buf.total += n
-    var excess = buf.total - k
-    while (excess > 0) {
-      val last = buf.map.lastEntry()
-      val take = math.min(last.getValue, excess)
-      if (take == last.getValue) buf.map.remove(last.getKey)
-      else buf.map.put(last.getKey, last.getValue - take)
-      buf.total -= take
-      excess -= take
-    }
-  }
-
   override def update(buf: BottomKBuffer, input: InternalRow): BottomKBuffer = {
     val h = hash.eval(input)
     val p = payload.eval(input)
     if (h != null && p != null)
-      add(buf, h.asInstanceOf[Long], p.asInstanceOf[Long], 1L)
+      BottomKByHash.add(buf, k, h.asInstanceOf[Long], p.asInstanceOf[Long], 1L)
     buf
   }
 
@@ -93,7 +102,7 @@ case class BottomKByHash(
     val it = other.map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      add(buf, e.getKey._1, e.getKey._2, e.getValue)
+      BottomKByHash.add(buf, k, e.getKey._1, e.getKey._2, e.getValue)
     }
     buf
   }

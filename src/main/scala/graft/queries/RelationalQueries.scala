@@ -322,6 +322,20 @@ object RelationalQueries {
         quantileExpr("0.95") + " AS p95")
   }
 
+  /** Continuous quantile — the streaming twin of [[qQuantileSketch]],
+    * registered as `stream_quantile`. The SAME stateful transform
+    * (StreamingAgg.quantileSketchStream: per-key bottom-1024-by-hash
+    * sample + the quantileExpr interpolation mirrored in BigDecimal)
+    * runs here on the batch frame — batch execution of
+    * mapGroupsWithState is one fold with empty initial state, and the
+    * bottom-k fold is order-independent, so this entry is
+    * deterministic and its DuckDB oracle is the q_quantile_sketch SQL
+    * plus the running row count. StreamingSpec pins that the streamed
+    * multi-batch run converges to exactly these rows. */
+  def streamQuantile(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingAgg
+      .quantileSketchStream(AggQueries.events(s, dir)).toDF()
+
   /** Linear-interpolation quantile over the sorted sample array `v` —
     * the exact expression the DuckDB oracle mirrors term for term
     * (identical IEEE evaluation order; integer payloads promote to
@@ -754,6 +768,37 @@ object RelationalQueries {
         |       (CAST(lo95 AS DOUBLE) + (pos95 - floor(pos95)) *
         |        (CAST(hi95 AS DOUBLE) - CAST(lo95 AS DOUBLE))) / 1000000.0 AS p95
         |FROM g""".stripMargin,
+    "stream_quantile" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 1000000) AS BIGINT) AS pay,
+        |         (event_id % 1000000007) * 2654435761 % 1000000007 AS coin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (SELECT event_type, count(*) AS n_seen FROM h GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |             ORDER BY coin, pay) AS rk FROM h),
+        |s AS (SELECT event_type, pay FROM r WHERE rk <= 1024),
+        |v AS (SELECT event_type, pay,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY pay) AS vr,
+        |             count(*) OVER (PARTITION BY event_type) AS n FROM s),
+        |g AS (SELECT event_type, n, 0.5 * (n - 1) AS pos50,
+        |             0.95 * (n - 1) AS pos95,
+        |             MAX(CASE WHEN vr = CAST(floor(0.5 * (n - 1)) AS BIGINT) + 1
+        |                      THEN pay END) AS lo50,
+        |             MAX(CASE WHEN vr = least(CAST(floor(0.5 * (n - 1)) AS BIGINT) + 2, n)
+        |                      THEN pay END) AS hi50,
+        |             MAX(CASE WHEN vr = CAST(floor(0.95 * (n - 1)) AS BIGINT) + 1
+        |                      THEN pay END) AS lo95,
+        |             MAX(CASE WHEN vr = least(CAST(floor(0.95 * (n - 1)) AS BIGINT) + 2, n)
+        |                      THEN pay END) AS hi95
+        |      FROM v GROUP BY event_type, n)
+        |SELECT g.event_type, c.n_seen, n AS n_sample,
+        |       (CAST(lo50 AS DOUBLE) + (pos50 - floor(pos50)) *
+        |        (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE))) / 1000000.0 AS p50,
+        |       (CAST(lo95 AS DOUBLE) + (pos95 - floor(pos95)) *
+        |        (CAST(hi95 AS DOUBLE) - CAST(lo95 AS DOUBLE))) / 1000000.0 AS p95
+        |FROM g JOIN c ON g.event_type = c.event_type""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, count(*) AS n_orders_7d,
         |       (CAST(sum(CAST(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
@@ -949,6 +994,7 @@ object RelationalQueries {
     "q_range_join" -> (qRangeJoin _),
     "q_percentiles" -> (qPercentiles _),
     "q_quantile_sketch" -> (qQuantileSketch _),
+    "stream_quantile" -> (streamQuantile _),
     "q_rollup" -> (qRollup _),
     "q6_agg" -> (q6Agg _),
     "q_anti_join" -> (qAntiJoin _),

@@ -25,6 +25,13 @@ final case class GapState(lastT: Long)
 final case class GapRow(user_id: Long, t: Long, event_id: Option[Long],
     value: Option[Double], is_fill: Boolean)
 final case class BandDoc(doc_id: Long, band_idx: Int, sig: Long)
+final case class QuantileEvent(event_type: String, coin: Long, pay: Long)
+/** Streaming quantile-sketch state: the bottom-k (coin, pay, count)
+  * triples flattened, plus the running row count — at most 3k+1 longs
+  * per key, independent of stream length. */
+final case class QuantileSketchState(flat: Array[Long], nSeen: Long)
+final case class QuantileUpdate(event_type: String, n_seen: Long,
+    n_sample: Long, p50: Double, p95: Double)
 /** Per-(doc, band) dedup verdict: `owner_id` is the bucket's owning doc —
   * equal to `doc_id` when this doc owns the bucket, a lower/earlier doc id
   * when the bucket already had a near-duplicate. */
@@ -365,6 +372,92 @@ object StreamingAgg {
           val owner = st.getOption.getOrElse(ids.min)
           st.update(owner)
           ids.iterator.map(d => BandVerdict(d, key._1, owner))
+        })
+  }
+
+  /** Linear interpolation over the sorted micro-unit sample — the EXACT
+    * arithmetic of the batch twin's `quantileExpr` (RelationalQueries):
+    * the rank position q·(n−1) is computed in BigDecimal because the SQL
+    * side computes it in DECIMAL (0.95 is exact in decimal, not in
+    * binary); the fraction is cast to double once, then the same
+    * (vlo + frac·(vhi−vlo)) / 1e6 double ops in the same order. */
+  private def interpMicro(v: Array[Long], q: java.math.BigDecimal): Double = {
+    val n = v.length
+    val pos = q.multiply(java.math.BigDecimal.valueOf(n - 1L))
+    val lo = pos.setScale(0, java.math.RoundingMode.FLOOR)
+    val frac = pos.subtract(lo).doubleValue
+    val loI = lo.intValueExact
+    val vlo = v(loI).toDouble
+    val vhi = v(math.min(loI + 1, n - 1)).toDouble
+    (vlo + frac * (vhi - vlo)) / 1000000.0
+  }
+
+  /** Continuous quantile sketch — the streaming twin of
+    * `q_quantile_sketch`: per event_type, a stateful bottom-k-by-hash
+    * uniform sample (the SAME fold as the batch
+    * [[graft.functions.BottomKByHash]] aggregate, shared via its
+    * companion) absorbs each micro-batch and emits the updated
+    * (n_seen, n_sample, p50, p95) row. The fold is order-independent —
+    * the state after any batch split equals the one-shot batch
+    * aggregate — so a dashboard reading the Update stream converges to
+    * exactly the batch answer, bit-for-bit (StreamingSpec pins parity
+    * and a non-chronological split).
+    *
+    * Scale shape: state is ≤ 3k+1 longs per key (k·24 B + 8 — bounded
+    * by the SKETCH size, never the stream length); arrivals above the
+    * current bucket max are rejected with one comparison, so steady-
+    * state per-row cost is O(1). NoTimeout by design: a running
+    * quantile over all history has no expirable state (windowed
+    * variants would add the watermark like `windowedCounts`). Batch
+    * run of this same transform IS the oracle-checked registry entry
+    * (`stream_quantile`). */
+  def quantileSketchStream(events: DataFrame, k: Int = 1024): Dataset[QuantileUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val half = new java.math.BigDecimal("0.5")
+    val p95 = new java.math.BigDecimal("0.95")
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("(event_id % 1000000007) * 2654435761 % 1000000007").as("coin"),
+        expr("CAST(floor(value * 1000000) AS BIGINT)").as("pay"))
+      .as[QuantileEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[QuantileEvent],
+            st: GroupState[QuantileSketchState]) => {
+          val buf = new graft.functions.BottomKBuffer
+          var nSeen = 0L
+          st.getOption.foreach { prev =>
+            var i = 0
+            while (i < prev.flat.length) {
+              buf.map.put((prev.flat(i), prev.flat(i + 1)), prev.flat(i + 2))
+              buf.total += prev.flat(i + 2)
+              i += 3
+            }
+            nSeen = prev.nSeen
+          }
+          it.foreach { e =>
+            nSeen += 1
+            graft.functions.BottomKByHash.add(buf, k, e.coin, e.pay, 1L)
+          }
+          val flat = new Array[Long](buf.map.size * 3)
+          val pays = new Array[Long](buf.total.toInt)
+          var i = 0
+          var j = 0
+          val entries = buf.map.entrySet().iterator()
+          while (entries.hasNext) {
+            val e = entries.next()
+            flat(i) = e.getKey._1; flat(i + 1) = e.getKey._2
+            flat(i + 2) = e.getValue
+            i += 3
+            var c = e.getValue
+            while (c > 0) { pays(j) = e.getKey._2; j += 1; c -= 1 }
+          }
+          st.update(QuantileSketchState(flat, nSeen))
+          java.util.Arrays.sort(pays)
+          QuantileUpdate(key, nSeen, pays.length.toLong,
+            interpMicro(pays, half), interpMicro(pays, p95))
         })
   }
 }

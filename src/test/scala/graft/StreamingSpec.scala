@@ -501,4 +501,51 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         "first arrival owns its buckets")
     } finally q.stop()
   }
+
+  test("streaming quantile sketch: batches converge to the batch fold, " +
+      "state stays k-bounded, batch split order is irrelevant") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 300 rows, one heavy key + one light key; values deterministic
+    val rows = (1L to 300L).map { i =>
+      AEv(new java.sql.Timestamp(i * 1000L), 1L,
+        if (i % 5 == 0) "b" else "a", i, ((i * 2654435761L) % 1000L) / 10.0)
+    }
+    val k = 64
+    def lastPerKey(table: String): Map[String, (Long, Long, Double, Double)] =
+      spark.table(table).as[graft.streaming.QuantileUpdate].collect()
+        .groupBy(_.event_type)
+        .map { case (t, us) =>
+          val u = us.maxBy(_.n_seen)
+          t -> (u.n_seen, u.n_sample, u.p50, u.p95)
+        }
+    def drive(name: String, batches: Seq[Seq[AEv]]): Map[String, (Long, Long, Double, Double)] = {
+      val mem = MemoryStream[AEv]
+      val q = StreamingAgg.quantileSketchStream(mem.toDF(), k)
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        lastPerKey(name)
+      } finally q.stop()
+    }
+    // NON-chronological split: ids interleave across batches, so the
+    // bottom-k state absorbs late small hashes — the fold must not care
+    val (s1, s2) = rows.partition(_.event_id % 3 == 0)
+    val streamed = drive("qs1", Seq(s1.take(40), s2, s1.drop(40)))
+    val reversed = drive("qs2", Seq(s2.reverse, s1.reverse))
+    val batch = StreamingAgg.quantileSketchStream(rows.toDF(), k)
+      .collect().map(u => u.event_type ->
+        (u.n_seen, u.n_sample, u.p50, u.p95)).toMap
+    assert(streamed === batch, "streamed != one-shot batch fold")
+    assert(reversed === batch, "batch split order changed the result")
+    // bounded state: the heavy key saw 240 rows but keeps exactly k
+    assert(batch("a")._1 === 240L)
+    assert(batch("a")._2 === k.toLong, "sample must cap at k")
+    // rank-error sanity: sketch p50 inside the exact p40..p60 band
+    val exactA = rows.filter(_.event_type == "a").map(_.value).sorted
+    val (p40, p60) = (exactA((exactA.size * 2) / 5), exactA((exactA.size * 3) / 5))
+    val p50 = batch("a")._3
+    assert(p50 >= p40 && p50 <= p60, s"sketch p50 $p50 outside [$p40, $p60]")
+  }
 }
