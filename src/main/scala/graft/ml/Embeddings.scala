@@ -180,6 +180,97 @@ object Embeddings {
     (v, lambda)
   }
 
+  /** Product-quantization codebooks (Jegou et al. 2011, "Product
+    * Quantization for Nearest Neighbor Search"): the space splits into
+    * `m` subspaces of dims/m; each gets its own `ks` centroids trained
+    * by per-subspace Lloyd's under subspace L2 — the PQ objective.
+    * Seeds are the `ks` lowest-`vec_id` vectors' sub-slices, so
+    * `iters = 0` reproduces the registry's deterministic `ann_pq`
+    * codebooks. ONE assignment+update job per iteration covers all m
+    * subspaces (keyed partial sums over (sub, code, dim-in-sub)); the
+    * only driver state is the dims·ks floats of the codebooks.
+    * Returns (sub, code, scv, n_members) — `code` 0-based; an emptied
+    * code keeps its previous position with n_members = 0. */
+  def pqFit(emb: DataFrame, m: Int, ks: Int, iters: Int): DataFrame = {
+    require(m > 0 && ks > 0 && iters >= 0, s"m=$m ks=$ks iters=$iters")
+    val s = emb.sparkSession
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val dims = e.select(size(col("embedding"))).head().getInt(0)
+    require(dims % m == 0, s"m=$m must divide dims=$dims")
+    val sub = dims / m
+    val seeds = e.orderBy("vec_id").limit(ks).collect().map(r => floats(r, 1))
+    require(seeds.length == ks,
+      s"corpus has only ${seeds.length} vectors < ks=$ks seeds")
+    var cb: Array[Array[Array[Float]]] =
+      Array.tabulate(m, ks)((si, c) => seeds(c).slice(si * sub, (si + 1) * sub))
+    var members: Array[Array[Long]] = Array.fill(m, ks)(0L)
+    for (_ <- 0 until iters) {
+      val stats = pqEncode(e, cb, withNorm = false)
+        .select(col("embedding").as("v"),
+          posexplode(col("code")).as(Seq("si", "c1")))
+        .select(col("si"), (col("c1") - 1).cast(IntegerType).as("c"),
+          posexplode(expr(s"slice(v, si * $sub + 1, $sub)")).as(Seq("j", "x")))
+        .groupBy("si", "c", "j")
+        .agg(sum(col("x").cast(DoubleType)).as("sx"), count(lit(1)).as("n"))
+        .collect()
+      members = Array.fill(m, ks)(0L)
+      val next = cb.map(_.map(_.clone()))
+      stats.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+        case ((si, c), rows) =>
+          members(si)(c) = rows.head.getLong(4)
+          rows.foreach { r =>
+            next(si)(c)(r.getInt(2)) = (r.getDouble(3) / r.getLong(4)).toFloat
+          }
+      }
+      cb = next
+    }
+    val out = for {
+      si <- cb.indices
+      c <- cb(si).indices
+    } yield Row(si, c, cb(si)(c).toSeq, members(si)(c))
+    s.createDataFrame(
+      s.sparkContext.parallelize(out.toIndexedSeq, 1),
+      StructType(Seq(
+        StructField("sub", IntegerType),
+        StructField("code", IntegerType),
+        StructField("scv", ArrayType(FloatType)),
+        StructField("n_members", LongType))))
+  }
+
+  /** PQ-encode `emb` against per-subspace codebooks: adds `code` (one
+    * 1-based entry per subspace — `array_position` takes the FIRST
+    * minimum under subspace L2, ties to the lower code) and, with
+    * `withNorm`, `rnorm` (the reconstruction's L2 norm — subspace
+    * norms add, so it needs only codebook lookups). Map-only against
+    * the broadcast-literal codebooks; all arithmetic is fixed-order
+    * double folds, reproducing the registry `ann_pq` rule. */
+  private[ml] def pqEncode(emb: DataFrame, cb: Array[Array[Array[Float]]],
+      withNorm: Boolean = true): DataFrame = {
+    val m = cb.length
+    val ks = cb(0).length
+    val sub = cb(0)(0).length
+    val withCb = emb
+      .withColumn("__cb", typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq))
+      .withColumn("__dists", expr(
+        s"""transform(sequence(0, ${m - 1}), si ->
+           |  transform(sequence(0, ${ks - 1}), c ->
+           |    aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (a, j) ->
+           |      a + (CAST(element_at(embedding, si * $sub + j) AS DOUBLE)
+           |           - CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE))
+           |        * (CAST(element_at(embedding, si * $sub + j) AS DOUBLE)
+           |           - CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE)))))""".stripMargin))
+      .withColumn("code", expr(
+        "transform(__dists, d -> array_position(d, array_min(d)))"))
+    val normed =
+      if (!withNorm) withCb
+      else withCb.withColumn("rnorm", expr(
+        s"""sqrt(aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
+           |  a + aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (b, j) ->
+           |    b + CAST(element_at(element_at(element_at(__cb, si + 1), CAST(element_at(code, si + 1) AS INT)), j) AS DOUBLE)
+           |      * CAST(element_at(element_at(element_at(__cb, si + 1), CAST(element_at(code, si + 1) AS INT)), j) AS DOUBLE))))""".stripMargin))
+    normed.drop("__cb", "__dists")
+  }
+
   // ------------------------------------------------------------- helpers
 
   private def floats(r: Row, i: Int): Array[Float] =

@@ -121,4 +121,106 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "cos")
   }
+
+  // ------------------------------------------------ product quantization
+
+  /** Collect a (sub, code, scv) PQ codebook frame (e.g.
+    * [[Embeddings.pqFit]]'s output) into the dense m×ks×(dims/m)
+    * array the encode/score expressions broadcast. Model-sized by
+    * contract, like the IVF codebook. */
+  private def collectPq(pqCodebook: DataFrame): Array[Array[Array[Float]]] = {
+    val rows = pqCodebook.select(col("sub").cast("int"),
+        col("code").cast("int"), col("scv")).collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ks = rows.map(_.getInt(1)).max + 1
+    require(rows.length == m * ks,
+      s"PQ codebook must be dense: got ${rows.length} rows for m=$m ks=$ks")
+    val cb = Array.ofDim[Array[Float]](m, ks)
+    rows.foreach { r =>
+      cb(r.getInt(0))(r.getInt(1)) = r.getSeq[Float](2).toArray
+    }
+    cb.map(_.toArray)
+  }
+
+  /** Score a (vec_id, code, rnorm) code scan against per-query ADC
+    * lookup tables: each query computes ONE m×ks table of subspace dot
+    * products against the codebook, then every candidate costs m table
+    * lookups + adds — the Jegou et al. 2011 asymmetric distance
+    * computation. The LUT frame is queries·m·ks doubles (model-sized,
+    * broadcast); the code scan is the only corpus-sized input. */
+  private def scoreCodes(codes: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Float]]], k: Int): DataFrame = {
+    val m = cb.length
+    val ks = cb(0).length
+    val sub = cb(0)(0).length
+    val q = queries.select(col("q_id"), col("q_emb"))
+      .withColumn("__cb", typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq))
+      .withColumn("lut", expr(
+        s"""flatten(transform(sequence(0, ${m - 1}), si ->
+           |  transform(sequence(0, ${ks - 1}), c ->
+           |    aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (a, j) ->
+           |      a + CAST(element_at(q_emb, si * $sub + j) AS DOUBLE)
+           |        * CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE)))))""".stripMargin))
+      .withColumn("qn", expr(graft.functions.PortableVec.normSpark("q_emb")))
+      .select(col("q_id"), col("lut"), col("qn"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    codes.select(col("vec_id"), col("code"), col("rnorm"))
+      .crossJoin(broadcast(q))
+      .withColumn("score", expr(
+        s"""CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+           |ELSE aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
+           |  a + element_at(lut, si * $ks + CAST(element_at(code, si + 1) AS INT)))
+           |  / (qn * rnorm) END""".stripMargin))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "vec_id", "score")
+  }
+
+  /** PQ approximate top-k with trained per-subspace codebooks (the
+    * compression path: candidates are scored from m-lookup codes, never
+    * raw vectors). Encodes the corpus in a map-only pass, then runs the
+    * ADC scan of [[scoreCodes]]. For a standing corpus, build the codes
+    * once with [[writePqIndex]] instead. */
+  def pqSearch(emb: DataFrame, queries: DataFrame, pqCodebook: DataFrame,
+      k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val cb = collectPq(pqCodebook)
+    scoreCodes(
+      Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")), cb),
+      queries, cb, k)
+  }
+
+  /** A persisted PQ index: `pq_codebook.parquet` (m·ks rows) +
+    * `codes.parquet` — ONLY (vec_id, code, rnorm): m small ints and a
+    * double per vector instead of dims floats, so a reopened index scan
+    * reads the compressed representation's bytes, not the corpus'. */
+  final case class PqIndex(dir: String, codebook: DataFrame, codes: DataFrame)
+
+  /** Encode the corpus once and persist codebooks + codes under `dir`. */
+  def writePqIndex(emb: DataFrame, pqCodebook: DataFrame, dir: String): Unit = {
+    val cb = collectPq(pqCodebook)
+    pqCodebook.select(col("sub").cast("int"), col("code").cast("int"),
+        col("scv"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+    Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")), cb)
+      .select(col("vec_id"), col("code"), col("rnorm"))
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Reopen a persisted PQ index (metadata only — no data read). */
+  def openPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): PqIndex =
+    PqIndex(dir,
+      spark.read.parquet(s"$dir/pq_codebook.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"))
+
+  /** PQ top-k against a PERSISTED index: identical results to
+    * [[pqSearch]] with the same codebooks (same encode rule, same
+    * tie-breaks), but the corpus side is the stored (vec_id, code,
+    * rnorm) scan — raw vectors are never touched. */
+  def pqSearchIndex(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    scoreCodes(index.codes, queries, collectPq(index.codebook), k)
+  }
 }

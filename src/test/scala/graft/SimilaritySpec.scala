@@ -393,6 +393,67 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("ml.Similarity: trained PQ codebooks hold a recall floor; " +
+      "training never loses to the raw seeds") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("vec_id") =!= col("q_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(2)).take(5).toSet }
+    val exact = top(graft.ml.Similarity.bruteForce(emb, queries, k = 6))
+    def recall(approx: Map[Long, Set[Long]]): Double = {
+      val rs = exact.keys.toSeq.map { q =>
+        (exact(q) intersect approx.getOrElse(q, Set.empty)).size.toDouble /
+          exact(q).size
+      }
+      rs.sum / rs.length
+    }
+    val seeds = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 0)
+    val trained = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 2)
+    val rSeed = recall(top(
+      graft.ml.Similarity.pqSearch(emb, queries, seeds, k = 6)))
+    val rTrained = recall(top(
+      graft.ml.Similarity.pqSearch(emb, queries, trained, k = 6)))
+    info(f"PQ recall: seeds=$rSeed%.2f trained=$rTrained%.2f")
+    assert(rTrained >= 0.6, f"trained PQ recall $rTrained%.2f below floor")
+    assert(rTrained >= rSeed - 0.05,
+      f"training regressed recall: $rTrained%.2f < $rSeed%.2f")
+    // Lloyd's bookkeeping: every subspace's member counts cover the corpus
+    val n = emb.count()
+    val perSub = trained.groupBy("sub")
+      .agg(org.apache.spark.sql.functions.sum("n_members").as("t"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perSub.values.forall(_ == n),
+      s"per-subspace member counts must sum to $n: $perSub")
+  }
+
+  test("persisted PQ index: build -> persist -> reopen == in-memory results") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val cbt = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 2)
+    val idxDir = java.nio.file.Files.createTempDirectory("graft_pqidx").toString
+    graft.ml.Similarity.writePqIndex(emb, cbt, idxDir)
+    val index = graft.ml.Similarity.openPqIndex(spark, idxDir)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val mem = rows(graft.ml.Similarity.pqSearch(emb, queries, cbt, k = 6))
+    val persisted = rows(graft.ml.Similarity.pqSearchIndex(index, queries, k = 6))
+    assert(persisted.toSeq === mem.toSeq,
+      "persisted PQ codes must reproduce the in-memory ADC results")
+    // the stored code scan reads only (vec_id, code, rnorm) — never the
+    // raw vectors (the compression is the point of the persisted form)
+    val schema = index.codes.schema.fieldNames.toSet
+    assert(schema === Set("vec_id", "code", "rnorm"),
+      s"codes.parquet must hold only the compressed columns: $schema")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
