@@ -142,18 +142,15 @@ object Similarity {
     cb.map(_.toArray)
   }
 
-  /** Score a (vec_id, code, rnorm) code scan against per-query ADC
-    * lookup tables: each query computes ONE m×ks table of subspace dot
-    * products against the codebook, then every candidate costs m table
-    * lookups + adds — the Jegou et al. 2011 asymmetric distance
-    * computation. The LUT frame is queries·m·ks doubles (model-sized,
-    * broadcast); the code scan is the only corpus-sized input. */
-  private def scoreCodes(codes: DataFrame, queries: DataFrame,
-      cb: Array[Array[Array[Float]]], k: Int): DataFrame = {
+  /** Per-query ADC lookup tables: each query computes ONE m×ks table of
+    * subspace dot products against the codebook — queries·m·ks doubles,
+    * model-sized by contract (it broadcasts to the code scan). */
+  private def lutFrame(queries: DataFrame,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
     val m = cb.length
     val ks = cb(0).length
     val sub = cb(0)(0).length
-    val q = queries.select(col("q_id"), col("q_emb"))
+    queries.select(col("q_id"), col("q_emb"))
       .withColumn("__cb", typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq))
       .withColumn("lut", expr(
         s"""flatten(transform(sequence(0, ${m - 1}), si ->
@@ -163,9 +160,25 @@ object Similarity {
            |        * CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE)))))""".stripMargin))
       .withColumn("qn", expr(graft.functions.PortableVec.normSpark("q_emb")))
       .select(col("q_id"), col("lut"), col("qn"))
+  }
+
+  /** ADC-score a code scan against a broadcast LUT frame `q` — every
+    * candidate costs m table lookups + adds, the Jegou et al. 2011
+    * asymmetric distance computation. With `joinCid` the code scan must
+    * carry `cid` and `q` (q_id, cid, lut, qn) rows: candidates reduce
+    * to the probed lists' codes (the IVF-PQ composition); otherwise the
+    * whole code scan is scored (flat PQ). */
+  private def adcScore(codes: DataFrame, q: DataFrame, m: Int, ks: Int,
+      k: Int, joinCid: Boolean): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    codes.select(col("vec_id"), col("code"), col("rnorm"))
-      .crossJoin(broadcast(q))
+    val joined =
+      if (joinCid)
+        codes.select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
+          .join(broadcast(q), Seq("cid"))
+      else
+        codes.select(col("vec_id"), col("code"), col("rnorm"))
+          .crossJoin(broadcast(q))
+    joined
       .withColumn("score", expr(
         s"""CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
            |ELSE aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
@@ -175,6 +188,13 @@ object Similarity {
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "score")
   }
+
+  /** Score a (vec_id, code, rnorm) code scan against per-query ADC
+    * lookup tables (flat PQ: every code row is a candidate). */
+  private def scoreCodes(codes: DataFrame, queries: DataFrame,
+      cb: Array[Array[Array[Float]]], k: Int): DataFrame =
+    adcScore(codes, lutFrame(queries, cb), cb.length, cb(0).length, k,
+      joinCid = false)
 
   /** PQ approximate top-k with trained per-subspace codebooks (the
     * compression path: candidates are scored from m-lookup codes, never
@@ -222,5 +242,102 @@ object Similarity {
   def pqSearchIndex(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k=$k")
     scoreCodes(index.codes, queries, collectPq(index.codebook), k)
+  }
+
+  // ------------------------------------------------------------- IVF-PQ
+
+  /** IVF-PQ approximate top-k — coarse-quantizer probe pruning composed
+    * with PQ-compressed ADC scoring (the canonical billion-scale index:
+    * FAISS `IndexIVFPQ` with `by_residual = false`; Jegou et al. 2011
+    * §V). The corpus is assigned to inverted lists by `codebook`
+    * (e.g. [[Embeddings.kmeansFit]]) and PQ-encoded with `pqCodebook`
+    * (e.g. [[Embeddings.pqFit]]); a query probes its `nprobe` nearest
+    * lists and ADC-scores ONLY those lists' (code, rnorm) rows — IVF
+    * cuts the scanned rows to ~nprobe/k of the corpus, PQ cuts the
+    * bytes per row ~dims·4/m× and removes per-candidate float math.
+    * For a standing corpus build the index once with
+    * [[writeIvfPqIndex]] instead. */
+  def ivfPqSearch(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
+      pqCodebook: DataFrame, k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k=$k, nprobe=$nprobe")
+    graft.functions.native.register(emb.sparkSession)
+    val cb = collectPq(pqCodebook)
+    val codes = Embeddings.pqEncode(
+      Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook),
+      cb)
+    adcScore(codes, probedLuts(queries, codebook, cb, nprobe),
+      cb.length, cb(0).length, k, joinCid = true)
+  }
+
+  /** Per-query (q_id, cid, lut, qn) probe rows: the nprobe nearest
+    * lists by the same exact two-level ranking the corpus side uses,
+    * joined to the query's ADC LUT — queries·nprobe rows, model-sized
+    * (it broadcasts to the code scan). */
+  private def probedLuts(queries: DataFrame, codebook: DataFrame,
+      cb: Array[Array[Array[Float]]], nprobe: Int): DataFrame =
+    Embeddings.assignRanked(
+      queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
+      codebook, maxRank = nprobe)
+      .select(col("vec_id").as("q_id"), col("cid"))
+      .join(lutFrame(queries, cb), Seq("q_id"))
+
+  /** A persisted IVF-PQ index: `codebook.parquet` (coarse centroids) +
+    * `pq_codebook.parquet` (m·ks subspace centroids) + `codes.parquet`
+    * — (cid, vec_id, code, rnorm) RANGE-CLUSTERED by cid, so probing a
+    * reopened index pushes the probe set as a `cid IN (...)` predicate
+    * AND reads only the compressed representation's bytes: both
+    * reductions survive the round-trip. */
+  final case class IvfPqIndex(dir: String, codebook: DataFrame,
+      pqCodebook: DataFrame, codes: DataFrame)
+
+  /** Assign + encode the corpus once and persist the full index under
+    * `dir`: one assignment pass, one map-only encode, one range shuffle
+    * on cid; both codebooks are model-sized single files. */
+  def writeIvfPqIndex(emb: DataFrame, codebook: DataFrame,
+      pqCodebook: DataFrame, dir: String): Unit = {
+    graft.functions.native.register(emb.sparkSession)
+    val cb = collectPq(pqCodebook)
+    codebook.select(col("cid").cast(LongType), col("cv"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+    pqCodebook.select(col("sub").cast("int"), col("code").cast("int"),
+        col("scv"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+    Embeddings.pqEncode(
+      Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook),
+      cb)
+      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
+      .repartitionByRange(col("cid"))
+      .sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+  }
+
+  /** Reopen a persisted IVF-PQ index (metadata only — no data read). */
+  def openIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfPqIndex =
+    IvfPqIndex(dir,
+      spark.read.parquet(s"$dir/codebook.parquet"),
+      spark.read.parquet(s"$dir/pq_codebook.parquet"),
+      spark.read.parquet(s"$dir/codes.parquet"))
+
+  /** IVF-PQ top-k against a PERSISTED index: identical results to
+    * [[ivfPqSearch]] with the same codebooks (same assignment + encode
+    * rules, same tie-breaks), but the corpus side is the stored
+    * (cid, vec_id, code, rnorm) scan with the probe set pushed as a
+    * `cid IN (...)` predicate — the scan touches only the probed lists'
+    * compressed bytes. */
+  def ivfPqSearchIndex(index: IvfPqIndex, queries: DataFrame,
+      k: Int, nprobe: Int): DataFrame = {
+    require(k > 0 && nprobe > 0, s"k=$k, nprobe=$nprobe")
+    graft.functions.native.register(queries.sparkSession)
+    val cb = collectPq(index.pqCodebook)
+    val probes = probedLuts(queries, index.codebook, cb, nprobe)
+    val probeCids = probes.select("cid").distinct()
+      .collect().map(_.getLong(0)).sorted
+    adcScore(
+      index.codes
+        .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*)),
+      probes, cb.length, cb(0).length, k, joinCid = true)
   }
 }

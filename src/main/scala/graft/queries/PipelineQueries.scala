@@ -477,58 +477,137 @@ object PipelineQueries {
     * in the same WindowGroupLimit-bounded rank window as the other ANN
     * paths. All arithmetic is fixed-order double folds, so the DuckDB
     * oracle hash-matches bit-for-bit (SURVEY §3). */
+  /** Shared fixed-parameter PQ expression strings (m = 8 subspaces ×
+    * 8 dims, ks = 16 codes) over columns `v` (raw vector) and `cb` (the
+    * broadcast codebook row) — used verbatim by [[annPq]] and
+    * [[annIvfPq]] so both paths encode/score with the identical
+    * deterministic arithmetic their DuckDB oracles mirror. */
+  private val pqDistsExpr =
+    """transform(sequence(0, 7), sub ->
+      |  transform(sequence(0, 15), c ->
+      |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
+      |      a + (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+      |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE))
+      |        * (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+      |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin
+  private val pqArgminExpr =
+    "transform(dists, d -> array_position(d, array_min(d)))"
+  private val pqRnormExpr =
+    """sqrt(aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
+      |  a + aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (b, j) ->
+      |    b + CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE)
+      |      * CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE))))""".stripMargin
+  private val pqLutExpr =
+    """flatten(transform(sequence(0, 7), sub ->
+      |  transform(sequence(0, 15), c ->
+      |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
+      |      a + CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+      |        * CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin
+  private val pqAdcExpr =
+    """CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+      |ELSE aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
+      |  a + element_at(lut, sub * 16 + CAST(element_at(code, sub + 1) AS INT)))
+      |  / (qn * rnorm) END""".stripMargin
+
+  /** The 16-lowest-id-vector PQ codebook as one broadcast row —
+    * deterministic seed rule shared by [[annPq]] / [[annIvfPq]]. */
+  private def pqCodebookRow(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < 16)
+      .agg(expr(
+        "transform(array_sort(collect_list(struct(vec_id, v))), y -> y.v)")
+        .as("cb"))
+
+  /** PQ-encode a (vec_id, v, ...) frame against the broadcast codebook
+    * row: per subspace 16 L2 distances -> 1-based argmin
+    * (array_position takes the FIRST minimum: ties to the lower code,
+    * identically in DuckDB's list_position), then the reconstruction
+    * norm from the chosen centroids — subspace norms add, so it needs
+    * only codebook lookups, not the raw vector. Map-only. */
+  private def pqCoded(e: DataFrame, cb: DataFrame): DataFrame =
+    e.crossJoin(broadcast(cb))
+      .withColumn("dists", expr(pqDistsExpr))
+      .withColumn("code", expr(pqArgminExpr))
+      .withColumn("rnorm", expr(pqRnormExpr))
+
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").as("v"))
     // one broadcast row: the 16 lowest-id vectors, id-ordered
-    val cb = e.filter(col("vec_id") < 16)
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(vec_id, v))), y -> y.v)")
-        .as("cb"))
-    // encode: per subspace 16 L2 distances -> 1-based argmin
-    // (array_position takes the FIRST minimum: ties to the lower code,
-    // identically in DuckDB's list_position), then the reconstruction
-    // norm from the chosen centroids — subspace norms add, so it needs
-    // only codebook lookups, not the raw vector
-    val coded = e.crossJoin(broadcast(cb))
-      .withColumn("dists", expr(
-        """transform(sequence(0, 7), sub ->
-          |  transform(sequence(0, 15), c ->
-          |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
-          |      a + (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
-          |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE))
-          |        * (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
-          |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin))
-      .withColumn("code", expr(
-        "transform(dists, d -> array_position(d, array_min(d)))"))
-      .withColumn("rnorm", expr(
-        """sqrt(aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
-          |  a + aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (b, j) ->
-          |    b + CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE)
-          |      * CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE))))""".stripMargin))
-      .select("vec_id", "v", "code", "rnorm")
+    val cb = pqCodebookRow(e)
+    val coded = pqCoded(e, cb).select("vec_id", "v", "code", "rnorm")
     // queries keep their RAW vector (asymmetric: only the corpus side is
     // quantized) — one 128-entry LUT each, broadcast to the code scan
     val q = coded.filter(col("vec_id") < 8)
       .crossJoin(broadcast(cb))
-      .withColumn("lut", expr(
-        """flatten(transform(sequence(0, 7), sub ->
-          |  transform(sequence(0, 15), c ->
-          |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
-          |      a + CAST(element_at(v, sub * 8 + j) AS DOUBLE)
-          |        * CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin))
+      .withColumn("lut", expr(pqLutExpr))
       .withColumn("qn", expr(PV.normSpark("v")))
       .select(col("vec_id").as("q_id"), col("lut"), col("qn"))
     val scored = coded
       .select(col("vec_id").as("n_id"), col("code"), col("rnorm"))
       .crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", expr(
-        """CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-          |ELSE aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
-          |  a + element_at(lut, sub * 16 + CAST(element_at(code, sub + 1) AS INT)))
-          |  / (qn * rnorm) END""".stripMargin))
+      .withColumn("score", expr(pqAdcExpr))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "score")
+  }
+
+  /** IVF-PQ approximate top-k — the composition of [[annIvf]]'s probe
+    * pruning with [[annPq]]'s compressed ADC scoring, i.e. the canonical
+    * billion-scale ANN index layout (FAISS `IndexIVFPQ` with
+    * `by_residual = false`; Jegou et al. 2011 §V): the corpus is
+    * assigned to inverted lists by the corpus-scaled coarse quantizer
+    * (k ∝ n, exact two-level indexed search, ties to the lower cid),
+    * each vector stores only (cid, code, rnorm) — 8 PQ codes + one
+    * norm instead of 64 floats — and a query (a) probes its nprobe = 2
+    * nearest lists and (b) scores ONLY those lists' codes via its
+    * 8×16 dot-product LUT: candidate cost = 8 lookups + adds over the
+    * probed fraction of the compressed index.
+    *
+    * Scale shape: both reductions compound — IVF cuts the scanned rows
+    * to nprobe/k of the corpus, PQ cuts the bytes per scanned row ~32×
+    * and removes per-candidate float math; raw vectors are never read
+    * after the encode pass. The probe set and the per-query LUTs are
+    * model-sized broadcasts; the only corpus-sized flows are the
+    * assignment scan, the map-only encode, and the cid equi-join, which
+    * ends in the same WindowGroupLimit-bounded rank window as the other
+    * ANN paths. All arithmetic is fixed-order double folds shared with
+    * [[annPq]], so the DuckDB oracle hash-matches bit-for-bit. */
+  def annIvfPq(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select("vec_id", "embedding")
+    // IVF side: top-2 centroids per vector via the exact indexed search;
+    // crn = 1 is the owning list, queries probe crn <= 2
+    val assigned =
+      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p),
+        maxRank = 2)
+    val lists = assigned.filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding").as("v"), col("cid"))
+    // PQ side: encode each list member against the shared codebook row —
+    // the stored index is (cid, vec_id, code, rnorm), never raw vectors
+    val cb = pqCodebookRow(
+      e.select(col("vec_id"), col("embedding").as("v")))
+    val index = pqCoded(lists, cb)
+      .select(col("cid"), col("vec_id").as("n_id"), col("code"),
+        col("rnorm"))
+    // queries: raw-vector LUT + norm, replicated per probed cid (tiny:
+    // queries × nprobe rows), broadcast to the pruned code scan
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("v"))
+      .crossJoin(broadcast(cb))
+      .withColumn("lut", expr(pqLutExpr))
+      .withColumn("qn", expr(PV.normSpark("v")))
+      .select(col("q_id"), col("lut"), col("qn"))
+    val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("cid"))
+      .join(q, Seq("q_id"))
+    val scored = index.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", expr(pqAdcExpr))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
@@ -1387,6 +1466,78 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY score DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
+    "ann_ivfpq" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (
+         |  SELECT e.vec_id, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |           AS crn
+         |  FROM emb e CROSS JOIN cent c),
+         |asn AS (SELECT vec_id, cid FROM sc WHERE crn = 1),
+         |pr AS (SELECT vec_id AS q_id, cid FROM sc
+         |       WHERE vec_id < 8 AND crn <= 2),
+         |cbt AS (SELECT list(v ORDER BY vec_id) AS cb FROM emb
+         |        WHERE vec_id < 16),
+         |enc AS (
+         |  SELECT vec_id, v,
+         |    list_transform(range(0, 8), sub ->
+         |      list_transform(range(0, 16), c ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 9), j ->
+         |            (CAST(v[sub * 8 + j] AS DOUBLE)
+         |             - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))
+         |            * (CAST(v[sub * 8 + j] AS DOUBLE)
+         |               - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE)))),
+         |          (x, y) -> x + y))) AS dists
+         |  FROM emb CROSS JOIN cbt),
+         |coded AS (
+         |  SELECT vec_id, v,
+         |    list_transform(dists, d -> list_position(d, list_min(d))) AS code
+         |  FROM enc),
+         |codn AS (
+         |  SELECT vec_id, code,
+         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), sub ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 9), j ->
+         |            CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE)
+         |            * CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE))),
+         |          (x, y) -> x + y))),
+         |      (x, y) -> x + y)) AS rnorm
+         |  FROM coded CROSS JOIN cbt),
+         |q AS (
+         |  SELECT vec_id AS q_id,
+         |    flatten(list_transform(range(0, 8), sub ->
+         |      list_transform(range(0, 16), c ->
+         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |          list_transform(range(1, 9), j ->
+         |            CAST(v[sub * 8 + j] AS DOUBLE)
+         |            * CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))),
+         |          (x, y) -> x + y)))) AS lut,
+         |    ${PV.normDuck("v")} AS qn
+         |  FROM emb CROSS JOIN cbt WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT p.q_id, n.vec_id AS n_id,
+         |    CASE WHEN q.qn * n.rnorm = CAST(0 AS DOUBLE)
+         |         THEN CAST(0 AS DOUBLE)
+         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list_transform(range(0, 8), sub ->
+         |        q.lut[sub * 16 + n.code[sub + 1]])), (x, y) -> x + y)
+         |      / (q.qn * n.rnorm) END AS score
+         |  FROM codn n
+         |  JOIN asn a ON a.vec_id = n.vec_id
+         |  JOIN pr p ON p.cid = a.cid
+         |  JOIN q ON q.q_id = p.q_id
+         |  WHERE n.vec_id <> p.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY score DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
     "t_langid" ->
       s"""WITH $thCte
          |SELECT doc_id,
@@ -1742,6 +1893,7 @@ object PipelineQueries {
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_sq" -> (annSq _),
     "ann_pq" -> (annPq _),
+    "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
     "emb_centroids" -> (embCentroids _),
     "emb_kmeans_iter" -> ((s, d) => embKmeansIter(s, d)),
     "emb_pca_power" -> (embPcaPower _),

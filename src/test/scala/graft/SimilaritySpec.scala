@@ -454,6 +454,68 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("persisted IVF-PQ index: reopen == in-memory, pruned + compressed scan") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    val cbt = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    val mem = rows(graft.ml.Similarity.ivfPqSearch(
+      emb, queries, codebook, cbt, k = 6, nprobe = 2))
+    // the composed path keeps a recall floor against brute force: IVF
+    // prunes to the probed clusters, PQ ranks from 8-code ADC scores
+    def top(ts: Array[(Long, Long, Long, Double)]): Map[Long, Set[Long]] =
+      ts.filter(t => t._3 != t._1).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._3).take(5).toSet }
+    val exact = top(rows(graft.ml.Similarity.bruteForce(emb, queries, k = 6)))
+    val got = top(mem)
+    val recalls = exact.keys.toSeq.map { q =>
+      (exact(q) intersect got.getOrElse(q, Set.empty)).size.toDouble /
+        exact(q).size
+    }
+    val mean = recalls.sum / recalls.length
+    assert(mean >= 0.6, f"IVF-PQ mean recall $mean%.2f below floor")
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_ivfpqidx").toString
+    graft.ml.Similarity.writeIvfPqIndex(emb, codebook, cbt, idxDir)
+    val index = graft.ml.Similarity.openIvfPqIndex(spark, idxDir)
+    val persisted = rows(graft.ml.Similarity.ivfPqSearchIndex(
+      index, queries, k = 6, nprobe = 2))
+    assert(persisted.toSeq === mem.toSeq,
+      "persisted IVF-PQ index must reproduce the in-memory results")
+    // both reductions must survive the round-trip: the stored scan holds
+    // ONLY the compressed columns + list key, and the probe set pushes
+    // into it as a cid filter — probed lists' compressed bytes, nothing
+    // else, are read
+    val schema = index.codes.schema.fieldNames.toSet
+    assert(schema === Set("cid", "vec_id", "code", "rnorm"),
+      s"codes.parquet must hold only (cid + compressed) columns: $schema")
+    val plan = graft.ml.Similarity.ivfPqSearchIndex(
+      index, queries, k = 6, nprobe = 2).queryExecution.executedPlan
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] =
+      (p +: p.children.flatMap(nodes)) ++ (p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => nodes(a.initialPlan)
+        case _ => Seq.empty
+      })
+    val scans = nodes(plan).collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.relation.location.rootPaths.exists(
+            _.toString.contains("codes.parquet")) => s
+    }
+    assert(scans.nonEmpty, "codes scan missing")
+    assert(scans.forall(_.metadata("PushedFilters").contains("In(cid")),
+      s"cid probe set must push into the codes scan: " +
+        scans.map(_.metadata("PushedFilters")).mkString("; "))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
@@ -463,7 +525,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         "ann_lsh" -> top(PipelineQueries.annLsh(spark, dir)),
         "ann_ivf" -> top(PipelineQueries.annIvf(spark, dir)),
         "ann_sq" -> top(PipelineQueries.annSq(spark, dir)),
-        "ann_pq" -> top(PipelineQueries.annPq(spark, dir)))) {
+        "ann_pq" -> top(PipelineQueries.annPq(spark, dir)),
+        "ann_ivfpq" -> top(PipelineQueries.annIvfPq(spark, dir)))) {
       val recalls = exact.keys.toSeq.map { q =>
         val got = approx.getOrElse(q, Set.empty)
         (exact(q) intersect got).size.toDouble / exact(q).size
