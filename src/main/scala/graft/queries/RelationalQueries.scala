@@ -336,6 +336,20 @@ object RelationalQueries {
     graft.streaming.StreamingAgg
       .quantileSketchStream(AggQueries.events(s, dir)).toDF()
 
+  /** Continuous distinct count — the streaming twin of
+    * [[qApproxDistinct]], registered as `stream_distinct`. The SAME
+    * stateful transform (StreamingAgg.kmvDistinctStream: per-key KMV
+    * sketch, the k-minimum-distinct-hash fold of
+    * [[graft.functions.KmvDistinct]]) runs here on the batch frame —
+    * one fold per key against empty state, and the KMV fold is
+    * order-independent, so this entry is deterministic and the DuckDB
+    * oracle mirrors the sketch rule exactly (k smallest distinct
+    * hashes ranked by value). StreamingSpec pins that the streamed
+    * multi-batch run converges to exactly these rows. */
+  def streamDistinct(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingAgg
+      .kmvDistinctStream(AggQueries.events(s, dir)).toDF()
+
   /** Linear-interpolation quantile over the sorted sample array `v` —
     * the exact expression the DuckDB oracle mirrors term for term
     * (identical IEEE evaluation order; integer payloads promote to
@@ -799,6 +813,27 @@ object RelationalQueries {
         |       (CAST(lo95 AS DOUBLE) + (pos95 - floor(pos95)) *
         |        (CAST(hi95 AS DOUBLE) - CAST(lo95 AS DOUBLE))) / 1000000.0 AS p95
         |FROM g JOIN c ON g.event_type = c.event_type""".stripMargin,
+    "stream_distinct" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |         (user_id % 1000000007) * 2654435761 % 1000000007 AS hv
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT event_type, count(*) AS n_seen FROM h GROUP BY 1),
+        |d AS (SELECT DISTINCT event_type, hv FROM h),
+        |r AS (SELECT event_type, hv,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM d),
+        |k AS (SELECT event_type, least(max(nd), 64) AS n_sketch,
+        |             max(CASE WHEN rn = 64 THEN hv END) AS h64
+        |      FROM r GROUP BY event_type)
+        |SELECT k.event_type, CAST(c.n_seen AS BIGINT) AS n_seen,
+        |       CAST(n_sketch AS BIGINT) AS n_sketch,
+        |       CASE WHEN n_sketch < 64 THEN CAST(n_sketch AS DOUBLE)
+        |            ELSE 63.0 * 1000000007.0 / CAST(h64 AS DOUBLE) END
+        |         AS est_users
+        |FROM k JOIN c USING (event_type)""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, count(*) AS n_orders_7d,
         |       (CAST(sum(CAST(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
@@ -995,6 +1030,7 @@ object RelationalQueries {
     "q_percentiles" -> (qPercentiles _),
     "q_quantile_sketch" -> (qQuantileSketch _),
     "stream_quantile" -> (streamQuantile _),
+    "stream_distinct" -> (streamDistinct _),
     "q_rollup" -> (qRollup _),
     "q6_agg" -> (q6Agg _),
     "q_anti_join" -> (qAntiJoin _),

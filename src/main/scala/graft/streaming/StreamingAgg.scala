@@ -32,6 +32,13 @@ final case class QuantileEvent(event_type: String, coin: Long, pay: Long)
 final case class QuantileSketchState(flat: Array[Long], nSeen: Long)
 final case class QuantileUpdate(event_type: String, n_seen: Long,
     n_sample: Long, p50: Double, p95: Double)
+final case class KmvEvent(event_type: String, hv: Long)
+/** Streaming KMV state: the k smallest distinct hash values (sorted)
+  * plus the running row count — at most k+1 longs per key, independent
+  * of stream length and of the key's true cardinality. */
+final case class KmvState(flat: Array[Long], nSeen: Long)
+final case class DistinctUpdate(event_type: String, n_seen: Long,
+    n_sketch: Long, est_users: Double)
 /** Per-(doc, band) dedup verdict: `owner_id` is the bucket's owning doc —
   * equal to `doc_id` when this doc owns the bucket, a lower/earlier doc id
   * when the bucket already had a near-duplicate. */
@@ -458,6 +465,59 @@ object StreamingAgg {
           java.util.Arrays.sort(pays)
           QuantileUpdate(key, nSeen, pays.length.toLong,
             interpMicro(pays, half), interpMicro(pays, p95))
+        })
+  }
+
+  /** Continuous distinct-count sketch — the streaming twin of
+    * `q_approx_distinct`: per event_type, a stateful KMV sketch (the
+    * SAME k-minimum-distinct-hash fold as the batch
+    * [[graft.functions.KmvDistinct]] aggregate and the same estimator
+    * `(k−1)·P / kthMin`) absorbs each micro-batch and re-emits
+    * (n_seen, n_sketch, est_users). The fold is order-independent —
+    * the k smallest distinct hashes of a union don't depend on the
+    * batch split — so the Update stream converges to exactly the batch
+    * answer, bit-for-bit (StreamingSpec pins parity and a
+    * non-chronological split).
+    *
+    * Scale shape: state is ≤ k+1 longs per key — bounded by the SKETCH
+    * size, never by the stream length or the key's true cardinality;
+    * a duplicate or above-max arrival costs one TreeSet probe.
+    * NoTimeout by design: a running all-history distinct count has no
+    * expirable state. Batch run of this same transform IS the
+    * oracle-checked registry entry (`stream_distinct`). */
+  def kmvDistinctStream(events: DataFrame, k: Int = 64): Dataset[DistinctUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val p = graft.functions.NativeOps.P
+    events
+      .filter(col("user_id").isNotNull)
+      .select(col("event_type"),
+        expr(s"(user_id % $p) * 2654435761 % $p").as("hv"))
+      .as[KmvEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[KmvEvent],
+            st: GroupState[KmvState]) => {
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          var nSeen = 0L
+          st.getOption.foreach { prev =>
+            prev.flat.foreach(h => buf.add(h): Unit)
+            nSeen = prev.nSeen
+          }
+          it.foreach { e =>
+            nSeen += 1
+            buf.add(e.hv)
+            if (buf.size > k) buf.pollLast(): Unit
+          }
+          val flat = new Array[Long](buf.size)
+          val bit = buf.iterator()
+          var i = 0
+          while (bit.hasNext) { flat(i) = bit.next(); i += 1 }
+          st.update(KmvState(flat, nSeen))
+          val est =
+            if (buf.size < k) buf.size.toDouble
+            else (k - 1).toDouble * p.toDouble / buf.last().toDouble
+          DistinctUpdate(key, nSeen, buf.size.toLong, est)
         })
   }
 }

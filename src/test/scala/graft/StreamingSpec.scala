@@ -548,4 +548,52 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val p50 = batch("a")._3
     assert(p50 >= p40 && p50 <= p60, s"sketch p50 $p50 outside [$p40, $p60]")
   }
+
+  test("streaming KMV distinct: batches converge to the batch fold, " +
+      "state stays k-bounded, duplicates never inflate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // key "a": 240 rows over 150 distinct users (> k: estimator active);
+    // key "b": 60 rows over 7 distinct users (< k: sketch IS exact)
+    val rows = (1L to 300L).map { i =>
+      val t = if (i % 5 == 0) "b" else "a"
+      val uid = if (t == "a") i % 150 else i % 7
+      AEv(new java.sql.Timestamp(i * 1000L), uid, t, i, 1.0)
+    }
+    def lastPerKey(table: String): Map[String, (Long, Long, Double)] =
+      spark.table(table).as[graft.streaming.DistinctUpdate].collect()
+        .groupBy(_.event_type)
+        .map { case (t, us) =>
+          val u = us.maxBy(_.n_seen)
+          t -> (u.n_seen, u.n_sketch, u.est_users)
+        }
+    def drive(name: String, batches: Seq[Seq[AEv]]): Map[String, (Long, Long, Double)] = {
+      val mem = MemoryStream[AEv]
+      val q = StreamingAgg.kmvDistinctStream(mem.toDF())
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        lastPerKey(name)
+      } finally q.stop()
+    }
+    // non-chronological split: late batches carry small user ids whose
+    // hashes must still enter the sketch — the KMV fold must not care
+    val (s1, s2) = rows.partition(_.event_id % 3 == 0)
+    val streamed = drive("kd1", Seq(s1.take(40), s2, s1.drop(40)))
+    val reversed = drive("kd2", Seq(s2.reverse, s1.reverse))
+    val batch = StreamingAgg.kmvDistinctStream(rows.toDF())
+      .collect().map(u => u.event_type ->
+        (u.n_seen, u.n_sketch, u.est_users)).toMap
+    assert(streamed === batch, "streamed != one-shot batch fold")
+    assert(reversed === batch, "batch split order changed the result")
+    // under k distinct: the sketch is the exact distinct set
+    assert(batch("b") === ((60L, 7L, 7.0)))
+    // over k distinct: sketch caps at k, estimate lands near the truth
+    assert(batch("a")._1 === 240L)
+    assert(batch("a")._2 === 64L, "sketch must cap at k")
+    val est = batch("a")._3
+    assert(est > 90.0 && est < 250.0,
+      s"KMV estimate $est too far from 150 true distinct")
+  }
 }
