@@ -346,4 +346,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(count(plan, _.isInstanceOf[
       org.apache.spark.sql.execution.joins.SortMergeJoinExec]) == 0)
   }
+
+  test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
+    // the storage-side pattern: both tables bucketed by the join key into
+    // the same bucket count -> the sort-merge join consumes bucket i of
+    // each side directly. The only Exchange allowed in the whole plan is
+    // the final 5-group aggregate's; the JOIN INPUTS must have none.
+    // (Disable auto-broadcast: at sf0.001 orders fits the threshold and
+    // the planner would demonstrate the wrong strategy.)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = physical("q_bucketed_join")
+      val joins = nodes(plan).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      }
+      assert(joins.nonEmpty, "expected a sort-merge join of bucketed tables")
+      joins.foreach { j =>
+        val inputShuffles = j.children.flatMap(nodes).count(_.isInstanceOf[
+          org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+        assert(inputShuffles == 0,
+          s"bucketed join inputs must not shuffle, found $inputShuffles")
+      }
+      // and the bucketed scans expose the bucket layout to the planner
+      val scans = nodes(plan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.bucketSpec.isDefined => f
+      }
+      assert(scans.size >= 2, s"expected 2 bucketed scans, got ${scans.size}")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
