@@ -406,6 +406,17 @@ object RelationalQueries {
     graft.streaming.StreamingAgg
       .kmvDistinctStream(AggQueries.events(s, dir)).toDF()
 
+  /** Continuous top-k — the streaming twin of [[qTopk]]'s leaders
+    * board, registered as `stream_topk`. The SAME stateful transform
+    * (StreamingAgg.topKStream: per-key best-k fold under value desc /
+    * event_id asc) runs here on the batch frame; the max-k fold is
+    * order-independent, so this entry is deterministic and the DuckDB
+    * oracle is the plain rank window. StreamingSpec pins that the
+    * streamed multi-batch run converges to exactly these rows. */
+  def streamTopk(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingAgg
+      .topKStream(AggQueries.events(s, dir)).toDF()
+
   /** Linear-interpolation quantile over the sorted sample array `v` —
     * the exact expression the DuckDB oracle mirrors term for term
     * (identical IEEE evaluation order; integer payloads promote to
@@ -896,6 +907,14 @@ object RelationalQueries {
         |            ELSE 63.0 * 1000000007.0 / CAST(h64 AS DOUBLE) END
         |         AS est_users
         |FROM k JOIN c USING (event_type)""".stripMargin,
+    "stream_topk" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, CAST(value AS DOUBLE) AS value,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY value DESC, event_id) AS rnk
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
+        |FROM r WHERE rnk <= 5""".stripMargin,
     "q_range_join" ->
       """SELECT event_id, count(*) AS n_orders_7d,
         |       (CAST(sum(CAST(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
@@ -1094,6 +1113,7 @@ object RelationalQueries {
     "q_quantile_sketch" -> (qQuantileSketch _),
     "stream_quantile" -> (streamQuantile _),
     "stream_distinct" -> (streamDistinct _),
+    "stream_topk" -> (streamTopk _),
     "q_rollup" -> (qRollup _),
     "q6_agg" -> (q6Agg _),
     "q_anti_join" -> (qAntiJoin _),

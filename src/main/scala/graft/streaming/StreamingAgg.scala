@@ -32,6 +32,12 @@ final case class QuantileEvent(event_type: String, coin: Long, pay: Long)
 final case class QuantileSketchState(flat: Array[Long], nSeen: Long)
 final case class QuantileUpdate(event_type: String, n_seen: Long,
     n_sample: Long, p50: Double, p95: Double)
+final case class TopKEvent(event_type: String, event_id: Long, value: Double)
+/** Streaming top-k state: the current best (event_id, value) pairs —
+  * exactly k rows per key once warm, never more. */
+final case class TopKState(ids: Array[Long], vs: Array[Double])
+final case class TopKRow(event_type: String, rnk: Long, event_id: Long,
+    value: Double)
 final case class KmvEvent(event_type: String, hv: Long)
 /** Streaming KMV state: the k smallest distinct hash values (sorted)
   * plus the running row count — at most k+1 longs per key, independent
@@ -465,6 +471,65 @@ object StreamingAgg {
           java.util.Arrays.sort(pays)
           QuantileUpdate(key, nSeen, pays.length.toLong,
             interpMicro(pays, half), interpMicro(pays, p95))
+        })
+  }
+
+  /** Continuous top-k — the streaming twin of `q_topk`'s keyed leaders
+    * board: per event_type, the state is EXACTLY the current top-k
+    * (event_id, value) pairs under (value desc, event_id asc), and each
+    * micro-batch folds its arrivals in and re-emits the full board
+    * (rnk 1..k). The max-k fold is order-independent — the best k of a
+    * union don't depend on the batch split — so the Update stream
+    * converges to exactly the batch answer (StreamingSpec pins parity
+    * and a non-chronological split).
+    *
+    * Scale shape: state is ≤ k (long, double) pairs per key; an arrival
+    * below the current cutoff costs one comparison. NoTimeout by
+    * design: an all-history leaders board has no expirable state.
+    * Batch run of this same transform IS the oracle-checked registry
+    * entry (`stream_topk`). */
+  def topKStream(events: DataFrame, k: Int = 5): Dataset[TopKRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    // total order: value desc, then event_id asc (deterministic ties)
+    val ord = new Ordering[(Long, Double)] {
+      def compare(a: (Long, Double), b: (Long, Double)): Int = {
+        val c = java.lang.Double.compare(b._2, a._2)
+        if (c != 0) c else java.lang.Long.compare(a._1, b._1)
+      }
+    }
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"), col("event_id"),
+        col("value").cast("double").as("value"))
+      .as[TopKEvent]
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update(),
+        GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[TopKEvent],
+            st: GroupState[TopKState]) => {
+          val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+          st.getOption.foreach { prev =>
+            var i = 0
+            while (i < prev.ids.length) {
+              buf += ((prev.ids(i), prev.vs(i))); i += 1
+            }
+          }
+          it.foreach { e =>
+            // O(1) reject below the warm board's cutoff
+            if (buf.length < k || ord.compare((e.event_id, e.value),
+                buf.last) < 0) {
+              buf += ((e.event_id, e.value))
+              val kept = buf.sorted(ord).take(k)
+              buf.clear()
+              buf ++= kept
+            }
+          }
+          val top = buf.sorted(ord).take(k)
+          st.update(TopKState(top.map(_._1).toArray, top.map(_._2).toArray))
+          top.iterator.zipWithIndex.map { case ((id, v), i) =>
+            TopKRow(key, (i + 1).toLong, id, v)
+          }
         })
   }
 

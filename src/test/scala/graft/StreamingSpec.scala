@@ -596,4 +596,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(est > 90.0 && est < 250.0,
       s"KMV estimate $est too far from 150 true distinct")
   }
+
+  test("streaming top-k: the board converges to the batch ranks, " +
+      "state stays k-bounded, late high values displace old leaders") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = (1L to 200L).map { i =>
+      AEv(new java.sql.Timestamp(i * 1000L), 1L,
+        if (i % 4 == 0) "b" else "a", i,
+        ((i * 2654435761L) % 997L).toDouble)
+    }
+    def board(table: String): Map[(String, Long), (Long, Double)] =
+      spark.table(table).as[graft.streaming.TopKRow].collect()
+        // Update mode re-emits the board per batch; the memory sink
+        // appends, so keep the LAST emission per (key, rnk)
+        .groupBy(r => (r.event_type, r.rnk))
+        .map { case (k, rs) => k -> { val r = rs.last; (r.event_id, r.value) } }
+    def drive(name: String, batches: Seq[Seq[AEv]]): Map[(String, Long), (Long, Double)] = {
+      val mem = MemoryStream[AEv]
+      val q = StreamingAgg.topKStream(mem.toDF())
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        board(name)
+      } finally q.stop()
+    }
+    // split so high values land in different batches than their ranks'
+    // neighbors — the fold must re-rank across batch boundaries
+    val (s1, s2) = rows.partition(_.event_id % 3 == 0)
+    val streamed = drive("tk1", Seq(s1, s2))
+    val reversed = drive("tk2", Seq(s2.reverse, s1.reverse))
+    val batch = StreamingAgg.topKStream(rows.toDF())
+      .collect().map(r => (r.event_type, r.rnk) -> (r.event_id, r.value))
+      .toMap
+    assert(streamed === batch, "streamed board != one-shot batch fold")
+    assert(reversed === batch, "batch split order changed the board")
+    // and the batch fold equals the plain rank window (the oracle shape)
+    val expect = rows.filter(_.event_type == "a")
+      .sortBy(e => (-e.value, e.event_id)).take(5)
+      .zipWithIndex.map { case (e, i) =>
+        ("a", (i + 1).toLong) -> (e.event_id, e.value) }.toMap
+    assert(batch.filter(_._1._1 == "a") === expect)
+    assert(batch.keys.count(_._1 == "a") === 5, "board must cap at k")
+  }
 }
