@@ -100,29 +100,29 @@ object RelationalQueries {
     * Spark's scan recognizes as both co-partitioned AND sorted. */
   private val bucketedSetup = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (String, String)]()
+  // name tag per setup, NOT dir.hashCode: a hash collision between two
+  // dirs would silently serve the first dir's data under the second's key
+  private val bucketedTag = new java.util.concurrent.atomic.AtomicInteger(0)
 
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedSetup.computeIfAbsent((s, dir), { case (s, dir) =>
-      // hex: no '-' from negative hashCodes, keeps the name identifier-safe
-      val tag = java.lang.Integer.toHexString(dir.hashCode)
+      val tag = bucketedTag.getAndIncrement()
       val loc =
         java.nio.file.Files.createTempDirectory("graft_bucketed").toString
       val ord = s"graft_bkt_orders_$tag"
       val li = s"graft_bkt_lineitem_$tag"
-      if (!s.catalog.tableExists(ord)) {
-        tbl(s, dir, "orders")
-          .select("o_orderkey", "o_orderpriority")
-          .repartition(8, col("o_orderkey"))
-          .write.format("parquet")
-          .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-          .option("path", s"$loc/$ord").mode("overwrite").saveAsTable(ord)
-        tbl(s, dir, "lineitem")
-          .select("l_orderkey", "l_extendedprice")
-          .repartition(8, col("l_orderkey"))
-          .write.format("parquet")
-          .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-          .option("path", s"$loc/$li").mode("overwrite").saveAsTable(li)
-      }
+      tbl(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .repartition(8, col("o_orderkey"))
+        .write.format("parquet")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$loc/$ord").mode("overwrite").saveAsTable(ord)
+      tbl(s, dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .repartition(8, col("l_orderkey"))
+        .write.format("parquet")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$loc/$li").mode("overwrite").saveAsTable(li)
       (ord, li)
     })
 
