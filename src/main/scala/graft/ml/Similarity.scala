@@ -159,30 +159,34 @@ object Similarity {
            |      a + CAST(element_at(q_emb, si * $sub + j) AS DOUBLE)
            |        * CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE)))))""".stripMargin))
       .withColumn("qn", expr(graft.functions.PortableVec.normSpark("q_emb")))
-      .select(col("q_id"), col("lut"), col("qn"))
+      .select(col("q_id"), col("q_emb"), col("lut"), col("qn"))
   }
 
   /** ADC-score a code scan against a broadcast LUT frame `q` — every
     * candidate costs m table lookups + adds, the Jegou et al. 2011
     * asymmetric distance computation. With `joinCid` the code scan must
-    * carry `cid` and `q` (q_id, cid, lut, qn) rows: candidates reduce
-    * to the probed lists' codes (the IVF-PQ composition); otherwise the
-    * whole code scan is scored (flat PQ). */
+    * carry `cid` and `q` (q_id, cid, qc, lut, qn) rows: candidates
+    * reduce to the probed lists' codes (the IVF-PQ composition);
+    * otherwise the whole code scan is scored (flat PQ). `qc` is the
+    * query-centroid dot product — 0 for plain encoding, q·c for
+    * residual encoding (q·x̂ = q·c + q·r̂, the scoring decomposition of
+    * by-residual IVF-PQ). */
   private def adcScore(codes: DataFrame, q: DataFrame, m: Int, ks: Int,
       k: Int, joinCid: Boolean): DataFrame = {
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     val joined =
       if (joinCid)
         codes.select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
-          .join(broadcast(q), Seq("cid"))
+          .join(broadcast(q.drop("q_emb")), Seq("cid"))
       else
         codes.select(col("vec_id"), col("code"), col("rnorm"))
-          .crossJoin(broadcast(q))
+          .crossJoin(broadcast(q.drop("q_emb").withColumn("qc",
+            expr("CAST(0 AS DOUBLE)"))))
     joined
       .withColumn("score", expr(
         s"""CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-           |ELSE aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
-           |  a + element_at(lut, si * $ks + CAST(element_at(code, si + 1) AS INT)))
+           |ELSE (qc + aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
+           |  a + element_at(lut, si * $ks + CAST(element_at(code, si + 1) AS INT))))
            |  / (qn * rnorm) END""".stripMargin))
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
@@ -258,28 +262,73 @@ object Similarity {
     * For a standing corpus build the index once with
     * [[writeIvfPqIndex]] instead. */
   def ivfPqSearch(emb: DataFrame, queries: DataFrame, codebook: DataFrame,
-      pqCodebook: DataFrame, k: Int, nprobe: Int): DataFrame = {
+      pqCodebook: DataFrame, k: Int, nprobe: Int,
+      residual: Boolean = false): DataFrame = {
     require(k > 0 && nprobe > 0, s"k=$k, nprobe=$nprobe")
     graft.functions.native.register(emb.sparkSession)
     val cb = collectPq(pqCodebook)
-    val codes = Embeddings.pqEncode(
-      Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook),
-      cb)
-    adcScore(codes, probedLuts(queries, codebook, cb, nprobe),
+    adcScore(encodeLists(emb, codebook, cb, residual),
+      probedLuts(queries, codebook, cb, nprobe, residual),
       cb.length, cb(0).length, k, joinCid = true)
   }
 
-  /** Per-query (q_id, cid, lut, qn) probe rows: the nprobe nearest
+  /** Assign + PQ-encode the corpus into (cid, vec_id, code, rnorm).
+    * Plain: codes encode the raw vector, rnorm = ‖r̂‖. Residual (the
+    * FAISS `by_residual` default): codes encode x − c(x) — residuals
+    * are tighter than raw vectors, so the same codebook bits carry more
+    * precision — and rnorm = ‖c + r̂‖, the reconstruction the score
+    * normalizes by. Both are one assignment pass + a map-only encode
+    * (the centroid join is k-row broadcast). */
+  private def encodeLists(emb: DataFrame, codebook: DataFrame,
+      cb: Array[Array[Array[Float]]], residual: Boolean): DataFrame = {
+    val assigned =
+      Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook)
+    if (!residual) Embeddings.pqEncode(assigned, cb)
+    else {
+      val m = cb.length
+      val sub = cb(0)(0).length
+      val withC = assigned
+        .join(broadcast(codebook.select(col("cid").cast(LongType),
+          col("cv"))), Seq("cid"))
+        .withColumn("embedding",
+          expr("zip_with(embedding, cv, (x, c) -> x - c)"))
+      Embeddings.pqEncode(withC, cb, withNorm = false)
+        .withColumn("__cb", typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq))
+        // ‖c + r̂‖: the reconstruction norm needs the cross terms, so it
+        // folds over the decoded dims directly (still codebook+centroid
+        // lookups only — never the raw vector)
+        .withColumn("rnorm", expr(
+          s"""sqrt(aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
+             |  a + aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (b, j) ->
+             |    b + (CAST(element_at(cv, si * $sub + j) AS DOUBLE)
+             |         + CAST(element_at(element_at(element_at(__cb, si + 1), CAST(element_at(code, si + 1) AS INT)), j) AS DOUBLE))
+             |      * (CAST(element_at(cv, si * $sub + j) AS DOUBLE)
+             |         + CAST(element_at(element_at(element_at(__cb, si + 1), CAST(element_at(code, si + 1) AS INT)), j) AS DOUBLE)))))""".stripMargin))
+        .drop("__cb")
+    }
+  }
+
+  /** Per-query (q_id, cid, qc, lut, qn) probe rows: the nprobe nearest
     * lists by the same exact two-level ranking the corpus side uses,
     * joined to the query's ADC LUT — queries·nprobe rows, model-sized
-    * (it broadcasts to the code scan). */
+    * (it broadcasts to the code scan). `qc` = q·c per probed list when
+    * `residual` (the scoring decomposition q·x̂ = q·c + q·r̂), else 0. */
   private def probedLuts(queries: DataFrame, codebook: DataFrame,
-      cb: Array[Array[Array[Float]]], nprobe: Int): DataFrame =
-    Embeddings.assignRanked(
+      cb: Array[Array[Array[Float]]], nprobe: Int,
+      residual: Boolean): DataFrame = {
+    val base = Embeddings.assignRanked(
       queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
       codebook, maxRank = nprobe)
       .select(col("vec_id").as("q_id"), col("cid"))
       .join(lutFrame(queries, cb), Seq("q_id"))
+    if (!residual) base.withColumn("qc", expr("CAST(0 AS DOUBLE)"))
+    else base
+      .join(broadcast(codebook.select(col("cid").cast(LongType), col("cv"))),
+        Seq("cid"))
+      .withColumn("qc",
+        expr(graft.functions.PortableVec.dotSpark("q_emb", "cv")))
+      .drop("cv")
+  }
 
   /** A persisted IVF-PQ index: `codebook.parquet` (coarse centroids) +
     * `pq_codebook.parquet` (m·ks subspace centroids) + `codes.parquet`
@@ -288,13 +337,16 @@ object Similarity {
     * AND reads only the compressed representation's bytes: both
     * reductions survive the round-trip. */
   final case class IvfPqIndex(dir: String, codebook: DataFrame,
-      pqCodebook: DataFrame, codes: DataFrame)
+      pqCodebook: DataFrame, codes: DataFrame, residual: Boolean)
 
   /** Assign + encode the corpus once and persist the full index under
     * `dir`: one assignment pass, one map-only encode, one range shuffle
-    * on cid; both codebooks are model-sized single files. */
+    * on cid; both codebooks are model-sized single files. The encoding
+    * flavor (plain vs residual) is stored in `meta.json` so a reopened
+    * index can never be scored with the wrong decomposition. */
   def writeIvfPqIndex(emb: DataFrame, codebook: DataFrame,
-      pqCodebook: DataFrame, dir: String): Unit = {
+      pqCodebook: DataFrame, dir: String,
+      residual: Boolean = false): Unit = {
     graft.functions.native.register(emb.sparkSession)
     val cb = collectPq(pqCodebook)
     codebook.select(col("cid").cast(LongType), col("cv"))
@@ -304,35 +356,42 @@ object Similarity {
         col("scv"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
-    Embeddings.pqEncode(
-      Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook),
-      cb)
+    encodeLists(emb, codebook, cb, residual)
       .select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
       .repartitionByRange(col("cid"))
       .sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
+      s"""{"residual": $residual}""".getBytes("UTF-8")): Unit
   }
 
   /** Reopen a persisted IVF-PQ index (metadata only — no data read). */
   def openIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IvfPqIndex =
+      dir: String): IvfPqIndex = {
+    val metaPath = java.nio.file.Paths.get(dir, "meta.json")
+    val residual = java.nio.file.Files.exists(metaPath) &&
+      new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
+        .contains("\"residual\": true")
     IvfPqIndex(dir,
       spark.read.parquet(s"$dir/codebook.parquet"),
       spark.read.parquet(s"$dir/pq_codebook.parquet"),
-      spark.read.parquet(s"$dir/codes.parquet"))
+      spark.read.parquet(s"$dir/codes.parquet"),
+      residual)
+  }
 
   /** IVF-PQ top-k against a PERSISTED index: identical results to
-    * [[ivfPqSearch]] with the same codebooks (same assignment + encode
-    * rules, same tie-breaks), but the corpus side is the stored
-    * (cid, vec_id, code, rnorm) scan with the probe set pushed as a
-    * `cid IN (...)` predicate — the scan touches only the probed lists'
-    * compressed bytes. */
+    * [[ivfPqSearch]] with the same codebooks and encoding flavor (same
+    * assignment + encode rules, same tie-breaks), but the corpus side
+    * is the stored (cid, vec_id, code, rnorm) scan with the probe set
+    * pushed as a `cid IN (...)` predicate — the scan touches only the
+    * probed lists' compressed bytes. */
   def ivfPqSearchIndex(index: IvfPqIndex, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     require(k > 0 && nprobe > 0, s"k=$k, nprobe=$nprobe")
     graft.functions.native.register(queries.sparkSession)
     val cb = collectPq(index.pqCodebook)
-    val probes = probedLuts(queries, index.codebook, cb, nprobe)
+    val probes = probedLuts(queries, index.codebook, cb, nprobe,
+      index.residual)
     val probeCids = probes.select("cid").distinct()
       .collect().map(_.getLong(0)).sorted
     adcScore(

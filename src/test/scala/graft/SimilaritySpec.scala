@@ -516,6 +516,53 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("residual IVF-PQ: recall holds vs plain encoding; " +
+      "the persisted flavor round-trips through meta.json") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    val cbt = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2))
+    def top(ts: Array[(Long, Long, Long, Double)]): Map[Long, Set[Long]] =
+      ts.filter(t => t._3 != t._1).groupBy(_._1)
+        .map { case (q, rs) => q -> rs.map(_._3).take(5).toSet }
+    val exact = top(rows(graft.ml.Similarity.bruteForce(emb, queries, k = 6)))
+    def recall(got: Map[Long, Set[Long]]): Double = {
+      val rs = exact.keys.toSeq.map { q =>
+        (exact(q) intersect got.getOrElse(q, Set.empty)).size.toDouble /
+          exact(q).size
+      }
+      rs.sum / rs.length
+    }
+    val plain = rows(graft.ml.Similarity.ivfPqSearch(
+      emb, queries, codebook, cbt, k = 6, nprobe = 2))
+    val res = rows(graft.ml.Similarity.ivfPqSearch(
+      emb, queries, codebook, cbt, k = 6, nprobe = 2, residual = true))
+    val (rPlain, rRes) = (recall(top(plain)), recall(top(res)))
+    info(f"IVF-PQ recall: plain=$rPlain%.2f residual=$rRes%.2f")
+    assert(rRes >= 0.6, f"residual IVF-PQ recall $rRes%.2f below floor")
+    assert(rRes >= rPlain - 0.05,
+      f"residual encoding regressed recall: $rRes%.2f < $rPlain%.2f")
+    // persisted: the flavor is part of the index — a reopened residual
+    // index must score with the residual decomposition automatically
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_ivfpqres").toString
+    graft.ml.Similarity.writeIvfPqIndex(emb, codebook, cbt, idxDir,
+      residual = true)
+    val index = graft.ml.Similarity.openIvfPqIndex(spark, idxDir)
+    assert(index.residual, "meta.json must carry the residual flag")
+    val persisted = rows(graft.ml.Similarity.ivfPqSearchIndex(
+      index, queries, k = 6, nprobe = 2))
+    assert(persisted.toSeq === res.toSeq,
+      "persisted residual index must reproduce the in-memory results")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
