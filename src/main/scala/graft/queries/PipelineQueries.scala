@@ -256,12 +256,12 @@ object PipelineQueries {
     * persist-the-assignment step a fleet deployment would run. */
   def dSemdedup(s: SparkSession, dir: String,
       p: PipelineParams = PipelineParams.Default): DataFrame = {
-    val asn = memo(s, dir, s"semAssign:${p.rowsPerCentroid}") {
-      val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-      graft.ml.Embeddings.assign(e, corpusCentroids(s, dir, p))
-        .select(col("vec_id"), col("embedding").as("v"), col("cid"))
-        .cache()
-    }
+    // nearest-centroid verdict = crn 1 of the shared cached IVF
+    // assignment index — one corpus assignment pass feeds d_semdedup,
+    // ann_ivf, AND ann_ivfpq (the fleet shape: the standing index is
+    // computed once per corpus, every consumer filters it)
+    val asn = ivfAssigned(s, dir, p).filter(col("crn") === 1)
+      .select(col("vec_id"), col("embedding").as("v"), col("cid"))
     // Adaptive blocked self-join for the pair scan. A hot cluster is
     // COMPUTE-dense at tiny byte size (n² cosines over n rows), so AQE's
     // byte-based skew split never fires and one shuffle key would carry
@@ -371,16 +371,25 @@ object PipelineQueries {
     * stays BOUNDED as the corpus grows; at 100 TB the inverted lists are
     * the partitioning (cluster-by cid on disk) and the k·dims centroid
     * table broadcasts. */
+  /** Top-2 centroid ranking over the whole corpus (exact two-level
+    * search — ~2√k scores per row, not k; ties to the lower cid),
+    * cached per (session, dir): this IS the IVF assignment index, and
+    * [[annIvf]] / [[annIvfPq]] consume it from both the lists and the
+    * probes side — a fleet computes it once per standing corpus, not
+    * once per query family. */
+  private def ivfAssigned(s: SparkSession, dir: String,
+      p: PipelineParams): DataFrame =
+    memo(s, dir, s"ivfAssign:${p.rowsPerCentroid}") {
+      val e = tbl(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select("vec_id", "embedding")
+      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p),
+        maxRank = 2).cache()
+    }
+
   def annIvf(s: SparkSession, dir: String,
       p: PipelineParams = PipelineParams.Default): DataFrame = {
-    val e = tbl(s, dir, "embeddings")
-      .repartition(s.sparkContext.defaultParallelism)
-      .select("vec_id", "embedding")
-    // top-2 centroids per vector (exact two-level search — ~2√k scores
-    // per row, not k), ties to the lower cid
-    val assigned =
-      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p),
-        maxRank = 2)
+    val assigned = ivfAssigned(s, dir, p)
     val lists = assigned.filter(col("crn") === 1)
       .select(col("vec_id").as("n_id"), col("embedding").as("nv"), col("cid"))
     val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
@@ -580,11 +589,9 @@ object PipelineQueries {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select("vec_id", "embedding")
-    // IVF side: top-2 centroids per vector via the exact indexed search;
-    // crn = 1 is the owning list, queries probe crn <= 2
-    val assigned =
-      graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p),
-        maxRank = 2)
+    // IVF side: the shared cached assignment index (crn = 1 is the
+    // owning list, queries probe crn <= 2)
+    val assigned = ivfAssigned(s, dir, p)
     val lists = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding").as("v"), col("cid"))
     // PQ side: encode each list member against the shared codebook row —
@@ -641,8 +648,9 @@ object PipelineQueries {
     * output back as the next seed table. */
   def embKmeansIter(s: SparkSession, dir: String,
       p0: PipelineParams = PipelineParams.Default): DataFrame = {
-    val e = tbl(s, dir, "embeddings").select("vec_id", "embedding")
-    graft.ml.Embeddings.assign(e, corpusCentroids(s, dir, p0))
+    // same assignment rule (crn = 1 of the shared index) as the other
+    // corpus-codebook consumers — one cached assignment pass for all
+    ivfAssigned(s, dir, p0).filter(col("crn") === 1)
       .select(col("cid"), posexplode(col("embedding")).as(Seq("p", "x")))
       .groupBy("cid", "p")
       .agg(count(lit(1)).as("n_vecs"),
