@@ -597,6 +597,64 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       s"KMV estimate $est too far from 150 true distinct")
   }
 
+  test("randomized parity: quantile/distinct/topk streams == batch fold " +
+      "under random data, random split counts, random batch assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the three bounded-state folds all claim ORDER-INDEPENDENCE — the
+    // strongest form of batch/stream parity. Drive each with randomly
+    // generated events partitioned into a random number of randomly
+    // assigned batches (including empty ones) and require bit-identical
+    // convergence to the one-shot batch run.
+    val rnd = new scala.util.Random(20260814)
+    for (trial <- 1 to 3) {
+      val n = 150 + rnd.nextInt(200)
+      val types = Vector("a", "b", "c")
+      val rows = (1L to n.toLong).map { i =>
+        AEv(new java.sql.Timestamp(i * 1000L),
+          rnd.nextInt(40).toLong, types(rnd.nextInt(types.length)), i,
+          math.floor(rnd.nextDouble() * 1e6) / 1e4)
+      }
+      val nBatches = 2 + rnd.nextInt(5)
+      val assignment = rows.groupBy(_ => rnd.nextInt(nBatches))
+      val batches = (0 until nBatches).map(b =>
+        assignment.getOrElse(b, Seq.empty))
+      def drive[T](name: String,
+          xform: org.apache.spark.sql.DataFrame =>
+            org.apache.spark.sql.Dataset[T]): Array[org.apache.spark.sql.Row] = {
+        val mem = MemoryStream[AEv]
+        val q = xform(mem.toDF()).toDF()
+          .writeStream.outputMode("update")
+          .format("memory").queryName(name).start()
+        try {
+          batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+          spark.table(name).collect()
+        } finally q.stop()
+      }
+      // last emission per key == the batch fold, for each transform
+      val qn = drive(s"rq$trial", StreamingAgg.quantileSketchStream(_))
+        .map(r => r.getString(0) -> r).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).maxBy(_.getLong(1)).toSeq }
+      val qb = StreamingAgg.quantileSketchStream(rows.toDF()).toDF()
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      assert(qn === qb, s"trial $trial: quantile stream != batch")
+      val dn = drive(s"rd$trial", StreamingAgg.kmvDistinctStream(_))
+        .map(r => r.getString(0) -> r).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).maxBy(_.getLong(1)).toSeq }
+      val db = StreamingAgg.kmvDistinctStream(rows.toDF()).toDF()
+        .collect().map(r => r.getString(0) -> r.toSeq).toMap
+      assert(dn === db, s"trial $trial: distinct stream != batch")
+      // top-k re-emits the whole board; keep the last batch's emission
+      // per (key, rnk) — MemoryStream sinks append in batch order
+      val tn = drive(s"rt$trial", StreamingAgg.topKStream(_))
+        .map(r => (r.getString(0), r.getLong(1)) -> r).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.last._2.toSeq }
+      val tb = StreamingAgg.topKStream(rows.toDF()).toDF()
+        .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap
+      assert(tn === tb, s"trial $trial: topk stream != batch")
+    }
+  }
+
   test("streaming top-k: the board converges to the batch ranks, " +
       "state stays k-bounded, late high values displace old leaders") {
     import spark.implicits._
