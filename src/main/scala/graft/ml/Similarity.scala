@@ -94,6 +94,27 @@ object Similarity {
       spark.read.parquet(s"$dir/codebook.parquet"),
       spark.read.parquet(s"$dir/lists.parquet"))
 
+  /** Append a new vector batch to a persisted IVF index WITHOUT
+    * rebuilding: only the new batch is assigned (against the stored
+    * codebook — same rule, same tie-breaks) and lands as additional
+    * range-clustered files, so the ingest cost is proportional to the
+    * batch, not the corpus. Searching the reopened index is identical
+    * to an index built over the union in one shot (spec-pinned): the
+    * assignment depends only on the codebook, the probe predicate
+    * prunes per file, and rank ties break by vec_id. The codebook
+    * itself is NOT retrained — a drifting corpus eventually warrants a
+    * rebuild, which is the same writeIndex call. */
+  def appendIndex(index: IvfIndex, emb: DataFrame): IvfIndex = {
+    graft.functions.native.register(emb.sparkSession)
+    Embeddings.assign(emb.select(col("vec_id"), col("embedding")),
+        index.codebook)
+      .select(col("cid"), col("vec_id"), col("embedding"))
+      .repartitionByRange(col("cid"))
+      .sortWithinPartitions("cid")
+      .write.mode("append").parquet(s"${index.dir}/lists.parquet")
+    openIndex(emb.sparkSession, index.dir)
+  }
+
   /** IVF top-k against a PERSISTED index: identical results to
     * [[ivfSearch]] over the same codebook (same assignment rule, same
     * tie-breaks), but the corpus side is the stored inverted lists —
@@ -239,6 +260,17 @@ object Similarity {
       spark.read.parquet(s"$dir/pq_codebook.parquet"),
       spark.read.parquet(s"$dir/codes.parquet"))
 
+  /** Append a new vector batch to a persisted PQ index: encode only
+    * the batch with the stored codebooks and append the codes —
+    * ingest cost proportional to the batch (see [[appendIndex]]). */
+  def appendPqIndex(index: PqIndex, emb: DataFrame): PqIndex = {
+    Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")),
+        collectPq(index.codebook))
+      .select(col("vec_id"), col("code"), col("rnorm"))
+      .write.mode("append").parquet(s"${index.dir}/codes.parquet")
+    openPqIndex(emb.sparkSession, index.dir)
+  }
+
   /** PQ top-k against a PERSISTED index: identical results to
     * [[pqSearch]] with the same codebooks (same encode rule, same
     * tie-breaks), but the corpus side is the stored (vec_id, code,
@@ -377,6 +409,22 @@ object Similarity {
       spark.read.parquet(s"$dir/pq_codebook.parquet"),
       spark.read.parquet(s"$dir/codes.parquet"),
       residual)
+  }
+
+  /** Append a new vector batch to a persisted IVF-PQ index: assign +
+    * encode only the batch with the stored codebooks and THE STORED
+    * ENCODING FLAVOR (meta.json decides plain vs residual — the caller
+    * cannot desynchronize it), append the compressed rows — ingest
+    * cost proportional to the batch (see [[appendIndex]]). */
+  def appendIvfPqIndex(index: IvfPqIndex, emb: DataFrame): IvfPqIndex = {
+    graft.functions.native.register(emb.sparkSession)
+    encodeLists(emb, index.codebook, collectPq(index.pqCodebook),
+        index.residual)
+      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
+      .repartitionByRange(col("cid"))
+      .sortWithinPartitions("cid")
+      .write.mode("append").parquet(s"${index.dir}/codes.parquet")
+    openIvfPqIndex(emb.sparkSession, index.dir)
   }
 
   /** IVF-PQ top-k against a PERSISTED index: identical results to

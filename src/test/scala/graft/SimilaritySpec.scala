@@ -516,6 +516,65 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("index append: build on half + append half == one-shot build, " +
+      "for IVF, PQ, and IVF-PQ indexes") {
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val first = emb.filter(col("vec_id") % 2 === 0)
+    val second = emb.filter(col("vec_id") % 2 =!= 0)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    val cbt = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+    // IVF
+    val (ivfA, ivfB) = (tmp("graft_appendA"), tmp("graft_appendB"))
+    graft.ml.Similarity.writeIndex(emb, codebook, ivfA)
+    graft.ml.Similarity.writeIndex(first, codebook, ivfB)
+    val ivfAppended = graft.ml.Similarity.appendIndex(
+      graft.ml.Similarity.openIndex(spark, ivfB), second)
+    assert(rows(graft.ml.Similarity.ivfSearchIndex(
+        ivfAppended, queries, k = 6, nprobe = 2)) ===
+      rows(graft.ml.Similarity.ivfSearchIndex(
+        graft.ml.Similarity.openIndex(spark, ivfA), queries,
+        k = 6, nprobe = 2)),
+      "appended IVF index diverged from the one-shot build")
+    // PQ
+    val (pqA, pqB) = (tmp("graft_appendPqA"), tmp("graft_appendPqB"))
+    graft.ml.Similarity.writePqIndex(emb, cbt, pqA)
+    graft.ml.Similarity.writePqIndex(first, cbt, pqB)
+    val pqAppended = graft.ml.Similarity.appendPqIndex(
+      graft.ml.Similarity.openPqIndex(spark, pqB), second)
+    assert(rows(graft.ml.Similarity.pqSearchIndex(pqAppended, queries,
+        k = 6)) ===
+      rows(graft.ml.Similarity.pqSearchIndex(
+        graft.ml.Similarity.openPqIndex(spark, pqA), queries, k = 6)),
+      "appended PQ index diverged from the one-shot build")
+    // IVF-PQ, residual flavor: append must pick the flavor up from
+    // meta.json, not from a caller argument
+    val (ipA, ipB) = (tmp("graft_appendIpA"), tmp("graft_appendIpB"))
+    graft.ml.Similarity.writeIvfPqIndex(emb, codebook, cbt, ipA,
+      residual = true)
+    graft.ml.Similarity.writeIvfPqIndex(first, codebook, cbt, ipB,
+      residual = true)
+    val ipAppended = graft.ml.Similarity.appendIvfPqIndex(
+      graft.ml.Similarity.openIvfPqIndex(spark, ipB), second)
+    assert(ipAppended.residual)
+    assert(rows(graft.ml.Similarity.ivfPqSearchIndex(ipAppended, queries,
+        k = 6, nprobe = 2)) ===
+      rows(graft.ml.Similarity.ivfPqSearchIndex(
+        graft.ml.Similarity.openIvfPqIndex(spark, ipA), queries,
+        k = 6, nprobe = 2)),
+      "appended IVF-PQ index diverged from the one-shot build")
+    Seq(ivfA, ivfB, pqA, pqB, ipA, ipB).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("residual IVF-PQ: recall holds vs plain encoding; " +
       "the persisted flavor round-trips through meta.json") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
