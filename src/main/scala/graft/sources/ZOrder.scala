@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton) clustering for multi-dimensional range pruning —
+  * the storage-layout complement of bucketing (equi-joins) and plain
+  * range partitioning (single-column ranges): interleaving the bits of
+  * two range-filtered columns makes every parquet row group cover a
+  * small RECTANGLE of the (a, b) space, so footer min/max stats prune
+  * row groups for predicates on EITHER or BOTH columns. A time-sorted
+  * 100 TB events table answers `day BETWEEN ...` cheaply but scans
+  * everything for `user BETWEEN ...`; the z-ordered layout serves both
+  * from the same files.
+  *
+  * This is layout-only: no engine hook is needed, because Spark's
+  * parquet reader already does row-group skipping from pushed
+  * predicates on the PLAIN columns — z-ordering just makes those
+  * min/max ranges tight. (Delta/Iceberg OPTIMIZE ZORDER is the same
+  * idea; Spark has no built-in.) ZOrderSpec measures the pruning
+  * directly from the written files' footer stats.
+  */
+object ZOrder {
+
+  /** The Morton key: interleave the low `bits` bits of two NON-NEGATIVE
+    * integer columns (a in the even positions, b in the odd). 21 bits
+    * each fills the positive Long range; callers quantize wider domains
+    * down first (e.g. epoch-micros → epoch-days). The expression is a
+    * 2·bits-term bitwise OR — pure codegen arithmetic, scan-speed. */
+  def zkey(a: Column, b: Column, bits: Int = 21): Column = {
+    require(bits >= 1 && bits <= 31, s"bits=$bits outside [1, 31]")
+    val terms = (0 until bits).flatMap { i =>
+      Seq(shiftleft(shiftright(a, i).bitwiseAND(lit(1L)), 2 * i),
+        shiftleft(shiftright(b, i).bitwiseAND(lit(1L)), 2 * i + 1))
+    }
+    terms.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` z-ordered on (`ca`, `cb`) into `dir` as `files` parquet
+    * files: range-repartition on the z-key (each file owns a contiguous
+    * z-range = a small rectangle of the key space) and sort within, so
+    * row groups inside each file are tighter still. The key column is
+    * dropped from the output — the layout, not the schema, carries it.
+    * One range shuffle, same cost shape as any clustered write. */
+  def writeClustered(df: DataFrame, ca: String, cb: String, dir: String,
+      files: Int, bits: Int = 21): Unit = {
+    require(files >= 1, s"files=$files")
+    df.withColumn("__zkey", zkey(col(ca), col(cb), bits))
+      .repartitionByRange(files, col("__zkey"))
+      .sortWithinPartitions("__zkey")
+      .drop("__zkey")
+      .write.mode("overwrite").parquet(dir)
+  }
+}
