@@ -147,6 +147,39 @@ object RelationalQueries {
         dsum(col("l_extendedprice")).as("spend"))
   }
 
+  /** One-time z-ordered copy of events per (session, sf dir): (day,
+    * user_id, event_type, value) clustered by the (day, user_id) Morton
+    * key — the layout that serves day-range AND user-range scans from
+    * the same files (ZOrderSpec pins the footer-stats pruning). */
+  private val zorderSetup = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), String]()
+
+  /** Multi-dimensional box scan over the z-ordered layout — the
+    * STORAGE-side range-pruning pattern next to [[qBucketedJoin]]'s
+    * join co-location: the (day, user) box predicate pushes into the
+    * scan, where the z-ordered row groups' min/max stats prune BOTH
+    * dimensions (a day-sorted 100 TB table would prune only days and
+    * scan every user). Result == the same filter over the raw table
+    * (the oracle); the one-time clustered write is memoized per
+    * session+dir, like the bucketed warehouse. */
+  def qZorderScan(s: SparkSession, dir: String): DataFrame = {
+    val zdir = zorderSetup.computeIfAbsent((s, dir), { case (s, dir) =>
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_zevents").toString
+      graft.sources.ZOrder.writeClustered(
+        TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+          .select(expr(s"${TSA.T} div 86400000000L").as("day"),
+            col("user_id"), col("event_type"), col("value")),
+        "day", "user_id", out, files = 16)
+      out
+    })
+    s.read.parquet(zdir)
+      .filter(col("day").between(19730L, 19737L) &&
+        col("user_id").between(10L, 59L))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("v_sum"))
+  }
+
   /** TPC-H Q5 shape: multi-way star join. Only the constant-cardinality
     * dims (nation: 25 rows, region: 5) carry broadcast hints — they are
     * safe to broadcast at any scale. orders/supplier/customer grow with
@@ -748,6 +781,14 @@ object RelationalQueries {
         |         AS spend
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "q_zorder_scan" ->
+      """SELECT event_type, count(*) AS n,
+        |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
+        |         AS v_sum
+        |FROM events
+        |WHERE epoch_us(ts) // 86400000000 BETWEEN 19730 AND 19737
+        |  AND user_id BETWEEN 10 AND 59
+        |GROUP BY event_type""".stripMargin,
     "q5_join_agg" ->
       s"""SELECT n_name, (CAST(sum(CAST($discExpr AS DECIMAL(38,0))) AS DOUBLE) / 100000000.0) AS revenue
          |FROM lineitem
@@ -1103,6 +1144,7 @@ object RelationalQueries {
     "q1_agg" -> (q1Agg _),
     "q3_join" -> (q3Join _),
     "q_bucketed_join" -> (qBucketedJoin _),
+    "q_zorder_scan" -> (qZorderScan _),
     "q5_join_agg" -> (q5JoinAgg _),
     "q_window" -> (qWindow _),
     "q_topk" -> (qTopk _),

@@ -347,6 +347,20 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       org.apache.spark.sql.execution.joins.SortMergeJoinExec]) == 0)
   }
 
+  test("q_zorder_scan pushes BOTH box predicates into the clustered scan") {
+    // the z-ordered layout's value is footer-stats pruning in both
+    // dimensions — which only happens if both range predicates reach
+    // the parquet reader as pushed filters
+    val scans = nodes(physical("q_zorder_scan")).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty)
+    val pushed = scans.head.metadata.getOrElse("PushedFilters", "")
+    Seq("GreaterThanOrEqual(day", "LessThanOrEqual(day",
+      "GreaterThanOrEqual(user_id", "LessThanOrEqual(user_id")
+      .foreach(p => assert(pushed.contains(p), s"missing pushdown $p: $pushed"))
+  }
+
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
     // the storage-side pattern: both tables bucketed by the join key into
     // the same bucket count -> the sort-merge join consumes bucket i of
