@@ -188,6 +188,27 @@ object PipelineQueries {
         .cache()
     })
 
+  /** Leakage-free train/val/test split: the split is assigned per
+    * NEAR-DUP CLUSTER, not per doc — hash the cluster label, so every
+    * member of a duplicate cluster lands in the same split and no test
+    * document ever has a near-duplicate in train (the eval-contamination
+    * failure mode doc-level hashing cannot prevent). 80/10/10 via the
+    * registry's RNG-free multiplicative hash.
+    *
+    * Scale shape: [[dDedupClusters]]'s cached verdict (pointer-jumping
+    * components over the EDGE graph) + a map-only hash projection — no
+    * new shuffle beyond the cluster assignment a dedup pipeline already
+    * ran. */
+  def dSplitLeakfree(s: SparkSession, dir: String): DataFrame =
+    dDedupClusters(s, dir)
+      .withColumn("__hv",
+        expr("((cluster_id % 1000003) * 2654435761) % 1000003"))
+      .withColumn("split", expr(
+        """CASE WHEN __hv % 100 < 80 THEN 'train'
+          |     WHEN __hv % 100 < 90 THEN 'val'
+          |     ELSE 'test' END""".stripMargin))
+      .select("doc_id", "cluster_id", "split")
+
   // ------------------------------------------------- embeddings similarity
 
   private def bucketed(s: SparkSession, dir: String): DataFrame =
@@ -1297,6 +1318,34 @@ object PipelineQueries {
          |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
          |       id = min(lbl) AS is_keeper
          |FROM reach GROUP BY id""".stripMargin,
+    "d_split_leakfree" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |h AS (SELECT doc_id, cluster_id,
+         |             ((cluster_id % 1000003) * 2654435761) % 1000003 AS hv
+         |      FROM cl)
+         |SELECT doc_id, cluster_id,
+         |       CASE WHEN hv % 100 < 80 THEN 'train'
+         |            WHEN hv % 100 < 90 THEN 'val'
+         |            ELSE 'test' END AS split
+         |FROM h""".stripMargin,
     "d_embed_neardup" ->
       s"""WITH $bucketCte
          |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -1894,6 +1943,7 @@ object PipelineQueries {
     "d_simhash" -> (dSimhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_dedup_clusters" -> (dDedupClusters _),
+    "d_split_leakfree" -> (dSplitLeakfree _),
     "d_embed_neardup" -> (dEmbedNeardup _),
     "d_semdedup" -> ((s, d) => dSemdedup(s, d)),
     "ann_bruteforce" -> (annBruteforce _),

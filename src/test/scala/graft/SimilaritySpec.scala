@@ -516,6 +516,25 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("leak-free split: near-duplicates never straddle a split boundary") {
+    // doc 1/2 near-identical, 3 exact copy of 1 — all three MUST share a
+    // split; 4 is unrelated and may land anywhere
+    val out = PipelineQueries.dSplitLeakfree(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 4L))
+    assert(out(1L) === out(2L), "near-dup pair split apart (leakage)")
+    assert(out(1L) === out(3L), "exact dup split apart (leakage)")
+    assert(Set("train", "val", "test").contains(out(4L)._2))
+    // and the property holds for EVERY verified near-dup pair, not just
+    // the crafted ones
+    val pairs = PipelineQueries.dNgramJaccard(spark, dir)
+      .filter(col("jaccard") >= 0.5).select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    pairs.foreach { case (a, b) =>
+      assert(out(a)._2 === out(b)._2, s"pair ($a, $b) leaked across splits")
+    }
+  }
+
   test("index append: build on half + append half == one-shot build, " +
       "for IVF, PQ, and IVF-PQ indexes") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
