@@ -996,6 +996,34 @@ object PipelineQueries {
           .as("n_kept"))
   }
 
+  /** Epoch-weighted corpus mixing — the "books × 2.5 epochs" pattern:
+    * each source has a fractional repeat weight; every doc materializes
+    * floor(w) training epochs plus one more with probability frac(w),
+    * decided by the registry's RNG-free multiplicative hash so re-runs
+    * and engines agree doc-by-doc. Output is the exploded training
+    * stream (doc_id, source, epoch, n_epochs) — the upsampled corpus a
+    * sequence packer consumes. Weights here derive from the source
+    * name (1.0/1.5/2.0/2.5 cycling) to stay self-contained; a fleet
+    * passes its mixture config the same way.
+    *
+    * Scale shape: map-only projection + a per-row `sequence` explode
+    * bounded by ceil(max w) — no shuffle, no driver state; the blow-up
+    * factor IS the configured epoch count, linear by construction. */
+  def dEpochMix(s: SparkSession, dir: String): DataFrame = {
+    val coin = (col("doc_id") % lit(1000000007L) * lit(2654435761L)
+      % lit(1000000007L)) % 100L
+    tbl(s, dir, "documents")
+      .withColumn("__coin", coin)
+      // weight from the last character's code point: total on ANY source
+      // naming (a numeric-suffix parse would null out on 'web'/'books')
+      .withColumn("__w", expr(
+        "100L + (CAST(ascii(right(source, 1)) AS BIGINT) % 4) * 50L"))
+      .withColumn("n_epochs", expr(
+        "__w div 100L + IF(__coin < __w % 100L, 1L, 0L)"))
+      .withColumn("epoch", explode(expr("sequence(1L, n_epochs)")))
+      .select("doc_id", "source", "epoch", "n_epochs")
+  }
+
   /** Exact-substring duplication signal (RefinedWeb/DCLM-style): for every
     * doc, the fraction of its distinct 8-token spans that also occur in at
     * least one other document. A high fraction means the doc is largely
@@ -1727,6 +1755,22 @@ object PipelineQueries {
         |                          ELSE 30 END
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
         |FROM documents GROUP BY source""".stripMargin,
+    "d_epoch_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+        |           AS coin,
+        |         100 + (CAST(ascii(right(source, 1)) AS BIGINT) % 4) * 50
+        |           AS w
+        |  FROM documents),
+        |e AS (SELECT doc_id, source,
+        |             w // 100 + CASE WHEN coin < w % 100 THEN 1 ELSE 0 END
+        |               AS n_epochs
+        |      FROM d)
+        |SELECT doc_id, source,
+        |       CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch,
+        |       CAST(n_epochs AS BIGINT) AS n_epochs
+        |FROM e""".stripMargin,
     "d_span_dedup" ->
       s"""WITH $thCte,
          |sp AS (SELECT doc_id, ${PT.spanHashesDuck("th")} AS spans FROM thT),
@@ -1971,6 +2015,7 @@ object PipelineQueries {
     "d_sample_bottomk" -> (dSampleBottomk _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_sample_mix" -> (dSampleMix _),
+    "d_epoch_mix" -> (dEpochMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _),

@@ -44,6 +44,31 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r(0L) > 0.5 && r(0L) < 1.0)
   }
 
+  test("epoch mix: floor(w) guaranteed epochs, frac(w) hash-decided, " +
+      "epochs contiguous from 1") {
+    val out = PipelineQueries.dEpochMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // weights derive from the last source char: 'web' -> 'b'=98 -> %4=2
+    // -> w=2.0 exactly; 'books' -> 's'=115 -> %4=3 -> w=2.5
+    val byDoc = out.groupBy(_._1)
+    assert(byDoc.nonEmpty)
+    byDoc.foreach { case (doc, rows) =>
+      val n = rows.head._4
+      assert(rows.map(_._3).sorted.toSeq === (1L to n),
+        s"doc $doc epochs not contiguous")
+      rows.head._2 match {
+        case "web" => assert(n === 2L, s"w=2.0 must give exactly 2 epochs")
+        case "books" => assert(n === 2L || n === 3L,
+          s"w=2.5 must give 2 or 3 epochs, got $n")
+        case _ => ()
+      }
+    }
+    // deterministic: a re-run is identical row for row
+    val again = PipelineQueries.dEpochMix(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.sorted.toSeq === again.sorted.toSeq)
+  }
+
   test("decontaminate flags docs overlapping the benchmark set, not clean ones") {
     val flagged = PipelineQueries.dDecontaminate(spark, dir)
       .select("doc_id").collect().map(_.getLong(0)).toSet
