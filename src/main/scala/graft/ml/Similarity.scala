@@ -393,22 +393,40 @@ object Similarity {
       .repartitionByRange(col("cid"))
       .sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
-    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "meta.json"),
-      s"""{"residual": $residual}""".getBytes("UTF-8")): Unit
+    // through the Hadoop FS like the parquet parts, so the index dir can
+    // live on any filesystem the session can write (local/HDFS/object
+    // store) — java.nio would silently treat "hdfs://..." as local
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "meta.json")
+    val fs = metaPath.getFileSystem(
+      emb.sparkSession.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath, true)
+    try out.write(s"""{"residual": $residual}""".getBytes("UTF-8"))
+    finally out.close()
   }
 
-  /** Reopen a persisted IVF-PQ index (metadata only — no data read). */
+  /** Reopen a persisted IVF-PQ index (metadata only — no data read).
+    * A missing meta.json is an ERROR, not a default: the codes are
+    * meaningless without knowing their encoding flavor, and defaulting
+    * to plain would silently mis-score a residual index (and let
+    * [[appendIvfPqIndex]] corrupt it with mixed encodings). */
   def openIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex = {
-    val metaPath = java.nio.file.Paths.get(dir, "meta.json")
-    val residual = java.nio.file.Files.exists(metaPath) &&
-      new String(java.nio.file.Files.readAllBytes(metaPath), "UTF-8")
-        .contains("\"residual\": true")
+    val metaPath = new org.apache.hadoop.fs.Path(dir, "meta.json")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(metaPath),
+      s"$dir/meta.json missing: not a graft IVF-PQ index (or the index " +
+        "dir was copied without it); the encoding flavor cannot be " +
+        "inferred from the codes — rebuild with writeIvfPqIndex")
+    val in = fs.open(metaPath)
+    val meta =
+      try new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+      finally in.close()
     IvfPqIndex(dir,
       spark.read.parquet(s"$dir/codebook.parquet"),
       spark.read.parquet(s"$dir/pq_codebook.parquet"),
       spark.read.parquet(s"$dir/codes.parquet"),
-      residual)
+      meta.contains("\"residual\": true"))
   }
 
   /** Append a new vector batch to a persisted IVF-PQ index: assign +

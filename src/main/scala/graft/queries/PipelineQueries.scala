@@ -200,7 +200,16 @@ object PipelineQueries {
     * new shuffle beyond the cluster assignment a dedup pipeline already
     * ran. */
   def dSplitLeakfree(s: SparkSession, dir: String): DataFrame =
-    dDedupClusters(s, dir)
+    // base on ALL documents, not the cluster verdict's domain: the
+    // shingle pipeline drops docs under 3 tokens, and a doc without a
+    // split row would silently vanish from training — a short doc has
+    // no near-dup evidence, so it is its own singleton cluster
+    tbl(s, dir, "documents").select(col("doc_id"))
+      // corpus-sized verdict: keyed join, NOT a broadcast
+      .join(dDedupClusters(s, dir)
+        .select(col("doc_id"), col("cluster_id").as("__cl")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col("doc_id")))
       .withColumn("__hv",
         expr("((cluster_id % 1000003) * 2654435761) % 1000003"))
       .withColumn("split", expr(
@@ -1366,9 +1375,12 @@ object PipelineQueries {
          |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
          |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
          |       FROM reach GROUP BY id),
+         |alldocs AS (
+         |  SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
          |h AS (SELECT doc_id, cluster_id,
          |             ((cluster_id % 1000003) * 2654435761) % 1000003 AS hv
-         |      FROM cl)
+         |      FROM alldocs)
          |SELECT doc_id, cluster_id,
          |       CASE WHEN hv % 100 < 80 THEN 'train'
          |            WHEN hv % 100 < 90 THEN 'val'

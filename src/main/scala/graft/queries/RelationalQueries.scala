@@ -104,11 +104,22 @@ object RelationalQueries {
   // dirs would silently serve the first dir's data under the second's key
   private val bucketedTag = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Temp dir for a memoized derived layout, deleted at JVM exit — the
+    * copies live exactly as long as the sessions that memoized them; a
+    * host running many bench/verify JVMs would otherwise accumulate
+    * multi-GB orphaned table copies under the temp volume. */
+  private def sessionTempDir(prefix: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+      catch { case _: java.io.IOException => () }))
+    d.toString
+  }
+
   private def bucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedSetup.computeIfAbsent((s, dir), { case (s, dir) =>
       val tag = bucketedTag.getAndIncrement()
-      val loc =
-        java.nio.file.Files.createTempDirectory("graft_bucketed").toString
+      val loc = sessionTempDir("graft_bucketed")
       val ord = s"graft_bkt_orders_$tag"
       val li = s"graft_bkt_lineitem_$tag"
       tbl(s, dir, "orders")
@@ -164,8 +175,7 @@ object RelationalQueries {
     * session+dir, like the bucketed warehouse. */
   def qZorderScan(s: SparkSession, dir: String): DataFrame = {
     val zdir = zorderSetup.computeIfAbsent((s, dir), { case (s, dir) =>
-      val out = java.nio.file.Files
-        .createTempDirectory("graft_zevents").toString
+      val out = sessionTempDir("graft_zevents")
       graft.sources.ZOrder.writeClustered(
         TSA.withEpochUs(AggQueries.events(s, dir), "ts")
           .select(expr(s"${TSA.T} div 86400000000L").as("day"),

@@ -41,11 +41,29 @@ object ZOrder {
     * z-range = a small rectangle of the key space) and sort within, so
     * row groups inside each file are tighter still. The key column is
     * dropped from the output — the layout, not the schema, carries it.
-    * One range shuffle, same cost shape as any clustered write. */
+    *
+    * Columns wider than `bits` bits are auto-scaled by an
+    * order-preserving right shift (derived from one max() aggregate —
+    * a footer read under aggregate pushdown), so the TOP bits drive
+    * the interleave: without this, a user_id domain past 2^bits would
+    * alias far-apart ids into the same z-neighborhood and the row-group
+    * rectangles — the whole point of the layout — would silently widen.
+    * One stats job + one range shuffle, same cost shape as any
+    * clustered write. */
   def writeClustered(df: DataFrame, ca: String, cb: String, dir: String,
       files: Int, bits: Int = 21): Unit = {
     require(files >= 1, s"files=$files")
-    df.withColumn("__zkey", zkey(col(ca), col(cb), bits))
+    val mx = df.agg(max(col(ca).cast("long")), max(col(cb).cast("long")))
+      .head()
+    def shiftFor(i: Int): Int = {
+      val m = if (mx.isNullAt(i)) 0L else math.max(0L, mx.getLong(i))
+      var s = 0
+      while ((m >> s) >= (1L << bits)) s += 1
+      s
+    }
+    val (sa, sb) = (shiftFor(0), shiftFor(1))
+    df.withColumn("__zkey",
+        zkey(shiftright(col(ca), sa), shiftright(col(cb), sb), bits))
       .repartitionByRange(files, col("__zkey"))
       .sortWithinPartitions("__zkey")
       .drop("__zkey")

@@ -80,4 +80,28 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     Seq(linDir, zDir).foreach(d =>
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
+
+  test("domains wider than the key width auto-scale: pruning survives " +
+      "2^26-range ids") {
+    import spark.implicits._
+    // same 64x64 grid stretched far past 2^21 in both dimensions — the
+    // raw low-bit interleave would alias everything; the shift must
+    // recover the top-bit structure
+    val S = 1L << 20
+    val rows = for {
+      day <- 0L until 64L; user <- 0L until 64L; r <- 0 until 4
+    } yield (day * S + r, user * S + r, day * 64 + user)
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zw").toString
+    graft.sources.ZOrder.writeClustered(
+      rows.toDF("day", "user", "payload"), "day", "user", zDir, files = 64)
+    val (dLo, dHi, uLo, uHi) = (8L * S, 16L * S - 1, 8L * S, 16L * S - 1)
+    val d = stats(zDir, "day"); val u = stats(zDir, "user")
+    val hit = d.zip(u).count { case ((dmn, dmx), (umn, umx)) =>
+      dmx >= dLo && dmn <= dHi && umx >= uLo && umn <= uHi
+    }
+    val frac = hit.toDouble / d.size
+    info(f"wide-domain z-order overlap fraction: $frac%.3f")
+    assert(frac <= 0.15, f"wide-domain pruning lost: $frac%.3f")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
+  }
 }
