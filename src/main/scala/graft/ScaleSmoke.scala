@@ -222,6 +222,14 @@ object ScaleSmoke {
         timeNamed("span_dedup_zipf", PipelineQueries.dSpanDedup(spark, zipfDir)),
       "semdedup_1x" -> time(PipelineQueries.dSemdedup(spark, sf)),
       s"semdedup_${factor}x" -> time(PipelineQueries.dSemdedup(spark, dir)),
+      // IVF-PQ: probe pruning over compressed lists — the candidate set
+      // is nprobe/k of the corpus and the per-candidate cost is 8 LUT
+      // adds, so the scored work must grow ~linearly in n (k ∝ n keeps
+      // list sizes flat) with no quadratic or broadcast-lost regime;
+      // shares the cached corpus assignment like the other consumers
+      "ann_ivfpq_1x" -> time(PipelineQueries.annIvfPq(spark, sf)),
+      s"ann_ivfpq_${factor}x" ->
+        timeNamed("ann_ivfpq", PipelineQueries.annIvfPq(spark, dir)),
       // params sweep: the tunables must not change the plan SHAPE — a
       // tighter tau or twice the centroids should scale work smoothly,
       // never tip into a different (quadratic/broadcast-lost) regime
