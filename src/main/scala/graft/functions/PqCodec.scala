@@ -1,0 +1,93 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Product-quantization encode kernel: per subspace the ks L2 distances
+  * and the FIRST-minimum code (strict `<` scan == the SQL
+  * `array_position(d, array_min(d))` tie rule), plus optionally the
+  * reconstruction norm from the chosen centroids.
+  *
+  * This is the native twin of the HOF-expression encode the registry's
+  * `ann_pq`/`ann_ivfpq` SQL mirrors in DuckDB: SAME double operations in
+  * the SAME fold order (inner j-fold completes, then adds — float→double
+  * widening exact), so results are bit-identical (NativeExpressionsSpec
+  * pins it), but evaluated as tight JVM loops inside whole-stage codegen
+  * instead of ~1k interpreted lambda frames + nested array allocations
+  * per row — measured ~20× on the 100×-replicated encode stage. */
+final class PqCodec(cbIn: Array[Array[Array[Float]]],
+    val withNorm: Boolean) extends Serializable {
+  private val m = cbIn.length
+  private val ks = cbIn(0).length
+  private val sub = cbIn(0)(0).length
+  private val cb = cbIn.map(_.map(_.clone()))
+
+  def encode(v: ArrayData): InternalRow = {
+    val codes = new Array[Long](m)
+    var si = 0
+    while (si < m) {
+      val cbs = cb(si)
+      var best = 0.0d
+      var bestC = 0
+      var c = 0
+      while (c < ks) {
+        val cv = cbs(c)
+        var a = 0.0d
+        var j = 0
+        while (j < sub) {
+          val d = v.getFloat(si * sub + j).toDouble - cv(j).toDouble
+          a = a + d * d
+          j += 1
+        }
+        if (c == 0 || a < best) { best = a; bestC = c }
+        c += 1
+      }
+      codes(si) = bestC + 1L // 1-based, like array_position
+      si += 1
+    }
+    if (!withNorm) InternalRow(new GenericArrayData(codes))
+    else {
+      var acc = 0.0d
+      var s2 = 0
+      while (s2 < m) {
+        val cv = cb(s2)(codes(s2).toInt - 1)
+        var b = 0.0d
+        var j = 0
+        while (j < sub) {
+          val cd = cv(j).toDouble
+          b = b + cd * cd
+          j += 1
+        }
+        acc = acc + b
+        s2 += 1
+      }
+      InternalRow(new GenericArrayData(codes), math.sqrt(acc))
+    }
+  }
+}
+
+/** `PqCodec.encode` as a codegen'd unary expression over the embedding
+  * array — same shape as [[TopCentroids]]: the codec rides along as a
+  * referenced object, the generated code is one virtual call. */
+case class PqEncodeExpr(child: Expression, codec: PqCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = StructType(
+    StructField("code", ArrayType(LongType, containsNull = false),
+      nullable = false) +:
+      (if (codec.withNorm)
+        Seq(StructField("rnorm", DoubleType, nullable = false))
+      else Nil))
+  override def nullSafeEval(input: Any): Any =
+    codec.encode(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodec", codec,
+      classOf[PqCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.encode($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqEncodeExpr =
+    copy(child = c)
+}

@@ -246,29 +246,19 @@ object Embeddings {
     * double folds, reproducing the registry `ann_pq` rule. */
   private[ml] def pqEncode(emb: DataFrame, cb: Array[Array[Array[Float]]],
       withNorm: Boolean = true): DataFrame = {
-    val m = cb.length
-    val ks = cb(0).length
-    val sub = cb(0)(0).length
-    val withCb = emb
-      .withColumn("__cb", typedLit(cb.map(_.map(_.toSeq).toSeq).toSeq))
-      .withColumn("__dists", expr(
-        s"""transform(sequence(0, ${m - 1}), si ->
-           |  transform(sequence(0, ${ks - 1}), c ->
-           |    aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (a, j) ->
-           |      a + (CAST(element_at(embedding, si * $sub + j) AS DOUBLE)
-           |           - CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE))
-           |        * (CAST(element_at(embedding, si * $sub + j) AS DOUBLE)
-           |           - CAST(element_at(element_at(element_at(__cb, si + 1), c + 1), j) AS DOUBLE)))))""".stripMargin))
-      .withColumn("code", expr(
-        "transform(__dists, d -> array_position(d, array_min(d)))"))
-    val normed =
-      if (!withNorm) withCb
-      else withCb.withColumn("rnorm", expr(
-        s"""sqrt(aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
-           |  a + aggregate(sequence(1, $sub), CAST(0 AS DOUBLE), (b, j) ->
-           |    b + CAST(element_at(element_at(element_at(__cb, si + 1), CAST(element_at(code, si + 1) AS INT)), j) AS DOUBLE)
-           |      * CAST(element_at(element_at(element_at(__cb, si + 1), CAST(element_at(code, si + 1) AS INT)), j) AS DOUBLE))))""".stripMargin))
-    normed.drop("__cb", "__dists")
+    val codec = new graft.functions.PqCodec(cb, withNorm)
+    val enc = graft.functions.native.parameterized(emb.sparkSession,
+      es => graft.functions.PqEncodeExpr(es.head, codec), col("embedding"))
+    // ONE evaluation per row via a Generate — projecting the struct's
+    // fields directly would let CollapseProject duplicate the encode
+    // per extracted field (the same optimizer trap assignRanked
+    // sidesteps with its posexplode)
+    val keep = emb.columns.map(c => col(s"`$c`"))
+    val exploded = emb.select(keep :+
+      explode(array(enc)).as("__pq"): _*)
+    val out = exploded.withColumn("code", col("__pq.code"))
+    (if (withNorm) out.withColumn("rnorm", col("__pq.rnorm")) else out)
+      .drop("__pq")
   }
 
   // ------------------------------------------------------------- helpers

@@ -518,24 +518,13 @@ object PipelineQueries {
     * oracle hash-matches bit-for-bit (SURVEY §3). */
   /** Shared fixed-parameter PQ expression strings (m = 8 subspaces ×
     * 8 dims, ks = 16 codes) over columns `v` (raw vector) and `cb` (the
-    * broadcast codebook row) — used verbatim by [[annPq]] and
-    * [[annIvfPq]] so both paths encode/score with the identical
-    * deterministic arithmetic their DuckDB oracles mirror. */
-  private val pqDistsExpr =
-    """transform(sequence(0, 7), sub ->
-      |  transform(sequence(0, 15), c ->
-      |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
-      |      a + (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
-      |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE))
-      |        * (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
-      |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin
-  private val pqArgminExpr =
-    "transform(dists, d -> array_position(d, array_min(d)))"
-  private val pqRnormExpr =
-    """sqrt(aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
-      |  a + aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (b, j) ->
-      |    b + CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE)
-      |      * CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE))))""".stripMargin
+    * codebook literal) — the query-side LUT build and the ADC score,
+    * used verbatim by [[annPq]] and [[annIvfPq]] so both paths score
+    * with the identical deterministic arithmetic their DuckDB oracles
+    * mirror. (The corpus-side ENCODE runs through the native
+    * [[graft.functions.PqCodec]] kernel — bit-parity with the SQL fold
+    * pinned in NativeExpressionsSpec — because ~1k interpreted lambda
+    * frames per row made the encode the 100×-scale bottleneck.) */
   private val pqLutExpr =
     """flatten(transform(sequence(0, 7), sub ->
       |  transform(sequence(0, 15), c ->
@@ -548,37 +537,56 @@ object PipelineQueries {
       |  a + element_at(lut, sub * 16 + CAST(element_at(code, sub + 1) AS INT)))
       |  / (qn * rnorm) END""".stripMargin
 
-  /** The 16-lowest-id-vector PQ codebook as one broadcast row —
-    * deterministic seed rule shared by [[annPq]] / [[annIvfPq]]. */
-  private def pqCodebookRow(e: DataFrame): DataFrame =
-    e.filter(col("vec_id") < 16)
-      .agg(expr(
-        "transform(array_sort(collect_list(struct(vec_id, v))), y -> y.v)")
-        .as("cb"))
+  /** The 16-lowest-id-vector PQ codebook, collected driver-side
+    * (model-sized: 16×64 floats — the same contract as
+    * [[corpusCentroids]]' collected codebook) — deterministic seed rule
+    * shared by [[annPq]] / [[annIvfPq]]. Returned both as the m×ks×sub
+    * kernel layout and as the flat 16-vector literal the LUT SQL
+    * indexes. */
+  private def pqCodebookArr(e: DataFrame): Array[Array[Array[Float]]] = {
+    val seeds = e.filter(col("vec_id") < 16).orderBy("vec_id")
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    require(seeds.length == 16, s"corpus has ${seeds.length} vectors < 16")
+    Array.tabulate(8, 16)((si, c) => seeds(c).slice(si * 8, (si + 1) * 8))
+  }
 
-  /** PQ-encode a (vec_id, v, ...) frame against the broadcast codebook
-    * row: per subspace 16 L2 distances -> 1-based argmin
-    * (array_position takes the FIRST minimum: ties to the lower code,
-    * identically in DuckDB's list_position), then the reconstruction
-    * norm from the chosen centroids — subspace norms add, so it needs
-    * only codebook lookups, not the raw vector. Map-only. */
-  private def pqCoded(e: DataFrame, cb: DataFrame): DataFrame =
-    e.crossJoin(broadcast(cb))
-      .withColumn("dists", expr(pqDistsExpr))
-      .withColumn("code", expr(pqArgminExpr))
-      .withColumn("rnorm", expr(pqRnormExpr))
+  /** The flat codebook literal (16 vectors of 64 floats) for the
+    * query-side LUT expression, matching the oracle's `cbt` CTE. */
+  private def pqCbLit(cb: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
+    typedLit(Seq.tabulate(16)(c =>
+      Seq.tabulate(64)(d => cb(d / 8)(c)(d % 8))))
+
+  /** PQ-encode a (vec_id, v, ...) frame with the native kernel: per
+    * subspace 16 L2 distances -> 1-based argmin (FIRST minimum: ties to
+    * the lower code, identically in DuckDB's list_position), then the
+    * reconstruction norm from the chosen centroids. Map-only, inside
+    * whole-stage codegen; bit-parity with the HOF-SQL fold pinned in
+    * NativeExpressionsSpec. */
+  private def pqCoded(e: DataFrame,
+      cb: Array[Array[Array[Float]]]): DataFrame = {
+    val codec = new graft.functions.PqCodec(cb, withNorm = true)
+    val enc = graft.functions.native.parameterized(e.sparkSession,
+      es => graft.functions.PqEncodeExpr(es.head, codec),
+      col("v"))
+    val keep = e.columns.map(c => col(s"`$c`"))
+    // single Generate evaluation (the CollapseProject re-eval trap —
+    // see Embeddings.pqEncode)
+    e.select(keep :+ explode(array(enc)).as("__pq"): _*)
+      .withColumn("code", col("__pq.code"))
+      .withColumn("rnorm", col("__pq.rnorm"))
+      .drop("__pq")
+  }
 
   def annPq(s: SparkSession, dir: String): DataFrame = {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").as("v"))
-    // one broadcast row: the 16 lowest-id vectors, id-ordered
-    val cb = pqCodebookRow(e)
+    val cb = pqCodebookArr(e)
     val coded = pqCoded(e, cb).select("vec_id", "v", "code", "rnorm")
     // queries keep their RAW vector (asymmetric: only the corpus side is
     // quantized) — one 128-entry LUT each, broadcast to the code scan
     val q = coded.filter(col("vec_id") < 8)
-      .crossJoin(broadcast(cb))
+      .withColumn("cb", pqCbLit(cb))
       .withColumn("lut", expr(pqLutExpr))
       .withColumn("qn", expr(PV.normSpark("v")))
       .select(col("vec_id").as("q_id"), col("lut"), col("qn"))
@@ -624,9 +632,9 @@ object PipelineQueries {
     val assigned = ivfAssigned(s, dir, p)
     val lists = assigned.filter(col("crn") === 1)
       .select(col("vec_id"), col("embedding").as("v"), col("cid"))
-    // PQ side: encode each list member against the shared codebook row —
-    // the stored index is (cid, vec_id, code, rnorm), never raw vectors
-    val cb = pqCodebookRow(
+    // PQ side: encode each list member with the native kernel — the
+    // stored index is (cid, vec_id, code, rnorm), never raw vectors
+    val cb = pqCodebookArr(
       e.select(col("vec_id"), col("embedding").as("v")))
     val index = pqCoded(lists, cb)
       .select(col("cid"), col("vec_id").as("n_id"), col("code"),
@@ -635,7 +643,7 @@ object PipelineQueries {
     // queries × nprobe rows), broadcast to the pruned code scan
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("v"))
-      .crossJoin(broadcast(cb))
+      .withColumn("cb", pqCbLit(cb))
       .withColumn("lut", expr(pqLutExpr))
       .withColumn("qn", expr(PV.normSpark("v")))
       .select(col("q_id"), col("lut"), col("qn"))
@@ -1090,6 +1098,56 @@ object PipelineQueries {
       .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
         (col("n_overlap").cast(DoubleType) / col("n_shingles").cast(DoubleType))
           .as("overlap_frac"))
+  }
+
+  /** Bloom-filter decontamination — the bounded-memory twin of
+    * [[dDecontaminate]]: the exact variant broadcasts the benchmark's
+    * raw shingle set, which stops working when the decontamination
+    * corpus reaches billions of shingles; the Bloom form broadcasts a
+    * FIXED 2^20-bit bitmap (128 KB, independent of benchmark size) and
+    * flags any doc with ≥ 3 bloom-positive shingles. All k = 3 probe
+    * positions come from explicit multiplicative hashes (mod-P-first,
+    * SURVEY §3), so the positive set — including the false-positive
+    * behavior, the defining property of a Bloom filter — is
+    * deterministic and identical in the DuckDB oracle, which models the
+    * same bitmap as a distinct-position semi-join. No false negatives
+    * by construction: every exact overlap is bloom-positive.
+    *
+    * Scale shape: the bitmap build collects DISTINCT probe positions —
+    * bounded by the bitmap size (≤ 2^20 longs), never the benchmark —
+    * and the probe is a map-only filter over the corpus scan; the only
+    * shuffle is the final per-doc count. */
+  def dDecontaminateBloom(s: SparkSession, dir: String): DataFrame = {
+    val M = 1L << 20
+    val A = Seq(2654435761L, 2246822519L, 3266489917L)
+    val B = Seq(17L, 31L, 47L)
+    def posExpr(j: Int) =
+      s"((g % 1000000007L) * ${A(j)}L + ${B(j)}L) % 1000000007L % ${M}L"
+    val sh = shingles(s, dir)
+    val positions = sh.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("sh")).as("g"))
+      .select(explode(array(
+        (0 until 3).map(j => expr(posExpr(j))): _*)).as("p"))
+      .distinct().collect().map(_.getLong(0))
+    val bm = new Array[Long]((M / 64).toInt)
+    positions.foreach(p => bm((p / 64).toInt) |= (1L << (p % 64).toInt))
+    val positive = (0 until 3).map { j =>
+      expr(s"""(shiftright(element_at(__bm,
+         |  CAST((${posExpr(j)}) div 64 AS INT) + 1),
+         |  CAST((${posExpr(j)}) % 64 AS INT)) & 1L) = 1L""".stripMargin)
+    }.reduce(_ && _)
+    sh.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        size(col("sh")).cast(LongType).as("n_shingles"),
+        explode(col("sh")).as("g"))
+      .withColumn("__bm", typedLit(bm.toSeq))
+      .filter(positive)
+      .groupBy("doc_id", "n_shingles")
+      .agg(count(lit(1)).as("n_bloom_hits"))
+      .filter(col("n_bloom_hits") >= 3)
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_hits"),
+        (col("n_bloom_hits").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("hit_frac"))
   }
 
   /** Per-doc top TF-IDF terms with rational (log-free) idf: score =
@@ -1809,6 +1867,34 @@ object PipelineQueries {
          |FROM ex JOIN bench USING (g)
          |GROUP BY doc_id, n_shingles
          |HAVING count(*) >= 3""".stripMargin,
+    "d_decontaminate_bloom" ->
+      s"""WITH $thCte,
+         |shT AS (SELECT doc_id, ${PT.shingleHashesDuck("th")} AS sh FROM thT),
+         |bench AS (SELECT DISTINCT unnest(sh) AS g FROM shT
+         |          WHERE doc_id % 97 = 0),
+         |bpos AS (
+         |  SELECT DISTINCT unnest([
+         |    ((g % 1000000007) * 2654435761 + 17) % 1000000007 % 1048576,
+         |    ((g % 1000000007) * 2246822519 + 31) % 1000000007 % 1048576,
+         |    ((g % 1000000007) * 3266489917 + 47) % 1000000007 % 1048576
+         |  ]) AS p FROM bench),
+         |ex AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles,
+         |              unnest(sh) AS g
+         |       FROM shT WHERE doc_id % 97 <> 0),
+         |hit AS (
+         |  SELECT doc_id, n_shingles FROM ex
+         |  WHERE ((g % 1000000007) * 2654435761 + 17) % 1000000007 % 1048576
+         |          IN (SELECT p FROM bpos)
+         |    AND ((g % 1000000007) * 2246822519 + 31) % 1000000007 % 1048576
+         |          IN (SELECT p FROM bpos)
+         |    AND ((g % 1000000007) * 3266489917 + 47) % 1000000007 % 1048576
+         |          IN (SELECT p FROM bpos))
+         |SELECT doc_id, n_shingles, count(*) AS n_bloom_hits,
+         |       CAST(count(*) AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+         |         AS hit_frac
+         |FROM hit
+         |GROUP BY doc_id, n_shingles
+         |HAVING count(*) >= 3""".stripMargin,
     "t_tfidf" ->
       s"""WITH $thCte,
          |tu AS (SELECT doc_id, unnest(th) AS t FROM thT),
@@ -2022,6 +2108,7 @@ object PipelineQueries {
     "t_pii_mask" -> (tPiiMask _),
     "d_span_dedup" -> (dSpanDedup _),
     "d_decontaminate" -> (dDecontaminate _),
+    "d_decontaminate_bloom" -> (dDecontaminateBloom _),
     "t_tfidf" -> (tTfidf _),
     "d_sample_k" -> (dSampleK _),
     "d_sample_bottomk" -> (dSampleBottomk _),

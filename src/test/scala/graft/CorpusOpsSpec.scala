@@ -76,6 +76,24 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(flagged === Set(1L, 3L))
   }
 
+  test("bloom decontamination: no false negatives vs the exact variant, " +
+      "hit counts never below the exact overlap") {
+    val exact = PipelineQueries.dDecontaminate(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val bloom = PipelineQueries.dDecontaminateBloom(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // a Bloom filter can only ADD positives: every exact-flagged doc is
+    // bloom-flagged, with at least as many hits
+    exact.foreach { case (doc, n) =>
+      assert(bloom.contains(doc), s"doc $doc lost by the bloom variant")
+      assert(bloom(doc) >= n, s"doc $doc bloom hits ${bloom(doc)} < $n")
+    }
+    // determinism: the bitmap build + probe is hash-defined, not RNG
+    val again = PipelineQueries.dDecontaminateBloom(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bloom === again)
+  }
+
   test("tfidf: a term unique to one doc outranks corpus-wide terms") {
     val top1 = PipelineQueries.tTfidf(spark, dir)
       .filter(col("doc_id") === 2L && col("rk") === 1L)

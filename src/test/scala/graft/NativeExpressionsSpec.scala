@@ -120,6 +120,62 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(dup === 50.0)
   }
 
+  test("PqCodec encode: native kernel == the HOF SQL fold, bit for bit " +
+      "(randomized vectors + codebook, incl. duplicate centroids)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260814)
+    // flat 16×64 codebook like the registry's seed rule; duplicate one
+    // centroid to exercise the first-minimum tie rule
+    val flat = Array.tabulate(16, 64)((c, d) =>
+      (rnd.nextFloat() - 0.5f) * (1 + (c + d) % 3))
+    flat(7) = flat(3).clone()
+    val cb = Array.tabulate(8, 16)((si, c) => flat(c).slice(si * 8, (si + 1) * 8))
+    val vecs = (0 until 200).map { i =>
+      if (i < 16) flat(i).toSeq // exact centroid hits: distance-0 ties
+      else Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2)
+    }
+    val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("vec_id", "v")
+      .withColumn("v", col("v").cast("array<float>"))
+    val codec = new graft.functions.PqCodec(cb, withNorm = true)
+    val native = df.select(col("vec_id"),
+      graft.functions.native.parameterized(spark,
+        es => graft.functions.PqEncodeExpr(es.head, codec), col("v"))
+        .as("pq"))
+      .select(col("vec_id"), col("pq.code"), col("pq.rnorm"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+    // the HOF fold the DuckDB oracle mirrors (the registry's pre-kernel
+    // expressions, verbatim)
+    val sql = df
+      .withColumn("cb", typedLit(flat.map(_.toSeq).toSeq))
+      .withColumn("dists", expr(
+        """transform(sequence(0, 7), sub ->
+          |  transform(sequence(0, 15), c ->
+          |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
+          |      a + (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+          |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE))
+          |        * (CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+          |           - CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin))
+      .withColumn("code", expr(
+        "transform(dists, d -> array_position(d, array_min(d)))"))
+      .withColumn("rnorm", expr(
+        """sqrt(aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
+          |  a + aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (b, j) ->
+          |    b + CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE)
+          |      * CAST(element_at(element_at(cb, CAST(element_at(code, sub + 1) AS INT)), sub * 8 + j) AS DOUBLE))))""".stripMargin))
+      .select(col("vec_id"), col("code"), col("rnorm")).collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getDouble(2))).toMap
+    assert(native.keySet === sql.keySet)
+    native.foreach { case (id, (nc, nn)) =>
+      val (sc, sn) = sql(id)
+      assert(nc === sc, s"vec $id codes differ: $nc vs $sc")
+      assert(java.lang.Double.doubleToLongBits(nn) ===
+        java.lang.Double.doubleToLongBits(sn),
+        s"vec $id rnorm bits differ: $nn vs $sn")
+    }
+  }
+
   test("native expressions run under codegen-only (no interpreted fallback)") {
     // a Janino compile error in doGenCode would silently fall back to the
     // interpreted path in normal mode; CODEGEN_ONLY + fallback=false turns
