@@ -200,6 +200,15 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
       val vecOut = vecs.selectExpr(
         "graft_cosine(v, v) c", "graft_lsh_bucket(v) bk").collect()
       assert(vecOut.length === 2)
+      // the PQ encode kernel must also stay inside generated code
+      val codec = new graft.functions.PqCodec(
+        Array.tabulate(8, 16, 8)((si, c, j) => (si + c + j).toFloat / 32),
+        withNorm = true)
+      val pqOut = vecs.select(graft.functions.native.parameterized(spark,
+          es => graft.functions.PqEncodeExpr(es.head, codec), col("v"))
+          .as("pq"))
+        .select(col("pq.code"), col("pq.rnorm")).collect()
+      assert(pqOut.length === 2 && pqOut.forall(_.getSeq[Long](0).size == 8))
     } finally {
       spark.conf.unset("spark.sql.codegen.fallback")
       spark.conf.unset("spark.sql.codegen.factoryMode")
