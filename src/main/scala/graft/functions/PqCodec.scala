@@ -69,6 +69,44 @@ final class PqCodec(cbIn: Array[Array[Array[Float]]],
   }
 }
 
+/** The ADC lookup-table sum as a static kernel: m LUT lookups + adds,
+  * sequentially — the SAME operations in the SAME order as the HOF fold
+  * the DuckDB oracle mirrors (`aggregate(sequence(0, m-1), 0D, (a, si)
+  * -> a + element_at(lut, si*ks + code[si+1]))`), so the sum is
+  * bit-identical; the surrounding zero-guard and divide stay scalar SQL
+  * (Spark codegens those natively). Static so generated code calls it
+  * directly. */
+object PqAdc {
+  def lutSum(lut: ArrayData, code: ArrayData, m: Int, ks: Int): Double = {
+    var a = 0.0d
+    var si = 0
+    while (si < m) {
+      a = a + lut.getDouble(si * ks + code.getLong(si).toInt - 1)
+      si += 1
+    }
+    a
+  }
+}
+
+/** [[PqAdc.lutSum]] over (lut, code) columns — the per-candidate
+  * scoring kernel of the PQ/IVF-PQ paths, kept inside whole-stage
+  * codegen (the HOF fold ran ~m interpreted lambda frames per
+  * CANDIDATE — corpus×queries rows on the flat path). */
+case class PqLutSumExpr(lut: Expression, code: Expression, m: Int, ks: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def left: Expression = lut
+  override def right: Expression = code
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(l: Any, c: Any): Any =
+    PqAdc.lutSum(l.asInstanceOf[ArrayData], c.asInstanceOf[ArrayData], m, ks)
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (l, c) =>
+      s"graft.functions.PqAdc.lutSum($l, $c, $m, $ks)")
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): PqLutSumExpr = copy(lut = l, code = r)
+}
+
 /** `PqCodec.encode` as a codegen'd unary expression over the embedding
   * array — same shape as [[TopCentroids]]: the codec rides along as a
   * referenced object, the generated code is one virtual call. */

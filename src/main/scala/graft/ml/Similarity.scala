@@ -204,11 +204,16 @@ object Similarity {
           .crossJoin(broadcast(q.drop("q_emb").withColumn("qc",
             expr("CAST(0 AS DOUBLE)"))))
     joined
-      .withColumn("score", expr(
-        s"""CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-           |ELSE (qc + aggregate(sequence(0, ${m - 1}), CAST(0 AS DOUBLE), (a, si) ->
-           |  a + element_at(lut, si * $ks + CAST(element_at(code, si + 1) AS INT))))
-           |  / (qn * rnorm) END""".stripMargin))
+      // native lookup-sum kernel (parity pinned in
+      // NativeExpressionsSpec); zero-guard, qc add, and divide stay
+      // scalar SQL in the same order as the HOF form
+      .withColumn("score", {
+        val ls = graft.functions.native.parameterized(codes.sparkSession,
+          es => graft.functions.PqLutSumExpr(es(0), es(1), m, ks),
+          col("lut"), col("code"))
+        when(col("qn") * col("rnorm") === lit(0.0d), lit(0.0d))
+          .otherwise((col("qc") + ls) / (col("qn") * col("rnorm")))
+      })
       .withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= k)
       .select("q_id", "rnk", "vec_id", "score")

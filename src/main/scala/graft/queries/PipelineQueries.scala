@@ -531,11 +531,19 @@ object PipelineQueries {
       |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
       |      a + CAST(element_at(v, sub * 8 + j) AS DOUBLE)
       |        * CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin
-  private val pqAdcExpr =
-    """CASE WHEN qn * rnorm = CAST(0 AS DOUBLE) THEN CAST(0 AS DOUBLE)
-      |ELSE aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, sub) ->
-      |  a + element_at(lut, sub * 16 + CAST(element_at(code, sub + 1) AS INT)))
-      |  / (qn * rnorm) END""".stripMargin
+  /** The per-candidate ADC score via the native
+    * [[graft.functions.PqAdc]] lookup-sum kernel (bit-parity with the
+    * oracle's HOF fold — same lookups, same order — pinned in
+    * NativeExpressionsSpec; zero-guard + divide stay scalar SQL): the
+    * flat path scores corpus×queries candidates, so the fold must not
+    * cost ~m interpreted lambda frames per row. */
+  private def pqAdcScore(s: SparkSession): org.apache.spark.sql.Column = {
+    val ls = graft.functions.native.parameterized(s,
+      es => graft.functions.PqLutSumExpr(es(0), es(1), 8, 16),
+      col("lut"), col("code"))
+    when(col("qn") * col("rnorm") === lit(0.0d), lit(0.0d))
+      .otherwise(ls / (col("qn") * col("rnorm")))
+  }
 
   /** The 16-lowest-id-vector PQ codebook, collected driver-side
     * (model-sized: 16×64 floats — the same contract as
@@ -594,7 +602,7 @@ object PipelineQueries {
       .select(col("vec_id").as("n_id"), col("code"), col("rnorm"))
       .crossJoin(broadcast(q))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", expr(pqAdcExpr))
+      .withColumn("score", pqAdcScore(s))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)
@@ -652,7 +660,7 @@ object PipelineQueries {
       .join(q, Seq("q_id"))
     val scored = index.join(broadcast(probes), Seq("cid"))
       .filter(col("n_id") =!= col("q_id"))
-      .withColumn("score", expr(pqAdcExpr))
+      .withColumn("score", pqAdcScore(s))
     val w = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
     scored.withColumn("rnk", row_number().over(w).cast(LongType))
       .filter(col("rnk") <= 5)

@@ -174,6 +174,24 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
         java.lang.Double.doubleToLongBits(sn),
         s"vec $id rnorm bits differ: $nn vs $sn")
     }
+    // and the ADC lookup-sum kernel == the HOF fold, bit for bit
+    val luts = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(8 * 16)(rnd.nextDouble() * 2 - 1),
+        Seq.fill(8)(1L + rnd.nextInt(16).toLong))
+    }.toDF("id", "lut", "code")
+    val adc = luts.select(col("id"),
+      graft.functions.native.parameterized(spark,
+        es => graft.functions.PqLutSumExpr(es(0), es(1), 8, 16),
+        col("lut"), col("code")).as("n"),
+      expr("""aggregate(sequence(0, 7), CAST(0 AS DOUBLE), (a, si) ->
+        |  a + element_at(lut, si * 16 + CAST(element_at(code, si + 1) AS INT)))""".stripMargin)
+        .as("h"))
+      .collect()
+    adc.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(1)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(2)),
+        s"lutSum bits differ for id ${r.getLong(0)}")
+    }
   }
 
   test("native expressions run under codegen-only (no interpreted fallback)") {
