@@ -155,6 +155,30 @@ object PipelineQueries {
   def dNgramJaccard(s: SparkSession, dir: String): DataFrame =
     jaccardPairs(s, dir)
 
+  /** Broder CONTAINMENT per candidate pair: |A∩B| / |A| (and / |B|) —
+    * the asymmetric near-dup metric symmetric Jaccard misses: a short
+    * doc fully quoted inside a long one has low Jaccard (the union is
+    * large) but containment ≈ 1 on the short side, which is how
+    * quote/subset duplication and doc-inclusion are actually detected.
+    * Same LSH candidate generation and shingle-set join as
+    * [[dNgramJaccard]] — one more arithmetic column, no new shuffle. */
+  def dNgramContainment(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingles(s, dir)
+    val cand = lshPairs(s, dir).select("doc_a", "doc_b").distinct()
+    cand
+      .join(sh.toDF("doc_a", "sh_a"), "doc_a")
+      .join(sh.toDF("doc_b", "sh_b"), "doc_b")
+      .withColumn("__inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast(DoubleType))
+      .select(col("doc_a"), col("doc_b"),
+        (col("__inter") /
+          size(array_distinct(col("sh_a"))).cast(DoubleType))
+          .as("containment_a"),
+        (col("__inter") /
+          size(array_distinct(col("sh_b"))).cast(DoubleType))
+          .as("containment_b"))
+  }
+
   /** Near-duplicate cluster assignment: connected components over the
     * verified near-dup graph (LSH candidates with n-gram Jaccard >= 0.5),
     * labeling every doc with the minimum doc_id reachable from it. This is
@@ -1400,6 +1424,17 @@ object PipelineQueries {
          |FROM cand
          |JOIN shT sa ON sa.doc_id = cand.doc_a
          |JOIN shT sb ON sb.doc_id = cand.doc_b""".stripMargin,
+    "d_ngram_containment" ->
+      s"""WITH $pairsCte,
+         |cand AS (SELECT DISTINCT doc_a, doc_b FROM pairs)
+         |SELECT cand.doc_a, cand.doc_b,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(sa.sh)) AS DOUBLE) AS containment_a,
+         |       CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |       CAST(len(list_distinct(sb.sh)) AS DOUBLE) AS containment_b
+         |FROM cand
+         |JOIN shT sa ON sa.doc_id = cand.doc_a
+         |JOIN shT sb ON sb.doc_id = cand.doc_b""".stripMargin,
     "d_dedup_clusters" ->
       s"""WITH RECURSIVE $pairsCte,
          |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
@@ -2092,6 +2127,7 @@ object PipelineQueries {
     "stream_minhash_dedup" -> (streamMinhashDedup _),
     "d_simhash" -> (dSimhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
+    "d_ngram_containment" -> (dNgramContainment _),
     "d_dedup_clusters" -> (dDedupClusters _),
     "d_split_leakfree" -> (dSplitLeakfree _),
     "d_embed_neardup" -> (dEmbedNeardup _),

@@ -516,6 +516,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("containment: exact copies score 1.0 both ways; " +
+      "containment >= jaccard on every candidate pair") {
+    val cont = PipelineQueries.dNgramContainment(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val jac = PipelineQueries.dNgramJaccard(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cont.keySet === jac.keySet,
+      "containment must cover exactly the candidate pairs")
+    // doc 3 is a verbatim copy of doc 1: full containment both ways
+    val copyPair = cont.keys.find(k => Set(k._1, k._2) == Set(1L, 3L))
+    assert(copyPair.isDefined, "exact-copy pair missing from candidates")
+    assert(cont(copyPair.get) === ((1.0, 1.0)))
+    // |A∩B|/|A| >= |A∩B|/|A∪B| always — the asymmetric metric can only
+    // raise the signal, which is why subset duplication needs it
+    cont.foreach { case (k, (ca, cb)) =>
+      assert(ca >= jac(k) - 1e-12 && cb >= jac(k) - 1e-12,
+        s"pair $k: containment ($ca, $cb) below jaccard ${jac(k)}")
+    }
+  }
+
   test("leak-free split: near-duplicates never straddle a split boundary") {
     // doc 1/2 near-identical, 3 exact copy of 1 — all three MUST share a
     // split; 4 is unrelated and may land anywhere
