@@ -316,31 +316,33 @@ object RelationalQueries {
         col("asof_orderkey"), col("asof_totalprice"))
   }
 
-  /** Range (band) join via time-bucketing: per event, the count and spend
-    * of the same user's orders in the trailing 7 days. A naive inequality
-    * join degenerates to per-user scans; bucketing both sides by 7-day
-    * windows turns it into an equi-join on (user, bucket) — each event
-    * probes at most two buckets — with the precise range predicate applied
-    * after the join. Shuffles once on the composite key; no nested loop at
-    * any scale. */
+  /** Range (band) join via time-bucketing: per order, the count and spend
+    * of the SAME customer's earlier orders in the trailing 90 days — a
+    * self band join where both sides share the 1992–1998 order era, so the
+    * band genuinely selects (strictly-before excludes the probe row
+    * itself, and output rows ≪ total orders proves the window filters). A
+    * naive inequality join degenerates to per-customer scans; bucketing
+    * both sides by 90-day windows turns it into an equi-join on
+    * (customer, bucket) — each probe order explodes into at most two
+    * buckets — with the precise range predicate applied after the join.
+    * Shuffles once on the composite key; no nested loop at any scale. */
   def qRangeJoin(s: SparkSession, dir: String): DataFrame = {
-    val weekUs = 604800000000L
-    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
-      .select(col("event_id"), col("user_id"), col(TSA.T).as("et"))
+    val winUs = 7776000000000L // 90 days in microseconds
     val o = TSA.withEpochUs(tbl(s, dir, "orders"), "o_orderdate")
-      .select(col("o_custkey").as("user_id"), col(TSA.T).as("ot"),
+      .select(col("o_orderkey"), col("o_custkey"), col(TSA.T).as("ot"),
         col("o_totalprice"))
-      .withColumn("wk", expr(s"ot div ${weekUs}L"))
-    // an event's trailing window [et - 7d, et] spans at most two buckets
-    val eBuckets = e.select(col("event_id"), col("user_id"), col("et"),
+    // a probe's trailing window [ot - 90d, ot) spans at most two buckets
+    val probe = o.select(col("o_orderkey"), col("o_custkey"), col("ot"),
       explode(array_distinct(array(
-        expr(s"(et - ${weekUs}L) div ${weekUs}L"),
-        expr(s"et div ${weekUs}L")))).as("wk"))
-    eBuckets.join(o, Seq("user_id", "wk"))
-      .filter(col("ot") >= col("et") - weekUs && col("ot") <= col("et"))
-      .groupBy("event_id")
-      .agg(count(lit(1)).as("n_orders_7d"),
-        dsum(col("o_totalprice")).as("spend_7d"))
+        expr(s"(ot - ${winUs}L) div ${winUs}L"),
+        expr(s"ot div ${winUs}L")))).as("wk"))
+    val build = o.select(col("o_custkey"), col("ot").as("pt"),
+      col("o_totalprice"), expr(s"ot div ${winUs}L").as("wk"))
+    probe.join(build, Seq("o_custkey", "wk"))
+      .filter(col("pt") >= col("ot") - winUs && col("pt") < col("ot"))
+      .groupBy("o_orderkey")
+      .agg(count(lit(1)).as("n_prior_90d"),
+        dsum(col("o_totalprice")).as("spend_prior_90d"))
   }
 
   /** Weekly cohort retention: active users per week and how many return
@@ -967,14 +969,14 @@ object RelationalQueries {
         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
         |FROM r WHERE rnk <= 5""".stripMargin,
     "q_range_join" ->
-      """SELECT event_id, count(*) AS n_orders_7d,
-        |       (CAST(sum(CAST(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
-        |         AS spend_7d
-        |FROM events e
-        |JOIN orders o ON o.o_custkey = e.user_id
-        |  AND epoch_us(o.o_orderdate)
-        |      BETWEEN epoch_us(e.ts) - 604800000000 AND epoch_us(e.ts)
-        |GROUP BY event_id""".stripMargin,
+      """SELECT p.o_orderkey, count(*) AS n_prior_90d,
+        |       (CAST(sum(CAST(CAST(floor(b.o_totalprice * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
+        |         AS spend_prior_90d
+        |FROM orders p
+        |JOIN orders b ON b.o_custkey = p.o_custkey
+        |  AND epoch_us(b.o_orderdate) >= epoch_us(p.o_orderdate) - 7776000000000
+        |  AND epoch_us(b.o_orderdate) <  epoch_us(p.o_orderdate)
+        |GROUP BY p.o_orderkey""".stripMargin,
     "q_retention" ->
       """WITH w AS (
         |  SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS wk

@@ -57,4 +57,41 @@ class RelationalOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r.getAs[Long]("max_k") === 60L)
     assert(r.getAs[Long]("n_high") === 1L)   // only k=60
   }
+
+  test("band join: trailing 90-day window filters, strictly-before, non-vacuous") {
+    import spark.implicits._
+    val dayUs = 86400000000L
+    val base = 800000L * dayUs // ~1972-ish, away from epoch zero
+    val dir = java.nio.file.Files.createTempDirectory("graft_band").toString
+    // cust 1: four orders — +0, +30d, +89d, +200d. Trailing [t-90d, t):
+    //   +30d sees +0; +89d sees +0 and +30d (90-day bound INCLUSIVE at
+    //   the far edge: 89-0=89 < 90 in-window); +200d sees nothing
+    //   (nearest prior is 111 days back). Self rows never count.
+    // cust 2: two same-instant orders — strictly-before excludes ties,
+    //   so neither emits a row.
+    Seq(
+      (101L, 1L, 0L, 10.0), (102L, 1L, 30L, 20.0),
+      (103L, 1L, 89L, 40.0), (104L, 1L, 200L, 80.0),
+      (201L, 2L, 50L, 5.0), (202L, 2L, 50L, 7.0))
+      .toDF("o_orderkey", "o_custkey", "d", "o_totalprice")
+      .withColumn("o_orderdate",
+        timestamp_micros(lit(base) + col("d") * dayUs).cast("timestamp_ntz"))
+      .drop("d")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val r = RelationalQueries.qRangeJoin(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      .sortBy(_._1)
+    assert(r === Array((102L, 1L, 10.0), (103L, 2L, 30.0)))
+  }
+
+  test("band join is non-empty and band-selective on the driver testdata") {
+    val dir = "/root/testdata/sf0.001"
+    if (new java.io.File(s"$dir/orders.parquet").exists) {
+      val out = RelationalQueries.qRangeJoin(spark, dir)
+      val n = out.count()
+      val total = queries.AggQueries.tbl(spark, dir, "orders").count()
+      assert(n > 0L, "band join must produce rows on the real order era")
+      assert(n < total, "inner band join must drop window-less orders")
+    }
+  }
 }
