@@ -1323,52 +1323,101 @@ object PipelineQueries {
   }
 
   // ------------------------------------------------------------- multimodal
+  //
+  // The three mm_* operators run the REAL pure-JVM codecs in
+  // graft.multimodal.Multimodal (PNG with zlib+all-five-filters+CRC,
+  // RIFF/WAVE PCM, RIFF/AVI DIB). Payload bytes are synthesized
+  // deterministically from event_id (MediaSynth — the sandbox stand-in for
+  // reading blobs off storage), then decoded like any foreign file; the
+  // DuckDB oracle recomputes every feature straight from the synthesis
+  // formulas, so a hash match proves encode∘decode is the identity and
+  // the feature math is right. Each query is a map-only mapPartitions
+  // batch loop (the mapInPandas analog) — no shuffle, embarrassingly
+  // parallel, and at 100 TB the same stages run against stored payloads.
 
-  /** Multimodal binary-column plumbing over the events props payload: real
-    * schema/partitioning, deterministic stand-in decode (SURVEY.md §2 C). */
-  def mmFeatures(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .select(col("event_id"),
-        expr("CAST(octet_length(CAST(props AS BINARY)) AS BIGINT)")
-          .as("n_bytes"),
-        expr("graft_string_hash(props)").as("checksum"))
-      .withColumn("fake_w", lit(16L) + col("checksum") % 64)
-      .withColumn("fake_h", lit(16L) + expr("(checksum div 64) % 64"))
+  /** Image features: synthesize a PNG per event, decode it (zlib inflate,
+    * filter reconstruction, CRC verification), and emit dimensions plus
+    * exact per-channel pixel sums. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{MediaSynth, Png}
+    tbl(s, dir, "events").select(col("event_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val img = Png.decode(MediaSynth.pngPayload(id))
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var i = 0
+          while (i < img.rgb.length) {
+            sr += img.rgb(i) & 0xff
+            sg += img.rgb(i + 1) & 0xff
+            sb += img.rgb(i + 2) & 0xff
+            i += 3
+          }
+          (id, img.width.toLong, img.height.toLong, sr, sg, sb)
+        }
+      }
+      .toDF("event_id", "width", "height", "sum_r", "sum_g", "sum_b")
+  }
 
-  /** Multimodal frame sampling: treat the payload as a video whose frame
-    * count derives from the (stub) codec checksum, sample every 30th
-    * frame, and emit per-record sampling metadata plus a deterministic
-    * signature of the sampled indices. The Spark-side plumbing — per-row
-    * frame enumeration, stride sampling, no shuffle — is the real part;
-    * the decode is the declared deterministic stand-in (Multimodal
-    * .StubCodec). */
-  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .select(col("event_id"), expr("graft_string_hash(props)").as("checksum"))
-      .withColumn("n_frames", lit(1L) + col("checksum") % 240L)
-      .withColumn("n_sampled",
-        expr("CAST(size(sequence(1L, n_frames, 30L)) AS BIGINT)"))
-      .withColumn("frame_sig",
-        expr("aggregate(sequence(1L, n_frames, 30L), 0L, (a, x) -> (a * 31 + x) % 1000000007)"))
-      .select("event_id", "n_frames", "n_sampled", "frame_sig")
+  /** Video frame sampling: synthesize an AVI per event, decode it
+    * (hdrl/movi walk, header-vs-actual frame-count cross-check), sample
+    * every 3rd frame, and fold the sampled frames' byte sums into a
+    * deterministic signature. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{Avi, MediaSynth}
+    tbl(s, dir, "events").select(col("event_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val vid = Avi.decode(MediaSynth.aviPayload(id))
+          val n = vid.frames.length
+          var sig = 0L; var nS = 0L; var f = 0
+          while (f < n) {
+            val fr = vid.frames(f)
+            var fs = 0L; var j = 0
+            while (j < fr.length) { fs += fr(j) & 0xff; j += 1 }
+            sig = (sig * 31L + fs) % 1000000007L
+            nS += 1; f += 3
+          }
+          (id, n.toLong, vid.width.toLong, vid.height.toLong, nS, sig)
+        }
+      }
+      .toDF("event_id", "n_frames", "width", "height", "n_sampled",
+        "frame_sig")
+  }
 
-  /** Multimodal audio-window plumbing: treat the payload as an audio clip
-    * (sample count derived from the stub codec checksum at a nominal
-    * 8 kHz), split it into 4000-sample windows hopping 2000 samples (50%
-    * overlap — the standard feature-extraction framing), and emit window
-    * count plus a deterministic signature of the window starts. Like
-    * [[mmFrameSample]], the Spark plumbing (per-row stride enumeration,
-    * no shuffle, scan-speed) is the real part; the decode is the declared
-    * deterministic stand-in. */
-  def mmAudioChunks(s: SparkSession, dir: String): DataFrame =
-    tbl(s, dir, "events")
-      .select(col("event_id"), expr("graft_string_hash(props)").as("checksum"))
-      .withColumn("n_samples", lit(8000L) + col("checksum") % 152000L)
-      .withColumn("n_windows",
-        expr("CAST(size(sequence(0L, n_samples - 4000L, 2000L)) AS BIGINT)"))
-      .withColumn("window_sig",
-        expr("aggregate(sequence(0L, n_samples - 4000L, 2000L), 0L, (a, x) -> (a * 31 + x + 1) % 1000000007)"))
-      .select("event_id", "n_samples", "n_windows", "window_sig")
+  /** Audio windowing: synthesize a 16-bit PCM WAV per event, decode it
+    * (RIFF walk with unknown-chunk skipping), split into 400-sample
+    * windows hopping 200 (50% overlap — standard feature framing), and
+    * emit total energy plus a fold of per-window energies. */
+  def mmAudioChunks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import graft.multimodal.Multimodal.{MediaSynth, Wav}
+    tbl(s, dir, "events").select(col("event_id")).as[Long]
+      .mapPartitions { it =>
+        it.map { id =>
+          val clip = Wav.decode(MediaSynth.wavPayload(id))
+          val n = clip.samples.length
+          val win = 400; val hop = 200
+          var total = 0L; var i = 0
+          while (i < n) {
+            val v = clip.samples(i).toLong; total += v * v; i += 1
+          }
+          var sig = 0L; var nW = 0L; var st = 0
+          while (st + win <= n) {
+            var ws = 0L; var j = st
+            while (j < st + win) {
+              val v = clip.samples(j).toLong; ws += v * v; j += 1
+            }
+            sig = (sig * 31L + ws % 1000000007L) % 1000000007L
+            nW += 1; st += hop
+          }
+          (id, n.toLong, clip.sampleRate.toLong, nW, total, sig)
+        }
+      }
+      .toDF("event_id", "n_samples", "sample_rate", "n_windows", "energy",
+        "window_sig")
+  }
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1995,15 +2044,23 @@ object PipelineQueries {
         |    AS BIGINT) AS digit_run_chars
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
-      s"""WITH f AS (
-         |  SELECT event_id, ${PT.charHashDuck("props")} AS checksum FROM events),
-         |n AS (SELECT event_id, 1 + checksum % 240 AS n_frames FROM f)
-         |SELECT event_id, CAST(n_frames AS BIGINT) AS n_frames,
-         |  CAST(len(range(1, n_frames + 1, 30)) AS BIGINT) AS n_sampled,
-         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(1, n_frames + 1, 30), x -> CAST(x AS BIGINT))),
-         |    (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT) AS frame_sig
-         |FROM n""".stripMargin,
+      """WITH n AS (SELECT event_id, 4 + event_id % 28 AS nf FROM events),
+        |sf AS (SELECT event_id, nf, f.r AS f FROM n, range(0, 32) f(r)
+        |       WHERE f.r < nf AND f.r % 3 = 0),
+        |fs AS (SELECT event_id, f,
+        |       CAST(sum((event_id * 17 + f * 29 + j.r * 5) % 256) AS BIGINT)
+        |         AS fsum
+        |       FROM sf, range(0, 48) j(r) GROUP BY 1, 2),
+        |sig AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n_sampled,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list(fsum ORDER BY f)),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)
+        |          AS frame_sig
+        |        FROM fs GROUP BY event_id)
+        |SELECT n.event_id, CAST(nf AS BIGINT) AS n_frames,
+        |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+        |       sig.n_sampled, sig.frame_sig
+        |FROM n JOIN sig USING (event_id)""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
         |       count(*) AS n_vecs,
@@ -2100,25 +2157,47 @@ object PipelineQueries {
         |            ORDER BY hv, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
     "mm_audio_chunks" ->
-      s"""WITH f AS (
-         |  SELECT event_id, ${PT.charHashDuck("props")} AS checksum FROM events),
-         |n AS (SELECT event_id, 8000 + checksum % 152000 AS n_samples FROM f)
-         |SELECT event_id, CAST(n_samples AS BIGINT) AS n_samples,
-         |  CAST(len(range(0, n_samples - 4000 + 1, 2000)) AS BIGINT)
-         |    AS n_windows,
-         |  CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |    list_transform(range(0, n_samples - 4000 + 1, 2000),
-         |      x -> CAST(x AS BIGINT))),
-         |    (a, x) -> (a * 31 + x + 1) % 1000000007) AS BIGINT)
-         |    AS window_sig
-         |FROM n""".stripMargin,
+      """WITH n AS (
+        |  SELECT event_id, 1000 + event_id % 1000 AS ns FROM events),
+        |samp AS (SELECT event_id, ns, i.r AS i,
+        |         (event_id * 1103515245 + i.r * 12345) % 65536 - 32768 AS s
+        |         FROM n, range(0, 2000) i(r) WHERE i.r < ns),
+        |tot AS (SELECT event_id, CAST(sum(s * s) AS BIGINT) AS energy
+        |        FROM samp GROUP BY event_id),
+        |wnd AS (SELECT event_id, k.r AS k FROM n, range(0, 9) k(r)
+        |        WHERE k.r * 200 + 400 <= ns),
+        |wsamp AS (SELECT w.event_id, w.k,
+        |          (w.event_id * 1103515245 + (w.k * 200 + j.r) * 12345)
+        |            % 65536 - 32768 AS s
+        |          FROM wnd w, range(0, 400) j(r)),
+        |wsum AS (SELECT event_id, k,
+        |         CAST(sum(s * s) % 1000000007 AS BIGINT) AS ws
+        |         FROM wsamp GROUP BY 1, 2),
+        |sig AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list(ws ORDER BY k)),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)
+        |          AS window_sig
+        |        FROM wsum GROUP BY event_id)
+        |SELECT n.event_id, CAST(ns AS BIGINT) AS n_samples,
+        |       CAST(8000 AS BIGINT) AS sample_rate, sig.n_windows,
+        |       tot.energy, sig.window_sig
+        |FROM n JOIN tot USING (event_id) JOIN sig USING (event_id)""".stripMargin,
     "mm_features" ->
-      s"""SELECT event_id,
-         |       CAST(octet_length(encode(props)) AS BIGINT) AS n_bytes,
-         |       ${PT.charHashDuck("props")} AS checksum,
-         |       16 + ${PT.charHashDuck("props")} % 64 AS fake_w,
-         |       16 + (${PT.charHashDuck("props")} // 64) % 64 AS fake_h
-         |FROM events""".stripMargin
+      """WITH d AS (SELECT event_id, 8 + event_id % 9 AS w,
+        |                  8 + (event_id // 9) % 9 AS h FROM events),
+        |px AS (SELECT event_id, w, h, x.r AS x, y.r AS y
+        |       FROM d, range(0, 17) x(r), range(0, 17) y(r)
+        |       WHERE x.r < w AND y.r < h)
+        |SELECT event_id, CAST(min(w) AS BIGINT) AS width,
+        |       CAST(min(h) AS BIGINT) AS height,
+        |       CAST(sum((event_id * 31 + x * 7 + y * 13) % 256) AS BIGINT)
+        |         AS sum_r,
+        |       CAST(sum((event_id * 31 + x * 7 + y * 13 + 101) % 256)
+        |         AS BIGINT) AS sum_g,
+        |       CAST(sum((event_id * 31 + x * 7 + y * 13 + 202) % 256)
+        |         AS BIGINT) AS sum_b
+        |FROM px GROUP BY event_id""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

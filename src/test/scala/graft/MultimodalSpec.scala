@@ -3,25 +3,109 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.multimodal.Multimodal
-import graft.multimodal.Multimodal.MediaRecord
+import graft.multimodal.Multimodal.{Avi, MediaRecord, MediaSynth, Png, Wav}
 
+/** Round-trip and corruption pins for the pure-JVM media codecs plus the
+  * Spark-side batch plumbing (SURVEY.md §2 C, mm_*). */
 class MultimodalSpec extends AnyFunSuite with SparkSpec {
 
-  test("feature extraction is deterministic and batch-shaped") {
+  test("WAV round trip: PCM samples, rate, and layout survive; unknown chunks skipped") {
+    val samples = Array.tabulate(1234)(i =>
+      MediaSynth.audioSample(7L, i.toLong).toShort)
+    val bytes = Wav.encode(8000, samples)
+    // the encoder interposes a LIST/INFO chunk with an ODD-length ISFT
+    // value between fmt and data, so every decode exercises the
+    // unknown-chunk skip AND the even-offset padding rule
+    assert(new String(bytes, 8, 4, "US-ASCII") === "WAVE")
+    val clip = Wav.decode(bytes)
+    assert(clip.sampleRate === 8000)
+    assert(clip.bitsPerSample === 16 && clip.channels === 1)
+    assert(clip.samples.toSeq === samples.toSeq)
+  }
+
+  test("WAV decode rejects non-PCM and truncated payloads loudly") {
+    val ok = Wav.encode(8000, Array[Short](1, 2, 3))
+    // flip wFormatTag (first 2 bytes of the fmt payload) to 0x55 (MP3)
+    val fmtAt = {
+      val s = new String(ok, "ISO-8859-1"); s.indexOf("fmt ")
+    }
+    val bad = ok.clone(); bad(fmtAt + 8) = 0x55
+    val e = intercept[IllegalArgumentException](Wav.decode(bad))
+    assert(e.getMessage.contains("format tag"))
+    val trunc = java.util.Arrays.copyOf(ok, ok.length - 3)
+    intercept[IllegalArgumentException](Wav.decode(trunc))
+  }
+
+  test("PNG round trip exercises all five filters and preserves every pixel") {
+    // 6 rows -> filter types 0,1,2,3,4,0 all hit (encoder cycles y % 5)
+    val w = 9; val h = 6
+    val rgb = Array.tabulate(3 * w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val bytes = Png.encode(w, h, rgb)
+    val img = Png.decode(bytes)
+    assert(img.width === w && img.height === h)
+    assert(img.rgb.toSeq === rgb.toSeq)
+  }
+
+  test("PNG decode verifies chunk CRCs and fails loudly on corruption") {
+    val bytes = Png.encode(4, 4, new Array[Byte](48))
+    // flip one byte inside the IDAT payload (skip signature+IHDR: the
+    // IDAT chunk starts at 8 + 25; +8 lands inside its payload)
+    val bad = bytes.clone(); bad(8 + 25 + 8 + 2) = (bad(8 + 25 + 8 + 2) ^ 0x40).toByte
+    val e = intercept[IllegalArgumentException](Png.decode(bad))
+    assert(e.getMessage.contains("CRC mismatch"))
+    val notPng = "RIFF....WAVE".getBytes("US-ASCII")
+    intercept[IllegalArgumentException](Png.decode(notPng))
+  }
+
+  test("AVI round trip preserves frames; header/movi mismatch fails loudly") {
+    val frames = Array.tabulate(5)(f =>
+      Array.tabulate(48)(j => MediaSynth.frameByte(3L, f, j).toByte))
+    val bytes = Avi.encode(4, 4, frames)
+    val vid = Avi.decode(bytes)
+    assert(vid.width === 4 && vid.height === 4)
+    assert(vid.frames.length === 5)
+    assert(vid.frames.map(_.toSeq).toSeq === frames.map(_.toSeq).toSeq)
+    // tamper dwTotalFrames (avih payload offset 16) -> cross-check throws
+    val s = new String(bytes, "ISO-8859-1")
+    val avihAt = s.indexOf("avih")
+    val bad = bytes.clone(); bad(avihAt + 8 + 16) = 9
+    val e = intercept[RuntimeException](Avi.decode(bad))
+    assert(e.getMessage.contains("frames"))
+  }
+
+  test("MediaSynth payloads decode to the formula values (oracle contract)") {
+    val id = 4242L
+    val clip = Wav.decode(MediaSynth.wavPayload(id))
+    assert(clip.samples.length === MediaSynth.audioLength(id))
+    assert(clip.samples(17).toInt === MediaSynth.audioSample(id, 17L))
+    val img = Png.decode(MediaSynth.pngPayload(id))
+    assert(img.width === MediaSynth.imageWidth(id))
+    assert(img.height === MediaSynth.imageHeight(id))
+    val x = 3; val y = 2
+    assert((img.rgb((y * img.width + x) * 3 + 1) & 0xff) ===
+      MediaSynth.pixel(id, x, y, 1))
+    val vid = Avi.decode(MediaSynth.aviPayload(id))
+    assert(vid.frames.length === MediaSynth.videoFrames(id))
+    assert((vid.frames(2)(5) & 0xff) === MediaSynth.frameByte(id, 2, 5))
+  }
+
+  test("extractFeatures sniffs the container from payload magic, batch-shaped") {
     import spark.implicits._
     val recs = Seq(
-      MediaRecord(1L, "image", "abc".getBytes("UTF-8")),
-      MediaRecord(2L, "video", "defg".getBytes("UTF-8")),
-      MediaRecord(3L, "audio", Array[Byte]())).toDS()
+      MediaRecord(1L, "image", MediaSynth.pngPayload(1L)),
+      MediaRecord(2L, "video", MediaSynth.aviPayload(2L)),
+      MediaRecord(3L, "audio", MediaSynth.wavPayload(3L)),
+      MediaRecord(4L, "blob", "opaque".getBytes("UTF-8"))).toDS()
     val out = Multimodal.extractFeatures(recs).collect().sortBy(_.id)
-    assert(out.map(_.id).toSeq === Seq(1L, 2L, 3L))
-    assert(out(0).nBytes === 3L)
-    // checksum: ((('a'*31)+'b')*31+'c') % p
-    val expected = (((97L * 31 + 98) % 1000000007L) * 31 + 99) % 1000000007L
-    assert(out(0).checksum === expected)
-    assert(out(1).frames > 1)        // video has frames
-    assert(out(2).nBytes === 0L)     // empty payload survives the codec
-    // re-run gives identical features (stub codec is pure)
+    assert(out.map(_.id).toSeq === Seq(1L, 2L, 3L, 4L))
+    assert(out(0).width === MediaSynth.imageWidth(1L) &&
+      out(0).height === MediaSynth.imageHeight(1L) && out(0).frames === 1)
+    assert(out(1).frames === MediaSynth.videoFrames(2L) &&
+      out(1).width === MediaSynth.VideoW)
+    assert(out(2).frames === MediaSynth.audioLength(3L) &&
+      out(2).width === 8000) // sample rate rides the width slot for audio
+    assert(out(3).frames === 0 && out(3).nBytes === 6L)
+    // decode is pure: re-run gives identical features
     val again = Multimodal.extractFeatures(recs).collect().sortBy(_.id)
     assert(again.toSeq === out.toSeq)
   }
