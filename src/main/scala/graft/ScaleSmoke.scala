@@ -276,6 +276,13 @@ object ScaleSmoke {
     println(s"""{"metric":"scale_smoke","factor":$factor,$js,$sk,""" +
       s""""rows_events":${evN.count()},"rows_lineitem":${liN.count()},""" +
       s""""rows_documents":$nDocs}""")
+    // teardown: release every dir's memoized frames/checkpoints and
+    // derived layouts — the smoke runs several dirs through one session,
+    // exactly the long-lived-session shape the caches must not pin
+    Seq(sf, dir, zipfDir, hotEmbDir).foreach { d =>
+      PipelineQueries.evictCaches(spark, d)
+      graft.queries.RelationalQueries.evictDerived(spark, d)
+    }
     spark.stop()
   }
 }

@@ -26,6 +26,24 @@ final class PqCodec(cbIn: Array[Array[Array[Float]]],
   private val cb = cbIn.map(_.map(_.clone()))
 
   def encode(v: ArrayData): InternalRow = {
+    // Validate BEFORE touching unchecked accessors: UnsafeArrayData
+    // .getFloat does no bounds/null checks, so a short embedding or a
+    // null element (both reachable through the public pqSearch /
+    // writePqIndex APIs on arbitrary user frames) would silently read
+    // garbage and yield wrong codes. One length compare plus a bitset
+    // scan of m*sub slots — noise next to the ks*sub distance loop.
+    if (v.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"PQ encode: embedding has ${v.numElements()} elements, codebook " +
+          s"expects m*sub = ${m * sub}")
+    var nv = 0
+    while (nv < m * sub) {
+      if (v.isNullAt(nv))
+        throw new IllegalArgumentException(
+          s"PQ encode: embedding element $nv is null (dense non-null " +
+            "Array[Float] required)")
+      nv += 1
+    }
     val codes = new Array[Long](m)
     var si = 0
     while (si < m) {
@@ -78,10 +96,24 @@ final class PqCodec(cbIn: Array[Array[Array[Float]]],
   * directly. */
 object PqAdc {
   def lutSum(lut: ArrayData, code: ArrayData, m: Int, ks: Int): Double = {
+    // Codes can arrive from a foreign/corrupted codes.parquet via
+    // pqSearchIndex: getDouble/getLong are unchecked, so validate shape
+    // and each code's [1, ks] range before indexing the LUT. Two length
+    // compares per candidate plus one branch per lookup — predictable,
+    // stays inside codegen.
+    if (lut.numElements() != m * ks || code.numElements() != m)
+      throw new IllegalArgumentException(
+        s"PQ ADC: lut has ${lut.numElements()} (want ${m * ks}), code has " +
+          s"${code.numElements()} (want $m)")
     var a = 0.0d
     var si = 0
     while (si < m) {
-      a = a + lut.getDouble(si * ks + code.getLong(si).toInt - 1)
+      val c = code.getLong(si)
+      if (c < 1L || c > ks)
+        throw new IllegalArgumentException(
+          s"PQ ADC: code[$si] = $c out of range [1, $ks] — corrupted or " +
+            "foreign PQ codes")
+      a = a + lut.getDouble(si * ks + c.toInt - 1)
       si += 1
     }
     a

@@ -122,17 +122,31 @@ object Similarity {
     * scan touches only the probed lists. The probe cid set is
     * queries·nprobe values (model-sized, like the broadcast query set
     * itself). */
+  /** Run the probe-assignment job ONCE: collect the (broadcast-bound,
+    * model-sized-by-contract) probe frame to the driver, derive the
+    * pushed cid set from the collected rows, and hand back a LOCAL
+    * relation for the join side. Without this, the probe plan executed
+    * twice — once for the `cid` distinct-collect and again when the
+    * broadcast join re-evaluated it, re-running per-query centroid
+    * ranking (and for PQ, LUT construction) per search. */
+  private def materializeProbes(
+      probes: DataFrame): (DataFrame, Array[Long]) = {
+    val rows = probes.collect()
+    val cids = rows.map(_.getAs[Long]("cid")).distinct.sorted
+    val local = probes.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), probes.schema)
+    (local, cids)
+  }
+
   def ivfSearchIndex(index: IvfIndex, queries: DataFrame,
       k: Int, nprobe: Int): DataFrame = {
     require(k > 0 && nprobe > 0, s"k=$k, nprobe=$nprobe")
     graft.functions.native.register(queries.sparkSession)
-    val probes = Embeddings.assignRanked(
+    val (probes, probeCids) = materializeProbes(Embeddings.assignRanked(
       queries.select(col("q_id").as("vec_id"), col("q_emb").as("embedding")),
       index.codebook, maxRank = nprobe)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-        col("cid"))
-    val probeCids = probes.select("cid").distinct()
-      .collect().map(_.getLong(0)).sorted
+        col("cid")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
     index.lists
       .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*))
@@ -461,10 +475,8 @@ object Similarity {
     require(k > 0 && nprobe > 0, s"k=$k, nprobe=$nprobe")
     graft.functions.native.register(queries.sparkSession)
     val cb = collectPq(index.pqCodebook)
-    val probes = probedLuts(queries, index.codebook, cb, nprobe,
-      index.residual)
-    val probeCids = probes.select("cid").distinct()
-      .collect().map(_.getLong(0)).sorted
+    val (probes, probeCids) = materializeProbes(
+      probedLuts(queries, index.codebook, cb, nprobe, index.residual))
     adcScore(
       index.codes
         .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*)),

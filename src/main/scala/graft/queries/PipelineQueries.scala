@@ -25,27 +25,29 @@ object PipelineQueries {
     * but every call still re-builds and re-analyzes the (HOF-heavy) plan
     * tree — measurable when 70+ bench queries each re-derive the same
     * tokenization chain. DataFrames are immutable; sharing is safe.
-    * Entries live for the session's lifetime (no eviction): the drivers
-    * that exist (Verify/Bench/ScaleSmoke/Cli) touch at most two dirs per
-    * process, bounding retention at a handful of cached frames — a
-    * long-lived multi-tenant service would want unpersist-on-evict. */
-  private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+    * Entries are session-scoped ([[SessionScoped]]): released (and
+    * unpersisted) when the owning context ends, or explicitly per dir via
+    * [[evictCaches]] — ScaleSmoke/TenX call it between scale factors so a
+    * long-lived session doesn't pin every factor's cached frames. */
+  private val frameMemo = new SessionScoped[(String, String), DataFrame](
+    (_, df) => df.unpersist(blocking = false))
   private def memo(s: SparkSession, dir: String, key: String)(
-      build: => DataFrame): DataFrame = {
-    val k = (s, dir, key)
-    val hit = frameMemo.get(k)
-    if (hit != null) hit
-    else {
-      // NOT computeIfAbsent: builders memo their upstream frames through
-      // this same map, and nested computeIfAbsent throws Recursive update.
-      // A racing double-build is harmless — CacheManager dedupes the data
-      // and putIfAbsent keeps one winner.
-      val built = build
-      val prev = frameMemo.putIfAbsent(k, built)
-      if (prev != null) prev else built
-    }
+      build: => DataFrame): DataFrame =
+    frameMemo.getOrBuild(s, (dir, key))(build)
+
+  /** Unpersist and drop every memoized frame this module cached for
+    * (session, dir) — the shared expression frames AND the checkpointed
+    * cluster labels. Safe to call concurrently with running queries —
+    * Spark recomputes uncached frames; subsequent calls rebuild. */
+  def evictCaches(s: SparkSession, dir: String): Unit = {
+    frameMemo.evictMatching(s)(_._1 == dir)
+    clustersMemo.evictMatching(s)(_ == dir)
   }
+
+  /** Number of live memo entries for (session, dir) — specs. */
+  def cachedFrameCount(s: SparkSession, dir: String): Int =
+    frameMemo.sizeFor(s, (_: (String, String))._1 == dir) +
+      clustersMemo.sizeFor(s, (_: String) == dir)
 
   /** doc_id + token-hash array for docs with >= 3 tokens.
     *
@@ -193,12 +195,15 @@ object PipelineQueries {
     * (localCheckpoint), so the plan-matching CacheManager can't dedupe
     * repeated invocations the way it does the cached frames above; the
     * capstone pipeline and repeated bench passes reuse the computed
-    * labels — the production pattern (clusters materialize once). */
-  private val clustersMemo =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+    * labels — the production pattern (clusters materialize once).
+    * Session-scoped like [[frameMemo]]: [[evictCaches]] unpersists the
+    * labels and drops the reference, letting the checkpoint RDD's blocks
+    * be GC'd with it. */
+  private val clustersMemo = new SessionScoped[String, DataFrame](
+    (_, df) => df.unpersist(blocking = false))
 
   def dDedupClusters(s: SparkSession, dir: String): DataFrame =
-    clustersMemo.computeIfAbsent((s, dir), { case (s, dir) =>
+    clustersMemo.getOrBuild(s, dir) {
       val edges = dNgramJaccard(s, dir)
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
@@ -210,7 +215,7 @@ object PipelineQueries {
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
         .withColumn("is_keeper", col("doc_id") === col("cluster_id"))
         .cache()
-    })
+    }
 
   /** Leakage-free train/val/test split: the split is assigned per
     * NEAR-DUP CLUSTER, not per doc — hash the cluster label, so every

@@ -98,8 +98,18 @@ object RelationalQueries {
     * partitioning as the bucket-id assignment, so each task holds
     * exactly one bucket → ONE file per bucket, which is the layout
     * Spark's scan recognizes as both co-partitioned AND sorted. */
-  private val bucketedSetup = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), (String, String)]()
+  // Session-scoped (released on context end or explicit evictDerived):
+  // the derived warehouse copies are multi-GB at bench SFs, and a static
+  // JVM-lifetime map would pin stopped sessions, their catalog entries,
+  // and the layouts forever.
+  private val bucketedSetup =
+    new SessionScoped[String, (String, String, String)]({ (s, v) =>
+      val (ord, li, loc) = v
+      s.sql(s"DROP TABLE IF EXISTS $ord")
+      s.sql(s"DROP TABLE IF EXISTS $li")
+      org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(loc))
+    })
   // name tag per setup, NOT dir.hashCode: a hash collision between two
   // dirs would silently serve the first dir's data under the second's key
   private val bucketedTag = new java.util.concurrent.atomic.AtomicInteger(0)
@@ -116,8 +126,8 @@ object RelationalQueries {
     d.toString
   }
 
-  private def bucketedTables(s: SparkSession, dir: String): (String, String) =
-    bucketedSetup.computeIfAbsent((s, dir), { case (s, dir) =>
+  private def bucketedTables(s: SparkSession, dir: String): (String, String) = {
+    val (ord, li, _) = bucketedSetup.getOrBuild(s, dir) {
       val tag = bucketedTag.getAndIncrement()
       val loc = sessionTempDir("graft_bucketed")
       val ord = s"graft_bkt_orders_$tag"
@@ -134,8 +144,10 @@ object RelationalQueries {
         .write.format("parquet")
         .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
         .option("path", s"$loc/$li").mode("overwrite").saveAsTable(li)
-      (ord, li)
-    })
+      (ord, li, loc)
+    }
+    (ord, li)
+  }
 
   /** Bucketed co-located fact⋈fact join — the STORAGE-side
     * shuffle-elimination pattern (complement of the broadcast and
@@ -162,8 +174,22 @@ object RelationalQueries {
     * user_id, event_type, value) clustered by the (day, user_id) Morton
     * key — the layout that serves day-range AND user-range scans from
     * the same files (ZOrderSpec pins the footer-stats pruning). */
-  private val zorderSetup = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), String]()
+  private val zorderSetup = new SessionScoped[String, String]({ (_, zdir) =>
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zdir))
+  })
+
+  /** Drop the derived layouts (bucketed warehouse tables, z-ordered
+    * copies) this module built for (session, dir): catalog entries
+    * dropped, temp directories deleted. Subsequent queries rebuild. */
+  def evictDerived(s: SparkSession, dir: String): Unit = {
+    bucketedSetup.evictMatching(s)(_ == dir)
+    zorderSetup.evictMatching(s)(_ == dir)
+  }
+
+  /** Live derived-layout count for (session, dir) — specs. */
+  def derivedLayoutCount(s: SparkSession, dir: String): Int =
+    bucketedSetup.sizeFor(s, (_: String) == dir) +
+      zorderSetup.sizeFor(s, (_: String) == dir)
 
   /** Multi-dimensional box scan over the z-ordered layout — the
     * STORAGE-side range-pruning pattern next to [[qBucketedJoin]]'s
@@ -174,7 +200,7 @@ object RelationalQueries {
     * (the oracle); the one-time clustered write is memoized per
     * session+dir, like the bucketed warehouse. */
   def qZorderScan(s: SparkSession, dir: String): DataFrame = {
-    val zdir = zorderSetup.computeIfAbsent((s, dir), { case (s, dir) =>
+    val zdir = zorderSetup.getOrBuild(s, dir) {
       val out = sessionTempDir("graft_zevents")
       graft.sources.ZOrder.writeClustered(
         TSA.withEpochUs(AggQueries.events(s, dir), "ts")
@@ -182,7 +208,7 @@ object RelationalQueries {
             col("user_id"), col("event_type"), col("value")),
         "day", "user_id", out, files = 16)
       out
-    })
+    }
     s.read.parquet(zdir)
       .filter(col("day").between(19730L, 19737L) &&
         col("user_id").between(10L, 59L))

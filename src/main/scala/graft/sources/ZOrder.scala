@@ -53,8 +53,21 @@ object ZOrder {
   def writeClustered(df: DataFrame, ca: String, cb: String, dir: String,
       files: Int, bits: Int = 21): Unit = {
     require(files >= 1, s"files=$files")
-    val mx = df.agg(max(col(ca).cast("long")), max(col(cb).cast("long")))
+    // min() rides the same stats job as max(): the interleave below uses
+    // arithmetic shifts, so a NEGATIVE key value would sign-extend into a
+    // scrambled Morton key and the promised two-dimensional pruning would
+    // silently vanish (the layout is advisory — results stay correct, so
+    // nothing downstream would ever notice). Fail loudly instead.
+    val mx = df.agg(max(col(ca).cast("long")), max(col(cb).cast("long")),
+      min(col(ca).cast("long")), min(col(cb).cast("long")))
       .head()
+    Seq(ca -> 2, cb -> 3).foreach { case (name, i) =>
+      val mn = if (mx.isNullAt(i)) 0L else mx.getLong(i)
+      require(mn >= 0L,
+        s"writeClustered: column '$name' has negative values (min $mn); " +
+          "z-order keys must be non-negative — shift or bias the column " +
+          "before clustering")
+    }
     def shiftFor(i: Int): Int = {
       val m = if (mx.isNullAt(i)) 0L else math.max(0L, mx.getLong(i))
       var s = 0

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.storage.StorageLevel
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{PipelineQueries, RelationalQueries}
+
+/** Lifecycle pins for the session-scoped memo caches: explicit
+  * evict releases cached storage and derived layouts, and everything
+  * rebuilds correctly afterwards (a long-lived session must be able to
+  * cycle data directories without pinning each one's state forever). */
+class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("evictCaches unpersists memoized pipeline frames; queries rebuild") {
+    assume(new java.io.File(s"$dir/documents.parquet").exists)
+    val clusters = PipelineQueries.dDedupClusters(spark, dir)
+    val n = clusters.count()
+    assert(PipelineQueries.cachedFrameCount(spark, dir) > 0)
+    assert(clusters.storageLevel != StorageLevel.NONE,
+      "cluster labels should be cached while memoized")
+    PipelineQueries.evictCaches(spark, dir)
+    assert(PipelineQueries.cachedFrameCount(spark, dir) === 0)
+    assert(clusters.storageLevel === StorageLevel.NONE,
+      "evict must unpersist the memoized frame's storage")
+    // rebuild after evict: same result, fresh memo entry
+    assert(PipelineQueries.dDedupClusters(spark, dir).count() === n)
+    assert(PipelineQueries.cachedFrameCount(spark, dir) > 0)
+    PipelineQueries.evictCaches(spark, dir)
+  }
+
+  test("evictDerived drops bucketed catalog tables and z-order copies; queries rebuild") {
+    assume(new java.io.File(s"$dir/orders.parquet").exists)
+    val n1 = RelationalQueries.qBucketedJoin(spark, dir).count()
+    RelationalQueries.qZorderScan(spark, dir).count()
+    assert(RelationalQueries.derivedLayoutCount(spark, dir) === 2)
+    assert(spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bkt_")))
+    RelationalQueries.evictDerived(spark, dir)
+    assert(RelationalQueries.derivedLayoutCount(spark, dir) === 0)
+    assert(!spark.catalog.listTables().collect()
+      .exists(_.name.startsWith("graft_bkt_")),
+      "evict must drop the derived bucketed tables from the catalog")
+    // rebuild after evict still answers correctly
+    assert(RelationalQueries.qBucketedJoin(spark, dir).count() === n1)
+    RelationalQueries.evictDerived(spark, dir)
+  }
+}

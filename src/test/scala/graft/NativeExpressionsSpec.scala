@@ -232,4 +232,40 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
       spark.conf.unset("spark.sql.codegen.factoryMode")
     }
   }
+
+  test("PQ kernels validate shape, nulls, and code range before unchecked reads") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import graft.functions.{PqAdc, PqCodec}
+    // m=2 subspaces, ks=4 codes, sub=3 dims
+    val cb = Array.tabulate(2, 4)((si, c) =>
+      Array.tabulate(3)(j => (si + c + j).toFloat))
+    val codec = new PqCodec(cb, withNorm = false)
+    // short embedding: 5 elements vs m*sub = 6 — garbage read without guard
+    val short = new GenericArrayData(Array.tabulate(5)(_.toFloat))
+    assert(intercept[IllegalArgumentException](codec.encode(short))
+      .getMessage.contains("m*sub"))
+    // null element — UnsafeArrayData would silently read 0
+    val withNull = new GenericArrayData(
+      Array[Any](1.0f, null, 3.0f, 4.0f, 5.0f, 6.0f))
+    assert(intercept[IllegalArgumentException](codec.encode(withNull))
+      .getMessage.contains("null"))
+    // well-formed input still encodes
+    val ok = new GenericArrayData(Array.tabulate(6)(_.toFloat))
+    assert(codec.encode(ok).getArray(0).numElements() === 2)
+    // ADC: shape mismatches and out-of-range codes (a corrupted/foreign
+    // codes.parquet fed to pqSearchIndex) fail loudly
+    val lut = new GenericArrayData(Array.tabulate(8)(_.toDouble))
+    val goodCode = new GenericArrayData(Array(1L, 4L))
+    assert(PqAdc.lutSum(lut, goodCode, 2, 4) === 7.0) // lut(0) + lut(7)
+    intercept[IllegalArgumentException](
+      PqAdc.lutSum(lut, new GenericArrayData(Array(1L)), 2, 4))
+    intercept[IllegalArgumentException](
+      PqAdc.lutSum(new GenericArrayData(Array(1.0)), goodCode, 2, 4))
+    assert(intercept[IllegalArgumentException](
+      PqAdc.lutSum(lut, new GenericArrayData(Array(0L, 4L)), 2, 4))
+      .getMessage.contains("out of range"))
+    assert(intercept[IllegalArgumentException](
+      PqAdc.lutSum(lut, new GenericArrayData(Array(1L, 5L)), 2, 4))
+      .getMessage.contains("out of range"))
+  }
 }

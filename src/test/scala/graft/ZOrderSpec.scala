@@ -104,4 +104,15 @@ class ZOrderSpec extends AnyFunSuite with SparkSpec {
     assert(frac <= 0.15, f"wide-domain pruning lost: $frac%.3f")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(zDir))
   }
+
+  test("negative key values are rejected loudly (sign-extended shifts would " +
+      "silently scramble the Morton layout)") {
+    import spark.implicits._
+    val df = Seq((1L, 5L), (-3L, 7L), (2L, 9L)).toDF("a", "b")
+    val out = java.nio.file.Files.createTempDirectory("graft_zneg").toString
+    val e = intercept[IllegalArgumentException](
+      graft.sources.ZOrder.writeClustered(df, "a", "b", out, files = 2))
+    assert(e.getMessage.contains("negative") && e.getMessage.contains("'a'"))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(out))
+  }
 }
