@@ -698,4 +698,82 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.filter(_._1._1 == "a") === expect)
     assert(batch.keys.count(_._1 == "a") === 5, "board must cap at k")
   }
+
+  test("quantile/distinct/topk 100-batch soak: state plateaus at the sketch " +
+      "ceiling, never the stream length; final update == batch fold") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // 100 batches x 30 rows (3 keys x 10) = 3000 arrivals; sketch sizes
+    // (qk=32 sample, dk=16 KMV, tk=5 board) all saturate by ~batch 10, so
+    // from batch 30 on the state store must hold EXACTLY constant rows
+    // and non-growing bytes while n_seen climbs linearly — the
+    // bounded-state claim (3k+1 / k+1 / k longs per key) made by each
+    // fold's scaladoc, under 10x more batches than the parity tests.
+    val types = Vector("a", "b", "c")
+    def batchRows(b: Int): Seq[AEv] =
+      (0 until 30).map { j =>
+        val id = b * 30L + j + 1L
+        AEv(new java.sql.Timestamp(id * 1000L), (id * 31L) % 200L,
+          types(j % 3), id, ((id * 2654435761L) % 100003L) / 100.0)
+      }
+    val all = (0 until 100).flatMap(batchRows)
+    def soak[T](name: String,
+        xform: org.apache.spark.sql.DataFrame =>
+          org.apache.spark.sql.Dataset[T]): Array[org.apache.spark.sql.Row] = {
+      val mem = MemoryStream[AEv]
+      val q = xform(mem.toDF()).toDF()
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        var rowPlateau = -1L
+        var bytePlateau = -1L
+        for (b <- 0 until 100) {
+          mem.addData(batchRows(b): _*)
+          q.processAllAvailable()
+          val ops = q.lastProgress.stateOperators
+          val rows = ops.map(_.numRowsTotal).sum
+          val bytes = ops.map(_.memoryUsedBytes).sum
+          if (b == 30) { rowPlateau = rows; bytePlateau = bytes }
+          if (b > 30) {
+            assert(rows == rowPlateau,
+              s"$name batch $b: state rows $rows grew past plateau " +
+                s"$rowPlateau — state must track the sketch, not the stream")
+            assert(bytes <= bytePlateau,
+              s"$name batch $b: state bytes $bytes grew past the " +
+                s"saturated-sketch plateau $bytePlateau")
+          }
+        }
+        // one state row per key, nothing per-event
+        assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum ===
+          types.length.toLong)
+        spark.table(name).collect()
+      } finally q.stop()
+    }
+    def lastPerKey(rows: Array[org.apache.spark.sql.Row]): Map[String, Seq[Any]] =
+      rows.map(r => r.getString(0) -> r).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).maxBy(_.getLong(1)).toSeq }
+    // quantile: 3k+1 longs per key
+    val qs = soak("soakq", StreamingAgg.quantileSketchStream(_, 32))
+    assert(lastPerKey(qs) === StreamingAgg
+      .quantileSketchStream(all.toDF(), 32).toDF()
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap,
+      "quantile soak did not converge to the batch fold")
+    qs.foreach(r => assert(r.getLong(2) <= 32L, "sample must cap at k"))
+    // distinct: k+1 longs per key
+    val ds = soak("soakd", StreamingAgg.kmvDistinctStream(_, 16))
+    assert(lastPerKey(ds) === StreamingAgg
+      .kmvDistinctStream(all.toDF(), 16).toDF()
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap,
+      "distinct soak did not converge to the batch fold")
+    ds.foreach(r => assert(r.getLong(2) <= 16L, "sketch must cap at k"))
+    // topk: k (id, value) pairs per key — board never exceeds k ranks
+    val ts = soak("soakt", StreamingAgg.topKStream(_))
+    assert(ts.map(r => (r.getString(0), r.getLong(1))).distinct.length <=
+      types.length * 5, "board emitted ranks beyond k")
+    val lastBoard = ts.map(r => (r.getString(0), r.getLong(1)) -> r)
+      .groupBy(_._1).map { case (k, rs) => k -> rs.last._2.toSeq }
+    assert(lastBoard === StreamingAgg.topKStream(all.toDF()).toDF()
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap,
+      "topk soak did not converge to the batch fold")
+  }
 }
