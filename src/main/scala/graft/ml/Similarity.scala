@@ -74,17 +74,23 @@ object Similarity {
 
   /** Assign the corpus and persist the index under `dir`. One
     * assignment pass (map-only indexed search) + one range shuffle on
-    * cid; the codebook is model-sized and lands as a single file. */
+    * cid; the codebook is model-sized and lands as a single file.
+    * The stored lists keep each vector's assignment cosine (`ccos`,
+    * 8 B/row next to a 256 B embedding) — the raw material for the
+    * index's drift telemetry ([[driftStats]]); the build-time mean is
+    * recorded in `drift.json` from ONE pruned scan of the stored
+    * column. */
   def writeIndex(emb: DataFrame, codebook: DataFrame, dir: String): Unit = {
     graft.functions.native.register(emb.sparkSession)
     codebook.select(col("cid").cast(LongType), col("cv"))
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
     Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook)
-      .select(col("cid"), col("vec_id"), col("embedding"))
+      .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
       .repartitionByRange(col("cid"))
       .sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/lists.parquet")
+    writeBuildDrift(emb.sparkSession, dir, s"$dir/lists.parquet")
   }
 
   /** Reopen a persisted index (metadata only — no data read). */
@@ -93,6 +99,97 @@ object Similarity {
     IvfIndex(dir,
       spark.read.parquet(s"$dir/codebook.parquet"),
       spark.read.parquet(s"$dir/lists.parquet"))
+
+  // ------------------------------------------------- drift telemetry
+
+  /** Codebook-staleness telemetry for a persisted IVF / IVF-PQ index.
+    *
+    * [[appendIndex]]/[[appendIvfPqIndex]] are rebuild-equivalent for
+    * RESULTS (spec-pinned), but the codebook is frozen at build time: as
+    * the corpus distribution shifts, appended vectors sit farther from
+    * their nearest centroid, lists imbalance, and recall decays for the
+    * same nprobe. The cheap leading indicator is the mean assignment
+    * cosine: `drift` = build-time mean − appended-batches mean. Near 0
+    * (or negative) means the stream still matches the build
+    * distribution; a persistently positive and growing value says the
+    * frozen centroids describe the new data poorly — time to retrain
+    * (writeIndex again). Thresholds are deployment-specific; the metric
+    * is intentionally raw. */
+  final case class DriftStats(builtN: Long, builtMeanCos: Double,
+      appendedN: Long, appendedMeanCos: Double) {
+    def drift: Double =
+      if (appendedN == 0L) 0.0 else builtMeanCos - appendedMeanCos
+  }
+
+  private def driftPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "drift.json")
+
+  private def fs(spark: org.apache.spark.sql.SparkSession,
+      p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeDriftJson(spark: org.apache.spark.sql.SparkSession,
+      dir: String, bn: Long, bs: Double, an: Long, as: Double): Unit = {
+    val p = driftPath(dir)
+    val out = fs(spark, p).create(p, true)
+    try out.write(
+      (s"""{"built_n": $bn, "built_sum_cos": $bs, """ +
+        s""""append_n": $an, "append_sum_cos": $as}""").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readDriftJson(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Long, Double, Long, Double)] = {
+    val p = driftPath(dir)
+    val f = fs(spark, p)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      val txt =
+        try new String(
+          org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+        finally in.close()
+      def num(key: String): Double = {
+        val m = s""""$key":\\s*(-?[0-9.eE+-]+)""".r.findFirstMatchIn(txt)
+        m.map(_.group(1).toDouble).getOrElse(
+          sys.error(s"drift.json is malformed: missing $key in $txt"))
+      }
+      Some((num("built_n").toLong, num("built_sum_cos"),
+        num("append_n").toLong, num("append_sum_cos")))
+    }
+  }
+
+  /** Build-time stats from ONE scan of the freshly written lists/codes
+    * (pruned to the 8 B/row `ccos` column). */
+  private def writeBuildDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dataPath: String): Unit = {
+    val r = spark.read.parquet(dataPath)
+      .agg(count(lit(1)), sum(col("ccos"))).head()
+    writeDriftJson(spark, dir, r.getLong(0),
+      if (r.isNullAt(1)) 0.0 else r.getDouble(1), 0L, 0.0)
+  }
+
+  /** Accumulate an appended batch's stats into drift.json. Tolerates a
+    * pre-telemetry index (no drift.json): the append itself stays
+    * valid, telemetry just stays absent. */
+  private def recordAppendDrift(spark: org.apache.spark.sql.SparkSession,
+      dir: String, batch: DataFrame): Unit =
+    readDriftJson(spark, dir).foreach { case (bn, bs, an, as) =>
+      val r = batch.agg(count(lit(1)), sum(col("ccos"))).head()
+      writeDriftJson(spark, dir, bn, bs, an + r.getLong(0),
+        as + (if (r.isNullAt(1)) 0.0 else r.getDouble(1)))
+    }
+
+  /** Read a persisted index's drift telemetry (works for IVF and
+    * IVF-PQ index dirs — both record assignment cosines). */
+  def driftStats(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DriftStats = {
+    val (bn, bs, an, as) = readDriftJson(spark, dir).getOrElse(
+      sys.error(s"$dir/drift.json missing: index predates drift " +
+        "telemetry — rebuild with writeIndex/writeIvfPqIndex"))
+    DriftStats(bn, if (bn == 0L) 0.0 else bs / bn,
+      an, if (an == 0L) 0.0 else as / an)
+  }
 
   /** Append a new vector batch to a persisted IVF index WITHOUT
     * rebuilding: only the new batch is assigned (against the stored
@@ -106,12 +203,17 @@ object Similarity {
     * rebuild, which is the same writeIndex call. */
   def appendIndex(index: IvfIndex, emb: DataFrame): IvfIndex = {
     graft.functions.native.register(emb.sparkSession)
-    Embeddings.assign(emb.select(col("vec_id"), col("embedding")),
-        index.codebook)
-      .select(col("cid"), col("vec_id"), col("embedding"))
-      .repartitionByRange(col("cid"))
-      .sortWithinPartitions("cid")
-      .write.mode("append").parquet(s"${index.dir}/lists.parquet")
+    val assigned = Embeddings.assign(
+        emb.select(col("vec_id"), col("embedding")), index.codebook)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
+      .persist() // batch-sized by contract; avoids a second assignment job
+    try {
+      assigned
+        .repartitionByRange(col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("append").parquet(s"${index.dir}/lists.parquet")
+      recordAppendDrift(emb.sparkSession, index.dir, assigned)
+    } finally assigned.unpersist(blocking = false)
     openIndex(emb.sparkSession, index.dir)
   }
 
@@ -408,10 +510,12 @@ object Similarity {
       .coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
     encodeLists(emb, codebook, cb, residual)
-      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
+      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"),
+        col("ccos"))
       .repartitionByRange(col("cid"))
       .sortWithinPartitions("cid")
       .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+    writeBuildDrift(emb.sparkSession, dir, s"$dir/codes.parquet")
     // through the Hadoop FS like the parquet parts, so the index dir can
     // live on any filesystem the session can write (local/HDFS/object
     // store) — java.nio would silently treat "hdfs://..." as local
@@ -455,12 +559,18 @@ object Similarity {
     * cost proportional to the batch (see [[appendIndex]]). */
   def appendIvfPqIndex(index: IvfPqIndex, emb: DataFrame): IvfPqIndex = {
     graft.functions.native.register(emb.sparkSession)
-    encodeLists(emb, index.codebook, collectPq(index.pqCodebook),
-        index.residual)
-      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"))
-      .repartitionByRange(col("cid"))
-      .sortWithinPartitions("cid")
-      .write.mode("append").parquet(s"${index.dir}/codes.parquet")
+    val encoded = encodeLists(emb, index.codebook,
+        collectPq(index.pqCodebook), index.residual)
+      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"),
+        col("ccos"))
+      .persist() // batch-sized by contract; avoids a second encode job
+    try {
+      encoded
+        .repartitionByRange(col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("append").parquet(s"${index.dir}/codes.parquet")
+      recordAppendDrift(emb.sparkSession, index.dir, encoded)
+    } finally encoded.unpersist(blocking = false)
     openIvfPqIndex(emb.sparkSession, index.dir)
   }
 

@@ -489,12 +489,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(persisted.toSeq === mem.toSeq,
       "persisted IVF-PQ index must reproduce the in-memory results")
     // both reductions must survive the round-trip: the stored scan holds
-    // ONLY the compressed columns + list key, and the probe set pushes
-    // into it as a cid filter — probed lists' compressed bytes, nothing
-    // else, are read
+    // ONLY the compressed columns + list key + the 8 B/row drift-telemetry
+    // cosine (never the raw embedding), and the probe set pushes into it
+    // as a cid filter — probed lists' compressed bytes, nothing else, are
+    // read (ccos is column-pruned out of every search scan)
     val schema = index.codes.schema.fieldNames.toSet
-    assert(schema === Set("cid", "vec_id", "code", "rnorm"),
-      s"codes.parquet must hold only (cid + compressed) columns: $schema")
+    assert(schema === Set("cid", "vec_id", "code", "rnorm", "ccos"),
+      s"codes.parquet holds compressed columns + drift ccos only: $schema")
+    assert(!schema.contains("embedding"),
+      "raw embeddings must never land in an IVF-PQ codes file")
     val plan = graft.ml.Similarity.ivfPqSearchIndex(
       index, queries, k = 6, nprobe = 2).queryExecution.executedPlan
     def nodes(p: org.apache.spark.sql.execution.SparkPlan)
@@ -513,6 +516,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(scans.forall(_.metadata("PushedFilters").contains("In(cid")),
       s"cid probe set must push into the codes scan: " +
         scans.map(_.metadata("PushedFilters")).mkString("; "))
+    assert(scans.forall(!_.requiredSchema.fieldNames.contains("ccos")),
+      "search scans must column-prune the drift-telemetry ccos")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
@@ -757,5 +762,84 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(large.max <= 60,
       s"4x corpus must NOT grow clusters: max ${large.max}")
     assert(large.size >= 60, s"expected ~64 clusters, got ${large.size}")
+  }
+
+  test("index drift telemetry: stable appends stay flat, a shifted batch " +
+      "moves the metric; the 10x-appended index keeps its recall floor") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$driftDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 8, iters = 3)
+      .select(col("cid"), col("cv"))
+    val idir = java.nio.file.Files.createTempDirectory("graft_drifttel")
+      .toString
+    graft.ml.Similarity.writeIndex(emb, codebook, idir)
+    val s0 = graft.ml.Similarity.driftStats(spark, idir)
+    assert(s0.builtN === 80L && s0.appendedN === 0L && s0.drift === 0.0)
+    assert(s0.builtMeanCos > 0.5 && s0.builtMeanCos <= 1.0)
+    // 9 stable replica batches (720 vectors): same axis-cluster
+    // distribution as the build corpus -> the metric must stay ~flat
+    var idx = graft.ml.Similarity.openIndex(spark, idir)
+    for (r <- 1 to 9) {
+      val rep = (0L until 80L).map { i =>
+        val a = (i % 8).toInt
+        val v = Array.tabulate(64)(j =>
+          (if (j == a) 1.0f else 0.0f) + 0.002f * ((i * 11 + j * 5 + r) % 7))
+        (10000L * r + i, v.toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      idx = graft.ml.Similarity.appendIndex(idx, rep)
+    }
+    val sStable = graft.ml.Similarity.driftStats(spark, idir)
+    assert(sStable.appendedN === 720L)
+    assert(math.abs(sStable.drift) < 0.05,
+      f"stable appends moved drift to ${sStable.drift}%.4f")
+    // recall floor at 10x corpus (800 vectors), axes as queries:
+    // exact top-10 by cosine computed in the driver vs the index search
+    val queries = spark.read.parquet(s"$driftDir/embeddings.parquet")
+      .filter(col("vec_id").between(8, 15))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val approx = graft.ml.Similarity
+      .ivfSearchIndex(idx, queries, k = 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+      .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+    val all = idx.lists.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    assert(all.length === 800)
+    def cosd(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / math.sqrt(na * nb)
+    }
+    val qs = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val recalls = qs.map { case (q, qv) =>
+      val exact = all.map { case (id, v) => (id, cosd(qv, v)) }
+        .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+      (approx.getOrElse(q, Set.empty) & exact).size / 10.0
+    }
+    val recall = recalls.sum / recalls.length
+    info(f"10x appended-index recall@10: $recall%.2f " +
+      f"(drift ${sStable.drift}%.4f)")
+    assert(recall >= 0.6, f"10x appended recall $recall%.2f below floor")
+    // a genuinely shifted batch (axis mixtures, far from every frozen
+    // centroid) must move the cumulative metric visibly
+    val shifted = (0L until 400L).map { i =>
+      val (a, b) = ((i % 8).toInt, ((i + 3) % 8).toInt)
+      val v = Array.tabulate(64)(j =>
+        if (j == a || j == b) 0.7071f else 0.0f)
+      (1000000L + i, v.toSeq)
+    }.toDF("vec_id", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+    idx = graft.ml.Similarity.appendIndex(idx, shifted)
+    val sShift = graft.ml.Similarity.driftStats(spark, idir)
+    assert(sShift.appendedN === 1120L)
+    assert(sShift.drift > sStable.drift + 0.05,
+      f"shifted batch did not move drift: ${sShift.drift}%.4f vs " +
+        f"stable ${sStable.drift}%.4f")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idir))
   }
 }
