@@ -47,6 +47,16 @@ object Hdf5Reader {
 
   sealed trait H5Type { def size: Int }
   final case class H5Int(size: Int, signed: Boolean) extends H5Type
+  /** Enumeration (datatype class 8): an integer base plus the parsed
+    * name→value member list. Values DECODE as the base integer (the
+    * same view netcdf-c gives a reader), so every data path unwraps to
+    * `base` up front; the labels ride to [[NetCDFIngest]], which
+    * surfaces them as Spark column metadata (`enum_names` /
+    * `enum_values`) — exceeding the reference's declared enum gap. */
+  final case class H5Enum(base: H5Int, labels: Seq[(String, Long)])
+      extends H5Type {
+    def size: Int = base.size
+  }
   final case class H5Float(size: Int) extends H5Type
   final case class H5FixedString(size: Int) extends H5Type
   /** vlen of `base`; `isString` marks vlen strings. */
@@ -588,11 +598,14 @@ object Hdf5Reader {
         case 6 => parseCompound(off, size).getOrElse(H5Opaque(size))
         case 7 => H5Reference()
         case 8 =>
-          // enum (class 8): the base type message follows the header;
-          // values decode as the base integer — the same view netcdf-c
-          // gives a reader that ignores the name map
+          // enum (class 8): the base type message follows the header,
+          // then the member names, then the member values. Values decode
+          // as the base integer; the name→value list is parsed into
+          // [[H5Enum]] so ingest can surface it as column metadata. A
+          // malformed member list degrades to the bare base type.
           datatypeAt(off + 8) match {
-            case base: H5Int => base
+            case base: H5Int =>
+              parseEnumLabels(off, base).map(H5Enum(base, _)).getOrElse(base)
             case _ => H5Opaque(size)
           }
         case 9 =>
@@ -600,6 +613,47 @@ object Hdf5Reader {
           H5Vlen(datatypeAt(off + 8), isStr)
         case _ => H5Opaque(size)
       }
+    }
+
+    /** Enum (class 8) member list, datatype-message versions 1-3 (HDF5
+      * spec IV.A.2.c, class 8): after the 8-byte header and the base
+      * fixed-point message (8 + 4 property bytes), the member names
+      * (NUL-terminated; padded to 8 in v1/2, unpadded in v3) and then
+      * the member values, each `base.size` bytes of the base integer.
+      * Returns None on any structural anomaly — the type then degrades
+      * to the bare base int (the previous behavior). */
+    private def parseEnumLabels(off: Long,
+        base: H5Int): Option[Seq[(String, Long)]] = {
+      val ver = (u8(off) >>> 4) & 0x0f
+      val nm = u8(off + 1) | (u8(off + 2) << 8)
+      if (nm == 0 || ver < 1 || ver > 3) return None
+      var p = off + 8 + 12 // header + fixed-point base message
+      val names = Seq.newBuilder[String]
+      var i = 0
+      while (i < nm) {
+        var q = p
+        var guard = 0
+        while (u8(q) != 0 && guard < 4096) { q += 1; guard += 1 }
+        if (guard >= 4096) return None
+        names += new String(d.copy(p, q), "UTF-8")
+        val len = (q - p).toInt + 1
+        p += (if (ver == 3) len else ((len + 7) / 8) * 8)
+        i += 1
+      }
+      val values = (0 until nm).map { j =>
+        val vp = p + j.toLong * base.size
+        var v = 0L
+        var b = 0
+        while (b < base.size) {
+          v |= (u8(vp + b).toLong & 0xffL) << (8 * b)
+          b += 1
+        }
+        if (base.signed && base.size < 8) {
+          val sh = 64 - 8 * base.size
+          (v << sh) >> sh
+        } else v
+      }
+      Some(names.result().zip(values))
     }
 
     /** Compound (class 6) member list, datatype-message versions 1-3
@@ -719,8 +773,9 @@ object Hdf5Reader {
 
     /** Decode `n` elements of `dt` at raw[p..]; vlen/reference elements
       * resolve through THIS file's global heap. */
-    private def decodeValues(raw: Array[Byte], p0: Int, dt: H5Type,
+    private def decodeValues(raw: Array[Byte], p0: Int, dt0: H5Type,
         n: Int): Any = {
+      val dt = dt0 match { case e: H5Enum => e.base; case t => t }
       val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
       def one(i: Int): Any = {
         val p = p0 + i * dt.size
@@ -748,6 +803,7 @@ object Hdf5Reader {
             }
           case _: H5Int => 0L
           case _: H5Float => 0.0
+          case _: H5Enum => 0L // unreachable: normalized to base above
           case H5Opaque(sz) =>
             java.util.Arrays.copyOfRange(raw, p, p + sz)
         }
@@ -1053,7 +1109,9 @@ object Hdf5Reader {
       require(nL <= Int.MaxValue,
         s"dataset of $nL elements exceeds the per-variable read bound")
       val n = nL.toInt
-      ds.dtype match {
+      // enums decode as their integer base; the label map is metadata
+      val dtype = ds.dtype match { case e: H5Enum => e.base; case t => t }
+      dtype match {
         case H5Vlen(_, true) =>
           // vlen strings route through the global heap per element
           val raw = rawData(msgs, ds.shape, 16)

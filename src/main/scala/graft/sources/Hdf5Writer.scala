@@ -60,6 +60,15 @@ object Hdf5Writer {
     require(members.nonEmpty, "compound needs at least one member")
     val size: Int = members.map(_._2.size).sum
   }
+  /** enumeration (HDF5 datatype class 8): an integer base plus the
+    * name→value member list; data bytes are base-integer encodings.
+    * `v1 = true` emits the version-1 layout (names padded to 8) that
+    * libhdf5 default-writes; v3 is the compact unpadded form. */
+  final case class WEnum(base: WInt, labels: Seq[(String, Long)],
+      v1: Boolean = false) extends WType {
+    require(labels.nonEmpty, "enum needs at least one member")
+    val size: Int = base.size
+  }
 
   sealed trait WAttrVal
   final case class WStrAttr(v: String) extends WAttrVal
@@ -248,6 +257,25 @@ object Hdf5Writer {
           (0 until 4).foreach(_ => b.u32(0))
           b.bytes(dtBytes(mt))
           moff1 += mt.size
+        }
+      case WEnum(base, labels, v1) =>
+        // class 8: header (member count in bit-field bytes 0-1), the
+        // complete base fixed-point message, names (v1: NUL + pad to 8;
+        // v3: NUL only), then the values as base-size little-endian
+        b.u8(if (v1) 0x18 else 0x38); b.u8(labels.size & 0xff)
+        b.u8((labels.size >> 8) & 0xff); b.u8(0)
+        b.u32(base.size)
+        b.bytes(dtBytes(base))
+        labels.foreach { case (name, _) =>
+          val raw = name.getBytes("UTF-8")
+          b.bytes(raw); b.u8(0)
+          if (v1) b.zeros((8 - (raw.length + 1) % 8) % 8)
+        }
+        labels.foreach { case (_, v) =>
+          var x = v
+          (0 until base.size).foreach { _ =>
+            b.u8((x & 0xff).toInt); x >>= 8
+          }
         }
       case c @ WCompound(members, false) =>
         // version 3 compound (spec IV.A.2.d): member name NUL-terminated

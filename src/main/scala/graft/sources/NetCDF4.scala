@@ -183,6 +183,7 @@ object NetCDF4 {
     case Hdf5Reader.H5Float(_) => "float"
     case Hdf5Reader.H5Int(8, _) => "bigint"
     case Hdf5Reader.H5Int(_, _) => "int"
+    case Hdf5Reader.H5Enum(base, _) => typeName(base)
     case _ => "string"
   }
 

@@ -71,6 +71,7 @@ object NetCDFIngest {
     case Hdf5Reader.H5Float(8) => DoubleType
     case Hdf5Reader.H5Float(_) => FloatType
     case Hdf5Reader.H5Int(_, _) => LongType
+    case Hdf5Reader.H5Enum(_, _) => LongType // values decode as the base
     case c: Hdf5Reader.H5Compound =>
       // netCDF user-defined compound type -> Spark struct column.
       // Member floats decode as Double (Hdf5Reader.memberVal), ints as
@@ -100,8 +101,34 @@ object NetCDFIngest {
         else if (perRecord.product > 1)
           ArrayType(elemType(v.dtype), containsNull = true)
         else elemType(v.dtype)
-      StructField(v.name, t, nullable = true)
+      // enum (class 8) label map rides the column as Spark metadata —
+      // the values stay plain integers (netcdf-c's view); consumers
+      // decode labels via [[enumLabelMap]] without any join
+      val md = v.dtype match {
+        case Hdf5Reader.H5Enum(_, labels) =>
+          new MetadataBuilder()
+            .putStringArray("enum_names", labels.map(_._1).toArray)
+            .putLongArray("enum_values", labels.map(_._2).toArray)
+            .build()
+        case _ => Metadata.empty
+      }
+      StructField(v.name, t, nullable = true, md)
     })
+
+  /** Value→label lookup column for an ingested enum field: a
+    * `map_from_arrays` literal built from the field's `enum_names`/
+    * `enum_values` metadata (broadcast-free — the map is a literal in
+    * the plan). `element_at(enumLabelMap(f).get, col)` yields the label,
+    * null for values outside the declared members. None for non-enum
+    * fields. */
+  def enumLabelMap(field: StructField)
+      : Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{map_from_arrays, typedLit}
+    if (!field.metadata.contains("enum_names")) None
+    else Some(map_from_arrays(
+      typedLit(field.metadata.getLongArray("enum_values").toSeq),
+      typedLit(field.metadata.getStringArray("enum_names").toSeq)))
+  }
 
   private def fillOf(v: NcVar): Option[Double] =
     v.attrs.get("_FillValue").flatMap {

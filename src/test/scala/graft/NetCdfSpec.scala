@@ -449,6 +449,72 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
       .toSeq === (0 until n).map(i => (10L + i, 0.5 * i, s"t$i")))
   }
 
+  test("enum (class 8) variables: values decode as the base int, the " +
+      "name->value map surfaces as column metadata") {
+    import graft.sources.Hdf5Writer
+    import Hdf5Writer._
+    val tmp = Files.createTempDirectory("nc_enum").toString
+    val dst = java.nio.file.Paths.get(tmp, "granule.nc")
+    val labels = Seq("clear" -> 0L, "cloudy" -> 1L, "missing" -> -1L)
+    val enum1 = WEnum(WInt(1), labels, v1 = true)
+    val enum4 = WEnum(WInt(4), labels)
+    val n = 5
+    val flags = Array[Byte](0, 1, 1, -1, 0)
+    val flags4 = java.nio.ByteBuffer.allocate(n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    flags.foreach(v => flags4.putInt(v.toInt))
+    val timeB = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => timeB.putDouble(i * 60.0))
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("time", Seq(n.toLong), WF64, Some(timeB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"),
+          "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true))
+      // v1 layout (libhdf5's default write) over an i8 base AND the v3
+      // layout over an i32 base, same member list
+      w.dataset(WDataset("sky", Seq(n.toLong), enum1, Some(flags),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time")))))
+      w.dataset(WDataset("sky4", Seq(n.toLong), enum4,
+        Some(flags4.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time")))))
+      w.finish(Seq("title" -> WStrAttr("enum fixture")))
+    }
+    // reader level: type parses with labels, values decode as base ints
+    // (negative members sign-extend per the base width)
+    val h5 = Hdf5Reader.open(dst.toString)
+    try {
+      for (name <- Seq("sky", "sky4")) {
+        val ds = h5.datasets.find(_.name == name).get
+        val e = ds.dtype.asInstanceOf[Hdf5Reader.H5Enum]
+        assert(e.labels === labels, s"$name labels")
+        assert(h5.read(ds).asInstanceOf[Array[Long]].toSeq ===
+          Seq(0L, 1L, 1L, -1L, 0L), s"$name values")
+      }
+    } finally h5.close()
+    // ingest level: LongType column carrying enum_names/enum_values
+    // metadata, and the label-map helper decodes without a join
+    val meta = NetCDFIngest.granuleMeta(dst.toString)
+    val f = meta.schema("sky")
+    assert(f.dataType === LongType)
+    assert(f.metadata.getStringArray("enum_names").toSeq ===
+      Seq("clear", "cloudy", "missing"))
+    assert(f.metadata.getLongArray("enum_values").toSeq ===
+      Seq(0L, 1L, -1L))
+    assert(NetCDFIngest.enumLabelMap(meta.schema("time")).isEmpty)
+    val rows = NetCDFIngest.granuleRows(dst.toString, meta.schema).toSeq
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), meta.schema)
+    val lbl = NetCDFIngest.enumLabelMap(f).get
+    val decoded = df.select(col("time"),
+        element_at(lbl, col("sky")).as("sky_label"))
+      .orderBy("time").collect().map(_.getString(1))
+    assert(decoded.toSeq ===
+      Seq("clear", "cloudy", "cloudy", "missing", "clear"))
+  }
+
   test("szip-filtered chunks fail with an actionable error naming the filter") {
     import graft.sources.Hdf5Writer
     import Hdf5Writer._
