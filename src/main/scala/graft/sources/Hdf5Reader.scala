@@ -955,16 +955,21 @@ object Hdf5Reader {
                   "corrupt granule")
             out = java.util.Arrays.copyOf(out, n)
           case 4 =>
-            // szip (filter id 4): patent-encumbered CCSDS entropy coder;
-            // netcdf-c reads it only when libhdf5 is built against
-            // libsz. Name the filter and the workaround instead of a
-            // bare number — the fix is a one-time re-encode, not a
-            // reader change. Spec-pinned in NetCdfSpec.
-            throw new IllegalStateException(
-              "chunk uses the szip filter (H5Z_FILTER_SZIP, id 4), " +
-                "which graft does not decode — re-encode the granule " +
-                "with deflate (e.g. `h5repack -f SHUF,GZIP=4 in.nc " +
-                "out.nc` or `nccopy -d4 in.nc out.nc`) and re-ingest")
+            // szip (filter id 4): CCSDS-121 extended-Rice, decoded by
+            // the pure-JVM [[Szip]] codec. cd = (option mask, bits per
+            // pixel, pixels per block, pixels per scanline) per
+            // H5Zszip.c; a malformed parameter set or a stream corner
+            // outside the decoder's covered space still fails loudly
+            // with the re-encode workaround (spec-pinned in NetCdfSpec).
+            if (f.cd.length < 4)
+              throw new IllegalStateException(
+                "chunk uses the szip filter (H5Z_FILTER_SZIP, id 4) " +
+                  s"with ${f.cd.length} client-data values (4 required: " +
+                  "options, bits/pixel, pixels/block, pixels/scanline) " +
+                  "— corrupt or foreign pipeline message; re-encode " +
+                  "with deflate (`h5repack -f SHUF,GZIP=4`)")
+            out = Szip.decode(out,
+              Szip.Params(f.cd(0), f.cd(1), f.cd(2), f.cd(3)))
           case other =>
             throw new IllegalStateException(
               s"unsupported HDF5 filter id $other on a chunk — graft " +

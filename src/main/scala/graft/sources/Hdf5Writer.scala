@@ -101,6 +101,9 @@ object Hdf5Writer {
       chunkRows: Option[Int] = None,
       /** zlib deflate level 1-9 per chunk (chunked layout only) */
       deflate: Option[Int] = None,
+      /** szip (H5Z_FILTER_SZIP, id 4) per chunk via [[Szip.encode]];
+        * mutually exclusive with deflate (chunked layout only) */
+      szip: Option[Szip.Params] = None,
       /** byte-shuffle before deflate (netcdf-c's usual companion filter:
         * groups the k-th byte of every element together so deflate sees
         * long runs; chunked layout only) */
@@ -512,9 +515,11 @@ object Hdf5Writer {
         s"${ds.name}: ${d.length} data bytes for shape ${ds.shape} x " +
           s"${ds.dtype.size}"))
       require(ds.unlimited0 || (ds.chunkRows.isEmpty && ds.deflate.isEmpty
-        && !ds.fletcher32 && !ds.shuffle),
-        s"${ds.name}: chunkRows/deflate/shuffle/fletcher32 need chunked " +
-          "layout (unlimited0 = true)")
+        && ds.szip.isEmpty && !ds.fletcher32 && !ds.shuffle),
+        s"${ds.name}: chunkRows/deflate/szip/shuffle/fletcher32 need " +
+          "chunked layout (unlimited0 = true)")
+      require(ds.deflate.isEmpty || ds.szip.isEmpty,
+        s"${ds.name}: deflate and szip are mutually exclusive")
       ds.deflate.foreach(l => require(l >= 1 && l <= 9,
         s"${ds.name}: deflate level $l out of range 1-9"))
       ds.chunkRows.foreach(c => require(c > 0,
@@ -554,6 +559,7 @@ object Hdf5Writer {
       var payload = raw
       if (ds.shuffle) payload = shuffleBytes(payload, ds.dtype.size)
       ds.deflate.foreach(lvl => payload = deflateBytes(payload, lvl))
+      ds.szip.foreach(p => payload = Szip.encode(payload, p))
       if (ds.fletcher32) {
         // trailing checksum, little-endian, over the (possibly
         // compressed) chunk as stored — matching the pipeline order
@@ -772,6 +778,8 @@ object Hdf5Writer {
         val pipeline: Seq[(Int, Seq[Int])] =
           (if (ds.shuffle) Seq(2 -> Seq(ds.dtype.size)) else Nil) ++
             ds.deflate.map(lvl => 1 -> Seq(lvl)).toSeq ++
+            ds.szip.map(p => 4 -> Seq(p.optionMask, p.bitsPerPixel,
+              p.pixelsPerBlock, p.pixelsPerScanline)).toSeq ++
             (if (ds.fletcher32) Seq(3 -> Seq.empty[Int]) else Nil)
         if (pipeline.nonEmpty && ds.unlimited0)
           msgs += 0x0b -> { () =>

@@ -515,7 +515,52 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
       Seq("clear", "cloudy", "cloudy", "missing", "clear"))
   }
 
-  test("szip-filtered chunks fail with an actionable error naming the filter") {
+  test("szip-filtered granule decodes byte-identically to its deflate twin") {
+    import graft.sources.{Hdf5Writer, Szip}
+    import Hdf5Writer._
+    val tmp = Files.createTempDirectory("nc_szip_ok").toString
+    val dst = java.nio.file.Paths.get(tmp, "szip.nc")
+    // a realistic smooth signal (what szip's NN predictor is FOR), as
+    // 32-bit ints, plus an 8-bit flags variable — two sample widths
+    // through the whole filter pipeline (shuffle stays OFF: szip is its
+    // own preprocessor)
+    val n = 200
+    val vals = java.nio.ByteBuffer.allocate(n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i =>
+      vals.putInt(1000000 + 500 * i + (i % 7) * 3))
+    val flags = Array.tabulate[Byte](n)(i => (i % 3).toByte)
+    val szip32 = Szip.Params(Szip.NN | Szip.LSB, 32, 16, 128)
+    val szip8 = Szip.Params(Szip.EC | Szip.LSB, 8, 8, 64)
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("v_szip", Seq(n.toLong), WInt(4),
+        Some(vals.array()), Nil, unlimited0 = true,
+        chunkRows = Some(n), szip = Some(szip32)))
+      w.dataset(WDataset("v_deflate", Seq(n.toLong), WInt(4),
+        Some(vals.array()), Nil, unlimited0 = true,
+        chunkRows = Some(n), deflate = Some(4)))
+      w.dataset(WDataset("f_szip", Seq(n.toLong), WInt(1),
+        Some(flags), Nil, unlimited0 = true,
+        chunkRows = Some(n), szip = Some(szip8)))
+      w.finish(Nil)
+    }
+    val h5 = Hdf5Reader.open(dst.toString)
+    try {
+      def longs(name: String): Seq[Long] =
+        h5.read(h5.datasets.find(_.name == name).get)
+          .asInstanceOf[Array[Long]].toSeq
+      assert(longs("v_szip") === longs("v_deflate"),
+        "szip decode must match the deflate twin byte for byte")
+      assert(longs("v_szip").take(3) ===
+        Seq(1000000L, 1000503L, 1001006L))
+      assert(longs("f_szip") === flags.map(_.toLong).toSeq)
+    } finally {
+      h5.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("szip with a malformed parameter set fails with an actionable error") {
     import graft.sources.Hdf5Writer
     import Hdf5Writer._
     val tmp = Files.createTempDirectory("nc_szip").toString
@@ -543,6 +588,10 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
     Files.write(dst, bytes)
     val h5 = graft.sources.Hdf5Reader.open(dst.toString)
     try {
+      // the patched pipeline declares szip with ONE client-data value
+      // (deflate's level); 4 are required — the reader must refuse with
+      // the named filter and the re-encode workaround, never decode
+      // garbage with default parameters
       val ex = intercept[IllegalStateException] {
         h5.read(h5.datasets.find(_.name == "v").get)
       }
