@@ -214,6 +214,18 @@ object Multimodal {
     private val Signature =
       Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n')
 
+    // zlib codecs allocate native stream state on construction — at
+    // millions of small images per partition that allocation dominates
+    // the actual compression. One instance per executor thread,
+    // reset() per image (the mapInPandas-style batch-reuse pattern).
+    // BEST_SPEED: the synthesized pixel formulas are near-incompressible,
+    // where higher zlib levels buy bytes-per-mille at 3x the CPU; any
+    // zlib level is a valid PNG stream and decode cost is unchanged
+    private val deflaters = ThreadLocal.withInitial[Deflater](() =>
+      new Deflater(Deflater.BEST_SPEED))
+    private val inflaters = ThreadLocal.withInitial[Inflater](() =>
+      new Inflater())
+
     private def crc(id: Array[Byte], payload: Array[Byte]): Int = {
       val c = new CRC32()
       c.update(id); c.update(payload)
@@ -264,13 +276,13 @@ object Multimodal {
         }
         y += 1
       }
-      val deflater = new Deflater(Deflater.DEFAULT_COMPRESSION)
+      val deflater = deflaters.get()
+      deflater.reset()
       deflater.setInput(raw); deflater.finish()
       val zout = new ByteArrayOutputStream()
       val tmp = new Array[Byte](8192)
       while (!deflater.finished())
         zout.write(tmp, 0, deflater.deflate(tmp))
-      deflater.end()
       val ihdr = {
         val b = ByteBuffer.allocate(13)
         b.putInt(width).putInt(height)
@@ -323,7 +335,8 @@ object Multimodal {
       }
       require(width > 0 && height > 0, "PNG payload has no IHDR")
       val stride = 3 * width
-      val inflater = new Inflater()
+      val inflater = inflaters.get()
+      inflater.reset()
       inflater.setInput(idat.toByteArray)
       val raw = new Array[Byte]((stride + 1) * height)
       var got = 0
@@ -333,7 +346,6 @@ object Multimodal {
           "truncated PNG IDAT stream")
         got += n
       }
-      inflater.end()
       require(got == raw.length,
         s"PNG IDAT inflated to $got bytes, expected ${raw.length}")
       val rgb = new Array[Byte](stride * height)

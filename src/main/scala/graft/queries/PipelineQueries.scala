@@ -1346,7 +1346,11 @@ object PipelineQueries {
   def mmFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Multimodal.{MediaSynth, Png}
-    tbl(s, dir, "events").select(col("event_id")).as[Long]
+    tbl(s, dir, "events").select(col("event_id"))
+      // the input is an 8 B/row id column but the loop is compute-heavy:
+      // spread it across all cores (the scan alone yields ~1 partition
+      // at small SFs); at 100 TB the payload scan is already partitioned
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val img = Png.decode(MediaSynth.pngPayload(id))
@@ -1371,7 +1375,11 @@ object PipelineQueries {
   def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Multimodal.{Avi, MediaSynth}
-    tbl(s, dir, "events").select(col("event_id")).as[Long]
+    tbl(s, dir, "events").select(col("event_id"))
+      // the input is an 8 B/row id column but the loop is compute-heavy:
+      // spread it across all cores (the scan alone yields ~1 partition
+      // at small SFs); at 100 TB the payload scan is already partitioned
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val vid = Avi.decode(MediaSynth.aviPayload(id))
@@ -1398,7 +1406,11 @@ object PipelineQueries {
   def mmAudioChunks(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import graft.multimodal.Multimodal.{MediaSynth, Wav}
-    tbl(s, dir, "events").select(col("event_id")).as[Long]
+    tbl(s, dir, "events").select(col("event_id"))
+      // the input is an 8 B/row id column but the loop is compute-heavy:
+      // spread it across all cores (the scan alone yields ~1 partition
+      // at small SFs); at 100 TB the payload scan is already partitioned
+      .repartition(s.sparkContext.defaultParallelism).as[Long]
       .mapPartitions { it =>
         it.map { id =>
           val clip = Wav.decode(MediaSynth.wavPayload(id))
