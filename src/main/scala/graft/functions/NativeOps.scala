@@ -188,6 +188,26 @@ object NativeOps {
     dot / (math.sqrt(nx) * math.sqrt(ny))
   }
 
+  /** [[lshBucket]] generalized to `planes` hyperplanes (same weight
+    * formula, same fold order — plane j of any width agrees with the
+    * 8-plane bucket's plane j). Parity: PortableVec.lshSigDuck. */
+  def lshSig(v: ArrayData, planes: Int): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < planes) {
+      var s = 0.0
+      var i = 1
+      while (i <= 64) {
+        val w = ((1103515245L * (j.toLong * 257 + i) + 12345L) % 1000003L) - 501001L
+        s += w.toDouble * v.getFloat(i - 1).toDouble
+        i += 1
+      }
+      if (s >= 0.0) bucket += (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
   def lshBucket(v: ArrayData): Long = {
     var bucket = 0L
     var j = 0

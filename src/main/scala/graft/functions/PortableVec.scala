@@ -35,6 +35,12 @@ object PortableVec {
     * 64-dim float-array expression. */
   def lshBucketSpark(v: String): String =
     s"aggregate(sequence(0, 7), 0L, (acc, j) -> acc + IF(aggregate(sequence(1, 64), CAST(0 AS DOUBLE), (s, i) -> s + ${weight("j", "i")} * CAST(element_at($v, i) AS DOUBLE)) >= CAST(0 AS DOUBLE), shiftleft(1L, j), 0L))"
+  /** 40-plane signed-random-projection signature (DuckDB side of
+    * `graft.functions.LshSig(v, 40)` — same per-plane rule as the
+    * 8-plane bucket, so the bucket is the sig's low byte). */
+  def lshSigDuck(v: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 40), j -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> ${weight("j", "i")} * CAST($v[i] AS DOUBLE))), (x, y) -> x + y) >= CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
+
   def lshBucketDuck(v: String): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), j -> CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(range(1, 65), i -> ${weight("j", "i")} * CAST($v[i] AS DOUBLE))), (x, y) -> x + y) >= CAST(0 AS DOUBLE) THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)), (a, x) -> a + x)"
 }

@@ -128,6 +128,19 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** [[LshBucket]] generalized to `planes` hyperplanes — the
+    * corpus-scaled banded-LSH signature (plane j identical to the
+    * bucket's plane j, so the 8-plane bucket is this sig's low byte).
+    * Parity: PortableVec.lshSigDuck. */
+  case class LshSig(child: Expression, planes: Int) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.lshSig(input.asInstanceOf[ArrayData], planes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Ops.lshSig($c, $planes)")
+    override protected def withNewChildInternal(c: Expression) = copy(child = c)
+  }
+
   /** Array<Long> token hashes -> Array<Long> distinct 8-token-span rolling
     * hashes (set semantics; consumers count occurrences, never order).
     * Parity: PortableText.spanHashes{Spark,Duck}. */

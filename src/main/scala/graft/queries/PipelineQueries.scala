@@ -42,6 +42,7 @@ object PipelineQueries {
   def evictCaches(s: SparkSession, dir: String): Unit = {
     frameMemo.evictMatching(s)(_._1 == dir)
     clustersMemo.evictMatching(s)(_ == dir)
+    embCountMemo.evictMatching(s)(_ == dir)
   }
 
   /** Number of live memo entries for (session, dir) — specs. */
@@ -258,15 +259,62 @@ object PipelineQueries {
         .cache()
     }
 
+  /** 40-plane LSH signature + memoized corpus count for the
+    * corpus-scaled banded near-dup join below. */
+  private def sig40(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "sig40") {
+      tbl(s, dir, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("vec_id"), col("embedding").as("v"))
+        .withColumn("sig", graft.functions.native.parameterized(s,
+          es => graft.functions.native.LshSig(es.head, 40), col("v")))
+        .cache()
+    }
+  private val embCountMemo = new SessionScoped[String, java.lang.Long]()
+  private def embCount(s: SparkSession, dir: String): Long =
+    embCountMemo.getOrBuild(s, dir)(
+      java.lang.Long.valueOf(tbl(s, dir, "embeddings").count())).longValue()
+
+  /** Band width (bits) for a corpus of n vectors: the smallest B in
+    * [8, 20] with 2^B >= ceil(n/64) — expected bucket size stays ~64 as
+    * the corpus grows, so within-bucket pair work stays LINEAR in n
+    * instead of n²/2^bits (a fixed 8-bit bucket was measured 142x at a
+    * 100x scale-up — the quadratic regime). Pure integer derivation so
+    * the DuckDB oracle computes the identical B (a float log2 could
+    * round differently at power-of-two boundaries). */
+  def lshBandBits(n: Long): Int = {
+    val target = math.min((n + 63L) / 64L, 1L << 20)
+    (8 to 20).find(b => (1L << b) >= target).get
+  }
+
+  /** Embedding-cosine near-dup candidates via corpus-scaled BANDED LSH:
+    * a 40-plane signature split into floor(40/B) bands of B bits (B from
+    * [[lshBandBits]] — bucket size ~constant at any corpus size, more
+    * bands at small B keep recall). The exact-cosine verify runs INSIDE
+    * the band join — the only shuffle is corpus×bands rows; candidates
+    * stream through the codegen'd cosine kernel without ever
+    * materializing, and the final distinct sees only the (tiny)
+    * above-threshold output (the kernel is deterministic, so a pair
+    * surfacing in two bands carries the identical cos). A
+    * dedup-ids-first variant re-joining vectors onto the candidate set
+    * measured 6x WORSE at 100x: it shuffles every candidate twice. */
   def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = bucketed(s, dir)
-    val a = e.toDF("vec_a", "va", "bucket")
-    val b = e.toDF("vec_b", "vb", "bucket")
-    a.join(b, Seq("bucket"))
+    val e = sig40(s, dir)
+    val b = lshBandBits(embCount(s, dir))
+    val nb = 40 / b
+    val keys = (0 until nb).map(k =>
+      (lit(k.toLong << 21).bitwiseOR(
+        shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
+        .as(s"k$k"))
+    val eb = e.select(col("vec_id"), col("v"),
+      explode(array(keys: _*)).as("key"))
+    eb.toDF("vec_a", "va", "key")
+      .join(eb.toDF("vec_b", "vb", "key"), Seq("key"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("graft_cosine(va, vb)"))
       .filter(col("cos") > 0.3)
       .select("vec_a", "vec_b", "cos")
+      .distinct()
   }
 
   // params-carrying operators keep (SparkSession, String) entries in the
@@ -1554,11 +1602,24 @@ object PipelineQueries {
          |            ELSE 'test' END AS split
          |FROM h""".stripMargin,
     "d_embed_neardup" ->
-      s"""WITH $bucketCte
-         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         |       ${PV.cosineDuck("a.v", "b.v")} AS cos
-         |FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-         |WHERE ${PV.cosineDuck("a.v", "b.v")} > 0.3""".stripMargin,
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |scored AS (SELECT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM eb a JOIN eb bb USING (key)
+         |           WHERE a.vec_id < bb.vec_id)
+         |SELECT DISTINCT vec_a, vec_b, cos FROM scored
+         |WHERE cos > 0.3""".stripMargin,
     "d_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (

@@ -96,6 +96,24 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
         StructField("b", ArrayType(FloatType)))))
     checkRows(df, "graft_cosine(a, b)", PV.cosineSpark("a", "b"))
     checkRows(df, "graft_lsh_bucket(a)", PV.lshBucketSpark("a"))
+    // the 40-plane signature: low byte == the 8-plane bucket (same
+    // per-plane rule), full value == the DuckDB-mirrored fold
+    val sig = df.select(col("a"),
+      graft.functions.native.parameterized(spark,
+        es => graft.functions.native.LshSig(es.head, 40), col("a"))
+        .as("sig"))
+    assert(sig.filter(expr("(sig & 255) != graft_lsh_bucket(a)"))
+      .count() === 0L, "sig low byte must equal the 8-plane bucket")
+  }
+
+  test("lshBandBits: constant expected bucket size, integer-exact, clamped") {
+    import graft.queries.PipelineQueries.lshBandBits
+    assert(lshBandBits(1L) === 8)
+    assert(lshBandBits(64L * 256) === 8)       // target 256 <= 2^8
+    assert(lshBandBits(64L * 256 + 1) === 9)   // next integer boundary
+    assert(lshBandBits(64L * (1 << 12)) === 12)
+    assert(lshBandBits(200000L) === 12)        // the 100x bench corpus
+    assert(lshBandBits(Long.MaxValue / 2) === 20) // clamped ceiling
   }
 
   test("KMV sketch: exact under k, mergeable estimate within error bound") {
