@@ -213,6 +213,12 @@ object ScaleSmoke {
       // tf/df aggregations — the shapes that must not go quadratic)
       "span_dedup_1x" -> time(PipelineQueries.dSpanDedup(spark, sf)),
       s"span_dedup_${factor}x" -> time(PipelineQueries.dSpanDedup(spark, dir)),
+      // banded-LSH near-dup: the row that regressed quadratic under the
+      // fixed 8-plane bucket (r8, 142x at 100x) — B scales with n, so
+      // this must stay ~linear; watch it every smoke
+      "embed_neardup_1x" -> time(PipelineQueries.dEmbedNeardup(spark, sf)),
+      s"embed_neardup_${factor}x" ->
+        timeNamed("embed_neardup", PipelineQueries.dEmbedNeardup(spark, dir)),
       "tfidf_1x" -> time(PipelineQueries.tTfidf(spark, sf)),
       s"tfidf_${factor}x" -> time(PipelineQueries.tTfidf(spark, dir)),
       // skewed family: Zipf tokens + boilerplate spans; hot-key events

@@ -78,6 +78,19 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("banded near-dup joins once and never re-joins vectors onto candidates") {
+    // the regression shape (r8): dedup-ids-first then re-join vectors
+    // onto the candidate set planned THREE joins and shuffled every
+    // candidate twice — the in-join-cosine plan has exactly one join
+    val p = physical("d_embed_neardup")
+    val joins = count(p, x =>
+      x.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec])
+    assert(joins == 1, s"d_embed_neardup plans $joins joins (expected 1)")
+    val nested = count(p, x =>
+      x.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+    assert(nested == 0)
+  }
+
   test("fused q_agg_full pipeline keeps a bounded scan count") {
     // one wide data scan + narrow per-chunk summary scans; the old
     // union-of-branches shape planned 6 scans and regrows under refactors
