@@ -560,6 +560,36 @@ class NetCdfSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("szip composes with shuffle and fletcher32 in one filter pipeline") {
+    import graft.sources.{Hdf5Writer, Szip}
+    import Hdf5Writer._
+    // the h5repack `-f SHUF -f SZIP=8,NN` shape: byte-shuffle, then
+    // szip, then a fletcher32 chunk checksum — decode must unwind the
+    // declared pipeline in reverse
+    val tmp = Files.createTempDirectory("nc_szip_pipe").toString
+    val dst = java.nio.file.Paths.get(tmp, "pipe.nc")
+    val n = 96
+    val vals = java.nio.ByteBuffer.allocate(n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => vals.putInt(500000 + 37 * i))
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("v", Seq(n.toLong), WInt(4), Some(vals.array()),
+        Nil, unlimited0 = true, chunkRows = Some(n), shuffle = true,
+        fletcher32 = true,
+        szip = Some(Szip.Params(Szip.NN | Szip.LSB, 32, 16, 96))))
+      w.finish(Nil)
+    }
+    val h5 = Hdf5Reader.open(dst.toString)
+    try {
+      val got = h5.read(h5.datasets.find(_.name == "v").get)
+        .asInstanceOf[Array[Long]].toSeq
+      assert(got === (0 until n).map(i => 500000L + 37 * i))
+    } finally {
+      h5.close()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("szip with a malformed parameter set fails with an actionable error") {
     import graft.sources.Hdf5Writer
     import Hdf5Writer._
