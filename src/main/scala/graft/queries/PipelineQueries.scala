@@ -131,6 +131,21 @@ object PipelineQueries {
         col("first_dup"))
   }
 
+  /** Batch twin of [[graft.streaming.StreamingAgg.vecDedupStream]]:
+    * the SAME stateful 20-bit-band bucket transform folds once per
+    * bucket against empty state (first-arrival == min-id), then
+    * per-vector verdicts aggregate to keep/drop — `first_dup` is the
+    * lowest vec id sharing any 20-plane band (null = kept). */
+  def streamVecDedup(s: SparkSession, dir: String): DataFrame = {
+    val emb = tbl(s, dir, "embeddings")
+    val v = graft.streaming.StreamingAgg.vecDedupStream(emb).toDF()
+    val dup = v.filter(col("owner_id") < col("vec_id"))
+      .groupBy("vec_id").agg(min("owner_id").as("first_dup"))
+    emb.select("vec_id").join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("first_dup").isNull.as("kept"),
+        col("first_dup"))
+  }
+
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
     val f = tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_simhash(th)").as("simhash"))
@@ -1523,6 +1538,19 @@ object PipelineQueries {
          |        FROM pairs GROUP BY doc_b)
          |SELECT d.doc_id, dup.doc_id IS NULL AS kept, dup.first_dup
          |FROM documents d LEFT JOIN dup ON dup.doc_id = d.doc_id""".stripMargin,
+    "stream_vec_dedup" ->
+      s"""WITH e AS (SELECT vec_id, ${PV.lshSigDuck("embedding")} AS sig
+         |           FROM embeddings),
+         |eb AS (SELECT vec_id, k.r AS band,
+         |              (sig >> (k.r * 20)) & 1048575 AS bsig
+         |       FROM e, range(0, 2) k(r)),
+         |own AS (SELECT band, bsig, min(vec_id) AS owner
+         |        FROM eb GROUP BY 1, 2),
+         |dup AS (SELECT eb.vec_id, min(own.owner) AS first_dup
+         |        FROM eb JOIN own USING (band, bsig)
+         |        WHERE own.owner < eb.vec_id GROUP BY eb.vec_id)
+         |SELECT e.vec_id, dup.vec_id IS NULL AS kept, dup.first_dup
+         |FROM e LEFT JOIN dup ON dup.vec_id = e.vec_id""".stripMargin,
     "d_simhash" ->
       s"""WITH $thCte,
          |f AS (SELECT doc_id, ${PT.simhashDuck("th")} AS simhash FROM thT)
@@ -2282,6 +2310,7 @@ object PipelineQueries {
     "d_exact_dedup" -> (dExactDedup _),
     "d_minhash_lsh" -> (dMinhashLsh _),
     "stream_minhash_dedup" -> (streamMinhashDedup _),
+    "stream_vec_dedup" -> (streamVecDedup _),
     "d_simhash" -> (dSimhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_ngram_containment" -> (dNgramContainment _),

@@ -49,6 +49,10 @@ final case class DistinctUpdate(event_type: String, n_seen: Long,
   * equal to `doc_id` when this doc owns the bucket, a lower/earlier doc id
   * when the bucket already had a near-duplicate. */
 final case class BandVerdict(doc_id: Long, band_idx: Int, owner_id: Long)
+final case class VecBand(vec_id: Long, band_idx: Int, sig: Long)
+/** Per-(vector, band) dedup verdict — the embedding analog of
+  * [[BandVerdict]]. */
+final case class VecVerdict(vec_id: Long, band_idx: Int, owner_id: Long)
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -385,6 +389,48 @@ object StreamingAgg {
           val owner = st.getOption.getOrElse(ids.min)
           st.update(owner)
           ids.iterator.map(d => BandVerdict(d, key._1, owner))
+        })
+  }
+
+  /** Continuous embedding near-dup dedup — the vector analog of
+    * [[minhashDedupStream]]: each vector's 40-plane signed-projection
+    * signature (the same `LshSig` kernel as the batch banded near-dup)
+    * splits into two 20-bit bands, and each (band, bits) bucket keeps a
+    * FIRST-ARRIVAL owner in state — a vector landing in an occupied
+    * bucket reports the existing owner (20 agreeing hyperplanes is
+    * strong near-dup evidence; an 8-bit band would collide on merely
+    * similar vectors). Band width is FIXED here, unlike the batch
+    * [[graft.queries.PipelineQueries.dEmbedNeardup]]'s corpus-scaled B:
+    * streaming ownership must stay stable for the stream's whole life,
+    * and re-banding a standing state is a rebuild, not a fold. State is
+    * one long per occupied bucket — grows with distinct content, never
+    * with stream length (the minhash soak's shape). Batch run of this
+    * same transform IS the oracle-checked registry entry
+    * (`stream_vec_dedup`): one fold per bucket against empty state,
+    * where first-arrival == min-id ownership. */
+  def vecDedupStream(emb: DataFrame): Dataset[VecVerdict] = {
+    val s = emb.sparkSession
+    graft.functions.native.register(s)
+    import s.implicits._
+    val sig = graft.functions.native.parameterized(s,
+      es => graft.functions.native.LshSig(es.head, 40), col("embedding"))
+    emb
+      .select(col("vec_id").cast(LongType).as("vec_id"), sig.as("__sig"))
+      .select(col("vec_id"), posexplode(expr(
+        "transform(sequence(0, 1), k -> shiftright(__sig, k * 20) & 1048575L)"))
+        .as(Seq("band_idx", "sig")))
+      .as[VecBand]
+      .groupByKey(vb => (vb.band_idx, vb.sig))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (key: (Int, Long), it: Iterator[VecBand],
+            st: GroupState[Long]) => {
+          val ids = it.map(_.vec_id).toArray
+          // first-arrival ownership; see minhashDedupStream for why a
+          // retroactive min would be WORSE under Append output
+          val owner = st.getOption.getOrElse(ids.min)
+          st.update(owner)
+          ids.iterator.map(v => VecVerdict(v, key._1, owner))
         })
   }
 

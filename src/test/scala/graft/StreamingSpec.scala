@@ -699,6 +699,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(batch.keys.count(_._1 == "a") === 5, "board must cap at k")
   }
 
+  test("streaming vector dedup: a duplicate arriving a batch later inherits " +
+      "the owner; state tracks distinct content") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def axis(a: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == a) 1.0f else 0.0f)
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAgg.vecDedupStream(
+        mem.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vdsoak").start()
+    try {
+      mem.addData((1L, axis(0)), (3L, axis(7)))
+      q.processAllAvailable()
+      val s1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // batch 2: an exact duplicate of vec 1 (same 40-plane signature)
+      // plus a fresh distinct vector
+      mem.addData((4L, axis(0)), (5L, axis(12)))
+      q.processAllAvailable()
+      val s2 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val out = spark.table("vdsoak")
+        .as[graft.streaming.VecVerdict].collect()
+      // vec 4 collides with vec 1's buckets in BOTH bands
+      assert(out.filter(_.vec_id == 4L).map(_.owner_id).toSet === Set(1L),
+        "late duplicate must inherit the first-arrival owner")
+      assert(out.filter(_.vec_id == 3L).forall(_.owner_id == 3L),
+        "a distinct vector owns its buckets")
+      // the duplicate added NO state; the distinct vector added buckets
+      assert(s2 > s1 - 1 && s2 <= s1 + 2,
+        s"state went $s1 -> $s2: must grow with distinct content only")
+    } finally q.stop()
+  }
+
   test("quantile/distinct/topk 100-batch soak: state plateaus at the sketch " +
       "ceiling, never the stream length; final update == batch fold") {
     import spark.implicits._
