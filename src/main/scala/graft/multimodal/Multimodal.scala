@@ -342,8 +342,11 @@ object Multimodal {
       var got = 0
       while (got < raw.length && !inflater.finished()) {
         val n = inflater.inflate(raw, got, raw.length - got)
-        require(n > 0 || inflater.finished() || !inflater.needsInput,
-          "truncated PNG IDAT stream")
+        // A zero-byte inflate that has not finished is corruption in
+        // every shape (needsInput = truncated stream, needsDictionary =
+        // FDICT set) — throwing covers both and cannot hang the loop.
+        if (n == 0 && !inflater.finished())
+          throw new IllegalArgumentException("truncated PNG IDAT stream")
         got += n
       }
       require(got == raw.length,

@@ -208,8 +208,10 @@ object Szip {
     val origSize = (chunk(0) & 0xffL) | ((chunk(1) & 0xffL) << 8) |
       ((chunk(2) & 0xffL) << 16) | ((chunk(3) & 0xffL) << 24)
     require(origSize <= Int.MaxValue, s"szip chunk declares $origSize B")
-    if (p.raw)
+    if (p.raw) {
+      require(chunk.length >= 4 + origSize.toInt, "szip raw chunk truncated")
       return java.util.Arrays.copyOfRange(chunk, 4, 4 + origSize.toInt)
+    }
     val nSamples = origSize.toInt / p.bytesPerSample
     require(origSize.toInt % p.bytesPerSample == 0,
       s"szip chunk size $origSize not aligned to ${p.bytesPerSample}-byte samples")
@@ -267,7 +269,11 @@ object Szip {
               val q1 = r.readUnary() + 1
               val run =
                 if (q1 < 5) q1
-                else if (q1 == 5) 64 - (b % 64) // rest of 64-block segment
+                // Rest of the 64-block segment — clamped to the blocks
+                // remaining in the scanline: foreign encoders (libaec)
+                // may emit ROS for a zero run truncated by the end of a
+                // short final segment.
+                else if (q1 == 5) math.min(64 - (b % 64), blocks - b)
                 else q1 - 1
               require(b + run <= blocks,
                 s"szip zero-block run $run overruns the scanline")

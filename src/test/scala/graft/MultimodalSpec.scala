@@ -57,6 +57,25 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](Png.decode(notPng))
   }
 
+  test("PNG decode fails loudly (no hang) on an FDICT zlib IDAT") {
+    // A zlib header with FDICT set makes Inflater return 0 bytes with
+    // needsDictionary — which must throw, not spin the inflate loop.
+    val ok = Png.encode(4, 4, new Array[Byte](48))
+    val head = java.util.Arrays.copyOfRange(ok, 0, 8 + 25) // sig + IHDR
+    val iend = java.util.Arrays.copyOfRange(ok, ok.length - 12, ok.length)
+    // CMF 0x78, FLG 0x20 (FDICT bit set, check bits valid), dict id 1
+    val payload = Array[Byte](0x78, 0x20, 0, 0, 0, 1)
+    val id = "IDAT".getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32(); crc.update(id); crc.update(payload)
+    val c = crc.getValue
+    val idat = Array[Byte](0, 0, 0, payload.length.toByte) ++ id ++ payload ++
+      Array(((c >> 24) & 0xff).toByte, ((c >> 16) & 0xff).toByte,
+        ((c >> 8) & 0xff).toByte, (c & 0xff).toByte)
+    val e = intercept[IllegalArgumentException](
+      Png.decode(head ++ idat ++ iend))
+    assert(e.getMessage.contains("IDAT"))
+  }
+
   test("AVI round trip preserves frames; header/movi mismatch fails loudly") {
     val frames = Array.tabulate(5)(f =>
       Array.tabulate(48)(j => MediaSynth.frameByte(3L, f, j).toByte))

@@ -68,6 +68,24 @@ class SzipSpec extends AnyFunSuite {
     assert(got.length === 140 && got.forall(_ == 0))
   }
 
+  test("golden: ROS zero run clamped by a short final scanline") {
+    // 20 samples, J=2 -> a 10-block scanline: libaec may emit ROS
+    // (q+1 = 5, "rest of 64-block segment") even when the scanline ends
+    // first; the run must clamp to the 10 remaining blocks, not fail.
+    // bits: ID 000, ext-bit 0, unary 00001 (q+1 = 5)
+    val p = Params(Szip.EC | Szip.LSB, 8, 2, 20)
+    val got = Szip.decode(chunk(20, 0x00, 0x80), p)
+    assert(got.length === 20 && got.forall(_ == 0))
+  }
+
+  test("raw chunk shorter than its declared size fails loudly") {
+    val p = Params(Szip.Raw | Szip.NN | Szip.LSB, 8, 8, 16)
+    // declares 10 payload bytes, carries 5
+    val bad = chunk(10, 1, 2, 3, 4, 5)
+    val e = intercept[IllegalArgumentException](Szip.decode(bad, p))
+    assert(e.getMessage.contains("truncated"))
+  }
+
   test("raw option passes bytes through behind the size prefix") {
     val data = Array.tabulate[Byte](37)(i => (i * 7).toByte)
     val p = Params(Szip.Raw | Szip.NN | Szip.LSB, 8, 8, 16)
