@@ -265,14 +265,20 @@ object PipelineQueries {
 
   // ------------------------------------------------- embeddings similarity
 
-  private def bucketed(s: SparkSession, dir: String): DataFrame =
-    memo(s, dir, "bucketed") {
-      tbl(s, dir, "embeddings")
-        .repartition(s.sparkContext.defaultParallelism)
-        .select(col("vec_id"), col("embedding").as("v"))
-        .withColumn("bucket", expr("graft_lsh_bucket(v)"))
-        .cache()
-    }
+  /** Corpus-scaled LSH bucket per vector: the low [[lshBandBits]] bits
+    * of the memoized 40-plane signature (plane j of any width agrees
+    * with the 8-plane `graft_lsh_bucket`, so at small corpora this IS
+    * the historical bucket). Bucket count grows with n, so the
+    * per-bucket candidate list — and with it per-QUERY probe work in
+    * [[annLsh]]/[[annSq]] — stays ~constant as the corpus scales,
+    * matching the batch near-dup path's banding rule. A cheap masked
+    * projection over the cached [[sig40]] frame, not a second cache. */
+  private def bucketed(s: SparkSession, dir: String): DataFrame = {
+    val b = lshBandBits(embCount(s, dir))
+    sig40(s, dir)
+      .withColumn("bucket", col("sig").bitwiseAND(lit((1L << b) - 1)))
+      .select("vec_id", "v", "bucket")
+  }
 
   /** 40-plane LSH signature + memoized corpus count for the
     * corpus-scaled banded near-dup join below. */
@@ -453,27 +459,29 @@ object PipelineQueries {
   }
 
   /** Multi-probe expansion of a query frame's LSH bucket: the exact
-    * bucket plus every bucket within Hamming distance 2 of it (8 single
-    * flips + 28 double flips = 37 probes). A drift query that sits on
-    * the far side of one or two hyperplanes from its true neighbors
-    * (e.g. midway between two clusters) still reaches them through the
-    * flipped-bit probes — single-bucket LSH measured ZERO recall on the
-    * drift fixture. Query-side only: the corpus stays one row per
-    * vector and the join stays an equi-join (probe rows = 37x queries,
-    * still a broadcast-size frame at any corpus scale). */
-  private def multiProbe(df: DataFrame): DataFrame =
+    * bucket plus every bucket within Hamming distance 2 of it over the
+    * corpus-scaled `bits`-wide space (1 + bits + bits·(bits−1)/2 probes
+    * — 37 at the 8-bit floor, 211 at the 20-bit cap). A drift query
+    * that sits on the far side of one or two hyperplanes from its true
+    * neighbors (e.g. midway between two clusters) still reaches them
+    * through the flipped-bit probes — single-bucket LSH measured ZERO
+    * recall on the drift fixture. Query-side only: the corpus stays one
+    * row per vector and the join stays an equi-join (probe rows ≤ 211×
+    * queries, still a broadcast-size frame at any corpus scale). */
+  private def multiProbe(df: DataFrame, bits: Int): DataFrame =
     df.withColumnRenamed("bucket", "__qb")
       .withColumn("bucket", explode(expr(
-        "concat(array(__qb), " +
-          "transform(sequence(0, 7), j -> __qb ^ shiftleft(1L, j)), " +
-          "flatten(transform(sequence(0, 6), j -> " +
-          "transform(sequence(j + 1, 7), k -> " +
-          "__qb ^ shiftleft(1L, j) ^ shiftleft(1L, k)))))")))
+        s"concat(array(__qb), " +
+          s"transform(sequence(0, ${bits - 1}), j -> __qb ^ shiftleft(1L, j)), " +
+          s"flatten(transform(sequence(0, ${bits - 2}), j -> " +
+          s"transform(sequence(j + 1, ${bits - 1}), k -> " +
+          s"__qb ^ shiftleft(1L, j) ^ shiftleft(1L, k)))))")))
       .drop("__qb")
 
   def annLsh(s: SparkSession, dir: String): DataFrame = {
     val e = bucketed(s, dir)
-    val q = multiProbe(e.filter(col("vec_id") < 8).toDF("q_id", "qv", "bucket"))
+    val q = multiProbe(e.filter(col("vec_id") < 8).toDF("q_id", "qv", "bucket"),
+      lshBandBits(embCount(s, dir)))
     val cand = e.toDF("n_id", "nv", "bucket")
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
@@ -575,7 +583,7 @@ object PipelineQueries {
   def annSq(s: SparkSession, dir: String): DataFrame = {
     val codes = sqCodes(s, dir)
     val q = multiProbe(codes.toDF("q_id", "qc", "qd", "qn", "bucket")
-      .filter(col("q_id") < 8))
+      .filter(col("q_id") < 8), lshBandBits(embCount(s, dir)))
     val cand = codes.toDF("n_id", "nc", "nd", "nn", "bucket")
     val scored = cand.join(broadcast(q), Seq("bucket"))
       .filter(col("n_id") =!= col("q_id"))
@@ -1519,9 +1527,31 @@ object PipelineQueries {
        |          FROM eb a JOIN eb b ON a.band_idx = b.band_idx
        |            AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Corpus-scaled bucket (mirrors `bucketed`): band width b from the
+    * same integer rule as `lshBandBits`, bucket = low b bits of the
+    * 40-plane signature. */
   private val bucketCte =
-    s"""e AS (SELECT vec_id, embedding AS v, ${PV.lshBucketDuck("embedding")}
-       |      AS bucket FROM embeddings)""".stripMargin
+    s"""cntE AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+       |                      CAST(1 AS BIGINT) << 20) AS target
+       |         FROM embeddings),
+       |bselE AS (SELECT CAST(min(bb.r) AS INT) AS b
+       |          FROM range(8, 21) bb(r), cntE
+       |          WHERE (CAST(1 AS BIGINT) << bb.r) >= cntE.target),
+       |e AS (SELECT vec_id, embedding AS v,
+       |             ${PV.lshSigDuck("embedding")} &
+       |               ((CAST(1 AS BIGINT) << b) - 1) AS bucket
+       |      FROM embeddings, bselE)""".stripMargin
+
+  /** DuckDB twin of `multiProbe`: Hamming-≤2 probe list over the b-bit
+    * bucket space (b captured from bselE in the enclosing query). */
+  private def probeList(qb: String): String =
+    s"""list_concat(
+       |  list_prepend($qb, list_transform(range(0, b),
+       |    j -> xor($qb, CAST(1 AS BIGINT) << j))),
+       |  flatten(list_transform(range(0, b - 1), j ->
+       |    list_transform(range(j + 1, b), k ->
+       |      xor(xor($qb, CAST(1 AS BIGINT) << j),
+       |          CAST(1 AS BIGINT) << k)))))""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->
@@ -1704,14 +1734,8 @@ object PipelineQueries {
       s"""WITH $bucketCte,
          |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e
          |       WHERE vec_id < 8),
-         |q AS (SELECT q_id, qv, UNNEST(list_concat(
-         |        list_prepend(qb, list_transform(range(0, 8),
-         |          j -> xor(qb, CAST(1 AS BIGINT) << j))),
-         |        flatten(list_transform(range(0, 7), j ->
-         |          list_transform(range(j + 1, 8), k ->
-         |            xor(xor(qb, CAST(1 AS BIGINT) << j),
-         |                CAST(1 AS BIGINT) << k)))))) AS bucket
-         |      FROM q0),
+         |q AS (SELECT q_id, qv, UNNEST(${probeList("qb")}) AS bucket
+         |      FROM q0, bselE),
          |scored AS (
          |  SELECT q.q_id, e.vec_id AS n_id,
          |         ${PV.cosineDuck("q.qv", "e.v")} AS cos
@@ -1747,14 +1771,8 @@ object PipelineQueries {
          |q0 AS (SELECT vec_id, deq, cnorm, bucket AS qb FROM c
          |       WHERE vec_id < 8),
          |qp AS (
-         |  SELECT vec_id, deq, cnorm, UNNEST(list_concat(
-         |    list_prepend(qb, list_transform(range(0, 8),
-         |      j -> xor(qb, CAST(1 AS BIGINT) << j))),
-         |    flatten(list_transform(range(0, 7), j ->
-         |      list_transform(range(j + 1, 8), k ->
-         |        xor(xor(qb, CAST(1 AS BIGINT) << j),
-         |            CAST(1 AS BIGINT) << k)))))) AS bucket
-         |  FROM q0),
+         |  SELECT vec_id, deq, cnorm, UNNEST(${probeList("qb")}) AS bucket
+         |  FROM q0, bselE),
          |scored AS (
          |  SELECT q.vec_id AS q_id, n.vec_id AS n_id,
          |         CASE WHEN q.cnorm * n.cnorm = 0.0 THEN 0.0

@@ -30,6 +30,32 @@ class CacheLifecycleSpec extends AnyFunSuite with SparkSpec {
     PipelineQueries.evictCaches(spark, dir)
   }
 
+  test("two-dir sweep: evicting one factor's caches leaves the other's standing") {
+    // A back-to-back factor sweep in ONE session (ScaleSmoke/TenX) must
+    // be able to release the finished factor's signature/count memos
+    // without touching the factor still in flight.
+    val a = dir
+    val b = "/root/testdata/sf0.01"
+    assume(new java.io.File(s"$a/embeddings.parquet").exists &&
+      new java.io.File(s"$b/embeddings.parquet").exists)
+    val na = PipelineQueries.annLsh(spark, a).count()
+    val nb = PipelineQueries.annLsh(spark, b).count()
+    assert(na > 0 && nb > 0)
+    val cb = PipelineQueries.cachedFrameCount(spark, b)
+    assert(PipelineQueries.cachedFrameCount(spark, a) > 0 && cb > 0)
+    PipelineQueries.evictCaches(spark, a)
+    assert(PipelineQueries.cachedFrameCount(spark, a) === 0,
+      "finished factor's frames must release")
+    assert(PipelineQueries.cachedFrameCount(spark, b) === cb,
+      "in-flight factor's frames must survive the other's eviction")
+    // the surviving dir still answers, and the evicted dir rebuilds
+    assert(PipelineQueries.annLsh(spark, b).count() === nb)
+    assert(PipelineQueries.annLsh(spark, a).count() === na)
+    assert(PipelineQueries.cachedFrameCount(spark, a) > 0)
+    PipelineQueries.evictCaches(spark, a)
+    PipelineQueries.evictCaches(spark, b)
+  }
+
   test("evictDerived drops bucketed catalog tables and z-order copies; queries rebuild") {
     assume(new java.io.File(s"$dir/orders.parquet").exists)
     val n1 = RelationalQueries.qBucketedJoin(spark, dir).count()

@@ -732,6 +732,73 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("vector dedup 100-batch soak: state plateaus at distinct content x " +
+      "bands; first-arrival ownership stable under re-delivery") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def axis(a: Int): Seq[Float] =
+      Seq.tabulate(64)(j => if (j == a) 1.0f else 0.0f)
+    // 20 distinct contents cycle under 1000 arrivals: state must stop
+    // growing once every content has been seen (<= 2 bands x 20
+    // buckets), while the stream runs 10x longer than the content pool.
+    val pool = 20
+    val mem = MemoryStream[(Long, Seq[Float])]
+    val q = StreamingAgg.vecDedupStream(
+        mem.toDF().toDF("vec_id", "embedding"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("vdsoak100").start()
+    try {
+      var rowPlateau = -1L
+      var bytePlateau = -1L
+      for (b <- 0 until 100) {
+        // 10 arrivals per batch; batch 50 re-delivers batch 0's exact
+        // rows (same vec_id AND content — an at-least-once replay)
+        val rows: Seq[(Long, Seq[Float])] =
+          if (b == 50) (0 until 10).map(j => (j.toLong, axis(j)))
+          else (0 until 10).map { j =>
+            val id = b * 10L + j; (id, axis((id % pool).toInt))
+          }
+        mem.addData(rows: _*)
+        q.processAllAvailable()
+        val ops = q.lastProgress.stateOperators
+        val rowsN = ops.map(_.numRowsTotal).sum
+        val bytes = ops.map(_.memoryUsedBytes).sum
+        if (b == 5) { rowPlateau = rowsN; bytePlateau = bytes }
+        if (b > 5) {
+          assert(rowsN == rowPlateau,
+            s"batch $b: state rows $rowsN grew past plateau $rowPlateau " +
+              "— state must track distinct content, not stream length")
+          assert(bytes <= bytePlateau,
+            s"batch $b: state bytes $bytes grew past plateau $bytePlateau")
+        }
+      }
+      assert(rowPlateau > 0 && rowPlateau <= 2L * pool,
+        s"state plateau $rowPlateau exceeds 2 bands x $pool contents")
+      // Ownership invariants robust to cross-content band collisions
+      // (axes 3 and 5 DO share a band-0 bucket under the LCG planes):
+      val out = spark.table("vdsoak100")
+        .as[graft.streaming.VecVerdict].collect()
+      assert(out.nonEmpty)
+      val owners = out.groupBy(v => (v.vec_id, v.band_idx))
+        .map { case (k, vs) =>
+          // stability: re-deliveries (batch 50 replays batch 0) and
+          // cycling duplicates always report the SAME owner
+          assert(vs.map(_.owner_id).distinct.size === 1,
+            s"$k owner changed across deliveries: ${vs.toSeq}")
+          k -> vs.head.owner_id
+        }
+      for (((id, b), o) <- owners) {
+        assert(o <= id, s"vec $id band $b: owner $o arrived later")
+        // same content => same bucket => same owner
+        assert(o === owners((id % pool, b)),
+          s"vec $id band $b: owner $o != content twin's owner")
+        // the owner owns its own bucket
+        assert(owners((o, b)) === o,
+          s"vec $id band $b: owner $o does not own its bucket")
+      }
+    } finally q.stop()
+  }
+
   test("quantile/distinct/topk 100-batch soak: state plateaus at the sketch " +
       "ceiling, never the stream length; final update == batch fold") {
     import spark.implicits._
