@@ -132,6 +132,13 @@ object TenX {
       .withColumn("embedding",
         when(col("__i") === 0, col("embedding")).otherwise(rotated))
       .drop("__i"))
+
+    // media: stored binary payload columns for the id-stride-sampled
+    // event set — generated from the REPLICATED events so the stride
+    // reflects the scaled corpus; byte budget stays bounded at any
+    // factor (MediaStore scaladoc)
+    graft.multimodal.MediaStore.write(
+      spark.read.parquet(s"$out/events.parquet"), s"$out/media.parquet")
   }
 
   def main(args: Array[String]): Unit = {

@@ -591,6 +591,121 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------- checked stored-blob decode
+  //
+  // Stored-payload feature extractors with a per-row corrupt-blob policy
+  // mirroring NetCDFIngest.convertChecked: a payload that fails decode
+  // (truncated IDAT, bad CRC, header/movi mismatch, non-PCM tag, ...)
+  // yields a QUARANTINE row (`error` non-null, features null) instead of
+  // failing the job — at ~1M stored blobs one corrupt delivery must cost
+  // one row, not the pipeline. Plan-native (the error is a column, split
+  // with one filter), so there is no accumulator double-count on task
+  // retry and the split stays inside the single decode pass.
+
+  private def errStr(e: Throwable): String = {
+    val m = e.getMessage
+    s"${e.getClass.getSimpleName}: ${if (m == null) "" else m}"
+  }
+
+  private type Checked =
+    (Long, Option[Long], Option[Long], Option[Long], Option[Long],
+      Option[Long], Option[String])
+
+  /** PNG features over a stored `(event_id, png)` frame: dimensions +
+    * exact per-channel pixel sums, `error` per quarantined row. */
+  def imageFeaturesChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val img = Png.decode(p)
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < img.rgb.length) {
+              sr += img.rgb(i) & 0xff
+              sg += img.rgb(i + 1) & 0xff
+              sb += img.rgb(i + 2) & 0xff
+              i += 3
+            }
+            (id, Some(img.width.toLong), Some(img.height.toLong), Some(sr),
+              Some(sg), Some(sb), None): Checked
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, None, None, None, Some(errStr(e))): Checked
+          }
+        }
+      }
+      .toDF("event_id", "width", "height", "sum_r", "sum_g", "sum_b",
+        "error")
+  }
+
+  /** AVI features over a stored `(event_id, avi)` frame: every-3rd-frame
+    * sampling folded into a deterministic signature. */
+  def videoFeaturesChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("avi"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val vid = Avi.decode(p)
+            val n = vid.frames.length
+            var sig = 0L; var nS = 0L; var f = 0
+            while (f < n) {
+              val fr = vid.frames(f)
+              var fs = 0L; var j = 0
+              while (j < fr.length) { fs += fr(j) & 0xff; j += 1 }
+              sig = (sig * 31L + fs) % 1000000007L
+              nS += 1; f += 3
+            }
+            (id, Some(n.toLong), Some(vid.width.toLong),
+              Some(vid.height.toLong), Some(nS), Some(sig), None): Checked
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, None, None, None, Some(errStr(e))): Checked
+          }
+        }
+      }
+      .toDF("event_id", "n_frames", "width", "height", "n_sampled",
+        "frame_sig", "error")
+  }
+
+  /** WAV features over a stored `(event_id, wav)` frame: total energy +
+    * a fold of 400-sample/200-hop window energies. */
+  def audioFeaturesChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val clip = Wav.decode(p)
+            val n = clip.samples.length
+            val win = 400; val hop = 200
+            var total = 0L; var i = 0
+            while (i < n) {
+              val v = clip.samples(i).toLong; total += v * v; i += 1
+            }
+            var sig = 0L; var nW = 0L; var st = 0
+            while (st + win <= n) {
+              var ws = 0L; var j = st
+              while (j < st + win) {
+                val v = clip.samples(j).toLong; ws += v * v; j += 1
+              }
+              sig = (sig * 31L + ws % 1000000007L) % 1000000007L
+              nW += 1; st += hop
+            }
+            (id, Some(n.toLong), Some(clip.sampleRate.toLong), Some(nW),
+              Some(total), Some(sig), None): Checked
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, None, None, None, Some(errStr(e))): Checked
+          }
+        }
+      }
+      .toDF("event_id", "n_samples", "sample_rate", "n_windows", "energy",
+        "window_sig", "error")
+  }
+
   /** Wrap an arbitrary table into media records (payload = a string column
     * cast to binary), preserving partitioning. */
   def asMediaRecords(df: DataFrame, idCol: String, payloadCol: String,

@@ -43,6 +43,7 @@ object PipelineQueries {
     frameMemo.evictMatching(s)(_._1 == dir)
     clustersMemo.evictMatching(s)(_ == dir)
     embCountMemo.evictMatching(s)(_ == dir)
+    graft.multimodal.MediaStore.evict(s, dir)
   }
 
   /** Number of live memo entries for (session, dir) — specs. */
@@ -1400,112 +1401,51 @@ object PipelineQueries {
 
   // ------------------------------------------------------------- multimodal
   //
-  // The three mm_* operators run the REAL pure-JVM codecs in
-  // graft.multimodal.Multimodal (PNG with zlib+all-five-filters+CRC,
-  // RIFF/WAVE PCM, RIFF/AVI DIB). Payload bytes are synthesized
-  // deterministically from event_id (MediaSynth — the sandbox stand-in for
-  // reading blobs off storage), then decoded like any foreign file; the
-  // DuckDB oracle recomputes every feature straight from the synthesis
-  // formulas, so a hash match proves encode∘decode is the identity and
-  // the feature math is right. Each query is a map-only mapPartitions
-  // batch loop (the mapInPandas analog) — no shuffle, embarrassingly
-  // parallel, and at 100 TB the same stages run against stored payloads.
+  // The three mm_* operators decode STORED binary payload columns with
+  // the REAL pure-JVM codecs in graft.multimodal.Multimodal (PNG with
+  // zlib+all-five-filters+CRC, RIFF/WAVE PCM, RIFF/AVI DIB). The store
+  // is a (event_id, png, wav, avi) parquet table — written by TenX at
+  // generation time, or derived once per session from MediaSynth for
+  // the read-only driver dirs (MediaStore) — so the plan exercises
+  // parquet blob I/O, payload-COLUMN pruning (each operator's scan
+  // reads exactly one binary column), partitioned decode, and the
+  // corrupt-blob quarantine (a bad payload yields an `error` row, not a
+  // job failure; MultimodalSpec pins it). The DuckDB oracle recomputes
+  // every feature straight from the synthesis formulas over the SAME
+  // integer-sampled id set, so a hash match proves store∘decode is the
+  // identity and the feature math is right. Decode is a map-only
+  // mapPartitions batch loop (the mapInPandas analog) — no shuffle,
+  // embarrassingly parallel, exactly the stages a 100 TB blob table
+  // runs with more splits.
 
-  /** Image features: synthesize a PNG per event, decode it (zlib inflate,
-    * filter reconstruction, CRC verification), and emit dimensions plus
-    * exact per-channel pixel sums. */
-  def mmFeatures(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.multimodal.Multimodal.{MediaSynth, Png}
-    tbl(s, dir, "events").select(col("event_id"))
-      // the input is an 8 B/row id column but the loop is compute-heavy:
-      // spread it across all cores (the scan alone yields ~1 partition
-      // at small SFs); at 100 TB the payload scan is already partitioned
-      .repartition(s.sparkContext.defaultParallelism).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val img = Png.decode(MediaSynth.pngPayload(id))
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var i = 0
-          while (i < img.rgb.length) {
-            sr += img.rgb(i) & 0xff
-            sg += img.rgb(i + 1) & 0xff
-            sb += img.rgb(i + 2) & 0xff
-            i += 3
-          }
-          (id, img.width.toLong, img.height.toLong, sr, sg, sb)
-        }
-      }
-      .toDF("event_id", "width", "height", "sum_r", "sum_g", "sum_b")
-  }
+  private def media(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(graft.multimodal.MediaStore.ensure(s, dir,
+      tbl(s, dir, "events")))
 
-  /** Video frame sampling: synthesize an AVI per event, decode it
-    * (hdrl/movi walk, header-vs-actual frame-count cross-check), sample
-    * every 3rd frame, and fold the sampled frames' byte sums into a
-    * deterministic signature. */
-  def mmFrameSample(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.multimodal.Multimodal.{Avi, MediaSynth}
-    tbl(s, dir, "events").select(col("event_id"))
-      // the input is an 8 B/row id column but the loop is compute-heavy:
-      // spread it across all cores (the scan alone yields ~1 partition
-      // at small SFs); at 100 TB the payload scan is already partitioned
-      .repartition(s.sparkContext.defaultParallelism).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val vid = Avi.decode(MediaSynth.aviPayload(id))
-          val n = vid.frames.length
-          var sig = 0L; var nS = 0L; var f = 0
-          while (f < n) {
-            val fr = vid.frames(f)
-            var fs = 0L; var j = 0
-            while (j < fr.length) { fs += fr(j) & 0xff; j += 1 }
-            sig = (sig * 31L + fs) % 1000000007L
-            nS += 1; f += 3
-          }
-          (id, n.toLong, vid.width.toLong, vid.height.toLong, nS, sig)
-        }
-      }
-      .toDF("event_id", "n_frames", "width", "height", "n_sampled",
-        "frame_sig")
-  }
+  /** Image features from the stored PNG column: decode (zlib inflate,
+    * filter reconstruction, CRC verification), dimensions + exact
+    * per-channel pixel sums. Quarantine rows are split off, not fatal. */
+  def mmFeatures(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .imageFeaturesChecked(media(s, dir).select("event_id", "png"))
+      .filter(col("error").isNull).drop("error")
 
-  /** Audio windowing: synthesize a 16-bit PCM WAV per event, decode it
-    * (RIFF walk with unknown-chunk skipping), split into 400-sample
-    * windows hopping 200 (50% overlap — standard feature framing), and
-    * emit total energy plus a fold of per-window energies. */
-  def mmAudioChunks(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    import graft.multimodal.Multimodal.{MediaSynth, Wav}
-    tbl(s, dir, "events").select(col("event_id"))
-      // the input is an 8 B/row id column but the loop is compute-heavy:
-      // spread it across all cores (the scan alone yields ~1 partition
-      // at small SFs); at 100 TB the payload scan is already partitioned
-      .repartition(s.sparkContext.defaultParallelism).as[Long]
-      .mapPartitions { it =>
-        it.map { id =>
-          val clip = Wav.decode(MediaSynth.wavPayload(id))
-          val n = clip.samples.length
-          val win = 400; val hop = 200
-          var total = 0L; var i = 0
-          while (i < n) {
-            val v = clip.samples(i).toLong; total += v * v; i += 1
-          }
-          var sig = 0L; var nW = 0L; var st = 0
-          while (st + win <= n) {
-            var ws = 0L; var j = st
-            while (j < st + win) {
-              val v = clip.samples(j).toLong; ws += v * v; j += 1
-            }
-            sig = (sig * 31L + ws % 1000000007L) % 1000000007L
-            nW += 1; st += hop
-          }
-          (id, n.toLong, clip.sampleRate.toLong, nW, total, sig)
-        }
-      }
-      .toDF("event_id", "n_samples", "sample_rate", "n_windows", "energy",
-        "window_sig")
-  }
+  /** Video frame sampling from the stored AVI column: decode (hdrl/movi
+    * walk, header-vs-actual frame-count cross-check), sample every 3rd
+    * frame, fold the sampled frames' byte sums into a signature. */
+  def mmFrameSample(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .videoFeaturesChecked(media(s, dir).select("event_id", "avi"))
+      .filter(col("error").isNull).drop("error")
+
+  /** Audio windowing from the stored WAV column: decode (RIFF walk with
+    * unknown-chunk skipping), 400-sample windows hopping 200 (50%
+    * overlap — standard feature framing), total energy + a fold of
+    * per-window energies. */
+  def mmAudioChunks(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioFeaturesChecked(media(s, dir).select("event_id", "wav"))
+      .filter(col("error").isNull).drop("error")
 
   // ------------------------------------------------------------ oracle SQL
 
@@ -1526,6 +1466,18 @@ object PipelineQueries {
        |                 a.band_idx
        |          FROM eb a JOIN eb b ON a.band_idx = b.band_idx
        |            AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
+
+  /** Sampled stored-media id set (mirrors `MediaStore.sampleStep`):
+    * stride = ceil(n / MaxStoredRows), ids divisible by the stride —
+    * the same integer derivation the store's writer uses. */
+  private val mediaIdsCte = {
+    val cap = graft.multimodal.MediaStore.MaxStoredRows
+    s"""mediaIds AS (
+       |  SELECT event_id FROM events,
+       |    (SELECT CAST((count(*) + ${cap - 1}) // $cap AS BIGINT) AS st
+       |     FROM events)
+       |  WHERE event_id % st = 0)""".stripMargin
+  }
 
   /** Corpus-scaled bucket (mirrors `bucketed`): band width b from the
     * same integer rule as `lshBandBits`, bucket = low b bits of the
@@ -2168,7 +2120,8 @@ object PipelineQueries {
         |    AS BIGINT) AS digit_run_chars
         |FROM documents""".stripMargin,
     "mm_frame_sample" ->
-      """WITH n AS (SELECT event_id, 4 + event_id % 28 AS nf FROM events),
+      s"""WITH $mediaIdsCte,
+        |n AS (SELECT event_id, 4 + event_id % 28 AS nf FROM mediaIds),
         |sf AS (SELECT event_id, nf, f.r AS f FROM n, range(0, 32) f(r)
         |       WHERE f.r < nf AND f.r % 3 = 0),
         |fs AS (SELECT event_id, f,
@@ -2281,8 +2234,9 @@ object PipelineQueries {
         |            ORDER BY hv, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
     "mm_audio_chunks" ->
-      """WITH n AS (
-        |  SELECT event_id, 1000 + event_id % 1000 AS ns FROM events),
+      s"""WITH $mediaIdsCte,
+        |n AS (
+        |  SELECT event_id, 1000 + event_id % 1000 AS ns FROM mediaIds),
         |samp AS (SELECT event_id, ns, i.r AS i,
         |         (event_id * 1103515245 + i.r * 12345) % 65536 - 32768 AS s
         |         FROM n, range(0, 2000) i(r) WHERE i.r < ns),
@@ -2308,8 +2262,9 @@ object PipelineQueries {
         |       tot.energy, sig.window_sig
         |FROM n JOIN tot USING (event_id) JOIN sig USING (event_id)""".stripMargin,
     "mm_features" ->
-      """WITH d AS (SELECT event_id, 8 + event_id % 9 AS w,
-        |                  8 + (event_id // 9) % 9 AS h FROM events),
+      s"""WITH $mediaIdsCte,
+        |d AS (SELECT event_id, 8 + event_id % 9 AS w,
+        |             8 + (event_id // 9) % 9 AS h FROM mediaIds),
         |px AS (SELECT event_id, w, h, x.r AS x, y.r AS y
         |       FROM d, range(0, 17) x(r), range(0, 17) y(r)
         |       WHERE x.r < w AND y.r < h)

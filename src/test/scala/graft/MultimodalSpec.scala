@@ -129,6 +129,65 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     assert(again.toSeq === out.toSeq)
   }
 
+  test("media store sampling stride follows the integer budget rule") {
+    import graft.multimodal.MediaStore
+    assert(MediaStore.sampleStep(1000L) === 1L)
+    assert(MediaStore.sampleStep(MediaStore.MaxStoredRows) === 1L)
+    assert(MediaStore.sampleStep(MediaStore.MaxStoredRows + 1) === 2L)
+    assert(MediaStore.sampleStep(10000000L) ===
+      (10000000L + MediaStore.MaxStoredRows - 1) / MediaStore.MaxStoredRows)
+  }
+
+  test("corrupt stored blob quarantines the row, not the job") {
+    import spark.implicits._
+    val events = spark.range(0, 10).toDF("event_id")
+    val d = java.nio.file.Files.createTempDirectory("graft_media_spec")
+    try {
+      val path = s"$d/media.parquet"
+      graft.multimodal.MediaStore.write(events, path)
+      // truncate id 3's PNG mid-stream: a stored-blob corruption the
+      // decode pass must survive
+      val broken = spark.read.parquet(path)
+        .as[(Long, Array[Byte], Array[Byte], Array[Byte])]
+        .map { case (id, png, wav, avi) =>
+          (id, if (id == 3L) java.util.Arrays.copyOf(png, png.length - 7)
+          else png, wav, avi)
+        }.toDF("event_id", "png", "wav", "avi")
+      val rows = Multimodal.imageFeaturesChecked(
+        broken.select("event_id", "png")).collect()
+      val bad = rows.filter(!_.isNullAt(6))
+      assert(bad.map(_.getLong(0)).toSeq === Seq(3L),
+        "exactly the corrupted row must quarantine")
+      assert(bad.head.isNullAt(1), "quarantined rows carry no features")
+      // the surviving rows decode to the exact formula features
+      val r7 = rows.find(_.getLong(0) == 7L).get
+      assert(r7.getLong(1) === MediaSynth.imageWidth(7L).toLong)
+      assert(r7.getLong(2) === MediaSynth.imageHeight(7L).toLong)
+      assert(rows.count(_.isNullAt(6)) === 9)
+    } finally org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+  }
+
+  test("mm queries read the stored table, prune to one payload column, and evict") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/events.parquet").exists)
+    val feats = graft.queries.PipelineQueries.mmFeatures(spark, dir)
+    val n = feats.count()
+    assert(n > 0)
+    assert(graft.multimodal.MediaStore.derivedCount(spark, dir) === 1,
+      "a read-only source dir gets ONE derived session store")
+    val scanLine = feats.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema"))
+      .getOrElse(fail("no file scan in the mm plan"))
+    assert(scanLine.contains("png"))
+    assert(!scanLine.contains("wav") && !scanLine.contains("avi"),
+      s"other kinds' payload columns must prune out of the scan: $scanLine")
+    // evict releases the derived store; the query rebuilds it
+    graft.queries.PipelineQueries.evictCaches(spark, dir)
+    assert(graft.multimodal.MediaStore.derivedCount(spark, dir) === 0)
+    assert(graft.queries.PipelineQueries.mmFeatures(spark, dir).count() === n)
+    graft.queries.PipelineQueries.evictCaches(spark, dir)
+  }
+
   test("asMediaRecords wraps a DataFrame column as binary payloads") {
     import spark.implicits._
     val df = Seq((10L, "{\"k\": 1}"), (11L, "{\"k\": 2}"))
