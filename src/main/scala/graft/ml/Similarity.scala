@@ -217,6 +217,46 @@ object Similarity {
     openIndex(emb.sparkSession, index.dir)
   }
 
+  /** Retrain a persisted IVF index IN PLACE — the repair action for a
+    * positive [[driftStats]] reading: refit the codebook from the
+    * STORED corpus (the inverted lists carry the raw vectors), re-assign
+    * every vector, and reset drift telemetry to the new build. The
+    * re-assigned lists are staged NEXT TO the live ones and swapped with
+    * one directory rename — overwriting `lists.parquet` while the
+    * assignment job reads it would corrupt the input mid-job, and the
+    * rename keeps the index openable at every instant. Cost = one
+    * k-means fit + one assignment pass + one range shuffle — the same
+    * shape as the original build, which is the honest price of new
+    * centroids (appends stay cheap; retrain is the amortized repair).
+    *
+    * `k` <= 0 keeps the current codebook size; pass a positive k to
+    * rescale it (e.g. the corpus-scaled rows-per-centroid rule) when
+    * the corpus has grown far past the build. */
+  def retrainIndex(index: IvfIndex, iters: Int = 5, k: Int = 0): IvfIndex = {
+    val s = index.codebook.sparkSession
+    graft.functions.native.register(s)
+    val corpus = index.lists.select(col("vec_id"), col("embedding"))
+    val kk = if (k > 0) k else index.codebook.count().toInt
+    val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
+      .select(col("cid").cast(LongType), col("cv"))
+    val live = new org.apache.hadoop.fs.Path(s"${index.dir}/lists.parquet")
+    val staged =
+      new org.apache.hadoop.fs.Path(s"${index.dir}/lists.parquet.retrain")
+    Embeddings.assign(corpus, cbNew)
+      .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
+      .repartitionByRange(col("cid"))
+      .sortWithinPartitions("cid")
+      .write.mode("overwrite").parquet(staged.toString)
+    val f = fs(s, live)
+    f.delete(live, true)
+    require(f.rename(staged, live),
+      s"retrain swap failed: $staged -> $live")
+    cbNew.coalesce(1)
+      .write.mode("overwrite").parquet(s"${index.dir}/codebook.parquet")
+    writeBuildDrift(s, index.dir, live.toString)
+    openIndex(s, index.dir)
+  }
+
   /** IVF top-k against a PERSISTED index: identical results to
     * [[ivfSearch]] over the same codebook (same assignment rule, same
     * tie-breaks), but the corpus side is the stored inverted lists —
@@ -389,6 +429,20 @@ object Similarity {
         collectPq(index.codebook))
       .select(col("vec_id"), col("code"), col("rnorm"))
       .write.mode("append").parquet(s"${index.dir}/codes.parquet")
+    openPqIndex(emb.sparkSession, index.dir)
+  }
+
+  /** Retrain a persisted PQ index in place: refit the subspace
+    * codebooks (same m, ks) and re-encode. Unlike the IVF lists, PQ
+    * codes are a LOSSY representation — the raw corpus is not stored in
+    * the index, so the caller provides it (`emb`): at fleet scale the
+    * vectors live in the data lake and the index stores only codes. */
+  def retrainPqIndex(index: PqIndex, emb: DataFrame,
+      iters: Int = 5): PqIndex = {
+    val cb = collectPq(index.codebook)
+    val pqNew = Embeddings.pqFit(emb.select(col("vec_id"), col("embedding")),
+      cb.length, cb(0).length, iters)
+    writePqIndex(emb, pqNew, index.dir)
     openPqIndex(emb.sparkSession, index.dir)
   }
 
@@ -572,6 +626,28 @@ object Similarity {
       recordAppendDrift(emb.sparkSession, index.dir, encoded)
     } finally encoded.unpersist(blocking = false)
     openIvfPqIndex(emb.sparkSession, index.dir)
+  }
+
+  /** Retrain a persisted IVF-PQ index in place — the [[retrainIndex]]
+    * analog for the compressed family: refit BOTH codebooks (coarse
+    * k-means and the m×ks subspace quantizer) and re-encode, preserving
+    * the stored residual flavor (meta.json decides, never the caller).
+    * The codes are lossy, so like [[retrainPqIndex]] the raw corpus
+    * comes from the caller; `writeIvfPqIndex` rewrites codes, both
+    * codebooks, meta.json, AND drift.json, so telemetry restarts at the
+    * new build. `k` <= 0 keeps the current coarse codebook size. */
+  def retrainIvfPqIndex(index: IvfPqIndex, emb: DataFrame,
+      iters: Int = 5, k: Int = 0): IvfPqIndex = {
+    val s = emb.sparkSession
+    graft.functions.native.register(s)
+    val corpus = emb.select(col("vec_id"), col("embedding"))
+    val kk = if (k > 0) k else index.codebook.count().toInt
+    val cb = collectPq(index.pqCodebook)
+    val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
+      .select(col("cid").cast(LongType), col("cv"))
+    val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
+    writeIvfPqIndex(corpus, cbNew, pqNew, index.dir, index.residual)
+    openIvfPqIndex(s, index.dir)
   }
 
   /** IVF-PQ top-k against a PERSISTED index: identical results to

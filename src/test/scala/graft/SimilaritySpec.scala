@@ -764,6 +764,157 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(large.size >= 60, s"expected ~64 clusters, got ${large.size}")
   }
 
+  test("retrainIndex repairs a drifted IVF index: telemetry resets, the " +
+      "refit codebook fits better, results == a from-scratch rebuild") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$driftDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 8, iters = 3)
+      .select(col("cid"), col("cv"))
+    val idir = java.nio.file.Files.createTempDirectory("graft_rt").toString
+    val fdir = java.nio.file.Files.createTempDirectory("graft_rtref").toString
+    try {
+      graft.ml.Similarity.writeIndex(emb, codebook, idir)
+      var idx = graft.ml.Similarity.openIndex(spark, idir)
+      // a 5x shifted population built to DEGRADE recall under the
+      // frozen codebook: 8 types of noisy THREE-axis mixtures, so each
+      // type's members scatter across three frozen axis lists (the
+      // per-vector noise decides which of the three equidistant
+      // centroids wins) — nprobe=2 then structurally misses ~1/3 of a
+      // query's true neighbors until retraining gives each mixture type
+      // its own centroid
+      val shifted = (0L until 400L).map { i =>
+        val t = (i % 8).toInt
+        val axes = Set(t, (t + 3) % 8, (t + 5) % 8)
+        val v = Array.tabulate(64)(j =>
+          (if (axes(j)) 0.577f else 0.0f) +
+            0.05f * (((i * 31 + j * 7) % 11) - 5))
+        (1000000L + i, v.toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      idx = graft.ml.Similarity.appendIndex(idx, shifted)
+      val stale = graft.ml.Similarity.driftStats(spark, idir)
+      assert(stale.drift > 0.05, f"fixture did not drift: ${stale.drift}%.4f")
+      // shifted-region queries: 8 of the mixture vectors themselves
+      val queries = shifted.filter(col("vec_id") < 1000008L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      def cosd(a: Array[Float], b: Array[Float]): Double = {
+        var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < a.length) {
+          d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+          nb += b(i).toDouble * b(i); i += 1
+        }
+        d / math.sqrt(na * nb)
+      }
+      def recallOf(ix: graft.ml.Similarity.IvfIndex): Double = {
+        val approx = graft.ml.Similarity
+          .ivfSearchIndex(ix, queries, k = 10, nprobe = 2)
+          .collect().map(r => (r.getLong(0), r.getLong(2)))
+          .groupBy(_._1).map { case (q, xs) => q -> xs.map(_._2).toSet }
+        val all = ix.lists.select("vec_id", "embedding").collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val qs = queries.collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+        val rs = qs.map { case (q, qv) =>
+          val exact = all.filter(_._1 != q)
+            .map { case (id, v) => (id, cosd(qv, v)) }
+            .sortBy(t => (-t._2, t._1)).take(10).map(_._1).toSet
+          (approx.getOrElse(q, Set.empty) - q & exact).size / 10.0
+        }
+        rs.sum / rs.length
+      }
+      val recallStale = recallOf(idx)
+      // REPAIR: refit from the stored corpus, in place
+      idx = graft.ml.Similarity.retrainIndex(idx, iters = 3)
+      val repaired = graft.ml.Similarity.driftStats(spark, idir)
+      assert(repaired.appendedN === 0L && repaired.drift === 0.0,
+        "retrain must reset drift telemetry to the new build")
+      assert(repaired.builtN === 480L)
+      // the refit codebook describes the corpus strictly better than
+      // the frozen one did (combined mean assignment cosine)
+      val staleCombined =
+        (stale.builtMeanCos * stale.builtN +
+          stale.appendedMeanCos * stale.appendedN) /
+          (stale.builtN + stale.appendedN)
+      assert(repaired.builtMeanCos > staleCombined + 0.01,
+        f"refit codebook no better: ${repaired.builtMeanCos}%.4f vs " +
+          f"stale ${staleCombined}%.4f")
+      val recallNew = recallOf(idx)
+      info(f"shifted-region recall@10: stale $recallStale%.2f -> " +
+        f"retrained $recallNew%.2f (drift ${stale.drift}%.4f -> 0)")
+      assert(recallNew >= recallStale + 0.1,
+        f"retrain must RECOVER the degraded shifted-region recall " +
+          f"($recallStale%.2f -> $recallNew%.2f)")
+      assert(recallNew >= 0.9,
+        f"retrained recall $recallNew%.2f below the build-time floor")
+      // retrain IS a rebuild: result parity with a from-scratch index
+      // over the same corpus (the fit/assign rules are deterministic)
+      val union = emb.unionByName(shifted)
+      val cb2 = graft.ml.Embeddings.kmeansFit(union, k = 8, iters = 3)
+        .select(col("cid"), col("cv"))
+      graft.ml.Similarity.writeIndex(union, cb2, fdir)
+      val freshIdx = graft.ml.Similarity.openIndex(spark, fdir)
+      val a = graft.ml.Similarity.ivfSearchIndex(idx, queries, 10, 2)
+        .collect().map(_.toSeq).toSet
+      val b = graft.ml.Similarity.ivfSearchIndex(freshIdx, queries, 10, 2)
+        .collect().map(_.toSeq).toSet
+      assert(a === b, "retrain must equal a from-scratch rebuild")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fdir))
+    }
+  }
+
+  test("retrainIvfPqIndex refits both codebooks, keeps the residual " +
+      "flavor, and resets telemetry") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$driftDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val cb0 = graft.ml.Embeddings.kmeansFit(emb, k = 8, iters = 2)
+      .select(col("cid"), col("cv"))
+    val pq0 = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 1)
+    val idir = java.nio.file.Files.createTempDirectory("graft_rtpq").toString
+    val fdir = java.nio.file.Files.createTempDirectory("graft_rtpqf").toString
+    try {
+      graft.ml.Similarity.writeIvfPqIndex(emb, cb0, pq0, idir,
+        residual = true)
+      var idx = graft.ml.Similarity.openIvfPqIndex(spark, idir)
+      val shifted = (0L until 80L).map { i =>
+        val (a, b) = ((i % 8).toInt, ((i + 3) % 8).toInt)
+        val v = Array.tabulate(64)(j =>
+          if (j == a || j == b) 0.7071f else 0.0f)
+        (1000000L + i, v.toSeq)
+      }.toDF("vec_id", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>"))
+      idx = graft.ml.Similarity.appendIvfPqIndex(idx, shifted)
+      assert(graft.ml.Similarity.driftStats(spark, idir).drift > 0.02)
+      // the codes are lossy, so the raw corpus comes from the caller
+      val union = emb.unionByName(shifted)
+      idx = graft.ml.Similarity.retrainIvfPqIndex(idx, union, iters = 2)
+      assert(idx.residual, "retrain must preserve the residual flavor")
+      val repaired = graft.ml.Similarity.driftStats(spark, idir)
+      assert(repaired.appendedN === 0L && repaired.drift === 0.0)
+      assert(repaired.builtN === 160L)
+      // parity with a from-scratch residual build on the same corpus
+      val cb2 = graft.ml.Embeddings.kmeansFit(union, k = 8, iters = 2)
+        .select(col("cid"), col("cv"))
+      val pq2 = graft.ml.Embeddings.pqFit(union, m = 8, ks = 16, iters = 2)
+      graft.ml.Similarity.writeIvfPqIndex(union, cb2, pq2, fdir,
+        residual = true)
+      val freshIdx = graft.ml.Similarity.openIvfPqIndex(spark, fdir)
+      val queries = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val a = graft.ml.Similarity.ivfPqSearchIndex(idx, queries, 5, 2)
+        .collect().map(_.toSeq).toSet
+      val b = graft.ml.Similarity.ivfPqSearchIndex(freshIdx, queries, 5, 2)
+        .collect().map(_.toSeq).toSet
+      assert(a === b, "retrain must equal a from-scratch rebuild")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idir))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(fdir))
+    }
+  }
+
   test("index drift telemetry: stable appends stay flat, a shifted batch " +
       "moves the metric; the 10x-appended index keeps its recall floor") {
     import spark.implicits._
