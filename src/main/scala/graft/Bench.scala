@@ -36,15 +36,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Warmup: execute every query once at the smallest SF. Plan shapes are
-    // identical across SFs, so this pays Janino codegen compilation and C2
-    // JIT up front (measured: 10-17s/query first run, <2s steady state) and
-    // the timed runs below measure actual compute.
+    // optional subset: `runMain graft.Bench q1_agg d_span_dedup ...` runs
+    // only the named queries (headline runs at very large factors); no
+    // args = the full registry
+    val subset = args.toSet
+    require(subset.isEmpty || subset.subsetOf(SparkEntry.queries.keySet),
+      s"unknown queries: ${subset -- SparkEntry.queries.keySet}")
+    def selected(n: String): Boolean = subset.isEmpty || subset(n)
+
+    // Warmup: execute every (selected) query once at the smallest SF. Plan
+    // shapes are identical across SFs, so this pays Janino codegen
+    // compilation and C2 JIT up front (measured: 10-17s/query first run,
+    // <2s steady state) and the timed runs below measure actual compute.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
       SparkEntry.queries.foreach { case (n, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => }
+        if (selected(n))
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => }
       }
 
     // best of three timed runs per query, taken as full round-robin passes
@@ -53,7 +62,7 @@ object Bench {
     // one of a query's timings instead of all of them. Pass count is
     // overridable for long large-SF runs (BENCH_SUMMARY.md 10× rows).
     val passesN = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val names = SparkEntry.queries.keys.toSeq.sorted.filter(selected)
     val passes = (1 to passesN).map(_ => names.map(n => n -> run(n)).toMap)
     val results = names.map { n =>
       val ts = passes.map(_(n)).filter(_ >= 0)
