@@ -317,6 +317,88 @@ object AggQueries {
       .crossJoin(layout)
   }
 
+  // --------------------------------------------------- netcdf DSv2 scan
+
+  /** Granule-set fixture config: one unlimited record dimension indexed
+    * by ts; plain scalar variables (the encodings derive from the
+    * DataFrame types — ts becomes an epoch-seconds double with CF
+    * units, ids narrow to int32 when they fit). */
+  private val ncScanConfig = graft.core.AggConfig.Config(
+    dims = Seq(graft.core.AggConfig.DimSpec("record", None,
+      indexBy = Some("ts"))),
+    vars = Seq(
+      graft.core.AggConfig.VarSpec("ts", Seq("record"), "double"),
+      graft.core.AggConfig.VarSpec("event_id", Seq("record"), "int64"),
+      graft.core.AggConfig.VarSpec("user_id", Seq("record"), "int64"),
+      graft.core.AggConfig.VarSpec("event_type", Seq("record"), "string"),
+      graft.core.AggConfig.VarSpec("value", Seq("record"), "double")),
+    attrs = Nil)
+
+  // the granule-set fixture is derived ONCE per (session, dir) — the
+  // timed work of q_netcdf_scan is the SCAN, not the write; the release
+  // hook (and a shutdown hook) delete the temp payload
+  private val ncStoreMemo = new SessionScoped[String, String]({ (_, out) =>
+    try org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out).getParentFile)
+    catch { case _: java.io.IOException => () }
+  })
+
+  /** Drop the derived granule store for (session, dir) — two-dir sweeps
+    * ([[PipelineQueries.evictCaches]]); a later query rebuilds it. */
+  def evictNcStore(s: SparkSession, dir: String): Unit =
+    ncStoreMemo.evictMatching(s)(_ == dir)
+
+  /** Directory of `.nc` granules holding the valid events slice
+    * (distributed write: [[graft.sources.NetCDFWrite.writeGranules]],
+    * 20k records/file, chunked 1000 records with shuffle+deflate). */
+  def ncGranuleDir(s: SparkSession, dir: String): String =
+    ncStoreMemo.getOrBuild(s, dir) {
+      val d = java.nio.file.Files.createTempDirectory("graft_ncscan")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        catch { case _: java.io.IOException => () }))
+      val out = s"$d/granules"
+      graft.sources.NetCDFWrite.writeGranules(
+        TSA.filterValid(events(s, dir), cfg)
+          .select("ts", "event_id", "user_id", "event_type", "value"),
+        out, ncScanConfig, Map("title" -> "graft q_netcdf_scan fixture"),
+        maxRecordsPerFile = 20000,
+        opts = graft.sources.NetCDFWrite.NcOpts(chunkRows = Some(1000),
+          deflate = Some(1), shuffle = true))
+      out
+    }
+
+  /** `q_netcdf_scan`: query `.nc` granules IN PLACE through the
+    * DataSourceV2 `spark.read.format("netcdf")` surface
+    * ([[graft.sources.NetCdfSource]]) — the parquet-free path a NetCDF
+    * fleet user runs before (or instead of) converting. The plan proves
+    * the V2 contract end-to-end: column pruning reaches the HDF5 chunk
+    * level (user_id/event_type are never decoded), each granule fans out
+    * into chunk-aligned record-range slabs (`splitrows`=5000 over
+    * 1000-record chunks), and the aggregates must survive the
+    * parquet -> nc -> scan round trip bit-exactly vs the oracle reading
+    * the ORIGINAL parquet. `multi_split` pins the fan-out: >= 2 scan
+    * partitions whenever the slice exceeds one split (count > 5000
+    * implies either one file with >= 2 slabs or >= 2 files). */
+  def qNetcdfScan(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").option("splitrows", "5000")
+      .load(ncGranuleDir(s, dir))
+      // projected BEFORE the agg: Spark (correctly) refuses a
+      // nondeterministic expression inside an aggregate argument
+      .withColumn("__pid", spark_partition_id())
+    nc.agg(
+      count(lit(1)).as("n"),
+      sum(col("event_id")).as("sum_event_id"),
+      (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+        .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
+        .as("v_sum"),
+      min(unix_micros(col("ts").cast(TimestampType))).as("ts_min_us"),
+      max(unix_micros(col("ts").cast(TimestampType))).as("ts_max_us"),
+      (countDistinct(col("__pid")) >= 2).cast(LongType)
+        .as("multi_split"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private def fullPipelineSql(withBounds: Boolean,
@@ -491,6 +573,19 @@ object AggQueries {
          |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum,
          |       CAST(1 AS BIGINT) AS chunk_cap_ok,
          |       CAST(1 AS BIGINT) AS multi_file
+         |FROM e""".stripMargin,
+    // the oracle reads the ORIGINAL parquet — the fixture's
+    // parquet -> .nc -> v2-scan round trip must be value-exact (epoch
+    // double micro-rounding proven exact below 2^53 us); multi_split's
+    // count>5000 rule: one file with >= 2 slabs, or >= 2 files
+    "q_netcdf_scan" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum,
+         |       CAST(min(t) AS BIGINT) AS ts_min_us,
+         |       CAST(max(t) AS BIGINT) AS ts_max_us,
+         |       CAST(count(*) > 5000 AS BIGINT) AS multi_split
          |FROM e""".stripMargin
   )
 
@@ -511,6 +606,7 @@ object AggQueries {
     "q_agg_resample" -> (qAggResample _),
     "q_agg_sessionize" -> (qAggSessionize _),
     "q_agg_bounds_parse" -> (qAggBoundsParse _),
-    "q_agg_chunked_write" -> (qAggChunkedWrite _)
+    "q_agg_chunked_write" -> (qAggChunkedWrite _),
+    "q_netcdf_scan" -> (qNetcdfScan _)
   )
 }

@@ -98,6 +98,15 @@ object Hdf5Reader {
     /** Flat row-major values of a dataset: Array of Long/Double/Float/
       * Int/String depending on the datatype. */
     def read(ds: Dataset): AnyRef = reader.readData(ds)
+    /** Flat row-major values of records [lo, hi) along the dataset's
+      * FIRST dimension (a record-range hyperslab). Chunked layouts read
+      * only the chunks intersecting the window and contiguous layouts
+      * pread only the window's byte range, so the cost is O(slab), not
+      * O(dataset) — and the 2 GiB per-read bound applies to the SLAB,
+      * which is how a >2 GiB record variable becomes readable at all
+      * (split it). */
+    def readSlab(ds: Dataset, lo: Long, hi: Long): AnyRef =
+      reader.readData(ds, lo, hi)
     /** Release the underlying source (the pread channel of a >= 2 GiB
       * file — without this, a per-granule ingest loop leaks one fd per
       * large granule until EMFILE). No further reads after close. */
@@ -981,30 +990,44 @@ object Hdf5Reader {
       out
     }
 
-    /** Raw row-major bytes of the dataset (fill-value padded). */
+    /** Raw row-major bytes of records [lo, hi) along dim 0 (fill-value
+      * padded). The full dataset is the (0, shape0) window. Only the
+      * window's bytes are allocated and only the chunks / byte ranges
+      * intersecting it are read, so a record-range slab of a huge
+      * variable costs O(slab) I/O and memory — and the 2 GiB per-read
+      * bound below applies per SLAB, which is what makes a >2 GiB
+      * record variable readable at all (via [[H5File.readSlab]]). */
     private def rawData(msgs: Seq[Message], shape: Seq[Long],
-        elemSize: Int): Array[Byte] = {
-      // per-DATASET bound: one variable's decoded bytes must fit a JVM
-      // array. Checked in Long BEFORE the Int narrowing — silent wrap
-      // here would allocate a wrong-size array and corrupt the decode.
-      val nL = shape.product max (if (shape.isEmpty) 1L else 0L)
+        elemSize: Int, lo: Long, hi: Long): Array[Byte] = {
+      val rank = shape.length
+      require(
+        if (rank == 0) lo == 0 && hi == 1
+        else lo >= 0 && lo <= hi && hi <= shape.head,
+        s"record window [$lo, $hi) out of bounds for shape $shape")
+      // bytes of one record (rank >= 1) and of the requested slab.
+      // Checked in Long BEFORE the Int narrowing — silent wrap here
+      // would allocate a wrong-size array and corrupt the decode.
+      val rowElems = if (rank == 0) 1L else shape.drop(1).product max 1L
+      val nL = if (rank == 0) 1L else (hi - lo) * rowElems
       val totalL = nL * elemSize
       require(totalL <= Int.MaxValue,
-        s"dataset of $nL elements x $elemSize B = $totalL bytes exceeds " +
-          "the 2 GiB per-variable read bound; read a hyperslab or split " +
-          "the granule")
-      val n = nL.toInt
+        s"read of $nL elements x $elemSize B = $totalL bytes exceeds " +
+          "the 2 GiB per-read bound; read a smaller record-range slab " +
+          "or split the granule")
       val total = totalL.toInt
+      val rowBytes = rowElems * elemSize
       val lay = layout(msgs)
       lay.kind match {
         case 0 =>
-          d.copy(lay.compactOff, lay.compactOff + total)
+          d.copy(lay.compactOff + lo * rowBytes,
+            lay.compactOff + lo * rowBytes + total)
         case 1 =>
           val out = new Array[Byte](total)
           fillBytes(out, fillValue(msgs, elemSize), elemSize)
-          if (lay.addr != Undefined)
-            d.copyTo(lay.addr, out, 0,
-              math.min(lay.size, total.toLong).toInt)
+          val srcStart = lo * rowBytes
+          if (lay.addr != Undefined && srcStart < lay.size)
+            d.copyTo(lay.addr + srcStart, out, 0,
+              math.min(lay.size - srcStart, total.toLong).toInt)
           out
         case 2 =>
           val out = new Array[Byte](total)
@@ -1012,13 +1035,19 @@ object Hdf5Reader {
           val fs = filters(msgs)
           // chunk dims include a trailing element-size dim
           val cdims = lay.chunkDims.dropRight(1)
+          val hiClip = if (rank == 0) 1L else hi
           if (lay.addr != Undefined)
             walkChunkBtree(lay.addr, cdims.length + 1) {
               (csize, mask, offsets, caddr) =>
-                val raw = d.copy(caddr, caddr + csize)
-                val bytes = unfilter(raw, fs, mask, elemSize, caddr)
-                copyChunk(bytes, offsets.dropRight(1), cdims, shape,
-                  elemSize, out)
+                // skip (never read or decode) chunks outside the window
+                val off0 = offsets.headOption.getOrElse(0L)
+                val c0 = cdims.headOption.getOrElse(1).toLong
+                if (rank == 0 || (off0 < hiClip && off0 + c0 > lo)) {
+                  val raw = d.copy(caddr, caddr + csize)
+                  val bytes = unfilter(raw, fs, mask, elemSize, caddr)
+                  copyChunk(bytes, offsets.dropRight(1), cdims, shape,
+                    elemSize, out, lo, hiClip)
+                }
             }
           out
       }
@@ -1056,18 +1085,32 @@ object Hdf5Reader {
       }
     }
 
-    /** Copy one decoded chunk into the row-major output, clipping edge
-      * chunks that extend past the dataset shape. */
+    /** Copy one decoded chunk into the row-major output of the record
+      * window [lo, hi) along dim 0, clipping edge chunks that extend
+      * past the dataset shape and rows outside the window. `out` holds
+      * (hi - lo) records; a dim-0 position `r` lands at record `r - lo`.
+      * The full-dataset copy is the (0, shape0) window. */
     private def copyChunk(bytes: Array[Byte], off: Seq[Long],
         cdims: Seq[Int], shape: Seq[Long], elemSize: Int,
-        out: Array[Byte]): Unit = {
+        out: Array[Byte], lo: Long, hi: Long): Unit = {
       val rank = shape.length
       if (rank == 0) return
-      // row-major strides of the full dataset
+      // row-major strides of the full dataset (dims >= 1 are never
+      // windowed, so their strides equal the slab's)
       val stride = new Array[Long](rank)
       stride(rank - 1) = 1
       var k = rank - 2
       while (k >= 0) { stride(k) = stride(k + 1) * shape(k + 1); k -= 1 }
+      if (rank == 1) {
+        // dim 0 IS the innermost run: clip it to the window directly
+        val start = math.max(off.head, lo)
+        val end = math.min(math.min(off.head + cdims.head, shape.head), hi)
+        if (end <= start) return
+        System.arraycopy(bytes, ((start - off.head) * elemSize).toInt,
+          out, ((start - lo) * elemSize).toInt,
+          ((end - start) * elemSize).toInt)
+        return
+      }
       // innermost contiguous run length (clipped)
       val innerLen =
         math.min(cdims(rank - 1).toLong, shape(rank - 1) - off(rank - 1))
@@ -1081,18 +1124,21 @@ object Hdf5Reader {
       val nOuter = outerDims.product max 1
       var c = 0
       while (c < nOuter) {
-        var srcPos = 0L
-        var dstPos = 0L
-        var i = 0
-        while (i < rank - 1) {
-          srcPos += idx(i).toLong *
-            (i + 1 until rank).map(j => cdims(j).toLong).product
-          dstPos += (off(i) + idx(i)) * stride(i)
-          i += 1
+        val r0 = off.head + idx(0)
+        if (r0 >= lo && r0 < hi) {
+          var srcPos = 0L
+          var dstPos = (r0 - lo) * stride(0)
+          var i = 0
+          while (i < rank - 1) {
+            srcPos += idx(i).toLong *
+              (i + 1 until rank).map(j => cdims(j).toLong).product
+            if (i > 0) dstPos += (off(i) + idx(i)) * stride(i)
+            i += 1
+          }
+          dstPos += off(rank - 1) * stride(rank - 1)
+          System.arraycopy(bytes, (srcPos * elemSize).toInt,
+            out, (dstPos * elemSize).toInt, innerLen * elemSize)
         }
-        dstPos += off(rank - 1) * stride(rank - 1)
-        System.arraycopy(bytes, (srcPos * elemSize).toInt,
-          out, (dstPos * elemSize).toInt, innerLen * elemSize)
         // odometer increment
         var j = rank - 2
         var carry = true
@@ -1106,20 +1152,27 @@ object Hdf5Reader {
     }
 
     /** Typed flat values of a dataset. */
-    def readData(ds: Dataset): AnyRef = {
+    def readData(ds: Dataset): AnyRef =
+      readData(ds, 0L, if (ds.shape.isEmpty) 1L else ds.shape.head)
+
+    /** Typed flat values of records [lo, hi) along dim 0 — the typed
+      * face of the windowed [[rawData]] (see [[H5File.readSlab]]). */
+    def readData(ds: Dataset, lo: Long, hi: Long): AnyRef = {
       val msgs = objectHeader(ds.addr)
-      // rawData enforces the Long-checked per-variable byte bound; the
+      // rawData enforces the Long-checked per-slab byte bound; the
       // element count therefore fits an Int once that call returns
-      val nL = ds.shape.product max (if (ds.shape.isEmpty) 1L else 0L)
+      val rowElems =
+        if (ds.shape.isEmpty) 1L else ds.shape.drop(1).product max 1L
+      val nL = if (ds.shape.isEmpty) 1L else (hi - lo) * rowElems
       require(nL <= Int.MaxValue,
-        s"dataset of $nL elements exceeds the per-variable read bound")
+        s"slab of $nL elements exceeds the per-read bound")
       val n = nL.toInt
       // enums decode as their integer base; the label map is metadata
       val dtype = ds.dtype match { case e: H5Enum => e.base; case t => t }
       dtype match {
         case H5Vlen(_, true) =>
           // vlen strings route through the global heap per element
-          val raw = rawData(msgs, ds.shape, 16)
+          val raw = rawData(msgs, ds.shape, 16, lo, hi)
           val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
           Array.tabulate(n) { i =>
             val gaddr = b.getLong(i * 16 + 4)
@@ -1128,7 +1181,7 @@ object Hdf5Reader {
             else new String(globalHeapObject(gaddr, gidx), "UTF-8")
           }
         case dt =>
-          val raw = rawData(msgs, ds.shape, dt.size)
+          val raw = rawData(msgs, ds.shape, dt.size, lo, hi)
           val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
           dt match {
             case H5Float(8) => Array.tabulate(n)(i => b.getDouble(i * 8))

@@ -30,18 +30,48 @@ object NetCDF4 {
       dims: Seq[String],
       shape: Seq[Long],
       dtype: Hdf5Reader.H5Type,
-      attrs: Map[String, Any])
+      attrs: Map[String, Any],
+      /** storage chunk extents (empty for contiguous/compact layouts) —
+        * record-range readers align their splits to `chunkDims.head` so
+        * a split never decodes a chunk it doesn't own */
+      chunkDims: Seq[Int] = Nil)
 
   final case class NcFile(
       dims: Seq[NcDim],
       vars: Seq[NcVar],
       attrs: Map[String, Any],
       private[sources] val readFn: NcVar => AnyRef,
-      private[sources] val closeFn: () => Unit = () => ()) {
+      private[sources] val closeFn: () => Unit = () => (),
+      private[sources] val readSlabFn: (NcVar, Long, Long) => AnyRef = null) {
     def read(v: NcVar): AnyRef = readFn(v)
+    /** Values of records [lo, hi) along the variable's FIRST dimension.
+      * HDF5-backed files read only the intersecting chunks / byte range
+      * (O(slab) I/O — see [[Hdf5Reader.H5File.readSlab]]); the NetCDF-3
+      * reader falls back to a full read sliced in memory (classic files
+      * are header-bounded at 4 GiB; CDF-5 giants would want the same
+      * ranged treatment if they ever show up). */
+    def readSlab(v: NcVar, lo: Long, hi: Long): AnyRef =
+      if (readSlabFn != null) readSlabFn(v, lo, hi)
+      else sliceRecords(readFn(v), v, lo, hi)
     /** Release the file's OS resource (the pread channel of a >= 2 GiB
       * granule). Safe to call more than once; no reads after close. */
     def close(): Unit = closeFn()
+  }
+
+  /** In-memory record slice of a fully-read variable (the readSlab
+    * fallback for sources without ranged reads). */
+  private def sliceRecords(data: AnyRef, v: NcVar, lo: Long,
+      hi: Long): AnyRef = {
+    val inner = v.shape.drop(1).product max 1L
+    val from = (lo * inner).toInt
+    val until = (hi * inner).toInt
+    data match {
+      case a: Array[Double] => java.util.Arrays.copyOfRange(a, from, until)
+      case a: Array[Float] => java.util.Arrays.copyOfRange(a, from, until)
+      case a: Array[Long] => java.util.Arrays.copyOfRange(a, from, until)
+      case a: Array[AnyRef] => java.util.Arrays.copyOfRange(a, from, until)
+      case other => other
+    }
   }
 
   private val PhonyDimMarker = "This is a netCDF dimension but not"
@@ -106,7 +136,8 @@ object NetCDF4 {
         val userAttrs = ds.attrs.filterNot { case (k, _) =>
           NcInternalAttrs(k)
         }
-        Some(NcVar(ds.name, dimNames, ds.shape, ds.dtype, userAttrs))
+        Some(NcVar(ds.name, dimNames, ds.shape, ds.dtype, userAttrs,
+          ds.chunkDims))
       }
     }
     // a phony (non-coordinate) unlimited dim's scale dataset keeps its
@@ -120,7 +151,9 @@ object NetCDF4 {
     }
     NcFile(sized.sortBy(_.dimid), vars, h5.rootAttrs,
       v => h5.read(h5.datasets.find(_.name == v.name).get),
-      () => h5.close())
+      () => h5.close(),
+      (v, lo, hi) =>
+        h5.readSlab(h5.datasets.find(_.name == v.name).get, lo, hi))
     } catch { case e: Throwable => h5.close(); throw e }
   }
 

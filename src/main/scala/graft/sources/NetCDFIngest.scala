@@ -149,21 +149,39 @@ object NetCDFIngest {
 
   /** One row per record of one granule, projected onto `schema` (variables
     * a granule lacks become nulls — the reference null-fills the same way,
-    * aggrelist.py:545-566). */
+    * aggrelist.py:545-566).
+    *
+    * `range` restricts the read to records [lo, hi) of the record dim:
+    * per-record variables are read as HYPERSLABS (only the intersecting
+    * HDF5 chunks / byte ranges — O(slab) I/O, see
+    * [[Hdf5Reader.H5File.readSlab]]), which is what lets a single huge
+    * granule fan out across many executors ([[NetCdfSource]]) instead of
+    * being one task here. Constant (non-record) variables are read whole
+    * either way — they are one value per granule, not per record. */
   def granuleRows(path: String, schema: StructType,
-      recDimHint: Option[String] = None): Iterator[Row] = {
+      recDimHint: Option[String] = None,
+      range: Option[(Long, Long)] = None): Iterator[Row] = {
     val nc = open(path)
     // try/finally (close is idempotent): a throw during getter
     // construction — granule mismatch, missing time units — must not
     // leak the pread FileChannel of a multi-GiB granule
     try {
     val recDim = resolveRecDim(nc, path, recDimHint)
-    val n = nc.dims.find(_.name == recDim).map(_.size.toInt).getOrElse(0)
+    val nFull =
+      nc.dims.find(_.name == recDim).map(_.size).getOrElse(0L)
+    val (lo, hi) = range.getOrElse((0L, nFull))
+    require(lo >= 0 && lo <= hi && hi <= nFull,
+      s"$path: record range [$lo, $hi) out of bounds (0, $nFull)")
+    val n = (hi - lo).toInt
     val getters: Array[Int => Any] = schema.fields.map { f =>
       nc.vars.find(_.name == f.name) match {
         case None => (_: Int) => null
         case Some(v) =>
-          val data = nc.read(v)
+          val isRec = v.dims.headOption.contains(recDim)
+          // record vars slab to the window (the full read IS the
+          // (0, nFull) window — one code path, exercised everywhere);
+          // constant vars read whole
+          val data = if (isRec) nc.readSlab(v, lo, hi) else nc.read(v)
           val fill = fillOf(v)
           def num(i: Int): Double = data match {
             case a: Array[Double] => a(i)
@@ -183,8 +201,11 @@ object NetCDFIngest {
             case _ => null
           }
           val total = v.shape.product.toInt max 1
-          val recordVar = v.dims.headOption.contains(recDim)
-          val inner = if (recordVar) (total / math.max(n, 1)) else total
+          val recordVar = isRec
+          // values per record, from the SHAPE (not the slab length): a
+          // windowed read changes the record count, never the row width
+          val inner =
+            if (recordVar) v.shape.drop(1).product.toInt max 1 else total
           f.dataType match {
             case TimestampNTZType =>
               val (base, per) = v.attrs.get("units")

@@ -212,6 +212,21 @@ class Hdf5FuzzSpec extends AnyFunSuite {
                 s"trial $trial elem $i: ${ctx(g)}")
               i += 1
             }
+            // a random record-range slab of the same dataset must equal
+            // the full decode sliced — the windowed read path the v2
+            // netcdf source splits on, fuzzed across every layout /
+            // filter / dtype combination the generator covers
+            val rows = g.ds.shape.head.toInt
+            val lo = rnd.nextInt(rows + 1)
+            val hi = lo + rnd.nextInt(rows - lo + 1)
+            val inner = g.ds.shape.drop(1).product.toInt max 1
+            val slab: IndexedSeq[Any] =
+              (h5.readSlab(ds, lo, hi): Any) match {
+                case a: Array[_] => a.toIndexedSeq
+                case other => fail(s"trial $trial: slab gave $other")
+              }
+            assert(slab === got.slice(lo * inner, hi * inner),
+              s"trial $trial slab [$lo,$hi): ${ctx(g)}")
           }
         } finally h5.close()
         Files.delete(dst) // bound the temp footprint across trials

@@ -1,0 +1,384 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Hdf5Reader, Hdf5Writer, NetCDFIngest}
+import graft.sources.Hdf5Writer._
+
+/** The `spark.read.format("netcdf")` DataSourceV2 surface
+  * ([[graft.sources.NetCdfSource]]): record-range slab reads, chunk-level
+  * column pruning (proven behaviorally — a corrupt unprojected variable
+  * never fails the scan), within-granule splits, reported statistics. */
+class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
+
+  /** One granule: time (f64 record coord, chunked), b (f64, chunked,
+    * shuffle+deflate), v2d ([rec, 3] f32, chunked), c (i32 contiguous
+    * constant-per-file is NOT record-shaped: it spans its own dim). */
+  private def writeGranule(dir: String, name: String, n: Int,
+      base: Double, withExtra: Boolean = false,
+      chunkRows: Int = 100): String = {
+    val dst = Paths.get(dir, name)
+    val timeB = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => timeB.putDouble(base + i))
+    val bB = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => bB.putDouble(base * 1000 + i * 0.5))
+    val vB = java.nio.ByteBuffer.allocate(n * 3 * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => (0 until 3).foreach(j =>
+      vB.putFloat((i * 3 + j).toFloat)))
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("time", Seq(n.toLong), WF64, Some(timeB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"),
+          "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true, chunkRows = Some(chunkRows)))
+      w.dataset(WDataset("b", Seq(n.toLong), WF64, Some(bB.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+        unlimited0 = true, chunkRows = Some(chunkRows),
+        deflate = Some(6), shuffle = true))
+      val coordB = java.nio.ByteBuffer.allocate(3 * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until 3).foreach(i => coordB.putDouble(i.toDouble))
+      w.dataset(WDataset("coord", Seq(3L), WF64, Some(coordB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("coord"),
+          "_Netcdf4Dimid" -> WLongAttr(1, 4))))
+      w.dataset(WDataset("v2d", Seq(n.toLong, 3L), WF32, Some(vB.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time", "coord"))),
+        unlimited0 = true, chunkRows = Some(chunkRows)))
+      if (withExtra) {
+        val eB = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach(i => eB.putDouble(i * 2.0))
+        w.dataset(WDataset("extra", Seq(n.toLong), WF64, Some(eB.array()),
+          Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+          unlimited0 = true, chunkRows = Some(chunkRows)))
+      }
+      w.finish(Seq("title" -> WStrAttr(s"v2 fixture $name")))
+    }
+    dst.toString
+  }
+
+  // ------------------------------------------------------------- slab reads
+
+  test("readSlab == full read sliced, across layouts and windows") {
+    val tmp = Files.createTempDirectory("v2slab").toString
+    val p = writeGranule(tmp, "g.nc", n = 250, base = 0.0, chunkRows = 64)
+    val h5 = Hdf5Reader.open(p)
+    try {
+      for (dsName <- Seq("time", "b", "v2d")) {
+        val ds = h5.datasets.find(_.name == dsName).get
+        val inner = ds.shape.drop(1).product.toInt max 1
+        val full = h5.read(ds)
+        // windows crossing chunk boundaries, chunk-interior, edges,
+        // single record, empty
+        for ((lo, hi) <- Seq((0L, 250L), (0L, 64L), (10L, 20L),
+            (63L, 65L), (64L, 128L), (128L, 250L), (249L, 250L),
+            (70L, 70L))) {
+          val slab = h5.readSlab(ds, lo, hi)
+          def slice(a: AnyRef): Seq[Any] = a match {
+            case arr: Array[Double] =>
+              arr.slice(lo.toInt * inner, hi.toInt * inner).toSeq
+            case arr: Array[Float] =>
+              arr.slice(lo.toInt * inner, hi.toInt * inner).toSeq
+            case arr: Array[Long] =>
+              arr.slice(lo.toInt * inner, hi.toInt * inner).toSeq
+          }
+          def all(a: AnyRef): Seq[Any] = a match {
+            case arr: Array[Double] => arr.toSeq
+            case arr: Array[Float] => arr.toSeq
+            case arr: Array[Long] => arr.toSeq
+          }
+          assert(all(slab) === slice(full),
+            s"$dsName window [$lo, $hi)")
+        }
+      }
+    } finally h5.close()
+  }
+
+  test("granuleRows range == full rows sliced (null-fill projection)") {
+    val tmp = Files.createTempDirectory("v2rows").toString
+    val p = writeGranule(tmp, "g.nc", n = 120, base = 5.0, chunkRows = 50)
+    val schema = NetCDFIngest.granuleMeta(p).schema
+    val full = NetCDFIngest.granuleRows(p, schema).toSeq
+    val ranged = NetCDFIngest
+      .granuleRows(p, schema, range = Some((30L, 90L))).toSeq
+    assert(ranged === full.slice(30, 90))
+  }
+
+  // ----------------------------------------------------------- the v2 scan
+
+  test("format(netcdf) == ingest rows; union schema null-fills") {
+    val tmp = Files.createTempDirectory("v2read").toString
+    writeGranule(tmp, "g1.nc", n = 120, base = 0.0, withExtra = true)
+    writeGranule(tmp, "g2.nc", n = 80, base = 9.0)
+    val df = spark.read.format("netcdf").load(tmp)
+    assert(df.columns.toSeq === // HDF5 group B-trees link in name order,
+      // so "first-seen" field order is alphabetical per granule; `coord`
+      // is a coordinate variable (its own dim) -> constant array column
+      Seq("b", "coord", "extra", "time", "v2d"))
+    assert(df.count() === 200)
+    // g2 lacks `extra` -> nulls there, values in g1
+    assert(df.filter(col("extra").isNull).count() === 80)
+    // value-level parity with the ingest path on g1
+    val g1Schema = NetCDFIngest.granuleMeta(s"$tmp/g1.nc").schema
+    val viaIngest = NetCDFIngest
+      .granuleRows(s"$tmp/g1.nc", g1Schema).toSeq
+    val viaV2 = spark.read.format("netcdf").load(s"$tmp/g1.nc")
+      .collect().toSeq
+    val bIdx = g1Schema.fieldIndex("b") // ingest rows carry no schema
+    assert(viaV2.map(_.getAs[Double]("b")).sorted ===
+      viaIngest.map(_.getDouble(bIdx)).sorted)
+    // time decodes as TIMESTAMP_NTZ through the same CF-units mapping
+    assert(df.schema("time").dataType === TimestampNTZType)
+  }
+
+  test("column pruning reaches the chunk level: corrupt unprojected " +
+      "variable never read") {
+    val tmp = Files.createTempDirectory("v2prune").toString
+    val n = 100
+    val goodB = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => goodB.putDouble(i * 1.0))
+    // a recognizable payload for the to-be-corrupted variable
+    val badB = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(_ => badB.putLong(0x5ca1ab1e5ca1ab1eL))
+    val dst = Paths.get(tmp, "g.nc")
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("time", Seq(n.toLong), WF64,
+        Some(goodB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"), "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true, chunkRows = Some(n)))
+      // fletcher32 so a flipped byte FAILS the read loudly if touched
+      w.dataset(WDataset("poison", Seq(n.toLong), WInt(8),
+        Some(badB.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+        unlimited0 = true, fletcher32 = true, chunkRows = Some(n)))
+      w.finish(Nil)
+    }
+    // corrupt the poison payload in place (find its magic bytes)
+    val bytes = Files.readAllBytes(dst)
+    val magic = Array[Byte](0x1e, 0xab.toByte, 0xa1.toByte, 0x5c)
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (0 until 4).forall(j => bytes(i + j) == magic(j))).get
+    bytes(at) = (bytes(at) ^ 0xff).toByte
+    Files.write(dst, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    val df = spark.read.format("netcdf").load(dst.toString)
+    // projecting AROUND the corrupt variable succeeds -> its chunks were
+    // never read (the pruning claim, proven behaviorally)
+    assert(df.select("time").count() === n)
+    assert(df.select(max("time")).collect().head.get(0) != null)
+    // projecting THE corrupt variable fails loudly (fletcher mismatch)
+    val e = intercept[Exception] {
+      df.select("poison").collect()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(e).exists(_.contains("fletcher32")))
+    // and the pruned ReadSchema is visible in the plan description
+    val plan = df.select("time").queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<time:timestamp_ntz>"))
+    assert(!plan.contains("poison:"))
+  }
+
+  test("COUNT(*) pushes to header metadata: answers with EVERY data " +
+      "chunk corrupt") {
+    val tmp = Files.createTempDirectory("v2count").toString
+    val n = 77
+    def magicPayload(m: Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(_ => b.putLong(m))
+      b.array()
+    }
+    val dst = Paths.get(tmp, "g.nc")
+    Hdf5Writer.streamTo(dst) { w =>
+      w.dataset(WDataset("time", Seq(n.toLong), WInt(8),
+        Some(magicPayload(0x0123456789abcdefL)),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"), "_Netcdf4Dimid" -> WLongAttr(0, 4)),
+        unlimited0 = true, fletcher32 = true, chunkRows = Some(n)))
+      w.dataset(WDataset("x", Seq(n.toLong), WInt(8),
+        Some(magicPayload(0x5ca1ab1e5ca1ab1eL)),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+        unlimited0 = true, fletcher32 = true, chunkRows = Some(n)))
+      w.finish(Nil)
+    }
+    // corrupt BOTH variables' payloads — only the header stays readable
+    val bytes = Files.readAllBytes(dst)
+    for (magic <- Seq(Array[Byte](0xef.toByte, 0xcd.toByte, 0xab.toByte,
+        0x89.toByte), Array[Byte](0x1e, 0xab.toByte, 0xa1.toByte, 0x5c))) {
+      val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+        (0 until 4).forall(j => bytes(i + j) == magic(j))).get
+      bytes(at) = (bytes(at) ^ 0xff).toByte
+    }
+    Files.write(dst, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    val df = spark.read.format("netcdf").load(dst.toString)
+    // Dataset.count() and groupBy().count() both answer from metadata
+    assert(df.count() === n)
+    val cdf = df.groupBy().count()
+    assert(cdf.collect().head.getLong(0) === n)
+    assert(cdf.queryExecution.executedPlan.toString
+      .contains("NetCdfCountScan"),
+      "count(*) should plan the metadata-only scan")
+    // any DATA read fails loudly — proving the count touched no chunks
+    intercept[Exception] { df.select("x").collect() }
+    intercept[Exception] { df.select("time").collect() }
+    // a grouped count is NOT pushed (it needs the data) and fails
+    intercept[Exception] { df.groupBy("x").count().collect() }
+  }
+
+  test("one granule fans out into chunk-aligned record-range splits") {
+    val tmp = Files.createTempDirectory("v2split").toString
+    val p = writeGranule(tmp, "g.nc", n = 1000, base = 0.0,
+      chunkRows = 100)
+    // splitrows=250 aligns DOWN to 200 (2 chunks/split) -> 5 slices
+    val df = spark.read.format("netcdf")
+      .option("splitrows", "250").load(p)
+      .select("b")
+    assert(df.rdd.getNumPartitions === 5)
+    // every record exactly once across the splits
+    val viaSplit = df.agg(sum("b"), count("*")).collect().head
+    val one = spark.read.format("netcdf").load(p)
+    val whole = one.agg(sum("b"), count("*")).collect().head
+    assert(viaSplit === whole)
+    // a sub-chunk request clamps UP to one chunk per split
+    val tiny = spark.read.format("netcdf")
+      .option("splitrows", "37").load(p).select("time")
+    assert(tiny.rdd.getNumPartitions === 10)
+    assert(tiny.distinct().count() === 1000)
+  }
+
+  test("sortedby range pruning: disjoint granule never opened, " +
+      "boundary granule record-clipped") {
+    val tmp = Files.createTempDirectory("v2range").toString
+    val n1 = 60
+    // g1 covers seconds [0, 60): clean sorted `time`, POISONED `b`
+    // (uncompressed + fletcher32 so a flipped byte fails loudly IF read)
+    val timeB = java.nio.ByteBuffer.allocate(n1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n1).foreach(i => timeB.putDouble(i.toDouble))
+    val poison = java.nio.ByteBuffer.allocate(n1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n1).foreach(_ => poison.putLong(0x5ca1ab1e5ca1ab1eL))
+    val g1 = Paths.get(tmp, "g1.nc")
+    Hdf5Writer.streamTo(g1) { w =>
+      w.dataset(WDataset("time", Seq(n1.toLong), WF64,
+        Some(timeB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"), "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true, chunkRows = Some(n1)))
+      w.dataset(WDataset("b", Seq(n1.toLong), WF64, Some(poison.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+        unlimited0 = true, fletcher32 = true, chunkRows = Some(n1)))
+      w.finish(Nil)
+    }
+    val bytes = Files.readAllBytes(g1)
+    val magic = Array[Byte](0x1e, 0xab.toByte, 0xa1.toByte, 0x5c)
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (0 until 4).forall(j => bytes(i + j) == magic(j))).get
+    bytes(at) = (bytes(at) ^ 0xff).toByte
+    Files.write(g1, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    // g2 covers seconds [1000, 1120)
+    writeGranule(tmp, "g2.nc", n = 120, base = 1000.0, chunkRows = 40)
+    val cutoff = java.time.LocalDateTime.of(2020, 1, 1, 0, 16, 40) // +1000s
+    def q(sorted: Boolean) = {
+      val r = spark.read.format("netcdf")
+      (if (sorted) r.option("sortedby", "time") else r)
+        .load(tmp).select("time", "b")
+        .filter(col("time") >= lit(cutoff))
+    }
+    // pruned: g1 is disjoint with [cutoff, inf) -> its poisoned `b`
+    // chunks are never read, the query succeeds on g2's 120 rows
+    assert(q(sorted = true).count() === 120)
+    // unpruned: the same query must read g1's `b` -> loud failure
+    intercept[Exception] { q(sorted = false).collect() }
+    // the pushed range is visible in the plan
+    assert(q(sorted = true).queryExecution.executedPlan.toString
+      .contains("PushedRange: time"))
+
+    // boundary clipping inside ONE granule: 1000 records, 100/chunk,
+    // splitrows=100 -> 10 splits unfiltered; a [450s, 550s) band clips
+    // to records [400, 550) on the chunk grid -> exactly 2 splits
+    val tmp2 = Files.createTempDirectory("v2range2").toString
+    writeGranule(tmp2, "g.nc", n = 1000, base = 0.0, chunkRows = 100)
+    def band(sorted: Boolean) = {
+      val r = spark.read.format("netcdf").option("splitrows", "100")
+      (if (sorted) r.option("sortedby", "time") else r)
+        .load(tmp2).select("time", "b")
+        .filter(col("time") >=
+          lit(java.time.LocalDateTime.of(2020, 1, 1, 0, 7, 30)) &&
+          col("time") <
+          lit(java.time.LocalDateTime.of(2020, 1, 1, 0, 9, 10)))
+    }
+    assert(band(sorted = false).rdd.getNumPartitions === 10)
+    assert(band(sorted = true).rdd.getNumPartitions === 2)
+    // same answer either way — pruning narrows reads, not semantics
+    assert(band(sorted = true).count() === 100)
+    assert(band(sorted = false).count() === 100)
+  }
+
+  test("reported statistics scale with the projection") {
+    val tmp = Files.createTempDirectory("v2stats").toString
+    val p = writeGranule(tmp, "g.nc", n = 400, base = 0.0)
+    def sizeOf(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val all = spark.read.format("netcdf").load(p)
+    val pruned = all.select("time")
+    assert(sizeOf(pruned) < sizeOf(all),
+      "pruned scan must report a smaller size")
+    // and a small granule table auto-broadcasts in a join
+    val fact = spark.range(1000).withColumn("k",
+      (col("id") % 400).cast("double"))
+    val dim = spark.read.format("netcdf").load(p)
+      .withColumn("k", col("b") - col("b") + 1.0)
+    val joined = fact.join(dim, "k")
+    val hasBroadcast = joined.queryExecution.executedPlan.toString
+      .contains("BroadcastHashJoin")
+    assert(hasBroadcast, "small netcdf dim should broadcast")
+  }
+
+  test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
+      .exists)
+    val row = graft.queries.AggQueries
+      .qNetcdfScan(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Long]("n") === 1000)
+    // 1000 valid events < 5000 -> one granule, one slab
+    assert(row.getAs[Long]("multi_split") === 0)
+    assert(row.getAs[Long]("sum_event_id") === (0L until 1000L).sum)
+  }
+
+  test("recdim option routes to every granule; mergeschema=false " +
+      "reads the first header only") {
+    val tmp = Files.createTempDirectory("v2opts").toString
+    writeGranule(tmp, "g1.nc", n = 50, base = 0.0)
+    writeGranule(tmp, "g2.nc", n = 30, base = 1.0, withExtra = true)
+    val first = spark.read.format("netcdf")
+      .option("mergeschema", "false")
+      .option("recdim", "time").load(tmp)
+    // g1 is first (sorted): no `extra` column in the table schema
+    assert(!first.columns.contains("extra"))
+    assert(first.count() === 80)
+    val bad = intercept[Exception] {
+      spark.read.format("netcdf").option("recdim", "nope").load(tmp)
+        .count()
+    }
+    def chain(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).toSeq
+    assert(chain(bad).exists(_.contains("not present")))
+  }
+}
