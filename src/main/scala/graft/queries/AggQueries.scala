@@ -399,6 +399,24 @@ object AggQueries {
         .as("multi_split"))
   }
 
+  /** `stream_netcdf_ingest`: the BATCH TWIN of the granule-feed
+    * micro-batch stream (`spark.readStream.format("netcdf")` —
+    * NetCdfSourceV2Spec proves the streaming side: incremental pickup
+    * of newly-landed granules and exactly-once across restarts via the
+    * checkpointed file-count offset). Same per-type fold over the same
+    * granule store through the same pruned v2 scan, so the oracle gates
+    * the values the stream accumulates. */
+  def qStreamNetcdfIngest(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").load(ncGranuleDir(s, dir))
+    nc.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(col("event_id")).as("sum_event_id"),
+      (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+        .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
+        .as("v_sum"))
+  }
+
   // ------------------------------------------------------------ oracle SQL
 
   private def fullPipelineSql(withBounds: Boolean,
@@ -586,7 +604,13 @@ object AggQueries {
          |       CAST(min(t) AS BIGINT) AS ts_min_us,
          |       CAST(max(t) AS BIGINT) AS ts_max_us,
          |       CAST(count(*) > 5000 AS BIGINT) AS multi_split
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+    "stream_netcdf_ingest" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
+         |FROM e GROUP BY 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -607,6 +631,7 @@ object AggQueries {
     "q_agg_sessionize" -> (qAggSessionize _),
     "q_agg_bounds_parse" -> (qAggBoundsParse _),
     "q_agg_chunked_write" -> (qAggChunkedWrite _),
-    "q_netcdf_scan" -> (qNetcdfScan _)
+    "q_netcdf_scan" -> (qNetcdfScan _),
+    "stream_netcdf_ingest" -> (qStreamNetcdfIngest _)
   )
 }

@@ -11,6 +11,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownAggregates, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -95,7 +96,7 @@ object NetCdfSource {
       recVars: Map[String, (Long, Int)],
       fileBytes: Long)
 
-  private def expand(p: String): Seq[String] = {
+  private[sources] def expandLenient(p: String): Seq[String] = {
     val f = new java.io.File(p)
     if (f.isFile) Seq(f.getPath)
     else if (f.isDirectory)
@@ -105,27 +106,61 @@ object NetCdfSource {
       // basename glob (events_*.nc)
       val dir = Option(f.getParentFile)
         .getOrElse(new java.io.File("."))
-      val found = Option(dir.listFiles()).getOrElse(Array.empty)
+      Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(_.isFile).map(_.getPath)
         .filter { path =>
           dir.toPath.getFileSystem
             .getPathMatcher("glob:" + f.getName)
             .matches(java.nio.file.Paths.get(path).getFileName)
-        }.sorted
-      require(found.nonEmpty, s"netcdf source: no files match $p")
-      found.toSeq
+        }.sorted.toSeq
     }
   }
 
-  private def pathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
+  private def expand(p: String): Seq[String] = {
+    val found = expandLenient(p)
+    require(found.nonEmpty, s"netcdf source: no files match $p")
+    found
+  }
+
+  private def rawPathsOf(options: CaseInsensitiveStringMap): Seq[String] = {
     val multi = Option(options.get("paths")).toSeq.flatMap { js =>
       new com.fasterxml.jackson.databind.ObjectMapper()
         .readValue(js, classOf[Array[String]]).toSeq
     }
-    val single = Option(options.get("path")).toSeq
-    val all = (multi ++ single).flatMap(expand).distinct
-    require(all.nonEmpty, "netcdf source: no input paths")
-    all
+    val raw = multi ++ Option(options.get("path")).toSeq
+    require(raw.nonEmpty, "netcdf source: no input paths")
+    raw
+  }
+
+  /** The session's file-split byte target (projected bytes per split). */
+  private[sources] def targetSplitBytes(): Long =
+    SparkSession.active.conf
+      .getOption("spark.sql.files.maxPartitionBytes")
+      .map(_.filter(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
+      .getOrElse(128L * 1024 * 1024)
+
+  /** Chunk-aligned record-range slices of one granule's window
+    * [rlo, rhi): step ~ `targetBytes` of projected bytes (or the
+    * explicit `splitRowsOpt`), aligned to the largest record-dim chunk
+    * extent among the projected variables, window start floored to the
+    * chunk grid. */
+  private[sources] def slicesFor(m: FileMeta, prunedSchema: StructType,
+      splitRowsOpt: Option[Long], targetBytes: Long,
+      window: (Long, Long)): Seq[NcSlice] = {
+    val (rlo, rhi) = window
+    if (rhi <= rlo) Nil
+    else {
+      val rowBytes = math.max(1L, prunedSchema.fieldNames
+        .flatMap(m.recVars.get).map(_._1).sum)
+      val align = prunedSchema.fieldNames.flatMap(m.recVars.get)
+        .map(_._2.toLong).foldLeft(0L)(math.max)
+      val raw = splitRowsOpt.getOrElse(
+        math.max(1L, targetBytes / rowBytes))
+      val step = if (align > 0) math.max(align, raw / align * align) else raw
+      val alo = if (align > 0) rlo / align * align else rlo
+      (alo until rhi by step).map(lo =>
+        NcSlice(m.path, lo, math.min(lo + step, rhi)))
+    }
   }
 
   private[sources] def tableFor(options: CaseInsensitiveStringMap,
@@ -135,13 +170,17 @@ object NetCdfSource {
     val mergeSchema = Option(options.get("mergeschema"))
       .forall(_.toBoolean)
     val sortedBy = Option(options.get("sortedby")).filter(_.nonEmpty)
-    new NetCdfTable(pathsOf(options), recDim, splitRows, mergeSchema,
+    val raw = rawPathsOf(options)
+    val expanded = raw.flatMap(expand).distinct
+    require(expanded.nonEmpty, "netcdf source: no input paths")
+    new NetCdfTable(expanded, raw, recDim, splitRows, mergeSchema,
       sortedBy, userSchema)
   }
 }
 
 final class NetCdfTable(
     paths: Seq[String],
+    rawPaths: Seq[String],
     recDim: Option[String],
     splitRows: Option[Long],
     mergeSchema: Boolean,
@@ -162,9 +201,15 @@ final class NetCdfTable(
 
   override def schema(): StructType = userSchema.getOrElse(inferred)
 
-  /** Planning metadata per granule (record counts, per-variable widths,
-    * chunk extents) — header bytes only, built lazily once. */
-  private[sources] lazy val fileMetas: Seq[FileMeta] = paths.map { p =>
+  /** Re-expanded CURRENT file list (name-sorted) — the streaming lister:
+    * the micro-batch stream tracks its offset as a position in this
+    * list, so the feed contract is append-only with lexically
+    * increasing names (the granule-feed convention: timestamped names). */
+  private[sources] def currentFiles(): Seq[String] =
+    rawPaths.flatMap(NetCdfSource.expandLenient).distinct.sorted
+
+  /** Planning metadata for one granule — header bytes only. */
+  private[sources] def metaFor(p: String): FileMeta = {
     val nc = NetCDF4.open(p)
     try {
       val rd = recDim match {
@@ -186,8 +231,12 @@ final class NetCdfTable(
     } finally nc.close()
   }
 
+  /** Per-granule planning metadata, built lazily once (batch path). */
+  private[sources] lazy val fileMetas: Seq[FileMeta] = paths.map(metaFor)
+
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
@@ -294,8 +343,9 @@ final class NetCdfScanBuilder(
 
   override def build(): Scan =
     if (countPushed) new NetCdfCountScan(table.fileMetas)
-    else new NetCdfScan(table.fileMetas, required, fullSchema, recDim,
-      splitRows, sortedBy.filter(_ => accepted.nonEmpty), queryRange)
+    else new NetCdfScan(table, table.fileMetas, required, fullSchema,
+      recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
+      queryRange)
 }
 
 /** The metadata-only COUNT(*) scan: one partition, one finished row. */
@@ -336,6 +386,7 @@ final case class NcSlice(path: String, lo: Long, hi: Long)
     extends InputPartition
 
 final class NetCdfScan(
+    table: NetCdfTable,
     metas: Seq[NetCdfSource.FileMeta],
     prunedSchema: StructType,
     fullSchema: StructType,
@@ -426,32 +477,13 @@ final class NetCdfScan(
     // projected bytes per split ~ the session's file-split target, so a
     // granule feed and a parquet feed of the same data get a similar
     // task shape
-    val targetBytes = SparkSession.active.conf
-      .getOption("spark.sql.files.maxPartitionBytes")
-      .map(_.filter(_.isDigit)).filter(_.nonEmpty).map(_.toLong)
-      .getOrElse(128L * 1024 * 1024)
+    val targetBytes = NetCdfSource.targetSplitBytes()
     metas.flatMap { m =>
       if (m.records == 0) Nil
       else recordWindow(m) match {
         case None => Nil // wholly outside the pushed range
-        case Some((rlo, rhi)) =>
-          val rowBytes = projectedRowBytes(m)
-          // align splits to the record-dim chunk extent so no two splits
-          // decode the same chunk; misaligned variables (different chunk
-          // extents in one file) cost at most one extra chunk decode per
-          // boundary, the alignment uses the LARGEST extent
-          val align = prunedSchema.fieldNames.flatMap(m.recVars.get)
-            .map(_._2.toLong).foldLeft(0L)(math.max)
-          val raw = splitRowsOpt.getOrElse(
-            math.max(1L, targetBytes / rowBytes))
-          val step =
-            if (align > 0) math.max(align, raw / align * align) else raw
-          // floor the window start to the chunk grid — the few extra
-          // leading rows fall to the residual predicate, and no slice
-          // starts mid-chunk
-          val alo = if (align > 0) rlo / align * align else rlo
-          (alo until rhi by step).map(lo =>
-            NcSlice(m.path, lo, math.min(lo + step, rhi)))
+        case Some(w) => NetCdfSource.slicesFor(m, prunedSchema,
+          splitRowsOpt, targetBytes, w)
       }
     }.toArray
   }
@@ -460,6 +492,10 @@ final class NetCdfScan(
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NcSliceReaderFactory(prunedSchema, recDim)
+
+  override def toMicroBatchStream(
+      checkpointLocation: String): MicroBatchStream =
+    new NcMicroBatchStream(table, prunedSchema, recDim, splitRowsOpt)
 
   override def estimateStatistics(): Statistics = new Statistics {
     override def sizeInBytes(): OptionalLong = OptionalLong.of(
@@ -477,6 +513,66 @@ final class NetCdfScan(
     s"NetCdfScan files=${metas.size} splits=${slices.length} " +
       s"ReadSchema: ${prunedSchema.simpleString}$rangeDesc"
   }
+}
+
+/** Offset of the granule-feed stream: a position in the name-sorted
+  * file list. */
+final class NcOffset(val n: Int) extends Offset {
+  override def json(): String = n.toString
+  override def equals(o: Any): Boolean = o match {
+    case x: NcOffset => x.n == n
+    case _ => false
+  }
+  override def hashCode(): Int = n
+}
+
+/** `spark.readStream.format("netcdf")` — micro-batch ingestion of a
+  * GROWING granule directory, the production shape of this domain's
+  * feeds (a satellite/sensor pipeline lands a new `.nc` granule every
+  * few minutes, forever).
+  *
+  * Offsets are positions in the name-sorted file list, so the feed
+  * contract is APPEND-ONLY WITH LEXICALLY INCREASING NAMES (the granule
+  * convention: timestamped file names). Each micro-batch plans the NEW
+  * files' record-range slices exactly like the batch scan — same
+  * chunk-aligned splits, same column pruning (the stream is built from
+  * the PRUNED scan), same reader — and a granule is read exactly once
+  * across restarts (the checkpoint stores the file-count offset).
+  * Latecomers that sort BELOW an already-committed offset are not
+  * picked up — loud contract, documented here and in the spec. */
+final class NcMicroBatchStream(
+    table: NetCdfTable,
+    prunedSchema: StructType,
+    recDim: Option[String],
+    splitRows: Option[Long]) extends MicroBatchStream {
+
+  override def latestOffset(): Offset =
+    new NcOffset(table.currentFiles().size)
+
+  override def initialOffset(): Offset = new NcOffset(0)
+
+  override def deserializeOffset(json: String): Offset =
+    new NcOffset(json.trim.toInt)
+
+  override def planInputPartitions(start: Offset,
+      end: Offset): Array[InputPartition] = {
+    val files = table.currentFiles()
+    val s = start.asInstanceOf[NcOffset].n
+    val e = end.asInstanceOf[NcOffset].n
+    val targetBytes = NetCdfSource.targetSplitBytes()
+    files.slice(s, e).flatMap { p =>
+      val m = table.metaFor(p)
+      NetCdfSource.slicesFor(m, prunedSchema, splitRows, targetBytes,
+        (0L, m.records))
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcSliceReaderFactory(prunedSchema, recDim)
+
+  override def commit(end: Offset): Unit = ()
+
+  override def stop(): Unit = ()
 }
 
 final class NcSliceReaderFactory(schema: StructType,

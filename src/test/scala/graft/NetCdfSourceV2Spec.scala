@@ -350,6 +350,38 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(hasBroadcast, "small netcdf dim should broadcast")
   }
 
+  test("readStream.format(netcdf): growing granule feed, " +
+      "exactly-once across restarts") {
+    import org.apache.spark.sql.streaming.Trigger
+    val tmp = Files.createTempDirectory("v2stream").toString
+    val ckpt = Files.createTempDirectory("v2stream_ckpt").toString
+    val out = Files.createTempDirectory("v2stream_out").toString + "/sink"
+    writeGranule(tmp, "g001.nc", n = 50, base = 0.0)
+    writeGranule(tmp, "g002.nc", n = 30, base = 100.0)
+    def drain(): Unit = {
+      val q = spark.readStream.format("netcdf").load(tmp)
+        .select("time", "b")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(out).count() === 80)
+    // a new granule lands; the restarted query (same checkpoint, durable
+    // sink) must append ONLY its rows — a re-read of g001/g002 would
+    // land duplicates
+    writeGranule(tmp, "g003.nc", n = 20, base = 200.0)
+    drain()
+    val sunk = spark.read.parquet(out)
+    assert(sunk.count() === 100)
+    // and the accumulated sink equals the batch scan of the full dir
+    val batchSum = spark.read.format("netcdf").load(tmp)
+      .agg(sum("b")).collect().head.getDouble(0)
+    assert(math.abs(
+      sunk.agg(sum("b")).collect().head.getDouble(0) - batchSum) < 1e-6)
+  }
+
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
       .exists)
