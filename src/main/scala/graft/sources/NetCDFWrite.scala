@@ -731,7 +731,11 @@ object NetCDFWrite {
   def writeGranules(df: DataFrame, dstDir: String,
       config: AggConfig.Config, globalAttrs: Map[String, String],
       maxRecordsPerFile: Int = 1 << 20,
-      opts: NcOpts = NcOpts()): Seq[String] = {
+      opts: NcOpts = NcOpts(),
+      /** granule file-name prefix — an APPENDING writer (the
+        * `format("netcdf")` sink) passes a job-unique prefix so two
+        * jobs' `part-00000.nc` never collide */
+      namePrefix: String = "part"): Seq[String] = {
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dstDir))
     val sortCol = sortColOf(config, df.columns.toSet)
     // Persist before the sizing count: the count job and the write job
@@ -756,7 +760,7 @@ object NetCDFWrite {
         if (rows.nonEmpty) {
           val pid = org.apache.spark.TaskContext.getPartitionId()
           writeFile(
-            java.nio.file.Paths.get(dstDir, f"part-$pid%05d.nc"),
+            java.nio.file.Paths.get(dstDir, f"$namePrefix%s-$pid%05d.nc"),
             schema, rows, config, globalAttrs, opts)
         }
       }

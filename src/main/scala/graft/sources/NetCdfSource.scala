@@ -68,7 +68,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Registered as short name `netcdf` via META-INF/services; also usable
   * as `format(classOf[NetCdfSource].getName)`.
   */
-final class NetCdfSource extends TableProvider with DataSourceRegister {
+final class NetCdfSource extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.CreatableRelationProvider {
 
   override def shortName(): String = "netcdf"
 
@@ -81,6 +82,75 @@ final class NetCdfSource extends TableProvider with DataSourceRegister {
       properties: java.util.Map[String, String]): Table =
     NetCdfSource.tableFor(
       new CaseInsensitiveStringMap(properties), Option(schema))
+
+  /** `df.write.format("netcdf").save(dir)` — the WRITE side: a
+    * distributed granule-set sink (one `.nc` per partition, executor-
+    * side, via [[NetCDFWrite.writeGranules]] — the same path the Cli's
+    * `.ncd` output takes). Deliberately the V1 creatable contract: the
+    * V2 write resolves `AppendData.byName` against the TABLE's schema,
+    * which a fresh path-based target cannot know — the V1 contract
+    * hands the writer the frame and the mode directly, which is exactly
+    * what a granule sink needs (the read-side Table intentionally does
+    * NOT implement SupportsWrite so the planner falls through here).
+    *
+    * Config derives from the frame's schema: the record dimension
+    * (option `recdim`, default `record`) is unlimited; array columns
+    * get an inner dim sized from the data; TIMESTAMP columns become
+    * CF epoch-seconds doubles (the reader maps them back). Options:
+    * `indexby` (sort/coordinate column — granules are range-partitioned
+    * and sorted by it, the granule-feed layout the sorted-range pruning
+    * reads back), `chunkrows`, `deflate` (level), `shuffle`,
+    * `fletcher32`, `maxrecordsperfile`. All four save modes supported;
+    * Append writes job-unique file names next to existing granules. */
+  override def createRelation(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      mode: org.apache.spark.sql.SaveMode,
+      parameters: Map[String, String],
+      data: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.sources.BaseRelation = {
+    import org.apache.spark.sql.SaveMode
+    val dir = parameters.getOrElse("path",
+      throw new IllegalArgumentException(
+        "netcdf write needs a path: .save(dir)"))
+    val existing = NetCdfSource.expandLenient(dir)
+    val proceed = mode match {
+      case SaveMode.ErrorIfExists if existing.nonEmpty =>
+        throw new IllegalStateException(
+          s"netcdf target $dir already holds ${existing.size} granules " +
+            "(SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if existing.nonEmpty => false
+      case SaveMode.Overwrite =>
+        existing.foreach(p => java.nio.file.Files.delete(
+          java.nio.file.Paths.get(p)))
+        true
+      case _ => true
+    }
+    if (proceed) {
+      val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+      val recDim = lower.getOrElse("recdim", "record")
+      val config = NetCdfSource.configFromSchema(data.schema, recDim,
+        lower.get("indexby"))
+      val opts = NetCDFWrite.NcOpts(
+        chunkRows = lower.get("chunkrows").map(_.toInt),
+        deflate = lower.get("deflate").map(_.toInt),
+        fletcher32 = lower.get("fletcher32").exists(_.toBoolean),
+        shuffle = lower.get("shuffle").exists(_.toBoolean))
+      // job-unique prefix: an APPEND next to existing granules must not
+      // collide with their names (and sorts after same-second peers)
+      val prefix =
+        if (existing.isEmpty) "part"
+        else f"part-${System.currentTimeMillis()}%013d"
+      NetCDFWrite.writeGranules(data, dir, config, Map.empty,
+        maxRecordsPerFile =
+          lower.get("maxrecordsperfile").map(_.toInt).getOrElse(1 << 20),
+        opts = opts, namePrefix = prefix)
+    }
+    new org.apache.spark.sql.sources.BaseRelation {
+      override def sqlContext: org.apache.spark.sql.SQLContext =
+        data.sparkSession.sqlContext
+      override def schema: StructType = data.schema
+    }
+  }
 }
 
 object NetCdfSource {
@@ -118,7 +188,15 @@ object NetCdfSource {
 
   private def expand(p: String): Seq[String] = {
     val found = expandLenient(p)
-    require(found.nonEmpty, s"netcdf source: no files match $p")
+    // empty-but-legal targets: an EXISTING empty directory (a stream's
+    // not-yet-started feed) or a NONEXISTENT glob-free path (the write
+    // sink's fresh target — the writer flow resolves the table before
+    // creating it). An unmatched GLOB stays a loud error: a glob names
+    // files the caller believes exist.
+    val globFree = !p.exists("*?[{".contains(_))
+    require(found.nonEmpty || new java.io.File(p).isDirectory ||
+      (globFree && !new java.io.File(p).exists()),
+      s"netcdf source: no files match $p")
     found
   }
 
@@ -130,6 +208,42 @@ object NetCdfSource {
     val raw = multi ++ Option(options.get("path")).toSeq
     require(raw.nonEmpty, "netcdf source: no input paths")
     raw
+  }
+
+  /** Granule-write config derived from a DataFrame schema (the
+    * `format("netcdf")` sink): unlimited record dim, one inner dim per
+    * array column (sized from the data by the writer), datatype names
+    * chosen so integral columns keep their width. */
+  private[sources] def configFromSchema(schema: StructType, recDim: String,
+      indexBy: Option[String]): graft.core.AggConfig.Config = {
+    import graft.core.AggConfig.{Config, DimSpec, VarSpec}
+    import org.apache.spark.sql.types._
+    def nameOf(t: DataType): String = t match {
+      case DoubleType => "double"
+      case FloatType => "float"
+      case LongType => "int64"
+      case IntegerType => "int32"
+      case ShortType => "int16"
+      case ByteType => "int8"
+      case BooleanType => "ubyte"
+      case StringType => "string"
+      case TimestampNTZType | TimestampType => "double" // CF epoch units
+      case other => throw new IllegalArgumentException(
+        s"cannot write column type ${other.simpleString} to NetCDF")
+    }
+    val innerDims = schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[ArrayType] =>
+        DimSpec(s"${f.name}_dim", Some(-1L)) // -1: sized from the data
+    }
+    val dims = DimSpec(recDim, None, indexBy = indexBy) +: innerDims
+    val vars = schema.fields.toSeq.map { f =>
+      f.dataType match {
+        case ArrayType(et, _) =>
+          VarSpec(f.name, Seq(recDim, s"${f.name}_dim"), nameOf(et))
+        case t => VarSpec(f.name, Seq(recDim), nameOf(t))
+      }
+    }
+    Config(dims, vars, Nil).validate()
   }
 
   /** The session's file-split byte target (projected bytes per split). */
@@ -172,7 +286,6 @@ object NetCdfSource {
     val sortedBy = Option(options.get("sortedby")).filter(_.nonEmpty)
     val raw = rawPathsOf(options)
     val expanded = raw.flatMap(expand).distinct
-    require(expanded.nonEmpty, "netcdf source: no input paths")
     new NetCdfTable(expanded, raw, recDim, splitRows, mergeSchema,
       sortedBy, userSchema)
   }
@@ -190,7 +303,8 @@ final class NetCdfTable(
   import NetCdfSource.FileMeta
 
   override def name(): String =
-    s"netcdf(${paths.head}${if (paths.size > 1) s" +${paths.size - 1}" else ""})"
+    s"netcdf(${paths.headOption.getOrElse(rawPaths.head)}" +
+      s"${if (paths.size > 1) s" +${paths.size - 1}" else ""})"
 
   // header-only parses, driver-side, once per table
   private lazy val inferred: StructType = {

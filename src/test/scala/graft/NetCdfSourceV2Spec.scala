@@ -382,6 +382,58 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       sunk.agg(sum("b")).collect().head.getDouble(0) - batchSum) < 1e-6)
   }
 
+  test("df.write.format(netcdf): granule-set sink round-trips through " +
+      "the scan; all four save modes") {
+    import org.apache.spark.sql.SaveMode
+    val out = Files.createTempDirectory("v2write").toString + "/granules"
+    val df = spark.range(0, 250)
+      .withColumn("ts", expr(
+        "timestampadd(SECOND, CAST(id AS INT), TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double") / 4.0)
+      .withColumn("tag", concat(lit("t"), col("id") % 3))
+      .withColumn("vec", array(col("v"), col("v") * 2.0, lit(7.0)))
+    df.write.format("netcdf")
+      .option("indexby", "ts").option("chunkrows", "64")
+      .option("deflate", "1").option("shuffle", "true")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    // >= 3 granules (250 rows, 100/file), readable back through the scan
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".nc")) >= 3)
+    val back = spark.read.format("netcdf").load(out)
+    assert(back.count() === 250)
+    assert(back.schema("ts").dataType === TimestampNTZType)
+    assert(back.agg(sum("id"), sum("v")).collect().head ===
+      df.agg(sum("id"), sum("v")).collect().head)
+    // array column round-trips elementwise
+    def vecSum(d: org.apache.spark.sql.DataFrame): Double = d
+      .select(expr("aggregate(vec, CAST(0 AS DOUBLE), (a, x) -> a + x)")
+        .as("s"))
+      .agg(sum("s")).collect().head.getDouble(0)
+    assert(vecSum(back) === vecSum(df))
+    // strings survive (fixed-width, NUL-truncated)
+    assert(back.select("tag").distinct().collect().map(_.getString(0))
+      .toSet === Set("t0", "t1", "t2"))
+    // append: job-unique names, rows add up
+    df.limit(50).write.format("netcdf").mode(SaveMode.Append).save(out)
+    assert(spark.read.format("netcdf").load(out).count() === 300)
+    // errorifexists refuses a non-empty target; ignore no-ops
+    intercept[Exception] {
+      df.write.format("netcdf").mode(SaveMode.ErrorIfExists).save(out)
+    }
+    df.limit(7).write.format("netcdf").mode(SaveMode.Ignore).save(out)
+    assert(spark.read.format("netcdf").load(out).count() === 300)
+    // overwrite replaces everything
+    df.limit(20).write.format("netcdf").mode(SaveMode.Overwrite).save(out)
+    assert(spark.read.format("netcdf").load(out).count() === 20)
+    // the written feed streams: indexby layout + lexical names
+    val pruned = spark.read.format("netcdf").option("sortedby", "ts")
+      .load(out)
+      .filter(col("ts") >= lit(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 0, 10)))
+    assert(pruned.count() === 10)
+  }
+
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
       .exists)
