@@ -246,6 +246,28 @@ object NetCdfSource {
     Config(dims, vars, Nil).validate()
   }
 
+  /** Bounded-pool driver-side parallel map — header parses are
+    * independent pread/mmap work, so schema inference and planning
+    * metadata over a few thousand granules take seconds, not minutes.
+    * (At true fleet scale — ~1M granules — pass an explicit schema and
+    * let [[NetCDFIngest.convertChecked]]'s DISTRIBUTED metadata pass do
+    * this work on executors; the V2 table's planning pass is sized for
+    * the interactive many-thousands case.) */
+  private[sources] def parMap[A, B](xs: Seq[A])(f: A => B): Seq[B] =
+    if (xs.lengthCompare(2) < 0) xs.map(f)
+    else {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(16, math.max(2, Runtime.getRuntime.availableProcessors())))
+      try {
+        val futs = xs.map(x => pool.submit(
+          new java.util.concurrent.Callable[B] { def call(): B = f(x) }))
+        futs.map(_.get())
+      } catch {
+        case e: java.util.concurrent.ExecutionException =>
+          throw Option(e.getCause).getOrElse(e)
+      } finally pool.shutdown()
+    }
+
   /** The session's file-split byte target (projected bytes per split). */
   private[sources] def targetSplitBytes(): Long =
     SparkSession.active.conf
@@ -306,11 +328,12 @@ final class NetCdfTable(
     s"netcdf(${paths.headOption.getOrElse(rawPaths.head)}" +
       s"${if (paths.size > 1) s" +${paths.size - 1}" else ""})"
 
-  // header-only parses, driver-side, once per table
+  // header-only parses, driver-side (bounded-pool parallel), once per
+  // table
   private lazy val inferred: StructType = {
     val metaPaths = if (mergeSchema) paths else paths.take(1)
-    NetCDFIngest.unionSchema(
-      metaPaths.map(p => NetCDFIngest.granuleMeta(p, recDim)))
+    NetCDFIngest.unionSchema(NetCdfSource.parMap(metaPaths)(p =>
+      NetCDFIngest.granuleMeta(p, recDim)))
   }
 
   override def schema(): StructType = userSchema.getOrElse(inferred)
@@ -345,8 +368,10 @@ final class NetCdfTable(
     } finally nc.close()
   }
 
-  /** Per-granule planning metadata, built lazily once (batch path). */
-  private[sources] lazy val fileMetas: Seq[FileMeta] = paths.map(metaFor)
+  /** Per-granule planning metadata, built lazily once (batch path;
+    * bounded-pool parallel header parses). */
+  private[sources] lazy val fileMetas: Seq[FileMeta] =
+    NetCdfSource.parMap(paths)(metaFor)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
