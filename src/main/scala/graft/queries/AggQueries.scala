@@ -399,6 +399,33 @@ object AggQueries {
         .as("multi_split"))
   }
 
+  /** `q_netcdf_range`: time-banded query over the SORTED granule feed —
+    * the "query two days out of a month of granules" shape. The fixture
+    * is written `indexby=ts` (range-partitioned + sorted), so declaring
+    * `sortedby=ts` lets the scan prune like parquet row groups:
+    * granules wholly outside [Jan 8, Jan 10) are never opened and the
+    * boundary granules' record ranges are binary-search clipped — the
+    * scan reads ~2/30ths of the feed's bytes. Results are gated by the
+    * oracle over the ORIGINAL parquet with the same band, so the
+    * pruning provably narrows I/O only, never semantics. */
+  def qNetcdfRange(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").option("splitrows", "5000")
+      .option("sortedby", "ts")
+      .load(ncGranuleDir(s, dir))
+    nc.filter(col("ts") >=
+        lit(java.time.LocalDateTime.of(2024, 1, 8, 0, 0, 0)) &&
+        col("ts") < lit(java.time.LocalDateTime.of(2024, 1, 10, 0, 0, 0)))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_event_id"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
+          .as("v_sum"),
+        min(unix_micros(col("ts").cast(TimestampType))).as("ts_min_us"),
+        max(unix_micros(col("ts").cast(TimestampType))).as("ts_max_us"))
+  }
+
   /** `stream_netcdf_ingest`: the BATCH TWIN of the granule-feed
     * micro-batch stream (`spark.readStream.format("netcdf")` —
     * NetCdfSourceV2Spec proves the streaming side: incremental pickup
@@ -610,7 +637,18 @@ object AggQueries {
          |SELECT event_type, CAST(count(*) AS BIGINT) AS n,
          |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
          |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
-         |FROM e GROUP BY 1""".stripMargin
+         |FROM e GROUP BY 1""".stripMargin,
+    // [Jan 8, Jan 10) in epoch micros; the Spark side reads the SORTED
+    // granule feed with the band pushed as a prune range
+    "q_netcdf_range" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum,
+         |       CAST(min(t) AS BIGINT) AS ts_min_us,
+         |       CAST(max(t) AS BIGINT) AS ts_max_us
+         |FROM e
+         |WHERE t >= 1704672000000000 AND t < 1704844800000000""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -632,6 +670,7 @@ object AggQueries {
     "q_agg_bounds_parse" -> (qAggBoundsParse _),
     "q_agg_chunked_write" -> (qAggChunkedWrite _),
     "q_netcdf_scan" -> (qNetcdfScan _),
+    "q_netcdf_range" -> (qNetcdfRange _),
     "stream_netcdf_ingest" -> (qStreamNetcdfIngest _)
   )
 }
