@@ -268,6 +268,82 @@ object NetCdfSource {
       } finally pool.shutdown()
     }
 
+  /** First/last record epoch-micros of a rank-1 CF-time variable,
+    * computed with EXACTLY the ingest's arithmetic (base +
+    * math.round(x * per), base added in Long) so a pushed MIN/MAX
+    * equals what a full scan would return bit-for-bit. None when the
+    * variable is missing, not rank-1, empty, has no parseable time
+    * units, or an end record decodes to null/NaN/fill (the pushdown
+    * then declines and the normal scan answers). */
+  private[sources] def timeCoordEnds(path: String,
+      col: String): Option[(Long, Long)] = {
+    val nc =
+      try NetCDF4.open(path)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val v = nc.vars.find(_.name == col).getOrElse(return None)
+      if (v.shape.length != 1 || v.shape.head == 0) return None
+      val (base, per) = v.attrs.get("units")
+        .collect { case s: String => s }.flatMap(NetCDF4.timeUnits)
+        .getOrElse(return None)
+      val fill = v.attrs.get("_FillValue").flatMap {
+        case d: Double => Some(d)
+        case l: Long => Some(l.toDouble)
+        case s: Seq[_] => s.headOption.collect {
+          case d: Double => d
+          case l: Long => l.toDouble
+        }
+        case _ => None
+      }
+      def probe(i: Long): Option[Long] = {
+        val x = nc.readSlab(v, i, i + 1) match {
+          case a: Array[Double] if a.length == 1 => a(0)
+          case a: Array[Float] if a.length == 1 => a(0).toDouble
+          case a: Array[Long] if a.length == 1 => a(0).toDouble
+          case _ => Double.NaN
+        }
+        if (x.isNaN || fill.contains(x)) None
+        else Some(base + math.round(x * per))
+      }
+      for (f <- probe(0); l <- probe(v.shape.head - 1)) yield (f, l)
+    } finally nc.close()
+  }
+
+  /** One pushed metadata aggregate (see [[NetCdfScanBuilder]]). */
+  private[sources] sealed trait MetaAgg
+  private[sources] case object MetaCount extends MetaAgg
+  private[sources] final case class MetaMin(col: String) extends MetaAgg
+  private[sources] final case class MetaMax(col: String) extends MetaAgg
+
+  /** First/last record values of a rank-1 per-record variable (CF time
+    * units applied → epoch micros; raw value otherwise): two
+    * single-record slab reads. None when the variable is missing,
+    * not rank-1, empty, or its end records decode to null/NaN. */
+  private[sources] def coordEnds(path: String,
+      col: String): Option[(Double, Double)] = {
+    val nc =
+      try NetCDF4.open(path)
+      catch { case scala.util.control.NonFatal(_) => return None }
+    try {
+      val v = nc.vars.find(_.name == col).getOrElse(return None)
+      if (v.shape.length != 1 || v.shape.head == 0) return None
+      val toUs: Double => Double = v.attrs.get("units")
+        .collect { case s: String => s }.flatMap(NetCDF4.timeUnits) match {
+        case Some((base, per)) => x => base + x * per
+        case None => x => x
+      }
+      def probe(i: Long): Option[Double] = nc.readSlab(v, i, i + 1) match {
+        case a: Array[Double] if a.length == 1 && !a(0).isNaN =>
+          Some(toUs(a(0)))
+        case a: Array[Float] if a.length == 1 && !a(0).isNaN =>
+          Some(toUs(a(0).toDouble))
+        case a: Array[Long] if a.length == 1 => Some(toUs(a(0).toDouble))
+        case _ => None
+      }
+      for (f <- probe(0); l <- probe(v.shape.head - 1)) yield (f, l)
+    } finally nc.close()
+  }
+
   /** The session's file-split byte target (projected bytes per split). */
   private[sources] def targetSplitBytes(): Long =
     SparkSession.active.conf
@@ -463,56 +539,139 @@ final class NetCdfScanBuilder(
     required = StructType(requiredSchema.fields.flatMap(f =>
       fullSchema.fields.find(_.name == f.name)))
 
-  // ungrouped COUNT(*) (Dataset.count(), SELECT count(*)) answers from
-  // the per-granule HEADER record counts gathered at planning — a 100 TB
-  // fleet count reads ~KB of header bytes per granule and ZERO data
-  // chunks. Complete pushdown: the scan emits the single finished row.
-  // Counts of a COLUMN (null-skipping) and grouped counts are declined —
-  // fill-value nulls live in the data chunks.
-  private def isCountStar(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty &&
-      agg.aggregateExpressions.length == 1 &&
-      agg.aggregateExpressions.head.isInstanceOf[CountStar]
+  // metadata-only aggregate pushdown (complete): an ungrouped mix of
+  //   - COUNT(*): the per-granule HEADER record counts — a 100 TB fleet
+  //     count reads ~KB of header bytes per granule and ZERO data chunks
+  //   - MIN/MAX of the declared-sorted TIME coordinate: each granule's
+  //     end records (two single-record slab probes per file), exact to
+  //     the ingest's micros arithmetic — "what does the archive cover?"
+  //     without scanning it
+  // answers from planning metadata. The probe pass runs EAGERLY inside
+  // pushAggregation; any unprobeable granule (fill/NaN ends, missing
+  // units) declines the whole pushdown and the normal scan answers.
+  // Counts of a COLUMN (null-skipping), grouped aggs, and min/max of
+  // anything but the sorted time coordinate are declined — their
+  // answers live in the data chunks.
+  import NetCdfSource.{MetaAgg, MetaCount, MetaMin, MetaMax}
+
+  private var metaAgg: Option[(Seq[MetaAgg], Seq[Any])] = None
+
+  private def colOf(
+      e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: org.apache.spark.sql.connector.expressions.NamedReference
+        if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0))
+    case _ => None
+  }
+
+  private def probeable(c: String): Boolean =
+    sortedBy.contains(c) && fullSchema.fields.exists(f =>
+      f.name == c && f.dataType ==
+        org.apache.spark.sql.types.TimestampNTZType)
+
+  private def parseMetaAggs(agg: Aggregation): Option[Seq[MetaAgg]] = {
+    if (agg.groupByExpressions.nonEmpty || accepted.nonEmpty) return None
+    val parsed = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(MetaCount)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Min =>
+        colOf(m.column).filter(probeable).map(MetaMin)
+      case m: org.apache.spark.sql.connector.expressions.aggregate.Max =>
+        colOf(m.column).filter(probeable).map(MetaMax)
+      case _ => None
+    }
+    if (parsed.nonEmpty && parsed.forall(_.isDefined)) Some(parsed.flatten)
+    else None
+  }
+
+  /** Eagerly resolve the pushed values (None = decline). */
+  private def resolveMetaAggs(specs: Seq[MetaAgg]): Option[Seq[Any]] = {
+    val nonEmpty = table.fileMetas.filter(_.records > 0)
+    val needEnds = specs.exists {
+      case MetaMin(_) | MetaMax(_) => true
+      case _ => false
+    }
+    val ends: Option[Seq[(Long, Long)]] =
+      if (!needEnds) Some(Nil)
+      else {
+        val col = sortedBy.get
+        val probed = nonEmpty.map(m =>
+          NetCdfSource.timeCoordEnds(m.path, col))
+        if (probed.forall(_.isDefined)) Some(probed.flatten) else None
+      }
+    ends.map { es =>
+      specs.map {
+        case MetaCount => table.fileMetas.map(_.records).sum
+        case MetaMin(_) =>
+          if (es.isEmpty) null else java.lang.Long.valueOf(es.map(_._1).min)
+        case MetaMax(_) =>
+          if (es.isEmpty) null else java.lang.Long.valueOf(es.map(_._2).max)
+      }
+    }
+  }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    isCountStar(agg)
+    metaAgg.isDefined || parseMetaAggs(agg).isDefined
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (isCountStar(agg)) { countPushed = true; true } else false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    metaAgg = for {
+      specs <- parseMetaAggs(agg)
+      vals <- resolveMetaAggs(specs)
+    } yield (specs, vals)
+    countPushed = metaAgg.isDefined
+    countPushed
+  }
 
-  override def build(): Scan =
-    if (countPushed) new NetCdfCountScan(table.fileMetas)
-    else new NetCdfScan(table, table.fileMetas, required, fullSchema,
-      recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
-      queryRange)
+  override def build(): Scan = metaAgg match {
+    case Some((specs, vals)) =>
+      new NetCdfMetaAggScan(table.fileMetas, specs, vals, sortedBy)
+    case None =>
+      new NetCdfScan(table, table.fileMetas, required, fullSchema,
+        recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
+        queryRange)
+  }
 }
 
-/** The metadata-only COUNT(*) scan: one partition, one finished row. */
-final class NetCdfCountScan(metas: Seq[NetCdfSource.FileMeta])
-    extends Scan with Batch {
-  private val total = metas.map(_.records).sum
-  override def readSchema(): StructType = StructType(Seq(
-    org.apache.spark.sql.types.StructField("count(*)",
-      org.apache.spark.sql.types.LongType, nullable = false)))
+/** The metadata-only aggregate scan (complete pushdown): one partition,
+  * one finished row, values resolved at PLANNING from headers (counts)
+  * and coordinate end-record probes (min/max) — zero data chunks. */
+final class NetCdfMetaAggScan(
+    metas: Seq[NetCdfSource.FileMeta],
+    specs: Seq[NetCdfSource.MetaAgg],
+    values: Seq[Any],
+    sortedBy: Option[String]) extends Scan with Batch {
+  import org.apache.spark.sql.types.{LongType, StructField, TimestampNTZType}
+  import NetCdfSource.{MetaCount, MetaMin, MetaMax}
+  override def readSchema(): StructType = StructType(specs.map {
+    case MetaCount => StructField("count(*)", LongType, nullable = false)
+    case MetaMin(c) => StructField(s"min($c)", TimestampNTZType)
+    case MetaMax(c) => StructField(s"max($c)", TimestampNTZType)
+  })
   override def toBatch: Batch = this
   override def planInputPartitions(): Array[InputPartition] =
-    Array(NcCountPartition(total))
+    Array(NcMetaAggPartition(values))
   override def createReaderFactory(): PartitionReaderFactory =
-    new NcCountReaderFactory
-  override def description(): String =
-    s"NetCdfCountScan files=${metas.size} records=$total " +
-      "(metadata-only COUNT(*) pushdown)"
+    new NcMetaAggReaderFactory
+  override def description(): String = {
+    val what = specs.map {
+      case MetaCount => "count(*)"
+      case MetaMin(c) => s"min($c)"
+      case MetaMax(c) => s"max($c)"
+    }.mkString(", ")
+    s"NetCdfMetaAggScan files=${metas.size} [$what] " +
+      "(metadata-only aggregate pushdown)"
+  }
 }
 
-final case class NcCountPartition(total: Long) extends InputPartition
+final case class NcMetaAggPartition(values: Seq[Any])
+    extends InputPartition
 
-final class NcCountReaderFactory extends PartitionReaderFactory {
+final class NcMetaAggReaderFactory extends PartitionReaderFactory {
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
       private var emitted = false
-      private val row =
-        InternalRow(partition.asInstanceOf[NcCountPartition].total)
+      private val row = InternalRow.fromSeq(
+        partition.asInstanceOf[NcMetaAggPartition].values)
       override def next(): Boolean =
         if (emitted) false else { emitted = true; true }
       override def get(): InternalRow = row

@@ -230,7 +230,7 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     val cdf = df.groupBy().count()
     assert(cdf.collect().head.getLong(0) === n)
     assert(cdf.queryExecution.executedPlan.toString
-      .contains("NetCdfCountScan"),
+      .contains("NetCdfMetaAggScan"),
       "count(*) should plan the metadata-only scan")
     // any DATA read fails loudly — proving the count touched no chunks
     intercept[Exception] { df.select("x").collect() }
@@ -258,6 +258,56 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       .option("splitrows", "37").load(p).select("time")
     assert(tiny.rdd.getNumPartitions === 10)
     assert(tiny.distinct().count() === 1000)
+  }
+
+  test("MIN/MAX of the sorted time coordinate push to end-record " +
+      "probes: archive coverage without a scan") {
+    val tmp = Files.createTempDirectory("v2minmax").toString
+    // two granules, clean sorted `time`, POISONED `b` in the first
+    val n1 = 40
+    val timeB = java.nio.ByteBuffer.allocate(n1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n1).foreach(i => timeB.putDouble(5.0 + i))
+    val poison = java.nio.ByteBuffer.allocate(n1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n1).foreach(_ => poison.putLong(0x5ca1ab1e5ca1ab1eL))
+    val g1 = Paths.get(tmp, "g1.nc")
+    Hdf5Writer.streamTo(g1) { w =>
+      w.dataset(WDataset("time", Seq(n1.toLong), WF64,
+        Some(timeB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"), "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true, chunkRows = Some(n1)))
+      w.dataset(WDataset("b", Seq(n1.toLong), WF64, Some(poison.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+        unlimited0 = true, fletcher32 = true, chunkRows = Some(n1)))
+      w.finish(Nil)
+    }
+    val bytes = Files.readAllBytes(g1)
+    val magic = Array[Byte](0x1e, 0xab.toByte, 0xa1.toByte, 0x5c)
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (0 until 4).forall(j => bytes(i + j) == magic(j))).get
+    bytes(at) = (bytes(at) ^ 0xff).toByte
+    Files.write(g1, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    writeGranule(tmp, "g2.nc", n = 60, base = 500.0)
+    val df = spark.read.format("netcdf").option("sortedby", "time")
+      .load(tmp)
+    val agg = df.agg(min("time"), max("time"), count(lit(1)))
+    // the data var `b` is corrupt in g1, yet coverage answers — only
+    // the coordinate's END records were probed
+    val row = agg.collect().head
+    assert(row.getAs[java.time.LocalDateTime](0) ===
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 0, 5))
+    assert(row.getAs[java.time.LocalDateTime](1) ===
+      java.time.LocalDateTime.of(2020, 1, 1, 0, 9, 19)) // 500+59 s
+    assert(row.getLong(2) === 100L)
+    assert(agg.queryExecution.executedPlan.toString
+      .contains("NetCdfMetaAggScan"))
+    // min/max of a NON-coordinate column is declined (its answer lives
+    // in the data chunks) -> the scan reads `b` -> g1's corruption
+    // surfaces loudly
+    intercept[Exception] { df.agg(min("b")).collect() }
   }
 
   test("sortedby range pruning: disjoint granule never opened, " +
