@@ -426,6 +426,35 @@ object AggQueries {
         max(unix_micros(col("ts").cast(TimestampType))).as("ts_max_us"))
   }
 
+  /** `q_netcdf_coverage`: "what does the archive cover?" — ungrouped
+    * MIN/MAX of the sorted time coordinate plus COUNT(*), the catalog
+    * query a granule fleet answers constantly. Through the v2 source
+    * this is a COMPLETE metadata pushdown
+    * ([[graft.sources.NetCdfMetaAggScan]]): the count comes from
+    * per-granule HEADER record counts and min/max from two
+    * single-record END probes per granule (the feed is `indexby`-sorted,
+    * declared via `sortedby=ts`), computed with exactly the ingest's
+    * epoch-micros arithmetic — the scan emits ONE finished row and
+    * reads ZERO data chunks, so wall clock is O(granule count),
+    * independent of archive bytes. The oracle computes the same
+    * aggregates over the ORIGINAL parquet, gating that the pushed
+    * values are bit-identical to what a full scan would return. The
+    * micros projection sits ABOVE the aggregate so the pushdown still
+    * sees bare min/max/count. */
+  def qNetcdfCoverage(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").option("sortedby", "ts")
+      .load(ncGranuleDir(s, dir))
+    nc.agg(
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"),
+        count(lit(1)).as("n"))
+      .select(
+        unix_micros(col("ts_min").cast(TimestampType)).as("ts_min_us"),
+        unix_micros(col("ts_max").cast(TimestampType)).as("ts_max_us"),
+        col("n"))
+  }
+
   /** `stream_netcdf_ingest`: the BATCH TWIN of the granule-feed
     * micro-batch stream (`spark.readStream.format("netcdf")` —
     * NetCdfSourceV2Spec proves the streaming side: incremental pickup
@@ -648,7 +677,16 @@ object AggQueries {
          |       CAST(min(t) AS BIGINT) AS ts_min_us,
          |       CAST(max(t) AS BIGINT) AS ts_max_us
          |FROM e
-         |WHERE t >= 1704672000000000 AND t < 1704844800000000""".stripMargin
+         |WHERE t >= 1704672000000000 AND t < 1704844800000000""".stripMargin,
+    // the Spark side answers from granule headers + end-record probes
+    // (zero data chunks); the oracle full-scans the ORIGINAL parquet —
+    // hash equality proves the pushed coverage is exactly the scan's
+    "q_netcdf_coverage" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT CAST(min(t) AS BIGINT) AS ts_min_us,
+         |       CAST(max(t) AS BIGINT) AS ts_max_us,
+         |       CAST(count(*) AS BIGINT) AS n
+         |FROM e""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -671,6 +709,7 @@ object AggQueries {
     "q_agg_chunked_write" -> (qAggChunkedWrite _),
     "q_netcdf_scan" -> (qNetcdfScan _),
     "q_netcdf_range" -> (qNetcdfRange _),
+    "q_netcdf_coverage" -> (qNetcdfCoverage _),
     "stream_netcdf_ingest" -> (qStreamNetcdfIngest _)
   )
 }

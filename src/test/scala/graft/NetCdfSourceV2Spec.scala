@@ -495,6 +495,23 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("sum_event_id") === (0L until 1000L).sum)
   }
 
+  test("q_netcdf_coverage plans the metadata-only aggregate scan") {
+    assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
+      .exists)
+    val df = graft.queries.AggQueries
+      .qNetcdfCoverage(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.executedPlan.toString
+      .contains("NetCdfMetaAggScan"),
+      "coverage must answer from headers + end probes, not a data scan")
+    val row = df.collect().head
+    assert(row.getAs[Long]("n") === 1000)
+    // pushed min/max must equal the full data scan's (same arithmetic)
+    val full = graft.queries.AggQueries
+      .qNetcdfScan(spark, "/root/testdata/sf0.001").collect().head
+    assert(row.getAs[Long]("ts_min_us") === full.getAs[Long]("ts_min_us"))
+    assert(row.getAs[Long]("ts_max_us") === full.getAs[Long]("ts_max_us"))
+  }
+
   test("recdim option routes to every granule; mergeschema=false " +
       "reads the first header only") {
     val tmp = Files.createTempDirectory("v2opts").toString
