@@ -45,6 +45,7 @@ object PipelineQueries {
     embCountMemo.evictMatching(s)(_ == dir)
     graft.multimodal.MediaStore.evict(s, dir)
     AggQueries.evictNcStore(s, dir)
+    evictSigStore(s, dir)
   }
 
   /** Number of live memo entries for (session, dir) — specs. */
@@ -146,6 +147,76 @@ object PipelineQueries {
     emb.select("vec_id").join(dup, Seq("vec_id"), "left")
       .select(col("vec_id"), col("first_dup").isNull.as("kept"),
         col("first_dup"))
+  }
+
+  // the persisted corpus signature store is derived ONCE per
+  // (session, dir) — the timed work of d_incremental_dedup is the
+  // DELTA-vs-store join, not the store build (a standing corpus's
+  // signatures were written at its own ingest time); release hook and a
+  // shutdown hook delete the temp payload
+  private val sigStoreMemo = new SessionScoped[String, String]({ (_, out) =>
+    try org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out).getParentFile)
+    catch { case _: java.io.IOException => () }
+  })
+
+  /** Drop the persisted signature store for (session, dir) — two-dir
+    * sweeps ([[evictCaches]]); a later query rebuilds it. */
+  def evictSigStore(s: SparkSession, dir: String): Unit =
+    sigStoreMemo.evictMatching(s)(_ == dir)
+
+  /** Parquet path of the STANDING-corpus LSH band-signature store
+    * (doc_id, band_idx, sig) — every document except the `doc_id % 10
+    * == 7` delta slice. Written once per (session, dir); subsequent
+    * ingests read it from disk like the real store they model. */
+  def corpusSigStore(s: SparkSession, dir: String): String =
+    sigStoreMemo.getOrBuild(s, dir) {
+      val d = java.nio.file.Files.createTempDirectory("graft_sigstore")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        catch { case _: java.io.IOException => () }))
+      val out = s"$d/sig_store"
+      ebands(s, dir).filter(col("doc_id") % 10 =!= 7)
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** `d_incremental_dedup`: dedup TODAY'S ingest (the `doc_id % 10 == 7`
+    * slice) against a standing corpus WITHOUT re-processing the corpus —
+    * the asymmetric pattern a growing 100 TB corpus actually runs daily,
+    * where re-LSH-ing every stored document per ingest
+    * ([[dMinhashLsh]]'s symmetric self-join) would be quadratic in
+    * archive lifetime. The corpus side is a PERSISTED band-signature
+    * store ([[corpusSigStore]] — 16 B/band rows written at the corpus's
+    * own ingest time); the daily job computes bands for the delta only,
+    * broadcasts them (a daily increment is small next to the archive;
+    * for a mega-delta drop the hint and the join degrades gracefully to
+    * a sig-shuffle of both sides), and the store is scanned ONCE,
+    * map-only, never shuffled — the only shuffle is the per-delta-doc
+    * `min` over matched candidates, bounded by matches, not the store.
+    * Within-delta dups resolve by the same first-arrival (min doc_id)
+    * rule as the streaming twin. Per delta doc: `corpus_dup` = lowest
+    * corpus doc sharing any LSH band (null = fresh), `delta_dup` =
+    * lowest earlier delta doc sharing a band, `kept` = both null.
+    * Docs under 3 tokens have no bands and are trivially kept. */
+  def dIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val store = s.read.parquet(corpusSigStore(s, dir))
+      .toDF("c_id", "band_idx", "sig")
+    val delta = ebands(s, dir).filter(col("doc_id") % 10 === 7)
+    val corpOwn = store
+      .join(broadcast(delta), Seq("band_idx", "sig"))
+      .groupBy("doc_id").agg(min("c_id").as("corpus_dup"))
+    val earlier = delta.toDF("e_id", "band_idx", "sig")
+    val deltaOwn = delta
+      .join(earlier, Seq("band_idx", "sig"))
+      .filter(col("e_id") < col("doc_id"))
+      .groupBy("doc_id").agg(min("e_id").as("delta_dup"))
+    tbl(s, dir, "documents").filter(col("doc_id") % 10 === 7)
+      .select("doc_id")
+      .join(corpOwn, Seq("doc_id"), "left")
+      .join(deltaOwn, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_dup"), col("delta_dup"),
+        (col("corpus_dup").isNull && col("delta_dup").isNull).as("kept"))
   }
 
   def dSimhash(s: SparkSession, dir: String): DataFrame = {
@@ -1543,6 +1614,21 @@ object PipelineQueries {
       s"""WITH $pairsCte
          |SELECT doc_a, doc_b, count(*) AS shared_bands
          |FROM pairs GROUP BY 1, 2""".stripMargin,
+    "d_incremental_dedup" ->
+      s"""WITH $pairsCte,
+         |dl AS (SELECT doc_id, band_idx, sig FROM eb WHERE doc_id % 10 = 7),
+         |cp AS (SELECT doc_id, band_idx, sig FROM eb WHERE doc_id % 10 <> 7),
+         |co AS (SELECT dl.doc_id, min(cp.doc_id) AS corpus_dup
+         |       FROM dl JOIN cp USING (band_idx, sig) GROUP BY 1),
+         |dd AS (SELECT x.doc_id, min(e.doc_id) AS delta_dup
+         |       FROM dl x JOIN dl e ON x.band_idx = e.band_idx
+         |         AND x.sig = e.sig AND e.doc_id < x.doc_id
+         |       GROUP BY 1)
+         |SELECT doc_id, corpus_dup, delta_dup,
+         |       corpus_dup IS NULL AND delta_dup IS NULL AS kept
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) dx
+         |LEFT JOIN co USING (doc_id)
+         |LEFT JOIN dd USING (doc_id)""".stripMargin,
     "stream_minhash_dedup" ->
       s"""WITH $pairsCte,
          |dup AS (SELECT doc_b AS doc_id, min(doc_a) AS first_dup
@@ -2346,6 +2432,7 @@ object PipelineQueries {
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
     "d_span_dedup" -> (dSpanDedup _),
+    "d_incremental_dedup" -> (dIncrementalDedup _),
     "d_decontaminate" -> (dDecontaminate _),
     "d_decontaminate_bloom" -> (dDecontaminateBloom _),
     "t_tfidf" -> (tTfidf _),

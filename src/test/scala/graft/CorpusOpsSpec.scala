@@ -32,6 +32,61 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     d
   }
 
+  /** Incremental-ingest corpus: standing docs 1/2/5, delta slice
+    * (doc_id % 10 == 7) with one corpus copy, one delta-internal copy,
+    * one fresh doc and one bandless short doc. */
+  private lazy val incDir: String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_incdedup").toString
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    val b = "query engines shuffle exchange partitions broadcast joins " * 6
+    val c = "rivers forests mountains valleys deserts oceans islands shores " * 6
+    val fresh = "entirely novel delta content about telescopes and comets " * 6
+    Seq(
+      (1L, a, "en", "web", 1L), (2L, b, "en", "web", 2L),
+      (5L, c, "en", "books", 5L),
+      (7L, a, "en", "web", 7L),           // copies corpus doc 1
+      (17L, a, "en", "web", 17L),         // copies 1 AND earlier delta 7
+      (27L, fresh, "en", "web", 27L),     // fresh -> kept
+      (37L, "hi", "en", "web", 37L))      // < 3 tokens: bandless -> kept
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    d
+  }
+
+  test("incremental dedup: delta resolves against the persisted corpus " +
+      "store and first-arrival within the delta") {
+    val rows = PipelineQueries.dIncrementalDedup(spark, incDir).collect()
+      .map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)),
+          r.getBoolean(3)))).toMap
+    assert(rows.keySet === Set(7L, 17L, 27L, 37L),
+      "only the doc_id % 10 == 7 slice is adjudicated")
+    assert(rows(7L) === ((Some(1L), None, false)),
+      "delta copy of a corpus doc dups to the corpus owner")
+    assert(rows(17L) === ((Some(1L), Some(7L), false)),
+      "later delta copy sees BOTH the corpus owner and the earlier delta")
+    assert(rows(27L) === ((None, None, true)), "fresh delta doc is kept")
+    assert(rows(37L) === ((None, None, true)), "bandless short doc is kept")
+  }
+
+  test("incremental dedup: signature store persists once per (session, " +
+      "dir) and evicts with the pipeline caches") {
+    val p1 = PipelineQueries.corpusSigStore(spark, incDir)
+    assert(new java.io.File(p1).exists(), "store parquet written")
+    assert(PipelineQueries.corpusSigStore(spark, incDir) eq p1,
+      "second call memo-hits, no rebuild")
+    // the standing corpus (ids 1/2/5) is in the store; the delta is not
+    val ids = spark.read.parquet(p1).select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ids === Set(1L, 2L, 5L))
+    PipelineQueries.evictCaches(spark, incDir)
+    assert(!new java.io.File(p1).exists(), "evict deletes the store dir")
+    val p2 = PipelineQueries.corpusSigStore(spark, incDir)
+    assert(p2 != p1 && new java.io.File(p2).exists(), "rebuilds on demand")
+  }
+
   test("span dedup: verbatim copies share all spans, unique docs none") {
     val r = PipelineQueries.dSpanDedup(spark, dir)
       .collect().map(x => x.getLong(0) -> x.getDouble(3)).toMap

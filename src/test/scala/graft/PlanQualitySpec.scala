@@ -349,6 +349,48 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "verdict join-back must broadcast, not sort-merge")
   }
 
+  test("d_incremental_dedup streams the store scan; the delta broadcasts") {
+    // the whole point of the incremental form: the persisted corpus
+    // signature store is read map-only — broadcast-joined against the
+    // (small) delta bands with no Exchange between its scan and the join.
+    // A regression to a shuffled/sort-merge plan re-shuffles the archive
+    // on every daily ingest.
+    val plan = physical("d_incremental_dedup")
+    def hasStoreScan(p: SparkPlan): Boolean = nodes(p).exists {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.toString.contains("sig_store")
+      case _ => false
+    }
+    // every join whose subtree reaches the store scan; pre-order makes
+    // the LAST one the innermost — the join the scan actually feeds
+    // (outer verdict joins contain the scan only transitively, behind
+    // the match-bounded aggregate)
+    val storeJoins = nodes(plan).filter {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        hasStoreScan(j)
+      case _ => false
+    }
+    assert(storeJoins.nonEmpty, "the store joins the delta somewhere")
+    val j = storeJoins.last match {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+      case other => fail(
+        s"the innermost join over the store scan must broadcast the " +
+          s"delta, got ${other.nodeName}")
+    }
+    val streamed =
+      if (j.buildSide == org.apache.spark.sql.catalyst.optimizer.BuildLeft)
+        j.right
+      else j.left
+    assert(hasStoreScan(streamed),
+      "the store must be the STREAMED side — the delta broadcasts")
+    assert(count(streamed, _.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]) == 0,
+      "no Exchange between the store scan and the join")
+    // delta-sized frames (the within-delta self-join, the verdict
+    // join-backs) may shuffle — they are bounded by the ingest, not the
+    // archive: nothing further to pin on them
+  }
+
   test("dQuantileFilterApprox keeps the broadcast join-back shape") {
     // the approx production twin must keep the exact twin's plan: one
     // sketch aggregate, |sources|-row broadcast join back over the scan
