@@ -134,6 +134,26 @@ object PipelineQueries {
         col("first_dup"))
   }
 
+  /** Batch twin of
+    * [[graft.streaming.StreamingAgg.incrementalDedupStream]]: the SAME
+    * stream-static-join + stateful-fold transform runs once over the
+    * delta slice against the persisted store (fold against empty state,
+    * first-arrival == min-id), then per-doc verdicts aggregate exactly
+    * as [[dIncrementalDedup]] — same columns, same oracle. */
+  def streamIncrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val delta = tbl(s, dir, "documents").filter(col("doc_id") % 10 === 7)
+    val store = s.read.parquet(corpusSigStore(s, dir))
+    val v = graft.streaming.StreamingAgg
+      .incrementalDedupStream(delta, store).toDF()
+    val agg = v.groupBy("doc_id").agg(
+      min("corpus_dup").as("corpus_dup"),
+      min(when(col("owner_id") < col("doc_id"), col("owner_id")))
+        .as("delta_dup"))
+    delta.select("doc_id").join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("corpus_dup"), col("delta_dup"),
+        (col("corpus_dup").isNull && col("delta_dup").isNull).as("kept"))
+  }
+
   /** Batch twin of [[graft.streaming.StreamingAgg.vecDedupStream]]:
     * the SAME stateful 20-bit-band bucket transform folds once per
     * bucket against empty state (first-arrival == min-id), then
@@ -1567,6 +1587,25 @@ object PipelineQueries {
        |          FROM eb a JOIN eb b ON a.band_idx = b.band_idx
        |            AND a.sig = b.sig AND a.doc_id < b.doc_id)""".stripMargin
 
+  /** Shared oracle for [[dIncrementalDedup]] and its streaming twin
+    * [[streamIncrementalDedup]] — the batch fold's first-arrival
+    * ownership equals min-id, so both produce identical verdicts. */
+  private val incDedupOracle =
+    s"""WITH $pairsCte,
+       |dl AS (SELECT doc_id, band_idx, sig FROM eb WHERE doc_id % 10 = 7),
+       |cp AS (SELECT doc_id, band_idx, sig FROM eb WHERE doc_id % 10 <> 7),
+       |co AS (SELECT dl.doc_id, min(cp.doc_id) AS corpus_dup
+       |       FROM dl JOIN cp USING (band_idx, sig) GROUP BY 1),
+       |dd AS (SELECT x.doc_id, min(e.doc_id) AS delta_dup
+       |       FROM dl x JOIN dl e ON x.band_idx = e.band_idx
+       |         AND x.sig = e.sig AND e.doc_id < x.doc_id
+       |       GROUP BY 1)
+       |SELECT doc_id, corpus_dup, delta_dup,
+       |       corpus_dup IS NULL AND delta_dup IS NULL AS kept
+       |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) dx
+       |LEFT JOIN co USING (doc_id)
+       |LEFT JOIN dd USING (doc_id)""".stripMargin
+
   /** Sampled stored-media id set (mirrors `MediaStore.sampleStep`):
     * stride = ceil(n / MaxStoredRows), ids divisible by the stride —
     * the same integer derivation the store's writer uses. */
@@ -1614,21 +1653,10 @@ object PipelineQueries {
       s"""WITH $pairsCte
          |SELECT doc_a, doc_b, count(*) AS shared_bands
          |FROM pairs GROUP BY 1, 2""".stripMargin,
-    "d_incremental_dedup" ->
-      s"""WITH $pairsCte,
-         |dl AS (SELECT doc_id, band_idx, sig FROM eb WHERE doc_id % 10 = 7),
-         |cp AS (SELECT doc_id, band_idx, sig FROM eb WHERE doc_id % 10 <> 7),
-         |co AS (SELECT dl.doc_id, min(cp.doc_id) AS corpus_dup
-         |       FROM dl JOIN cp USING (band_idx, sig) GROUP BY 1),
-         |dd AS (SELECT x.doc_id, min(e.doc_id) AS delta_dup
-         |       FROM dl x JOIN dl e ON x.band_idx = e.band_idx
-         |         AND x.sig = e.sig AND e.doc_id < x.doc_id
-         |       GROUP BY 1)
-         |SELECT doc_id, corpus_dup, delta_dup,
-         |       corpus_dup IS NULL AND delta_dup IS NULL AS kept
-         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 7) dx
-         |LEFT JOIN co USING (doc_id)
-         |LEFT JOIN dd USING (doc_id)""".stripMargin,
+    "d_incremental_dedup" -> incDedupOracle,
+    // the streaming twin folds to identical verdicts in batch mode
+    // (first-arrival == min-id): one oracle serves both
+    "stream_incremental_dedup" -> incDedupOracle,
     "stream_minhash_dedup" ->
       s"""WITH $pairsCte,
          |dup AS (SELECT doc_b AS doc_id, min(doc_a) AS first_dup
@@ -2406,6 +2434,7 @@ object PipelineQueries {
     "d_minhash_lsh" -> (dMinhashLsh _),
     "stream_minhash_dedup" -> (streamMinhashDedup _),
     "stream_vec_dedup" -> (streamVecDedup _),
+    "stream_incremental_dedup" -> (streamIncrementalDedup _),
     "d_simhash" -> (dSimhash _),
     "d_ngram_jaccard" -> (dNgramJaccard _),
     "d_ngram_containment" -> (dNgramContainment _),

@@ -50,6 +50,16 @@ final case class DistinctUpdate(event_type: String, n_seen: Long,
   * when the bucket already had a near-duplicate. */
 final case class BandVerdict(doc_id: Long, band_idx: Int, owner_id: Long)
 final case class VecBand(vec_id: Long, band_idx: Int, sig: Long)
+/** A streamed doc's band joined against the static corpus signature
+  * store: `c_id` is one standing-corpus doc sharing the band (None when
+  * the bucket is corpus-fresh). */
+final case class BandHit(doc_id: Long, band_idx: Int, sig: Long,
+    c_id: Option[Long])
+/** Per-(doc, band) incremental-ingest verdict: `owner_id` is the
+  * within-stream first-arrival owner, `corpus_dup` the lowest
+  * standing-corpus doc sharing this band (None = corpus-fresh). */
+final case class IncVerdict(doc_id: Long, band_idx: Int, owner_id: Long,
+    corpus_dup: Option[Long])
 /** Per-(vector, band) dedup verdict — the embedding analog of
   * [[BandVerdict]]. */
 final case class VecVerdict(vec_id: Long, band_idx: Int, owner_id: Long)
@@ -389,6 +399,56 @@ object StreamingAgg {
           val owner = st.getOption.getOrElse(ids.min)
           st.update(owner)
           ids.iterator.map(d => BandVerdict(d, key._1, owner))
+        })
+  }
+
+  /** Continuous incremental-ingest dedup — the streaming twin of
+    * [[graft.queries.PipelineQueries.dIncrementalDedup]]: new documents
+    * stream in forever and each must be adjudicated against BOTH the
+    * standing corpus and the stream so far. The corpus side is the
+    * PERSISTED band-signature store (a static frame — the stream-static
+    * left join is stateless, re-planned per micro-batch, so a store
+    * refreshed between restarts is picked up without state surgery);
+    * the within-stream side is the same first-arrival bucket state as
+    * [[minhashDedupStream]]. The bucket's corpus owner is recomputed
+    * from the replayed join rows every batch — deliberately NOT stored,
+    * so state stays one long per occupied bucket (grows with distinct
+    * stream content, never with corpus size or stream length). Batch
+    * run of this same transform IS the oracle-checked registry entry
+    * (`stream_incremental_dedup`), where first-arrival == min-id
+    * ownership. */
+  def incrementalDedupStream(docs: DataFrame, store: DataFrame)
+      : Dataset[IncVerdict] = {
+    val s = docs.sparkSession
+    graft.functions.native.register(s)
+    import s.implicits._
+    val corpus = store.select(col("doc_id").cast(LongType).as("c_id"),
+      col("band_idx"), col("sig"))
+    docs
+      .select(col("doc_id").cast(LongType).as("doc_id"),
+        expr("graft_tokens(text)").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        posexplode(expr(
+          "graft_minhash_bands(graft_shingles(graft_token_hashes(toks)))"))
+          .as(Seq("band_idx", "sig")))
+      .join(corpus, Seq("band_idx", "sig"), "left")
+      .select(col("doc_id"), col("band_idx"), col("sig"), col("c_id"))
+      .as[BandHit]
+      .groupByKey(h => (h.band_idx, h.sig))
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (key: (Int, Long), it: Iterator[BandHit],
+            st: GroupState[Long]) => {
+          val rows = it.toArray
+          // every corpus match replays through the static join each
+          // batch, so the bucket's corpus owner needs no state
+          val corpusMin = rows.iterator.flatMap(_.c_id)
+            .reduceOption(_ min _)
+          val ids = rows.map(_.doc_id).distinct
+          val owner = st.getOption.getOrElse(ids.min)
+          st.update(owner)
+          ids.iterator.map(d => IncVerdict(d, key._1, owner, corpusMin))
         })
   }
 

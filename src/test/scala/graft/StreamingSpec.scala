@@ -502,6 +502,50 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental dedup: corpus hits flag in any batch; " +
+      "within-stream dups inherit across batches; state excludes corpus") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    val textB = "query engines shuffle exchange partitions broadcast joins " * 6
+    val fresh = "entirely novel delta content about telescopes and comets " * 6
+    graft.functions.native.register(spark)
+    // the standing corpus's persisted signature store, as a static frame
+    val store = Seq((1L, textA), (2L, textB)).toDF("doc_id", "text")
+      .select(col("doc_id"), posexplode(expr(
+        "graft_minhash_bands(graft_shingles(graft_token_hashes(" +
+          "graft_tokens(text))))")).as(Seq("band_idx", "sig")))
+    val mem = MemoryStream[(Long, String)]
+    val q = StreamingAgg.incrementalDedupStream(
+        mem.toDF().toDF("doc_id", "text"), store)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("incd").start()
+    try {
+      mem.addData((7L, textA), (27L, fresh))
+      q.processAllAvailable()
+      val s1 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      // batch 2: a copy of batch 1's doc 7 (which itself copies corpus
+      // doc 1) — must see BOTH the corpus owner and the stream owner
+      mem.addData((17L, textA))
+      q.processAllAvailable()
+      val s2 = q.lastProgress.stateOperators.map(_.numRowsTotal).sum
+      val v = spark.table("incd")
+        .as[graft.streaming.IncVerdict].collect()
+      assert(v.filter(_.doc_id == 7L).forall(r =>
+        r.owner_id == 7L && r.corpus_dup.contains(1L)),
+        "corpus copy: flags the corpus owner, owns its stream buckets")
+      assert(v.filter(_.doc_id == 27L).forall(r =>
+        r.owner_id == 27L && r.corpus_dup.isEmpty),
+        "fresh doc: corpus-fresh and owns its buckets")
+      assert(v.filter(_.doc_id == 17L).forall(r =>
+        r.owner_id == 7L && r.corpus_dup.contains(1L)),
+        "later copy: inherits the stream owner AND the corpus owner")
+      // the verbatim copy opened no new buckets: state is per distinct
+      // stream content, never corpus-sized (store has 2 docs x 8 bands)
+      assert(s2 == s1, s"state went $s1 -> $s2 on a pure duplicate")
+    } finally q.stop()
+  }
+
   test("streaming quantile sketch: batches converge to the batch fold, " +
       "state stays k-bounded, batch split order is irrelevant") {
     import spark.implicits._
