@@ -455,6 +455,31 @@ object AggQueries {
         col("n"))
   }
 
+  /** `q_netcdf_daily`: per-day record counts and value sums across the
+    * granule archive — the GROUPED coverage query the metadata pushdown
+    * correctly DECLINES (a grouped aggregate cannot be answered from
+    * headers and end probes), proving the decline path end-to-end: the
+    * plan falls back to the chunk-pruned v2 scan reading only the
+    * `ts`/`value` variables (unprojected variables' chunks never open),
+    * splits stay chunk-aligned, and ONE partial/final aggregation pair
+    * shuffles combined per-day partials — days cross the wire, never
+    * records. Completes the archive-query triple: full scan
+    * ([[qNetcdfScan]]), pruned band ([[qNetcdfRange]]), pure metadata
+    * ([[qNetcdfCoverage]]), grouped fallback (this). */
+  def qNetcdfDaily(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").option("splitrows", "5000")
+      .option("sortedby", "ts")
+      .load(ncGranuleDir(s, dir))
+    nc.groupBy(date_trunc("DAY", col("ts").cast(TimestampType)).as("day"))
+      .agg(count(lit(1)).as("n"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
+          .as("v_sum"))
+      .select(unix_micros(col("day").cast(TimestampType)).as("day_us"),
+        col("n"), col("v_sum"))
+  }
+
   /** `stream_netcdf_ingest`: the BATCH TWIN of the granule-feed
     * micro-batch stream (`spark.readStream.format("netcdf")` —
     * NetCdfSourceV2Spec proves the streaming side: incremental pickup
@@ -686,7 +711,15 @@ object AggQueries {
          |SELECT CAST(min(t) AS BIGINT) AS ts_min_us,
          |       CAST(max(t) AS BIGINT) AS ts_max_us,
          |       CAST(count(*) AS BIGINT) AS n
-         |FROM e""".stripMargin
+         |FROM e""".stripMargin,
+    // t is epoch MICROS; day bucket = floor-div to the UTC day start,
+    // matching the Spark side's date_trunc over the NTZ coordinate
+    "q_netcdf_daily" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT CAST((t // 86400000000) * 86400000000 AS BIGINT) AS day_us,
+         |       CAST(count(*) AS BIGINT) AS n,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
+         |FROM e GROUP BY 1""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -710,6 +743,7 @@ object AggQueries {
     "q_netcdf_scan" -> (qNetcdfScan _),
     "q_netcdf_range" -> (qNetcdfRange _),
     "q_netcdf_coverage" -> (qNetcdfCoverage _),
+    "q_netcdf_daily" -> (qNetcdfDaily _),
     "stream_netcdf_ingest" -> (qStreamNetcdfIngest _)
   )
 }

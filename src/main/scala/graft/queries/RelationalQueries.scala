@@ -601,6 +601,29 @@ object RelationalQueries {
         col("value").as("last_value"))
   }
 
+  /** Type-2 slowly-changing dimension from the event changelog: each
+    * (user, event_type) key's events become consecutive validity
+    * intervals — `valid_from_us` = the event's time, `valid_to_us` =
+    * the NEXT event's time (null = current version), `version`
+    * ascending from 1. The warehouse "build the SCD-2 dimension from a
+    * CDC feed" op, and the interval-form complement of
+    * [[qUpsertLatest]]'s latest-only compaction. One keyed window
+    * (row_number + lead share the same partitioning and ordering, so
+    * Catalyst plans ONE exchange + one sort); at scale the key space
+    * (user × type) spreads uniformly and no per-key history is large
+    * enough to straggle. */
+  def qScd2(s: SparkSession, dir: String): DataFrame = {
+    val e = TSA.withEpochUs(AggQueries.events(s, dir), "ts")
+    val w = Window.partitionBy("user_id", "event_type")
+      .orderBy(col(TSA.T), col("event_id"))
+    e.withColumn("version", row_number().over(w).cast(LongType))
+      .withColumn("valid_to_us", lead(col(TSA.T), 1).over(w))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("version"), col(TSA.T).as("valid_from_us"),
+        col("valid_to_us"), col("valid_to_us").isNull.as("is_current"),
+        col("value"))
+  }
+
   /** Ordered-sequence conversion funnel view -> click -> purchase: each
     * stage's timestamp is the user's earliest qualifying event STRICTLY
     * after the previous stage. Every step is a keyed aggregation or a
@@ -1167,6 +1190,16 @@ object RelationalQueries {
         |SELECT user_id, min(t) AS span_start, max(iv_end) AS span_end,
         |       count(*) AS n_events
         |FROM i GROUP BY user_id, island""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_type, event_id,
+        |       CAST(row_number() OVER w AS BIGINT) AS version,
+        |       epoch_us(ts) AS valid_from_us,
+        |       lead(epoch_us(ts)) OVER w AS valid_to_us,
+        |       lead(epoch_us(ts)) OVER w IS NULL AS is_current,
+        |       value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id, event_type
+        |             ORDER BY epoch_us(ts), event_id)""".stripMargin,
     "q_upsert_latest" ->
       """WITH r AS (
         |  SELECT user_id, event_type, event_id, value, epoch_us(ts) AS t,
@@ -1202,6 +1235,7 @@ object RelationalQueries {
     "q_cube" -> (qCube _),
     "q_skew_salt" -> (qSkewSalt _),
     "q_upsert_latest" -> (qUpsertLatest _),
+    "q_scd2" -> (qScd2 _),
     "q_having_join" -> (qHavingJoin _),
     "q_funnel" -> (qFunnel _),
     "q_histogram" -> (qHistogram _),
