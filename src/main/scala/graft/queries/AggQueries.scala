@@ -480,6 +480,29 @@ object AggQueries {
         col("n"), col("v_sum"))
   }
 
+  /** `q_netcdf_by_type`: per-type counts, id sums and time coverage over
+    * the granule archive, answered through the DataSourceV2 GROUPED
+    * PARTIAL aggregate pushdown ([[graft.sources.NetCdfPartialAggScan]]):
+    * each granule slice aggregates its own records INSIDE the scan and
+    * emits per-group partial rows (group column + partial count/sum/
+    * min/max), which Spark's final aggregation merges — rows crossing
+    * the source boundary shrink from records to groups-per-slice, and
+    * only the four referenced variables' chunks are read. `count(col)`
+    * (null-skipping) is used deliberately: it pushes as a per-slice
+    * non-null count, exercising the path a bare COUNT(*) would not. */
+  def qNetcdfByType(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").option("splitrows", "5000")
+      .load(ncGranuleDir(s, dir))
+    nc.groupBy("event_type")
+      .agg(count(col("event_id")).as("n"),
+        sum(col("event_id")).as("sum_event_id"),
+        min(col("ts")).as("ts_min"), max(col("ts")).as("ts_max"))
+      .select(col("event_type"), col("n"), col("sum_event_id"),
+        unix_micros(col("ts_min").cast(TimestampType)).as("ts_min_us"),
+        unix_micros(col("ts_max").cast(TimestampType)).as("ts_max_us"))
+  }
+
   /** `stream_netcdf_ingest`: the BATCH TWIN of the granule-feed
     * micro-batch stream (`spark.readStream.format("netcdf")` —
     * NetCdfSourceV2Spec proves the streaming side: incremental pickup
@@ -714,6 +737,15 @@ object AggQueries {
          |FROM e""".stripMargin,
     // t is epoch MICROS; day bucket = floor-div to the UTC day start,
     // matching the Spark side's date_trunc over the NTZ coordinate
+    // the Spark side pushes grouped per-slice partials into the scan
+    // (NetCdfPartialAggScan); the oracle full-scans the original parquet
+    "q_netcdf_by_type" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT event_type, CAST(count(event_id) AS BIGINT) AS n,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       CAST(min(t) AS BIGINT) AS ts_min_us,
+         |       CAST(max(t) AS BIGINT) AS ts_max_us
+         |FROM e GROUP BY 1""".stripMargin,
     "q_netcdf_daily" ->
       s"""WITH e AS ($sqlValid)
          |SELECT CAST((t // 86400000000) * 86400000000 AS BIGINT) AS day_us,
@@ -744,6 +776,7 @@ object AggQueries {
     "q_netcdf_range" -> (qNetcdfRange _),
     "q_netcdf_coverage" -> (qNetcdfCoverage _),
     "q_netcdf_daily" -> (qNetcdfDaily _),
+    "q_netcdf_by_type" -> (qNetcdfByType _),
     "stream_netcdf_ingest" -> (qStreamNetcdfIngest _)
   )
 }

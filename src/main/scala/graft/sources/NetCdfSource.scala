@@ -315,6 +315,18 @@ object NetCdfSource {
   private[sources] final case class MetaMin(col: String) extends MetaAgg
   private[sources] final case class MetaMax(col: String) extends MetaAgg
 
+  /** One pushed PARTIAL aggregate (grouped; see [[NetCdfScanBuilder]]):
+    * evaluated per granule slice inside the scan, re-aggregated by
+    * Spark's final aggregation (min of mins, sum of counts, ...). */
+  private[sources] sealed trait PAgg
+  private[sources] case object PCountStar extends PAgg
+  private[sources] final case class PCount(col: String) extends PAgg
+  private[sources] final case class PMin(col: String) extends PAgg
+  private[sources] final case class PMax(col: String) extends PAgg
+  private[sources] final case class PSum(col: String) extends PAgg
+  private[sources] final case class PartialAggSpec(groupCols: Seq[String],
+      aggs: Seq[PAgg])
+
   /** First/last record values of a rank-1 per-record variable (CF time
     * units applied → epoch micros; raw value otherwise): two
     * single-record slab reads. None when the variable is missing,
@@ -552,9 +564,11 @@ final class NetCdfScanBuilder(
   // Counts of a COLUMN (null-skipping), grouped aggs, and min/max of
   // anything but the sorted time coordinate are declined — their
   // answers live in the data chunks.
-  import NetCdfSource.{MetaAgg, MetaCount, MetaMin, MetaMax}
+  import NetCdfSource.{MetaAgg, MetaCount, MetaMin, MetaMax, PAgg,
+    PCountStar, PCount, PMin, PMax, PSum, PartialAggSpec}
 
   private var metaAgg: Option[(Seq[MetaAgg], Seq[Any])] = None
+  private var partialAgg: Option[PartialAggSpec] = None
 
   private def colOf(
       e: org.apache.spark.sql.connector.expressions.Expression)
@@ -609,6 +623,70 @@ final class NetCdfScanBuilder(
     }
   }
 
+  // grouped PARTIAL aggregate pushdown: when the complete metadata path
+  // declines (grouped, or aggregates whose answers live in the data
+  // chunks), a grouped COUNT/MIN/MAX/SUM over plain columns still pushes
+  // PARTIALLY — each granule slice aggregates its own records inside the
+  // scan and emits per-group partial rows (group cols first, then agg
+  // values — the order Spark's rewrite expects), which Spark's final
+  // aggregation merges (min of mins, sum of counts). The scan still
+  // reads only the referenced variables' chunks, but rows crossing the
+  // DataSourceV2 boundary shrink from records to groups-per-slice.
+  // Declines: grouping on expressions, distinct aggregates, SUM over
+  // non-integral types (per-slice float accumulation would reorder the
+  // sum), AVG (Spark only splits it for complete pushdown), any pushed
+  // filter (Spark never offers aggregates with residual filters anyway).
+  private def pComparable(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType |
+        org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.DoubleType |
+        org.apache.spark.sql.types.StringType |
+        org.apache.spark.sql.types.DateType |
+        org.apache.spark.sql.types.TimestampType |
+        org.apache.spark.sql.types.TimestampNTZType => true
+    case _ => false
+  }
+
+  private def pIntegral(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case org.apache.spark.sql.types.ByteType |
+        org.apache.spark.sql.types.ShortType |
+        org.apache.spark.sql.types.IntegerType |
+        org.apache.spark.sql.types.LongType => true
+    case _ => false
+  }
+
+  private def parsePartialAggs(agg: Aggregation): Option[PartialAggSpec] = {
+    if (accepted.nonEmpty) return None
+    val fields = fullSchema.fields.map(f => f.name -> f.dataType).toMap
+    val groups = agg.groupByExpressions.toSeq
+      .map(colOf(_).filter(c => fields.get(c).exists(pComparable)))
+    if (groups.isEmpty || groups.exists(_.isEmpty)) return None
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, Max, Min, Sum}
+    val parsed = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(PCountStar)
+      case c: Count if !c.isDistinct =>
+        colOf(c.column).filter(fields.contains).map(PCount)
+      case m: Min =>
+        colOf(m.column).filter(c => fields.get(c).exists(pComparable))
+          .map(PMin)
+      case m: Max =>
+        colOf(m.column).filter(c => fields.get(c).exists(pComparable))
+          .map(PMax)
+      case s: Sum if !s.isDistinct =>
+        colOf(s.column).filter(c => fields.get(c).exists(pIntegral))
+          .map(PSum)
+      case _ => None
+    }
+    if (parsed.nonEmpty && parsed.forall(_.isDefined))
+      Some(PartialAggSpec(groups.flatten, parsed.flatten))
+    else None
+  }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     metaAgg.isDefined || parseMetaAggs(agg).isDefined
 
@@ -617,14 +695,18 @@ final class NetCdfScanBuilder(
       specs <- parseMetaAggs(agg)
       vals <- resolveMetaAggs(specs)
     } yield (specs, vals)
-    countPushed = metaAgg.isDefined
+    if (metaAgg.isEmpty) partialAgg = parsePartialAggs(agg)
+    countPushed = metaAgg.isDefined || partialAgg.isDefined
     countPushed
   }
 
-  override def build(): Scan = metaAgg match {
-    case Some((specs, vals)) =>
+  override def build(): Scan = (metaAgg, partialAgg) match {
+    case (Some((specs, vals)), _) =>
       new NetCdfMetaAggScan(table.fileMetas, specs, vals, sortedBy)
-    case None =>
+    case (None, Some(spec)) =>
+      new NetCdfPartialAggScan(table.fileMetas, fullSchema, recDim,
+        splitRows, spec)
+    case _ =>
       new NetCdfScan(table, table.fileMetas, required, fullSchema,
         recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
         queryRange)
@@ -880,6 +962,171 @@ final class NcSliceReaderFactory(schema: StructType,
     val s = partition.asInstanceOf[NcSlice]
     new NcSliceReader(s, schema, recDim)
   }
+}
+
+/** Grouped PARTIAL aggregate scan: each granule slice aggregates its own
+  * records inside the scan (one hash map per slice, bounded by the
+  * slice's group cardinality) and emits per-group partial rows — group
+  * columns first, then one column per aggregate. Spark's final
+  * aggregation merges the partials (min of mins, sum of counts/sums),
+  * so rows crossing the DataSourceV2 boundary shrink from records to
+  * groups-per-slice while chunk-level column pruning still holds: only
+  * the referenced variables' chunks are read. */
+final class NetCdfPartialAggScan(
+    metas: Seq[NetCdfSource.FileMeta],
+    fullSchema: StructType,
+    recDim: Option[String],
+    splitRowsOpt: Option[Long],
+    spec: NetCdfSource.PartialAggSpec) extends Scan with Batch {
+
+  import NetCdfSource.{PAgg, PCountStar, PCount, PMin, PMax, PSum}
+  import org.apache.spark.sql.types.{LongType, StructField}
+
+  private def fieldOf(c: String): StructField =
+    fullSchema.fields.find(_.name == c).get
+
+  /** Variables the partial aggregation must read. */
+  private[sources] val inputSchema: StructType =
+    StructType((spec.groupCols ++ spec.aggs.collect {
+      case PCount(c) => c
+      case PMin(c) => c
+      case PMax(c) => c
+      case PSum(c) => c
+    }).distinct.map(fieldOf))
+
+  /** Partial-row schema: group columns first, then one column per
+    * aggregate — the order Spark's pushed-aggregate rewrite expects. */
+  override def readSchema(): StructType = {
+    val aggFields = spec.aggs.zipWithIndex.map {
+      case (PCountStar, i) => StructField(s"agg_$i", LongType, false)
+      case (PCount(_), i) => StructField(s"agg_$i", LongType, false)
+      case (PMin(c), i) => StructField(s"agg_$i", fieldOf(c).dataType, true)
+      case (PMax(c), i) => StructField(s"agg_$i", fieldOf(c).dataType, true)
+      case (PSum(_), i) => StructField(s"agg_$i", LongType, true)
+    }
+    StructType(spec.groupCols.map(fieldOf) ++ aggFields)
+  }
+
+  override def toBatch: Batch = this
+
+  private lazy val slices: Array[InputPartition] = {
+    val targetBytes = NetCdfSource.targetSplitBytes()
+    metas.flatMap { m =>
+      if (m.records == 0) Nil
+      else NetCdfSource.slicesFor(m, inputSchema, splitRowsOpt,
+        targetBytes, (0L, m.records))
+    }.toArray
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = slices
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NcPartialAggReaderFactory(inputSchema, readSchema(), recDim, spec)
+
+  override def description(): String =
+    s"NetCdfPartialAggScan files=${metas.size} splits=${slices.length} " +
+      s"groupBy=${spec.groupCols.mkString("[", ",", "]")} " +
+      s"PushedAggregates: ${spec.aggs.mkString("[", ", ", "]")}"
+}
+
+final class NcPartialAggReaderFactory(input: StructType,
+    output: StructType, recDim: Option[String],
+    spec: NetCdfSource.PartialAggSpec) extends PartitionReaderFactory {
+  override def createReader(
+      partition: InputPartition): PartitionReader[InternalRow] =
+    new NcPartialAggReader(partition.asInstanceOf[NcSlice], input,
+      output, recDim, spec)
+}
+
+/** Aggregates one slice's records into per-group partial rows. The hash
+  * map is bounded by the slice's group cardinality (a pushed GROUP BY is
+  * only sensible at low cardinality — Spark's own partial-aggregation
+  * operator makes the same assumption); values stay in their external
+  * row representation so min/max compare via [[Comparable]] exactly as
+  * the encoder round-trips them. */
+final class NcPartialAggReader(slice: NcSlice, input: StructType,
+    output: StructType, recDim: Option[String],
+    spec: NetCdfSource.PartialAggSpec)
+    extends PartitionReader[InternalRow] {
+
+  import NetCdfSource.{PCountStar, PCount, PMin, PMax, PSum}
+
+  private val out: Iterator[InternalRow] = {
+    val gIdx = spec.groupCols.map(input.fieldIndex).toArray
+    val aggs = spec.aggs.toArray
+    val aIdx = aggs.map {
+      case PCountStar => -1
+      case PCount(c) => input.fieldIndex(c)
+      case PMin(c) => input.fieldIndex(c)
+      case PMax(c) => input.fieldIndex(c)
+      case PSum(c) => input.fieldIndex(c)
+    }
+    def lv(x: Any): Long =
+      if (x == null) 0L else x.asInstanceOf[java.lang.Long].longValue
+    def cmp(a: Any, b: Any): Int =
+      a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val rows = NetCDFIngest.granuleRows(
+      slice.path, input, recDim, Some((slice.lo, slice.hi)))
+    val acc =
+      scala.collection.mutable.LinkedHashMap.empty[Seq[Any], Array[Any]]
+    while (rows.hasNext) {
+      val r = rows.next()
+      val key: Seq[Any] = gIdx.map(i => r.get(i)).toSeq
+      val buf = acc.getOrElseUpdate(key, new Array[Any](aggs.length))
+      var j = 0
+      while (j < aggs.length) {
+        aggs(j) match {
+          case PCountStar =>
+            buf(j) = java.lang.Long.valueOf(lv(buf(j)) + 1L)
+          case PCount(_) =>
+            if (!r.isNullAt(aIdx(j)))
+              buf(j) = java.lang.Long.valueOf(lv(buf(j)) + 1L)
+          case PMin(_) =>
+            if (!r.isNullAt(aIdx(j))) {
+              val v = r.get(aIdx(j))
+              if (buf(j) == null || cmp(v, buf(j)) < 0) buf(j) = v
+            }
+          case PMax(_) =>
+            if (!r.isNullAt(aIdx(j))) {
+              val v = r.get(aIdx(j))
+              if (buf(j) == null || cmp(v, buf(j)) > 0) buf(j) = v
+            }
+          case PSum(_) =>
+            if (!r.isNullAt(aIdx(j))) {
+              val v = r.get(aIdx(j)).asInstanceOf[Number].longValue
+              buf(j) = java.lang.Long.valueOf(lv(buf(j)) + v)
+            }
+        }
+        j += 1
+      }
+    }
+    val ser = ExpressionEncoder(RowEncoder.encoderFor(output))
+      .createSerializer()
+    acc.iterator.map { case (k, buf) =>
+      val vals = new Array[Any](k.length + buf.length)
+      var i = 0
+      k.foreach { v => vals(i) = v; i += 1 }
+      var j = 0
+      while (j < buf.length) {
+        vals(i) = aggs(j) match {
+          // a group seen only with nulls still counts 0, never null
+          case PCountStar | PCount(_) => java.lang.Long.valueOf(lv(buf(j)))
+          case _ => buf(j)
+        }
+        i += 1; j += 1
+      }
+      ser(org.apache.spark.sql.Row.fromSeq(vals.toIndexedSeq))
+    }
+  }
+
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (out.hasNext) { current = out.next(); true } else false
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = ()
 }
 
 final class NcSliceReader(slice: NcSlice, schema: StructType,

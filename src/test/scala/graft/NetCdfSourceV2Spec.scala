@@ -235,8 +235,105 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     // any DATA read fails loudly — proving the count touched no chunks
     intercept[Exception] { df.select("x").collect() }
     intercept[Exception] { df.select("time").collect() }
-    // a grouped count is NOT pushed (it needs the data) and fails
+    // a grouped count pushes only PARTIALLY (per-slice partials still
+    // read the group column's data chunks) — corrupt chunks fail loudly
     intercept[Exception] { df.groupBy("x").count().collect() }
+  }
+
+  test("grouped aggregates push PARTIALLY: per-slice group partials " +
+      "merge across splits and granules; unused chunks never read") {
+    val tmp = Files.createTempDirectory("v2pagg").toString
+    val n = 500
+    def ints(f: Int => Long): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(n * 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until n).foreach(i => b.putLong(f(i)))
+      b.array()
+    }
+    def granule(name: String, off: Int): java.nio.file.Path = {
+      val dst = Paths.get(tmp, name)
+      Hdf5Writer.streamTo(dst) { w =>
+        w.dataset(WDataset("time", Seq(n.toLong), WInt(8),
+          Some(ints(i => (off + i).toLong)),
+          Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+            "NAME" -> WStrAttr("time"),
+            "_Netcdf4Dimid" -> WLongAttr(0, 4)),
+          unlimited0 = true, chunkRows = Some(100)))
+        w.dataset(WDataset("tag", Seq(n.toLong), WInt(8),
+          Some(ints(i => (i % 3).toLong)),
+          Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+          unlimited0 = true, chunkRows = Some(100)))
+        w.dataset(WDataset("x", Seq(n.toLong), WInt(8),
+          Some(ints(i => (off + i).toLong)),
+          Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+          unlimited0 = true, chunkRows = Some(100)))
+        w.dataset(WDataset("junk", Seq(n.toLong), WInt(8),
+          Some(ints(_ => 0x5ca1ab1edeadbeefL)),
+          Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+          unlimited0 = true, fletcher32 = true, chunkRows = Some(n)))
+        val dB = java.nio.ByteBuffer.allocate(n * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until n).foreach(i => dB.putDouble(i * 0.5))
+        w.dataset(WDataset("d", Seq(n.toLong), WF64, Some(dB.array()),
+          Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+          unlimited0 = true, chunkRows = Some(100)))
+        w.finish(Nil)
+      }
+      dst
+    }
+    granule("g1.nc", 0)
+    val g2 = granule("g2.nc", n)
+    // corrupt the UNUSED variable's only chunk in g2 — a partial agg
+    // that reads it would fail its fletcher32 check loudly
+    val bytes = Files.readAllBytes(g2)
+    val magic = Array[Byte](0xef.toByte, 0xbe.toByte, 0xad.toByte,
+      0xde.toByte)
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (0 until 4).forall(j => bytes(i + j) == magic(j))).get
+    bytes(at) = (bytes(at) ^ 0xff).toByte
+    Files.write(g2, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+
+    val df = spark.read.format("netcdf").option("recdim", "time")
+      .option("splitrows", "100").load(tmp)
+    val agg = df.groupBy("tag").agg(
+      count(lit(1)).as("n"), sum(col("x")).as("sx"),
+      min(col("x")).as("mn"), max(col("x")).as("mx"))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("NetCdfPartialAggScan"),
+      s"grouped agg should plan the partial-aggregate scan:\n$plan")
+    // 10 slices (2 granules x 5 chunk-aligned splits) => per-slice
+    // partials really merge in Spark's final aggregation
+    assert(plan.contains("splits=10"), plan)
+    val got = agg.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // oracle by construction: tags 0/1/2 cycle over x = 0..999
+    val all = (0 until 2 * n).map(i => ((i % n) % 3).toLong -> i.toLong)
+    val want = all.groupBy(_._1).map { case (t, xs) =>
+      val v = xs.map(_._2)
+      t -> ((v.size.toLong, v.sum, v.min, v.max))
+    }
+    assert(got === want)
+    // the junk variable is corrupt: reading it fails loudly, proving
+    // the partial agg's column pruning reached the chunk level
+    intercept[Exception] { df.select("junk").collect() }
+    // null-skipping count(col) and a grouped count push too
+    val c2 = df.groupBy("tag").agg(count(col("x")).as("c"))
+    assert(c2.queryExecution.executedPlan.toString
+      .contains("NetCdfPartialAggScan"))
+    assert(c2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ===
+      want.map { case (t, v) => t -> v._1 })
+    // AVG splits into sum+count ABOVE the source (Spark's rewrite), so
+    // it rides the same partial pushdown and reconstructs exactly
+    val av = df.groupBy("tag").agg(avg(col("x")).as("a"))
+    assert(av.queryExecution.executedPlan.toString
+      .contains("NetCdfPartialAggScan"))
+    assert(av.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap ===
+      want.map { case (t, v) => t -> v._2.toDouble / v._1 })
+    // a SUM over floating point declines (per-slice accumulation would
+    // reorder the sum): the plan falls back to the record scan
+    val dec = df.groupBy("tag").agg(sum(col("d")))
+    assert(!dec.queryExecution.executedPlan.toString
+      .contains("NetCdfPartialAggScan"))
   }
 
   test("one granule fans out into chunk-aligned record-range splits") {

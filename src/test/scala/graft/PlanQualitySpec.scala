@@ -349,6 +349,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "verdict join-back must broadcast, not sort-merge")
   }
 
+  test("q_netcdf_by_type pushes grouped partials into the granule scan") {
+    // the grouped aggregate must ride the partial pushdown: per-slice
+    // group partials cross the DataSourceV2 boundary, not records
+    val plan = physical("q_netcdf_by_type").toString
+    assert(plan.contains("NetCdfPartialAggScan"),
+      s"expected the grouped partial-aggregate scan:\n$plan")
+  }
+
   test("d_incremental_dedup streams the store scan; the delta broadcasts") {
     // the whole point of the incremental form: the persisted corpus
     // signature store is read map-only — broadcast-joined against the
