@@ -478,13 +478,27 @@ final class NetCdfScanBuilder(
     sortedBy: Option[String])
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 
   private var required: StructType = fullSchema
   private var countPushed = false
   private var accepted: Array[Filter] = Array.empty
+  private var limit: Option[Int] = None
+
+  // PARTIAL limit pushdown: a peek query (`df.limit(k)`) over a fleet
+  // of granules should open one slice, not plan the archive — the scan
+  // keeps only the slice prefix covering k records (record counts are
+  // header metadata, so the bound costs nothing) and Spark's own Limit
+  // still trims exactly.
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   // ---- sorted-coordinate range pruning -------------------------------
   //
@@ -709,7 +723,7 @@ final class NetCdfScanBuilder(
     case _ =>
       new NetCdfScan(table, table.fileMetas, required, fullSchema,
         recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
-        queryRange)
+        queryRange, limit)
   }
 }
 
@@ -778,7 +792,10 @@ final class NetCdfScan(
     sortedBy: Option[String] = None,
     /** closed query interval on the sorted coordinate, in epoch micros
       * (time columns) or raw value (numerics) */
-    range: Option[(Double, Double)] = None) extends Scan with Batch
+    range: Option[(Double, Double)] = None,
+    /** partially-pushed limit: plan only the slice prefix covering this
+      * many records (Spark's own Limit still trims exactly) */
+    limit: Option[Int] = None) extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = prunedSchema
@@ -858,14 +875,26 @@ final class NetCdfScan(
     // granule feed and a parquet feed of the same data get a similar
     // task shape
     val targetBytes = NetCdfSource.targetSplitBytes()
-    metas.flatMap { m =>
+    val all = metas.flatMap { m =>
       if (m.records == 0) Nil
       else recordWindow(m) match {
         case None => Nil // wholly outside the pushed range
         case Some(w) => NetCdfSource.slicesFor(m, prunedSchema,
           splitRowsOpt, targetBytes, w)
       }
-    }.toArray
+    }
+    limit match {
+      case Some(k) =>
+        // keep the slice prefix covering k records; slice sizes are
+        // header metadata, so the peek never plans the archive
+        var covered = 0L
+        all.takeWhile { s =>
+          val need = covered < k
+          covered += s.hi - s.lo
+          need
+        }.toArray
+      case None => all.toArray
+    }
   }
 
   override def planInputPartitions(): Array[InputPartition] = slices
@@ -890,8 +919,9 @@ final class NetCdfScan(
       case (Some(c), Some((lo, hi))) => s" PushedRange: $c in [$lo, $hi]"
       case _ => ""
     }
+    val limitDesc = limit.map(k => s" PushedLimit: $k").getOrElse("")
     s"NetCdfScan files=${metas.size} splits=${slices.length} " +
-      s"ReadSchema: ${prunedSchema.simpleString}$rangeDesc"
+      s"ReadSchema: ${prunedSchema.simpleString}$rangeDesc$limitDesc"
   }
 }
 

@@ -336,6 +336,26 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       .contains("NetCdfPartialAggScan"))
   }
 
+  test("limit pushdown: a peek query plans only the covering slice " +
+      "prefix, never the archive") {
+    val tmp = Files.createTempDirectory("v2limit").toString
+    writeGranule(tmp, "g1.nc", n = 400, base = 0.0, chunkRows = 100)
+    writeGranule(tmp, "g2.nc", n = 400, base = 400.0, chunkRows = 100)
+    val df = spark.read.format("netcdf").option("recdim", "time")
+      .option("splitrows", "100").load(tmp)
+    val lim = df.select("b").limit(50)
+    val plan = lim.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedLimit: 50"), plan)
+    assert(plan.contains("splits=1"),
+      s"a 50-row peek must plan one 100-record slice, not 8:\n$plan")
+    val got = lim.collect().map(_.getDouble(0)).toSeq
+    // granule 1's first slice in record order, trimmed exactly by
+    // Spark's own Limit above the scan
+    assert(got === (0 until 50).map(i => i * 0.5))
+    // an unrelated action plans the full 8 splits again
+    assert(df.select("b").count() === 800)
+  }
+
   test("one granule fans out into chunk-aligned record-range splits") {
     val tmp = Files.createTempDirectory("v2split").toString
     val p = writeGranule(tmp, "g.nc", n = 1000, base = 0.0,
