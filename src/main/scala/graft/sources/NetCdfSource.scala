@@ -479,7 +479,8 @@ final class NetCdfScanBuilder(
     extends ScanBuilder with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownTopN {
 
   import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 
@@ -495,6 +496,32 @@ final class NetCdfScanBuilder(
   // still trims exactly.
   override def pushLimit(l: Int): Boolean = {
     limit = Some(l)
+    true
+  }
+
+  // PARTIAL TopN pushdown on the DECLARED-SORTED coordinate: "the
+  // latest k records of the archive" (ORDER BY ts DESC LIMIT k — the
+  // operational tail query) opens the tail granule(s), not the fleet.
+  // Granule [first, last] windows come from the same two end-record
+  // probes as the metadata aggregates; the keep-set is conservative
+  // (any granule whose window could intersect the k-covering prefix
+  // stays), any probe failure declines, and Spark's own
+  // TakeOrderedAndProject still sorts and trims exactly. Trust contract
+  // as for range pruning above: `sortedby` DECLARES a valid (sorted,
+  // non-null) coordinate — out-of-contract data prunes wrongly, the
+  // declaration is the user's to make.
+  private var topN: Option[(Boolean, Int)] = None
+
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (orders.length != 1 || accepted.nonEmpty) return false
+    val o = orders(0)
+    val c = colOf(o.expression()).getOrElse(return false)
+    if (!sortedBy.contains(c)) return false
+    val asc = o.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING
+    topN = Some((asc, l))
     true
   }
 
@@ -723,7 +750,8 @@ final class NetCdfScanBuilder(
     case _ =>
       new NetCdfScan(table, table.fileMetas, required, fullSchema,
         recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
-        queryRange, limit)
+        queryRange, limit, topN.map { case (asc, k) =>
+          (sortedBy.get, asc, k) })
   }
 }
 
@@ -795,7 +823,12 @@ final class NetCdfScan(
     range: Option[(Double, Double)] = None,
     /** partially-pushed limit: plan only the slice prefix covering this
       * many records (Spark's own Limit still trims exactly) */
-    limit: Option[Int] = None) extends Scan with Batch
+    limit: Option[Int] = None,
+    /** partially-pushed TopN on the declared-sorted coordinate:
+      * (column, ascending, k) — plan only the granules whose probed
+      * [first, last] window can reach the k smallest (asc) / largest
+      * (desc) records */
+    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = prunedSchema
@@ -870,12 +903,46 @@ final class NetCdfScan(
     } finally nc.close()
   }
 
+  /** TopN granule keep-set: probe every granule's [first, last] on the
+    * sorted coordinate; sort by the leading end, take the minimal prefix
+    * covering k records, and keep every granule whose window can still
+    * intersect that prefix's value range (conservative for overlapping
+    * feeds; collapses to the prefix for a disjoint sorted feed). Any
+    * probe failure keeps everything — pruning may only narrow I/O. */
+  private def topNMetas(
+      in: Seq[NetCdfSource.FileMeta]): Seq[NetCdfSource.FileMeta] = {
+    val (col, asc, k) = topN.getOrElse(return in)
+    val probed = in.map(m => NetCdfSource.coordEnds(m.path, col).map(
+      e => (m, e._1, e._2)))
+    if (probed.exists(_.isEmpty)) return in
+    val ends = probed.flatten
+    if (asc) {
+      val sorted = ends.sortBy(_._2) // by first record value
+      var covered = 0L
+      val prefix = sorted.takeWhile { e =>
+        val need = covered < k; covered += e._1.records; need
+      }
+      if (covered < k) return in
+      val bound = prefix.map(_._3).max // max last within the prefix
+      ends.filter(_._2 <= bound).map(_._1)
+    } else {
+      val sorted = ends.sortBy(-_._3) // by last record value, desc
+      var covered = 0L
+      val prefix = sorted.takeWhile { e =>
+        val need = covered < k; covered += e._1.records; need
+      }
+      if (covered < k) return in
+      val bound = prefix.map(_._2).min // min first within the prefix
+      ends.filter(_._3 >= bound).map(_._1)
+    }
+  }
+
   private lazy val slices: Array[InputPartition] = {
     // projected bytes per split ~ the session's file-split target, so a
     // granule feed and a parquet feed of the same data get a similar
     // task shape
     val targetBytes = NetCdfSource.targetSplitBytes()
-    val all = metas.flatMap { m =>
+    val all = topNMetas(metas).flatMap { m =>
       if (m.records == 0) Nil
       else recordWindow(m) match {
         case None => Nil // wholly outside the pushed range
@@ -920,8 +987,11 @@ final class NetCdfScan(
       case _ => ""
     }
     val limitDesc = limit.map(k => s" PushedLimit: $k").getOrElse("")
+    val topDesc = topN.map { case (c, asc, k) =>
+      s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} limit=$k"
+    }.getOrElse("")
     s"NetCdfScan files=${metas.size} splits=${slices.length} " +
-      s"ReadSchema: ${prunedSchema.simpleString}$rangeDesc$limitDesc"
+      s"ReadSchema: ${prunedSchema.simpleString}$rangeDesc$limitDesc$topDesc"
   }
 }
 

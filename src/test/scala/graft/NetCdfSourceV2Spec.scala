@@ -356,6 +356,36 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(df.select("b").count() === 800)
   }
 
+  test("TopN pushdown on the sorted coordinate: the archive-tail query " +
+      "opens the tail granule, not the fleet") {
+    val tmp = Files.createTempDirectory("v2topn").toString
+    // three disjoint sorted granules: time 0..399, 400..799, 800..1199
+    writeGranule(tmp, "g1.nc", n = 400, base = 0.0, chunkRows = 100)
+    writeGranule(tmp, "g2.nc", n = 400, base = 400.0, chunkRows = 100)
+    writeGranule(tmp, "g3.nc", n = 400, base = 800.0, chunkRows = 100)
+    val df = spark.read.format("netcdf").option("recdim", "time")
+      .option("splitrows", "100").option("sortedby", "time").load(tmp)
+    // "latest 120 records" — the operational tail query
+    val tail = df.select("time", "b").orderBy(col("time").desc).limit(120)
+    val tplan = tail.queryExecution.executedPlan.toString
+    assert(tplan.contains("PushedTopN: time DESC limit=120"), tplan)
+    assert(tplan.contains("splits=4"),
+      s"the tail peek must plan only granule 3's four slices:\n$tplan")
+    val got = tail.collect().map(_.getDouble(1)).toSeq
+    // b = base*1000 + i*0.5 — the last 120 records of granule 3
+    assert(got === (399 to 280 by -1).map(i => 800.0 * 1000 + i * 0.5))
+    // ascending head, straddling one granule boundary (500 > 400)
+    val head = df.select("b").orderBy("time").limit(500)
+    val hplan = head.queryExecution.executedPlan.toString
+    assert(hplan.contains("PushedTopN: time ASC limit=500"), hplan)
+    assert(hplan.contains("splits=8"),
+      s"a 500-row head covers granules 1+2 (8 slices):\n$hplan")
+    assert(head.collect().length === 500)
+    // ordering on a NON-declared column declines: full fleet planned
+    val dec = df.orderBy("b").limit(10)
+    assert(!dec.queryExecution.executedPlan.toString.contains("PushedTopN"))
+  }
+
   test("one granule fans out into chunk-aligned record-range splits") {
     val tmp = Files.createTempDirectory("v2split").toString
     val p = writeGranule(tmp, "g.nc", n = 1000, base = 0.0,
