@@ -205,6 +205,19 @@ object native {
           }
           else 5
         BottomKByHash(es(0), es(1), k).toAggregateExpression()
+      }),
+    ("graft_frequent",
+      "Misra-Gries frequent-items candidates (aggregate; optional k)",
+      es => {
+        val k =
+          if (es.length >= 2) es(1) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.asInstanceOf[Number].intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_frequent k must be a literal, got $other")
+          }
+          else 127
+        MisraGriesAgg(es(0), k).toAggregateExpression()
       }))
 
   private val paramFnCounter = new java.util.concurrent.atomic.AtomicLong()

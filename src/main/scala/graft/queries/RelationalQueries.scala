@@ -488,6 +488,103 @@ object RelationalQueries {
     graft.streaming.StreamingAgg
       .topKStream(AggQueries.events(s, dir)).toDF()
 
+  /** Exact heavy hitters via a two-pass Misra-Gries plan: value levels
+    * (integer-floored `value`) that account for ≥ 1/64 of all events,
+    * with EXACT counts.
+    *
+    * Pass 1 folds the stream into a bounded k=127-counter MG summary
+    * ([[graft.functions.MisraGriesAgg]] — partials are ≤ k pairs per
+    * map task, so the sketch shuffle is k·P rows regardless of key
+    * cardinality); pass 2 counts ONLY the ≤ k candidate keys (broadcast
+    * join before the group-by, map-side combine collapses each
+    * candidate to one row per task) and keeps those with exact count ≥
+    * ceil(n/64). The MG undercount bound N/(k+1) = N/128 < N/64
+    * guarantees every true heavy hitter is a candidate under ANY
+    * partitioning, so the output is exact and deterministic even though
+    * the candidate set itself can vary — which is what lets a plain
+    * GROUP BY / HAVING oracle check it bit-for-bit. At 100 TB the
+    * direct GROUP BY would shuffle every distinct key; this plan
+    * shuffles k·P sketch rows + k·P exact partials. The threshold is
+    * integer-exact ((n+63) div 64) on both engines — no double drift. */
+  def qHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val b = AggQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(expr("CAST(floor(value) AS BIGINT)").as("bin"))
+    val cand = b
+      .agg(expr("graft_frequent(bin, 127)").as("cand"),
+        count(lit(1)).as("n"))
+      .select(explode(col("cand")).as("bin"),
+        expr("(n + 63) div 64").as("thr"))
+    b.join(broadcast(cand), "bin")
+      .groupBy("bin", "thr")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("bin"), col("cnt"))
+  }
+
+  /** Continuous heavy hitters — the streaming twin of
+    * [[qHeavyHitters]], keyed by event_type, registered as
+    * `stream_heavy_hitters`. The streaming face
+    * (StreamingAgg.frequentStream) maintains one bounded k=127-counter
+    * MG summary per key across micro-batches and re-emits the current
+    * candidate set each batch. Unlike the bottom-k/KMV/top-k folds the
+    * MG fold is NOT order-independent in its candidate SET, so the
+    * oracle-checked entry is the VERIFIED output: the same per-key MG
+    * fold (as the [[graft.functions.MisraGriesAgg]] aggregate) plus
+    * the exact candidate-count pass — the N/(k+1) undercount bound
+    * makes that output exact under any batch split or partitioning,
+    * and the DuckDB oracle is a plain per-type GROUP BY / HAVING.
+    * StreamingSpec pins the streamed run: candidates ⊇ the true heavy
+    * set at every prefix, state bounded by k, and the verified final
+    * output equal to these rows. */
+  def streamHeavyHitters(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val b = AggQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("bin"))
+    val cand = b
+      .groupBy("event_type")
+      .agg(expr("graft_frequent(bin, 127)").as("cand"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), explode(col("cand")).as("bin"),
+        expr("(n + 63) div 64").as("thr"))
+    b.join(broadcast(cand), Seq("event_type", "bin"))
+      .groupBy("event_type", "bin", "thr")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= col("thr"))
+      .select(col("event_type"), col("bin"), col("cnt"))
+  }
+
+  /** Peak concurrency per day — the distributed sweep-line over the
+    * merged per-user session intervals of [[qMergeIntervals]]: how many
+    * sessions are simultaneously open, at minute resolution, maxed per
+    * day. Each interval becomes two edge rows (+1 at its start minute,
+    * −1 one past its end minute); the edges aggregate to per-MINUTE net
+    * deltas (one partial/final shuffle keyed by minute), and only that
+    * aggregate — whose cardinality is bounded by the CALENDAR (minutes
+    * in the data's span), never by the row count — flows through the
+    * running-sum window, the same bounded-final-window rationale as
+    * the daily aggregate in q_netcdf_daily. At 100 TB the edge
+    * explode and minute aggregation are map-side-combined linear
+    * passes; the window input stays ~43k rows per month of span. */
+  def qConcurrency(s: SparkSession, dir: String): DataFrame = {
+    val minUs = 60000000L
+    val spans = qMergeIntervals(s, dir)
+    val edges = spans
+      .select(expr(s"span_start div ${minUs}L").as("m"), lit(1L).as("d"))
+      .unionAll(spans.select(expr(s"span_end div ${minUs}L + 1L").as("m"),
+        lit(-1L).as("d")))
+    val perMin = edges.groupBy("m").agg(sum(col("d")).as("delta"))
+    val w = Window.orderBy("m")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perMin
+      .withColumn("active", sum(col("delta")).over(w))
+      .groupBy(expr("m div 1440").as("day"))
+      .agg(max(col("active")).as("peak"))
+  }
+
   /** Linear-interpolation quantile over the sorted sample array `v` —
     * the exact expression the DuckDB oracle mirrors term for term
     * (identical IEEE evaluation order; integer payloads promote to
@@ -1017,6 +1114,60 @@ object RelationalQueries {
         |  FROM events WHERE value IS NOT NULL)
         |SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, value
         |FROM r WHERE rnk <= 5""".stripMargin,
+    // the MG candidate set is a guaranteed superset of every key with
+    // count > n/128 (k=127), so the verified output is the plain exact
+    // HAVING query — integer-exact threshold on both engines
+    "q_heavy_hitters" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT (count(*) + 63) // 64 AS thr FROM b)
+        |SELECT bin, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b, n GROUP BY bin, thr HAVING count(*) >= thr""".stripMargin,
+    "stream_heavy_hitters" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(floor(value) AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |n AS (SELECT event_type, (count(*) + 63) // 64 AS thr
+        |      FROM b GROUP BY event_type)
+        |SELECT b.event_type, bin, CAST(count(*) AS BIGINT) AS cnt
+        |FROM b JOIN n ON b.event_type = n.event_type
+        |GROUP BY b.event_type, bin, thr
+        |HAVING count(*) >= thr""".stripMargin,
+    // q_merge_intervals' span CTEs + the sweep: per-minute net deltas,
+    // running sum ordered by minute, max per day
+    "q_concurrency" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id,
+        |         epoch_us(ts) + 1800000000 AS iv_end
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND epoch_us(ts) > 0),
+        |m AS (
+        |  SELECT *, max(iv_end) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |           AS pmax
+        |  FROM e),
+        |f AS (
+        |  SELECT *, CASE WHEN pmax IS NULL OR t > pmax THEN 1 ELSE 0 END
+        |           AS newspan
+        |  FROM m),
+        |i AS (
+        |  SELECT *, sum(newspan) OVER (PARTITION BY user_id
+        |           ORDER BY t, event_id ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f),
+        |sp AS (
+        |  SELECT min(t) AS span_start, max(iv_end) AS span_end
+        |  FROM i GROUP BY user_id, island),
+        |ed AS (
+        |  SELECT span_start // 60000000 AS m, 1 AS d FROM sp
+        |  UNION ALL
+        |  SELECT span_end // 60000000 + 1 AS m, -1 AS d FROM sp),
+        |pm AS (SELECT m, sum(d) AS delta FROM ed GROUP BY m),
+        |r AS (SELECT m, sum(delta) OVER (ORDER BY m
+        |             ROWS UNBOUNDED PRECEDING) AS active FROM pm)
+        |SELECT m // 1440 AS day, CAST(max(active) AS BIGINT) AS peak
+        |FROM r GROUP BY 1""".stripMargin,
     "q_range_join" ->
       """SELECT p.o_orderkey, count(*) AS n_prior_90d,
         |       (CAST(sum(CAST(CAST(floor(b.o_totalprice * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0)
@@ -1227,6 +1378,9 @@ object RelationalQueries {
     "stream_quantile" -> (streamQuantile _),
     "stream_distinct" -> (streamDistinct _),
     "stream_topk" -> (streamTopk _),
+    "q_heavy_hitters" -> (qHeavyHitters _),
+    "stream_heavy_hitters" -> (streamHeavyHitters _),
+    "q_concurrency" -> (qConcurrency _),
     "q_rollup" -> (qRollup _),
     "q6_agg" -> (q6Agg _),
     "q_anti_join" -> (qAntiJoin _),

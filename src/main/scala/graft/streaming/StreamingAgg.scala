@@ -63,6 +63,13 @@ final case class IncVerdict(doc_id: Long, band_idx: Int, owner_id: Long,
 /** Per-(vector, band) dedup verdict — the embedding analog of
   * [[BandVerdict]]. */
 final case class VecVerdict(vec_id: Long, band_idx: Int, owner_id: Long)
+final case class FreqEvent(event_type: String, bin: Long)
+/** Streaming Misra-Gries state: ≤ k (item, counter) pairs — bounded by
+  * the sketch width, never by stream length or key cardinality. */
+final case class FreqState(items: Array[Long], counts: Array[Long],
+    nSeen: Long)
+final case class FreqUpdate(event_type: String, n_seen: Long,
+    n_tracked: Long, candidates: Array[Long])
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -689,6 +696,60 @@ object StreamingAgg {
             if (buf.size < k) buf.size.toDouble
             else (k - 1).toDouble * p.toDouble / buf.last().toDouble
           DistinctUpdate(key, nSeen, buf.size.toLong, est)
+        })
+  }
+
+  /** Continuous Misra-Gries frequent-items tracking per key — the
+    * streaming face of `stream_heavy_hitters`. State is one bounded
+    * ≤ k-counter MG summary per key ([[graft.functions.MisraGries]]'s
+    * shared fold — the same code the batch aggregate runs), so state
+    * grows with the sketch width, never with stream length or item
+    * cardinality. Each batch re-emits the current sorted candidate
+    * set; by the mergeable-summaries undercount bound (≤ n_seen/(k+1))
+    * the candidates are a guaranteed superset of every item with
+    * frequency > n_seen/(k+1) at EVERY prefix, under any batch split —
+    * the invariant StreamingSpec pins. The MG fold is not
+    * order-independent in its candidate SET, so the oracle-checked
+    * registry entry is the verified exact output (see
+    * RelationalQueries.streamHeavyHitters), not this transform's raw
+    * emission. NoTimeout by design: an all-history frequency summary
+    * has no expirable state. */
+  def frequentStream(events: DataFrame, k: Int = 127): Dataset[FreqUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .filter(col("value").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value) AS BIGINT)").as("bin"))
+      .as[FreqEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[FreqEvent],
+            st: GroupState[FreqState]) => {
+          val map = new java.util.HashMap[Long, Long]
+          var nSeen = 0L
+          st.getOption.foreach { prev =>
+            var i = 0
+            while (i < prev.items.length) {
+              map.put(prev.items(i), prev.counts(i)); i += 1
+            }
+            nSeen = prev.nSeen
+          }
+          it.foreach { e =>
+            nSeen += 1
+            graft.functions.MisraGries.add(map, k, e.bin, 1L)
+          }
+          val items = new Array[Long](map.size)
+          val counts = new Array[Long](map.size)
+          var i = 0
+          val mit = map.entrySet().iterator()
+          while (mit.hasNext) {
+            val e = mit.next()
+            items(i) = e.getKey; counts(i) = e.getValue; i += 1
+          }
+          st.update(FreqState(items, counts, nSeen))
+          FreqUpdate(key, nSeen, map.size.toLong,
+            graft.functions.MisraGries.sortedKeys(map))
         })
   }
 }

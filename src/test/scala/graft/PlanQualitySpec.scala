@@ -424,6 +424,48 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       .foreach(p => assert(pushed.contains(p), s"missing pushdown $p: $pushed"))
   }
 
+  test("q_heavy_hitters: bounded MG sketch pass + broadcast candidate join") {
+    // the whole point of the two-pass plan is that NO shuffle carries the
+    // full key space: pass 1's partials are <= k MG pairs per task, pass
+    // 2 joins the <= k candidates by BROADCAST before the exact count
+    // (whose groups are then <= k keys). A plain hash join here would
+    // shuffle every event row by bin — the exact shape the sketch avoids.
+    for (q <- Seq("q_heavy_hitters", "stream_heavy_hitters")) {
+      val plan = physical(q)
+      val bcasts = count(plan, _.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      assert(bcasts >= 1, s"$q: candidate join must broadcast")
+      val smj = count(plan, p =>
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+        p.isInstanceOf[org.apache.spark.sql.execution.joins.ShuffledHashJoinExec])
+      assert(smj == 0, s"$q: events must never shuffle for the join")
+      assert(count(plan, _.isInstanceOf[
+        org.apache.spark.sql.execution.window.WindowExec]) == 0,
+        s"$q plans a window — candidates must come from the MG aggregate")
+    }
+  }
+
+  test("q_concurrency: the running-sum window runs over the per-minute " +
+      "aggregate, never event rows") {
+    // sweep-line shape: edges aggregate to per-minute net deltas first
+    // (calendar-bounded cardinality), and only that aggregate feeds the
+    // single unpartitioned window — same bounded-final-window rationale
+    // as emb_pca_power's
+    val ws = nodes(physical("q_concurrency")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        // the merge-intervals island windows are per-user (partitioned);
+        // the sweep's running sum is the only UNPARTITIONED one
+        if w.partitionSpec.isEmpty => w
+    }
+    assert(ws.length == 1,
+      s"expected exactly 1 unpartitioned sweep window, got ${ws.length}")
+    assert(nodes(ws.head).drop(1).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.aggregate.SortAggregateExec]),
+      "sweep window must consume the per-minute delta aggregate")
+  }
+
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
     // the storage-side pattern: both tables bucketed by the join key into
     // the same bucket count -> the sort-merge join consumes bucket i of
