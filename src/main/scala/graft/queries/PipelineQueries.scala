@@ -459,6 +459,72 @@ object PipelineQueries {
       .distinct()
   }
 
+  /** Approximate k-nearest-neighbor GRAPH over the corpus (k=4): every
+    * vector's top cosine neighbors among the vectors sharing one of its
+    * LSH bands — the foundation graph for graph-based curation
+    * (SemDeDup-style cluster pruning, density scoring, diversity
+    * sampling all consume exactly this artifact). Unlike the `ann_*`
+    * family (a fixed QUERY set probing the corpus) this is corpus ×
+    * corpus, which only scales because candidates come from the same
+    * corpus-scaled banded LSH as [[dEmbedNeardup]] — expected bucket
+    * ~64 at ANY corpus size, residue blocking capping the hot-cohort
+    * tail, so candidate work stays linear in n.
+    *
+    * Plan shape: the band self-join streams candidates through the
+    * codegen'd cosine kernel; the undirected candidate set materializes
+    * ONCE (distinct), mirrors to both directions (map-only union), and
+    * the per-vector top-4 is a rank window whose partition key is the
+    * vector — bounded by the banded candidate count per vector, pruned
+    * map-side by InferWindowGroupLimit like [[dSampleK]]'s. Isolated
+    * vectors (no banded neighbor) are absent by definition, exactly as
+    * in the oracle. */
+  def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    val cand = bandedCandidates(s, dir)
+    val both = cand.unionAll(cand.select(
+      col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("cos")))
+    val w = Window.partitionBy("vec_a")
+      .orderBy(col("cos").desc, col("vec_b"))
+    both
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 4L)
+      .select(col("vec_a").as("vec_id"), col("rnk"),
+        col("vec_b").as("n_id"), col("cos"))
+  }
+
+  /** [[embKnnGraph]]'s candidate set: the same corpus-scaled band join
+    * (+ residue blocking) as [[dEmbedNeardup]], but WITHOUT the
+    * near-dup cosine threshold — the kNN graph wants weak neighbors
+    * too, so its distinct necessarily sees the full candidate set
+    * (dEmbedNeardup keeps its own filter-BEFORE-distinct path where the
+    * distinct input is only the tiny above-threshold set). */
+  private def bandedCandidates(s: SparkSession,
+      dir: String): DataFrame = {
+    val e = sig40(s, dir)
+    val b = lshBandBits(embCount(s, dir))
+    val nb = 40 / b
+    val keys = (0 until nb).map(k =>
+      (lit(k.toLong << 21).bitwiseOR(
+        shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
+        .as(s"k$k"))
+    val w = Window.partitionBy("key")
+    val eb = e.select(col("vec_id"), col("v"),
+        explode(array(keys: _*)).as("key"))
+      .withColumn("__h",
+        expr("((vec_id % 1000003) * 2654435761) % 1000003"))
+      .withColumn("__r", row_number().over(
+          w.orderBy(col("__h"), col("vec_id"))).cast(LongType) - lit(1L))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .withColumn("__m", expr("(__bn + 1023) div 1024"))
+      .withColumn("blk", pmod(col("__r"), col("__m")))
+      .select("vec_id", "v", "key", "blk")
+    eb.toDF("vec_a", "va", "key", "blk")
+      .join(eb.toDF("vec_b", "vb", "key", "blk"), Seq("key", "blk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("cos", expr("graft_cosine(va, vb)"))
+      .select("vec_a", "vec_b", "cos")
+      .distinct()
+  }
+
   // params-carrying operators keep (SparkSession, String) entries in the
   // registry via defaults; ScaleSmoke sweeps non-default values
 
@@ -1449,6 +1515,43 @@ object PipelineQueries {
         col("doc_id"))
   }
 
+  /** Weighted sampling without replacement — the data-mixing primitive
+    * that upweights long/high-quality documents: a k=100 corpus sample
+    * where selection probability scales with document weight (n_chars
+    * here; a fleet passes quality scores the same way).
+    *
+    * Priority sampling (Duffield, Lund & Thorup, JACM 2007; the
+    * u^(1/w) key of Efraimidis & Spirakis reduces to the same bottom-k
+    * ranking): each doc draws a deterministic uniform hash u and gets
+    * priority u/w — the k SMALLEST priorities are the weighted sample.
+    * The priority is computed in pure integer arithmetic
+    * ((hash << 20) div weight — hash < 1e9 so the shift cannot
+    * overflow) because a float ln/pow ranking could order borderline
+    * pairs differently across engines; ties break by doc_id, mirroring
+    * the oracle's ORDER BY (priority, doc_id) exactly.
+    *
+    * Scale shape: the selection is [[graft.functions.BottomKByHash]]
+    * with the priority as the ranking key — an ungrouped aggregate
+    * whose partials are 3k longs per map task, so the corpus is never
+    * globally sorted and never shuffled (the oracle's ORDER BY/LIMIT is
+    * the semantics, not the plan); the weight join-back broadcasts the
+    * 100-row sample. */
+  def dSampleWeighted(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val docs = tbl(s, dir, "documents").filter(col("n_chars") > 0L)
+    val pri = expr(
+      "(doc_id % 1000000007L) * 2654435761L % 1000000007L * 1048576L" +
+        " div n_chars")
+    val sample = docs
+      .withColumn("__pri", pri)
+      .agg(expr("graft_bottomk(__pri, doc_id, 100)").as("ids"))
+      .select(posexplode(col("ids")).as(Seq("__i", "doc_id")))
+      .select((col("__i") + 1L).cast(LongType).as("rk"), col("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(sample), "doc_id")
+      .select(col("rk"), col("doc_id"), col("n_chars"))
+  }
+
   /** Sequence packing — the step that turns a filtered corpus into fixed
     * token-budget training bins: docs are packed in deterministic
     * (doc_id) order per source, each doc placed at the running token
@@ -1780,6 +1883,42 @@ object PipelineQueries {
          |           WHERE a.vec_id < bb.vec_id)
          |SELECT DISTINCT vec_a, vec_b, cos FROM scored
          |WHERE cos > 0.3""".stripMargin,
+    // d_embed_neardup's banded-candidate CTEs without the threshold;
+    // undirected pairs mirror to both directions before the per-vector
+    // top-4 rank
+    "emb_knn_graph" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id),
+         |bidir AS (SELECT vec_a, vec_b, cos FROM cand
+         |          UNION ALL
+         |          SELECT vec_b, vec_a, cos FROM cand),
+         |r AS (SELECT vec_a AS vec_id, vec_b AS n_id, cos,
+         |             row_number() OVER (PARTITION BY vec_a
+         |               ORDER BY cos DESC, vec_b) AS rnk
+         |      FROM bidir)
+         |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
+         |FROM r WHERE rnk <= 4""".stripMargin,
     "d_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (
@@ -2240,6 +2379,20 @@ object PipelineQueries {
         |r AS (SELECT *, row_number() OVER (PARTITION BY source
         |             ORDER BY coin, doc_id) AS rk FROM h)
         |SELECT source, rk, doc_id FROM r WHERE rk <= 5""".stripMargin,
+    // priority sampling: integer-exact priority (hash << 20) div weight,
+    // ORDER BY/LIMIT is the SEMANTICS — the Spark plan is a bounded
+    // bottom-k aggregate, never a global sort
+    "d_sample_weighted" ->
+      """WITH h AS (
+        |  SELECT doc_id, n_chars,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007
+        |           * 1048576 // n_chars AS pri
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT doc_id, n_chars,
+        |             row_number() OVER (ORDER BY pri, doc_id) AS rk
+        |      FROM h)
+        |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM r WHERE rk <= 100""".stripMargin,
     "d_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
@@ -2467,6 +2620,8 @@ object PipelineQueries {
     "t_tfidf" -> (tTfidf _),
     "d_sample_k" -> (dSampleK _),
     "d_sample_bottomk" -> (dSampleBottomk _),
+    "d_sample_weighted" -> (dSampleWeighted _),
+    "emb_knn_graph" -> (embKnnGraph _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_sample_mix" -> (dSampleMix _),
     "d_epoch_mix" -> (dEpochMix _),

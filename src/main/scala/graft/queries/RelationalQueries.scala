@@ -762,6 +762,36 @@ object RelationalQueries {
         countDistinct(col("user_id")).as("exact_users"))
   }
 
+  /** One-pass table profiling (ANALYZE-style data quality summary):
+    * per event type — row count, null-rate of the measure, min/max,
+    * an integer-exact sum, and an approximate distinct-user count.
+    *
+    * The point of the plan is what it DOESN'T do: `count(distinct)`
+    * alongside plain aggregates makes Catalyst plan an Expand (one
+    * input replica per distinct aggregate — at 100 TB that multiplies
+    * the shuffle by the distinct-column count). Here the distinct count
+    * rides the bounded KMV sketch ([[graft.functions.KmvDistinct]], 64
+    * hashes per group partial) INSIDE the same single partial/final
+    * aggregation as the plain stats: one scan, one k-bounded shuffle,
+    * no Expand — the PlanQualitySpec pin. The sum is integer-exact
+    * (floor(value·1e4+0.5) BIGINT) so both engines agree bit-for-bit
+    * regardless of double addition order. */
+  def qProfile(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    AggQueries.events(s, dir)
+      .groupBy("event_type")
+      .agg(
+        count(lit(1)).as("n"),
+        (count(lit(1)) - count(col("value"))).as("n_null"),
+        min(col("value")).as("vmin"),
+        max(col("value")).as("vmax"),
+        expr("sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))")
+          .as("sum_e4"),
+        expr(
+          "graft_kmv_distinct((user_id % 1000000007) * 2654435761 % 1000000007)")
+          .as("est_users"))
+  }
+
   /** Fixed-width value histogram per event type — the profiling primitive
     * behind quality dashboards. Grouping on a computed bin key: one
     * partial/final aggregation, no shuffle beyond the group-by. */
@@ -1276,6 +1306,32 @@ object RelationalQueries {
         |         AS est_users,
         |       CAST(nexact AS BIGINT) AS exact_users
         |FROM k JOIN x USING (event_type)""".stripMargin,
+    // the KMV estimator mirror of q_approx_distinct, joined against the
+    // plain one-pass stats; sum is integer-exact on both engines
+    "q_profile" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             (user_id % 1000000007) * 2654435761 % 1000000007 AS hv
+        |           FROM events),
+        |r AS (SELECT event_type, hv,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |k AS (SELECT event_type, max(nd) AS nd,
+        |             max(CASE WHEN rn = 64 THEN hv END) AS h64
+        |      FROM r GROUP BY event_type),
+        |a AS (SELECT event_type, count(*) AS n,
+        |             count(*) - count(value) AS n_null,
+        |             min(value) AS vmin, max(value) AS vmax,
+        |             CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+        |               AS BIGINT) AS sum_e4
+        |      FROM events GROUP BY event_type)
+        |SELECT a.event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n_null AS BIGINT) AS n_null, vmin, vmax, sum_e4,
+        |       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |            ELSE 63.0 * 1000000007.0 / CAST(h64 AS DOUBLE) END
+        |         AS est_users
+        |FROM a JOIN k ON a.event_type = k.event_type""".stripMargin,
     "q_moving_avg" ->
       """SELECT event_id, user_id, epoch_us(ts) AS t,
         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) OVER w AS DOUBLE) / 10000.0)
@@ -1379,6 +1435,7 @@ object RelationalQueries {
     "stream_distinct" -> (streamDistinct _),
     "stream_topk" -> (streamTopk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
+    "q_profile" -> (qProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),
     "q_rollup" -> (qRollup _),

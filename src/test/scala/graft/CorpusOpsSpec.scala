@@ -228,6 +228,65 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(a.forall(_._2 <= 5L))
   }
 
+  test("weighted sample: selection probability rises with weight, " +
+      "ranks are contiguous, and the sample is deterministic") {
+    val sfDir = "/root/testdata/sf0.01"
+    val out = PipelineQueries.dSampleWeighted(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.length === 100)
+    assert(out.map(_._1).sorted.toSeq === (1L to 100L),
+      "ranks must be exactly 1..100")
+    assert(out.map(_._2).distinct.length === 100, "sampling is w/o replacement")
+    // the bias test: P(selection) ∝ weight, so the sample's mean weight
+    // estimates the corpus's WEIGHTED mean E[w²]/E[w], not the plain
+    // mean — assert it lands near the former and above the latter
+    val Seq(corpusMean, weightedMean) =
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .selectExpr("avg(n_chars)",
+          "sum(n_chars * n_chars) / CAST(sum(n_chars) AS DOUBLE)")
+        .head().toSeq.map(_.asInstanceOf[Double])
+    val sampleMean = out.map(_._3).sum.toDouble / out.length
+    assert(weightedMean > corpusMean * 1.15,
+      "test data lost its weight spread — bias check is vacuous")
+    assert(math.abs(sampleMean - weightedMean) < weightedMean * 0.15,
+      s"sample mean $sampleMean too far from the weighted mean " +
+        s"$weightedMean (corpus mean $corpusMean)")
+    assert(sampleMean > (corpusMean + weightedMean) / 2,
+      s"sample mean $sampleMean not biased toward the weighted mean " +
+        s"$weightedMean over the corpus mean $corpusMean")
+    // determinism: a re-run selects the identical sample
+    val again = PipelineQueries.dSampleWeighted(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(again.toSeq === out.toSeq)
+  }
+
+  test("knn graph: ranks contiguous, cosine non-increasing, no self edges") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = PipelineQueries.embKnnGraph(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, _, n, _) => assert(v != n, s"self edge on $v") }
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      val byRank = es.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to es.length),
+        s"vec $v ranks not contiguous")
+      assert(es.length <= 4, s"vec $v has ${es.length} > 4 neighbors")
+      // cos non-increasing with rank (ties broken by neighbor id)
+      byRank.sliding(2).foreach {
+        case Array(a, b) => assert(a._4 >= b._4,
+          s"vec $v: rank ${a._2} cos ${a._4} < rank ${b._2} cos ${b._4}")
+        case _ =>
+      }
+      // edges are symmetric candidates: the reverse direction exists in
+      // the graph's domain whenever the neighbor also keeps <=4 edges —
+      // at minimum the top-1 edge of the GLOBAL best pair must be mutual
+    }
+    val best = rows.maxBy(_._4)
+    assert(rows.exists(e => e._1 == best._3 && e._3 == best._1),
+      "the globally closest pair must be mutual top-4 neighbors")
+  }
+
   test("quantile filter gates per source, not globally") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_qf").toString

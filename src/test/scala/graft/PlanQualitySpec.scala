@@ -466,6 +466,45 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "sweep window must consume the per-minute delta aggregate")
   }
 
+  test("q_profile: one aggregation pass, no Expand, no distinct shuffle") {
+    // the profiling plan's reason to exist: count(distinct) next to plain
+    // aggregates makes Catalyst plan an Expand (input replicated per
+    // distinct aggregate); the KMV sketch keeps everything in ONE
+    // partial/final aggregation with bounded partials
+    val plan = physical("q_profile")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.ExpandExec]) == 0,
+      "q_profile must not plan an Expand")
+    val shuffles = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec])
+    assert(shuffles == 1, s"expected exactly 1 agg shuffle, got $shuffles")
+  }
+
+  test("d_sample_weighted: bottom-k aggregate, never a global sort") {
+    // ORDER BY priority LIMIT k is the SEMANTICS (what the oracle runs);
+    // the plan must realize it as the bounded-state aggregate + a
+    // broadcast join-back — a TopK/global Sort over the corpus is the
+    // shape that dies at 100 TB
+    val plan = physical("d_sample_weighted")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.SortExec]) == 0,
+      "weighted sample must not sort the corpus")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.TakeOrderedAndProjectExec]) == 0,
+      "weighted sample must not plan a TopK over the corpus")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 1,
+      "the 100-row sample must broadcast for the weight join-back")
+  }
+
+  test("emb_knn_graph: per-vector top-4 is map-side bounded") {
+    val limits = nodes(physical("emb_knn_graph")).collect {
+      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+    }
+    assert(limits.length == 2,
+      s"expected Partial+Final WindowGroupLimit, got ${limits.length}")
+  }
+
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
     // the storage-side pattern: both tables bucketed by the join key into
     // the same bucket count -> the sort-merge join consumes bucket i of
