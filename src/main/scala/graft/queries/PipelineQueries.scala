@@ -491,6 +491,28 @@ object PipelineQueries {
         col("vec_b").as("n_id"), col("cos"))
   }
 
+  /** Graph-density score per vector — mean cosine to its [[embKnnGraph]]
+    * neighbors. The standard density signal for embedding-space
+    * curation (SemDeDup prunes dense regions; SSL-prototype methods
+    * keep them): a vector in a tight semantic cluster scores near its
+    * neighbors' cosine, an isolated/outlier vector scores low or has no
+    * edges at all.
+    *
+    * The mean is computed integer-exactly (Σ floor(cos·1e9 + 0.5) as a
+    * BIGINT, divided once at the end): the per-edge cosines are already
+    * bit-identical across engines, but a DOUBLE running sum could
+    * associate differently — a 4-term sum is enough to drift an ulp.
+    * Scale: one keyed aggregate over the ≤ 4·n edge rows. */
+  def embDensity(s: SparkSession, dir: String): DataFrame =
+    embKnnGraph(s, dir)
+      .groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_nbrs"),
+        expr("sum(CAST(floor(cos * 1000000000.0 + 0.5) AS BIGINT))")
+          .as("__s"))
+      .select(col("vec_id"), col("n_nbrs"),
+        (col("__s").cast(DoubleType) / lit(1e9) /
+          col("n_nbrs").cast(DoubleType)).as("density"))
+
   /** [[embKnnGraph]]'s candidate set: the same corpus-scaled band join
     * (+ residue blocking) as [[dEmbedNeardup]], but WITHOUT the
     * near-dup cosine threshold — the kNN graph wants weak neighbors
@@ -1919,6 +1941,42 @@ object PipelineQueries {
          |      FROM bidir)
          |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
          |FROM r WHERE rnk <= 4""".stripMargin,
+    // the knn-graph CTEs + an integer-exact mean over each vector's edges
+    "emb_density" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id),
+         |bidir AS (SELECT vec_a, vec_b, cos FROM cand
+         |          UNION ALL
+         |          SELECT vec_b, vec_a, cos FROM cand),
+         |r AS (SELECT vec_a AS vec_id, cos,
+         |             row_number() OVER (PARTITION BY vec_a
+         |               ORDER BY cos DESC, vec_b) AS rnk
+         |      FROM bidir)
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_nbrs,
+         |       CAST(sum(CAST(floor(cos * 1000000000.0 + 0.5) AS BIGINT))
+         |            AS DOUBLE) / 1000000000.0 / count(*) AS density
+         |FROM r WHERE rnk <= 4 GROUP BY vec_id""".stripMargin,
     "d_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (
@@ -2622,6 +2680,7 @@ object PipelineQueries {
     "d_sample_bottomk" -> (dSampleBottomk _),
     "d_sample_weighted" -> (dSampleWeighted _),
     "emb_knn_graph" -> (embKnnGraph _),
+    "emb_density" -> (embDensity _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_sample_mix" -> (dSampleMix _),
     "d_epoch_mix" -> (dEpochMix _),

@@ -477,6 +477,15 @@ object RelationalQueries {
     graft.streaming.StreamingAgg
       .kmvDistinctStream(AggQueries.events(s, dir)).toDF()
 
+  /** Continuous table profiling — the streaming twin of [[qProfile]];
+    * see [[graft.streaming.StreamingAgg.profileStream]]. Registered as
+    * `stream_profile`; this batch fold of the same transform is the
+    * oracle-checked entry (every component fold is order-independent,
+    * so stream and batch agree bit-for-bit). */
+  def streamProfile(s: SparkSession, dir: String): DataFrame =
+    graft.streaming.StreamingAgg
+      .profileStream(AggQueries.events(s, dir)).toDF()
+
   /** Continuous top-k — the streaming twin of [[qTopk]]'s leaders
     * board, registered as `stream_topk`. The SAME stateful transform
     * (StreamingAgg.topKStream: per-key best-k fold under value desc /
@@ -790,6 +799,28 @@ object RelationalQueries {
         expr(
           "graft_kmv_distinct((user_id % 1000000007) * 2654435761 % 1000000007)")
           .as("est_users"))
+  }
+
+  /** Event-type transition matrix (first-order Markov counts): for each
+    * user's chronological event stream, count every consecutive
+    * (from_type → to_type) step across the whole corpus — the behavioral
+    * analytics primitive behind flow diagrams and next-action models.
+    *
+    * Scale shape: one keyed window (partition user_id, order ts) computes
+    * the per-row successor — user event histories are bounded by human
+    * behavior, so the window partition never approaches corpus scale —
+    * then a partial/final count over the (from, to) pairs whose
+    * cardinality is |types|², independent of row count. */
+  def qTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    AggQueries.events(s, dir)
+      // null-ts rows are unplaceable in a timeline AND order differently
+      // across engines (Spark NULLS FIRST vs DuckDB NULLS LAST)
+      .filter(col("ts").isNotNull)
+      .withColumn("to_type", lead(col("event_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
   }
 
   /** Fixed-width value histogram per event type — the profiling primitive
@@ -1306,9 +1337,45 @@ object RelationalQueries {
         |         AS est_users,
         |       CAST(nexact AS BIGINT) AS exact_users
         |FROM k JOIN x USING (event_type)""".stripMargin,
+    "q_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS to_type
+        |  FROM events WHERE ts IS NOT NULL)
+        |SELECT event_type AS from_type, to_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     // the KMV estimator mirror of q_approx_distinct, joined against the
     // plain one-pass stats; sum is integer-exact on both engines
     "q_profile" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |             (user_id % 1000000007) * 2654435761 % 1000000007 AS hv
+        |           FROM events),
+        |r AS (SELECT event_type, hv,
+        |             row_number() OVER (PARTITION BY event_type
+        |               ORDER BY hv) AS rn,
+        |             count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h),
+        |k AS (SELECT event_type, max(nd) AS nd,
+        |             max(CASE WHEN rn = 64 THEN hv END) AS h64
+        |      FROM r GROUP BY event_type),
+        |a AS (SELECT event_type, count(*) AS n,
+        |             count(*) - count(value) AS n_null,
+        |             min(value) AS vmin, max(value) AS vmax,
+        |             CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+        |               AS BIGINT) AS sum_e4
+        |      FROM events GROUP BY event_type)
+        |SELECT a.event_type, CAST(n AS BIGINT) AS n,
+        |       CAST(n_null AS BIGINT) AS n_null, vmin, vmax, sum_e4,
+        |       CASE WHEN nd < 64 THEN CAST(nd AS DOUBLE)
+        |            ELSE 63.0 * 1000000007.0 / CAST(h64 AS DOUBLE) END
+        |         AS est_users
+        |FROM a JOIN k ON a.event_type = k.event_type""".stripMargin,
+    // the streaming fold converges to the identical profile (all
+    // component folds are order-independent), so the oracle is q_profile's
+    "stream_profile" ->
       """WITH h AS (SELECT DISTINCT event_type,
         |             (user_id % 1000000007) * 2654435761 % 1000000007 AS hv
         |           FROM events),
@@ -1436,6 +1503,8 @@ object RelationalQueries {
     "stream_topk" -> (streamTopk _),
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_profile" -> (qProfile _),
+    "q_transitions" -> (qTransitions _),
+    "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),
     "q_rollup" -> (qRollup _),

@@ -64,6 +64,15 @@ final case class IncVerdict(doc_id: Long, band_idx: Int, owner_id: Long,
   * [[BandVerdict]]. */
 final case class VecVerdict(vec_id: Long, band_idx: Int, owner_id: Long)
 final case class FreqEvent(event_type: String, bin: Long)
+final case class ProfEvent(event_type: String, value: Option[Double],
+    hv: Long)
+/** Streaming profile state: five scalars + the ≤ k KMV hashes — bounded
+  * by the sketch width, never by stream length. */
+final case class ProfState(n: Long, nNull: Long, vmin: Option[Double],
+    vmax: Option[Double], sumE4: Long, hashes: Array[Long])
+final case class ProfileUpdate(event_type: String, n: Long, n_null: Long,
+    vmin: Option[Double], vmax: Option[Double], sum_e4: Option[Long],
+    est_users: Double)
 /** Streaming Misra-Gries state: ≤ k (item, counter) pairs — bounded by
   * the sketch width, never by stream length or key cardinality. */
 final case class FreqState(items: Array[Long], counts: Array[Long],
@@ -750,6 +759,69 @@ object StreamingAgg {
           st.update(FreqState(items, counts, nSeen))
           FreqUpdate(key, nSeen, map.size.toLong,
             graft.functions.MisraGries.sortedKeys(map))
+        })
+  }
+
+  /** Continuous table profiling — the streaming twin of `q_profile`:
+    * each micro-batch folds arrivals into per-key running stats (rows,
+    * measure nulls, min/max, integer-exact sum) plus the bounded KMV
+    * distinct-user sketch, and re-emits the current profile. Every
+    * component fold is ORDER-INDEPENDENT (count/min/max/integer sum are
+    * commutative-associative; KMV keeps the k smallest distinct hashes
+    * regardless of arrival order), so the stream converges to EXACTLY
+    * the batch profile under any batch split — the parity StreamingSpec
+    * pins. State is five scalars + ≤ k hashes per key, bounded by the
+    * sketch width. The sum folds floor(value·1e4 + 0.5) as a Long — the
+    * identical IEEE sequence the batch aggregate and the DuckDB oracle
+    * evaluate, so no double-accumulation drift exists to diverge on.
+    * NoTimeout by design: an all-history profile has no expirable
+    * state. Batch run of this same transform is the oracle-checked
+    * registry entry (`stream_profile`, same oracle family as
+    * q_profile). */
+  def profileStream(events: DataFrame, k: Int = 64): Dataset[ProfileUpdate] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val p = graft.functions.NativeOps.P
+    events
+      .select(col("event_type"), col("value"),
+        expr(s"(user_id % $p) * 2654435761 % $p").as("hv"))
+      .as[ProfEvent]
+      .groupByKey(_.event_type)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
+        (key: String, it: Iterator[ProfEvent],
+            st: GroupState[ProfState]) => {
+          val buf = new java.util.TreeSet[java.lang.Long]()
+          var n = 0L; var nNull = 0L; var sumE4 = 0L
+          var vmin = Double.NaN; var vmax = Double.NaN
+          st.getOption.foreach { prev =>
+            prev.hashes.foreach(h => buf.add(h): Unit)
+            n = prev.n; nNull = prev.nNull; sumE4 = prev.sumE4
+            prev.vmin.foreach(vmin = _); prev.vmax.foreach(vmax = _)
+          }
+          it.foreach { e =>
+            n += 1
+            buf.add(e.hv)
+            if (buf.size > k) buf.pollLast(): Unit
+            e.value match {
+              case Some(v) =>
+                if (vmin.isNaN || v < vmin) vmin = v
+                if (vmax.isNaN || v > vmax) vmax = v
+                sumE4 += math.floor(v * 10000.0 + 0.5).toLong
+              case None => nNull += 1
+            }
+          }
+          val flat = new Array[Long](buf.size)
+          val bit = buf.iterator()
+          var i = 0
+          while (bit.hasNext) { flat(i) = bit.next(); i += 1 }
+          val mn = if (vmin.isNaN) None else Some(vmin)
+          val mx = if (vmax.isNaN) None else Some(vmax)
+          st.update(ProfState(n, nNull, mn, mx, sumE4, flat))
+          val est =
+            if (buf.size < k) buf.size.toDouble
+            else (k - 1).toDouble * p.toDouble / buf.last().toDouble
+          ProfileUpdate(key, n, nNull, mn, mx,
+            if (n > nNull) Some(sumE4) else None, est)
         })
   }
 }

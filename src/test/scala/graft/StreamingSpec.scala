@@ -699,6 +699,61 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming profile: batches converge to the batch fold bit-for-bit, " +
+      "nulls counted, state stays sketch-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // every 7th value NULL; 150 distinct users on key "a" (> k=64, the
+    // KMV estimator active), 7 on key "b" (sketch exact)
+    val rows = (1L to 300L).map { i =>
+      val t = if (i % 5 == 0) "b" else "a"
+      val uid = if (t == "a") i % 150 else i % 7
+      (new java.sql.Timestamp(i * 1000L), uid, t, i,
+        if (i % 7 == 0) None else Some(((i * 37) % 1000).toDouble / 4.0))
+    }.map(x => x) // (ts, user_id, event_type, event_id, value)
+    def df(xs: Seq[(java.sql.Timestamp, Long, String, Long, Option[Double])]) =
+      xs.toDF("ts", "user_id", "event_type", "event_id", "value")
+    def lastPerKey(table: String): Map[String, Seq[Any]] =
+      spark.table(table).collect()
+        .map(r => r.getString(0) -> r).groupBy(_._1)
+        .map { case (k, rs) => k -> rs.map(_._2).maxBy(_.getLong(1)).toSeq }
+    def drive(name: String, batches: Seq[Seq[(java.sql.Timestamp, Long,
+        String, Long, Option[Double])]]): Map[String, Seq[Any]] = {
+      val mem = MemoryStream[(java.sql.Timestamp, Long, String, Long,
+        Option[Double])]
+      val q = StreamingAgg.profileStream(
+          mem.toDF().toDF("ts", "user_id", "event_type", "event_id", "value"))
+        .writeStream.outputMode("update")
+        .format("memory").queryName(name).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        lastPerKey(name)
+      } finally q.stop()
+    }
+    val (s1, s2) = rows.partition(_._4 % 3 == 0)
+    val streamed = drive("pf1", Seq(s1.take(40), s2, s1.drop(40)))
+    val reversed = drive("pf2", Seq(s2.reverse, s1.reverse))
+    val batch = StreamingAgg.profileStream(df(rows)).toDF()
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap
+    assert(streamed === batch, "streamed profile != one-shot batch fold")
+    assert(reversed === batch, "batch split order changed the profile")
+    // and the profile agrees with plain SQL over the same frame
+    val exact = df(rows)
+      .selectExpr("event_type", "value",
+        "CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4")
+      .groupBy("event_type")
+      .agg(count(lit(1)), sum(expr("IF(value IS NULL, 1L, 0L)")),
+        min("value"), max("value"), sum("e4"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    batch.foreach { case (k, seq) =>
+      val (n, nn, mn, mx, s4) = exact(k)
+      assert(seq(1) === n && seq(2) === nn && seq(3) === mn &&
+        seq(4) === mx && seq(5) === s4, s"key $k profile != plain SQL")
+    }
+  }
+
   test("streaming Misra-Gries: candidates cover every prefix's heavy " +
       "set, state stays k-bounded, verified output is exact") {
     import spark.implicits._
@@ -975,6 +1030,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val fs = soak("soakf", StreamingAgg.frequentStream(_, 15))
     fs.foreach(r => assert(r.getLong(2) <= 15L,
       "MG state must cap at k counters"))
+    // profile: five scalars + <= k hashes per key; converges to batch
+    val ps = soak("soakp", StreamingAgg.profileStream(_, 16))
+    assert(lastPerKey(ps) === StreamingAgg
+      .profileStream(all.toDF(), 16).toDF()
+      .collect().map(r => r.getString(0) -> r.toSeq).toMap,
+      "profile soak did not converge to the batch fold")
     // topk: k (id, value) pairs per key — board never exceeds k ranks
     val ts = soak("soakt", StreamingAgg.topKStream(_))
     assert(ts.map(r => (r.getString(0), r.getLong(1))).distinct.length <=
