@@ -206,6 +206,19 @@ object native {
           else 5
         BottomKByHash(es(0), es(1), k).toAggregateExpression()
       }),
+    ("graft_topk_scored",
+      "top-k (score, payload) pairs by score desc (aggregate; optional k)",
+      es => {
+        val k =
+          if (es.length >= 3) es(2) match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+              v.asInstanceOf[Number].intValue()
+            case other => throw new IllegalArgumentException(
+              s"graft_topk_scored k must be a literal, got $other")
+          }
+          else 4
+        TopKScored(es(0), es(1), k).toAggregateExpression()
+      }),
     ("graft_frequent",
       "Misra-Gries frequent-items candidates (aggregate; optional k)",
       es => {

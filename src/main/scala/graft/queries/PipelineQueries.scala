@@ -470,25 +470,31 @@ object PipelineQueries {
     * ~64 at ANY corpus size, residue blocking capping the hot-cohort
     * tail, so candidate work stays linear in n.
     *
-    * Plan shape: the band self-join streams candidates through the
-    * codegen'd cosine kernel; the undirected candidate set materializes
-    * ONCE (distinct), mirrors to both directions (map-only union), and
-    * the per-vector top-4 is a rank window whose partition key is the
-    * vector — bounded by the banded candidate count per vector, pruned
-    * map-side by InferWindowGroupLimit like [[dSampleK]]'s. Isolated
-    * vectors (no banded neighbor) are absent by definition, exactly as
-    * in the oracle. */
+    * Plan shape — the candidates NEVER shuffle: the band self-join
+    * streams pairs through the codegen'd cosine kernel straight into a
+    * bounded [[graft.functions.TopKScored]] fold keyed by the vector.
+    * Map-side partials collapse every task's candidate stream to ≤ 4
+    * (cos, neighbor) pairs per vector BEFORE the exchange, and the
+    * fold's SET semantics absorb multi-band duplicates (the same pair's
+    * cosine is deterministic, so its key collides exactly) — no
+    * DISTINCT pass, no rank window, no sort. The first formulation
+    * (distinct + rank window) shuffled the full candidate set and
+    * measured 188× at a 100× scale-up on replication-skewed vectors —
+    * the same superlinear shape the r8 census caught in the old
+    * near-dup bucket join; this fold is the bounded-state cure, the
+    * aggregate analog of the hierarchical top-k argument (a pair in the
+    * global top-4 is in the top-4 of every subset containing it). */
   def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
     val cand = bandedCandidates(s, dir)
     val both = cand.unionAll(cand.select(
       col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("cos")))
-    val w = Window.partitionBy("vec_a")
-      .orderBy(col("cos").desc, col("vec_b"))
     both
-      .withColumn("rnk", row_number().over(w).cast(LongType))
-      .filter(col("rnk") <= 4L)
-      .select(col("vec_a").as("vec_id"), col("rnk"),
-        col("vec_b").as("n_id"), col("cos"))
+      .groupBy(col("vec_a").as("vec_id"))
+      .agg(expr("graft_topk_scored(cos, vec_b, 4)").as("nb"))
+      .select(col("vec_id"), posexplode(col("nb")).as(Seq("__i", "e")))
+      .select(col("vec_id"), (col("__i") + 1L).cast(LongType).as("rnk"),
+        col("e.payload").as("n_id"), col("e.score").as("cos"))
   }
 
   /** Graph-density score per vector — mean cosine to its [[embKnnGraph]]
@@ -513,12 +519,12 @@ object PipelineQueries {
         (col("__s").cast(DoubleType) / lit(1e9) /
           col("n_nbrs").cast(DoubleType)).as("density"))
 
-  /** [[embKnnGraph]]'s candidate set: the same corpus-scaled band join
-    * (+ residue blocking) as [[dEmbedNeardup]], but WITHOUT the
-    * near-dup cosine threshold — the kNN graph wants weak neighbors
-    * too, so its distinct necessarily sees the full candidate set
-    * (dEmbedNeardup keeps its own filter-BEFORE-distinct path where the
-    * distinct input is only the tiny above-threshold set). */
+  /** [[embKnnGraph]]'s candidate stream: the same corpus-scaled band
+    * join (+ residue blocking) as [[dEmbedNeardup]], but WITHOUT the
+    * near-dup cosine threshold (the kNN graph wants weak neighbors too)
+    * and WITHOUT a distinct — multi-band duplicates are deduped inside
+    * the consumer's bounded fold, so the raw pairs stream through
+    * codegen without ever materializing or shuffling. */
   private def bandedCandidates(s: SparkSession,
       dir: String): DataFrame = {
     val e = sig40(s, dir)
@@ -544,7 +550,6 @@ object PipelineQueries {
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("graft_cosine(va, vb)"))
       .select("vec_a", "vec_b", "cos")
-      .distinct()
   }
 
   // params-carrying operators keep (SparkSession, String) entries in the

@@ -497,12 +497,32 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "the 100-row sample must broadcast for the weight join-back")
   }
 
-  test("emb_knn_graph: per-vector top-4 is map-side bounded") {
-    val limits = nodes(physical("emb_knn_graph")).collect {
-      case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec => w
+  test("emb_knn_graph: candidates fold map-side, never shuffle or rank") {
+    // the banded candidate stream must collapse into the bounded
+    // TopKScored fold's <=4-pair partials BEFORE any exchange: a rank
+    // window keyed by the vector (or a distinct over the pairs) shuffles
+    // the full candidate set — measured 188x at a 100x scale-up on
+    // replication-skewed vectors before this fold existed
+    val plan = physical("emb_knn_graph")
+    val vecWindows = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(r =>
+          r.name == "vec_a" || r.name == "vec_id")) => w
     }
-    assert(limits.length == 2,
-      s"expected Partial+Final WindowGroupLimit, got ${limits.length}")
+    assert(vecWindows.isEmpty,
+      "per-vector ranking must be the bounded fold, not a window")
+    val objAggs = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(objAggs >= 2, "expected partial+final TopKScored aggregation")
+    // no aggregate may consume the pair stream pre-fold as a distinct:
+    // every HashAggregate keyed by (vec_a, vec_b) is that regression
+    val distincts = nodes(plan).collect {
+      case h: org.apache.spark.sql.execution.aggregate.HashAggregateExec
+        if h.groupingExpressions.size >= 2 &&
+          h.groupingExpressions.flatMap(_.references.map(_.name))
+            .count(Set("vec_a", "vec_b")) >= 2 => h
+    }
+    assert(distincts.isEmpty, "candidate pairs must not pass a DISTINCT")
   }
 
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
