@@ -138,6 +138,40 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     assert(dup === 50.0)
   }
 
+  test("TopKScored fold == rank window under random data, duplicates, " +
+      "ties, and partition counts") {
+    graft.functions.native.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815)
+    for (trial <- 1 to 3) {
+      // scores from a SMALL grid so cross-key ties are common (the
+      // payload tie-break must decide), plus injected exact-duplicate
+      // (key, score, payload) rows the set semantics must absorb
+      val base = (1 to 400).map { _ =>
+        (rnd.nextInt(8).toLong, rnd.nextInt(12) / 4.0,
+          rnd.nextInt(60).toLong)
+      }
+      val rows = base ++ base.take(80)
+      for (parts <- Seq(1, 7, 32)) {
+        val df = rows.toDF("k", "score", "p").repartition(parts)
+        val fold = df.groupBy("k")
+          .agg(expr("graft_topk_scored(score, p, 4)").as("nb"))
+          .select(col("k"), posexplode(col("nb")).as(Seq("i", "e")))
+          .select(col("k"), col("i"),
+            col("e.score").as("s"), col("e.payload").as("p"))
+          .collect().map(r => (r.getLong(0), r.getInt(1),
+            r.getDouble(2), r.getLong(3))).toSet
+        val expect = rows.distinct.groupBy(_._1).flatMap { case (k, xs) =>
+          xs.map(x => (x._2, x._3)).distinct
+            .sortBy { case (s, p) => (-s, p) }.take(4).zipWithIndex
+            .map { case ((s, p), i) => (k, i, s, p) }
+        }.toSet
+        assert(fold === expect,
+          s"trial $trial parts=$parts: fold != rank-window semantics")
+      }
+    }
+  }
+
   test("PqCodec encode: native kernel == the HOF SQL fold, bit for bit " +
       "(randomized vectors + codebook, incl. duplicate centroids)") {
     import spark.implicits._
