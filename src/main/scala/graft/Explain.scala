@@ -19,6 +19,13 @@ object Explain {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded TypedImperativeAggregate folds (TopKScored's per-vector
+      // top-4 in particular) legitimately hold ~n distinct groups in the
+      // PARTIAL map; the 128-group default silently degrades the partial
+      // to sort-based and sorts the whole candidate stream per task
+      // (measured 2x on emb_knn_graph at 100x rows)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

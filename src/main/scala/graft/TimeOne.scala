@@ -9,6 +9,13 @@ object TimeOne {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
       .config("spark.sql.adaptive.enabled", "true")
+      // bounded TypedImperativeAggregate folds (TopKScored's per-vector
+      // top-4 in particular) legitimately hold ~n distinct groups in the
+      // PARTIAL map; the 128-group default silently degrades the partial
+      // to sort-based and sorts the whole candidate stream per task
+      // (measured 2x on emb_knn_graph at 100x rows)
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "4000000")
       .config("spark.ui.enabled", "false")
     // ad-hoc conf overrides: SPARK_GRAFT_CONF="k=v;k2=v2"
     val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq

@@ -487,11 +487,18 @@ object PipelineQueries {
   def embKnnGraph(s: SparkSession, dir: String): DataFrame = {
     graft.functions.native.register(s)
     val cand = bandedCandidates(s, dir)
-    val both = cand.unionAll(cand.select(
-      col("vec_b").as("vec_a"), col("vec_a").as("vec_b"), col("cos")))
+    // inline-explode the direction mirror, NOT unionAll(cand, swap): a
+    // union of two projections of the same frame re-executes the whole
+    // banded candidate join twice (measured ~2x at the factor-1000
+    // probe); inline emits both directed rows from one pass, map-only
+    val both = cand.selectExpr(
+      """inline(array(
+        |  named_struct('g', vec_a, 'nb', vec_b, 'cos', cos),
+        |  named_struct('g', vec_b, 'nb', vec_a, 'cos', cos)))"""
+        .stripMargin)
     both
-      .groupBy(col("vec_a").as("vec_id"))
-      .agg(expr("graft_topk_scored(cos, vec_b, 4)").as("nb"))
+      .groupBy(col("g").as("vec_id"))
+      .agg(expr("graft_topk_scored(cos, nb, 4)").as("nb"))
       .select(col("vec_id"), posexplode(col("nb")).as(Seq("__i", "e")))
       .select(col("vec_id"), (col("__i") + 1L).cast(LongType).as("rnk"),
         col("e.payload").as("n_id"), col("e.score").as("cos"))

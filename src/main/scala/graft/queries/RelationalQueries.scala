@@ -581,10 +581,15 @@ object RelationalQueries {
   def qConcurrency(s: SparkSession, dir: String): DataFrame = {
     val minUs = 60000000L
     val spans = qMergeIntervals(s, dir)
-    val edges = spans
-      .select(expr(s"span_start div ${minUs}L").as("m"), lit(1L).as("d"))
-      .unionAll(spans.select(expr(s"span_end div ${minUs}L + 1L").as("m"),
-        lit(-1L).as("d")))
+    // inline-explode, NOT unionAll(spans, spans): a union of two
+    // projections of the same frame re-executes the whole
+    // merge-intervals window pipeline twice (measured at the factor-1000
+    // probe); inline emits both edge rows from one pass, map-only
+    val edges = spans.selectExpr(
+      s"""inline(array(
+         |  named_struct('m', span_start div ${minUs}L, 'd', 1L),
+         |  named_struct('m', span_end div ${minUs}L + 1L, 'd', -1L)))"""
+        .stripMargin)
     val perMin = edges.groupBy("m").agg(sum(col("d")).as("delta"))
     val w = Window.orderBy("m")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -799,6 +804,43 @@ object RelationalQueries {
         expr(
           "graft_kmv_distinct((user_id % 1000000007) * 2654435761 % 1000000007)")
           .as("est_users"))
+  }
+
+  /** Per-group z-score anomaly detection: events whose measure sits more
+    * than 4 population standard deviations from their type's mean — the
+    * classic two-pass standardization every data-quality/monitoring
+    * pipeline runs.
+    *
+    * Exactness across engines: the first pass aggregates integer MOMENTS
+    * — Σ floor(v·1e4+0.5) as BIGINT and Σ e4² as DECIMAL(38,0) (e4² ~
+    * 2.5e13 per row would overflow a running Long by ~10⁸ rows; the
+    * 38-digit decimal holds 10²⁴ such rows) — so mean and variance
+    * derive from EXACT integers via the same IEEE division/sqrt sequence
+    * on both engines (both correctly rounded), never from a
+    * double-accumulation whose association order differs. Pass 2
+    * broadcasts the |types|-row stats frame back over the scan: one agg
+    * shuffle, a broadcast join, a filter — nothing corpus-sized moves. */
+  def qAnomaly(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("value").isNotNull)
+      .select(col("event_id"), col("event_type"), col("value"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+    val stats = e.groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(col("e4")).as("s1"),
+        sum(expr("CAST(e4 AS DECIMAL(38,0)) * CAST(e4 AS DECIMAL(38,0))"))
+          .as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast(DoubleType) / col("n").cast(DoubleType)).as("mu"),
+        sqrt(col("s2").cast(DoubleType) / col("n").cast(DoubleType) -
+          (col("s1").cast(DoubleType) / col("n").cast(DoubleType)) *
+          (col("s1").cast(DoubleType) / col("n").cast(DoubleType)))
+          .as("sigma"))
+    e.join(broadcast(stats), "event_type")
+      .withColumn("z",
+        (col("e4").cast(DoubleType) - col("mu")) / col("sigma"))
+      .filter(abs(col("z")) > 4.0d)
+      .select("event_type", "event_id", "value", "z")
   }
 
   /** Event-type transition matrix (first-order Markov counts): for each
@@ -1337,6 +1379,29 @@ object RelationalQueries {
         |         AS est_users,
         |       CAST(nexact AS BIGINT) AS exact_users
         |FROM k JOIN x USING (event_type)""".stripMargin,
+    // exact integer moments (BIGINT sum, DECIMAL(38) sum of squares) ->
+    // identical IEEE mean/var/sqrt sequence on both engines
+    "q_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type, value,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events WHERE value IS NOT NULL),
+        |st AS (
+        |  SELECT event_type,
+        |         CAST(CAST(sum(e4) AS BIGINT) AS DOUBLE)
+        |           / CAST(count(*) AS DOUBLE) AS mu,
+        |         sqrt(CAST(sum(CAST(e4 AS DECIMAL(38,0))
+        |                        * CAST(e4 AS DECIMAL(38,0))) AS DOUBLE)
+        |                / CAST(count(*) AS DOUBLE)
+        |              - (CAST(CAST(sum(e4) AS BIGINT) AS DOUBLE)
+        |                   / CAST(count(*) AS DOUBLE))
+        |                * (CAST(CAST(sum(e4) AS BIGINT) AS DOUBLE)
+        |                     / CAST(count(*) AS DOUBLE))) AS sigma
+        |  FROM e GROUP BY event_type)
+        |SELECT e.event_type, event_id, value,
+        |       (CAST(e4 AS DOUBLE) - mu) / sigma AS z
+        |FROM e JOIN st ON e.event_type = st.event_type
+        |WHERE abs((CAST(e4 AS DOUBLE) - mu) / sigma) > 4.0""".stripMargin,
     "q_transitions" ->
       """WITH s AS (
         |  SELECT user_id, event_type,
@@ -1504,6 +1569,7 @@ object RelationalQueries {
     "q_heavy_hitters" -> (qHeavyHitters _),
     "q_profile" -> (qProfile _),
     "q_transitions" -> (qTransitions _),
+    "q_anomaly" -> (qAnomaly _),
     "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),

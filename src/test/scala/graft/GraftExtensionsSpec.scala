@@ -32,7 +32,7 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       s"extension/injection drift: ${expected -- names} ${names -- expected}")
     // each builder constructs a well-typed expression from dummy children
     import org.apache.spark.sql.catalyst.expressions.Literal
-    val binary = Set("graft_cosine", "graft_bottomk")
+    val binary = Set("graft_cosine", "graft_bottomk", "graft_topk_scored")
     injected.foreach {
       case (id, _, builder) =>
         val arity = if (binary(id.funcName)) 2 else 1

@@ -11,5 +11,9 @@ trait SparkSpec { self: AnyFunSuite =>
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.timestampType", "TIMESTAMP_NTZ")
     .config("spark.ui.enabled", "false")
+    // engine default (mirrors the Bench/Verify mains): bounded
+    // TypedImperativeAggregate folds hold ~n groups in the partial map
+    .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      "4000000")
     .getOrCreate()
 }
