@@ -640,6 +640,54 @@ object Multimodal {
         "error")
   }
 
+  /** Perceptual average-hash over a stored `(event_id, png)` frame: the
+    * decoded image nearest-neighbor-samples onto a fixed 8×8 luminance
+    * grid and each cell contributes one bit of a 64-bit fingerprint —
+    * set iff the cell is brighter than the grid mean. The comparison is
+    * integer-exact (64·lum > Σlum — no division, no floats), and the
+    * fingerprint is the SIGNED two's-complement value of the bit vector
+    * so an oracle can reproduce it as a plain sum of powers of two
+    * (−2⁶³·b₆₃ + Σ2ⁱ·bᵢ — decimal arithmetic equals the JVM bit-or).
+    * Same quarantine contract as the other checked decoders. */
+  def imagePHashChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("png"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val img = Png.decode(p)
+            val w = img.width; val h = img.height
+            val lums = new Array[Long](64)
+            var total = 0L
+            var gy = 0
+            while (gy < 8) {
+              var gx = 0
+              while (gx < 8) {
+                val x = gx * w / 8; val y = gy * h / 8
+                val o = (y * w + x) * 3
+                val lum = (img.rgb(o) & 0xff).toLong +
+                  (img.rgb(o + 1) & 0xff) + (img.rgb(o + 2) & 0xff)
+                lums(gy * 8 + gx) = lum; total += lum
+                gx += 1
+              }
+              gy += 1
+            }
+            var hsh = 0L
+            var i = 0
+            while (i < 64) {
+              if (64L * lums(i) > total) hsh |= (1L << i)
+              i += 1
+            }
+            (id, Some(hsh), None): (Long, Option[Long], Option[String])
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, Some(errStr(e))): (Long, Option[Long], Option[String])
+          }
+        }
+      }
+      .toDF("event_id", "phash", "error")
+  }
+
   /** AVI features over a stored `(event_id, avi)` frame: every-3rd-frame
     * sampling folded into a deterministic signature. */
   def videoFeaturesChecked(media: DataFrame): DataFrame = {

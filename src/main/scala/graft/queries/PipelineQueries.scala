@@ -1687,6 +1687,25 @@ object PipelineQueries {
       .imageFeaturesChecked(media(s, dir).select("event_id", "png"))
       .filter(col("error").isNull).drop("error")
 
+  /** Image near-dup dedup by perceptual hash — the image analog of
+    * [[dExactDedup]]: decode the stored PNG, average-hash it onto a
+    * 64-bit fingerprint ([[graft.multimodal.Multimodal
+    * .imagePHashChecked]] — scale/brightness-structure invariant where
+    * a byte hash is not), group identical fingerprints, keep the
+    * minimum id. Re-encoded or resized copies of the same picture land
+    * in one group even though their PNG bytes differ.
+    *
+    * Scale shape: map-only decode+hash (the same per-thread-zlib
+    * mapPartitions loop as the feature extractors) then ONE groupBy on
+    * the 64-bit key with map-side combine — the exact-dedup plan at
+    * image scale; nothing pairwise anywhere. */
+  def mmPhash(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .imagePHashChecked(media(s, dir).select("event_id", "png"))
+      .filter(col("error").isNull)
+      .groupBy("phash")
+      .agg(count(lit(1)).as("n_images"), min(col("event_id")).as("keeper_id"))
+
   /** Video frame sampling from the stored AVI column: decode (hdrl/movi
     * walk, header-vs-actual frame-count cross-check), sample every 3rd
     * frame, fold the sampled frames' byte sums into a signature. */
@@ -2649,7 +2668,35 @@ object PipelineQueries {
         |         AS BIGINT) AS sum_g,
         |       CAST(sum((event_id * 31 + x * 7 + y * 13 + 202) % 256)
         |         AS BIGINT) AS sum_b
-        |FROM px GROUP BY event_id""".stripMargin
+        |FROM px GROUP BY event_id""".stripMargin,
+    // the synth pixel formula reproduces the decoded luminances; the
+    // signed fingerprint = -2^63*b63 + sum 2^i*bi, so a decimal sum of
+    // shifted bits equals the JVM bit-or exactly
+    "mm_phash" ->
+      s"""WITH $mediaIdsCte,
+        |d AS (SELECT event_id, 8 + event_id % 9 AS w,
+        |             8 + (event_id // 9) % 9 AS h FROM mediaIds),
+        |g AS (SELECT event_id, gx.r AS gx, gy.r AS gy,
+        |             (gx.r * w) // 8 AS x, (gy.r * h) // 8 AS y
+        |      FROM d, range(0, 8) gx(r), range(0, 8) gy(r)),
+        |l AS (SELECT event_id, gx, gy,
+        |               (event_id * 31 + x * 7 + y * 13) % 256
+        |             + (event_id * 31 + x * 7 + y * 13 + 101) % 256
+        |             + (event_id * 31 + x * 7 + y * 13 + 202) % 256 AS lum
+        |      FROM g),
+        |t AS (SELECT event_id, sum(lum) AS total FROM l GROUP BY 1),
+        |ph AS (SELECT l.event_id,
+        |              CAST(sum(CASE WHEN 64 * lum <= total
+        |                  THEN CAST(0 AS HUGEINT)
+        |                WHEN gy * 8 + gx = 63
+        |                  THEN CAST(-9223372036854775808 AS HUGEINT)
+        |                ELSE CAST(CAST(1 AS BIGINT) << (gy * 8 + gx)
+        |                  AS HUGEINT) END) AS BIGINT) AS phash
+        |       FROM l JOIN t ON l.event_id = t.event_id
+        |       GROUP BY l.event_id)
+        |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
+        |       min(event_id) AS keeper_id
+        |FROM ph GROUP BY phash""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2699,6 +2746,7 @@ object PipelineQueries {
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _),
+    "mm_phash" -> (mmPhash _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_chunks" -> (mmAudioChunks _)
   )

@@ -167,6 +167,51 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
   }
 
+  test("phash: re-encoded and uniformly-rescaled copies collide, " +
+      "structurally different images do not, corruption quarantines") {
+    import spark.implicits._
+    def gradient(w: Int, h: Int): Array[Byte] = {
+      // horizontal step gradient: left half dark, right half bright —
+      // the 8x8 average-hash must read the same bit pattern at ANY
+      // uniform pixel scale because nearest-neighbor sampling lands in
+      // the same half
+      val rgb = new Array[Byte](w * h * 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val v: Byte = if (x < w / 2) 10 else 200.toByte
+        val o = (y * w + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      }
+      rgb
+    }
+    val base = Png.encode(8, 8, gradient(8, 8))
+    val rescaled = Png.encode(16, 16, gradient(16, 16))
+    // vertical gradient: a different structure, different hash
+    val other = {
+      val rgb = new Array[Byte](8 * 8 * 3)
+      for (y <- 0 until 8; x <- 0 until 8) {
+        val v: Byte = if (y < 4) 10 else 200.toByte
+        val o = (y * 8 + x) * 3
+        rgb(o) = v; rgb(o + 1) = v; rgb(o + 2) = v
+      }
+      Png.encode(8, 8, rgb)
+    }
+    val corrupt = java.util.Arrays.copyOf(base, base.length - 5)
+    assert(!java.util.Arrays.equals(base, rescaled),
+      "test needs byte-distinct encodings")
+    val rows = Multimodal.imagePHashChecked(
+      Seq((1L, base), (2L, rescaled), (3L, other), (4L, corrupt))
+        .toDF("event_id", "png")).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)),
+          if (r.isNullAt(2)) None else Some(r.getString(2)))).toMap
+    assert(rows(1L)._1 === rows(2L)._1,
+      "byte-distinct rescale of the same picture must share the phash")
+    assert(rows(1L)._1 !== rows(3L)._1,
+      "structurally different images must not collide")
+    assert(rows(4L)._1 === None && rows(4L)._2.isDefined,
+      "corrupt payload must quarantine with an error")
+  }
+
   test("mm queries read the stored table, prune to one payload column, and evict") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists)
