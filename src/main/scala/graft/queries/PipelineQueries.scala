@@ -754,6 +754,50 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
+  /** Hybrid retrieval — the text+vector reranker every modern curation /
+    * retrieval stack runs: IVF-probed vector candidates rescored by
+    * cos(query, candidate) + Jaccard(query tokens, candidate tokens),
+    * top-5 per query. Lexical overlap rescues near-misses the embedding
+    * alone ranks poorly and vice versa; the candidate set still comes
+    * from the index, so the expensive text comparison only ever touches
+    * probed-list rows.
+    *
+    * Scale shape: reuses the session-cached IVF assignment (shared with
+    * [[annIvf]]/[[dSemdedup]]/[[embKmeansIter]]) and the cached token
+    * frame; candidates = probed lists only (work scales with queries,
+    * not corpus), the per-candidate Jaccard is two set ops on
+    * already-distinct token arrays, and both score components are
+    * engine-deterministic (the cosine kernel + integer set sizes), so
+    * the blended DOUBLE rank cross-checks bit-for-bit. */
+  def annHybrid(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    val assigned = ivfAssigned(s, dir, p)
+    val ts = tokenHashes(s, dir)
+      .select(col("doc_id"), expr("array_distinct(th)").as("tset"))
+    val lists = assigned.filter(col("crn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("cid"))
+      .join(ts.select(col("doc_id").as("n_id"), col("tset").as("nts")),
+        "n_id")
+    val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cid"))
+      .join(ts.select(col("doc_id").as("q_id"), col("tset").as("qts")),
+        "q_id")
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+      .withColumn("jac", expr(
+        "CAST(size(array_intersect(qts, nts)) AS DOUBLE) / " +
+          "CAST(size(array_union(qts, nts)) AS DOUBLE)"))
+      .withColumn("score", col("cos") + col("jac"))
+    val w = Window.partitionBy("q_id").orderBy(col("score").desc,
+      col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "cos", "jac", "score")
+  }
+
   /** Scalar-quantized ANN (the compression path next to [[annLsh]] /
     * [[annIvf]]): vectors are quantized to int codes (per-dimension
     * min/max → 0..255), candidates come from the same LSH buckets, and
@@ -2060,6 +2104,41 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    // ann_ivf's probe CTEs + token-set jaccard; the blended double rank
+    // is deterministic (cosine kernel + integer set sizes)
+    "ann_hybrid" ->
+      s"""WITH $thCte,
+         |tsT AS (SELECT doc_id, list_distinct(th) AS tset FROM thT),
+         |emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |           AS crn
+         |  FROM emb e CROSS JOIN cent c),
+         |lists AS (SELECT vec_id AS n_id, v AS nv, cid, t.tset AS nts
+         |          FROM sc JOIN tsT t ON t.doc_id = sc.vec_id
+         |          WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cid, t.tset AS qts
+         |           FROM sc JOIN tsT t ON t.doc_id = sc.vec_id
+         |           WHERE vec_id < 8 AND crn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, l.n_id,
+         |         ${PV.cosineDuck("p.qv", "l.nv")} AS cos,
+         |         CAST(len(list_intersect(p.qts, l.nts)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(p.qts, l.nts)))
+         |           AS DOUBLE) AS jac
+         |  FROM lists l JOIN probes p USING (cid) WHERE l.n_id <> p.q_id),
+         |r AS (SELECT q_id, n_id, cos, jac, cos + jac AS score,
+         |             row_number() OVER (PARTITION BY q_id
+         |               ORDER BY cos + jac DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos, jac, score
+         |FROM r WHERE rnk <= 5""".stripMargin,
     "ann_lsh" ->
       s"""WITH $bucketCte,
          |q0 AS (SELECT vec_id AS q_id, v AS qv, bucket AS qb FROM e
@@ -2715,6 +2794,7 @@ object PipelineQueries {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "ann_hybrid" -> ((s, d) => annHybrid(s, d)),
     "ann_sq" -> (annSq _),
     "ann_pq" -> (annPq _),
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
