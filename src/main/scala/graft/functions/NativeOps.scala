@@ -208,6 +208,153 @@ object NativeOps {
     bucket
   }
 
+  // ------------------------------------------------------------ PII scrub
+  //
+  // Single-pass replacement for the four-regex t_pii_mask projection:
+  // one byte scan finds every email match (the exact leftmost-greedy
+  // semantics of Java regex AND RE2 for the pattern
+  // [A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+ — both engines
+  // agree on this backtracking-free-equivalent pattern, which is what
+  // makes the kernel's hand rule well-defined), a second finds maximal
+  // digit runs (the [0-9]{6,} pattern). All pattern classes are ASCII,
+  // so the scan runs on raw UTF-8 bytes: multi-byte sequences never
+  // collide with ASCII classes, and matched-char counts equal matched-
+  // byte counts. PiiScrubSpec property-checks this kernel against
+  // java.util.regex on adversarial generated strings.
+
+  private def isEmailLocal(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+      (b >= '0' && b <= '9') || b == '.' || b == '_' || b == '%' ||
+      b == '+' || b == '-'
+  private def isEmailDomain(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z') ||
+      (b >= '0' && b <= '9') || b == '.' || b == '-'
+  private def isLetter(b: Byte): Boolean =
+    (b >= 'A' && b <= 'Z') || (b >= 'a' && b <= 'z')
+  private def isDigit(b: Byte): Boolean = b >= '0' && b <= '9'
+
+  private val EMAIL_TOKEN = "<EMAIL>".getBytes("US-ASCII")
+  private val NUM_TOKEN = "<NUM>".getBytes("US-ASCII")
+
+  /** Email matches as (start, end) byte intervals, in order, non-
+    * overlapping, with regexp_replace's continue-after-match rule.
+    * Semantics proof sketch (vs the Java/RE2 pattern above): at scan
+    * floor `from`, the leftmost match anchors on the first viable '@' —
+    * local part = maximal [A-Za-z0-9._%+-] run left of '@' clamped at
+    * `from` (leftmost start = run start); domain: B+ grabs the maximal
+    * [A-Za-z0-9.-] run, then backtracks to the LARGEST '.' followed by
+    * >=2 letters (greedy B+ gives back minimally); the trailing letter
+    * run is taken maximally (pattern end). An '@' whose local or domain
+    * fails can never seed a match from a later start before the next
+    * '@' (any later start inside the same local run fails identically). */
+  private def emailIntervals(b: Array[Byte]): Array[Int] = {
+    val n = b.length
+    var out = new Array[Int](8)
+    var m = 0
+    var from = 0
+    var j = 0
+    while (j < n) {
+      if (b(j) == '@' && j > from) {
+        var ls = j
+        while (ls > from && isEmailLocal(b(ls - 1))) ls -= 1
+        if (ls < j) {
+          var de = j + 1
+          while (de < n && isEmailDomain(b(de))) de += 1
+          if (de > j + 1) {
+            var k = de - 1
+            var best = -1
+            while (k >= j + 2 && best < 0) {
+              if (b(k) == '.' && k + 2 < n && isLetter(b(k + 1)) &&
+                isLetter(b(k + 2))) best = k
+              k -= 1
+            }
+            if (best >= 0) {
+              var me = best + 1
+              while (me < n && isLetter(b(me))) me += 1
+              if (m + 2 > out.length)
+                out = java.util.Arrays.copyOf(out, out.length * 2)
+              out(m) = ls; out(m + 1) = me; m += 2
+              from = me
+              j = me - 1 // loop increment lands on me
+            }
+          }
+        }
+      }
+      j += 1
+    }
+    java.util.Arrays.copyOf(out, m)
+  }
+
+  /** Mask the digit runs (>= 6) of b[from, to) into `out`, returning the
+    * new output position. Runs never straddle segment edges: a digit
+    * adjacent to an email match's local part would have been inside the
+    * match (digits are local-part chars), and the <EMAIL> token itself
+    * is digit-free. */
+  private def maskDigitsInto(b: Array[Byte], from: Int, to: Int,
+      out: Array[Byte], outPos: Int): Int = {
+    var p = outPos
+    var i = from
+    while (i < to) {
+      if (isDigit(b(i))) {
+        var e = i + 1
+        while (e < to && isDigit(b(e))) e += 1
+        if (e - i >= 6) {
+          System.arraycopy(NUM_TOKEN, 0, out, p, NUM_TOKEN.length)
+          p += NUM_TOKEN.length
+        } else {
+          System.arraycopy(b, i, out, p, e - i)
+          p += e - i
+        }
+        i = e
+      } else {
+        out(p) = b(i)
+        p += 1
+        i += 1
+      }
+    }
+    p
+  }
+
+  /** One-pass PII scrub: (masked, email_chars, digit_run_chars) exactly
+    * as the four-regex projection computes them — email replace first,
+    * then digit-run replace on the result; both char counts over the
+    * ORIGINAL text. Returns a struct row. */
+  def piiScrub(s: UTF8String): org.apache.spark.sql.catalyst.InternalRow = {
+    val b = s.getBytes
+    val n = b.length
+    val iv = emailIntervals(b)
+    var emailChars = 0L
+    var i = 0
+    while (i < iv.length) { emailChars += iv(i + 1) - iv(i); i += 2 }
+    var digitChars = 0L
+    i = 0
+    while (i < n) {
+      if (isDigit(b(i))) {
+        var e = i + 1
+        while (e < n && isDigit(b(e))) e += 1
+        if (e - i >= 6) digitChars += e - i
+        i = e
+      } else i += 1
+    }
+    // <EMAIL> (7B) can outgrow the shortest match (6B: a@b.cc); <NUM>
+    // only shrinks. n + one byte per email bounds the output.
+    val out = new Array[Byte](n + iv.length / 2)
+    var p = 0
+    var pos = 0
+    i = 0
+    while (i < iv.length) {
+      p = maskDigitsInto(b, pos, iv(i), out, p)
+      System.arraycopy(EMAIL_TOKEN, 0, out, p, EMAIL_TOKEN.length)
+      p += EMAIL_TOKEN.length
+      pos = iv(i + 1)
+      i += 2
+    }
+    p = maskDigitsInto(b, pos, n, out, p)
+    val masked = UTF8String.fromBytes(java.util.Arrays.copyOf(out, p))
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](masked, emailChars, digitChars))
+  }
+
   def lshBucket(v: ArrayData): Long = {
     var bucket = 0L
     var j = 0

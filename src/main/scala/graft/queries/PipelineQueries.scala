@@ -356,6 +356,52 @@ object PipelineQueries {
           |     ELSE 'test' END""".stripMargin))
       .select("doc_id", "cluster_id", "split")
 
+  /** Canonical-document selection: after near-dup clustering, keep the
+    * highest-QUALITY member of every cluster (ties to the lowest doc_id)
+    * — the curation step that upgrades [[dDedupClusters]]' "keep lowest
+    * id" to "keep best", which is what production pipelines actually do
+    * (the canonical copy should be the cleanest one, not the first
+    * crawled). Realized as max-then-tiebreak: per-cluster max(quality)
+    * (partial-aggregated), join back on the max, min(doc_id) among the
+    * argmax rows — two keyed aggregations with map-side combine and NO
+    * per-cluster rank window, so a pathological boilerplate mega-cluster
+    * (one license page duplicated across millions of docs) never pins a
+    * single window task. Quality doubles are bit-identical across
+    * engines (t_quality is hash-green), so the equality join on the max
+    * is exact. */
+  def dKeepBest(s: SparkSession, dir: String): DataFrame = {
+    val members = dDedupClusters(s, dir).select("doc_id", "cluster_id")
+      .join(tQuality(s, dir).select("doc_id", "quality"), Seq("doc_id"))
+    val best = members.groupBy("cluster_id")
+      .agg(count(lit(1)).as("n_members"), max("quality").as("best_quality"))
+    members.join(best, "cluster_id")
+      .filter(col("quality") === col("best_quality"))
+      .groupBy("cluster_id")
+      .agg(min("doc_id").as("keeper_id"), min("n_members").as("n_members"),
+        min("best_quality").as("best_quality"))
+  }
+
+  /** Duplicate-n-gram statistics (the RefinedWeb / MassiveText document-
+    * level duplication signal): for every doc, how many of its DISTINCT
+    * 3-gram shingles occur in at least one other document. Complementary
+    * to pairwise near-dup detection — no pair enumeration at all, just
+    * shingle document-frequencies, so boilerplate-heavy docs surface
+    * even when no single partner doc crosses a pairwise threshold.
+    *
+    * Scale shape: two keyed partial/final aggregations (shingle df over
+    * the exploded shingle stream, then the per-doc rollup) plus one
+    * shingle-keyed join — linear in total shingles at any corpus size,
+    * never a pair join. Integer outputs, exact cross-engine. */
+  def dDupNgramFrac(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
+    ex.join(dfreq, "shingle")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_dup_shingles"))
+  }
+
   // ------------------------------------------------- embeddings similarity
 
   /** Corpus-scaled LSH bucket per vector: the low [[lshBandBits]] bits
@@ -974,6 +1020,76 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "score")
   }
 
+  /** Two-stage retrieval: PQ-ADC shortlist, exact rerank — the canonical
+    * production ANN layout (FAISS refine / "rerank with raw vectors"):
+    * stage 1 scores every candidate against the 32x-compressed codes via
+    * the ADC LUT (cheap, approximate), keeps a top-32 shortlist per
+    * query; stage 2 reads the RAW vectors for the shortlist rows only
+    * and reranks by exact cosine. Recovers the exactness PQ quantization
+    * loses while touching only queries x 32 raw vectors after the
+    * compressed scan — at 100 TB the raw-vector fetch is a
+    * broadcast-shortlist join against the vector store, never a second
+    * corpus scan.
+    *
+    * Scale shape: identical compressed scan to [[annPq]] (map-only
+    * encode, per-query LUT broadcast, WindowGroupLimit-bounded rank);
+    * the rerank joins e (corpus) against a BROADCAST shortlist
+    * (queries x 32 ids) then the broadcast raw-query frame — both
+    * model-sized. Exact-cosine rerank arithmetic is the shared kernel,
+    * so the oracle hash-matches bit-for-bit. */
+  def annRerank(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"), col("embedding").as("v"))
+    val cb = pqCodebookArr(e)
+    val coded = pqCoded(e, cb).select("vec_id", "v", "code", "rnorm")
+    val qRaw = coded.filter(col("vec_id") < 8)
+      .withColumn("cb", pqCbLit(cb))
+      .withColumn("lut", expr(pqLutExpr))
+      .withColumn("qn", expr(PV.normSpark("v")))
+    val q = qRaw.select(col("vec_id").as("q_id"), col("lut"), col("qn"))
+    val scored = coded
+      .select(col("vec_id").as("n_id"), col("code"), col("rnorm"))
+      .crossJoin(broadcast(q))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("score", pqAdcScore(s))
+    val ws = Window.partitionBy("q_id").orderBy(col("score").desc, col("n_id"))
+    val shortlist = scored.withColumn("srnk", row_number().over(ws))
+      .filter(col("srnk") <= 32)
+      .select("q_id", "n_id")
+    val reranked = e.toDF("n_id", "nv")
+      .join(broadcast(shortlist), Seq("n_id"))
+      .join(broadcast(qRaw.select(col("vec_id").as("q_id"), col("v").as("qv"))),
+        Seq("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+    val wr = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    reranked.withColumn("rnk", row_number().over(wr).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "n_id", "cos")
+  }
+
+  /** Index-quality evaluation inside the engine: recall@5 of the IVF
+    * probed search ([[annIvf]]) against the exact brute-force ground
+    * truth ([[annBruteforce]]) on the shared query set — the metric an
+    * ANN deployment is actually accepted by, computed as a first-class
+    * query so eval rides the same session-cached assignment the index
+    * itself uses. Integer outputs (hit counts), exact cross-engine.
+    *
+    * Scale shape: ground truth costs queries x corpus ONCE per eval
+    * (bounded by the query sample, not corpus growth); the hit
+    * comparison is a left-semi join between two query-sized top-k
+    * frames. */
+  def embRecallEval(s: SparkSession, dir: String): DataFrame = {
+    val exact = annBruteforce(s, dir).select(col("q_id"), col("n_id"))
+    val hits = exact.join(annIvf(s, dir).select(col("q_id"), col("n_id")),
+        Seq("q_id", "n_id"), "left_semi")
+      .groupBy("q_id").agg(count(lit(1)).as("n_hits"))
+    exact.groupBy("q_id").agg(count(lit(1)).as("n_exact"))
+      .join(hits, Seq("q_id"), "left")
+      .select(col("q_id"), col("n_exact"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** IVF-PQ approximate top-k — the composition of [[annIvf]]'s probe
     * pruning with [[annPq]]'s compressed ADC scoring, i.e. the canonical
     * billion-scale ANN index layout (FAISS `IndexIVFPQ` with
@@ -1301,6 +1417,50 @@ object PipelineQueries {
           lit(0.5) * (least(col("n_tokens"), lit(200L)).cast(DoubleType) /
             lit(200.0))) - col("punct_ratio"))
   }
+
+  /** Gopher-style document quality rules (Rae et al. 2021 §A1.1 — the
+    * published format/repetition filter suite LLM corpora are screened
+    * with), each rule a pure integer comparison so the cross-engine
+    * compare is exact (no ratio doubles): word count in [50, 100000];
+    * mean word length in [3, 10] (as 3n <= chars <= 10n); <= 30% of
+    * lines ending in an ellipsis; <= 90% of lines starting with a
+    * bullet; >= 80% of words containing an alphabetic character; >= 2
+    * distinct stopwords. Map-only single projection — scan-speed at any
+    * corpus size, nothing to shuffle. */
+  def tGopherRules(s: SparkSession, dir: String): DataFrame =
+    tbl(s, dir, "documents")
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), expr("graft_tokens(text)").as("toks"),
+        split(col("text"), "\n").as("lines"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_words"),
+        expr("CAST(aggregate(transform(toks, t -> length(t)), 0, (a, x) -> a + x) AS BIGINT)")
+          .as("tok_chars"),
+        expr("CAST(size(filter(toks, t -> translate(t, '0123456789', '') != '')) AS BIGINT)")
+          .as("n_alpha_words"),
+        expr(s"CAST(size(array_distinct(filter(toks, t -> t IN ($stopListSql)))) AS BIGINT)")
+          .as("n_stop_distinct"),
+        size(col("lines")).cast(LongType).as("n_lines"),
+        expr("CAST(size(filter(lines, l -> l LIKE '%...')) AS BIGINT)")
+          .as("n_ellipsis_lines"),
+        expr("CAST(size(filter(lines, l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT)")
+          .as("n_bullet_lines"))
+      .withColumn("flag_word_count",
+        col("n_words") >= 50L && col("n_words") <= 100000L)
+      .withColumn("flag_word_len",
+        col("tok_chars") >= col("n_words") * 3L &&
+          col("tok_chars") <= col("n_words") * 10L)
+      .withColumn("flag_ellipsis",
+        col("n_ellipsis_lines") * 10L <= col("n_lines") * 3L)
+      .withColumn("flag_bullet",
+        col("n_bullet_lines") * 10L <= col("n_lines") * 9L)
+      .withColumn("flag_alpha",
+        col("n_alpha_words") * 5L >= col("n_words") * 4L)
+      .withColumn("flag_stop", col("n_stop_distinct") >= 2L)
+      .withColumn("pass",
+        col("flag_word_count") && col("flag_word_len") &&
+          col("flag_ellipsis") && col("flag_bullet") &&
+          col("flag_alpha") && col("flag_stop"))
 
   def tTokens(s: SparkSession, dir: String): DataFrame =
     tbl(s, dir, "documents")
@@ -1658,18 +1818,20 @@ object PipelineQueries {
     * columns — no shuffle, scan-speed at any scale. Patterns are kept to
     * syntax with identical semantics in Java regex (Spark) and RE2
     * (DuckDB). */
-  def tPiiMask(s: SparkSession, dir: String): DataFrame = {
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"
-    val digits = "[0-9][0-9][0-9][0-9][0-9][0-9]+"
+  def tPiiMask(s: SparkSession, dir: String): DataFrame =
+    // graft_pii_scrub computes all three outputs in ONE byte scan — the
+    // four-regex projection it replaces re-scanned every row 4x with
+    // backtracking java.util.regex and was the suite's 100x census
+    // ceiling (116x). Semantics identical (PiiScrubSpec property-pins
+    // the kernel against the regexes; the DuckDB oracle still runs the
+    // regex form). The struct is projected in the same SELECT, so the
+    // scrub runs once per row under whole-stage codegen subexpression
+    // elimination.
     tbl(s, dir, "documents")
-      .select(col("doc_id"),
-        regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
-          digits, "<NUM>").as("masked"),
-        (length(col("text")) - length(regexp_replace(col("text"), email, "")))
-          .cast(LongType).as("email_chars"),
-        (length(col("text")) - length(regexp_replace(col("text"), digits, "")))
-          .cast(LongType).as("digit_run_chars"))
-  }
+      .select(col("doc_id"), expr("graft_pii_scrub(text)").as("p"))
+      .select(col("doc_id"), col("p.masked").as("masked"),
+        col("p.email_chars").as("email_chars"),
+        col("p.digit_run_chars").as("digit_run_chars"))
 
   /** The capstone: the whole training-data preprocessing pipeline as ONE
     * declarative plan — quality filter, language-ID, near-dup keeper
@@ -1770,6 +1932,62 @@ object PipelineQueries {
   // ------------------------------------------------------------ oracle SQL
 
   private val toksDuck = PT.tokensDuck("text")
+  /** Shared PQ-ADC oracle pipeline (codebook -> encode -> LUT -> ADC-
+    * scored candidates), ending at `scored(q_id, n_id, score)`;
+    * consumed by the ann_pq rank tail and the ann_rerank shortlist +
+    * exact-rerank tail. */
+  private val pqScoredCte =
+    s"""emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+       |cbt AS (SELECT list(v ORDER BY vec_id) AS cb FROM emb
+       |        WHERE vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, v,
+       |    list_transform(range(0, 8), sub ->
+       |      list_transform(range(0, 16), c ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 9), j ->
+       |            (CAST(v[sub * 8 + j] AS DOUBLE)
+       |             - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))
+       |            * (CAST(v[sub * 8 + j] AS DOUBLE)
+       |               - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE)))),
+       |          (x, y) -> x + y))) AS dists
+       |  FROM emb CROSS JOIN cbt),
+       |coded AS (
+       |  SELECT vec_id, v,
+       |    list_transform(dists, d -> list_position(d, list_min(d))) AS code
+       |  FROM enc),
+       |codn AS (
+       |  SELECT vec_id, code,
+       |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, 8), sub ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 9), j ->
+       |            CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE)
+       |            * CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE))),
+       |          (x, y) -> x + y))),
+       |      (x, y) -> x + y)) AS rnorm
+       |  FROM coded CROSS JOIN cbt),
+       |q AS (
+       |  SELECT vec_id AS q_id,
+       |    flatten(list_transform(range(0, 8), sub ->
+       |      list_transform(range(0, 16), c ->
+       |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |          list_transform(range(1, 9), j ->
+       |            CAST(v[sub * 8 + j] AS DOUBLE)
+       |            * CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))),
+       |          (x, y) -> x + y)))) AS lut,
+       |    ${PV.normDuck("v")} AS qn
+       |  FROM emb CROSS JOIN cbt WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT q.q_id, n.vec_id AS n_id,
+       |    CASE WHEN q.qn * n.rnorm = CAST(0 AS DOUBLE)
+       |         THEN CAST(0 AS DOUBLE)
+       |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
+       |      list_transform(range(0, 8), sub ->
+       |        q.lut[sub * 16 + n.code[sub + 1]])), (x, y) -> x + y)
+       |      / (q.qn * n.rnorm) END AS score
+       |  FROM codn n CROSS JOIN q WHERE n.vec_id <> q.q_id)""".stripMargin
+
   private val thCte =
     s"""toksT AS (SELECT doc_id, lang, $toksDuck AS toks
        |          FROM documents WHERE len($toksDuck) >= 3),
@@ -1923,6 +2141,69 @@ object PipelineQueries {
          |SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id,
          |       id = min(lbl) AS is_keeper
          |FROM reach GROUP BY id""".stripMargin,
+    // cluster CTE + t_quality's quality formula; keeper = max quality,
+    // ties to the lowest doc_id (max-then-tiebreak, mirroring the
+    // window-free Spark plan)
+    "d_keep_best" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |qd AS (
+         |  SELECT doc_id,
+         |         (0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
+         |          0.5 * (CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0)) -
+         |         (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE))
+         |           AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |           CAST(length(text) AS BIGINT) AS n_chars,
+         |           CAST(len(toks) AS BIGINT) AS n_tokens,
+         |           CAST(length(text) -
+         |                length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |                AS BIGINT) AS n_punct,
+         |           CAST(len(list_filter(toks, t -> t IN ($stopListSql)))
+         |                AS BIGINT) AS n_stop
+         |    FROM (SELECT doc_id, text, $toksDuck AS toks FROM documents
+         |          WHERE len($toksDuck) >= 1))),
+         |mm AS (SELECT cl.doc_id, cl.cluster_id, qd.quality
+         |       FROM cl JOIN qd USING (doc_id)),
+         |b AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |             max(quality) AS best_quality
+         |      FROM mm GROUP BY 1)
+         |SELECT mm.cluster_id, min(mm.doc_id) AS keeper_id,
+         |       min(b.n_members) AS n_members,
+         |       min(b.best_quality) AS best_quality
+         |FROM mm JOIN b USING (cluster_id)
+         |WHERE mm.quality = b.best_quality
+         |GROUP BY mm.cluster_id""".stripMargin,
+    // distinct-shingle document frequencies rolled back up per doc —
+    // no pair enumeration, so the oracle mirrors the two keyed aggs
+    "d_dup_ngram_frac" ->
+      s"""WITH $thCte,
+         |shT AS (SELECT doc_id, ${PT.shingleHashesDuck("th")} AS sh FROM thT),
+         |ex AS (SELECT doc_id, unnest(sh) AS shingle FROM shT),
+         |dfT AS (SELECT shingle, count(*) AS df FROM ex GROUP BY 1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_shingles
+         |FROM ex JOIN dfT USING (shingle)
+         |GROUP BY doc_id""".stripMargin,
     "d_split_leakfree" ->
       s"""WITH RECURSIVE $pairsCte,
          |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
@@ -2104,6 +2385,44 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    // exact brute-force top-5 vs IVF probed top-5, hits counted per query
+    "emb_recall_eval" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM emb WHERE vec_id < 8),
+         |bscored AS (
+         |  SELECT q.q_id, e.vec_id AS n_id,
+         |         ${PV.cosineDuck("q.qv", "e.v")} AS cos
+         |  FROM emb e CROSS JOIN q WHERE e.vec_id <> q.q_id),
+         |br AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM bscored),
+         |bt AS (SELECT q_id, n_id FROM br WHERE rnk <= 5),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |           AS crn
+         |  FROM emb e CROSS JOIN cent c),
+         |lists AS (SELECT vec_id AS n_id, v AS nv, cid FROM sc WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cid FROM sc
+         |           WHERE vec_id < 8 AND crn <= 2),
+         |iscored AS (
+         |  SELECT p.q_id, l.n_id, ${PV.cosineDuck("p.qv", "l.nv")} AS cos
+         |  FROM lists l JOIN probes p USING (cid) WHERE l.n_id <> p.q_id),
+         |ir AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM iscored),
+         |it AS (SELECT q_id, n_id FROM ir WHERE rnk <= 5),
+         |h AS (SELECT bt.q_id, CAST(count(*) AS BIGINT) AS n_hits
+         |      FROM bt JOIN it USING (q_id, n_id) GROUP BY 1),
+         |ex AS (SELECT q_id, CAST(count(*) AS BIGINT) AS n_exact
+         |       FROM bt GROUP BY 1)
+         |SELECT ex.q_id, ex.n_exact,
+         |       coalesce(h.n_hits, CAST(0 AS BIGINT)) AS n_hits
+         |FROM ex LEFT JOIN h USING (q_id)""".stripMargin,
     // ann_ivf's probe CTEs + token-set jaccard; the blended double rank
     // is deterministic (cosine kernel + integer set sizes)
     "ann_hybrid" ->
@@ -2193,59 +2512,25 @@ object PipelineQueries {
          |             ORDER BY score DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
     "ann_pq" ->
-      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
-         |cbt AS (SELECT list(v ORDER BY vec_id) AS cb FROM emb
-         |        WHERE vec_id < 16),
-         |enc AS (
-         |  SELECT vec_id, v,
-         |    list_transform(range(0, 8), sub ->
-         |      list_transform(range(0, 16), c ->
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(range(1, 9), j ->
-         |            (CAST(v[sub * 8 + j] AS DOUBLE)
-         |             - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))
-         |            * (CAST(v[sub * 8 + j] AS DOUBLE)
-         |               - CAST(cb[c + 1][sub * 8 + j] AS DOUBLE)))),
-         |          (x, y) -> x + y))) AS dists
-         |  FROM emb CROSS JOIN cbt),
-         |coded AS (
-         |  SELECT vec_id, v,
-         |    list_transform(dists, d -> list_position(d, list_min(d))) AS code
-         |  FROM enc),
-         |codn AS (
-         |  SELECT vec_id, code,
-         |    sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(0, 8), sub ->
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(range(1, 9), j ->
-         |            CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE)
-         |            * CAST(cb[code[sub + 1]][sub * 8 + j] AS DOUBLE))),
-         |          (x, y) -> x + y))),
-         |      (x, y) -> x + y)) AS rnorm
-         |  FROM coded CROSS JOIN cbt),
-         |q AS (
-         |  SELECT vec_id AS q_id,
-         |    flatten(list_transform(range(0, 8), sub ->
-         |      list_transform(range(0, 16), c ->
-         |        list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |          list_transform(range(1, 9), j ->
-         |            CAST(v[sub * 8 + j] AS DOUBLE)
-         |            * CAST(cb[c + 1][sub * 8 + j] AS DOUBLE))),
-         |          (x, y) -> x + y)))) AS lut,
-         |    ${PV.normDuck("v")} AS qn
-         |  FROM emb CROSS JOIN cbt WHERE vec_id < 8),
-         |scored AS (
-         |  SELECT q.q_id, n.vec_id AS n_id,
-         |    CASE WHEN q.qn * n.rnorm = CAST(0 AS DOUBLE)
-         |         THEN CAST(0 AS DOUBLE)
-         |    ELSE list_reduce(list_prepend(CAST(0 AS DOUBLE),
-         |      list_transform(range(0, 8), sub ->
-         |        q.lut[sub * 16 + n.code[sub + 1]])), (x, y) -> x + y)
-         |      / (q.qn * n.rnorm) END AS score
-         |  FROM codn n CROSS JOIN q WHERE n.vec_id <> q.q_id),
+      s"""WITH $pqScoredCte,
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY score DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, score FROM r WHERE rnk <= 5""".stripMargin,
+    // ann_pq's ADC-scored CTE cut at a 32-deep shortlist, then exact
+    // cosine over the raw vectors of the shortlist rows only
+    "ann_rerank" ->
+      s"""WITH $pqScoredCte,
+         |r0 AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY score DESC, n_id) AS srnk FROM scored),
+         |sl AS (SELECT q_id, n_id FROM r0 WHERE srnk <= 32),
+         |rr AS (SELECT sl.q_id, sl.n_id,
+         |              ${PV.cosineDuck("q2.v", "n2.v")} AS cos
+         |       FROM sl JOIN emb n2 ON n2.vec_id = sl.n_id
+         |               JOIN emb q2 ON q2.vec_id = sl.q_id),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM rr)
+         |SELECT q_id, CAST(rnk AS BIGINT) AS rnk, n_id, cos
+         |FROM r WHERE rnk <= 5""".stripMargin,
     "ann_ivfpq" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (
@@ -2350,6 +2635,44 @@ object PipelineQueries {
          |       (0.5 * (CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) +
          |        0.5 * (CAST(LEAST(n_tokens, 200) AS DOUBLE) / 200.0)) -
          |       (CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE)) AS quality
+         |FROM m""".stripMargin,
+    "t_gopher_rules" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, $toksDuck AS toks,
+         |         string_split(text, chr(10)) AS lines
+         |  FROM documents WHERE text IS NOT NULL),
+         |m AS (
+         |  SELECT doc_id,
+         |    CAST(len(toks) AS BIGINT) AS n_words,
+         |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0)
+         |      AS BIGINT) AS tok_chars,
+         |    CAST(len(list_filter(toks,
+         |      t -> translate(t, '0123456789', '') != '')) AS BIGINT)
+         |      AS n_alpha_words,
+         |    CAST(len(list_distinct(list_filter(toks,
+         |      t -> t IN ($stopListSql)))) AS BIGINT) AS n_stop_distinct,
+         |    CAST(len(lines) AS BIGINT) AS n_lines,
+         |    CAST(len(list_filter(lines, l -> l LIKE '%...')) AS BIGINT)
+         |      AS n_ellipsis_lines,
+         |    CAST(len(list_filter(lines,
+         |      l -> l LIKE '- %' OR l LIKE '* %')) AS BIGINT)
+         |      AS n_bullet_lines
+         |  FROM d)
+         |SELECT doc_id, n_words, tok_chars, n_alpha_words, n_stop_distinct,
+         |       n_lines, n_ellipsis_lines, n_bullet_lines,
+         |       n_words >= 50 AND n_words <= 100000 AS flag_word_count,
+         |       tok_chars >= n_words * 3 AND tok_chars <= n_words * 10
+         |         AS flag_word_len,
+         |       n_ellipsis_lines * 10 <= n_lines * 3 AS flag_ellipsis,
+         |       n_bullet_lines * 10 <= n_lines * 9 AS flag_bullet,
+         |       n_alpha_words * 5 >= n_words * 4 AS flag_alpha,
+         |       n_stop_distinct >= 2 AS flag_stop,
+         |       (n_words >= 50 AND n_words <= 100000)
+         |         AND (tok_chars >= n_words * 3 AND tok_chars <= n_words * 10)
+         |         AND n_ellipsis_lines * 10 <= n_lines * 3
+         |         AND n_bullet_lines * 10 <= n_lines * 9
+         |         AND n_alpha_words * 5 >= n_words * 4
+         |         AND n_stop_distinct >= 2 AS pass
          |FROM m""".stripMargin,
     "t_tokens" ->
       s"""SELECT doc_id,
@@ -2797,7 +3120,12 @@ object PipelineQueries {
     "ann_hybrid" -> ((s, d) => annHybrid(s, d)),
     "ann_sq" -> (annSq _),
     "ann_pq" -> (annPq _),
+    "ann_rerank" -> (annRerank _),
     "ann_ivfpq" -> ((s, d) => annIvfPq(s, d)),
+    "emb_recall_eval" -> (embRecallEval _),
+    "d_keep_best" -> (dKeepBest _),
+    "d_dup_ngram_frac" -> (dDupNgramFrac _),
+    "t_gopher_rules" -> (tGopherRules _),
     "emb_centroids" -> (embCentroids _),
     "emb_kmeans_iter" -> ((s, d) => embKmeansIter(s, d)),
     "emb_pca_power" -> (embPcaPower _),

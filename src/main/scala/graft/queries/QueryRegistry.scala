@@ -54,6 +54,16 @@ object QueryRegistry {
         .filter(col("__rn") === 1)
         .select("event_id", "ts", "user_id", "event_type", "value")
     }),
+    // batch twin of StreamingAgg.transitionSteps: one fold per user over
+    // the full sorted history against empty state == the lead-window
+    // Markov pairs of q_transitions (restricted to non-null keys)
+    "stream_transitions" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, lit}
+      graft.streaming.StreamingAgg
+        .transitionSteps(AggQueries.events(s, dir)).toDF()
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+    }),
     // batch twin of StreamingAgg.sessionize (flatMapGroupsWithState):
     // identical session semantics via keyed windows; session bounds in
     // integer epoch-micros, v_sum decimal-exact then cast once
@@ -144,6 +154,18 @@ object QueryRegistry {
         |             ORDER BY t, event_id) AS rn FROM e)
         |SELECT event_id, ts, user_id, event_type, value FROM r
         |WHERE rn = 1""".stripMargin,
+    "stream_transitions" ->
+      """WITH s AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY epoch_us(ts), event_id) AS to_type
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL AND event_type IS NOT NULL)
+        |SELECT event_type AS from_type, to_type,
+        |       CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE to_type IS NOT NULL
+        |GROUP BY 1, 2""".stripMargin,
     "stream_sessionize" ->
       """WITH e AS (
         |  SELECT user_id, event_id, value, epoch_us(ts) AS t FROM events

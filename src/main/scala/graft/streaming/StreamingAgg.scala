@@ -77,6 +77,11 @@ final case class ProfileUpdate(event_type: String, n: Long, n_null: Long,
   * the sketch width, never by stream length or key cardinality. */
 final case class FreqState(items: Array[Long], counts: Array[Long],
     nSeen: Long)
+final case class TransEvent(user_id: Long, t: Long, event_id: Long,
+  event_type: String)
+final case class TransState(t: Long, event_id: Long, event_type: String)
+final case class TransStep(user_id: Long, from_type: String,
+  to_type: String)
 final case class FreqUpdate(event_type: String, n_seen: Long,
     n_tracked: Long, candidates: Array[Long])
 
@@ -822,6 +827,47 @@ object StreamingAgg {
             else (k - 1).toDouble * p.toDouble / buf.last().toDouble
           ProfileUpdate(key, n, nNull, mn, mx,
             if (n > nNull) Some(sumE4) else None, est)
+        })
+  }
+
+  /** Continuous event-type transition counting — the streaming twin of
+    * the batch q_transitions Markov-step query: state per user is the
+    * LAST seen event; each micro-batch sorts its slice by (event time,
+    * event_id) and emits one (from → to) step per consecutive pair,
+    * chaining across batches through the stored last event, so the
+    * transition matrix accumulates incrementally instead of re-windowing
+    * the whole history per refresh. State is ONE small row per live
+    * user — bounded by user cardinality, not stream length. A late
+    * arrival (event older than the stored last) chains in processing
+    * order, the same first-arrival semantics as the dedup streams; in
+    * batch mode (one fold per user over the full sorted history against
+    * empty state) the steps equal the lead-window pairs exactly, which
+    * is what the oracle checks. */
+  def transitionSteps(events: DataFrame): Dataset[TransStep] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("t"),
+        col("event_id").cast(LongType).as("event_id"),
+        col("event_type"))
+      .as[TransEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[TransEvent], st: GroupState[TransState]) => {
+          val evs = it.toArray.sortBy(e => (e.t, e.event_id))
+          val out = Seq.newBuilder[TransStep]
+          var prev = st.getOption
+          evs.foreach { e =>
+            prev.foreach(p => out += TransStep(uid, p.event_type,
+              e.event_type))
+            prev = Some(TransState(e.t, e.event_id, e.event_type))
+          }
+          prev.foreach(st.update)
+          out.result().iterator
         })
   }
 }

@@ -1046,4 +1046,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.toSeq).toMap,
       "topk soak did not converge to the batch fold")
   }
+
+  test("transition steps chain across batches through per-user state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[AEv]
+    def aev(sec: Long, uid: Long, t: String, id: Long) =
+      AEv(new java.sql.Timestamp(sec * 1000L), uid, t, id, 1.0)
+    val q = StreamingAgg.transitionSteps(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trs").start()
+    try {
+      // batch 1: user 1 view->click (out-of-order arrival sorts by time)
+      mem.addData(aev(20, 1L, "click", 2L), aev(10, 1L, "view", 1L))
+      q.processAllAvailable()
+      val b1 = spark.table("trs")
+        .select("user_id", "from_type", "to_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(b1 === Set((1L, "view", "click")))
+      // batch 2: user 1 continues FROM THE STORED last event (click),
+      // user 2 starts fresh (no step from a single event)
+      mem.addData(aev(30, 1L, "purchase", 3L), aev(5, 2L, "view", 4L))
+      q.processAllAvailable()
+      val b2 = spark.table("trs")
+        .select("user_id", "from_type", "to_type").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+      assert(b2 === Set((1L, "view", "click"), (1L, "click", "purchase")))
+    } finally q.stop()
+    // batch mode == the lead-window pairs of the same history
+    val hist = Seq(aev(10, 1L, "view", 1L), aev(20, 1L, "click", 2L),
+      aev(30, 1L, "purchase", 3L), aev(5, 2L, "view", 4L)).toDF()
+    val steps = StreamingAgg.transitionSteps(hist).toDF()
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(steps === Set((1L, "view", "click"), (1L, "click", "purchase")))
+  }
 }
