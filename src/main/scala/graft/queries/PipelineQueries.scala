@@ -572,15 +572,109 @@ object PipelineQueries {
         (col("__s").cast(DoubleType) / lit(1e9) /
           col("n_nbrs").cast(DoubleType)).as("density"))
 
+  /** Hard-negative mining — for every vector, the top-2 most-similar
+    * vectors carrying a DIFFERENT label (the contrastive-training
+    * primitive: anchors paired with near-miss negatives produce the
+    * gradient signal easy random negatives cannot). Candidates come
+    * from the same corpus-scaled banded LSH as [[embKnnGraph]] — the
+    * label filter runs INSIDE the candidate stream (labels ride the
+    * band frame via `carry`, attached per vector BEFORE the band
+    * explode, so the n-row label join is the only extra work) and the
+    * per-anchor result is a bounded [[graft.functions.TopKScored]]
+    * fold, so nothing corpus-sized ever shuffles. Vectors whose
+    * candidate neighborhood is entirely same-label emit no rows — at
+    * training time those anchors fall back to in-batch negatives. */
+  def embHardNegatives(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val cand = bandedCandidates(s, dir, Seq("label"))
+      .filter(col("label_a") =!= col("label_b"))
+    val both = cand.selectExpr(
+      """inline(array(
+        |  named_struct('g', vec_a, 'nb', vec_b, 'cos', cos),
+        |  named_struct('g', vec_b, 'nb', vec_a, 'cos', cos)))"""
+        .stripMargin)
+    both
+      .groupBy(col("g").as("vec_id"))
+      .agg(expr("graft_topk_scored(cos, nb, 2)").as("nb"))
+      .select(col("vec_id"), posexplode(col("nb")).as(Seq("__i", "e")))
+      .select(col("vec_id"), (col("__i") + 1L).cast(LongType).as("rnk"),
+        col("e.payload").as("neg_id"), col("e.score").as("cos"))
+  }
+
+  /** The [[embKnnGraph]] edge list, memoized and cached: PageRank scans
+    * it four times in one action (degree + three iterations), and the
+    * banded candidate join is far too expensive to re-execute per
+    * scan. ≤ 4·n rows of two longs — cache cost is bounded by the
+    * corpus, not the candidate stream. */
+  private def knnEdges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "knnEdges") {
+      embKnnGraph(s, dir)
+        .select(col("vec_id").as("src"), col("n_id").as("dst"))
+        .cache()
+    }
+
+  /** PageRank over the kNN graph (3 iterations, damping 0.85) — the
+    * graph-centrality curation signal: a vector many neighborhoods
+    * point AT sits in a representative region; periphery vectors decay
+    * toward the teleport floor. Fixed iteration count keeps the query
+    * oracle-expressible (chained CTEs); a fleet run loops the same two
+    * shuffles per round with `localCheckpoint` like
+    * [[dDedupClusters]]'s pointer jumping.
+    *
+    * Arithmetic is integer-exact at scale 1e12 (floor division in both
+    * engines): rank mass starts at `1e12 div n` per node, each round
+    * redistributes `85% · Σ inbound (pr div deg)` plus the teleport
+    * `15% · 1e12 div n`, so every engine computes bit-identical BIGINT
+    * ranks — a float PageRank would drift across sum orders. Per
+    * iteration: one join of the (cached) ≤ 4·n edge list with the rank
+    * frame on `src`, one keyed aggregate on `dst` — two linear
+    * shuffles; the node universe (the degree frame) re-enters by left
+    * join so zero-inbound nodes keep their teleport mass. The 1-row
+    * count frame rides a broadcast cross join, never a collect. */
+  def embPagerank(s: SparkSession, dir: String): DataFrame = {
+    val edges = knnEdges(s, dir)
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val nFrame = deg.agg(count(lit(1)).as("n"))
+    val r0 = deg.crossJoin(broadcast(nFrame))
+      .select(col("src").as("vec_id"), col("deg"), col("n"),
+        expr("1000000000000L div n").as("pr"))
+    val last = (1 to 3).foldLeft(r0) { (prev, _) =>
+      val inSum = edges
+        .join(prev.select(col("vec_id").as("src"), col("deg"), col("pr")),
+          "src")
+        .groupBy(col("dst").as("vec_id"))
+        .agg(sum(expr("pr div deg")).as("insum"))
+      deg.select(col("src").as("vec_id"), col("deg"))
+        .join(inSum, Seq("vec_id"), "left")
+        .crossJoin(broadcast(nFrame))
+        .select(col("vec_id"), col("deg"), col("n"),
+          (expr("150000000000L div n") +
+            expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
+    }
+    last.select(col("vec_id"), col("deg").as("n_out"), col("pr"))
+  }
+
   /** [[embKnnGraph]]'s candidate stream: the same corpus-scaled band
     * join (+ residue blocking) as [[dEmbedNeardup]], but WITHOUT the
     * near-dup cosine threshold (the kNN graph wants weak neighbors too)
     * and WITHOUT a distinct — multi-band duplicates are deduped inside
     * the consumer's bounded fold, so the raw pairs stream through
-    * codegen without ever materializing or shuffling. */
-  private def bandedCandidates(s: SparkSession,
-      dir: String): DataFrame = {
-    val e = sig40(s, dir)
+    * codegen without ever materializing or shuffling.
+    *
+    * `carry` attaches extra per-vector embedding-table columns (e.g.
+    * `label` for [[embHardNegatives]]) to BOTH endpoints as
+    * `<name>_a`/`<name>_b`. The attach join runs BEFORE the band
+    * explode — n rows, one linear co-shuffle with the cached signature
+    * frame — so the (much larger) candidate stream itself never picks
+    * up an extra shuffle; with `carry` empty the plan is bit-identical
+    * to the historical one. */
+  private def bandedCandidates(s: SparkSession, dir: String,
+      carry: Seq[String] = Nil): DataFrame = {
+    val base = sig40(s, dir)
+    val e =
+      if (carry.isEmpty) base
+      else base.join(tbl(s, dir, "embeddings")
+        .select(col("vec_id") +: carry.map(col): _*), "vec_id")
     val b = lshBandBits(embCount(s, dir))
     val nb = 40 / b
     val keys = (0 until nb).map(k =>
@@ -588,8 +682,8 @@ object PipelineQueries {
         shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
         .as(s"k$k"))
     val w = Window.partitionBy("key")
-    val eb = e.select(col("vec_id"), col("v"),
-        explode(array(keys: _*)).as("key"))
+    val eb = e.select(col("vec_id") +: col("v") +: carry.map(col) :+
+        explode(array(keys: _*)).as("key"): _*)
       .withColumn("__h",
         expr("((vec_id % 1000003) * 2654435761) % 1000003"))
       .withColumn("__r", row_number().over(
@@ -597,12 +691,16 @@ object PipelineQueries {
       .withColumn("__bn", count(lit(1)).over(w))
       .withColumn("__m", expr("(__bn + 1023) div 1024"))
       .withColumn("blk", pmod(col("__r"), col("__m")))
-      .select("vec_id", "v", "key", "blk")
-    eb.toDF("vec_a", "va", "key", "blk")
-      .join(eb.toDF("vec_b", "vb", "key", "blk"), Seq("key", "blk"))
+      .select((Seq("vec_id", "v", "key", "blk") ++ carry).map(col): _*)
+    def side(sfx: String) = eb.select(
+      col("vec_id").as(s"vec_$sfx") +: col("v").as(s"v$sfx") +:
+        col("key") +: col("blk") +:
+        carry.map(c => col(c).as(s"${c}_$sfx")): _*)
+    side("a").join(side("b"), Seq("key", "blk"))
       .filter(col("vec_a") < col("vec_b"))
       .withColumn("cos", expr("graft_cosine(va, vb)"))
-      .select("vec_a", "vec_b", "cos")
+      .select(col("vec_a") +: col("vec_b") +: col("cos") +:
+        carry.flatMap(c => Seq(col(s"${c}_a"), col(s"${c}_b"))): _*)
   }
 
   // params-carrying operators keep (SparkSession, String) entries in the
@@ -1712,6 +1810,69 @@ object PipelineQueries {
         col("tf"), col("df"), col("score"))
   }
 
+  /** The registry's polynomial token hash (base 31 mod 1e9+7) applied
+    * driver-side to a LITERAL query term, so BM25 query-term constants
+    * fold into both engines' plans as plain BIGINTs. */
+  private def termHash(t: String): Long =
+    t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % PT.P)
+
+  /** The BM25 query issued by [[tBm25]] and its oracle — three common
+    * corpus terms, hashed with [[termHash]]. */
+  private[graft] val bm25Terms = Seq("vector", "hash", "window")
+
+  /** BM25-ranked retrieval: the top-10 documents for a fixed 3-term
+    * query under Okapi BM25 (k1 = 1.2, b = 0.75) with a log-free
+    * rational idf — the full-text ranking primitive next to the
+    * vector-side `ann_*` family (and the lexical leg a production
+    * hybrid retriever would feed into `ann_hybrid`'s fusion).
+    *
+    * Every factor is exact BIGINT arithmetic so both engines rank
+    * bit-identically (floating ln/division could flip near-ties):
+    *  - idf(t) ≈ (N − df + 0.5)/(df + 0.5), scaled 1e6 and floored as
+    *    `((N − df)·2e6 + 1e6) div (2·df + 1)` — same monotone-in-df
+    *    ordering as Robertson idf;
+    *  - the tf saturation term `tf·(k1+1) / (tf + k1·(1 − b + b·dl/
+    *    avgdl))` clears denominators with avgdl = T/N (T = corpus
+    *    tokens): numerator `tf·22·T·1000`, denominator `tf·10·T + 3·T
+    *    + 9·dl·N` — exact integers, one floor division, scale 1e3.
+    *    (Magnitudes: tf·22·T·1000 ≤ ~5e15 at the factor-1000 corpus —
+    *    BIGINT-safe.)
+    *
+    * Plan shape: the tokenized frame is the shared [[tokenHashes]]
+    * cache; the per-term explode filters to the 3 query hashes
+    * immediately (the stream entering the groupBy is query-term
+    * postings, not the corpus token stream); df and the 2-long corpus
+    * stats frame broadcast; the global top-10 is TakeOrderedAndProject
+    * (per-partition top-10 then a 10-row merge — no global sort), and
+    * the rank window runs over those 10 survivors only. */
+  def tBm25(s: SparkSession, dir: String): DataFrame = {
+    val qh = bm25Terms.map(termHash)
+    val th = tokenHashes(s, dir)
+    val stats = th.agg(count(lit(1)).as("n_docs"),
+      sum(size(col("th")).cast(LongType)).as("n_tokens"))
+    val tf = th
+      .select(col("doc_id"), size(col("th")).cast(LongType).as("dl"),
+        explode(col("th")).as("t"))
+      .filter(col("t").isin(qh: _*))
+      .groupBy("doc_id", "dl", "t").agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(dfq), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        expr("((n_docs - df) * 2000000L + 1000000L) div (2L * df + 1L)"))
+      .withColumn("__tfc",
+        expr("(tf * 22L * n_tokens * 1000L) div " +
+          "(tf * 10L * n_tokens + 3L * n_tokens + 9L * dl * n_docs)"))
+      .groupBy("doc_id").agg(sum(expr("__idf * __tfc")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(10)
+    // rank window over the 10 surviving rows only — a global window is
+    // fine when the frame is already bounded by the limit
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast(LongType))
+      .select("rk", "doc_id", "score")
+  }
+
   /** Deterministic k-per-group sample (the "pull 5 docs per source for
     * eval" primitive): rank docs inside each source by the multiplicative
     * hash of doc_id and keep the first 5 — a reproducible uniform sample
@@ -2333,6 +2494,112 @@ object PipelineQueries {
          |       CAST(sum(CAST(floor(cos * 1000000000.0 + 0.5) AS BIGINT))
          |            AS DOUBLE) / 1000000000.0 / count(*) AS density
          |FROM r WHERE rnk <= 4 GROUP BY vec_id""".stripMargin,
+    // the knn-graph band CTEs with labels carried onto both endpoints;
+    // the different-label filter runs inside the candidate join
+    "emb_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v, label,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v, label,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, label, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, label, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id AND a.label <> bb.label),
+         |bidir AS (SELECT vec_a, vec_b, cos FROM cand
+         |          UNION ALL
+         |          SELECT vec_b, vec_a, cos FROM cand),
+         |r AS (SELECT vec_a AS vec_id, vec_b AS neg_id, cos,
+         |             row_number() OVER (PARTITION BY vec_a
+         |               ORDER BY cos DESC, vec_b) AS rnk
+         |      FROM bidir)
+         |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neg_id, cos
+         |FROM r WHERE rnk <= 2""".stripMargin,
+    // the knn-graph CTEs -> directed edge list -> 3 exact-BIGINT
+    // PageRank iterations as chained CTEs (teleport 15%, damping 85%,
+    // rank mass scaled 1e12; floor division mirrors Spark's `div`)
+    "emb_pagerank" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id),
+         |bidir AS (SELECT vec_a, vec_b, cos FROM cand
+         |          UNION ALL
+         |          SELECT vec_b, vec_a, cos FROM cand),
+         |r AS (SELECT vec_a AS vec_id, vec_b AS n_id, cos,
+         |             row_number() OVER (PARTITION BY vec_a
+         |               ORDER BY cos DESC, vec_b) AS rnk
+         |      FROM bidir),
+         |edges AS (SELECT vec_id AS src, n_id AS dst FROM r
+         |          WHERE rnk <= 4),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+         |        FROM edges GROUP BY src),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM deg),
+         |r0 AS (SELECT src AS vec_id, deg,
+         |              CAST(1000000000000 AS BIGINT) // n AS pr
+         |       FROM deg, nn),
+         |i1 AS (SELECT d.src AS vec_id, d.deg,
+         |              150000000000 // nn.n +
+         |              (85 * COALESCE(s.insum, CAST(0 AS BIGINT))) // 100
+         |                AS pr
+         |       FROM deg d CROSS JOIN nn
+         |       LEFT JOIN (SELECT e2.dst,
+         |                    CAST(sum(p.pr // p.deg) AS BIGINT) AS insum
+         |                  FROM edges e2 JOIN r0 p ON e2.src = p.vec_id
+         |                  GROUP BY e2.dst) s ON d.src = s.dst),
+         |i2 AS (SELECT d.src AS vec_id, d.deg,
+         |              150000000000 // nn.n +
+         |              (85 * COALESCE(s.insum, CAST(0 AS BIGINT))) // 100
+         |                AS pr
+         |       FROM deg d CROSS JOIN nn
+         |       LEFT JOIN (SELECT e2.dst,
+         |                    CAST(sum(p.pr // p.deg) AS BIGINT) AS insum
+         |                  FROM edges e2 JOIN i1 p ON e2.src = p.vec_id
+         |                  GROUP BY e2.dst) s ON d.src = s.dst),
+         |i3 AS (SELECT d.src AS vec_id, d.deg,
+         |              150000000000 // nn.n +
+         |              (85 * COALESCE(s.insum, CAST(0 AS BIGINT))) // 100
+         |                AS pr
+         |       FROM deg d CROSS JOIN nn
+         |       LEFT JOIN (SELECT e2.dst,
+         |                    CAST(sum(p.pr // p.deg) AS BIGINT) AS insum
+         |                  FROM edges e2 JOIN i2 p ON e2.src = p.vec_id
+         |                  GROUP BY e2.dst) s ON d.src = s.dst)
+         |SELECT vec_id, deg AS n_out, CAST(pr AS BIGINT) AS pr
+         |FROM i3""".stripMargin,
     "d_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (
@@ -2854,6 +3121,34 @@ object PipelineQueries {
          |       FROM tf JOIN dfq USING (t))
          |SELECT doc_id, rk, t AS term_hash, tf, df, score
          |FROM sc WHERE rk <= 3""".stripMargin,
+    // BM25 with the rational idf / cleared-denominator saturation term —
+    // every factor exact BIGINT, floor division on both engines
+    "t_bm25" ->
+      s"""WITH $thCte,
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(len(th)) AS BIGINT) AS n_tokens
+         |          FROM thT),
+         |tu AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS dl,
+         |              unnest(th) AS t
+         |       FROM thT),
+         |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tu WHERE t IN (${bm25Terms.map(termHash).mkString(", ")})
+         |       GROUP BY 1, 2, 3),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+         |        GROUP BY t),
+         |sc AS (SELECT doc_id,
+         |         CAST(sum(
+         |           (((n_docs - df) * 2000000 + 1000000) // (2 * df + 1)) *
+         |           ((tf * 22 * n_tokens * 1000) //
+         |            (tf * 10 * n_tokens + 3 * n_tokens + 9 * dl * n_docs))
+         |         ) AS BIGINT) AS score
+         |       FROM tf JOIN dfq USING (t) CROSS JOIN stats
+         |       GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |         AS BIGINT) AS rk, doc_id, score
+         |FROM top""".stripMargin,
     "d_sample_k" ->
       """WITH h AS (
         |  SELECT source, doc_id, n_chars,
@@ -3148,6 +3443,9 @@ object PipelineQueries {
     "d_sample_weighted" -> (dSampleWeighted _),
     "emb_knn_graph" -> (embKnnGraph _),
     "emb_density" -> (embDensity _),
+    "emb_hard_negatives" -> (embHardNegatives _),
+    "emb_pagerank" -> (embPagerank _),
+    "t_bm25" -> (tBm25 _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_sample_mix" -> (dSampleMix _),
     "d_epoch_mix" -> (dEpochMix _),

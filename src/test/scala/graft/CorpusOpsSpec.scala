@@ -287,6 +287,86 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       "the globally closest pair must be mutual top-4 neighbors")
   }
 
+  test("hard negatives: every mined negative carries a different label, " +
+    "ranked by cosine") {
+    val sfDir = "/root/testdata/sf0.001"
+    val labels = spark.read
+      .parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = PipelineQueries.embHardNegatives(spark, sfDir)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (v, _, n, _) =>
+      assert(v != n, s"self negative on $v")
+      assert(labels(v) != labels(n),
+        s"negative $n shares label ${labels(v)} with anchor $v")
+    }
+    rows.groupBy(_._1).foreach { case (v, es) =>
+      val byRank = es.sortBy(_._2)
+      assert(byRank.map(_._2).toSeq === (1L to es.length) && es.length <= 2,
+        s"vec $v ranks ${es.map(_._2).toSeq}")
+      if (es.length == 2)
+        assert(byRank(0)._4 >= byRank(1)._4, s"vec $v negatives unsorted")
+    }
+    // a hard negative is at least as close as SOME same-label pair: the
+    // mining found structure, not noise (labels are random vs geometry)
+    assert(rows.map(_._4).max > 0.0, "no positive-cosine negative found")
+  }
+
+  test("pagerank: mass conserved within floor-division slack, teleport " +
+    "floor holds, universe = knn nodes") {
+    val sfDir = "/root/testdata/sf0.001"
+    val nodes = PipelineQueries.embKnnGraph(spark, sfDir)
+      .select("vec_id").distinct().count()
+    val rows = PipelineQueries.embPagerank(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length.toLong == nodes,
+      s"pagerank emits ${rows.length} rows for $nodes graph nodes")
+    rows.foreach { case (v, deg, pr) =>
+      assert(deg >= 1 && deg <= 4, s"vec $v out-degree $deg")
+      // every node keeps at least the teleport share (floor slack -2)
+      assert(pr >= 150000000000L / nodes - 2,
+        s"vec $v rank $pr below the teleport floor")
+    }
+    // total mass: 1e12 minus at most a few units of floor loss per
+    // node per iteration (3 iterations x (1 teleport + deg divisions))
+    val total = rows.map(_._3).sum
+    assert(total <= 1000000000000L && total > 990000000000L,
+      s"rank mass $total strayed from 1e12")
+    // centrality varies: a uniform vector would mean the graph carried
+    // no structure (ties everywhere) — the synthetic corpus clusters
+    assert(rows.map(_._3).distinct.length > 1, "pagerank is uniform")
+  }
+
+  test("bm25: top-10 ranked, scores positive non-increasing, and every " +
+    "hit contains a query term") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = PipelineQueries.tBm25(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 10)
+    val byRank = rows.sortBy(_._1)
+    assert(byRank.map(_._1).toSeq === (1L to 10L))
+    byRank.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a._3 >= b._3, s"rank ${a._1} score below rank ${b._1}")
+        if (a._3 == b._3) assert(a._2 < b._2, "tie not broken by doc_id")
+      case _ =>
+    }
+    assert(byRank.last._3 > 0, "a zero-score doc reached the top-10")
+    val hitIds = rows.map(_._2).toSet
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .filter(col("doc_id").isin(hitIds.toSeq: _*))
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    hitIds.foreach { id =>
+      val t = texts(id).toLowerCase
+      assert(Seq("vector", "hash", "window").exists(t.contains),
+        s"doc $id scored without any query term")
+    }
+  }
+
   test("quantile filter gates per source, not globally") {
     import spark.implicits._
     val d = java.nio.file.Files.createTempDirectory("graft_qf").toString
