@@ -609,9 +609,25 @@ object PipelineQueries {
   private def knnEdges(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "knnEdges") {
       embKnnGraph(s, dir)
-        .select(col("vec_id").as("src"), col("n_id").as("dst"))
+        .select(col("vec_id").as("src"), col("n_id").as("dst"),
+          col("cos"))
         .cache()
     }
+
+  /** Mutual (reciprocal) kNN edges: the pairs where each endpoint is in
+    * the OTHER's top-4 — the standard symmetrization step before
+    * connected-components clustering over a kNN graph (one-directional
+    * edges are dominated by hubs; mutual edges are the
+    * high-precision subset). One left-semi self-join of the cached
+    * ≤ 4·n edge list against its own reversal — linear, keyed on the
+    * (src, dst) pair. */
+  def embMutualKnn(s: SparkSession, dir: String): DataFrame = {
+    val g = knnEdges(s, dir)
+    val rev = g.select(col("dst").as("src"), col("src").as("dst"))
+    g.join(rev, Seq("src", "dst"), "left_semi")
+      .filter(col("src") < col("dst"))
+      .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("cos"))
+  }
 
   /** PageRank over the kNN graph (3 iterations, damping 0.85) — the
     * graph-centrality curation signal: a vector many neighborhoods
@@ -881,6 +897,34 @@ object PipelineQueries {
       graft.ml.Embeddings.assignRanked(e, corpusCentroids(s, dir, p),
         maxRank = 2).cache()
     }
+
+  /** Centroid-silhouette cluster quality — per IVF cluster, the mean
+    * margin between each member's cosine to its OWN centroid and to
+    * the runner-up centroid (the simplified silhouette every
+    * clustering deployment monitors: margin near 0 means the cluster
+    * boundary is ambiguous and the codebook under-fits there; compare
+    * across retrains to decide k). Consumes the SAME session-cached
+    * top-2 assignment as [[annIvf]]/[[dSemdedup]] — zero extra corpus
+    * scans; the crn-1/crn-2 pivot is one conditional agg keyed on the
+    * vector, the rollup one keyed agg on the cluster. The margin mean
+    * folds integer-exactly (Σ floor(Δcos·1e9+0.5) BIGINT) because the
+    * two cosines are individually bit-identical cross-engine and so is
+    * their difference. */
+  def embSilhouette(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    val a = ivfAssigned(s, dir, p).filter(col("crn") <= 2)
+    val m = a.groupBy("vec_id")
+      .agg(max(when(col("crn") === 1, col("cid"))).as("cid"),
+        max(when(col("crn") === 1, col("ccos"))).as("c1"),
+        max(when(col("crn") === 2, col("ccos"))).as("c2"))
+    m.groupBy("cid")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(expr("CAST(floor((c1 - c2) * 1000000000.0 + 0.5) AS BIGINT)"))
+          .as("__s"))
+      .select(col("cid"), col("n_vecs"),
+        (col("__s").cast(DoubleType) / lit(1e9) /
+          col("n_vecs").cast(DoubleType)).as("margin"))
+  }
 
   def annIvf(s: SparkSession, dir: String,
       p: PipelineParams = PipelineParams.Default): DataFrame = {
@@ -1873,6 +1917,52 @@ object PipelineQueries {
       .select("rk", "doc_id", "score")
   }
 
+  /** Collocation mining — the top-20 adjacent token pairs by rational
+    * PMI (pointwise mutual information, log-free: score ∝
+    * n_ab·T/(n_a·n_b), monotone in true PMI), min pair count 5. The
+    * corpus-statistics primitive behind phrase detection and
+    * boilerplate discovery: a pair that co-occurs far above its
+    * unigram chance rate is a collocation, however common the words.
+    *
+    * Token hashes are < 2³⁰, so a bigram packs EXACTLY (reversibly)
+    * into one BIGINT as `a·2³¹ + b` — the pair aggregation keys on one
+    * long instead of a struct, and the endpoints decode afterwards by
+    * division, only on the (tiny) min-count survivors. The evaluation
+    * order `(n_ab·1e6 div n_a)·T div n_b` keeps every intermediate
+    * ≤ ~3e14 (n_ab ≤ n_a bounds the first factor by 1e6) and is
+    * mirrored verbatim in the oracle, so truncation agrees. Plan: two
+    * keyed aggs (pair codes, unigrams), two vocabulary-keyed joins on
+    * the filtered survivors, broadcast 1-long total, top-20 via
+    * TakeOrderedAndProject. */
+  def tCollocations(s: SparkSession, dir: String): DataFrame = {
+    val th = tokenHashes(s, dir)
+    // th has >= 3 tokens (tokenHashes' filter), so sequence() never
+    // counts down
+    val pairs = th.select(explode(expr(
+      "transform(sequence(1, size(th) - 1), " +
+        "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
+      .as("code"))
+    val cAb = pairs.groupBy("code").agg(count(lit(1)).as("n_ab"))
+    val uni = th.select(explode(col("th")).as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_t"))
+    val tot = th.agg(sum(size(col("th")).cast(LongType) - 1L)
+      .as("n_pairs"))
+    val scored = cAb.filter(col("n_ab") >= 5L)
+      .withColumn("a", expr("code div 2147483648L"))
+      .withColumn("b", expr("code % 2147483648L"))
+      .join(uni.toDF("a", "n_a"), "a")
+      .join(uni.toDF("b", "n_b"), "b")
+      .crossJoin(broadcast(tot))
+      .withColumn("score",
+        expr("(n_ab * 1000000L div n_a) * n_pairs div n_b"))
+    val top = scored
+      .orderBy(col("score").desc, col("a"), col("b")).limit(20)
+    val w = Window.orderBy(col("score").desc, col("a"), col("b"))
+    top.withColumn("rk", row_number().over(w).cast(LongType))
+      .select(col("rk"), col("a").as("term_a"), col("b").as("term_b"),
+        col("n_ab"), col("score"))
+  }
+
   /** Deterministic k-per-group sample (the "pull 5 docs per source for
     * eval" primitive): rank docs inside each source by the multiplicative
     * hash of doc_id and keep the first 5 — a reproducible uniform sample
@@ -2600,6 +2690,69 @@ object PipelineQueries {
          |                  GROUP BY e2.dst) s ON d.src = s.dst)
          |SELECT vec_id, deg AS n_out, CAST(pr AS BIGINT) AS pr
          |FROM i3""".stripMargin,
+    // the knn-graph CTEs -> reciprocal-edge self-join, a < b dedup
+    "emb_mutual_knn" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id),
+         |bidir AS (SELECT vec_a, vec_b, cos FROM cand
+         |          UNION ALL
+         |          SELECT vec_b, vec_a, cos FROM cand),
+         |r AS (SELECT vec_a AS vec_id, vec_b AS n_id, cos,
+         |             row_number() OVER (PARTITION BY vec_a
+         |               ORDER BY cos DESC, vec_b) AS rnk
+         |      FROM bidir),
+         |edges AS (SELECT vec_id AS src, n_id AS dst, cos FROM r
+         |          WHERE rnk <= 4)
+         |SELECT a.src AS vec_a, a.dst AS vec_b, a.cos
+         |FROM edges a JOIN edges b2e
+         |  ON a.src = b2e.dst AND a.dst = b2e.src
+         |WHERE a.src < a.dst""".stripMargin,
+    // the shared flat top-2 assignment CTEs (same k rule as d_semdedup)
+    // -> crn-1/crn-2 pivot -> per-cluster integer-exact margin mean
+    "emb_silhouette" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |             ${PV.cosineDuck("e.v", "c.cv")} AS ccos,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC,
+         |                 c.cid) AS crn
+         |      FROM emb e CROSS JOIN cent c),
+         |m AS (SELECT vec_id,
+         |        max(CASE WHEN crn = 1 THEN cid END) AS cid,
+         |        max(CASE WHEN crn = 1 THEN ccos END) AS c1,
+         |        max(CASE WHEN crn = 2 THEN ccos END) AS c2
+         |      FROM sc WHERE crn <= 2 GROUP BY vec_id)
+         |SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(CAST(floor((c1 - c2) * 1000000000.0 + 0.5)
+         |                     AS BIGINT)) AS DOUBLE)
+         |         / 1000000000.0 / count(*) AS margin
+         |FROM m GROUP BY cid""".stripMargin,
     "d_semdedup" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
          |cent AS (SELECT cid, cv FROM (
@@ -3149,6 +3302,34 @@ object PipelineQueries {
          |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
          |         AS BIGINT) AS rk, doc_id, score
          |FROM top""".stripMargin,
+    // rational PMI over reversibly-packed bigram codes (a*2^31 + b);
+    // evaluation order of the score mirrors the Spark plan exactly
+    "t_collocations" ->
+      s"""WITH $thCte,
+         |pc AS (SELECT unnest(list_transform(range(1, len(th)),
+         |                i -> th[i] * 2147483648 + th[i + 1])) AS code
+         |       FROM thT),
+         |cab AS (SELECT code, CAST(count(*) AS BIGINT) AS n_ab
+         |        FROM pc GROUP BY code),
+         |cu AS (SELECT t, CAST(count(*) AS BIGINT) AS n_t FROM
+         |         (SELECT unnest(th) AS t FROM thT) GROUP BY t),
+         |tot AS (SELECT CAST(sum(len(th) - 1) AS BIGINT) AS n_pairs
+         |        FROM thT),
+         |sc AS (SELECT code // 2147483648 AS a, code % 2147483648 AS b,
+         |              n_ab,
+         |              (n_ab * 1000000 // ca.n_t) * n_pairs // cb.n_t
+         |                AS score
+         |       FROM cab
+         |       JOIN cu ca ON code // 2147483648 = ca.t
+         |       JOIN cu cb ON code % 2147483648 = cb.t
+         |       CROSS JOIN tot
+         |       WHERE n_ab >= 5),
+         |top AS (SELECT a, b, n_ab, CAST(score AS BIGINT) AS score
+         |        FROM sc ORDER BY score DESC, a, b LIMIT 20)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, a, b)
+         |         AS BIGINT) AS rk,
+         |       a AS term_a, b AS term_b, n_ab, score
+         |FROM top""".stripMargin,
     "d_sample_k" ->
       """WITH h AS (
         |  SELECT source, doc_id, n_chars,
@@ -3445,7 +3626,10 @@ object PipelineQueries {
     "emb_density" -> (embDensity _),
     "emb_hard_negatives" -> (embHardNegatives _),
     "emb_pagerank" -> (embPagerank _),
+    "emb_mutual_knn" -> (embMutualKnn _),
+    "emb_silhouette" -> ((s, d) => embSilhouette(s, d)),
     "t_bm25" -> (tBm25 _),
+    "t_collocations" -> (tCollocations _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_sample_mix" -> (dSampleMix _),
     "d_epoch_mix" -> (dEpochMix _),

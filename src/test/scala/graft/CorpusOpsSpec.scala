@@ -340,6 +340,93 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(rows.map(_._3).distinct.length > 1, "pagerank is uniform")
   }
 
+  test("mutual knn: every pair is reciprocally top-4, ordered and unique") {
+    val sfDir = "/root/testdata/sf0.001"
+    val knn = PipelineQueries.embKnnGraph(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3)))
+    val directed = knn.map(e => (e._1, e._2)).toSet
+    val cosOf = knn.map(e => (e._1, e._2) -> e._3).toMap
+    val mutual = PipelineQueries.embMutualKnn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(mutual.nonEmpty)
+    assert(mutual.map(p => (p._1, p._2)).distinct.length == mutual.length)
+    mutual.foreach { case (a, b, c) =>
+      assert(a < b, s"pair ($a, $b) not ordered")
+      assert(directed((a, b)) && directed((b, a)),
+        s"pair ($a, $b) is not reciprocal in the knn graph")
+      assert(c == cosOf((a, b)), s"pair ($a, $b) cosine drifted")
+    }
+    // one-directional edges must NOT survive the reciprocal filter
+    val oneWay = directed.filter(e => !directed((e._2, e._1)))
+    val mutualSet = mutual.map(p => (p._1, p._2)).toSet
+    oneWay.foreach { case (a, b) =>
+      val k = if (a < b) (a, b) else (b, a)
+      assert(!mutualSet(k), s"one-way edge ($a, $b) leaked into mutual")
+    }
+  }
+
+  test("silhouette: non-negative margins, universe partitioned, " +
+    "cluster ids are the seed centroids") {
+    val sfDir = "/root/testdata/sf0.001"
+    val n = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    val rows = PipelineQueries.embSilhouette(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val k = math.max(16L, n / 50)
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // seed quantizer: centroids are the k lowest vec_ids
+    rows.foreach { case (cid, nv, m) =>
+      assert(cid < k, s"cluster id $cid outside the seed range")
+      assert(nv >= 1)
+      assert(m >= 0.0 && m <= 2.0, s"cluster $cid margin $m out of range")
+    }
+    assert(rows.map(_._2).sum == n,
+      "cluster sizes do not partition the corpus")
+    // the margin separates: at least one cluster is visibly tighter
+    // than another (a flat profile would mean the metric carries no
+    // signal on the clustered synthetic corpus)
+    assert(rows.map(_._3).max > rows.map(_._3).min)
+  }
+
+  test("collocations: an always-adjacent pair outranks an equally " +
+    "frequent independent pair") {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("graft_colloc").toString
+    // "alpha beta" always adjacent (8 docs); gamma and delta equally
+    // frequent but never adjacent; enough filler for df spread
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"alpha beta gamma filler$i delta mid gamma stop delta end",
+        "en", "web", 0L)
+    }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val rows = PipelineQueries.tCollocations(spark, d)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byRank = rows.sortBy(_._1)
+    assert(byRank.map(_._1).toSeq === (1L to rows.length))
+    byRank.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 >= b._5, "scores not non-increasing")
+      case _ =>
+    }
+    rows.foreach(r => assert(r._4 >= 5, s"pair below min count: $r"))
+    def h(t: String) = t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) %
+      1000000007L)
+    val score = rows.map(r => (r._2, r._3) -> r._5).toMap
+    val ab = score.get((h("alpha"), h("beta")))
+    assert(ab.isDefined, "always-adjacent pair missing from the top-20")
+    // gamma/delta co-occur in every doc but never adjacently: no bigram
+    // row can exist for them at all
+    assert(!score.contains((h("gamma"), h("delta"))) &&
+      !score.contains((h("delta"), h("gamma"))))
+    // and alpha-beta must sit at the very top: every one of its 8
+    // occurrences is adjacent, nothing else pairs more tightly
+    assert(byRank.head._2 == h("alpha") && byRank.head._3 == h("beta"),
+      s"expected alpha-beta at rank 1, got ${byRank.head}")
+    PipelineQueries.evictCaches(spark, d)
+  }
+
   test("bm25: top-10 ranked, scores positive non-increasing, and every " +
     "hit contains a query term") {
     val sfDir = "/root/testdata/sf0.001"
