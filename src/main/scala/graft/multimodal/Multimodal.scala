@@ -754,6 +754,59 @@ object Multimodal {
         "window_sig", "error")
   }
 
+  /** Zero-crossing-rate analysis over a stored `(event_id, wav)` frame —
+    * the signal-activity feature behind voice-activity detection and
+    * audio-quality gates (noisy/high-frequency clips cross often, tonal
+    * or silent-with-DC-offset clips rarely). Decodes the stored WAV
+    * (RIFF walk, PCM), then counts sign changes over consecutive sample
+    * pairs — a crossing is `(s[i] < 0) != (s[i+1] < 0)`, pure integer —
+    * both clip-wide (`total_zc`) and per 400-sample window hopping 200
+    * (`max_window_zc` + an order-sensitive window fold `zc_sig`, the
+    * same 31-base mod-P fold as the energy signature). All outputs are
+    * exact integers, so the oracle reproduces them from the synthesis
+    * formula without ever seeing the bytes — a hash match proves
+    * store∘decode identity AND the crossing arithmetic.
+    *
+    * Same quarantine contract and scale shape as the other checked
+    * decoders: map-only mapPartitions decode, no shuffle. */
+  def audioZcrChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val clip = Wav.decode(p)
+            val ss = clip.samples
+            val n = ss.length
+            val win = 400; val hop = 200
+            var total = 0L; var i = 0
+            while (i + 1 < n) {
+              if ((ss(i) < 0) != (ss(i + 1) < 0)) total += 1L
+              i += 1
+            }
+            var sig = 0L; var nW = 0L; var maxW = 0L; var st = 0
+            while (st + win <= n) {
+              var wz = 0L; var j = st
+              while (j + 1 < st + win) {
+                if ((ss(j) < 0) != (ss(j + 1) < 0)) wz += 1L
+                j += 1
+              }
+              if (wz > maxW) maxW = wz
+              sig = (sig * 31L + wz) % 1000000007L
+              nW += 1; st += hop
+            }
+            (id, Some(n.toLong), Some(nW), Some(total), Some(maxW),
+              Some(sig), None): Checked
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, None, None, None, Some(errStr(e))): Checked
+          }
+        }
+      }
+      .toDF("event_id", "n_samples", "n_windows", "total_zc",
+        "max_window_zc", "zc_sig", "error")
+  }
+
   /** Wrap an arbitrary table into media records (payload = a string column
     * cast to binary), preserving partitioning. */
   def asMediaRecords(df: DataFrame, idCol: String, payloadCol: String,

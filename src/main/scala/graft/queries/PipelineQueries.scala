@@ -601,6 +601,44 @@ object PipelineQueries {
         col("e.payload").as("neg_id"), col("e.score").as("cos"))
   }
 
+  /** Triplet mining — (anchor, positive, negative) rows for contrastive
+    * training: per anchor, the most-similar SAME-label candidate (the
+    * positive) paired with the most-similar DIFFERENT-label candidate
+    * (the hard negative), plus the cosine margin between them. Anchors
+    * missing either side emit nothing (they fall back to in-batch pairs
+    * at training time).
+    *
+    * Scale shape: ONE pass over the banded-LSH candidate stream — both
+    * sides ride a single aggregation as two conditional
+    * [[graft.functions.TopKScored]] folds (`CASE WHEN same`-masked
+    * scores; the fold skips null scores), so the candidate stream
+    * shuffles once and is never scanned twice. The margin subtracts two
+    * bit-identical doubles, so it is itself engine-exact. */
+  def embTripletMine(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val both = bandedCandidates(s, dir, Seq("label")).selectExpr(
+      """inline(array(
+        |  named_struct('g', vec_a, 'nb', vec_b,
+        |               'same', label_a = label_b, 'cos', cos),
+        |  named_struct('g', vec_b, 'nb', vec_a,
+        |               'same', label_a = label_b, 'cos', cos)))"""
+        .stripMargin)
+    both
+      .groupBy(col("g").as("anchor_id"))
+      .agg(
+        expr("graft_topk_scored(CASE WHEN same THEN cos END, nb, 1)")
+          .as("p"),
+        expr("graft_topk_scored(CASE WHEN NOT same THEN cos END, nb, 1)")
+          .as("n"))
+      .filter(size(col("p")) > 0 && size(col("n")) > 0)
+      .select(col("anchor_id"),
+        col("p")(0).getField("payload").as("pos_id"),
+        col("p")(0).getField("score").as("pos_cos"),
+        col("n")(0).getField("payload").as("neg_id"),
+        col("n")(0).getField("score").as("neg_cos"))
+      .withColumn("margin", col("pos_cos") - col("neg_cos"))
+  }
+
   /** The [[embKnnGraph]] edge list, memoized and cached: PageRank scans
     * it four times in one action (degree + three iterations), and the
     * banded candidate join is far too expensive to re-execute per
@@ -2180,6 +2218,17 @@ object PipelineQueries {
       .audioFeaturesChecked(media(s, dir).select("event_id", "wav"))
       .filter(col("error").isNull).drop("error")
 
+  /** Zero-crossing-rate features from the stored WAV column: decode,
+    * then pure-integer sign-change counts clip-wide and per 400/200
+    * window ([[graft.multimodal.Multimodal.audioZcrChecked]]) — the
+    * signal-activity gate (VAD/noise screening) of an audio pipeline.
+    * Same map-only scale shape and quarantine contract as the other
+    * mm_* decoders. */
+  def mmAudioZcr(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioZcrChecked(media(s, dir).select("event_id", "wav"))
+      .filter(col("error").isNull).drop("error")
+
   // ------------------------------------------------------------ oracle SQL
 
   private val toksDuck = PT.tokensDuck("text")
@@ -2619,6 +2668,51 @@ object PipelineQueries {
          |      FROM bidir)
          |SELECT vec_id, CAST(rnk AS BIGINT) AS rnk, neg_id, cos
          |FROM r WHERE rnk <= 2""".stripMargin,
+    // same banded-candidate CTEs with labels carried; the positive and
+    // negative sides are two rank windows over the same bidirectional
+    // stream, joined per anchor — mirrors the two conditional TopKScored
+    // folds (score desc, payload asc == ORDER BY cos DESC, nb)
+    "emb_triplet_mine" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v, label,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v, label,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, label, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, label, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             a.label AS la, bb.label AS lb,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id),
+         |bidir AS (SELECT vec_a AS g, vec_b AS nb, la = lb AS same, cos
+         |            FROM cand
+         |          UNION ALL
+         |          SELECT vec_b AS g, vec_a AS nb, la = lb AS same, cos
+         |            FROM cand),
+         |p AS (SELECT g, nb, cos, row_number() OVER (PARTITION BY g
+         |        ORDER BY cos DESC, nb) AS rnk
+         |      FROM bidir WHERE same),
+         |ng AS (SELECT g, nb, cos, row_number() OVER (PARTITION BY g
+         |        ORDER BY cos DESC, nb) AS rnk
+         |      FROM bidir WHERE NOT same)
+         |SELECT p.g AS anchor_id, p.nb AS pos_id, p.cos AS pos_cos,
+         |       ng.nb AS neg_id, ng.cos AS neg_cos,
+         |       p.cos - ng.cos AS margin
+         |FROM p JOIN ng ON p.g = ng.g
+         |WHERE p.rnk = 1 AND ng.rnk = 1""".stripMargin,
     // the knn-graph CTEs -> directed edge list -> 3 exact-BIGINT
     // PageRank iterations as chained CTEs (teleport 15%, damping 85%,
     // rank mass scaled 1e12; floor division mirrors Spark's `div`)
@@ -3531,6 +3625,47 @@ object PipelineQueries {
         |       CAST(8000 AS BIGINT) AS sample_rate, sig.n_windows,
         |       tot.energy, sig.window_sig
         |FROM n JOIN tot USING (event_id) JOIN sig USING (event_id)""".stripMargin,
+    // zero crossings recomputed from the synthesis formula: both samples
+    // of each consecutive pair are closed-form, so no lag window is
+    // needed; min clip length is 1000 samples, so every event has >= 3
+    // windows and the plain joins never drop a row
+    "mm_audio_zcr" ->
+      s"""WITH $mediaIdsCte,
+        |n AS (
+        |  SELECT event_id, 1000 + event_id % 1000 AS ns FROM mediaIds),
+        |pair AS (SELECT event_id, ns, i.r AS i,
+        |         (event_id * 1103515245 + i.r * 12345) % 65536 - 32768
+        |           AS s0,
+        |         (event_id * 1103515245 + (i.r + 1) * 12345) % 65536
+        |           - 32768 AS s1
+        |         FROM n, range(0, 2000) i(r) WHERE i.r < ns - 1),
+        |tot AS (SELECT event_id,
+        |        CAST(sum(CASE WHEN (s0 < 0) <> (s1 < 0) THEN 1 ELSE 0
+        |          END) AS BIGINT) AS total_zc
+        |        FROM pair GROUP BY event_id),
+        |wnd AS (SELECT event_id, k.r AS k FROM n, range(0, 9) k(r)
+        |        WHERE k.r * 200 + 400 <= ns),
+        |wpair AS (SELECT w.event_id, w.k,
+        |          (w.event_id * 1103515245 + (w.k * 200 + j.r) * 12345)
+        |            % 65536 - 32768 AS s0,
+        |          (w.event_id * 1103515245 + (w.k * 200 + j.r + 1)
+        |            * 12345) % 65536 - 32768 AS s1
+        |          FROM wnd w, range(0, 399) j(r)),
+        |wz AS (SELECT event_id, k,
+        |       CAST(sum(CASE WHEN (s0 < 0) <> (s1 < 0) THEN 1 ELSE 0
+        |         END) AS BIGINT) AS wz
+        |       FROM wpair GROUP BY 1, 2),
+        |sig AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |        CAST(max(wz) AS BIGINT) AS max_window_zc,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list(wz ORDER BY k)),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)
+        |          AS zc_sig
+        |        FROM wz GROUP BY event_id)
+        |SELECT n.event_id, CAST(ns AS BIGINT) AS n_samples,
+        |       sig.n_windows, tot.total_zc, sig.max_window_zc, sig.zc_sig
+        |FROM n JOIN tot USING (event_id) JOIN sig USING (event_id)"""
+        .stripMargin,
     "mm_features" ->
       s"""WITH $mediaIdsCte,
         |d AS (SELECT event_id, 8 + event_id % 9 AS w,
@@ -3638,6 +3773,8 @@ object PipelineQueries {
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
     "mm_frame_sample" -> (mmFrameSample _),
-    "mm_audio_chunks" -> (mmAudioChunks _)
+    "mm_audio_chunks" -> (mmAudioChunks _),
+    "mm_audio_zcr" -> (mmAudioZcr _),
+    "emb_triplet_mine" -> (embTripletMine _)
   )
 }

@@ -89,7 +89,58 @@ object QueryRegistry {
             .as("v_sum"))
         .select("user_id", "session_start", "session_end", "n_events",
           "v_sum")
-    })
+    }),
+    // batch twin of StreamingAgg.anomalyStream: day-batched prequential
+    // z-score — each event scores against the exact integer moments of
+    // all STRICTLY EARLIER days of its type. The batch plan is
+    // scale-clean where a naive per-type running window is not: a
+    // per-(type, day) moment aggregate (map-side combine), an exclusive
+    // prefix window over the |types|×|days| CALENDAR-bounded frame
+    // (same agg-below-window rationale as q_concurrency), and a
+    // broadcast join back over the scan — no corpus-sized window
+    // partition anywhere.
+    "stream_anomaly" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+      val e = AggQueries.events(s, dir)
+        .filter(col("ts").isNotNull && col("value").isNotNull &&
+          col("event_type").isNotNull && col("event_id").isNotNull)
+        .withColumn("__t", unix_micros(col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType)))
+        .select(col("event_type"),
+          expr("__t div 86400000000").as("day"),
+          col("event_id").cast(LongType).as("event_id"),
+          col("value").cast(DoubleType).as("value"),
+          expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+      val daily = e.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("dn"), sum(col("e4")).as("ds1"),
+          sum(col("e4").cast(DecimalType(38, 0)) *
+            col("e4").cast(DecimalType(38, 0))).as("ds2"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val mu = col("ps1").cast(DoubleType) / col("n_prior").cast(DoubleType)
+      val prior = daily.select(col("event_type"), col("day"),
+          sum(col("dn")).over(w).as("n_prior"),
+          sum(col("ds1")).over(w).as("ps1"),
+          sum(col("ds2")).over(w).as("ps2"))
+        .filter(col("n_prior") >= 30L)
+        .select(col("event_type"), col("day"), col("n_prior"),
+          mu.as("mu"),
+          sqrt(col("ps2").cast(DoubleType) /
+            col("n_prior").cast(DoubleType) - mu * mu).as("sigma"))
+        .filter(col("sigma") > 0.0d)
+      e.join(broadcast(prior), Seq("event_type", "day"))
+        .withColumn("z",
+          (col("e4").cast(DoubleType) - col("mu")) / col("sigma"))
+        .filter(abs(col("z")) > 4.0d)
+        .select("event_type", "day", "event_id", "value", "n_prior", "z")
+    }),
+    // batch twin of StreamingAgg.packStream: one fold per source against
+    // empty state == d_pack_sequences' per-source prefix window
+    "stream_pack_sequences" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .packStream(graft.Tables.load(s, dir, "documents")).toDF())
   )
 
   private val streamingOracle: Map[String, String] = Map(
@@ -180,7 +231,62 @@ object QueryRegistry {
         |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
         |       count(*) AS n_events,
         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum
-        |FROM x GROUP BY user_id, sid""".stripMargin
+        |FROM x GROUP BY user_id, sid""".stripMargin,
+    // day-batched prequential z-score: per-(type, day) integer moments,
+    // an exclusive prefix over days, mean/σ derived from the exact
+    // integers through the same IEEE sequence as Spark
+    "stream_anomaly" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         event_id, value,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |d AS (SELECT event_type, day, count(*) AS dn,
+        |             CAST(sum(e4) AS BIGINT) AS ds1,
+        |             sum(CAST(e4 AS DECIMAL(38,0)) *
+        |                 CAST(e4 AS DECIMAL(38,0))) AS ds2
+        |      FROM e GROUP BY 1, 2),
+        |p AS (SELECT event_type, day,
+        |             CAST(sum(dn) OVER w AS BIGINT) AS n_prior,
+        |             CAST(sum(ds1) OVER w AS BIGINT) AS ps1,
+        |             sum(ds2) OVER w AS ps2
+        |      FROM d
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |s AS (SELECT event_type, day, n_prior,
+        |             CAST(ps1 AS DOUBLE) / CAST(n_prior AS DOUBLE) AS mu,
+        |             sqrt(CAST(ps2 AS DOUBLE) / CAST(n_prior AS DOUBLE) -
+        |               (CAST(ps1 AS DOUBLE) / CAST(n_prior AS DOUBLE)) *
+        |               (CAST(ps1 AS DOUBLE) / CAST(n_prior AS DOUBLE)))
+        |               AS sigma
+        |      FROM p WHERE n_prior >= 30)
+        |SELECT e.event_type, e.day, e.event_id, e.value, s.n_prior,
+        |       (CAST(e.e4 AS DOUBLE) - s.mu) / s.sigma AS z
+        |FROM e JOIN s USING (event_type, day)
+        |WHERE s.sigma > 0
+        |  AND abs((CAST(e.e4 AS DOUBLE) - s.mu) / s.sigma) > 4"""
+        .stripMargin,
+    // the packer fold against empty state == the per-source prefix
+    // window (same SQL as d_pack_sequences — the entry pins the
+    // STREAMING code path against it)
+    "stream_pack_sequences" ->
+      s"""WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(${graft.functions.PortableText
+                    .tokensDuck("text")}) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |o AS (
+        |  SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+        |           ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |           0) AS bin_offset
+        |  FROM d)
+        |SELECT source, doc_id, n_tokens,
+        |       CAST(bin_offset // 2048 AS BIGINT) AS bin_id,
+        |       CAST(bin_offset % 2048 AS BIGINT) AS offset_in_bin
+        |FROM o""".stripMargin
   )
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =

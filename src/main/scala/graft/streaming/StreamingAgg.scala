@@ -84,6 +84,21 @@ final case class TransStep(user_id: Long, from_type: String,
   to_type: String)
 final case class FreqUpdate(event_type: String, n_seen: Long,
     n_tracked: Long, candidates: Array[Long])
+final case class AnomEvent(event_type: String, day: Long, event_id: Long,
+  e4: Long, value: Double)
+/** Per-type prequential state: integer moments of all COMPLETED days
+  * (`hist*`) plus the currently accumulating day (`cur*`). Σe4² is held
+  * exactly in two longs base 10¹⁸ (`hi`·10¹⁸ + `lo`) — a fixed 4-long
+  * footprint per type that never loses a bit at any stream length. */
+final case class AnomState(day: Long, histN: Long, histS1: Long,
+  histS2Hi: Long, histS2Lo: Long, curN: Long, curS1: Long,
+  curS2Hi: Long, curS2Lo: Long)
+final case class AnomRow(event_type: String, day: Long, event_id: Long,
+  value: Double, n_prior: Long, z: Double)
+final case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
+final case class PackState(offset: Long)
+final case class PackRow(source: String, doc_id: Long, n_tokens: Long,
+  bin_id: Long, offset_in_bin: Long)
 
 /** Structured-Streaming twins of the batch aggregation operators
   * (SURVEY.md §2 D). The reference is a batch tool; a 100 TB pipeline
@@ -868,6 +883,115 @@ object StreamingAgg {
           }
           prev.foreach(st.update)
           out.result().iterator
+        })
+  }
+
+  /** Day-batched prequential anomaly detection — the streaming face of
+    * the two-pass z-score monitor: each event is scored against the
+    * integer moments of all STRICTLY EARLIER days of its type (today's
+    * traffic judged by history through yesterday — the cadence real
+    * monitors run on, and the only prequential form with bounded state:
+    * 9 scalars per type, independent of stream length).
+    *
+    * Exactness: moments accumulate as exact integers (Σe4 in a long;
+    * Σe4² in two longs base 10¹⁸, folded to a double through BigDecimal
+    * — correctly rounded from the exact integer, the same value the
+    * batch twin's DECIMAL(38,0)→DOUBLE cast produces), so mean/σ/z
+    * derive through the identical IEEE sequence as the batch plan and
+    * the streamed rows match it bit-for-bit. Per-row e4² must fit a
+    * long (|value| ≲ 3·10⁵ at the 1e4 quantization — the same headroom
+    * the batch twin's per-row DECIMAL square has over these tables).
+    *
+    * Ordering: events are folded in (day, event_id) order within each
+    * invocation; a late event from an already-completed day scores
+    * against the history as of its ARRIVAL (the standard streaming
+    * caveat — the batch twin is the event-time-exact backfill). */
+  def anomalyStream(events: DataFrame, warmup: Long = 30L)
+      : Dataset[AnomRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val Base = 1000000000000000000L
+    val typed = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"),
+        expr("__t div 86400000000").as("day"),
+        col("event_id").cast(LongType).as("event_id"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"),
+        col("value").cast(DoubleType).as("value"))
+      .as[AnomEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[AnomEvent], st: GroupState[AnomState]) => {
+          var cur = st.getOption.getOrElse(
+            AnomState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+          val out = Seq.newBuilder[AnomRow]
+          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            if (cur.day == Long.MinValue) cur = cur.copy(day = e.day)
+            else if (e.day > cur.day) {
+              // day roll: fold the completed day's moments into history
+              var hi = cur.histS2Hi + cur.curS2Hi
+              var lo = cur.histS2Lo + cur.curS2Lo
+              if (lo >= Base) { lo -= Base; hi += 1L }
+              cur = AnomState(e.day, cur.histN + cur.curN,
+                cur.histS1 + cur.curS1, hi, lo, 0L, 0L, 0L, 0L)
+            }
+            if (cur.histN >= warmup) {
+              val n = cur.histN.toDouble
+              val mu = cur.histS1.toDouble / n
+              val s2 = (BigDecimal(cur.histS2Hi) * BigDecimal(Base) +
+                BigDecimal(cur.histS2Lo)).toDouble
+              val sigma = math.sqrt(s2 / n - mu * mu)
+              if (sigma > 0.0d) {
+                val z = (e.e4.toDouble - mu) / sigma
+                if (math.abs(z) > 4.0d)
+                  out += AnomRow(typ, e.day, e.event_id, e.value,
+                    cur.histN, z)
+              }
+            }
+            var lo = cur.curS2Lo + e.e4 * e.e4
+            var hi = cur.curS2Hi
+            while (lo >= Base) { lo -= Base; hi += 1L }
+            cur = cur.copy(curN = cur.curN + 1L, curS1 = cur.curS1 + e.e4,
+              curS2Hi = hi, curS2Lo = lo)
+          }
+          st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming sequence packing — continuous ingest into fixed
+    * token-budget training bins: per source, each arriving doc lands at
+    * the running token offset (bin = offset div budget), exactly the
+    * batch packer's semantics with ONE long of state per source. Docs
+    * fold in doc_id order within each invocation, so feeding a stream
+    * in id order reproduces the batch twin bit-for-bit; a fleet shards
+    * hot sources upstream exactly as it does for the batch packer's
+    * per-source window. */
+  def packStream(docs: DataFrame, budget: Long = 2048L)
+      : Dataset[PackRow] = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.native.register(s)
+    val typed = docs
+      .select(col("source"), col("doc_id").cast(LongType).as("doc_id"),
+        expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
+      .as[PackDoc]
+    typed.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (src: String, it: Iterator[PackDoc], st: GroupState[PackState]) => {
+          var off = st.getOption.map(_.offset).getOrElse(0L)
+          val out = it.toArray.sortBy(_.doc_id).map { d =>
+            val r = PackRow(src, d.doc_id, d.n_tokens,
+              off / budget, off % budget)
+            off += d.n_tokens
+            r
+          }
+          st.update(PackState(off))
+          out.iterator
         })
   }
 }

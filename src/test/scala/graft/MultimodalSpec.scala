@@ -167,6 +167,40 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
   }
 
+  test("zcr: crossing counts match a direct fold of the formula samples; " +
+      "truncated WAV quarantines") {
+    import spark.implicits._
+    val media = Seq(5L, 6L).map(id => (id, MediaSynth.wavPayload(id)))
+      .toDF("event_id", "wav")
+    val rows = Multimodal.audioZcrChecked(media).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // independent recomputation straight from the synthesis formula
+    for (id <- Seq(5L, 6L)) {
+      val n = MediaSynth.audioLength(id)
+      val ss = (0 until n).map(i => MediaSynth.audioSample(id, i.toLong))
+      val total = (0 until n - 1)
+        .count(i => (ss(i) < 0) != (ss(i + 1) < 0)).toLong
+      val wz = (0 to n - 400 by 200).takeWhile(_ + 400 <= n).map { st =>
+        (st until st + 399)
+          .count(j => (ss(j) < 0) != (ss(j + 1) < 0)).toLong
+      }
+      val sig = wz.foldLeft(0L)((a, x) => (a * 31L + x) % 1000000007L)
+      val r = rows(id)
+      assert(r.getLong(1) === n.toLong)
+      assert(r.getLong(2) === wz.size.toLong)
+      assert(r.getLong(3) === total)
+      assert(r.getLong(4) === wz.max)
+      assert(r.getLong(5) === sig)
+      assert(r.isNullAt(6))
+    }
+    // corruption path: a truncated payload quarantines, not fails
+    val broken = Seq((9L,
+      java.util.Arrays.copyOf(MediaSynth.wavPayload(9L), 20)))
+      .toDF("event_id", "wav")
+    val bad = Multimodal.audioZcrChecked(broken).collect()
+    assert(bad.length === 1 && !bad.head.isNullAt(6))
+  }
+
   test("phash: re-encoded and uniformly-rescaled copies collide, " +
       "structurally different images do not, corruption quarantines") {
     import spark.implicits._

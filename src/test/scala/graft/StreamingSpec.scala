@@ -1081,4 +1081,109 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .toSet
     assert(steps === Set((1L, "view", "click"), (1L, "click", "purchase")))
   }
+
+  test("prequential anomaly stream: day-ordered batches match the batch " +
+      "fold bit-for-bit; an injected outlier flags with the exact z") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    // 2 warm-up days x 20 events of value ~10, then day 3 carries one
+    // wild outlier; warmup=30 priors are met only on day 3
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val d1 = (0 until 20).map(i => aev(i * 60, i.toLong, 10.0 + (i % 3)))
+    val d2 = (0 until 20).map(i =>
+      aev(day + i * 60, 100L + i, 10.0 + ((i + 1) % 3)))
+    val d3 = Seq(aev(2 * day, 200L, 10.5), aev(2 * day + 60, 201L, 999.0))
+    val all = (d1 ++ d2 ++ d3).toDF()
+
+    val batch = StreamingAgg.anomalyStream(all).toDF().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5)))
+    // exactly the outlier flags: 40 priors, all values in [10, 12]
+    assert(batch.map(_._3).toSeq === Seq(201L))
+    val e4s = (d1 ++ d2).map(e => math.floor(e.value * 1e4 + 0.5).toLong)
+    val n = e4s.size.toDouble
+    val mu = e4s.sum.toDouble / n
+    val s2 = e4s.map(x => BigDecimal(x) * BigDecimal(x)).sum.toDouble
+    val sigma = math.sqrt(s2 / n - mu * mu)
+    val zExp = (math.floor(999.0 * 1e4 + 0.5) - mu) / sigma
+    assert(batch.head._6 === zExp, "z must derive from the exact moments")
+    assert(batch.head._5 === 40L)
+
+    // streamed in day-ordered batches == the batch fold, bit-for-bit
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.anomalyStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("anom").start()
+    try {
+      mem.addData(d1: _*); q.processAllAvailable()
+      mem.addData(d2: _*); q.processAllAvailable()
+      // day 3 split across two batches: the state carries history
+      mem.addData(d3.head); q.processAllAvailable()
+      mem.addData(d3.last); q.processAllAvailable()
+      val streamed = spark.table("anom").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3), r.getLong(4), r.getDouble(5)))
+      assert(streamed.toSet === batch.toSet)
+    } finally q.stop()
+
+    // the fold == the registry's scale-clean windowed plan on real data
+    val sf = "/root/testdata/sf0.001"
+    val plan = graft.queries.QueryRegistry.queries("stream_anomaly")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    val fold = StreamingAgg.anomalyStream(
+      graft.queries.AggQueries.events(spark, sf)).toDF().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getDouble(5))).toSet
+    assert(fold === plan, "prequential fold == windowed-aggregate plan")
+  }
+
+  test("streaming sequence packing: offsets chain across batches through " +
+      "per-source state; batch fold == the packer's prefix window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // texts sized so bins split mid-stream (budget 2048 tokens)
+    def doc(src: String, id: Long, words: Int) =
+      (src, id, Seq.fill(words)("tok").mkString(" "))
+    val docs = Seq(doc("a", 1L, 900), doc("a", 2L, 900), doc("a", 3L, 900),
+      doc("b", 4L, 2500), doc("b", 5L, 10))
+    val batch = StreamingAgg.packStream(
+        docs.toDF("source", "doc_id", "text")).toDF().collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    // doc 3 starts at offset 1800 -> bin 0; doc 5 starts at 2500 -> bin 1
+    assert(batch === Set(("a", 1L, 900L, 0L, 0L), ("a", 2L, 900L, 0L, 900L),
+      ("a", 3L, 900L, 0L, 1800L), ("b", 4L, 2500L, 0L, 0L),
+      ("b", 5L, 10L, 1L, 452L)))
+
+    val mem = MemoryStream[(String, Long, String)]
+    val q = StreamingAgg.packStream(
+        mem.toDF().toDF("source", "doc_id", "text"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("pack").start()
+    try {
+      mem.addData(docs(0), docs(3)); q.processAllAvailable()
+      mem.addData(docs(1), docs(4)); q.processAllAvailable()
+      mem.addData(docs(2)); q.processAllAvailable()
+      val streamed = spark.table("pack").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4))).toSet
+      assert(streamed === batch)
+    } finally q.stop()
+
+    // the fold == d_pack_sequences' per-source prefix window on real data
+    val sf = "/root/testdata/sf0.001"
+    val win = graft.queries.PipelineQueries.dPackSequences(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    val fold = StreamingAgg.packStream(
+      graft.Tables.load(spark, sf, "documents")).toDF()
+      .select("source", "doc_id", "n_tokens", "bin_id", "offset_in_bin")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(fold === win, "packer fold == prefix-window packer")
+  }
 }
