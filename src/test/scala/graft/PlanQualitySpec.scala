@@ -525,6 +525,47 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(distincts.isEmpty, "candidate pairs must not pass a DISTINCT")
   }
 
+  test("emb_triplet_mine: ONE aggregation pass over the candidate stream") {
+    // both triplet sides (same-label positive, different-label negative)
+    // must ride a single ObjectHashAggregate as two conditional folds —
+    // the naive two-filtered-aggregations form re-executes the banded
+    // candidate join per side. One partial+final pair only, and no
+    // per-vector rank window anywhere.
+    val plan = physical("emb_triplet_mine")
+    val objAggs = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec])
+    assert(objAggs == 2,
+      s"expected exactly one partial+final TopKScored pass, got $objAggs")
+    val vecWindows = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec
+        if w.partitionSpec.exists(_.references.exists(r =>
+          r.name == "g" || r.name == "anchor_id")) => w
+    }
+    assert(vecWindows.isEmpty,
+      "per-anchor ranking must be the bounded fold, not a window")
+  }
+
+  test("stream_anomaly batch twin: moments aggregate BELOW the day window; " +
+      "the stats join back as a broadcast") {
+    // the prequential prefix must run over the per-(type, day) aggregate
+    // (calendar-bounded rows), never over the event stream — a running
+    // window partitioned by event_type alone is the corpus-sized-partition
+    // regression this plan exists to avoid
+    val plan = physical("stream_anomaly")
+    nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.foreach { w =>
+      val aggsBelow = w.children.flatMap(nodes).count(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate
+          .HashAggregateExec])
+      assert(aggsBelow >= 1,
+        "the prefix window must consume the per-day aggregate")
+    }
+    val bcasts = count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+    assert(bcasts >= 1, "the |types|x|days| stats frame must broadcast")
+  }
+
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
     // the storage-side pattern: both tables bucketed by the join key into
     // the same bucket count -> the sort-merge join consumes bucket i of
