@@ -140,7 +140,22 @@ object QueryRegistry {
     // empty state == d_pack_sequences' per-source prefix window
     "stream_pack_sequences" -> ((s, dir) =>
       graft.streaming.StreamingAgg
-        .packStream(graft.Tables.load(s, dir, "documents")).toDF())
+        .packStream(graft.Tables.load(s, dir, "documents")).toDF()),
+    // batch twin of StreamingAgg.funnelStream: each user's full sorted
+    // history folds through the 3-long stage chain; the stage counts
+    // equal q_funnel's min-aggregate join chain (restricted to the
+    // stream face's non-null keys)
+    "stream_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{count, when, col, lit}
+      graft.streaming.StreamingAgg
+        .funnelStream(AggQueries.events(s, dir)).toDF()
+        .agg(
+          count(when(col("stage") === "view", lit(1))).as("n_view"),
+          count(when(col("stage") === "click_after_view", lit(1)))
+            .as("n_click_after_view"),
+          count(when(col("stage") === "purchase_after_click", lit(1)))
+            .as("n_purchase_after_click"))
+    })
   )
 
   private val streamingOracle: Map[String, String] = Map(
@@ -268,6 +283,24 @@ object QueryRegistry {
         |WHERE s.sigma > 0
         |  AND abs((CAST(e.e4 AS DOUBLE) - s.mu) / s.sigma) > 4"""
         .stripMargin,
+    // q_funnel's min-aggregate chain over the stream face's non-null
+    // keys: in (t, id)-ordered folding the first qualifying event IS the
+    // stage minimum
+    "stream_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS t FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |s1 AS (SELECT user_id, min(t) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(t) AS t2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND t > t1 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(t) AS t3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND t > t2 GROUP BY e.user_id)
+        |SELECT count(t1) AS n_view, count(t2) AS n_click_after_view,
+        |       count(t3) AS n_purchase_after_click
+        |FROM s1 LEFT JOIN s2 USING (user_id)
+        |        LEFT JOIN s3 USING (user_id)""".stripMargin,
     // the packer fold against empty state == the per-source prefix
     // window (same SQL as d_pack_sequences — the entry pins the
     // STREAMING code path against it)

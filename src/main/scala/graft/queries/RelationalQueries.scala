@@ -865,6 +865,55 @@ object RelationalQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** CUSUM changepoint detection per event type — the classic "where did
+    * the level shift?" monitor (Page 1954): deviations of the daily sums
+    * from the type's global mean accumulate as a cumulative sum, and the
+    * day where |CUSUM| peaks is the changepoint estimate. The complement
+    * of [[qAnomaly]] (single wild events) and the stream_anomaly monitor
+    * (prequential scoring): this one localizes a sustained LEVEL SHIFT.
+    *
+    * Exactness: integer end-to-end until one final cast. The per-day
+    * deviation avoids the non-associative running-mean subtraction by
+    * cross-multiplying: ds1·N − dn·S in DECIMAL(38,0) — at a 100 TB/day
+    * fleet (ds1 ≈ 10¹⁸, N ≈ 10¹⁴) the product is ~10³², inside decimal
+    * headroom (the oracle mirrors with 128-bit HUGEINT). The reported
+    * statistic divides ONCE: cusum/(N·10⁴) = Σ(value − type mean) in
+    * value units up to the peak day.
+    *
+    * Scale shape: per-(type, day) integer aggregate (map-side combine) →
+    * |types|-row totals broadcast back → running-sum and peak-rank
+    * windows over the CALENDAR-bounded day frame only → one row per
+    * type. The event stream is scanned once and never enters a window. */
+  def qCusum(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"), expr("__t div 86400000000").as("day"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+    val daily = e.groupBy("event_type", "day")
+      .agg(count(lit(1)).as("dn"), sum(col("e4")).as("ds1"))
+    val totals = daily.groupBy("event_type")
+      .agg(sum(col("dn")).as("nn"), sum(col("ds1")).as("ss"),
+        count(lit(1)).as("n_days"))
+    val wCum = Window.partitionBy("event_type").orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val wPk = Window.partitionBy("event_type")
+      .orderBy(abs(col("__cusum")).desc, col("day"))
+    daily.join(broadcast(totals), "event_type")
+      .withColumn("__dev",
+        col("ds1").cast(DecimalType(38, 0)) *
+          col("nn").cast(DecimalType(38, 0)) -
+        col("dn").cast(DecimalType(38, 0)) *
+          col("ss").cast(DecimalType(38, 0)))
+      .withColumn("__cusum", sum(col("__dev")).over(wCum))
+      .withColumn("__rk", row_number().over(wPk))
+      .filter(col("__rk") === 1)
+      .select(col("event_type"), col("day").as("peak_day"), col("n_days"),
+        (col("__cusum").cast(DoubleType) /
+          (col("nn").cast(DoubleType) * lit(10000.0d))).as("cusum_stat"))
+  }
+
   /** Fixed-width value histogram per event type — the profiling primitive
     * behind quality dashboards. Grouping on a computed bin key: one
     * partial/final aggregation, no shuffle beyond the group-by. */
@@ -1412,6 +1461,35 @@ object RelationalQueries {
         |       CAST(count(*) AS BIGINT) AS n
         |FROM s WHERE to_type IS NOT NULL
         |GROUP BY 1, 2""".stripMargin,
+    // CUSUM over daily sums: the cross-multiplied deviation ds1*N - dn*S
+    // is exact in HUGEINT (Spark holds it in DECIMAL(38,0)); one final
+    // cast to double on both engines
+    "q_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT event_type, day, count(*) AS dn,
+        |             CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(dn) AS BIGINT) AS nn,
+        |             CAST(sum(ds1) AS BIGINT) AS ss,
+        |             CAST(count(*) AS BIGINT) AS n_days
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT d.event_type, d.day, t.nn, t.n_days,
+        |             sum(CAST(ds1 AS HUGEINT) * CAST(nn AS HUGEINT)
+        |                 - CAST(dn AS HUGEINT) * CAST(ss AS HUGEINT))
+        |               OVER (PARTITION BY d.event_type ORDER BY d.day
+        |                     ROWS UNBOUNDED PRECEDING) AS cusum
+        |      FROM d JOIN t USING (event_type)),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(cusum) DESC, day) AS rk FROM c)
+        |SELECT event_type, day AS peak_day, n_days,
+        |       CAST(cusum AS DOUBLE) / (CAST(nn AS DOUBLE) * 10000.0)
+        |         AS cusum_stat
+        |FROM r WHERE rk = 1""".stripMargin,
     // the KMV estimator mirror of q_approx_distinct, joined against the
     // plain one-pass stats; sum is integer-exact on both engines
     "q_profile" ->
@@ -1570,6 +1648,7 @@ object RelationalQueries {
     "q_profile" -> (qProfile _),
     "q_transitions" -> (qTransitions _),
     "q_anomaly" -> (qAnomaly _),
+    "q_cusum" -> (qCusum _),
     "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),

@@ -95,6 +95,14 @@ final case class AnomState(day: Long, histN: Long, histS1: Long,
   curS2Hi: Long, curS2Lo: Long)
 final case class AnomRow(event_type: String, day: Long, event_id: Long,
   value: Double, n_prior: Long, z: Double)
+final case class FunnelEvent(user_id: Long, t: Long, event_id: Long,
+  event_type: String)
+/** Per-user funnel chain: the earliest view, the earliest click strictly
+  * after it, the earliest purchase strictly after that (-1 = unreached).
+  * Three longs per user — bounded by user cardinality, never stream
+  * length. */
+final case class FunnelState(t1: Long, t2: Long, t3: Long)
+final case class FunnelHit(user_id: Long, stage: String, t: Long)
 final case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
 final case class PackState(offset: Long)
 final case class PackRow(source: String, doc_id: Long, n_tokens: Long,
@@ -956,6 +964,54 @@ object StreamingAgg {
             while (lo >= Base) { lo -= Base; hi += 1L }
             cur = cur.copy(curN = cur.curN + 1L, curS1 = cur.curS1 + e.e4,
               curS2Hi = hi, curS2Lo = lo)
+          }
+          st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming conversion funnel — the live face of [[graft.queries
+    * .RelationalQueries.qFunnel]]'s view → click → purchase chain: each
+    * user's stage completions emit AS THEY HAPPEN instead of on a batch
+    * re-window. Processing each group's slice in (event-time, id) order,
+    * the first qualifying event IS the stage minimum, so the fold over a
+    * full in-order history reproduces the batch funnel's min-aggregate
+    * chain exactly (StreamingSpec pins fold == the join-chain SQL on
+    * real data); an event arriving out of order across batches chains
+    * against the state as of arrival — the standard streaming caveat,
+    * with the batch twin as the event-time-exact backfill. */
+  def funnelStream(events: DataFrame): Dataset[FunnelHit] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id").cast(LongType).as("user_id"),
+        unix_micros(col("ts").cast(TimestampType)).as("t"),
+        col("event_id").cast(LongType).as("event_id"),
+        col("event_type"))
+      .as[FunnelEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[FunnelEvent],
+            st: GroupState[FunnelState]) => {
+          var cur = st.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = Seq.newBuilder[FunnelHit]
+          it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            e.event_type match {
+              case "view" if cur.t1 < 0L =>
+                cur = cur.copy(t1 = e.t)
+                out += FunnelHit(uid, "view", e.t)
+              case "click" if cur.t1 >= 0L && cur.t2 < 0L && e.t > cur.t1 =>
+                cur = cur.copy(t2 = e.t)
+                out += FunnelHit(uid, "click_after_view", e.t)
+              case "purchase"
+                  if cur.t2 >= 0L && cur.t3 < 0L && e.t > cur.t2 =>
+                cur = cur.copy(t3 = e.t)
+                out += FunnelHit(uid, "purchase_after_click", e.t)
+              case _ =>
+            }
           }
           st.update(cur)
           out.result().iterator

@@ -1082,6 +1082,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(steps === Set((1L, "view", "click"), (1L, "click", "purchase")))
   }
 
+  test("streaming funnel: stages chain across batches; fold == the " +
+      "min-aggregate join chain on real data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    def aev(sec: Long, uid: Long, t: String, id: Long) =
+      AEv(new java.sql.Timestamp(sec * 1000L), uid, t, id, 1.0)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.funnelStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fnl").start()
+    try {
+      // batch 1: user 1 views; a click at the SAME instant must not count
+      mem.addData(aev(10, 1L, "view", 1L), aev(10, 1L, "click", 2L))
+      q.processAllAvailable()
+      val b1 = spark.table("fnl").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(b1 === Set((1L, "view", 10000000L)))
+      // batch 2: the click lands (chains against stored t1); a second,
+      // later click must NOT displace it; purchase completes the chain
+      mem.addData(aev(20, 1L, "click", 3L), aev(25, 1L, "click", 4L),
+        aev(30, 1L, "purchase", 5L))
+      q.processAllAvailable()
+      val b2 = spark.table("fnl").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(b2 === Set((1L, "view", 10000000L),
+        (1L, "click_after_view", 20000000L),
+        (1L, "purchase_after_click", 30000000L)))
+    } finally q.stop()
+
+    // batch fold == q_funnel's min-aggregate join chain on real data
+    // (q_funnel has no null-key filters and these tables carry none, so
+    // the counts must agree exactly)
+    val sf = "/root/testdata/sf0.001"
+    val fold = graft.queries.QueryRegistry.queries("stream_funnel")(
+      spark, sf).collect().head
+    val batch = graft.queries.RelationalQueries.qFunnel(spark, sf)
+      .collect().head
+    assert((fold.getLong(0), fold.getLong(1), fold.getLong(2)) ===
+      (batch.getLong(0), batch.getLong(1), batch.getLong(2)),
+      "stream fold must reproduce the batch funnel counts")
+  }
+
   test("prequential anomaly stream: day-ordered batches match the batch " +
       "fold bit-for-bit; an injected outlier flags with the exact z") {
     import spark.implicits._
