@@ -718,6 +718,48 @@ object Multimodal {
         "frame_sig", "error")
   }
 
+  /** Frame-to-frame motion estimation over a stored `(event_id, avi)`
+    * frame — the scene-change / motion-activity signal a video curation
+    * pipeline gates on (static clips carry less training signal than
+    * active ones). Decodes the stored AVI and sums the absolute byte
+    * delta between each consecutive frame pair: `total_motion` over the
+    * clip, `max_pair_motion` (the sharpest cut), and an order-sensitive
+    * per-pair fold `motion_sig`. Pure integers — the oracle recomputes
+    * from the synthesis formula, proving store∘decode identity. Same
+    * quarantine contract and map-only scale shape as the other checked
+    * decoders. */
+  def videoMotionChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("avi"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val vid = Avi.decode(p)
+            val n = vid.frames.length
+            var sig = 0L; var total = 0L; var maxP = 0L; var f = 0
+            while (f + 1 < n) {
+              val a = vid.frames(f); val b = vid.frames(f + 1)
+              var pm = 0L; var j = 0
+              while (j < a.length) {
+                pm += math.abs((a(j) & 0xff) - (b(j) & 0xff)); j += 1
+              }
+              total += pm
+              if (pm > maxP) maxP = pm
+              sig = (sig * 31L + pm % 1000000007L) % 1000000007L
+              f += 1
+            }
+            (id, Some(n.toLong), Some(n.toLong - 1L), Some(total),
+              Some(maxP), Some(sig), None): Checked
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, None, None, None, Some(errStr(e))): Checked
+          }
+        }
+      }
+      .toDF("event_id", "n_frames", "n_pairs", "total_motion",
+        "max_pair_motion", "motion_sig", "error")
+  }
+
   /** WAV features over a stored `(event_id, wav)` frame: total energy +
     * a fold of 400-sample/200-hop window energies. */
   def audioFeaturesChecked(media: DataFrame): DataFrame = {

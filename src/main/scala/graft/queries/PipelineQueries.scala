@@ -980,6 +980,47 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
+  /** Filtered vector search — top-5 probed neighbors UNDER A METADATA
+    * PREDICATE (same label as the query): the "similar items in this
+    * category" query every production vector store serves, and the
+    * classic pre-filter-vs-post-filter design point. This is the
+    * PRE-filter form: the label rides the list rows, so the predicate
+    * prunes inside the probed lists BEFORE any cosine is scored —
+    * post-filtering an unfiltered top-k undershoots k whenever the
+    * matching fraction is small (with ~5 labels, an unfiltered top-5
+    * leaves ~1 qualifying row; the spec-visible symptom would be
+    * near-empty results).
+    *
+    * Scale shape: reuses the session-cached IVF assignment; the label
+    * attach is an n-row co-keyed join here because the testdata keeps
+    * metadata in the embeddings table — a standing index STORES the
+    * label in the list rows (ml.Similarity's lists.parquet pattern), so
+    * the fleet path is pure probed-list scan + predicate + bounded rank,
+    * work scaling with queries, not corpus. */
+  def annFiltered(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    graft.functions.native.register(s)
+    val labels = tbl(s, dir, "embeddings").select(col("vec_id"), col("label"))
+    val assigned = ivfAssigned(s, dir, p)
+    val lists = assigned.filter(col("crn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("cid"))
+      .join(labels.toDF("n_id", "n_label"), "n_id")
+    val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cid"))
+      .join(labels.toDF("q_id", "q_label"), "q_id")
+    val scored = lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id") &&
+        col("n_label") === col("q_label"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+    val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("n_id"))
+    scored.withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("n_id"),
+        col("n_label").as("label"), col("cos"))
+  }
+
   /** Hybrid retrieval — the text+vector reranker every modern curation /
     * retrieval stack runs: IVF-probed vector candidates rescored by
     * cos(query, candidate) + Jaccard(query tokens, candidate tokens),
@@ -2218,6 +2259,17 @@ object PipelineQueries {
       .audioFeaturesChecked(media(s, dir).select("event_id", "wav"))
       .filter(col("error").isNull).drop("error")
 
+  /** Frame-to-frame motion from the stored AVI column: absolute byte
+    * deltas between consecutive frames
+    * ([[graft.multimodal.Multimodal.videoMotionChecked]]) — the
+    * scene-change / activity gate of a video curation pipeline. Same
+    * map-only scale shape and quarantine contract as the other mm_*
+    * decoders. */
+  def mmVideoMotion(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .videoMotionChecked(media(s, dir).select("event_id", "avi"))
+      .filter(col("error").isNull).drop("error")
+
   /** Zero-crossing-rate features from the stored WAV column: decode,
     * then pure-integer sign-change counts clip-wide and per 400/200
     * window ([[graft.multimodal.Multimodal.audioZcrChecked]]) — the
@@ -2899,6 +2951,35 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    // ann_ivf's probed-lists CTEs with the label predicate applied
+    // INSIDE the candidate join (pre-filter), before any cosine ranks
+    "ann_filtered" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v, label
+         |             FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (
+         |  SELECT e.vec_id, e.v, e.label, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |           AS crn
+         |  FROM emb e CROSS JOIN cent c),
+         |lists AS (SELECT vec_id AS n_id, v AS nv, label AS n_label, cid
+         |          FROM sc WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, label AS q_label, cid
+         |           FROM sc WHERE vec_id < 8 AND crn <= 2),
+         |scored AS (
+         |  SELECT p.q_id, l.n_id, l.n_label,
+         |         ${PV.cosineDuck("p.qv", "l.nv")} AS cos
+         |  FROM lists l JOIN probes p USING (cid)
+         |  WHERE l.n_id <> p.q_id AND l.n_label = p.q_label),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+         |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
+         |SELECT q_id, rnk, n_id, n_label AS label, cos
+         |FROM r WHERE rnk <= 5""".stripMargin,
     // exact brute-force top-5 vs IVF probed top-5, hits counted per query
     "emb_recall_eval" ->
       s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
@@ -3502,6 +3583,29 @@ object PipelineQueries {
         |       CAST(4 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
         |       sig.n_sampled, sig.frame_sig
         |FROM n JOIN sig USING (event_id)""".stripMargin,
+    // per-pair absolute byte deltas recomputed from the frame synthesis
+    // formula; min clip length 4 frames -> >= 3 pairs, joins never drop
+    "mm_video_motion" ->
+      s"""WITH $mediaIdsCte,
+        |n AS (SELECT event_id, 4 + event_id % 28 AS nf FROM mediaIds),
+        |pm AS (SELECT event_id, f.r AS f,
+        |       CAST(sum(abs(
+        |         (event_id * 17 + f.r * 29 + j.r * 5) % 256 -
+        |         (event_id * 17 + (f.r + 1) * 29 + j.r * 5) % 256))
+        |         AS BIGINT) AS pm
+        |       FROM n, range(0, 31) f(r), range(0, 48) j(r)
+        |       WHERE f.r < nf - 1 GROUP BY 1, 2),
+        |sig AS (SELECT event_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(pm) AS BIGINT) AS total_motion,
+        |        CAST(max(pm) AS BIGINT) AS max_pair_motion,
+        |        CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |          list(pm % 1000000007 ORDER BY f)),
+        |          (a, x) -> (a * 31 + x) % 1000000007) AS BIGINT)
+        |          AS motion_sig
+        |        FROM pm GROUP BY event_id)
+        |SELECT n.event_id, CAST(nf AS BIGINT) AS n_frames, sig.n_pairs,
+        |       sig.total_motion, sig.max_pair_motion, sig.motion_sig
+        |FROM n JOIN sig USING (event_id)""".stripMargin,
     "emb_centroids" ->
       """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim,
         |       count(*) AS n_vecs,
@@ -3728,6 +3832,7 @@ object PipelineQueries {
     "ann_bruteforce" -> (annBruteforce _),
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
+    "ann_filtered" -> ((s, d) => annFiltered(s, d)),
     "ann_hybrid" -> ((s, d) => annHybrid(s, d)),
     "ann_sq" -> (annSq _),
     "ann_pq" -> (annPq _),
@@ -3775,6 +3880,7 @@ object PipelineQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_chunks" -> (mmAudioChunks _),
     "mm_audio_zcr" -> (mmAudioZcr _),
+    "mm_video_motion" -> (mmVideoMotion _),
     "emb_triplet_mine" -> (embTripletMine _)
   )
 }
