@@ -402,6 +402,30 @@ object PipelineQueries {
         sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_dup_shingles"))
   }
 
+  /** Document novelty scoring — the fraction of a doc's distinct
+    * shingles FIRST seen in this doc (by doc_id order): the
+    * dedup-aware sampling signal that separates fresh content from
+    * recombinations of already-seen text (a doc can pass every pairwise
+    * near-dup gate yet contribute nothing new).
+    *
+    * Scale shape: [[dDupNgramFrac]]'s linear plan with min instead of
+    * count — shingle-keyed first-owner aggregate (partial/final,
+    * map-side combine), join back on the shingle, per-doc rollup. Never
+    * a pair join; the ratio is one IEEE divide of exact integers. */
+  def tNovelty(s: SparkSession, dir: String): DataFrame = {
+    val ex = shingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+    val first = ex.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+    ex.join(first, "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        (col("n_novel").cast(DoubleType) /
+          col("n_shingles").cast(DoubleType)).as("novelty"))
+  }
+
   // ------------------------------------------------- embeddings similarity
 
   /** Corpus-scaled LSH bucket per vector: the low [[lshBandBits]] bits
@@ -962,6 +986,56 @@ object PipelineQueries {
       .select(col("cid"), col("n_vecs"),
         (col("__s").cast(DoubleType) / lit(1e9) /
           col("n_vecs").cast(DoubleType)).as("margin"))
+  }
+
+  /** Embedding drift monitor as a QUERY — the query-level face of
+    * ml.Similarity's index drift telemetry: per label, the cosine
+    * between the centroid of the even-id half and the odd-id half of
+    * the corpus (the standard two-sample drift check; id parity stands
+    * in for the before/after split a fleet keys on ingest time). A
+    * drift_cos near 1 means the halves agree; a label whose halves
+    * diverge is the one whose downstream index/codebook needs a
+    * retrain.
+    *
+    * Exactness: centroid cosine == cosine of the per-dim INTEGER sums
+    * (scale cancels), so everything is exact until three final double
+    * casts — Σq per (label, half, dim) as BIGINT, the dim-fold of
+    * products as DECIMAL(38,0) (HUGEINT in the oracle; at 10⁶
+    * vectors/label the products reach ~10²⁰, past a long).
+    *
+    * Scale shape: one posexplode scan → (label, dim) aggregate
+    * (map-side combine, |labels|·dims rows) → |labels|-row fold + a
+    * |labels|-row count join. Vectors never shuffle; the event stream
+    * is scanned once. */
+  def embDrift(s: SparkSession, dir: String): DataFrame = {
+    val q = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        posexplode(col("embedding")).as(Seq("dim", "x")))
+      .select(col("label"), col("dim"),
+        (col("vec_id") % 2).as("half"),
+        expr("CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)")
+          .as("qv"))
+    val sums = q.groupBy("label", "dim")
+      .agg(sum(when(col("half") === 0L, col("qv")).otherwise(0L)).as("s0"),
+        sum(when(col("half") === 1L, col("qv")).otherwise(0L)).as("s1"))
+    val folded = sums.groupBy("label")
+      .agg(
+        sum(col("s0").cast(DecimalType(38, 0)) *
+          col("s1").cast(DecimalType(38, 0))).as("dot"),
+        sum(col("s0").cast(DecimalType(38, 0)) *
+          col("s0").cast(DecimalType(38, 0))).as("s0sq"),
+        sum(col("s1").cast(DecimalType(38, 0)) *
+          col("s1").cast(DecimalType(38, 0))).as("s1sq"))
+    val counts = tbl(s, dir, "embeddings")
+      .groupBy(col("label").cast(LongType).as("label"))
+      .agg(sum(when(col("vec_id") % 2 === 0L, 1L).otherwise(0L))
+          .as("n_even"),
+        sum(when(col("vec_id") % 2 === 1L, 1L).otherwise(0L)).as("n_odd"))
+    folded.join(counts, "label")
+      .select(col("label"), col("n_even"), col("n_odd"),
+        (col("dot").cast(DoubleType) /
+          (sqrt(col("s0sq").cast(DoubleType)) *
+            sqrt(col("s1sq").cast(DoubleType)))).as("drift_cos"))
   }
 
   def annIvf(s: SparkSession, dir: String,
@@ -2419,6 +2493,51 @@ object PipelineQueries {
       """SELECT sha256(text) AS content_hash, min(doc_id) AS keeper_id,
         |       count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+    // distinct shingles per doc -> global first owner (min doc_id) ->
+    // per-doc novel fraction; one IEEE divide of exact integers
+    "t_novelty" ->
+      s"""WITH $thCte,
+         |shT AS (SELECT doc_id, ${PT.shingleHashesDuck("th")} AS sh
+         |        FROM thT),
+         |ex AS (SELECT DISTINCT doc_id, g FROM
+         |         (SELECT doc_id, unnest(sh) AS g FROM shT)),
+         |f AS (SELECT g, min(doc_id) AS first_doc FROM ex GROUP BY g)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_novel,
+         |       CAST(CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0
+         |         END) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+         |         AS novelty
+         |FROM ex JOIN f USING (g) GROUP BY doc_id""".stripMargin,
+    // centroid cosine of the even/odd corpus halves per label: exact
+    // per-dim BIGINT sums, HUGEINT dim-fold, three final double casts
+    "emb_drift" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             i AS dim, vec_id % 2 AS half,
+        |             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0)
+        |               AS BIGINT) AS qv
+        |           FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |s AS (SELECT label, dim,
+        |        CAST(sum(CASE WHEN half = 0 THEN qv ELSE 0 END)
+        |          AS BIGINT) AS s0,
+        |        CAST(sum(CASE WHEN half = 1 THEN qv ELSE 0 END)
+        |          AS BIGINT) AS s1
+        |      FROM q GROUP BY 1, 2),
+        |d AS (SELECT label,
+        |        sum(CAST(s0 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS dot,
+        |        sum(CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT)) AS s0sq,
+        |        sum(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS s1sq
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT CAST(label AS BIGINT) AS label,
+        |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_even,
+        |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_odd
+        |      FROM embeddings GROUP BY 1)
+        |SELECT d.label, c.n_even, c.n_odd,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(s0sq AS DOUBLE)) *
+        |         sqrt(CAST(s1sq AS DOUBLE))) AS drift_cos
+        |FROM d JOIN c USING (label)""".stripMargin,
     "d_minhash_lsh" ->
       s"""WITH $pairsCte
          |SELECT doc_a, doc_b, count(*) AS shared_bands
@@ -3881,6 +4000,8 @@ object PipelineQueries {
     "mm_audio_chunks" -> (mmAudioChunks _),
     "mm_audio_zcr" -> (mmAudioZcr _),
     "mm_video_motion" -> (mmVideoMotion _),
-    "emb_triplet_mine" -> (embTripletMine _)
+    "emb_triplet_mine" -> (embTripletMine _),
+    "t_novelty" -> (tNovelty _),
+    "emb_drift" -> (embDrift _)
   )
 }
