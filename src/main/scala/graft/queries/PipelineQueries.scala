@@ -1054,6 +1054,31 @@ object PipelineQueries {
       .select("q_id", "rnk", "n_id", "cos")
   }
 
+  /** Range (radius) vector search — ALL probed neighbors above a cosine
+    * threshold, not a fixed top-k: the dedup/recall-sweep form of the
+    * query ("everything within distance τ"), where the result size is
+    * data-dependent. Structurally it is [[annIvf]] WITHOUT the rank
+    * window — the plan's whole tail is a filter on the scored candidate
+    * stream, so range search is strictly cheaper than top-k (no
+    * per-query ordering state at all); work still scales with probed
+    * lists, not the corpus. */
+  def annRange(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    graft.functions.native.register(s)
+    val assigned = ivfAssigned(s, dir, p)
+    val lists = assigned.filter(col("crn") === 1)
+      .select(col("vec_id").as("n_id"), col("embedding").as("nv"),
+        col("cid"))
+    val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        col("cid"))
+    lists.join(broadcast(probes), Seq("cid"))
+      .filter(col("n_id") =!= col("q_id"))
+      .withColumn("cos", expr("graft_cosine(qv, nv)"))
+      .filter(col("cos") > 0.2d)
+      .select("q_id", "n_id", "cos")
+  }
+
   /** Filtered vector search — top-5 probed neighbors UNDER A METADATA
     * PREDICATE (same label as the query): the "similar items in this
     * category" query every production vector store serves, and the
@@ -3070,6 +3095,29 @@ object PipelineQueries {
          |r AS (SELECT *, row_number() OVER (PARTITION BY q_id
          |             ORDER BY cos DESC, n_id) AS rnk FROM scored)
          |SELECT q_id, rnk, n_id, cos FROM r WHERE rnk <= 5""".stripMargin,
+    // ann_ivf's probed-lists CTEs with a radius filter instead of the
+    // rank window — result size is data-dependent, no per-query ordering
+    "ann_range" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (
+         |  SELECT e.vec_id, e.v, c.cid,
+         |         row_number() OVER (PARTITION BY e.vec_id
+         |           ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC, c.cid)
+         |           AS crn
+         |  FROM emb e CROSS JOIN cent c),
+         |lists AS (SELECT vec_id AS n_id, v AS nv, cid FROM sc
+         |          WHERE crn = 1),
+         |probes AS (SELECT vec_id AS q_id, v AS qv, cid FROM sc
+         |           WHERE vec_id < 8 AND crn <= 2)
+         |SELECT p.q_id, l.n_id, ${PV.cosineDuck("p.qv", "l.nv")} AS cos
+         |FROM lists l JOIN probes p USING (cid)
+         |WHERE l.n_id <> p.q_id
+         |  AND ${PV.cosineDuck("p.qv", "l.nv")} > 0.2""".stripMargin,
     // ann_ivf's probed-lists CTEs with the label predicate applied
     // INSIDE the candidate join (pre-filter), before any cosine ranks
     "ann_filtered" ->
@@ -3952,6 +4000,7 @@ object PipelineQueries {
     "ann_lsh" -> (annLsh _),
     "ann_ivf" -> ((s, d) => annIvf(s, d)),
     "ann_filtered" -> ((s, d) => annFiltered(s, d)),
+    "ann_range" -> ((s, d) => annRange(s, d)),
     "ann_hybrid" -> ((s, d) => annHybrid(s, d)),
     "ann_sq" -> (annSq _),
     "ann_pq" -> (annPq _),

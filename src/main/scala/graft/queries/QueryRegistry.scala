@@ -141,6 +141,11 @@ object QueryRegistry {
     "stream_pack_sequences" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .packStream(graft.Tables.load(s, dir, "documents")).toDF()),
+    // batch twin of StreamingAgg.driftStream: one fold per label against
+    // empty state == the emb_drift two-sample centroid check
+    "stream_drift" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .driftStream(graft.Tables.load(s, dir, "embeddings")).toDF()),
     // batch twin of StreamingAgg.funnelStream: each user's full sorted
     // history folds through the 3-long stage chain; the stage counts
     // equal q_funnel's min-aggregate join chain (restricted to the
@@ -283,6 +288,36 @@ object QueryRegistry {
         |WHERE s.sigma > 0
         |  AND abs((CAST(e.e4 AS DOUBLE) - s.mu) / s.sigma) > 4"""
         .stripMargin,
+    // the emb_drift SQL verbatim: the drift fold's exact integer sums
+    // reproduce the batch centroids, and the BigInt->double conversion
+    // is the same correctly-rounded value as DECIMAL(38,0)->DOUBLE
+    "stream_drift" ->
+      """WITH q AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             i AS dim, vec_id % 2 AS half,
+        |             CAST(floor(CAST(embedding[i] AS DOUBLE) * 10000.0)
+        |               AS BIGINT) AS qv
+        |           FROM embeddings CROSS JOIN range(1, 65) r(i)),
+        |s AS (SELECT label, dim,
+        |        CAST(sum(CASE WHEN half = 0 THEN qv ELSE 0 END)
+        |          AS BIGINT) AS s0,
+        |        CAST(sum(CASE WHEN half = 1 THEN qv ELSE 0 END)
+        |          AS BIGINT) AS s1
+        |      FROM q GROUP BY 1, 2),
+        |d AS (SELECT label,
+        |        sum(CAST(s0 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS dot,
+        |        sum(CAST(s0 AS HUGEINT) * CAST(s0 AS HUGEINT)) AS s0sq,
+        |        sum(CAST(s1 AS HUGEINT) * CAST(s1 AS HUGEINT)) AS s1sq
+        |      FROM s GROUP BY 1),
+        |c AS (SELECT CAST(label AS BIGINT) AS label,
+        |        CAST(sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_even,
+        |        CAST(sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END)
+        |          AS BIGINT) AS n_odd
+        |      FROM embeddings GROUP BY 1)
+        |SELECT d.label, c.n_even, c.n_odd,
+        |       CAST(dot AS DOUBLE) / (sqrt(CAST(s0sq AS DOUBLE)) *
+        |         sqrt(CAST(s1sq AS DOUBLE))) AS drift_cos
+        |FROM d JOIN c USING (label)""".stripMargin,
     // q_funnel's min-aggregate chain over the stream face's non-null
     // keys: in (t, id)-ordered folding the first qualifying event IS the
     // stage minimum

@@ -914,6 +914,40 @@ object RelationalQueries {
           (col("nn").cast(DoubleType) * lit(10000.0d))).as("cusum_stat"))
   }
 
+  /** Top movers — per event type, the sharpest day-over-day level change
+    * (consecutive days only): the "what jumped yesterday?" monitoring
+    * query, complementing [[qCusum]]'s sustained-shift localization with
+    * the single largest step. Exact integers end-to-end (daily Σe4
+    * BIGINT, delta a long subtraction); the output values divide once
+    * by 10⁴. Same scale shape as the other day-frame monitors: one
+    * event-stream aggregate, then lag + rank windows over the
+    * CALENDAR-bounded day frame only. */
+  def qTopMovers(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"), expr("__t div 86400000000").as("day"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+    val daily = e.groupBy("event_type", "day").agg(sum(col("e4")).as("ds1"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val wPk = Window.partitionBy("event_type")
+      .orderBy(abs(col("__delta")).desc, col("day"))
+    daily
+      .withColumn("__prev_day", lag(col("day"), 1).over(w))
+      .withColumn("__prev_ds1", lag(col("ds1"), 1).over(w))
+      .filter(col("__prev_day").isNotNull &&
+        col("day") === col("__prev_day") + 1L)
+      .withColumn("__delta", col("ds1") - col("__prev_ds1"))
+      .withColumn("__rk", row_number().over(wPk))
+      .filter(col("__rk") === 1)
+      .select(col("event_type"), col("day"),
+        (col("__prev_ds1").cast(DoubleType) / lit(10000.0d))
+          .as("prev_day_sum"),
+        (col("ds1").cast(DoubleType) / lit(10000.0d)).as("day_sum"),
+        (col("__delta").cast(DoubleType) / lit(10000.0d)).as("delta"))
+  }
+
   /** Fixed-width value histogram per event type — the profiling primitive
     * behind quality dashboards. Grouping on a computed bin key: one
     * partial/final aggregation, no shuffle beyond the group-by. */
@@ -1490,6 +1524,30 @@ object RelationalQueries {
         |       CAST(cusum AS DOUBLE) / (CAST(nn AS DOUBLE) * 10000.0)
         |         AS cusum_stat
         |FROM r WHERE rk = 1""".stripMargin,
+    // sharpest consecutive-day step per type: exact BIGINT daily sums
+    // and delta; three final /1e4 double divides
+    "q_top_movers" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |l AS (SELECT *, lag(day) OVER w AS prev_day,
+        |             lag(ds1) OVER w AS prev_ds1
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |x AS (SELECT event_type, day, prev_ds1, ds1,
+        |             ds1 - prev_ds1 AS delta
+        |      FROM l WHERE prev_day IS NOT NULL AND day = prev_day + 1),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |        ORDER BY abs(delta) DESC, day) AS rk FROM x)
+        |SELECT event_type, day,
+        |       CAST(prev_ds1 AS DOUBLE) / 10000.0 AS prev_day_sum,
+        |       CAST(ds1 AS DOUBLE) / 10000.0 AS day_sum,
+        |       CAST(delta AS DOUBLE) / 10000.0 AS delta
+        |FROM r WHERE rk = 1""".stripMargin,
     // the KMV estimator mirror of q_approx_distinct, joined against the
     // plain one-pass stats; sum is integer-exact on both engines
     "q_profile" ->
@@ -1649,6 +1707,7 @@ object RelationalQueries {
     "q_transitions" -> (qTransitions _),
     "q_anomaly" -> (qAnomaly _),
     "q_cusum" -> (qCusum _),
+    "q_top_movers" -> (qTopMovers _),
     "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),

@@ -103,6 +103,14 @@ final case class FunnelEvent(user_id: Long, t: Long, event_id: Long,
   * length. */
 final case class FunnelState(t1: Long, t2: Long, t3: Long)
 final case class FunnelHit(user_id: Long, stage: String, t: Long)
+final case class DriftVec(label: Long, vec_id: Long, q: Array[Long])
+/** Per-label drift state: exact quantized dim sums of the even/odd
+  * halves plus their counts — 2·dims + 2 longs per label, independent
+  * of stream length. */
+final case class DriftState(nEven: Long, nOdd: Long, s0: Array[Long],
+  s1: Array[Long])
+final case class DriftRow(label: Long, n_even: Long, n_odd: Long,
+  drift_cos: Double)
 final case class PackDoc(source: String, doc_id: Long, n_tokens: Long)
 final case class PackState(offset: Long)
 final case class PackRow(source: String, doc_id: Long, n_tokens: Long,
@@ -1015,6 +1023,62 @@ object StreamingAgg {
           }
           st.update(cur)
           out.result().iterator
+        })
+  }
+
+  /** Continuous embedding-drift monitoring — the streaming face of the
+    * emb_drift two-sample check: per label, the cosine between the
+    * even-id and odd-id half centroids, re-emitted live as vectors
+    * stream in (an operator watching its own corpus drift instead of a
+    * scheduled batch audit). All folds are order-independent integer
+    * sums, so after any batch split the emitted row equals the batch
+    * query on the data so far, bit-for-bit: the dot/norm fold runs in
+    * exact BigInt and converts once per term exactly like the batch
+    * plan's DECIMAL(38,0)→DOUBLE casts. */
+  def driftStream(vectors: DataFrame): Dataset[DriftRow] = {
+    val s = vectors.sparkSession
+    import s.implicits._
+    val typed = vectors
+      .select(col("label").cast(LongType).as("label"),
+        col("vec_id").cast(LongType).as("vec_id"),
+        expr("transform(embedding, x -> " +
+          "CAST(floor(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))").as("q"))
+      .as[DriftVec]
+    typed.groupByKey(_.label)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (label: Long, it: Iterator[DriftVec],
+            st: GroupState[DriftState]) => {
+          val vecs = it.toArray
+          val dims = st.getOption.map(_.s0.length)
+            .getOrElse(if (vecs.nonEmpty) vecs.head.q.length else 0)
+          var cur = st.getOption.getOrElse(
+            DriftState(0L, 0L, new Array[Long](dims),
+              new Array[Long](dims)))
+          vecs.foreach { v =>
+            if (v.vec_id % 2 == 0L) {
+              var d = 0
+              while (d < dims) { cur.s0(d) += v.q(d); d += 1 }
+              cur = cur.copy(nEven = cur.nEven + 1L)
+            } else {
+              var d = 0
+              while (d < dims) { cur.s1(d) += v.q(d); d += 1 }
+              cur = cur.copy(nOdd = cur.nOdd + 1L)
+            }
+          }
+          st.update(cur)
+          var dot = BigInt(0); var s0sq = BigInt(0); var s1sq = BigInt(0)
+          var d = 0
+          while (d < dims) {
+            dot += BigInt(cur.s0(d)) * BigInt(cur.s1(d))
+            s0sq += BigInt(cur.s0(d)) * BigInt(cur.s0(d))
+            s1sq += BigInt(cur.s1(d)) * BigInt(cur.s1(d))
+            d += 1
+          }
+          val cosv = BigDecimal(dot).toDouble /
+            (math.sqrt(BigDecimal(s0sq).toDouble) *
+              math.sqrt(BigDecimal(s1sq).toDouble))
+          Iterator.single(DriftRow(label, cur.nEven, cur.nOdd, cosv))
         })
   }
 

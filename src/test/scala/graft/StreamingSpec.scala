@@ -1082,6 +1082,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(steps === Set((1L, "view", "click"), (1L, "click", "purchase")))
   }
 
+  test("streaming drift monitor: batch emissions converge to the batch " +
+      "two-sample check bit-for-bit; state stays dims-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the fold (one invocation per label) == the windowless batch query
+    val fold = graft.queries.QueryRegistry.queries("stream_drift")(
+      spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val batch = graft.queries.PipelineQueries.embDrift(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(fold === batch, "drift fold == the aggregate/join batch plan")
+
+    // streamed in arbitrary batches: the LAST emission per label (the one
+    // with the most vectors folded) equals the batch fold
+    val rows = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1).toArray, r.getInt(2).toLong))
+    val mem = MemoryStream[(Long, Array[Float], Long)]
+    val q = StreamingAgg.driftStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("drift").start()
+    try {
+      val (b1, b2) = rows.splitAt(rows.length / 3)
+      mem.addData(b1.toSeq: _*); q.processAllAvailable()
+      mem.addData(b2.toSeq: _*); q.processAllAvailable()
+      val streamed = spark.table("drift").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .groupBy(_._1).map { case (_, rs) =>
+          rs.maxBy(r => r._2 + r._3) }.toSet
+      assert(streamed === batch,
+        "final streamed drift rows must equal the batch check")
+    } finally q.stop()
+  }
+
   test("streaming funnel: stages chain across batches; fold == the " +
       "min-aggregate join chain on real data") {
     import spark.implicits._
