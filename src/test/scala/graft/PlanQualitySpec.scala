@@ -566,6 +566,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     assert(bcasts >= 1, "the |types|x|days| stats frame must broadcast")
   }
 
+  test("q_cusum / q_top_movers: every window consumes the per-day " +
+      "aggregate, never the event stream") {
+    // the day-frame monitors share stream_anomaly's discipline: the
+    // event scan feeds ONE hash aggregate, and all windows (running sum,
+    // lag, peak rank) run over the calendar-bounded aggregate output
+    for (name <- Seq("q_cusum", "q_top_movers")) {
+      val plan = physical(name)
+      val windows = nodes(plan).collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.nonEmpty, s"$name: expected day-frame windows")
+      windows.foreach { w =>
+        val aggsBelow = w.children.flatMap(nodes).count(
+          _.isInstanceOf[org.apache.spark.sql.execution.aggregate
+            .HashAggregateExec])
+        assert(aggsBelow >= 1,
+          s"$name: a window must consume the per-day aggregate")
+      }
+    }
+  }
+
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
     // the storage-side pattern: both tables bucketed by the join key into
     // the same bucket count -> the sort-merge join consumes bucket i of
