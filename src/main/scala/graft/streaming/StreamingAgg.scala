@@ -967,9 +967,14 @@ object StreamingAgg {
                     cur.histN, z)
               }
             }
-            var lo = cur.curS2Lo + e.e4 * e.e4
-            var hi = cur.curS2Hi
-            while (lo >= Base) { lo -= Base; hi += 1L }
+            // split the square FIRST: e4² can be ~9·10¹⁸ (close to
+            // Long.MaxValue), so adding it to a lo of up to 10¹⁸−1
+            // before carrying would overflow; rem < 10¹⁸ keeps the sum
+            // < 2·10¹⁸, inside the long range
+            val sq = e.e4 * e.e4
+            var lo = cur.curS2Lo + sq % Base
+            var hi = cur.curS2Hi + sq / Base
+            if (lo >= Base) { lo -= Base; hi += 1L }
             cur = cur.copy(curN = cur.curN + 1L, curS1 = cur.curS1 + e.e4,
               curS2Hi = hi, curS2Lo = lo)
           }

@@ -1122,6 +1122,34 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("anomaly stream two-long accumulator: carry-heavy extreme values " +
+      "stay exact against a BigInt reference") {
+    import spark.implicits._
+    val day = 86400L
+    // |value| near the documented 3e5 bound: every e4^2 ~ 8.4e18 (just
+    // under Long.MaxValue) forces the split-first carry path on every
+    // row — a naive lo+sq accumulation overflows immediately
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val big = (0 until 40).map(i =>
+      aev(i / 20 * day + i * 60, i.toLong, 289000.0 + i))
+    val probe = Seq(aev(2 * day, 500L, 289020.0), // in-family, no flag
+      aev(2 * day + 60, 501L, 1.0))               // wild low outlier
+    val out = StreamingAgg.anomalyStream((big ++ probe).toDF()).toDF()
+      .collect().map(r => (r.getLong(2), r.getLong(4), r.getDouble(5)))
+    assert(out.map(_._1).toSeq === Seq(501L))
+    // exact reference moments through BigInt — no long arithmetic at all
+    val e4s = big.map(e => BigInt(math.floor(e.value * 1e4 + 0.5).toLong))
+    val n = e4s.size
+    val mu = BigDecimal(e4s.sum).toDouble / n.toDouble
+    val s2 = BigDecimal(e4s.map(x => x * x).sum).toDouble
+    val sigma = math.sqrt(s2 / n.toDouble - mu * mu)
+    val zExp = (math.floor(1.0 * 1e4 + 0.5) - mu) / sigma
+    assert(out.head._2 === 40L)
+    assert(out.head._3 === zExp,
+      "carry-path moments must equal the BigInt reference bit-for-bit")
+  }
+
   test("streaming funnel: stages chain across batches; fold == the " +
       "min-aggregate join chain on real data") {
     import spark.implicits._
