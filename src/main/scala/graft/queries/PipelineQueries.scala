@@ -48,6 +48,32 @@ object PipelineQueries {
     evictSigStore(s, dir)
   }
 
+  /** Conf key for the size gate below (bytes); override in specs to force
+    * either regime. */
+  val BroadcastGateKey = "spark.graft.broadcastGateBytes"
+
+  /** Size-GATED broadcast hint for data-dependent build sides. An
+    * explicit `broadcast()` hint is honored by the planner regardless of
+    * size — there is no AQE fallback; past ~8 GiB Spark hard-fails the
+    * exchange after sustained driver memory pressure. That is fine for
+    * frames with a structural bound (codebooks, probe lists) but NOT for
+    * frames whose size tracks a data distribution: the near-dup label
+    * frame is one row per clustered document (30–50 % of a realistic
+    * crawl), and an ingest delta is whatever the day brought. So: count
+    * the build side (cheap — both call sites hand in a cached or
+    * checkpointed frame, so the count is a metadata-or-memo-speed pass
+    * that does not recompute the lineage), estimate bytes from the
+    * caller's per-row width, and hint ONLY under the gate; over it the
+    * frame joins unhinted and the planner picks a keyed shuffle join —
+    * one linear exchange instead of an OOM. Default gate 256 MiB, far
+    * under the 8 GiB wall and executor-memory safe at 32 tasks/JVM. */
+  private[graft] def gatedBroadcast(df: DataFrame, bytesPerRow: Long)
+      : DataFrame = {
+    val maxBytes = df.sparkSession.conf
+      .get(BroadcastGateKey, (256L << 20).toString).toLong
+    if (df.count() * bytesPerRow <= maxBytes) broadcast(df) else df
+  }
+
   /** Number of live memo entries for (session, dir) — specs. */
   def cachedFrameCount(s: SparkSession, dir: String): Int =
     frameMemo.sizeFor(s, (_: (String, String))._1 == dir) +
@@ -208,10 +234,13 @@ object PipelineQueries {
     * ([[dMinhashLsh]]'s symmetric self-join) would be quadratic in
     * archive lifetime. The corpus side is a PERSISTED band-signature
     * store ([[corpusSigStore]] — 16 B/band rows written at the corpus's
-    * own ingest time); the daily job computes bands for the delta only,
-    * broadcasts them (a daily increment is small next to the archive;
-    * for a mega-delta drop the hint and the join degrades gracefully to
-    * a sig-shuffle of both sides), and the store is scanned ONCE,
+    * own ingest time); the daily job computes bands for the delta only
+    * and broadcasts them through the SIZE GATE ([[gatedBroadcast]] — a
+    * daily increment is usually small next to the archive, but a
+    * mega-delta ingest exceeding the gate joins unhinted and the plan
+    * degrades gracefully to a sig-shuffle of both sides instead of
+    * hard-failing the 8 GiB broadcast wall), and the store is scanned
+    * ONCE,
     * map-only, never shuffled — the only shuffle is the per-delta-doc
     * `min` over matched candidates, bounded by matches, not the store.
     * Within-delta dups resolve by the same first-arrival (min doc_id)
@@ -223,8 +252,9 @@ object PipelineQueries {
     val store = s.read.parquet(corpusSigStore(s, dir))
       .toDF("c_id", "band_idx", "sig")
     val delta = ebands(s, dir).filter(col("doc_id") % 10 === 7)
+    // ~32 B per (doc_id, band_idx, sig) row in the broadcast hash relation
     val corpOwn = store
-      .join(broadcast(delta), Seq("band_idx", "sig"))
+      .join(gatedBroadcast(delta, 32L), Seq("band_idx", "sig"))
       .groupBy("doc_id").agg(min("c_id").as("corpus_dup"))
     val earlier = delta.toDF("e_id", "band_idx", "sig")
     val deltaOwn = delta
@@ -317,9 +347,14 @@ object PipelineQueries {
         .filter(col("jaccard") >= 0.5)
         .select(col("doc_a"), col("doc_b"))
       val labels = graft.core.Graph.minLabelComponents(edges)
-      // isolated docs are their own singleton cluster
+      // isolated docs are their own singleton cluster. The label frame is
+      // one row per CLUSTERED doc — tiny on synthetic data, corpus-order
+      // on a high-duplication crawl — so the broadcast is size-gated
+      // (~32 B per (doc_id, lbl) pair); over the gate it degrades to a
+      // doc_id-keyed shuffle join, one linear exchange
       shingles(s, dir).select(col("doc_id"))
-        .join(broadcast(labels.toDF("doc_id", "lbl")), Seq("doc_id"), "left")
+        .join(gatedBroadcast(labels.toDF("doc_id", "lbl"), 32L),
+          Seq("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
         .withColumn("is_keeper", col("doc_id") === col("cluster_id"))

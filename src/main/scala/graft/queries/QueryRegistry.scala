@@ -317,7 +317,8 @@ object QueryRegistry {
         |SELECT d.label, c.n_even, c.n_odd,
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(s0sq AS DOUBLE)) *
         |         sqrt(CAST(s1sq AS DOUBLE))) AS drift_cos
-        |FROM d JOIN c USING (label)""".stripMargin,
+        |FROM d JOIN c USING (label)
+        |WHERE c.n_even > 0 AND c.n_odd > 0""".stripMargin,
     // q_funnel's min-aggregate chain over the stream face's non-null
     // keys: in (t, id)-ordered folding the first qualifying event IS the
     // stage minimum

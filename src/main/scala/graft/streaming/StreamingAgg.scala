@@ -970,7 +970,15 @@ object StreamingAgg {
             // split the square FIRST: e4² can be ~9·10¹⁸ (close to
             // Long.MaxValue), so adding it to a lo of up to 10¹⁸−1
             // before carrying would overflow; rem < 10¹⁸ keeps the sum
-            // < 2·10¹⁸, inside the long range
+            // < 2·10¹⁸, inside the long range. |e4| ≤ ⌊√Long.MaxValue⌋
+            // is a hard precondition of that arithmetic — beyond it the
+            // square itself wraps and every later moment is silently
+            // corrupt while the batch twin (DECIMAL(38,0)) stays exact,
+            // so out-of-range input fails LOUDLY here instead.
+            require(math.abs(e.e4) <= 3037000499L,
+              s"anomalyStream: |value| ${e.value} exceeds the exact-" +
+                "moment bound (|value*1e4| must be <= 3037000499); " +
+                "quarantine oversized rows upstream")
             val sq = e.e4 * e.e4
             var lo = cur.curS2Lo + sq % Base
             var hi = cur.curS2Hi + sq / Base
@@ -1044,6 +1052,8 @@ object StreamingAgg {
     val s = vectors.sparkSession
     import s.implicits._
     val typed = vectors
+      .filter(col("label").isNotNull && col("vec_id").isNotNull &&
+        col("embedding").isNotNull)
       .select(col("label").cast(LongType).as("label"),
         col("vec_id").cast(LongType).as("vec_id"),
         expr("transform(embedding, x -> " +
@@ -1080,10 +1090,17 @@ object StreamingAgg {
             s1sq += BigInt(cur.s1(d)) * BigInt(cur.s1(d))
             d += 1
           }
-          val cosv = BigDecimal(dot).toDouble /
-            (math.sqrt(BigDecimal(s0sq).toDouble) *
-              math.sqrt(BigDecimal(s1sq).toDouble))
-          Iterator.single(DriftRow(label, cur.nEven, cur.nOdd, cosv))
+          // until BOTH halves are populated the denominator is zero and
+          // the cosine is NaN/Inf whose cross-engine semantics differ —
+          // skip emission (the batch twin's oracle carries the matching
+          // WHERE n_even > 0 AND n_odd > 0 guard)
+          if (cur.nEven == 0L || cur.nOdd == 0L) Iterator.empty
+          else {
+            val cosv = BigDecimal(dot).toDouble /
+              (math.sqrt(BigDecimal(s0sq).toDouble) *
+                math.sqrt(BigDecimal(s1sq).toDouble))
+            Iterator.single(DriftRow(label, cur.nEven, cur.nOdd, cosv))
+          }
         })
   }
 
@@ -1101,6 +1118,8 @@ object StreamingAgg {
     import s.implicits._
     graft.functions.native.register(s)
     val typed = docs
+      .filter(col("source").isNotNull && col("doc_id").isNotNull &&
+        col("text").isNotNull)
       .select(col("source"), col("doc_id").cast(LongType).as("doc_id"),
         expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
       .as[PackDoc]

@@ -616,4 +616,102 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       assert(scans.size >= 2, s"expected 2 bucketed scans, got ${scans.size}")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("gatedBroadcast: hints under the gate, leaves the join unhinted over") {
+    // the mechanism behind the two data-dependent broadcasts
+    // (d_incremental_dedup's ingest delta, d_dedup_clusters' label
+    // frame): an explicit broadcast() hint is honored at ANY size until
+    // Spark's hard 8 GiB wall, so the hint must come off when
+    // count x bytes/row exceeds the gate. Disable the planner's own
+    // size-based broadcast so a surviving BHJ could only come from the
+    // hint — exactly the at-scale condition the gate models.
+    import graft.queries.PipelineQueries
+    val small = spark.range(100).toDF("k")
+    val big = spark.range(100000).toDF("k")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      def bhj(df: org.apache.spark.sql.DataFrame): Int =
+        count(df.queryExecution.executedPlan, _.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastHashJoinExec])
+      // under the default 256 MiB gate: 100 rows x 32 B hints
+      val under = big.join(
+        PipelineQueries.gatedBroadcast(small, 32L), Seq("k"))
+      assert(bhj(under) == 1, "under the gate the build side must hint")
+      // over a forced 1-byte gate: the SAME join plans shuffle-side
+      spark.conf.set(PipelineQueries.BroadcastGateKey, "1")
+      val over = big.join(
+        PipelineQueries.gatedBroadcast(small, 32L), Seq("k"))
+      assert(bhj(over) == 0,
+        "over the gate the hint must come off (shuffle join)")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      spark.conf.unset(PipelineQueries.BroadcastGateKey)
+    }
+  }
+
+  test("d_incremental_dedup over the gate: the store join degrades to a " +
+      "sig-shuffle, results unchanged") {
+    // the mega-delta regime end-to-end: force the gate off, rebuild the
+    // pipeline from scratch (the shared band frames memoize plans), and
+    // pin (a) the innermost store join is NOT a broadcast and (b) the
+    // verdicts match the hinted regime row-for-row — EXPLAIN.md's
+    // "degrades to a sig-shuffle join" claim, now true and pinned
+    import graft.queries.PipelineQueries
+    def run(): (SparkPlan, Array[String]) = {
+      val df = SparkEntry.queries("d_incremental_dedup")(spark, sfDir)
+      (df.queryExecution.executedPlan,
+        df.collect().map(_.toString).sorted)
+    }
+    val (_, baseline) = run()
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set(PipelineQueries.BroadcastGateKey, "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      PipelineQueries.evictCaches(spark, sfDir)
+      val (plan, rows) = run()
+      def hasStoreScan(p: SparkPlan): Boolean = nodes(p).exists {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.toString.contains("sig_store")
+        case _ => false
+      }
+      val storeJoins = nodes(plan).filter {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          hasStoreScan(j)
+        case _ => false
+      }
+      assert(storeJoins.nonEmpty, "the store still joins the delta")
+      assert(!storeJoins.last.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec],
+        "over the gate the store join must NOT broadcast the delta")
+      assert(rows.sameElements(baseline),
+        "both regimes must produce identical verdicts")
+    } finally {
+      spark.conf.unset(PipelineQueries.BroadcastGateKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      // drop frames built under the forced regime so later tests (and
+      // the under-gate pin above, in any order) rebuild with defaults
+      PipelineQueries.evictCaches(spark, sfDir)
+    }
+  }
+
+  test("d_dedup_clusters over the gate: identical clusters without the hint") {
+    // the label frame is corpus-order on a high-duplication crawl; over
+    // the gate the corpus join-back must still produce the same
+    // clustering through the keyed shuffle join
+    import graft.queries.PipelineQueries
+    def run(): Array[String] =
+      SparkEntry.queries("d_dedup_clusters")(spark, sfDir)
+        .collect().map(_.toString).sorted
+    val baseline = run()
+    try {
+      spark.conf.set(PipelineQueries.BroadcastGateKey, "1")
+      PipelineQueries.evictCaches(spark, sfDir)
+      assert(run().sameElements(baseline),
+        "both regimes must produce identical cluster assignments")
+    } finally {
+      spark.conf.unset(PipelineQueries.BroadcastGateKey)
+      PipelineQueries.evictCaches(spark, sfDir)
+    }
+  }
 }

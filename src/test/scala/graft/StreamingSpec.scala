@@ -1150,6 +1150,81 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "carry-path moments must equal the BigInt reference bit-for-bit")
   }
 
+  test("anomaly stream: a value beyond the exact-moment bound fails " +
+      "LOUDLY instead of silently wrapping the two-long accumulator") {
+    import spark.implicits._
+    // |e4| > floor(sqrt(Long.MaxValue)) would square past Long.MaxValue:
+    // before the guard this silently corrupted every later moment while
+    // the batch twin (DECIMAL(38,0)) stayed exact — the worst kind of
+    // streaming/batch divergence. It must throw, not drift.
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val bad = Seq(aev(0, 1L, 303701.0)).toDF() // e4 = 3.03701e9 > bound
+    val ex = intercept[Throwable] {
+      StreamingAgg.anomalyStream(bad).toDF().collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e =>
+        Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("exact-moment bound")),
+      s"expected the loud bound failure, got: ${messages(ex)}")
+    // at the bound itself: fine (the square is representable)
+    val edge = Seq(aev(0, 1L, 303700.0499)).toDF()
+    StreamingAgg.anomalyStream(edge).toDF().collect()
+  }
+
+  test("drift stream: null inputs are filtered and nothing emits until " +
+      "BOTH half-centroids are populated") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[Array[Float]], Option[Long])]
+    val q = StreamingAgg.driftStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("driftnull").start()
+    try {
+      // batch 1: a null embedding and a null label (both must be DROPPED,
+      // not NPE the state fold) plus one even-id vector — only one half
+      // populated, so the zero-denominator guard suppresses emission
+      mem.addData((2L, None, Some(7L)),
+        (4L, Some(Array(1f, 0f)), None),
+        (6L, Some(Array(1f, 2f)), Some(7L)))
+      q.processAllAvailable()
+      assert(spark.table("driftnull").count() === 0L,
+        "no emission while one half is empty (cos would be NaN/Inf)")
+      // batch 2: an odd-id vector completes the two-sample pair
+      mem.addData((3L, Some(Array(2f, 4f)), Some(7L)))
+      q.processAllAvailable()
+      val rows = spark.table("driftnull").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+      // cos through the fold's own IEEE sequence: quantized (1e4, 2e4)
+      // vs (2e4, 4e4) — parallel, but sqrt(s0sq)*sqrt(s1sq) rounds
+      val cosExp = 1e9 / (math.sqrt(5e8) * math.sqrt(2e9))
+      assert(rows.toSeq === Seq((7L, 1L, 1L, cosExp)),
+        "parallel half-centroids must emit exactly once, bit-for-bit")
+    } finally q.stop()
+  }
+
+  test("pack stream: null docs are filtered and do not corrupt the " +
+      "running per-source offset") {
+    import spark.implicits._
+    // before the filter a null text made size(graft_tokens(text)) null,
+    // poisoning the source's offset for every later doc
+    val docs = Seq(
+      (Some("s"), Some(1L), Some("a b c")),
+      (Some("s"), Some(2L), None), // null text: dropped
+      (None, Some(3L), Some("d e")), // null source: dropped
+      (Some("s"), Some(4L), Some("f g h i"))).toDF(
+      "source", "doc_id", "text")
+    val packed = StreamingAgg.packStream(docs, budget = 5L).toDF()
+      .collect().map(r =>
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toSeq
+    // doc 1: 3 tokens at offset 0 (bin 0); doc 4: 4 tokens at offset 3
+    // -> bin 0 slot 3 — exactly as if the null rows never existed
+    assert(packed === Seq((1L, 3L, 0L, 0L), (4L, 4L, 0L, 3L)))
+  }
+
   test("streaming funnel: stages chain across batches; fold == the " +
       "min-aggregate join chain on real data") {
     import spark.implicits._
