@@ -159,6 +159,66 @@ object Similarity {
     }
   }
 
+  // ---------------------------------------------------------- deletes
+
+  /** Tombstone storage for all three persisted index types: a
+    * `tombstones.parquet` dir of deleted vec_ids next to the data files.
+    * A delete appends one model-sized-or-less file (O(delete batch), no
+    * data rewrite — the takedown/purge/TTL path must not cost a corpus
+    * pass); every search anti-joins the scan against it (the tombstone
+    * side is stats-sized in the planner, so a small set broadcasts on
+    * its own file-size estimate — no hint, no 8 GiB hazard); compaction
+    * folds the tombstones into the data files and removes them. */
+  private def tombstonesPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "tombstones.parquet")
+
+  private def readTombstones(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[DataFrame] = {
+    val p = tombstonesPath(dir)
+    if (fs(spark, p).exists(p)) Some(spark.read.parquet(p.toString))
+    else None
+  }
+
+  /** The live rows of a stored scan: anti-join pending tombstones (a
+    * no-op scan-through when none exist). Applied by every *SearchIndex
+    * BEFORE ranking, so a deleted vector can never crowd a survivor out
+    * of the top-k — parity with rebuild-without-deleted is exact. */
+  private def minusTombstones(data: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    readTombstones(spark, dir)
+      .map(t => data.join(t.select(col("vec_id")), Seq("vec_id"),
+        "left_anti"))
+      .getOrElse(data)
+
+  /** Append a batch of vec_ids to an index dir's tombstone set. */
+  private def writeTombstones(ids: DataFrame, dir: String): Unit =
+    ids.select(col("vec_id").cast(LongType)).distinct()
+      .coalesce(1)
+      .write.mode("append").parquet(tombstonesPath(dir).toString)
+
+  /** True if the index dir has pending tombstones — compaction no-ops
+    * without them. */
+  def pendingDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    fs(spark, tombstonesPath(dir)).exists(tombstonesPath(dir))
+
+  /** Rewrite `rel` (minus tombstones) over the live data path with the
+    * same staged-rename swap [[retrainIndex]] uses — the index stays
+    * openable at every instant — then drop the tombstone set. */
+  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
+      dir: String, dataName: String,
+      write: (DataFrame, String) => Unit): Unit = {
+    val live = new org.apache.hadoop.fs.Path(s"$dir/$dataName")
+    val staged = new org.apache.hadoop.fs.Path(s"$dir/$dataName.compact")
+    val survivors = minusTombstones(
+      spark.read.parquet(live.toString), spark, dir)
+    write(survivors, staged.toString)
+    val f = fs(spark, live)
+    f.delete(live, true)
+    require(f.rename(staged, live), s"compact swap failed: $staged -> $live")
+    f.delete(tombstonesPath(dir), true)
+  }
+
   /** Build-time stats from ONE scan of the freshly written lists/codes
     * (pruned to the 8 B/row `ccos` column). */
   private def writeBuildDrift(spark: org.apache.spark.sql.SparkSession,
@@ -235,7 +295,10 @@ object Similarity {
   def retrainIndex(index: IvfIndex, iters: Int = 5, k: Int = 0): IvfIndex = {
     val s = index.codebook.sparkSession
     graft.functions.native.register(s)
-    val corpus = index.lists.select(col("vec_id"), col("embedding"))
+    // pending deletes must not be resurrected into the refit corpus —
+    // a retrain is also a compaction (it rewrites every list)
+    val corpus = minusTombstones(index.lists, s, index.dir)
+      .select(col("vec_id"), col("embedding"))
     val kk = if (k > 0) k else index.codebook.count().toInt
     val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
       .select(col("cid").cast(LongType), col("cv"))
@@ -254,6 +317,40 @@ object Similarity {
     cbNew.coalesce(1)
       .write.mode("overwrite").parquet(s"${index.dir}/codebook.parquet")
     writeBuildDrift(s, index.dir, live.toString)
+    f.delete(tombstonesPath(index.dir), true) // folded into the rewrite
+    openIndex(s, index.dir)
+  }
+
+  /** Delete vectors from a persisted IVF index (takedowns, dedup
+    * purges, TTL): appends the ids (`vec_id` column) to the index's
+    * tombstone set — O(delete batch), no data rewrite. Every
+    * [[ivfSearchIndex]] call excludes tombstoned vectors BEFORE
+    * ranking, so results equal an index rebuilt without them
+    * (spec-pinned); [[compactIndex]] folds the tombstones into the
+    * stored lists when their count warrants a rewrite. Re-ingesting a
+    * deleted vec_id requires compacting first — the tombstone is
+    * id-keyed and would suppress the new row too. Drift telemetry is
+    * untouched: it records the assignment quality of batches as they
+    * were ingested, which a later takedown does not rewrite. */
+  def deleteFromIndex(index: IvfIndex, ids: DataFrame): IvfIndex = {
+    writeTombstones(ids, index.dir)
+    openIndex(ids.sparkSession, index.dir)
+  }
+
+  /** Fold pending tombstones into the stored lists: one pruned scan +
+    * the same range-clustered rewrite and staged-rename swap as
+    * [[retrainIndex]] (the index stays openable at every instant), with
+    * NO refit or re-assignment — assignments of surviving vectors are
+    * unchanged, so a compacted index searches identically (spec-pinned).
+    * No-op when nothing is pending. Schedule it by tombstone fraction;
+    * until then searches pay one anti-join against a file-sized set. */
+  def compactIndex(index: IvfIndex): IvfIndex = {
+    val s = index.codebook.sparkSession
+    if (pendingDeletes(s, index.dir))
+      swapRewrite(s, index.dir, "lists.parquet", (df, out) =>
+        df.repartitionByRange(col("cid"))
+          .sortWithinPartitions("cid")
+          .write.mode("overwrite").parquet(out))
     openIndex(s, index.dir)
   }
 
@@ -290,8 +387,9 @@ object Similarity {
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
         col("cid")))
     val w = Window.partitionBy("q_id").orderBy(col("cos").desc, col("vec_id"))
-    index.lists
-      .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*))
+    minusTombstones(index.lists
+        .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*)),
+      queries.sparkSession, index.dir)
       .join(broadcast(probes), Seq("cid"))
       .withColumn("cos", expr("graft_cosine(q_emb, embedding)"))
       .withColumn("rnk", row_number().over(w).cast(LongType))
@@ -439,11 +537,35 @@ object Similarity {
     * vectors live in the data lake and the index stores only codes. */
   def retrainPqIndex(index: PqIndex, emb: DataFrame,
       iters: Int = 5): PqIndex = {
+    val s = emb.sparkSession
+    // the caller's corpus may still contain vectors deleted from the
+    // index (the lake keeps them; the takedown was index-side) — apply
+    // pending tombstones before the refit, then fold them away: the
+    // rewrite contains exactly the surviving corpus
+    val corpus = minusTombstones(
+      emb.select(col("vec_id"), col("embedding")), s, index.dir)
     val cb = collectPq(index.codebook)
-    val pqNew = Embeddings.pqFit(emb.select(col("vec_id"), col("embedding")),
-      cb.length, cb(0).length, iters)
-    writePqIndex(emb, pqNew, index.dir)
-    openPqIndex(emb.sparkSession, index.dir)
+    val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
+    writePqIndex(corpus, pqNew, index.dir)
+    fs(s, tombstonesPath(index.dir)).delete(tombstonesPath(index.dir), true)
+    openPqIndex(s, index.dir)
+  }
+
+  /** Delete vectors from a persisted PQ index — tombstone semantics,
+    * cost, and rebuild-parity contract as [[deleteFromIndex]]. */
+  def deletePqIndex(index: PqIndex, ids: DataFrame): PqIndex = {
+    writeTombstones(ids, index.dir)
+    openPqIndex(ids.sparkSession, index.dir)
+  }
+
+  /** Fold pending tombstones into the stored codes ([[compactIndex]]
+    * semantics; the flat code scan has no clustering to preserve). */
+  def compactPqIndex(index: PqIndex): PqIndex = {
+    val s = index.codebook.sparkSession
+    if (pendingDeletes(s, index.dir))
+      swapRewrite(s, index.dir, "codes.parquet", (df, out) =>
+        df.write.mode("overwrite").parquet(out))
+    openPqIndex(s, index.dir)
   }
 
   /** PQ top-k against a PERSISTED index: identical results to
@@ -452,7 +574,8 @@ object Similarity {
     * rnorm) scan — raw vectors are never touched. */
   def pqSearchIndex(index: PqIndex, queries: DataFrame, k: Int): DataFrame = {
     require(k > 0, s"k=$k")
-    scoreCodes(index.codes, queries, collectPq(index.codebook), k)
+    scoreCodes(minusTombstones(index.codes, queries.sparkSession, index.dir),
+      queries, collectPq(index.codebook), k)
   }
 
   // ------------------------------------------------------------- IVF-PQ
@@ -640,13 +763,38 @@ object Similarity {
       iters: Int = 5, k: Int = 0): IvfPqIndex = {
     val s = emb.sparkSession
     graft.functions.native.register(s)
-    val corpus = emb.select(col("vec_id"), col("embedding"))
+    // exclude pending index-side deletes from the caller's corpus, then
+    // fold them away — same contract as [[retrainPqIndex]]
+    val corpus = minusTombstones(
+      emb.select(col("vec_id"), col("embedding")), s, index.dir)
     val kk = if (k > 0) k else index.codebook.count().toInt
     val cb = collectPq(index.pqCodebook)
     val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
       .select(col("cid").cast(LongType), col("cv"))
     val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
     writeIvfPqIndex(corpus, cbNew, pqNew, index.dir, index.residual)
+    fs(s, tombstonesPath(index.dir)).delete(tombstonesPath(index.dir), true)
+    openIvfPqIndex(s, index.dir)
+  }
+
+  /** Delete vectors from a persisted IVF-PQ index — tombstone
+    * semantics, cost, and rebuild-parity contract as
+    * [[deleteFromIndex]]. */
+  def deleteIvfPqIndex(index: IvfPqIndex, ids: DataFrame): IvfPqIndex = {
+    writeTombstones(ids, index.dir)
+    openIvfPqIndex(ids.sparkSession, index.dir)
+  }
+
+  /** Fold pending tombstones into the stored codes, preserving the
+    * cid range-clustering the probe pushdown depends on
+    * ([[compactIndex]] semantics). */
+  def compactIvfPqIndex(index: IvfPqIndex): IvfPqIndex = {
+    val s = index.codebook.sparkSession
+    if (pendingDeletes(s, index.dir))
+      swapRewrite(s, index.dir, "codes.parquet", (df, out) =>
+        df.repartitionByRange(col("cid"))
+          .sortWithinPartitions("cid")
+          .write.mode("overwrite").parquet(out))
     openIvfPqIndex(s, index.dir)
   }
 
@@ -664,8 +812,9 @@ object Similarity {
     val (probes, probeCids) = materializeProbes(
       probedLuts(queries, index.codebook, cb, nprobe, index.residual))
     adcScore(
-      index.codes
-        .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*)),
+      minusTombstones(index.codes
+          .filter(col("cid").isin(probeCids.map(java.lang.Long.valueOf): _*)),
+        queries.sparkSession, index.dir),
       probes, cb.length, cb(0).length, k, joinCid = true)
   }
 }

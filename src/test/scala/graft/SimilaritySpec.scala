@@ -620,6 +620,110 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("index delete: search == rebuild-without-deleted for all three " +
+      "index types; compaction folds tombstones; appends compose; " +
+      "retrain never resurrects") {
+    import graft.ml.Similarity._
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val del = col("vec_id") % 7 === 3
+    val kept = emb.filter(!del)
+    val delIds = emb.filter(del).select("vec_id")
+    // a fresh batch with disjoint ids (same embeddings, shifted ids —
+    // rank ties then break deterministically by vec_id)
+    val batch = emb.filter(col("vec_id") % 11 === 5)
+      .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    val cbt = graft.ml.Embeddings.pqFit(emb, m = 8, ks = 16, iters = 2)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(t => (t._1, t._2)).toSeq
+    def tmp(p: String) =
+      java.nio.file.Files.createTempDirectory(p).toString
+
+    // ---- IVF (also exercises drift telemetry + retrain interplay)
+    val (dLive, dRef, dRef2) =
+      (tmp("graft_delA"), tmp("graft_delB"), tmp("graft_delC"))
+    writeIndex(emb, codebook, dLive)
+    writeIndex(kept, codebook, dRef)
+    val before = rows(ivfSearchIndex(openIndex(spark, dLive), queries,
+      k = 6, nprobe = 2))
+    val deleted = deleteFromIndex(openIndex(spark, dLive), delIds)
+    val after = rows(ivfSearchIndex(deleted, queries, k = 6, nprobe = 2))
+    assert(after !== before, "the delete set must actually change top-k")
+    assert(after === rows(ivfSearchIndex(openIndex(spark, dRef), queries,
+      k = 6, nprobe = 2)),
+      "IVF search after delete must equal rebuild-without-deleted")
+    // telemetry survives the delete (it records ingest history)
+    val stats = driftStats(spark, dLive)
+    assert(stats.builtN === emb.count(), "drift telemetry must survive")
+    // append AFTER delete: tombstones and appends compose
+    writeIndex(kept.unionByName(batch), codebook, dRef2)
+    val appended = appendIndex(deleted, batch)
+    val afterAppend = rows(ivfSearchIndex(appended, queries,
+      k = 6, nprobe = 2))
+    assert(afterAppend === rows(ivfSearchIndex(openIndex(spark, dRef2),
+      queries, k = 6, nprobe = 2)),
+      "IVF delete+append must equal rebuild over (kept + batch)")
+    // compaction: physical removal, identical search, tombstones gone
+    assert(pendingDeletes(spark, dLive))
+    val compacted = compactIndex(appended)
+    assert(!pendingDeletes(spark, dLive), "compaction clears tombstones")
+    assert(spark.read.parquet(s"$dLive/lists.parquet")
+      .filter(del && col("vec_id") < 100000L).count() === 0L,
+      "compacted lists must physically exclude deleted vectors")
+    assert(rows(ivfSearchIndex(compacted, queries, k = 6, nprobe = 2))
+      === afterAppend, "compaction must not change search results")
+    assert(driftStats(spark, dLive).builtN === stats.builtN,
+      "telemetry survives compaction")
+    // retrain with pending tombstones must not resurrect deleted rows
+    val deletedAgain = deleteFromIndex(compacted,
+      batch.select("vec_id"))
+    val retrained = retrainIndex(deletedAgain, iters = 1)
+    assert(retrained.lists.filter(col("vec_id") >= 100000L).count() === 0L,
+      "retrain must fold pending deletes, not resurrect them")
+    assert(!pendingDeletes(spark, dLive), "retrain clears tombstones")
+
+    // ---- PQ
+    val (pLive, pRef) = (tmp("graft_delPqA"), tmp("graft_delPqB"))
+    writePqIndex(emb, cbt, pLive)
+    writePqIndex(kept, cbt, pRef)
+    val pqDeleted = deletePqIndex(openPqIndex(spark, pLive), delIds)
+    val pqAfter = rows(pqSearchIndex(pqDeleted, queries, k = 6))
+    assert(pqAfter === rows(pqSearchIndex(openPqIndex(spark, pRef),
+      queries, k = 6)),
+      "PQ search after delete must equal rebuild-without-deleted")
+    val pqCompacted = compactPqIndex(pqDeleted)
+    assert(!pendingDeletes(spark, pLive))
+    assert(spark.read.parquet(s"$pLive/codes.parquet")
+      .filter(del).count() === 0L)
+    assert(rows(pqSearchIndex(pqCompacted, queries, k = 6)) === pqAfter)
+
+    // ---- IVF-PQ (residual: the stored flavor must survive the cycle)
+    val (iLive, iRef) = (tmp("graft_delIpA"), tmp("graft_delIpB"))
+    writeIvfPqIndex(emb, codebook, cbt, iLive, residual = true)
+    writeIvfPqIndex(kept, codebook, cbt, iRef, residual = true)
+    val ipDeleted = deleteIvfPqIndex(openIvfPqIndex(spark, iLive), delIds)
+    val ipAfter = rows(ivfPqSearchIndex(ipDeleted, queries,
+      k = 6, nprobe = 2))
+    assert(ipAfter === rows(ivfPqSearchIndex(openIvfPqIndex(spark, iRef),
+      queries, k = 6, nprobe = 2)),
+      "IVF-PQ search after delete must equal rebuild-without-deleted")
+    val ipCompacted = compactIvfPqIndex(ipDeleted)
+    assert(!pendingDeletes(spark, iLive))
+    assert(ipCompacted.residual, "compaction preserves the stored flavor")
+    assert(spark.read.parquet(s"$iLive/codes.parquet")
+      .filter(del).count() === 0L)
+    assert(rows(ivfPqSearchIndex(ipCompacted, queries, k = 6, nprobe = 2))
+      === ipAfter)
+
+    Seq(dLive, dRef, dRef2, pLive, pRef, iLive, iRef).foreach(d =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
+  }
+
   test("residual IVF-PQ: recall holds vs plain encoding; " +
       "the persisted flavor round-trips through meta.json") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
