@@ -426,6 +426,33 @@ object AggQueries {
         max(unix_micros(col("ts").cast(TimestampType))).as("ts_max_us"))
   }
 
+  /** `q_netcdf_filter`: range predicate on a column the feed is NOT
+    * declared sorted by — pruned against the write-side per-granule
+    * column-stats sidecar ([[graft.sources.NetCDFWrite]] emits
+    * `<granule>.nc.stats.json`; the V2 scan drops granules whose
+    * recorded [min, max] is disjoint from the pushed range, parquet
+    * row-group semantics on ARBITRARY columns instead of only the
+    * sorted coordinate). The fixture's event_ids are time-correlated,
+    * so the granule fleet has near-disjoint event_id windows and the
+    * band [100, 450] opens ~1 granule regardless of fleet size; the
+    * oracle runs the same band over the ORIGINAL parquet, gating that
+    * stats pruning narrows I/O only, never semantics (the spec's
+    * corrupt-granule trick proves pruned granules are never opened). */
+  def qNetcdfFilter(s: SparkSession, dir: String): DataFrame = {
+    val nc = s.read.format("netcdf")
+      .option("recdim", "record").option("splitrows", "5000")
+      .load(ncGranuleDir(s, dir))
+    nc.filter(col("event_id") >= 100L && col("event_id") <= 450L)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("event_id")).as("sum_event_id"),
+        (sum(floor(col("value") * lit(10000.0) + lit(0.5)).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(DoubleType) / lit(10000.0))
+          .as("v_sum"),
+        min(unix_micros(col("ts").cast(TimestampType))).as("ts_min_us"),
+        max(unix_micros(col("ts").cast(TimestampType))).as("ts_max_us"))
+  }
+
   /** `q_netcdf_coverage`: "what does the archive cover?" — ungrouped
     * MIN/MAX of the sorted time coordinate plus COUNT(*), the catalog
     * query a granule fleet answers constantly. Through the v2 source
@@ -726,6 +753,18 @@ object AggQueries {
          |       CAST(max(t) AS BIGINT) AS ts_max_us
          |FROM e
          |WHERE t >= 1704672000000000 AND t < 1704844800000000""".stripMargin,
+    // arbitrary-column band over the granule feed; the Spark side prunes
+    // granules via the write-side stats sidecar, the oracle full-scans
+    // the ORIGINAL parquet with the same band
+    "q_netcdf_filter" ->
+      s"""WITH e AS ($sqlValid)
+         |SELECT CAST(count(*) AS BIGINT) AS n,
+         |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+         |       (CAST(sum(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS DECIMAL(38,0))) AS DOUBLE) / 10000.0) AS v_sum,
+         |       CAST(min(t) AS BIGINT) AS ts_min_us,
+         |       CAST(max(t) AS BIGINT) AS ts_max_us
+         |FROM e
+         |WHERE event_id BETWEEN 100 AND 450""".stripMargin,
     // the Spark side answers from granule headers + end-record probes
     // (zero data chunks); the oracle full-scans the ORIGINAL parquet —
     // hash equality proves the pushed coverage is exactly the scan's
@@ -774,6 +813,7 @@ object AggQueries {
     "q_agg_chunked_write" -> (qAggChunkedWrite _),
     "q_netcdf_scan" -> (qNetcdfScan _),
     "q_netcdf_range" -> (qNetcdfRange _),
+    "q_netcdf_filter" -> (qNetcdfFilter _),
     "q_netcdf_coverage" -> (qNetcdfCoverage _),
     "q_netcdf_daily" -> (qNetcdfDaily _),
     "q_netcdf_by_type" -> (qNetcdfByType _),

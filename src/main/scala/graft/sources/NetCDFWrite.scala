@@ -63,7 +63,14 @@ object NetCDFWrite {
       deflate: Option[Int] = None,
       fletcher32: Boolean = false,
       /** byte-shuffle before deflate (netcdf-c's usual pairing) */
-      shuffle: Boolean = false)
+      shuffle: Boolean = false,
+      /** per-granule column-stats sidecar (`<granule>.nc.stats.json`,
+        * scalar numeric/time min-max) — the pruning metadata HDF5
+        * headers cannot carry; [[graft.sources.NetCdfSource]] consumes
+        * it to prune range predicates on ANY column, parquet-row-group
+        * style. Off = no sidecar = the scan conservatively keeps the
+        * granule. */
+      stats: Boolean = true)
 
   /** netcdf-c default fill values (public netcdf.h: NC_FILL_INT,
     * NC_FILL_INT64). */
@@ -370,6 +377,58 @@ object NetCDFWrite {
     Hdf5Writer.write(dst,
       (phonyDims ++ coordDatasets) ++ dataDatasets,
       globalAttrs.toSeq.sortBy(_._1).map { case (k, s) => k -> WStrAttr(s) })
+    if (opts.stats) writeStatsSidecar(dst, schema, rows, outVars, fieldIdx)
+  }
+
+  /** Per-granule column-stats sidecar: `<granule>.nc.stats.json` holding
+    * `{"col": [min, max], ...}` for every SCALAR numeric/timestamp
+    * output variable (timestamps in epoch micros — the unit the scan's
+    * literal bounds already use). This is the pruning metadata parquet
+    * carries in row-group footers and HDF5 headers cannot: with it, a
+    * range predicate on ANY stats-covered column prunes non-matching
+    * granules without opening them ([[graft.sources.NetCdfSource]]);
+    * without it (foreign granules, `stats = false`) the scan keeps the
+    * granule — the sidecar only ever NARROWS I/O. One extra pass over
+    * the in-memory row buffer per granule; nulls and NaNs are skipped,
+    * an all-null column is omitted. */
+  private def writeStatsSidecar(dst: java.nio.file.Path,
+      schema: StructType, rows: collection.IndexedSeq[Row],
+      outVars: Seq[AggConfig.VarSpec], fieldIdx: Map[String, Int]): Unit = {
+    val entries = outVars.flatMap { v =>
+      val outName = v.mapTo.getOrElse(v.name)
+      val i = fieldIdx(outName)
+      val toD: Any => Option[Double] = schema(outName).dataType match {
+        case TimestampNTZType | TimestampType =>
+          x => scala.util.Try(usOf(x).toDouble).toOption
+        case _: NumericType => {
+          case n: Number =>
+            val d = n.doubleValue()
+            if (d.isNaN) None else Some(d)
+          case _ => None
+        }
+        case _ => null // non-scalar / non-orderable: no stats entry
+      }
+      if (toD == null) None
+      else {
+        var mn = Double.PositiveInfinity
+        var mx = Double.NegativeInfinity
+        var seen = false
+        rows.foreach { r =>
+          if (!r.isNullAt(i)) toD(r.get(i)).foreach { d =>
+            seen = true
+            if (d < mn) mn = d
+            if (d > mx) mx = d
+          }
+        }
+        if (seen) Some(outName -> (mn, mx)) else None
+      }
+    }
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = entries.sortBy(_._1).map { case (c, (mn, mx)) =>
+      s""""${esc(c)}": [$mn, $mx]"""
+    }.mkString("{", ", ", "}")
+    java.nio.file.Files.writeString(
+      dst.resolveSibling(dst.getFileName.toString + ".stats.json"), json)
   }
 
   // ------------------------------------------------------------- fronts

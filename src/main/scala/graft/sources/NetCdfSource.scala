@@ -357,6 +357,35 @@ object NetCdfSource {
   }
 
   /** The session's file-split byte target (projected bytes per split). */
+  /** Read a granule's write-side column-stats sidecar
+    * (`<granule>.nc.stats.json`, written by [[NetCDFWrite]]): per-column
+    * `[min, max]` as doubles (timestamps in epoch micros). None = no
+    * sidecar or unparseable — the scan admits the granule either way. */
+  private[sources] def readStatsSidecar(path: String)
+      : Option[Map[String, (Double, Double)]] = {
+    val p = java.nio.file.Paths.get(path + ".stats.json")
+    if (!java.nio.file.Files.isRegularFile(p)) None
+    else scala.util.Try {
+      def num(v: org.json4s.JValue): Option[Double] = v match {
+        case org.json4s.JDouble(d) => Some(d)
+        case org.json4s.JInt(i) => Some(i.toDouble)
+        case org.json4s.JLong(l) => Some(l.toDouble)
+        case org.json4s.JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(p)) match {
+        case org.json4s.JObject(fields) =>
+          fields.flatMap {
+            case (k, org.json4s.JArray(List(lo, hi))) =>
+              for (a <- num(lo); b <- num(hi)) yield k -> (a, b)
+            case _ => None
+          }.toMap
+        case _ => Map.empty[String, (Double, Double)]
+      }
+    }.toOption.filter(_.nonEmpty)
+  }
+
   private[sources] def targetSplitBytes(): Long =
     SparkSession.active.conf
       .getOption("spark.sql.files.maxPartitionBytes")
@@ -556,35 +585,46 @@ final class NetCdfScanBuilder(
     case _ => None
   }
 
-  private def rangeOf(f: Filter): Option[(Double, Double)] = {
-    val col = sortedBy.getOrElse(return None)
+  /** Range predicate on ANY column with a numeric/time literal bound —
+    * the sorted coordinate clips record windows ([[recordWindow]]); every
+    * OTHER column prunes whole granules against the write-side stats
+    * sidecar ([[NetCDFWrite]]'s `<granule>.nc.stats.json` — per-variable
+    * min/max, the metadata HDF5 headers cannot carry). Granules without
+    * a sidecar (foreign feeds) are kept — stats only ever narrow I/O. */
+  private def colRangeOf(f: Filter): Option[(String, (Double, Double))] =
     f match {
-      case EqualTo(`col`, v) => boundOf(v).map(x => (x, x))
-      case GreaterThan(`col`, v) =>
-        boundOf(v).map(x => (x, Double.PositiveInfinity))
-      case GreaterThanOrEqual(`col`, v) =>
-        boundOf(v).map(x => (x, Double.PositiveInfinity))
-      case LessThan(`col`, v) =>
-        boundOf(v).map(x => (Double.NegativeInfinity, x))
-      case LessThanOrEqual(`col`, v) =>
-        boundOf(v).map(x => (Double.NegativeInfinity, x))
+      case EqualTo(c, v) => boundOf(v).map(x => c -> ((x, x)))
+      case GreaterThan(c, v) =>
+        boundOf(v).map(x => c -> ((x, Double.PositiveInfinity)))
+      case GreaterThanOrEqual(c, v) =>
+        boundOf(v).map(x => c -> ((x, Double.PositiveInfinity)))
+      case LessThan(c, v) =>
+        boundOf(v).map(x => c -> ((Double.NegativeInfinity, x)))
+      case LessThanOrEqual(c, v) =>
+        boundOf(v).map(x => c -> ((Double.NegativeInfinity, x)))
       case _ => None
     }
-  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    accepted = filters.filter(f => rangeOf(f).isDefined)
+    accepted = filters.filter(f => colRangeOf(f).isDefined)
     filters // ALL stay residual — pruning is advisory, see above
   }
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  /** Intersection of every accepted range predicate (closed interval —
-    * strict bounds tighten via the residual filters). */
-  private def queryRange: Option[(Double, Double)] =
-    accepted.flatMap(rangeOf).reduceOption { (a, b) =>
-      (math.max(a._1, b._1), math.min(a._2, b._2))
+  /** Per-column intersection of every accepted range predicate (closed
+    * intervals — strict bounds tighten via the residual filters). */
+  private def colRanges: Map[String, (Double, Double)] =
+    accepted.flatMap(colRangeOf).groupBy(_._1).map { case (c, rs) =>
+      c -> rs.map(_._2).reduce { (a, b) =>
+        (math.max(a._1, b._1), math.min(a._2, b._2))
+      }
     }
+
+  /** The declared-sorted coordinate's slice of [[colRanges]] — drives
+    * record-window clipping, the stronger within-granule pruning. */
+  private def queryRange: Option[(Double, Double)] =
+    sortedBy.flatMap(colRanges.get)
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // keep OUR field instances (enum label-map metadata rides them);
@@ -751,7 +791,8 @@ final class NetCdfScanBuilder(
       new NetCdfScan(table, table.fileMetas, required, fullSchema,
         recDim, splitRows, sortedBy.filter(_ => accepted.nonEmpty),
         queryRange, limit, topN.map { case (asc, k) =>
-          (sortedBy.get, asc, k) })
+          (sortedBy.get, asc, k) },
+        colRanges)
   }
 }
 
@@ -828,7 +869,13 @@ final class NetCdfScan(
       * (column, ascending, k) — plan only the granules whose probed
       * [first, last] window can reach the k smallest (asc) / largest
       * (desc) records */
-    topN: Option[(String, Boolean, Int)] = None) extends Scan with Batch
+    topN: Option[(String, Boolean, Int)] = None,
+    /** per-column closed query intervals from every pushed range
+      * predicate — pruned against each granule's write-side stats
+      * sidecar ([[statsAdmit]]); the declared-sorted column additionally
+      * clips record windows via `range` */
+    colRanges: Map[String, (Double, Double)] = Map.empty)
+    extends Scan with Batch
     with SupportsReportStatistics {
 
   override def readSchema(): StructType = prunedSchema
@@ -937,12 +984,26 @@ final class NetCdfScan(
     }
   }
 
+  /** Admit a granule against its write-side column-stats sidecar: prune
+    * it when ANY pushed column range is disjoint from the sidecar's
+    * recorded [min, max] for that column — parquet row-group semantics
+    * for the granule fleet, on ARBITRARY columns (the sorted coordinate
+    * gets the stronger record-window clipping on top). Conservative in
+    * every failure direction: no sidecar, unreadable sidecar, or a
+    * column the sidecar doesn't cover all ADMIT — pruning may only ever
+    * narrow I/O, and the filters stay residual regardless. */
+  private def statsAdmit(m: NetCdfSource.FileMeta): Boolean =
+    colRanges.isEmpty || NetCdfSource.readStatsSidecar(m.path).forall(
+      stats => colRanges.forall { case (c, (qlo, qhi)) =>
+        stats.get(c).forall { case (mn, mx) => qhi >= mn && qlo <= mx }
+      })
+
   private lazy val slices: Array[InputPartition] = {
     // projected bytes per split ~ the session's file-split target, so a
     // granule feed and a parquet feed of the same data get a similar
     // task shape
     val targetBytes = NetCdfSource.targetSplitBytes()
-    val all = topNMetas(metas).flatMap { m =>
+    val all = topNMetas(metas.filter(statsAdmit)).flatMap { m =>
       if (m.records == 0) Nil
       else recordWindow(m) match {
         case None => Nil // wholly outside the pushed range
@@ -990,8 +1051,16 @@ final class NetCdfScan(
     val topDesc = topN.map { case (c, asc, k) =>
       s" PushedTopN: $c ${if (asc) "ASC" else "DESC"} limit=$k"
     }.getOrElse("")
+    val statsCols = colRanges.keySet -- sortedBy.toSet
+    val statsDesc =
+      if (statsCols.isEmpty) ""
+      else statsCols.toSeq.sorted.map { c =>
+        val (lo, hi) = colRanges(c)
+        s"$c in [$lo, $hi]"
+      }.mkString(" PushedStatsRanges: ", ", ", "")
     s"NetCdfScan files=${metas.size} splits=${slices.length} " +
-      s"ReadSchema: ${prunedSchema.simpleString}$rangeDesc$limitDesc$topDesc"
+      s"ReadSchema: ${prunedSchema.simpleString}" +
+      s"$rangeDesc$limitDesc$topDesc$statsDesc"
   }
 }
 

@@ -527,6 +527,85 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(band(sorted = false).count() === 100)
   }
 
+  test("stats-sidecar pruning: a range on an ARBITRARY column never " +
+      "opens disjoint granules; the sink writes the sidecars") {
+    // parquet prunes row groups on EVERY column's min/max stats; HDF5
+    // headers carry none — the write-side `<granule>.nc.stats.json`
+    // sidecar closes that gap. Part 1 proves the prune with the
+    // corrupt-granule trick: g1's data chunks are poisoned, its sidecar
+    // says b in [0, 59.5], and the query's b >= 500000 band must never
+    // open it. g2 has NO sidecar (a foreign granule) and is admitted.
+    val tmp = Files.createTempDirectory("v2colstats").toString
+    val n1 = 60
+    val timeB = java.nio.ByteBuffer.allocate(n1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n1).foreach(i => timeB.putDouble(i.toDouble))
+    val poison = java.nio.ByteBuffer.allocate(n1 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n1).foreach(_ => poison.putLong(0x5ca1ab1e5ca1ab1eL))
+    val g1 = Paths.get(tmp, "g1.nc")
+    Hdf5Writer.streamTo(g1) { w =>
+      w.dataset(WDataset("time", Seq(n1.toLong), WF64,
+        Some(timeB.array()),
+        Seq("CLASS" -> WStrAttr("DIMENSION_SCALE"),
+          "NAME" -> WStrAttr("time"), "_Netcdf4Dimid" -> WLongAttr(0, 4),
+          "units" -> WStrAttr("seconds since 2020-01-01 00:00:00")),
+        unlimited0 = true, chunkRows = Some(n1)))
+      w.dataset(WDataset("b", Seq(n1.toLong), WF64, Some(poison.array()),
+        Seq("DIMENSION_LIST" -> WDimListAttr(Seq("time"))),
+        unlimited0 = true, fletcher32 = true, chunkRows = Some(n1)))
+      w.finish(Nil)
+    }
+    val bytes = Files.readAllBytes(g1)
+    val magic = Array[Byte](0x1e, 0xab.toByte, 0xa1.toByte, 0x5c)
+    val at = bytes.indices.find(i => i + 4 <= bytes.length &&
+      (0 until 4).forall(j => bytes(i + j) == magic(j))).get
+    bytes(at) = (bytes(at) ^ 0xff).toByte
+    Files.write(g1, bytes, StandardOpenOption.TRUNCATE_EXISTING)
+    Files.writeString(Paths.get(tmp, "g1.nc.stats.json"),
+      """{"b": [0.0, 59.5]}""")
+    writeGranule(tmp, "g2.nc", n = 120, base = 1000.0) // b in [1e6, ...]
+    def q() = spark.read.format("netcdf").load(tmp)
+      .select("time", "b").filter(col("b") >= 500000.0)
+    assert(q().count() === 120,
+      "the disjoint poisoned granule must be pruned, g2 fully read")
+    assert(q().queryExecution.executedPlan.toString
+      .contains("PushedStatsRanges: b"))
+    // no sidecar -> admitted -> the poisoned chunks ARE read: loud fail
+    Files.delete(Paths.get(tmp, "g1.nc.stats.json"))
+    intercept[Exception] { q().collect() }
+
+    // part 2: the granule-set sink emits a sidecar per granule, and a
+    // band on a NON-sorted column plans only the covering granule
+    import org.apache.spark.sql.SaveMode
+    val out = Files.createTempDirectory("v2statsink").toString + "/gr"
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("sensor", col("id") * 2) // time-correlated, NOT declared
+      .withColumn("v", col("id").cast("double") / 4.0)
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    val files = new java.io.File(out).listFiles()
+    val granules = files.count(_.getName.endsWith(".nc"))
+    assert(granules >= 3)
+    assert(files.count(_.getName.endsWith(".nc.stats.json")) === granules,
+      "every granule must carry a stats sidecar")
+    // sensor = 2*id: granule windows [0,198], [200,398], [400,598];
+    // the [250, 350] band covers only the middle granule
+    def scan() = spark.read.format("netcdf").load(out)
+    val banded = scan().filter(col("sensor") >= 250L &&
+      col("sensor") <= 350L)
+    assert(banded.rdd.getNumPartitions <
+      scan().rdd.getNumPartitions,
+      "the band must plan fewer granules than the full scan")
+    // semantics unchanged: residual filters still evaluate exactly
+    assert(banded.count() === 51) // ids 125..175
+    assert(banded.agg(sum("id")).collect().head.getLong(0) ===
+      (125L to 175L).sum)
+  }
+
   test("reported statistics scale with the projection") {
     val tmp = Files.createTempDirectory("v2stats").toString
     val p = writeGranule(tmp, "g.nc", n = 400, base = 0.0)
