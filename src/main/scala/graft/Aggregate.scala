@@ -277,7 +277,14 @@ object Aggregate {
       dst: String,
       config: AggConfig.Config,
       checkpointDir: String,
-      watermark: String = "10 minutes")
+      watermark: String = "10 minutes",
+      /** product format: "parquet" (default — the analytics-side feed)
+        * or "nc"/"netcdf" (one `.nc` granule per micro-batch through
+        * [[graft.sources.NetCdfStreamSink]] — the pipeline emits the
+        * reference's own product format without leaving streaming, and
+        * the product dir is itself a valid granule feed for
+        * re-ingestion: lexically-increasing `stream-*` names) */
+      product: String = "parquet")
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val dim = config.primaryUdim.getOrElse(
       throw new IllegalArgumentException("runStream needs an indexed udim"))
@@ -306,11 +313,19 @@ object Aggregate {
         deduped.withColumn(ivar, col(ivar).cast(TimestampNTZType))
       case _ => deduped
     }
-    applyVarMetadata(sunk, config).writeStream
+    val writer = applyVarMetadata(sunk, config).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .format("parquet").option("path", dst)
-      .start()
+    product.toLowerCase match {
+      case "parquet" =>
+        writer.format("parquet").option("path", dst).start()
+      case "nc" | "netcdf" =>
+        writer.format("netcdf")
+          .option("recdim", dim.name).option("indexby", ivar)
+          .start(dst)
+      case other => throw new IllegalArgumentException(
+        s"runStream product must be parquet or nc, got: $other")
+    }
   }
 
   /** Attributes from a granule directory's `_global_attrs.json` sidecar

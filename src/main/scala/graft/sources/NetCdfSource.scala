@@ -69,9 +69,41 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * as `format(classOf[NetCdfSource].getName)`.
   */
 final class NetCdfSource extends TableProvider with DataSourceRegister
-    with org.apache.spark.sql.sources.CreatableRelationProvider {
+    with org.apache.spark.sql.sources.CreatableRelationProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "netcdf"
+
+  /** `df.writeStream.format("netcdf").start(dir)` — the streaming
+    * granule-SET sink: each micro-batch lands as `.nc` granule(s) named
+    * `stream-<batchId>-<partition>.nc`, closing the loop with
+    * [[NcMicroBatchStream]]: a continuous pipeline can now ingest a
+    * granule feed, transform it, and EMIT the reference's own product
+    * format, entirely in streaming — and the emitted feed is itself a
+    * valid streaming source, because zero-padded increasing batch ids
+    * give exactly the append-only lexically-increasing naming the
+    * source contracts on (and sort after any batch-written `part-*`
+    * granules already in the dir). Exactly-once across restarts by
+    * IDEMPOTENT REPLAY: file names are deterministic in (batchId,
+    * partition) and the granule writer truncates on open, so a replayed
+    * epoch rewrites byte-identical granules instead of duplicating
+    * (same contract as the ingest side's checkpoint-restart spec).
+    * Append output mode only — granules are immutable write-once files;
+    * updates have no in-place representation. Options as the batch
+    * sink: `recdim`, `indexby`, `chunkrows`, `deflate`, `shuffle`,
+    * `fletcher32`, `maxrecordsperfile`. */
+  override def createSink(
+      sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode ==
+        org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the netcdf granule sink is append-only (got $outputMode): " +
+        "granules are immutable write-once files")
+    new NetCdfStreamSink(parameters)
+  }
 
   override def supportsExternalMetadata(): Boolean = true
 
@@ -151,6 +183,49 @@ final class NetCdfSource extends TableProvider with DataSourceRegister
       override def schema: StructType = data.schema
     }
   }
+}
+
+/** The streaming granule sink (see [[NetCdfSource.createSink]]). One
+  * [[NetCDFWrite.writeGranules]] call per micro-batch: same config
+  * derivation, layout options, and executor-side parallel write as the
+  * batch sink — a micro-batch larger than `maxrecordsperfile` fans out
+  * into multiple range-partitioned granules exactly like a batch job. */
+final class NetCdfStreamSink(parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+
+  private val lower = parameters.map { case (k, v) => k.toLowerCase -> v }
+  private val dir = lower.getOrElse("path",
+    throw new IllegalArgumentException(
+      "netcdf stream sink needs a path: .start(dir)"))
+
+  override def addBatch(batchId: Long,
+      data: org.apache.spark.sql.DataFrame): Unit = {
+    // re-root the micro-batch on its executed RDD: the sink-provided
+    // frame wraps the incremental execution, which the granule writer's
+    // own persist/count/repartitionByRange re-planning must not touch
+    // (the foreachBatch pattern, distributed — never a driver collect)
+    val schema = data.schema
+    val enc = ExpressionEncoder(RowEncoder.encoderFor(schema))
+    val rows = data.queryExecution.toRdd.mapPartitions { it =>
+      val de = enc.resolveAndBind().createDeserializer()
+      it.map(r => de(r))
+    }
+    val batch = data.sparkSession.createDataFrame(rows, schema)
+    val recDim = lower.getOrElse("recdim", "record")
+    val config = NetCdfSource.configFromSchema(schema, recDim,
+      lower.get("indexby"))
+    val opts = NetCDFWrite.NcOpts(
+      chunkRows = lower.get("chunkrows").map(_.toInt),
+      deflate = lower.get("deflate").map(_.toInt),
+      fletcher32 = lower.get("fletcher32").exists(_.toBoolean),
+      shuffle = lower.get("shuffle").exists(_.toBoolean))
+    NetCDFWrite.writeGranules(batch, dir, config, Map.empty,
+      maxRecordsPerFile =
+        lower.get("maxrecordsperfile").map(_.toInt).getOrElse(1 << 20),
+      opts = opts, namePrefix = f"stream-$batchId%012d")
+  }
+
+  override def toString: String = s"NetCdfStreamSink[$dir]"
 }
 
 object NetCdfSource {

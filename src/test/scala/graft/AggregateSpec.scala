@@ -483,6 +483,48 @@ class AggregateSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("runStream with product=nc emits the reference's own granule " +
+      "format; the product re-ingests equal to the parquet product") {
+    // the full loop in streaming: granule feed in -> aggregate ->
+    // `.nc` granules OUT (one per micro-batch, lexically-increasing
+    // names) — the reference's product format without a batch
+    // finalization pass; re-ingesting the product feed through the V2
+    // scan must match the parquet product of the SAME stream bit-level
+    val tmp = Files.createTempDirectory("graft_stream_nc").toString
+    writeGranule(s"$tmp/in", "g_a",
+      Seq(base, base + 1 * us, base + 1 * us + 100000L)) // third is a dup
+    def drainBoth(qs: Seq[org.apache.spark.sql.streaming.StreamingQuery])
+        : Unit = qs.foreach(_.processAllAvailable())
+    val qP = Aggregate.runStream(spark, s"$tmp/in/*", s"$tmp/outp",
+      config, s"$tmp/ckptp", watermark = "0 seconds")
+    val qN = Aggregate.runStream(spark, s"$tmp/in/*", s"$tmp/outn",
+      config, s"$tmp/ckptn", watermark = "0 seconds", product = "nc")
+    try {
+      drainBoth(Seq(qP, qN))
+      // a later granule arrives mid-stream
+      writeGranule(s"$tmp/in", "g_b", Seq(base + 5 * us, base + 6 * us))
+      drainBoth(Seq(qP, qN))
+    } finally { qP.stop(); qN.stop() }
+    val names = new java.io.File(s"$tmp/outn").listFiles()
+      .map(_.getName).filter(_.endsWith(".nc")).sorted.toSeq
+    assert(names.nonEmpty && names.forall(_.startsWith("stream-")),
+      s"product granules must carry the streaming names, got $names")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("time", "payload").collect()
+      .map(r => (r.getAs[Any]("time").toString, r.getString(1)))
+      .sorted.toSeq
+    val ncBack = rows(spark.read.format("netcdf")
+      .option("recdim", "record").load(s"$tmp/outn"))
+    assert(ncBack === rows(spark.read.parquet(s"$tmp/outp")),
+      "the .nc product feed must re-ingest equal to the parquet product")
+    assert(ncBack.size === 4, "dedup + both granules = 4 records")
+    // an unknown product format fails loudly
+    intercept[IllegalArgumentException] {
+      Aggregate.runStream(spark, s"$tmp/in/*", s"$tmp/outx", config,
+        s"$tmp/ckptx", product = "csv")
+    }
+  }
+
   test("hierarchical re-aggregation carries provenance through levels") {
     val tmp = Files.createTempDirectory("graft_two_level").toString
     val a = writeGranule(tmp, "g_a", Seq(base, base + 1 * us))

@@ -658,6 +658,70 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       sunk.agg(sum("b")).collect().head.getDouble(0) - batchSum) < 1e-6)
   }
 
+  test("writeStream.format(netcdf): granule feed IN -> granule product " +
+      "OUT, re-ingests and matches the batch pipeline exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = Files.createTempDirectory("v2snk_src").toString
+    val ckpt = Files.createTempDirectory("v2snk_ckpt").toString
+    val out = Files.createTempDirectory("v2snk_out").toString + "/product"
+    writeGranule(src, "g001.nc", n = 50, base = 0.0)
+    writeGranule(src, "g002.nc", n = 30, base = 100.0)
+    // the pipeline: ingest granules, keep a band, derive a column, EMIT
+    // granules — the reference's own product format, end-to-end streaming
+    def transform(df: org.apache.spark.sql.DataFrame) = df
+      .select("time", "b").filter(col("b") >= 0.0)
+      .withColumn("b2", col("b") * 2.0)
+    def drain(): Unit = {
+      val q = transform(spark.readStream.format("netcdf").load(src))
+        .writeStream.format("netcdf")
+        .option("checkpointLocation", ckpt)
+        .option("indexby", "time").option("chunkrows", "40")
+        .trigger(Trigger.AvailableNow()).start(out)
+      q.awaitTermination()
+    }
+    drain()
+    val names1 = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".nc")).sorted.toSeq
+    assert(names1.nonEmpty && names1.forall(_.startsWith("stream-")),
+      s"expected stream-<batch>-<part>.nc names, got $names1")
+    // the product feed re-ingests through the same scan and matches the
+    // batch rendering of the same pipeline
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Any]("time").toString, r.getDouble(1), r.getDouble(2))
+    def sunk() = spark.read.format("netcdf").load(out)
+      .select("time", "b", "b2").collect().map(key).sorted.toSeq
+    def batchRendering() =
+      transform(spark.read.format("netcdf").load(src))
+        .collect().map(key).sorted.toSeq
+    assert(sunk() === batchRendering(),
+      "the streamed product must equal the batch pipeline row-for-row")
+    // a later granule: the restarted query (same checkpoint) emits ONLY
+    // its rows, as lexically-LATER stream granules — the product dir is
+    // itself a valid append-only feed for the streaming source
+    writeGranule(src, "g003.nc", n = 20, base = 200.0)
+    drain()
+    val names2 = new java.io.File(out).listFiles()
+      .map(_.getName).filter(_.endsWith(".nc")).sorted.toSeq
+    assert(names2.size > names1.size)
+    assert(names2.take(names1.size) === names1,
+      "earlier product granules must be untouched and sort first")
+    assert(sunk() === batchRendering(),
+      "after the new granule the product must still match the batch " +
+        "pipeline — no duplicates, no gaps (exactly-once restart)")
+    // the product granules carry stats sidecars -> the product feed
+    // prunes on arbitrary columns too
+    assert(new java.io.File(out).listFiles()
+      .count(_.getName.endsWith(".nc.stats.json")) === names2.size)
+    // update/complete modes are refused loudly
+    intercept[Exception] {
+      transform(spark.readStream.format("netcdf").load(src))
+        .writeStream.format("netcdf").outputMode("update")
+        .option("checkpointLocation",
+          Files.createTempDirectory("v2snk_ck2").toString)
+        .trigger(Trigger.AvailableNow()).start(out)
+    }
+  }
+
   test("df.write.format(netcdf): granule-set sink round-trips through " +
       "the scan; all four save modes") {
     import org.apache.spark.sql.SaveMode
