@@ -146,6 +146,80 @@ object Embeddings {
   def assign(emb: DataFrame, cent: DataFrame): DataFrame =
     assignRanked(emb, cent, maxRank = 1).drop("crn")
 
+  /** Converged ranks + how the run ended: `rounds` actually executed,
+    * `converged` = the integer rank vector reached its exact fixpoint
+    * (one more iteration changes nothing) rather than the `maxIters`
+    * cap. */
+  final case class PageRank(ranks: DataFrame, rounds: Int,
+      converged: Boolean)
+
+  /** PageRank to CONVERGENCE over an edge list (two Long columns:
+    * src, dst) — the library driver behind the registry's fixed-
+    * 3-iteration `emb_pagerank` query (kept at 3 there so the oracle
+    * stays chained-CTE-expressible): a fleet run wants the converged
+    * ranks, not a fixed cut. Same integer-exact arithmetic as the
+    * query, bit-for-bit at equal iteration counts (spec-pinned): rank
+    * mass at scale 1e12 with floor division, teleport 15 %, damping
+    * 85 %, per round ONE join of the edge list with the rank frame on
+    * `src` and one keyed aggregate on `dst` — two linear shuffles.
+    * Like [[graft.core.Graph.minLabelComponents]], every round
+    * localCheckpoints (an iterative plan tree otherwise grows
+    * exponentially) and convergence is a SCALAR signature, never a
+    * collect: integer ranks under a contraction reach an exact
+    * fixpoint, so Σ|Δpr| (exact, DECIMAL-summed) hitting 0 is a loud,
+    * drift-free stop — `iters > 0` instead runs exactly that many
+    * rounds (the oracle-parity mode). Nodes are the edge SOURCES
+    * (the kNN graph has out-degree ≥ 1 everywhere); inbound mass to a
+    * pure sink is dropped exactly as the query drops it. */
+  def pagerankFit(edges0: DataFrame, iters: Int = 0,
+      maxIters: Int = 100): PageRank = {
+    val cols = edges0.columns
+    require(cols.length >= 2, s"edges need (src, dst), got: $cols")
+    val edges = edges0.select(col(cols(0)).cast(LongType).as("src"),
+      col(cols(1)).cast(LongType).as("dst"))
+      .localCheckpoint(true) // scanned every round
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    val n = deg.count()
+    require(n > 0, "pagerankFit needs a non-empty edge list")
+    var pr = deg.select(col("src").as("vec_id"), col("deg"),
+      lit(1000000000000L / n).as("pr")).localCheckpoint(true)
+    def step(prev: DataFrame): DataFrame = {
+      val inSum = edges
+        .join(prev.select(col("vec_id").as("src"), col("deg"), col("pr")),
+          "src")
+        .groupBy(col("dst").as("vec_id"))
+        .agg(sum(expr("pr div deg")).as("insum"))
+      deg.select(col("src").as("vec_id"), col("deg"))
+        .join(inSum, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("deg"),
+          (lit(150000000000L / n) +
+            expr("(85L * coalesce(insum, 0L)) div 100L")).as("pr"))
+        .localCheckpoint(true)
+    }
+    var rounds = 0
+    var converged = false
+    while (rounds < (if (iters > 0) iters else maxIters) && !converged) {
+      val next = step(pr)
+      if (iters <= 0) {
+        // exact integer fixpoint check: Σ|Δpr| in DECIMAL(38,0) — no
+        // overflow at any (n, scale), no float drift
+        val delta = next
+          .join(pr.select(col("vec_id"), col("pr").as("__prev")),
+            "vec_id")
+          .agg(sum(abs(col("pr") - col("__prev"))
+            .cast(org.apache.spark.sql.types.DecimalType(38, 0))))
+          .head.getDecimal(0)
+        converged = delta == null || delta.signum() == 0
+      }
+      pr = next
+      rounds += 1
+    }
+    PageRank(
+      pr.select(col("vec_id"), col("deg").as("n_out"), col("pr")),
+      rounds, converged)
+  }
+
   /** Top principal direction of the (uncentered) Gram matrix by power
     * iteration from the all-ones seed — the converged form of the
     * registry's `emb_pca_power` step. Returns (direction, eigenvalue

@@ -458,11 +458,21 @@ object StreamingAgg {
     * [[graft.queries.PipelineQueries.dIncrementalDedup]]: new documents
     * stream in forever and each must be adjudicated against BOTH the
     * standing corpus and the stream so far. The corpus side is the
-    * PERSISTED band-signature store (a static frame — the stream-static
-    * left join is stateless, re-planned per micro-batch, so a store
-    * refreshed between restarts is picked up without state surgery);
-    * the within-stream side is the same first-arrival bucket state as
-    * [[minhashDedupStream]]. The bucket's corpus owner is recomputed
+    * PERSISTED band-signature store (a static frame); the within-stream
+    * side is the same first-arrival bucket state as
+    * [[minhashDedupStream]].
+    *
+    * STORE REFRESH CONTRACT (probed empirically, spec-pinned): the
+    * static side's file listing is resolved when the query STARTS —
+    * Spark re-executes the join per micro-batch but never re-lists, so
+    * a store rewritten under a running stream fails the next batch
+    * loudly (FILE_NOT_EXIST on the vanished parts; `refreshByPath`
+    * cannot reach the running plan's captured relation) — never
+    * silently stale. The refresh protocol is a checkpointed RESTART:
+    * stop, swap the store, start the same pipeline on the same
+    * checkpoint — the bucket-owner state lives in the checkpoint, so
+    * ownership survives and the next batch adjudicates against the new
+    * store with no state surgery and no reprocessing. The bucket's corpus owner is recomputed
     * from the replayed join rows every batch — deliberately NOT stored,
     * so state stays one long per occupied bucket (grows with distinct
     * stream content, never with corpus size or stream length). Batch

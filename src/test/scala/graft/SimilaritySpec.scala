@@ -771,6 +771,34 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idxDir))
   }
 
+  test("pagerankFit: iters=3 == the emb_pagerank query bit-for-bit; " +
+      "the driver converges to an exact integer fixpoint that holds") {
+    val edges = PipelineQueries.embKnnGraph(spark, dir)
+      .select(col("vec_id").as("src"), col("n_id").as("dst"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    // oracle-parity mode: the fixed-round driver must reproduce the
+    // registry query's integer ranks exactly
+    val fixed = graft.ml.Embeddings.pagerankFit(edges, iters = 3)
+    assert(fixed.rounds === 3)
+    assert(rows(fixed.ranks) ===
+      rows(PipelineQueries.embPagerank(spark, dir)),
+      "3 driver rounds must equal the 3-iteration query bit-for-bit")
+    // convergence mode: integer ranks under the 0.85 contraction reach
+    // an exact fixpoint the scalar signature detects
+    val fit = graft.ml.Embeddings.pagerankFit(edges)
+    assert(fit.converged,
+      s"expected an exact fixpoint within 100 rounds, ran ${fit.rounds}")
+    val converged = rows(fit.ranks)
+    // plateau pinned: extra rounds change nothing...
+    assert(rows(graft.ml.Embeddings
+      .pagerankFit(edges, iters = fit.rounds + 5).ranks) === converged)
+    // ...and the fixpoint is a real one — early rounds were still moving
+    assert(rows(graft.ml.Embeddings.pagerankFit(edges, iters = 1).ranks)
+      !== converged, "rank mass must move before the plateau")
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))

@@ -546,6 +546,73 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("incremental dedup store refresh: a checkpointed restart " +
+      "adjudicates against the swapped store with bucket state intact; " +
+      "a swap under a running stream fails loudly, never silently stale") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    graft.functions.native.register(spark)
+    val textA = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    val textB = "query engines shuffle exchange partitions broadcast joins " * 6
+    val fresh = "entirely novel delta content about telescopes and comets " * 6
+    def bands(docs: Seq[(Long, String)]) =
+      docs.toDF("doc_id", "text").select(col("doc_id"), posexplode(expr(
+        "graft_minhash_bands(graft_shingles(graft_token_hashes(" +
+          "graft_tokens(text))))")).as(Seq("band_idx", "sig")))
+    val dir = java.nio.file.Files.createTempDirectory("graft_storeswap")
+    val storePath = s"$dir/store"
+    val ckpt = s"$dir/ckpt"
+    bands(Seq((100L, textA))).write.mode("overwrite").parquet(storePath)
+    val sink = s"$dir/verdicts"
+    val mem = MemoryStream[(Long, String)]
+    // durable sink: the memory sink refuses checkpoint recovery, and the
+    // restart protocol is exactly what this test pins
+    def start() = StreamingAgg.incrementalDedupStream(
+        mem.toDF().toDF("doc_id", "text"),
+        spark.read.parquet(storePath))
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .format("parquet").option("path", sink).start()
+    def verdicts() = spark.read.parquet(sink)
+      .as[graft.streaming.IncVerdict].collect()
+    val q1 = start()
+    try {
+      mem.addData((7L, textA), (27L, fresh))
+      q1.processAllAvailable()
+      val v1 = verdicts()
+      assert(v1.filter(_.doc_id == 7L).forall(_.corpus_dup.contains(100L)))
+      assert(v1.filter(_.doc_id == 27L).forall(r =>
+        r.owner_id == 27L && r.corpus_dup.isEmpty))
+    } finally q1.stop()
+    // NEW corpus ingest lands: the store is rewritten while the stream
+    // is down, then the SAME pipeline restarts on the SAME checkpoint
+    bands(Seq((100L, textA), (200L, textB)))
+      .write.mode("overwrite").parquet(storePath)
+    val q2 = start()
+    try {
+      mem.addData((37L, textB), (47L, fresh))
+      q2.processAllAvailable()
+      val v2 = verdicts()
+      // the next batch adjudicates against the NEW store...
+      assert(v2.filter(_.doc_id == 37L).forall(r =>
+        r.owner_id == 37L && r.corpus_dup.contains(200L)),
+        "post-swap batch must flag the NEW corpus doc 200")
+      // ...with bucket-owner state INTACT across the restart: doc 47
+      // copies pre-restart doc 27 and must inherit its ownership
+      assert(v2.filter(_.doc_id == 47L).forall(r =>
+        r.owner_id == 27L && r.corpus_dup.isEmpty),
+        "pre-swap stream ownership must survive the restart")
+      // and a swap UNDER the running stream is LOUD: the next batch dies
+      // on the vanished files instead of silently reading stale bands
+      bands(Seq((300L, textB))).write.mode("overwrite").parquet(storePath)
+      mem.addData((57L, textA))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+        q2.awaitTermination(10000)
+      }
+    } finally q2.stop()
+  }
+
   test("streaming quantile sketch: batches converge to the batch fold, " +
       "state stays k-bounded, batch split order is irrelevant") {
     import spark.implicits._
