@@ -1962,6 +1962,34 @@ object PipelineQueries {
           .as("dup_span_frac"))
   }
 
+  /** Cross-source contamination matrix — for every PAIR of sources, how
+    * many distinct 8-token spans they share verbatim: the corpus-level
+    * "which feeds overlap" diagnostic above [[dSpanDedup]]'s per-doc
+    * fraction (a hot cell means two feeds mirror/syndicate each other
+    * and should be deduped or downweighted JOINTLY before mixing, or
+    * one dropped outright — per-doc dedup alone leaves the systematic
+    * bias). Scale shape: distinct (source, span) projection (one keyed
+    * shuffle with map-side combine — duplication collapses in the map
+    * tasks), span-keyed `collect_set(source)` whose state is bounded by
+    * the SOURCE VOCABULARY (the mixture's feed labels — a config-sized
+    * set, NOT the corpus; for unbounded domain-level provenance use
+    * [[dSpanDedup]]'s per-doc fraction instead), then a bounded
+    * per-span pair explode into a keyed count. Nothing is ever pairwise
+    * over documents. */
+  def dCrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
+    val sp = tokenHashes(s, dir)
+      .select(col("source"), explode(expr("graft_span_hashes(th)")).as("g"))
+      .distinct()
+    sp.groupBy("g")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(col("ss"), posexplode(col("ss")).as(Seq("__i", "src_a")))
+      .select(col("src_a"),
+        explode(expr("slice(ss, __i + 2, size(ss))")).as("src_b"))
+      .groupBy("src_a", "src_b")
+      .agg(count(lit(1)).as("n_shared_spans"))
+  }
+
   /** Benchmark decontamination: flag corpus docs whose 3-gram shingle sets
     * overlap a held-out benchmark set (here the deterministic pseudo-
     * benchmark doc_id % 97 == 0) in >= 3 distinct shingles — the
@@ -2252,6 +2280,38 @@ object PipelineQueries {
     docs.select(col("doc_id"), col("n_chars"))
       .join(broadcast(sample), "doc_id")
       .select(col("rk"), col("doc_id"), col("n_chars"))
+  }
+
+  /** Stratified weighted sampling — the per-source quota form of
+    * [[dSampleWeighted]]: every source keeps its OWN k=20 priority
+    * sample (integer-exact priority `hash << 20 div n_chars`, same
+    * Duffield-Lund-Thorup ranking), so a mixture rebalance draws
+    * quality-weighted exemplars per stratum and a giant stratum can
+    * never crowd a small one out of the pool.
+    *
+    * Scale shape: ONE grouped [[graft.functions.BottomKByHash]]
+    * aggregate — ≤3k longs of partial state per (task, source) with
+    * map-side combine, never a per-source rank window (the window form
+    * sorts every stratum, and a crawl's `web` stratum is billions of
+    * rows) — then the |sources|·20-row sample broadcasts back for the
+    * weight columns, exactly [[dQuantileFilter]]'s join-back shape. */
+  def dSampleStratified(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val docs = tbl(s, dir, "documents").filter(col("n_chars") > 0L)
+    val pri = expr(
+      "(doc_id % 1000000007L) * 2654435761L % 1000000007L * 1048576L" +
+        " div n_chars")
+    val sample = docs
+      .withColumn("__pri", pri)
+      .groupBy("source")
+      .agg(expr("graft_bottomk(__pri, doc_id, 20)").as("ids"))
+      .select(col("source"),
+        posexplode(col("ids")).as(Seq("__i", "doc_id")))
+      .select(col("source"), (col("__i") + 1L).cast(LongType).as("rk"),
+        col("doc_id"))
+    docs.select(col("doc_id"), col("n_chars"))
+      .join(broadcast(sample), "doc_id")
+      .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
   }
 
   /** Sequence packing — the step that turns a filtered corpus into fixed
@@ -3598,6 +3658,18 @@ object PipelineQueries {
          |       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
          |         / CAST(count(*) AS DOUBLE) AS dup_span_frac
          |FROM gx JOIN ps USING (g) GROUP BY doc_id""".stripMargin,
+    // pair explode from the sorted per-span source set == a span-keyed
+    // self-join with src_a < src_b; the oracle takes the join form
+    "d_cross_source_overlap" ->
+      s"""WITH $thCte,
+         |spx AS (SELECT d.source,
+         |               unnest(${PT.spanHashesDuck("th")}) AS g
+         |        FROM thT t JOIN documents d ON t.doc_id = d.doc_id),
+         |sp AS (SELECT DISTINCT source, g FROM spx)
+         |SELECT a.source AS src_a, b.source AS src_b,
+         |       count(*) AS n_shared_spans
+         |FROM sp a JOIN sp b ON a.g = b.g AND a.source < b.source
+         |GROUP BY 1, 2""".stripMargin,
     "d_decontaminate" ->
       s"""WITH $thCte,
          |shT AS (SELECT doc_id, ${PT.shingleHashesDuck("th")} AS sh FROM thT),
@@ -3737,6 +3809,20 @@ object PipelineQueries {
         |      FROM h)
         |SELECT CAST(rk AS BIGINT) AS rk, doc_id, n_chars
         |FROM r WHERE rk <= 100""".stripMargin,
+    // per-source priority quota: the window is the SEMANTICS; the plan
+    // is a grouped bounded bottom-k aggregate, never a stratum sort
+    "d_sample_stratified" ->
+      """WITH h AS (
+        |  SELECT source, doc_id, n_chars,
+        |         (doc_id % 1000000007) * 2654435761 % 1000000007
+        |           * 1048576 // n_chars AS pri
+        |  FROM documents WHERE n_chars > 0),
+        |r AS (SELECT source, doc_id, n_chars,
+        |             row_number() OVER (PARTITION BY source
+        |               ORDER BY pri, doc_id) AS rk
+        |      FROM h)
+        |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+        |FROM r WHERE rk <= 20""".stripMargin,
     "d_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
@@ -4065,6 +4151,8 @@ object PipelineQueries {
     "d_sample_k" -> (dSampleK _),
     "d_sample_bottomk" -> (dSampleBottomk _),
     "d_sample_weighted" -> (dSampleWeighted _),
+    "d_sample_stratified" -> (dSampleStratified _),
+    "d_cross_source_overlap" -> (dCrossSourceOverlap _),
     "emb_knn_graph" -> (embKnnGraph _),
     "emb_density" -> (embDensity _),
     "emb_hard_negatives" -> (embHardNegatives _),

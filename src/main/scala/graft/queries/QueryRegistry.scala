@@ -136,6 +136,12 @@ object QueryRegistry {
         .filter(abs(col("z")) > 4.0d)
         .select("event_type", "day", "event_id", "value", "n_prior", "z")
     }),
+    // batch twin of StreamingAgg.dayMoversStream: one fold per type
+    // against empty state == q_top_movers' lag frame before the peak
+    // filter, minus each type's trailing (incomplete) day
+    "stream_top_movers" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .dayMoversStream(AggQueries.events(s, dir)).toDF()),
     // batch twin of StreamingAgg.packStream: one fold per source against
     // empty state == d_pack_sequences' per-source prefix window
     "stream_pack_sequences" -> ((s, dir) =>
@@ -288,6 +294,28 @@ object QueryRegistry {
         |WHERE s.sigma > 0
         |  AND abs((CAST(e.e4 AS DOUBLE) - s.mu) / s.sigma) > 4"""
         .stripMargin,
+    // q_top_movers' lag frame (consecutive days only), every step, the
+    // trailing day of each type excluded — it has not completed in the
+    // stream; integer day sums divide once at the end
+    "stream_top_movers" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |x AS (SELECT *,
+        |             lag(day) OVER w AS pd, lag(ds1) OVER w AS ps1,
+        |             max(day) OVER (PARTITION BY event_type) AS mx
+        |      FROM d
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY day))
+        |SELECT event_type, day,
+        |       CAST(ps1 AS DOUBLE) / 10000.0 AS prev_day_sum,
+        |       CAST(ds1 AS DOUBLE) / 10000.0 AS day_sum,
+        |       CAST(ds1 - ps1 AS DOUBLE) / 10000.0 AS delta
+        |FROM x WHERE pd = day - 1 AND day < mx""".stripMargin,
     // the emb_drift SQL verbatim: the drift fold's exact integer sums
     // reproduce the batch centroids, and the BigInt->double conversion
     // is the same correctly-rounded value as DECIMAL(38,0)->DOUBLE

@@ -90,6 +90,13 @@ final case class AnomEvent(event_type: String, day: Long, event_id: Long,
   * (`hist*`) plus the currently accumulating day (`cur*`). Σe4² is held
   * exactly in two longs base 10¹⁸ (`hi`·10¹⁸ + `lo`) — a fixed 4-long
   * footprint per type that never loses a bit at any stream length. */
+/** Completed-day step emission of [[StreamingAgg.dayMoversStream]]. */
+final case class MoverRow(event_type: String, day: Long,
+    prev_day_sum: Double, day_sum: Double, delta: Double)
+/** Four longs per event type: the last COMPLETED day's (day, sum) and
+  * the currently-accumulating day's (day, sum). */
+final case class MoverState(prevDay: Long, prevSum: Long,
+    curDay: Long, curSum: Long)
 final case class AnomState(day: Long, histN: Long, histS1: Long,
   histS2Hi: Long, histS2Lo: Long, curN: Long, curS1: Long,
   curS2Hi: Long, curS2Lo: Long)
@@ -908,6 +915,61 @@ object StreamingAgg {
             prev = Some(TransState(e.t, e.event_id, e.event_type))
           }
           prev.foreach(st.update)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming day-over-day movers — the live face of
+    * [[graft.queries.RelationalQueries.qTopMovers]]' step detector:
+    * when a day COMPLETES (the first strictly-later event of its type
+    * arrives), emit that day's level step against the previous day —
+    * consecutive days only, exactly the batch monitor's rule — instead
+    * of re-windowing the day frame per batch. The batch query keeps the
+    * single peak step for the dashboard; the stream emits EVERY step as
+    * it happens (the alerting feed; a consumer peak-filters at will).
+    * State is FOUR longs per event type (last completed day/sum,
+    * accumulating day/sum) — independent of stream length. Sums are
+    * exact integers at the 1e4 quantization; the emitted doubles divide
+    * once, so each step equals the batch lag-frame row bit-for-bit.
+    * Events fold in (day, event_id) order per invocation; the trailing
+    * day is never emitted (it has not completed — the batch twin's
+    * oracle carries the matching `day < max(day)` guard). */
+  def dayMoversStream(events: DataFrame): Dataset[MoverRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"),
+        expr("__t div 86400000000").as("day"),
+        col("event_id").cast(LongType).as("event_id"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"),
+        col("value").cast(DoubleType).as("value"))
+      .as[AnomEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[AnomEvent],
+            st: GroupState[MoverState]) => {
+          var cur = st.getOption.getOrElse(
+            MoverState(Long.MinValue, 0L, Long.MinValue, 0L))
+          val out = Seq.newBuilder[MoverRow]
+          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            if (cur.curDay == Long.MinValue) cur = cur.copy(curDay = e.day)
+            else if (e.day > cur.curDay) {
+              // the accumulating day completes: emit its step iff the
+              // previous COMPLETED day is the calendar day before it
+              if (cur.prevDay == cur.curDay - 1L)
+                out += MoverRow(typ, cur.curDay,
+                  cur.prevSum.toDouble / 10000.0d,
+                  cur.curSum.toDouble / 10000.0d,
+                  (cur.curSum - cur.prevSum).toDouble / 10000.0d)
+              cur = MoverState(cur.curDay, cur.curSum, e.day, 0L)
+            }
+            cur = cur.copy(curSum = cur.curSum + e.e4)
+          }
+          st.update(cur)
           out.result().iterator
         })
   }

@@ -497,6 +497,24 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       "the 100-row sample must broadcast for the weight join-back")
   }
 
+  test("d_sample_stratified: grouped bottom-k aggregate, never a " +
+      "stratum sort or rank window") {
+    // the per-source quota must come from the grouped BottomKByHash
+    // aggregate (bounded partials, map-side combine) — a rank window
+    // sorts every stratum, and a crawl's 'web' stratum is billions of
+    // rows in one partition
+    val plan = physical("d_sample_stratified")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.window.WindowExec]) == 0,
+      "stratified sample must not plan a rank window")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.SortExec]) == 0,
+      "stratified sample must not sort any stratum")
+    assert(count(plan, _.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) >= 1,
+      "the |sources|*20-row sample must broadcast for the join-back")
+  }
+
   test("emb_knn_graph: candidates fold map-side, never shuffle or rank") {
     // the banded candidate stream must collapse into the bounded
     // TopKScored fold's <=4-pair partials BEFORE any exchange: a rank

@@ -1217,6 +1217,68 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "carry-path moments must equal the BigInt reference bit-for-bit")
   }
 
+  test("day movers stream: a step emits when its day COMPLETES, chains " +
+      "across batches, consecutive days only; fold covers the batch peak") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.dayMoversStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("movers").start()
+    def rows() = spark.table("movers").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    try {
+      // day 0 (sum 15) and day 1 open; day 0 completed with no prior
+      // day, so nothing emits yet
+      mem.addData(aev(0, 1L, 10.0), aev(60, 2L, 5.0), aev(day, 3L, 7.0))
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      // day 2 arrives in a LATER batch: day 1 (sum 7) completes against
+      // the day-0 state carried across the batch boundary
+      mem.addData(aev(2 * day, 4L, 9.0))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 15.0, 7.0, -8.0)))
+      // day 4 (skipping day 3): day 2 completes consecutively -> emits;
+      // then day 5 completes day 4 NON-consecutively -> must not emit
+      mem.addData(aev(4 * day, 5L, 1.0))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 15.0, 7.0, -8.0), (2L, 7.0, 9.0, 2.0)))
+      mem.addData(aev(5 * day, 6L, 2.0))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 15.0, 7.0, -8.0), (2L, 7.0, 9.0, 2.0)),
+        "a gap day must not produce a step")
+    } finally q.stop()
+
+    // on real data the batch fold must contain q_top_movers' peak row
+    // bit-for-bit whenever the peak day has completed (not the trailing
+    // day of its type)
+    val sf = "/root/testdata/sf0.001"
+    val fold = graft.queries.QueryRegistry.queries("stream_top_movers")(
+      spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val lastDay = graft.queries.AggQueries.events(spark, sf)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts")
+        .cast(org.apache.spark.sql.types.TimestampType)))
+      .groupBy("event_type")
+      .agg(max(expr("__t div 86400000000")).as("mx"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    graft.queries.RelationalQueries.qTopMovers(spark, sf).collect()
+      .foreach { p =>
+        val (t, d) = (p.getString(0), p.getLong(1))
+        if (d < lastDay(t))
+          assert(fold((t, d)) ===
+            (p.getDouble(2), p.getDouble(3), p.getDouble(4)),
+            s"peak step of $t must appear in the stream fold exactly")
+      }
+  }
+
   test("anomaly stream: a value beyond the exact-moment bound fails " +
       "LOUDLY instead of silently wrapping the two-long accumulator") {
     import spark.implicits._
