@@ -1968,26 +1968,50 @@ object PipelineQueries {
     * fraction (a hot cell means two feeds mirror/syndicate each other
     * and should be deduped or downweighted JOINTLY before mixing, or
     * one dropped outright — per-doc dedup alone leaves the systematic
-    * bias). Scale shape: distinct (source, span) projection (one keyed
-    * shuffle with map-side combine — duplication collapses in the map
-    * tasks), span-keyed `collect_set(source)` whose state is bounded by
-    * the SOURCE VOCABULARY (the mixture's feed labels — a config-sized
-    * set, NOT the corpus; for unbounded domain-level provenance use
-    * [[dSpanDedup]]'s per-doc fraction instead), then a bounded
-    * per-span pair explode into a keyed count. Nothing is ever pairwise
-    * over documents. */
+    * bias). Scale shape: sources map to dense bit ids (feed vocabulary
+    * ≤ 64 by loud contract — the mixture's feed labels are a
+    * config-sized set, NOT the corpus; for unbounded domain-level
+    * provenance use [[dSpanDedup]]'s per-doc fraction), so the span-key
+    * aggregate is a codegen'd `bit_or` over ONE long of state — a
+    * collect_set draft carried a sorted array per span and measured 4×
+    * slower at 100× — then spans collapse to their OCCUPIED MASKS
+    * (≤ min(distinct spans, 2^v) rows) and the pair explode + name
+    * join-backs run over that tiny frame, never over spans. Nothing is
+    * ever pairwise over documents. */
   def dCrossSourceOverlap(s: SparkSession, dir: String): DataFrame = {
-    val sp = tokenHashes(s, dir)
+    val th = tokenHashes(s, dir)
+    // dense ids in name order: sid i < sid j  <=>  name i < name j, so
+    // bit-order pairs are lexicographic pairs. The unpartitioned window
+    // runs over the distinct-source frame — feed-vocabulary-bounded.
+    val srcIds = th.select(col("source")).distinct()
+      .withColumn("__sid",
+        (row_number().over(Window.orderBy("source")) - 1)
+          .cast(IntegerType))
+    val v = srcIds.count()
+    require(v <= 64L,
+      s"d_cross_source_overlap: $v sources exceed the 64-feed bitmask " +
+        "contract (shiftleft would wrap silently); for domain-level " +
+        "provenance use d_span_dedup")
+    val masks = th
       .select(col("source"), explode(expr("graft_span_hashes(th)")).as("g"))
-      .distinct()
-    sp.groupBy("g")
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
-      .select(col("ss"), posexplode(col("ss")).as(Seq("__i", "src_a")))
-      .select(col("src_a"),
-        explode(expr("slice(ss, __i + 2, size(ss))")).as("src_b"))
+      .join(broadcast(srcIds), "source")
+      .groupBy("g")
+      .agg(expr("bit_or(shiftleft(1L, __sid))").as("mask"))
+    masks.groupBy("mask").agg(count(lit(1)).as("n"))
+      .filter(expr("bit_count(mask) >= 2"))
+      .withColumn("bits", expr(
+        "filter(transform(sequence(0, 63), i -> " +
+          "IF(((mask >> i) & 1) = 1, i, NULL)), x -> x IS NOT NULL)"))
+      .select(col("n"), col("bits"),
+        posexplode(col("bits")).as(Seq("__p", "__ia")))
+      .select(col("n"), col("__ia"),
+        explode(expr("slice(bits, __p + 2, size(bits))")).as("__ib"))
+      .join(broadcast(srcIds.select(col("source").as("src_a"),
+        col("__sid").as("__ia"))), "__ia")
+      .join(broadcast(srcIds.select(col("source").as("src_b"),
+        col("__sid").as("__ib"))), "__ib")
       .groupBy("src_a", "src_b")
-      .agg(count(lit(1)).as("n_shared_spans"))
+      .agg(sum(col("n")).cast(LongType).as("n_shared_spans"))
   }
 
   /** Benchmark decontamination: flag corpus docs whose 3-gram shingle sets
