@@ -142,6 +142,11 @@ object QueryRegistry {
     "stream_top_movers" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .dayMoversStream(AggQueries.events(s, dir)).toDF()),
+    // batch twin of StreamingAgg.cusumStream: one fold per type against
+    // empty state == prequential CUSUM vs the 7-day warmup mean
+    "stream_cusum" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .cusumStream(AggQueries.events(s, dir)).toDF()),
     // batch twin of StreamingAgg.packStream: one fold per source against
     // empty state == d_pack_sequences' per-source prefix window
     "stream_pack_sequences" -> ((s, dir) =>
@@ -294,6 +299,38 @@ object QueryRegistry {
         |WHERE s.sigma > 0
         |  AND abs((CAST(e.e4 AS DOUBLE) - s.mu) / s.sigma) > 4"""
         .stripMargin,
+    // prequential CUSUM: warmup totals over each type's first 7 days,
+    // then per completed post-warmup day the running integer deviation
+    // Sum(ds)*wN - Sum(dn)*wS, one double conversion and one divide —
+    // the same arithmetic discipline as q_cusum's retrospective form;
+    // trailing day excluded (it has not completed in the stream)
+    "stream_cusum" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |d AS (SELECT event_type, day, count(*) AS dn,
+        |             CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, row_number() OVER w AS rn,
+        |             max(day) OVER (PARTITION BY event_type) AS mx
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |wu AS (SELECT event_type, CAST(sum(dn) AS BIGINT) AS wn,
+        |              CAST(sum(ds1) AS BIGINT) AS ws
+        |       FROM r WHERE rn <= 7 GROUP BY 1),
+        |a AS (SELECT event_type, day, rn, mx,
+        |             sum(CAST(ds1 AS HUGEINT)) OVER w2 AS cds,
+        |             sum(CAST(dn AS HUGEINT)) OVER w2 AS cdn
+        |      FROM r WHERE rn > 7
+        |      WINDOW w2 AS (PARTITION BY event_type ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING))
+        |SELECT a.event_type, a.day, CAST(a.rn - 7 AS BIGINT) AS n_days,
+        |       CAST(cds * wn - cdn * ws AS DOUBLE) /
+        |         (CAST(wn AS DOUBLE) * 10000.0) AS cusum_stat
+        |FROM a JOIN wu USING (event_type)
+        |WHERE a.day < a.mx""".stripMargin,
     // q_top_movers' lag frame (consecutive days only), every step, the
     // trailing day of each type excluded — it has not completed in the
     // stream; integer day sums divide once at the end

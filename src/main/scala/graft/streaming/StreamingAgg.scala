@@ -90,6 +90,18 @@ final case class AnomEvent(event_type: String, day: Long, event_id: Long,
   * (`hist*`) plus the currently accumulating day (`cur*`). Σe4² is held
   * exactly in two longs base 10¹⁸ (`hi`·10¹⁸ + `lo`) — a fixed 4-long
   * footprint per type that never loses a bit at any stream length. */
+/** Post-warmup completed-day emission of [[StreamingAgg.cusumStream]]:
+  * `cusum_stat` = Σ(value − warmup mean) in value units over the
+  * completed days since warmup. */
+final case class CusumRow(event_type: String, day: Long, n_days: Long,
+    cusum_stat: Double)
+/** Nine longs per event type: completed-warmup-day count, warmup
+  * totals (events, Σe4), post-warmup running totals (days, events,
+  * Σe4 — both monotone non-negative, so no signed two-long dance), and
+  * the accumulating day's (day, count, Σe4). */
+final case class CusumState(warmDays: Long, wN: Long, wS: Long,
+    nAfter: Long, cdn: Long, cds: Long,
+    curDay: Long, curDn: Long, curDs: Long)
 /** Completed-day step emission of [[StreamingAgg.dayMoversStream]]. */
 final case class MoverRow(event_type: String, day: Long,
     prev_day_sum: Double, day_sum: Double, delta: Double)
@@ -968,6 +980,79 @@ object StreamingAgg {
               cur = MoverState(cur.curDay, cur.curSum, e.day, 0L)
             }
             cur = cur.copy(curSum = cur.curSum + e.e4)
+          }
+          st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming CUSUM — the prequential face of
+    * [[graft.queries.RelationalQueries.qCusum]]'s changepoint monitor,
+    * completing the live day-frame trio (anomaly z-score, level step,
+    * sustained shift). The batch query localizes a shift
+    * RETROSPECTIVELY against the whole-series mean; a stream cannot
+    * know future totals, so this is the textbook prequential CUSUM:
+    * the reference mean freezes after the first `warmupDays` COMPLETED
+    * days, and every later completed day emits the running cumulative
+    * deviation from it — a sustained level shift drives the statistic
+    * monotonically away from zero, which is the alarm a monitor pages
+    * on (threshold deployment-specific; the metric is raw, like
+    * drift).
+    *
+    * Exactness: the deviation Σ(value − μ₀) is computed as the INTEGER
+    * `Σds·wN − Σdn·wS` (exact in BigInt at emission; the running
+    * post-warmup totals Σds/Σdn are monotone non-negative longs, so
+    * state needs no signed two-long split), converted to double once
+    * and divided by the exact `wN·10⁴` — the same one-divide discipline
+    * as the batch CUSUM, so each emission equals the oracle's
+    * HUGEINT-derived row bit-for-bit. Nine longs of state per type,
+    * independent of stream length. Events fold in (day, event_id)
+    * order per invocation; the trailing day never emits (it has not
+    * completed — the oracle carries the matching `day < max(day)`
+    * guard). */
+  def cusumStream(events: DataFrame, warmupDays: Long = 7L)
+      : Dataset[CusumRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"),
+        expr("__t div 86400000000").as("day"),
+        col("event_id").cast(LongType).as("event_id"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"),
+        col("value").cast(DoubleType).as("value"))
+      .as[AnomEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[AnomEvent],
+            st: GroupState[CusumState]) => {
+          var cur = st.getOption.getOrElse(
+            CusumState(0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[CusumRow]
+          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            if (cur.curDay == Long.MinValue) cur = cur.copy(curDay = e.day)
+            else if (e.day > cur.curDay) {
+              // the accumulating day completes
+              if (cur.warmDays < warmupDays)
+                cur = cur.copy(warmDays = cur.warmDays + 1L,
+                  wN = cur.wN + cur.curDn, wS = cur.wS + cur.curDs,
+                  curDay = e.day, curDn = 0L, curDs = 0L)
+              else {
+                cur = cur.copy(nAfter = cur.nAfter + 1L,
+                  cdn = cur.cdn + cur.curDn, cds = cur.cds + cur.curDs)
+                val dev = BigInt(cur.cds) * BigInt(cur.wN) -
+                  BigInt(cur.cdn) * BigInt(cur.wS)
+                out += CusumRow(typ, cur.curDay, cur.nAfter,
+                  BigDecimal(dev).toDouble /
+                    (cur.wN.toDouble * 10000.0d))
+                cur = cur.copy(curDay = e.day, curDn = 0L, curDs = 0L)
+              }
+            }
+            cur = cur.copy(curDn = cur.curDn + 1L,
+              curDs = cur.curDs + e.e4)
           }
           st.update(cur)
           out.result().iterator

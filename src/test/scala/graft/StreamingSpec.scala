@@ -1279,6 +1279,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       }
   }
 
+  test("cusum stream: warmup freezes the reference mean across batches; " +
+      "a level shift drives the post-warmup statistic monotonically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.cusumStream(mem.toDF(), warmupDays = 2L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("cus").start()
+    def rows() = spark.table("cus").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    try {
+      // warmup days 0 (10, 12) and 1 (11): mu0 = 11. Nothing emits
+      // while days only complete INTO the warmup.
+      mem.addData(aev(0, 1L, 10.0), aev(60, 2L, 12.0), aev(day, 3L, 11.0))
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      mem.addData(aev(2 * day, 4L, 20.0)) // completes day 1 -> warmup done
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      // the shifted regime: day 2 = (20, 22), day 3 = (21)
+      mem.addData(aev(2 * day + 60, 5L, 22.0))
+      q.processAllAvailable()
+      mem.addData(aev(3 * day, 6L, 21.0)) // completes day 2
+      q.processAllAvailable()
+      // day 2 deviation: (20-11) + (22-11) = 20 value-units
+      assert(rows() === Set((2L, 1L, 20.0)))
+      mem.addData(aev(4 * day, 7L, 5.0)) // completes day 3
+      q.processAllAvailable()
+      // running: 20 + (21-11) = 30 — monotone under the sustained shift
+      assert(rows() === Set((2L, 1L, 20.0), (3L, 2L, 30.0)))
+    } finally q.stop()
+  }
+
   test("anomaly stream: a value beyond the exact-moment bound fails " +
       "LOUDLY instead of silently wrapping the two-long accumulator") {
     import spark.implicits._
