@@ -1824,6 +1824,23 @@ object PipelineQueries {
         expr("CAST(length(text) AS BIGINT)").as("n_chars"),
         expr("CAST((length(text) + 3) div 4 AS BIGINT)").as("est_bpe_tokens"))
 
+  /** Lexical diversity (type-token ratio) per document — the quality
+    * signal that separates natural prose from keyword stuffing, boiler
+    * lists, and low-diversity spam even when length/punct ratios look
+    * fine (a standard pipeline filter next to the Gopher rules). Types
+    * are counted over the token HASHES — the identical polynomial hash
+    * on both engines, so the count is engine-deterministic (a raw-token
+    * distinct would have to relitigate Unicode normalization). Map-only
+    * over the shared cached token frame; the one division is the output
+    * cast. */
+  def tTtr(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir)
+      .select(col("doc_id"),
+        size(col("th")).cast(LongType).as("n_tokens"),
+        size(array_distinct(col("th"))).cast(LongType).as("n_types"))
+      .withColumn("ttr",
+        col("n_types").cast(DoubleType) / col("n_tokens").cast(DoubleType))
+
   /** Corpus-level bigram frequencies, top 50: word-count + TakeOrdered
     * (orderBy+limit -> no single-partition window at any scale). */
   def tNgramFreq(s: SparkSession, dir: String): DataFrame =
@@ -2459,6 +2476,46 @@ object PipelineQueries {
       .filter(col("error").isNull)
       .groupBy("phash")
       .agg(count(lit(1)).as("n_images"), min(col("event_id")).as("keeper_id"))
+
+  /** Image NEAR-dup verdicts by banded perceptual hash — [[mmPhash]]'s
+    * exact-fingerprint dedup extended to re-encodes that flip a few
+    * hash bits (crop/noise/palette wobble): two images are near-dups
+    * when their 64-bit phashes differ in ≤ 3 bits. Candidates come from
+    * a 4×16-bit band equi-join over the phash, and by PIGEONHOLE the
+    * banding is EXACT at this threshold — ≤ 3 differing bits can touch
+    * at most 3 of the 4 bands, so every qualifying pair shares at least
+    * one intact band; no recall is lost to the bucketing (the same
+    * LSH-band argument as the text path, here with a provable bound).
+    * Per image: `first_dup` = lowest earlier image within the Hamming
+    * ball sharing a band (null = kept) — one verdict row per stored
+    * image, the same bounded output shape as the stream dedups.
+    *
+    * Scale shape: map-only decode+hash, a 4-row band explode, one band
+    * equi-join whose verify (`bit_count(ph_a ^ ph_b)`) runs INSIDE the
+    * join as codegen'd integer ops — candidates never materialize — and
+    * a min-aggregate + broadcast-sized join-back. Nothing pairwise
+    * beyond the banded buckets. */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
+    val ph = graft.multimodal.Multimodal
+      .imagePHashChecked(media(s, dir).select("event_id", "png"))
+      .filter(col("error").isNull)
+      .select(col("event_id"), col("phash"))
+    val bands = ph.select(col("event_id"), col("phash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), k -> shiftright(phash, k * 16) & 65535)"))
+        .as(Seq("band_idx", "sig")))
+    val dup = bands.toDF("id_b", "ph_b", "band_idx", "sig")
+      .join(bands.toDF("id_a", "ph_a", "band_idx", "sig"),
+        Seq("band_idx", "sig"))
+      .filter(col("id_a") < col("id_b") &&
+        expr("bit_count(ph_a ^ ph_b) <= 3"))
+      .groupBy(col("id_b").as("event_id"))
+      .agg(min(col("id_a")).as("first_dup"))
+    ph.select(col("event_id"))
+      .join(dup, Seq("event_id"), "left")
+      .select(col("event_id"), col("first_dup"),
+        col("first_dup").isNull.as("kept"))
+  }
 
   /** Video frame sampling from the stored AVI column: decode (hdrl/movi
     * walk, header-vs-actual frame-count cross-check), sample every 3rd
@@ -4098,6 +4155,14 @@ object PipelineQueries {
         |       CAST(sum((event_id * 31 + x * 7 + y * 13 + 202) % 256)
         |         AS BIGINT) AS sum_b
         |FROM px GROUP BY event_id""".stripMargin,
+    // types over token hashes: the same polynomial hash both engines
+    "t_ttr" ->
+      s"""WITH $thCte
+         |SELECT doc_id, CAST(len(th) AS BIGINT) AS n_tokens,
+         |       CAST(len(list_distinct(th)) AS BIGINT) AS n_types,
+         |       CAST(len(list_distinct(th)) AS DOUBLE) /
+         |         CAST(len(th) AS DOUBLE) AS ttr
+         |FROM thT""".stripMargin,
     // the synth pixel formula reproduces the decoded luminances; the
     // signed fingerprint = -2^63*b63 + sum 2^i*bi, so a decimal sum of
     // shifted bits equals the JVM bit-or exactly
@@ -4125,7 +4190,44 @@ object PipelineQueries {
         |       GROUP BY l.event_id)
         |SELECT phash, CAST(count(*) AS BIGINT) AS n_images,
         |       min(event_id) AS keeper_id
-        |FROM ph GROUP BY phash""".stripMargin
+        |FROM ph GROUP BY phash""".stripMargin,
+    // same ph CTE as mm_phash; 4x16-bit bands are EXACT for hamming <= 3
+    // (pigeonhole: 3 bits touch at most 3 of 4 bands). Low 16 bits of
+    // the shift are identical under arithmetic or logical >> semantics,
+    // so the masked band sigs agree across engines
+    "mm_phash_neardup" ->
+      s"""WITH $mediaIdsCte,
+        |d AS (SELECT event_id, 8 + event_id % 9 AS w,
+        |             8 + (event_id // 9) % 9 AS h FROM mediaIds),
+        |g AS (SELECT event_id, gx.r AS gx, gy.r AS gy,
+        |             (gx.r * w) // 8 AS x, (gy.r * h) // 8 AS y
+        |      FROM d, range(0, 8) gx(r), range(0, 8) gy(r)),
+        |l AS (SELECT event_id, gx, gy,
+        |               (event_id * 31 + x * 7 + y * 13) % 256
+        |             + (event_id * 31 + x * 7 + y * 13 + 101) % 256
+        |             + (event_id * 31 + x * 7 + y * 13 + 202) % 256 AS lum
+        |      FROM g),
+        |t AS (SELECT event_id, sum(lum) AS total FROM l GROUP BY 1),
+        |ph AS (SELECT l.event_id,
+        |              CAST(sum(CASE WHEN 64 * lum <= total
+        |                  THEN CAST(0 AS HUGEINT)
+        |                WHEN gy * 8 + gx = 63
+        |                  THEN CAST(-9223372036854775808 AS HUGEINT)
+        |                ELSE CAST(CAST(1 AS BIGINT) << (gy * 8 + gx)
+        |                  AS HUGEINT) END) AS BIGINT) AS phash
+        |       FROM l JOIN t ON l.event_id = t.event_id
+        |       GROUP BY l.event_id),
+        |bands AS (SELECT event_id, phash, k.r AS band_idx,
+        |                 (phash >> (CAST(k.r AS INT) * 16)) & 65535 AS sig
+        |          FROM ph, range(0, 4) k(r)),
+        |dup AS (SELECT b.event_id, min(a.event_id) AS first_dup
+        |        FROM bands b JOIN bands a ON a.band_idx = b.band_idx
+        |          AND a.sig = b.sig AND a.event_id < b.event_id
+        |          AND bit_count(xor(a.phash, b.phash)) <= 3
+        |        GROUP BY b.event_id)
+        |SELECT ph.event_id, dup.first_dup,
+        |       dup.first_dup IS NULL AS kept
+        |FROM ph LEFT JOIN dup USING (event_id)""".stripMargin
   )
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -4164,6 +4266,7 @@ object PipelineQueries {
     "t_langid" -> (tLangid _),
     "t_quality" -> (tQuality _),
     "t_tokens" -> (tTokens _),
+    "t_ttr" -> (tTtr _),
     "t_fingerprint" -> (tFingerprint _),
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
@@ -4192,6 +4295,7 @@ object PipelineQueries {
     "t_ngram_freq" -> (tNgramFreq _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
+    "mm_phash_neardup" -> (mmPhashNeardup _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_chunks" -> (mmAudioChunks _),
     "mm_audio_zcr" -> (mmAudioZcr _),
