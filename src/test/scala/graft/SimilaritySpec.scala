@@ -724,6 +724,49 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d)))
   }
 
+  test("dedup purge composition: near-dup verdicts drive index deletes; " +
+      "searches then return only kept vectors") {
+    // the r10 delete path's real consumer: a dedup pass marks losers,
+    // the purge deletes them from the standing index, and every later
+    // search serves only keepers — without a rebuild
+    import graft.ml.Similarity._
+    val sfDir = "/root/testdata/sf0.001"
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 16, iters = 2)
+      .select(col("cid"), col("cv"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val idxDir =
+      java.nio.file.Files.createTempDirectory("graft_purge").toString
+    writeIndex(emb, codebook, idxDir)
+    // the dedup verdict: losers = vectors owned by an earlier near-dup
+    // (the stream_vec_dedup banded transform, batch-rendered)
+    val losers = graft.streaming.StreamingAgg.vecDedupStream(
+        spark.read.parquet(s"$sfDir/embeddings.parquet")).toDF()
+      .filter(col("owner_id") < col("vec_id"))
+      .select(col("vec_id")).distinct()
+    val nLosers = losers.count()
+    assert(nLosers > 0L, "fixture must contain near-dup losers")
+    val purged = deleteFromIndex(openIndex(spark, idxDir), losers)
+    val got = ivfSearchIndex(purged, queries, k = 6, nprobe = 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val loserSet = losers.collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty && got.intersect(loserSet).isEmpty,
+      "purged near-dup losers must never appear in search results")
+    // and compaction preserves exactly the post-purge results
+    val before = ivfSearchIndex(purged, queries, k = 6, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq
+    val compacted = compactIndex(purged)
+    assert(ivfSearchIndex(compacted, queries, k = 6, nprobe = 3)
+      .collect().map(_.toString).sorted.toSeq === before)
+    assert(spark.read.parquet(s"$idxDir/lists.parquet").count() ===
+      emb.count() - nLosers,
+      "compaction must leave exactly the keepers on disk")
+    org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(idxDir))
+  }
+
   test("residual IVF-PQ: recall holds vs plain encoding; " +
       "the persisted flavor round-trips through meta.json") {
     val emb = spark.read.parquet(s"$dir/embeddings.parquet")
