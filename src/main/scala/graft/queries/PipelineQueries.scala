@@ -1857,6 +1857,69 @@ object PipelineQueries {
     tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_doc_fingerprint(th)").as("fp"))
 
+  /** One round of BPE merge-candidate counting: corpus frequency of every
+    * adjacent CHARACTER pair, weighted by word frequency — the inner loop
+    * of byte-pair-encoding tokenizer training (Sennrich et al. 2016). The
+    * classic scale trick is structural here: pair statistics are computed
+    * over the VOCABULARY (distinct token + count, one linear aggregate of
+    * the corpus), so the quadratic-looking pair explode runs over ~|vocab|
+    * rows, not the corpus — at 100 TB the vocabulary is millions of rows
+    * while the corpus is trillions of tokens. Tokens are lower-ASCII by
+    * construction (graft_tokens), so substring semantics agree across
+    * engines byte-for-byte. */
+  def tBpePairs(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir)
+      .select(explode(col("toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .filter(length(col("tok")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(sum(col("c")).as("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(50)
+
+  /** Distinctive terms per source: the tokens most over-represented in a
+    * source vs the whole corpus (share-of-term ranking with a corpus-lift
+    * output) — the "what is this slice about?" profiling query behind
+    * corpus cards and mixture debugging. Per-source top-10 rides the
+    * bounded [[graft.functions.TopKScored]] fold — term candidates
+    * collapse map-side to 10 (score, hash) pairs per source per task, so
+    * the shuffle never carries the (source x vocab) frame; the
+    * rank-window oracle is the semantics it mirrors. The score ranks by
+    * c_src/c_glob (one IEEE division, identical both engines); within a
+    * source that ordering equals the full lift ordering (the remaining
+    * factor T/S is a per-source positive constant). The tiny top-k and
+    * per-source-totals frames broadcast — both are bounded by the
+    * categorical source cardinality, not the corpus. */
+  def tKeywords(s: SparkSession, dir: String): DataFrame = {
+    val bySrc = tokenHashes(s, dir)
+      .select(col("source"), explode(col("th")).as("t"))
+      .groupBy("source", "t").agg(count(lit(1)).as("c_src"))
+    val glob = bySrc.groupBy("t").agg(sum("c_src").as("c_glob"))
+    val srcTot = bySrc.groupBy("source").agg(sum("c_src").as("s_tot"))
+    val tot = srcTot.agg(sum("s_tot").as("t_tot"))
+    val scored = bySrc.join(glob, "t")
+      .filter(col("c_src") >= 5L)
+      .withColumn("score",
+        col("c_src").cast(DoubleType) / col("c_glob").cast(DoubleType))
+    val top = scored.groupBy("source")
+      .agg(expr("graft_topk_scored(score, t, 10)").as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("i", "p")))
+      .select(col("source"), (col("i") + 1).cast(LongType).as("rk"),
+        col("p.payload").as("t"))
+    scored.join(broadcast(top), Seq("source", "t"))
+      .join(broadcast(srcTot), "source")
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("rk"), col("t").as("term"),
+        col("c_src"), col("c_glob"),
+        ((col("c_src").cast(DecimalType(38, 0)) *
+          col("t_tot").cast(DecimalType(38, 0))).cast(DoubleType) /
+          (col("c_glob").cast(DecimalType(38, 0)) *
+            col("s_tot").cast(DecimalType(38, 0))).cast(DoubleType))
+          .as("lift"))
+  }
+
   /** Repetition quality signals (the Gopher/DCLM-style filters a training
     * corpus is screened with): duplicate-line fraction, duplicate-word
     * fraction, and the share of all bigrams taken by the most frequent
@@ -3626,6 +3689,46 @@ object PipelineQueries {
          |  FROM toksT WHERE len(toks) >= 2)
          |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    // BPE merge statistics over the VOCABULARY (distinct token + count),
+    // never the corpus; ASCII-only tokens make substr engine-identical
+    "t_bpe_pairs" ->
+      s"""WITH $thCte,
+         |v AS (SELECT tok, CAST(count(*) AS BIGINT) AS c
+         |      FROM (SELECT unnest(toks) AS tok FROM toksT)
+         |      GROUP BY tok),
+         |p AS (SELECT c, unnest(list_transform(range(1, length(tok)),
+         |               i -> substr(tok, CAST(i AS INT), 2))) AS pair
+         |      FROM v WHERE length(tok) >= 2)
+         |SELECT pair, CAST(sum(c) AS BIGINT) AS n FROM p GROUP BY pair
+         |ORDER BY n DESC, pair LIMIT 50""".stripMargin,
+    // per-source distinctive terms: rank-window mirror of the bounded
+    // TopKScored fold; lift via HUGEINT cross products, one double divide
+    "t_keywords" ->
+      s"""WITH toksS AS (SELECT doc_id, source, $toksDuck AS toks
+         |               FROM documents WHERE len($toksDuck) >= 3),
+         |thS AS (SELECT doc_id, source, ${PT.tokenHashesDuck("toks")} AS th
+         |        FROM toksS),
+         |tk AS (SELECT source, unnest(th) AS t FROM thS),
+         |bs AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c_src
+         |       FROM tk GROUP BY 1, 2),
+         |g AS (SELECT t, CAST(sum(c_src) AS BIGINT) AS c_glob
+         |      FROM bs GROUP BY 1),
+         |st AS (SELECT source, CAST(sum(c_src) AS BIGINT) AS s_tot
+         |       FROM bs GROUP BY 1),
+         |tt AS (SELECT CAST(sum(c_src) AS BIGINT) AS t_tot FROM bs),
+         |sc AS (SELECT source, t, c_src, c_glob,
+         |         CAST(c_src AS DOUBLE) / CAST(c_glob AS DOUBLE) AS score
+         |       FROM bs JOIN g USING (t) WHERE c_src >= 5),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |        ORDER BY score DESC, t) AS rk FROM sc)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, t AS term,
+         |       c_src, c_glob,
+         |       CAST(CAST(c_src AS HUGEINT) * CAST(t_tot AS HUGEINT)
+         |            AS DOUBLE) /
+         |       CAST(CAST(c_glob AS HUGEINT) * CAST(s_tot AS HUGEINT)
+         |            AS DOUBLE) AS lift
+         |FROM r JOIN st USING (source) CROSS JOIN tt
+         |WHERE rk <= 10""".stripMargin,
     "t_fingerprint" ->
       s"""WITH $thCte
          |SELECT doc_id, ${PT.docFingerprintDuck("th")} AS fp FROM thT""".stripMargin,
@@ -4293,6 +4396,8 @@ object PipelineQueries {
     "d_epoch_mix" -> (dEpochMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "t_ngram_freq" -> (tNgramFreq _),
+    "t_bpe_pairs" -> (tBpePairs _),
+    "t_keywords" -> (tKeywords _),
     "mm_features" -> (mmFeatures _),
     "mm_phash" -> (mmPhash _),
     "mm_phash_neardup" -> (mmPhashNeardup _),

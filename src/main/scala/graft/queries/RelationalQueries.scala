@@ -948,6 +948,164 @@ object RelationalQueries {
         (col("__delta").cast(DoubleType) / lit(10000.0d)).as("delta"))
   }
 
+  /** Lag-1 autocorrelation of the daily level per event type — the
+    * monitoring primitive that separates a trending/sticky series from
+    * white noise (a high |r| says yesterday predicts today, so alerting
+    * thresholds must be trend-adjusted). Completes the day-frame monitor
+    * family next to [[qCusum]] (sustained shift) and [[qTopMovers]]
+    * (sharpest step).
+    *
+    * Exactness: daily sums are Σe4 BIGINTs; the Pearson moments over the
+    * consecutive-day (x, y) pairs accumulate per-term DECIMAL(38,0)
+    * products (daily sums reach ~1e12 at fleet scale, so x·y ~1e24 —
+    * BIGINT would wrap, 38 digits cannot), mirrored by HUGEINT in the
+    * oracle; the single double division + sqrt happens once at the end
+    * (IEEE-identical across engines). Scale shape: one event-stream
+    * aggregate, a lag window over the CALENDAR-bounded day frame, one
+    * 20-row final aggregate. Degenerate series (a constant leg, < 2
+    * pairs) emit no row rather than NaN — the oracle carries the same
+    * HAVING guard. */
+  def qAutocorr(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"), expr("__t div 86400000000").as("day"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+    val daily = e.groupBy("event_type", "day").agg(sum(col("e4")).as("ds1"))
+    val w = Window.partitionBy("event_type").orderBy("day")
+    val d38 = DecimalType(38, 0)
+    val pairs = daily
+      .withColumn("__prev_day", lag(col("day"), 1).over(w))
+      .withColumn("__x", lag(col("ds1"), 1).over(w))
+      .filter(col("__prev_day").isNotNull &&
+        col("day") === col("__prev_day") + 1L)
+      .select(col("event_type"), col("__x").cast(d38).as("x"),
+        col("ds1").cast(d38).as("y"))
+    pairs.groupBy("event_type")
+      .agg(count(lit(1)).cast(d38).as("__n"),
+        sum(col("x")).as("__sx"), sum(col("y")).as("__sy"),
+        sum(col("x") * col("y")).as("__sxy"),
+        sum(col("x") * col("x")).as("__sxx"),
+        sum(col("y") * col("y")).as("__syy"))
+      .withColumn("__vx", col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("__n") * col("__syy") - col("__sy") * col("__sy"))
+      .filter(col("__n") >= lit(2) && col("__vx") > lit(0) &&
+        col("__vy") > lit(0))
+      .select(col("event_type"), col("__n").cast(LongType).as("n_pairs"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(DoubleType) /
+          (sqrt(col("__vx").cast(DoubleType)) *
+            sqrt(col("__vy").cast(DoubleType)))).as("autocorr"))
+  }
+
+  /** Day-of-week seasonality profile per event type: event share and
+    * level lift of each weekday slot vs the series' own average — the
+    * "is Monday always hot?" baseline a monitor must normalize against
+    * before flagging a level change. `dow` is the epoch-day residue
+    * (day 0 = 1970-01-01, a Thursday); labels are a presentation
+    * concern, the residue is engine-portable by construction.
+    *
+    * Exact integers end-to-end (daily Σe4 BIGINT, cross-ratio products
+    * in DECIMAL(38,0)/HUGEINT), three single double divisions at the
+    * output. Scale shape: two keyed aggregates and a broadcast of the
+    * ~20-row per-type totals — no windows at all. */
+  def qSeasonality(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"),
+        expr("(__t div 86400000000) % 7").as("dow"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+    val byDow = e.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum(col("e4")).as("s1"))
+    val totals = byDow.groupBy("event_type")
+      .agg(sum(col("n")).as("nn"), sum(col("s1")).as("ss"))
+    byDow.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("dow"), col("n").as("n_events"),
+        (col("s1").cast(DoubleType) /
+          (col("n").cast(DoubleType) * lit(10000.0d))).as("dow_avg"),
+        (col("n").cast(DoubleType) / col("nn").cast(DoubleType))
+          .as("dow_share"),
+        ((col("s1").cast(d38) * col("nn").cast(d38)).cast(DoubleType) /
+          (col("ss").cast(d38) * col("n").cast(d38)).cast(DoubleType))
+          .as("dow_lift"))
+  }
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * classic lifecycle-marketing rollup. Buckets use FIXED business
+    * thresholds (score 3/2/1 per axis) against the corpus' own max order
+    * day, not quantiles: quantile cuts need a global order statistic
+    * (a sort or select-k pass) whose engine-portable interpolation is
+    * fragile, while fixed bands are the form practitioners actually
+    * deploy and keep the whole query two keyed aggregates + a scalar
+    * broadcast. Money sums are exact scaled integers (DECIMAL(38,0));
+    * each segment average divides two exact values once in double. */
+  def qRfm(s: SparkSession, dir: String): DataFrame = {
+    val o = tbl(s, dir, "orders")
+      .withColumn("__t", unix_micros(col("o_orderdate").cast(TimestampType)))
+      .withColumn("__d", expr("__t div 86400000000"))
+    val perCust = o.groupBy("o_custkey")
+      .agg(max(col("__d")).as("last_day"),
+        count(lit(1)).as("freq"),
+        sum(dec38(sint(col("o_totalprice")))).as("m4"))
+    val maxDay = o.agg(max(col("__d")).as("max_day"))
+    val scored = perCust.crossJoin(broadcast(maxDay))
+      .withColumn("recency", col("max_day") - col("last_day"))
+      .withColumn("r_score",
+        when(col("recency") <= 365L, 3L)
+          .when(col("recency") <= 730L, 2L).otherwise(1L))
+      .withColumn("f_score",
+        when(col("freq") >= 15L, 3L)
+          .when(col("freq") >= 8L, 2L).otherwise(1L))
+      .withColumn("m_score",
+        when(col("m4") >= dec38(lit(30000000000L)), 3L)
+          .when(col("m4") >= dec38(lit(15000000000L)), 2L).otherwise(1L))
+    scored
+      .groupBy((col("r_score") * 100L + col("f_score") * 10L +
+        col("m_score")).as("segment"))
+      .agg(count(lit(1)).as("n_customers"),
+        (sum(col("recency")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_recency_days"),
+        (sum(col("freq")).cast(DoubleType) /
+          count(lit(1)).cast(DoubleType)).as("avg_orders"),
+        (sum(col("m4")).cast(DoubleType) /
+          (count(lit(1)).cast(DoubleType) * lit(10000.0d)))
+          .as("avg_monetary"))
+  }
+
+  /** Cohort retention matrix over the event stream: users grouped by
+    * first-activity day, distinct-user counts at each later day offset,
+    * as a rate against the cohort's size. The product-analytics query
+    * behind every retention curve. Scale shape: a per-user min
+    * aggregate, a join back on user_id (both sides shuffle once on the
+    * same key), a (user, cohort, offset)-keyed dedup aggregate, then a
+    * calendar-bounded final frame — cohort sizes are one row per
+    * calendar day, so THAT join broadcasts by construction. */
+  def qCohort(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .withColumn("__day", expr("__t div 86400000000"))
+      .select("user_id", "__day")
+    val firstDay = e.groupBy("user_id").agg(min(col("__day")).as("cohort_day"))
+    val active = e.join(firstDay, "user_id")
+      .select(col("user_id"), col("cohort_day"),
+        (col("__day") - col("cohort_day")).as("day_offset"))
+      .distinct()
+    val counts = active.groupBy("cohort_day", "day_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = counts.filter(col("day_offset") === 0L)
+      .select(col("cohort_day"), col("n_users").as("cohort_size"))
+    counts.join(broadcast(sizes), "cohort_day")
+      .select(col("cohort_day"), col("day_offset"), col("n_users"),
+        col("cohort_size"),
+        (col("n_users").cast(DoubleType) /
+          col("cohort_size").cast(DoubleType)).as("retention"))
+  }
+
   /** Fixed-width value histogram per event type — the profiling primitive
     * behind quality dashboards. Grouping on a computed bin key: one
     * partial/final aggregation, no shuffle beyond the group-by. */
@@ -1548,6 +1706,107 @@ object RelationalQueries {
         |       CAST(ds1 AS DOUBLE) / 10000.0 AS day_sum,
         |       CAST(delta AS DOUBLE) / 10000.0 AS delta
         |FROM r WHERE rk = 1""".stripMargin,
+    // Pearson lag-1 over consecutive-day pairs: HUGEINT moments (the
+    // oracle's twin of the Spark DECIMAL(38,0) accumulators), one final
+    // double divide + sqrt; degenerate series filtered identically
+    "q_autocorr" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |l AS (SELECT *, lag(day) OVER w AS prev_day,
+        |             lag(ds1) OVER w AS x
+        |      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)),
+        |p AS (SELECT event_type, CAST(x AS HUGEINT) AS x,
+        |             CAST(ds1 AS HUGEINT) AS y
+        |      FROM l WHERE prev_day IS NOT NULL AND day = prev_day + 1),
+        |m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+        |             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |             sum(x * x) AS sxx, sum(y * y) AS syy
+        |      FROM p GROUP BY 1),
+        |v AS (SELECT *, n * sxx - sx * sx AS vx, n * syy - sy * sy AS vy
+        |      FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+        |       CAST(n * sxy - sx * sy AS DOUBLE) /
+        |         (sqrt(CAST(vx AS DOUBLE)) * sqrt(CAST(vy AS DOUBLE)))
+        |         AS autocorr
+        |FROM v WHERE n >= 2 AND vx > 0 AND vy > 0""".stripMargin,
+    // day-of-week profile: two keyed aggregates, exact integer counts
+    // and sums, cross-ratio lift via HUGEINT products
+    "q_seasonality" ->
+      """WITH e AS (
+        |  SELECT event_type, (epoch_us(ts) // 86400000000) % 7 AS dow,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |b AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(e4) AS BIGINT) AS s1
+        |      FROM e GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn,
+        |             CAST(sum(s1) AS BIGINT) AS ss
+        |      FROM b GROUP BY 1)
+        |SELECT event_type, dow, n AS n_events,
+        |       CAST(s1 AS DOUBLE) / (CAST(n AS DOUBLE) * 10000.0)
+        |         AS dow_avg,
+        |       CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS dow_share,
+        |       CAST(CAST(s1 AS HUGEINT) * CAST(nn AS HUGEINT) AS DOUBLE) /
+        |         CAST(CAST(ss AS HUGEINT) * CAST(n AS HUGEINT) AS DOUBLE)
+        |         AS dow_lift
+        |FROM b JOIN t USING (event_type)""".stripMargin,
+    // fixed-band RFM vs the corpus max order day; exact integer money
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey, epoch_us(o_orderdate) // 86400000000 AS d,
+        |         CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT) AS p4
+        |  FROM orders),
+        |c AS (SELECT o_custkey, max(d) AS last_day,
+        |             CAST(count(*) AS BIGINT) AS freq,
+        |             CAST(sum(p4) AS HUGEINT) AS m4
+        |      FROM o GROUP BY 1),
+        |mx AS (SELECT max(d) AS max_day FROM o),
+        |s AS (SELECT max_day - last_day AS recency, freq, m4,
+        |             CASE WHEN max_day - last_day <= 365 THEN 3
+        |                  WHEN max_day - last_day <= 730 THEN 2
+        |                  ELSE 1 END AS r_score,
+        |             CASE WHEN freq >= 15 THEN 3
+        |                  WHEN freq >= 8 THEN 2 ELSE 1 END AS f_score,
+        |             CASE WHEN m4 >= 30000000000 THEN 3
+        |                  WHEN m4 >= 15000000000 THEN 2
+        |                  ELSE 1 END AS m_score
+        |      FROM c CROSS JOIN mx)
+        |SELECT CAST(r_score * 100 + f_score * 10 + m_score AS BIGINT)
+        |         AS segment,
+        |       CAST(count(*) AS BIGINT) AS n_customers,
+        |       CAST(sum(recency) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS avg_recency_days,
+        |       CAST(sum(freq) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |         AS avg_orders,
+        |       CAST(sum(m4) AS DOUBLE) /
+        |         (CAST(count(*) AS DOUBLE) * 10000.0) AS avg_monetary
+        |FROM s GROUP BY 1""".stripMargin,
+    // first-activity-day cohorts, distinct-user day offsets
+    "q_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |             e.day - f.cohort_day AS day_offset
+        |      FROM e JOIN f USING (user_id)),
+        |n AS (SELECT cohort_day, day_offset,
+        |             CAST(count(*) AS BIGINT) AS n_users
+        |      FROM a GROUP BY 1, 2),
+        |z AS (SELECT cohort_day, n_users AS cohort_size FROM n
+        |      WHERE day_offset = 0)
+        |SELECT cohort_day, day_offset, n_users, cohort_size,
+        |       CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+        |         AS retention
+        |FROM n JOIN z USING (cohort_day)""".stripMargin,
     // the KMV estimator mirror of q_approx_distinct, joined against the
     // plain one-pass stats; sum is integer-exact on both engines
     "q_profile" ->
@@ -1708,6 +1967,10 @@ object RelationalQueries {
     "q_anomaly" -> (qAnomaly _),
     "q_cusum" -> (qCusum _),
     "q_top_movers" -> (qTopMovers _),
+    "q_autocorr" -> (qAutocorr _),
+    "q_seasonality" -> (qSeasonality _),
+    "q_rfm" -> (qRfm _),
+    "q_cohort" -> (qCohort _),
     "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),

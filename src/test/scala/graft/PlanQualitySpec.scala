@@ -589,7 +589,7 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // the day-frame monitors share stream_anomaly's discipline: the
     // event scan feeds ONE hash aggregate, and all windows (running sum,
     // lag, peak rank) run over the calendar-bounded aggregate output
-    for (name <- Seq("q_cusum", "q_top_movers")) {
+    for (name <- Seq("q_cusum", "q_top_movers", "q_autocorr")) {
       val plan = physical(name)
       val windows = nodes(plan).collect {
         case w: org.apache.spark.sql.execution.window.WindowExec => w
@@ -602,6 +602,25 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
         assert(aggsBelow >= 1,
           s"$name: a window must consume the per-day aggregate")
       }
+    }
+  }
+
+  test("q_seasonality / q_rfm / q_cohort: window-free linear aggregates; " +
+      "the small side broadcasts") {
+    // seasonality and the segment/cohort rollups are pure keyed-aggregate
+    // pipelines: no window over any corpus-sized frame anywhere, and the
+    // bounded frame (per-type totals, the scalar max day, one-row-per-
+    // calendar-day cohort sizes) joins back as a broadcast
+    for (name <- Seq("q_seasonality", "q_rfm", "q_cohort")) {
+      val plan = physical(name)
+      assert(!nodes(plan).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name: must be window-free")
+      val bcasts = count(plan, _.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]) +
+        count(plan, _.isInstanceOf[
+          org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec])
+      assert(bcasts >= 1, s"$name: the bounded frame must broadcast")
     }
   }
 
