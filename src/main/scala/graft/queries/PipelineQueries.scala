@@ -726,6 +726,55 @@ object PipelineQueries {
       .select(col("src").as("vec_a"), col("dst").as("vec_b"), col("cos"))
   }
 
+  /** Both directions of the mutual-kNN edge set, memoized and cached:
+    * label propagation scans it once per round, and the reciprocal
+    * semi-join should not replay per scan. ≤ 4·n rows of two longs. */
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "mutualEdges") {
+      val g = knnEdges(s, dir)
+      val rev = g.select(col("dst").as("src"), col("src").as("dst"))
+      g.join(rev, Seq("src", "dst"), "left_semi")
+        .select("src", "dst").cache()
+    }
+
+  /** Community detection by synchronous label propagation (Raghavan et
+    * al. 2007) over the mutual-kNN graph — 3 rounds, each vertex
+    * adopting the most frequent label among its neighbors (ties to the
+    * LOWEST label; isolated vertices keep their own). The topic/near-dup
+    * community map a curation pipeline slices corpora with — coarser
+    * than [[dDedupClusters]]' connected components (which need an
+    * explicit edge threshold), finer than the IVF partition.
+    *
+    * Synchronous rounds + min-label tie-break make the fixpoint prefix
+    * deterministic under any partitioning, which is what lets a chained-
+    * CTE oracle check it bit-for-bit — the classic ASYNC variant is
+    * explicitly order-dependent and unverifiable. Scale shape per round:
+    * one join of the label frame against the cached ≤ 4·n mutual edge
+    * list (keyed on src), a (dst, label) count, a per-vertex argmax
+    * (max of a (count, -label) struct — an agg, never a rank window),
+    * and a left join back to the vertex universe — four linear keyed
+    * shuffles, zero quadratic anything; a fleet run to convergence loops
+    * the same rounds with localCheckpoint like [[embPagerank]]. */
+  def embLabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = mutualEdges(s, dir)
+    val universe = tbl(s, dir, "embeddings").select(col("vec_id"))
+    val l0 = universe.withColumn("label", col("vec_id"))
+    val l3 = (1 to 3).foldLeft(l0) { (prev, _) =>
+      val cnt = edges
+        .join(prev.select(col("vec_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("vec_id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("vec_id")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).as("newl"))
+      prev.join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("newl"), col("label")).as("label"))
+    }
+    val sizes = l3.groupBy("label").agg(count(lit(1)).as("n_members"))
+    l3.join(sizes, "label").select("vec_id", "label", "n_members")
+  }
+
   /** PageRank over the kNN graph (3 iterations, damping 0.85) — the
     * graph-centrality curation signal: a vector many neighborhoods
     * point AT sits in a representative region; periphery vectors decay
@@ -1071,6 +1120,44 @@ object PipelineQueries {
         (col("dot").cast(DoubleType) /
           (sqrt(col("s0sq").cast(DoubleType)) *
             sqrt(col("s1sq").cast(DoubleType)))).as("drift_cos"))
+  }
+
+  /** Inverted-list health telemetry for the IVF index — per centroid:
+    * member count, corpus share, occupancy lift vs a uniform spread
+    * (the skew number that decides when to retrain or split a list; a
+    * dead list shows up as n_vecs = 0, a hot list as lift >> 1), and
+    * the mean member-to-centroid cosine (list coherence). The ops
+    * query every vector-store deployment watches between
+    * [[graft.ml.Similarity]] retrains.
+    *
+    * Consumes the SAME session-cached top-2 assignment as [[annIvf]] /
+    * [[embSilhouette]] — zero extra corpus scans; empty lists re-enter
+    * by left join from the k-row centroid frame. The cosine mean folds
+    * integer-exactly (Σ floor(ccos·1e9+0.5) BIGINT); share and lift
+    * divide exact integers once in double (lift's cross product in
+    * DECIMAL(38,0)/HUGEINT — n_vecs·k overflows a long at fleet
+    * scale). */
+  def annStats(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val per = ivfAssigned(s, dir, p).filter(col("crn") === 1)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n"),
+        sum(expr("CAST(floor(ccos * 1000000000.0 + 0.5) AS BIGINT)"))
+          .as("__sc"))
+    val cents = corpusCentroids(s, dir, p).select("cid")
+    val full = cents.join(per, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("n"), lit(0L)).as("n_vecs"),
+        col("__sc"))
+    val tot = full.agg(sum("n_vecs").as("nn"), count(lit(1)).as("k"))
+    full.crossJoin(broadcast(tot))
+      .select(col("cid"), col("n_vecs"),
+        (col("n_vecs").cast(DoubleType) / col("nn").cast(DoubleType))
+          .as("share"),
+        ((col("n_vecs").cast(d38) * col("k").cast(d38)).cast(DoubleType) /
+          col("nn").cast(DoubleType)).as("lift"),
+        (col("__sc").cast(DoubleType) / lit(1e9) /
+          col("n_vecs").cast(DoubleType)).as("avg_ccos"))
   }
 
   def annIvf(s: SparkSession, dir: String,
@@ -3257,6 +3344,109 @@ object PipelineQueries {
          |FROM edges a JOIN edges b2e
          |  ON a.src = b2e.dst AND a.dst = b2e.src
          |WHERE a.src < a.dst""".stripMargin,
+    // the knn-graph CTEs -> mutual (reciprocal, both directions) edges
+    // -> 3 synchronous label-propagation rounds as chained CTEs: mode
+    // of neighbor labels, ties to the LOWEST label, isolated vertices
+    // carry their previous label forward
+    "emb_label_prop" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v,
+         |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
+         |cnt AS (SELECT least(CAST((count(*) + 63) // 64 AS BIGINT),
+         |                     CAST(1 AS BIGINT) << 20) AS target FROM e),
+         |bsel AS (SELECT CAST(min(bb.r) AS INT) AS b
+         |         FROM range(8, 21) bb(r), cnt
+         |         WHERE (CAST(1 AS BIGINT) << bb.r) >= cnt.target),
+         |eb AS (SELECT vec_id, v,
+         |              (CAST(k.r AS BIGINT) << 21) |
+         |                ((sig >> (k.r * b)) &
+         |                 ((CAST(1 AS BIGINT) << b) - 1)) AS key
+         |       FROM e, bsel, range(0, 5) k(r) WHERE k.r < 40 // b),
+         |rb AS (SELECT vec_id, v, key,
+         |         row_number() OVER (PARTITION BY key ORDER BY
+         |           ((vec_id % 1000003) * 2654435761) % 1000003, vec_id)
+         |           - 1 AS r,
+         |         (count(*) OVER (PARTITION BY key) + 1023) // 1024 AS m
+         |       FROM eb),
+         |b2 AS (SELECT vec_id, v, key, r % m AS blk FROM rb),
+         |cand AS (SELECT DISTINCT a.vec_id AS vec_a, bb.vec_id AS vec_b,
+         |             ${PV.cosineDuck("a.v", "bb.v")} AS cos
+         |           FROM b2 a JOIN b2 bb USING (key, blk)
+         |           WHERE a.vec_id < bb.vec_id),
+         |bidir AS (SELECT vec_a, vec_b, cos FROM cand
+         |          UNION ALL
+         |          SELECT vec_b, vec_a, cos FROM cand),
+         |r AS (SELECT vec_a AS vec_id, vec_b AS n_id, cos,
+         |             row_number() OVER (PARTITION BY vec_a
+         |               ORDER BY cos DESC, vec_b) AS rnk
+         |      FROM bidir),
+         |edges AS (SELECT vec_id AS src, n_id AS dst FROM r
+         |          WHERE rnk <= 4),
+         |mut AS (SELECT a.src, a.dst FROM edges a JOIN edges b2e
+         |          ON a.src = b2e.dst AND a.dst = b2e.src),
+         |u AS (SELECT vec_id FROM embeddings),
+         |l0 AS (SELECT vec_id, vec_id AS label FROM u),
+         |c1 AS (SELECT m.dst AS vec_id, l.label, count(*) AS c
+         |       FROM mut m JOIN l0 l ON m.src = l.vec_id GROUP BY 1, 2),
+         |m1 AS (SELECT vec_id, label, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY c DESC, label) AS rk
+         |       FROM c1),
+         |l1 AS (SELECT u.vec_id, COALESCE(b.label, p.label) AS label
+         |       FROM u LEFT JOIN (SELECT vec_id, label FROM m1
+         |                         WHERE rk = 1) b USING (vec_id)
+         |       JOIN l0 p USING (vec_id)),
+         |c2 AS (SELECT m.dst AS vec_id, l.label, count(*) AS c
+         |       FROM mut m JOIN l1 l ON m.src = l.vec_id GROUP BY 1, 2),
+         |m2 AS (SELECT vec_id, label, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY c DESC, label) AS rk
+         |       FROM c2),
+         |l2 AS (SELECT u.vec_id, COALESCE(b.label, p.label) AS label
+         |       FROM u LEFT JOIN (SELECT vec_id, label FROM m2
+         |                         WHERE rk = 1) b USING (vec_id)
+         |       JOIN l1 p USING (vec_id)),
+         |c3 AS (SELECT m.dst AS vec_id, l.label, count(*) AS c
+         |       FROM mut m JOIN l2 l ON m.src = l.vec_id GROUP BY 1, 2),
+         |m3 AS (SELECT vec_id, label, row_number() OVER (
+         |         PARTITION BY vec_id ORDER BY c DESC, label) AS rk
+         |       FROM c3),
+         |l3 AS (SELECT u.vec_id, COALESCE(b.label, p.label) AS label
+         |       FROM u LEFT JOIN (SELECT vec_id, label FROM m3
+         |                         WHERE rk = 1) b USING (vec_id)
+         |       JOIN l2 p USING (vec_id)),
+         |sz AS (SELECT label, CAST(count(*) AS BIGINT) AS n_members
+         |       FROM l3 GROUP BY label)
+         |SELECT vec_id, label, n_members
+         |FROM l3 JOIN sz USING (label)""".stripMargin,
+    // the shared flat top-2 assignment CTEs -> per-list occupancy +
+    // coherence; empty lists re-enter from the k-row centroid frame
+    "ann_stats" ->
+      s"""WITH emb AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |cent AS (SELECT cid, cv FROM (
+         |  SELECT vec_id AS cid, v AS cv,
+         |         row_number() OVER (ORDER BY vec_id) AS rn,
+         |         count(*) OVER () AS n FROM emb)
+         |  WHERE rn <= greatest(16, n // 50)),
+         |sc AS (SELECT e.vec_id, c.cid,
+         |             ${PV.cosineDuck("e.v", "c.cv")} AS ccos,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |               ORDER BY ${PV.cosineDuck("e.v", "c.cv")} DESC,
+         |                 c.cid) AS crn
+         |      FROM emb e CROSS JOIN cent c),
+         |per AS (SELECT cid, CAST(count(*) AS BIGINT) AS n,
+         |          CAST(sum(CAST(floor(ccos * 1000000000.0 + 0.5)
+         |                        AS BIGINT)) AS BIGINT) AS scsum
+         |        FROM sc WHERE crn = 1 GROUP BY cid),
+         |fl AS (SELECT cent.cid, COALESCE(per.n, 0) AS n_vecs,
+         |               per.scsum
+         |        FROM cent LEFT JOIN per USING (cid)),
+         |tot AS (SELECT CAST(sum(n_vecs) AS BIGINT) AS nn,
+         |               CAST(count(*) AS BIGINT) AS k FROM fl)
+         |SELECT cid, n_vecs,
+         |       CAST(n_vecs AS DOUBLE) / CAST(nn AS DOUBLE) AS share,
+         |       CAST(CAST(n_vecs AS HUGEINT) * CAST(k AS HUGEINT)
+         |            AS DOUBLE) / CAST(nn AS DOUBLE) AS lift,
+         |       CAST(scsum AS DOUBLE) / 1000000000.0 /
+         |         CAST(n_vecs AS DOUBLE) AS avg_ccos
+         |FROM fl CROSS JOIN tot""".stripMargin,
     // the shared flat top-2 assignment CTEs (same k rule as d_semdedup)
     // -> crn-1/crn-2 pivot -> per-cluster integer-exact margin mean
     "emb_silhouette" ->
@@ -4388,6 +4578,8 @@ object PipelineQueries {
     "emb_hard_negatives" -> (embHardNegatives _),
     "emb_pagerank" -> (embPagerank _),
     "emb_mutual_knn" -> (embMutualKnn _),
+    "emb_label_prop" -> (embLabelProp _),
+    "ann_stats" -> ((s: SparkSession, dir: String) => annStats(s, dir)),
     "emb_silhouette" -> ((s, d) => embSilhouette(s, d)),
     "t_bm25" -> (tBm25 _),
     "t_collocations" -> (tCollocations _),
