@@ -828,6 +828,170 @@ object NetCDFWrite {
       .filter(_.getName.endsWith(".nc")).map(_.getPath).sorted.toSeq
   }
 
+  // ------------------------------------------------- granule compaction
+
+  /** Outcome of one [[compactGranules]] run. */
+  final case class CompactReport(
+      nBefore: Int, nAfter: Int,
+      /** new merged granules moved into the store */
+      compacted: Seq[String],
+      /** original small granules removed */
+      removed: Seq[String],
+      /** untouched granules */
+      kept: Seq[String])
+
+  private val CompactTmpName = ".compact.tmp"
+  private val ManifestName = "_compact_manifest.json"
+
+  /** Small-granule compaction — the OPTIMIZE pass for a granule store.
+    * A long-running feed (the streaming `.nc` sink's one-granule-per-
+    * micro-batch cadence especially) accretes many under-filled
+    * granules; each costs a header parse at planning time and a
+    * too-small split at scan time, so at fleet scale the store slowly
+    * drowns in file-open overhead — the classic small-files problem,
+    * here for `.nc` instead of parquet.
+    *
+    * Granules holding fewer than `targetRecords / 2` records (the
+    * half-full rule — also the CONVERGENCE guard: output granules of
+    * a range-partitioned rewrite land near-even and must not re-qualify
+    * on the next run) are read back through the V2 source (chunk-pruned,
+    * record-range split) and rewritten via [[writeGranules]] — so when
+    * the config declares a sort coordinate the merged granules come out
+    * range-partitioned and sorted, with DISJOINT coordinate ranges:
+    * compaction tightens sorted-range pruning rather than eroding it.
+    * Full granules are never touched or re-written; per-granule column-
+    * stats sidecars regenerate with the rewrite (`opts.stats`).
+    *
+    * Crash safety is a staged roll-forward swap (the same discipline as
+    * `ml.Similarity.retrainIndex`): merged granules land in a hidden
+    * temp subdir (invisible to the source's directory listing, which
+    * takes plain files only); a manifest naming the originals is
+    * written only after EVERY merged granule is complete; then files
+    * move into the store (same-filesystem renames) and the originals
+    * are deleted. A crash before the manifest discards the temp dir on
+    * the next run (store unchanged); a crash after it ROLLS FORWARD —
+    * the next [[compactGranules]] call finishes the moves and deletes
+    * before doing anything else. Single-maintainer contract: run one
+    * compaction at a time, not against a directory a STREAMING reader
+    * is tailing (replaced granules would double-count there — batch
+    * scans between runs are fine). */
+  def compactGranules(spark: SparkSession, dir: String,
+      config: AggConfig.Config,
+      globalAttrs: Map[String, String] = null,
+      targetRecords: Int = 1 << 20,
+      opts: NcOpts = NcOpts()): CompactReport = {
+    val dirPath = java.nio.file.Paths.get(dir)
+    finishPendingCompaction(dirPath)
+    val attrs = Option(globalAttrs).getOrElse(readSidecar(dir))
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".nc"))
+      .map(_.getPath).sorted.toSeq
+    val recDimName = config.primaryUdim.map(_.name)
+    def recordsOf(p: String): Long = {
+      val nc = NetCDF4.open(p)
+      try {
+        val rd = recDimName.getOrElse(NetCDFIngest.recordDimOf(nc))
+        nc.dims.find(_.name == rd).map(_.size).getOrElse(0L)
+      } finally nc.close()
+    }
+    val small = files.filter(recordsOf(_) < (targetRecords.toLong + 1) / 2)
+    if (small.size < 2)
+      return CompactReport(files.size, files.size, Nil, Nil, files)
+    val kept = files.filterNot(small.toSet)
+    val tmp = dirPath.resolve(CompactTmpName)
+    deleteTreeQuietly(tmp)
+    java.nio.file.Files.createDirectories(tmp)
+    var reader = spark.read.format("netcdf")
+    recDimName.foreach(d => reader = reader.option("recdim", d))
+    val df = reader.load(small: _*)
+    // name uniqueness across runs: wall-clock millis prefix (two runs
+    // of the same store never collide; lexical order within one run
+    // comes from writeGranules' zero-padded partition ids)
+    val stamp = System.currentTimeMillis()
+    val written = writeGranules(df, tmp.toString, config, attrs,
+      maxRecordsPerFile = targetRecords, opts = opts,
+      namePrefix = f"compact-$stamp%013d")
+    writeCompactManifest(tmp, small)
+    val moved = swapIn(tmp, dirPath, small)
+    CompactReport(files.size, kept.size + moved.size, moved, small, kept)
+  }
+
+  /** [[compactGranules]] with the config derived from the store itself
+    * (scan schema → [[NetCdfSource.configFromSchema]], the SAME
+    * derivation the `format("netcdf")` sink used to write it) — the
+    * convenience form for sink-written stores, which never had a
+    * user-authored config. */
+  def compactGranules(spark: SparkSession, dir: String,
+      recDim: String, indexBy: Option[String],
+      targetRecords: Int, opts: NcOpts): CompactReport = {
+    val schema = spark.read.format("netcdf").load(dir).schema
+    compactGranules(spark, dir,
+      NetCdfSource.configFromSchema(schema, recDim, indexBy),
+      null, targetRecords, opts)
+  }
+
+  /** Roll forward (manifest present: finish moves + deletes) or roll
+    * back (no manifest: the rewrite never completed — discard) a temp
+    * dir left by a crashed [[compactGranules]] run. */
+  private def finishPendingCompaction(dirPath: java.nio.file.Path): Unit = {
+    val tmp = dirPath.resolve(CompactTmpName)
+    if (!java.nio.file.Files.isDirectory(tmp)) return
+    val manifest = tmp.resolve(ManifestName)
+    if (java.nio.file.Files.isRegularFile(manifest))
+      swapIn(tmp, dirPath, readCompactManifest(manifest))
+    else deleteTreeQuietly(tmp)
+  }
+
+  /** The swap: move every staged granule + sidecar into the store
+    * (REPLACE_EXISTING makes a re-run after a mid-move crash
+    * idempotent), delete the originals, drop the temp dir. Returns the
+    * in-store paths of the moved granules. */
+  private def swapIn(tmp: java.nio.file.Path, dirPath: java.nio.file.Path,
+      originals: Seq[String]): Seq[String] = {
+    val staged = Option(tmp.toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && (f.getName.endsWith(".nc") ||
+        f.getName.endsWith(".nc.stats.json")))
+      .map(_.toPath).sortBy(_.getFileName.toString)
+    staged.foreach { p =>
+      java.nio.file.Files.move(p, dirPath.resolve(p.getFileName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    originals.foreach { p =>
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
+      java.nio.file.Files.deleteIfExists(
+        java.nio.file.Paths.get(p + ".stats.json"))
+    }
+    deleteTreeQuietly(tmp)
+    staged.map(_.getFileName.toString).filter(_.endsWith(".nc"))
+      .map(n => dirPath.resolve(n).toString)
+  }
+
+  private def writeCompactManifest(tmp: java.nio.file.Path,
+      originals: Seq[String]): Unit = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = originals.map(esc).mkString("[\"", "\", \"", "\"]")
+    java.nio.file.Files.writeString(tmp.resolve(ManifestName),
+      if (originals.isEmpty) "[]" else json)
+  }
+
+  private def readCompactManifest(manifest: java.nio.file.Path)
+      : Seq[String] =
+    org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(manifest)) match {
+      case org.json4s.JArray(xs) =>
+        xs.collect { case org.json4s.JString(s) => s }
+      case _ => Nil
+    }
+
+  private def deleteTreeQuietly(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.isDirectory(p)) {
+      Option(p.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .foreach(f => deleteTreeQuietly(f.toPath))
+      java.nio.file.Files.deleteIfExists(p)
+    } else java.nio.file.Files.deleteIfExists(p)
+
   private def readSidecar(dir: String): Map[String, String] = {
     val f = java.nio.file.Paths.get(dir, "_global_attrs.json")
     if (!java.nio.file.Files.isRegularFile(f)) Map.empty

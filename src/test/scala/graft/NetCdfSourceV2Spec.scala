@@ -774,6 +774,86 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(pruned.count() === 10)
   }
 
+  test("compactGranules: small granules merge range-sorted, scan parity, " +
+      "sidecars + pruning survive, half-full rule converges, crash " +
+      "rolls forward") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.NetCDFWrite
+    val out = Files.createTempDirectory("v2compact").toString + "/store"
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double") / 4.0)
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "25")
+      .mode(SaveMode.Overwrite).save(out)
+    def ncFiles() = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.getName).sorted
+    val nBefore = ncFiles().length
+    assert(nBefore === 12, "fixture: 300 rows at 25/file")
+    val before = spark.read.format("netcdf").load(out)
+      .orderBy("id").collect().map(_.toString).toSeq
+
+    val rep = NetCDFWrite.compactGranules(spark, out, "record",
+      Some("ts"), targetRecords = 150, NetCDFWrite.NcOpts())
+    assert(rep.nBefore === 12 && rep.nAfter === 2)
+    assert(rep.removed.size === 12 && rep.kept.isEmpty)
+    assert(rep.compacted.size === 2)
+    assert(ncFiles().length === 2)
+    // scan parity: same rows, bit for bit
+    val after = spark.read.format("netcdf").load(out)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(after === before)
+    // fresh stats sidecars on every merged granule; originals' gone
+    rep.compacted.foreach(p =>
+      assert(new java.io.File(p + ".stats.json").exists, s"sidecar of $p"))
+    rep.removed.foreach(p =>
+      assert(!new java.io.File(p + ".stats.json").exists))
+    // the indexby rewrite keeps granules range-disjoint: sorted pruning
+    // still answers the tail query from ONE granule's records
+    val pruned = spark.read.format("netcdf").option("sortedby", "ts")
+      .load(out)
+      .filter(col("ts") >= lit(java.time.LocalDateTime
+        .of(2024, 1, 1, 0, 4, 50)))
+    assert(pruned.count() === 10)
+    // half-full rule: 150-record outputs never re-qualify -> no-op
+    val rep2 = NetCDFWrite.compactGranules(spark, out, "record",
+      Some("ts"), targetRecords = 150, NetCDFWrite.NcOpts())
+    assert(rep2.compacted.isEmpty && rep2.nAfter === 2 &&
+      rep2.removed.isEmpty)
+
+    // crash roll-forward: a temp dir WITH a manifest means the rewrite
+    // completed and the swap must finish — staged granule moves in,
+    // manifest-named original is deleted — before the next run plans
+    val live = ncFiles()
+    val stagedName = "compact-9999999999999-00000.nc"
+    val tmp = Paths.get(out, ".compact.tmp")
+    Files.createDirectories(tmp)
+    Files.move(Paths.get(out, live(0)), tmp.resolve(stagedName))
+    Files.move(Paths.get(out, live(0) + ".stats.json"),
+      tmp.resolve(stagedName + ".stats.json"))
+    val victim = Paths.get(out, live(1)).toString
+    Files.writeString(tmp.resolve("_compact_manifest.json"),
+      "[\"" + victim.replace("\\", "\\\\") + "\"]")
+    val rep3 = NetCDFWrite.compactGranules(spark, out, "record",
+      Some("ts"), targetRecords = 150, NetCDFWrite.NcOpts())
+    assert(!Files.isDirectory(tmp), "temp dir cleared")
+    assert(ncFiles().toSeq === Seq(stagedName), "staged in, victim out")
+    assert(!new java.io.File(victim).exists)
+    assert(rep3.nAfter === 1)
+    assert(spark.read.format("netcdf").load(out).count() === 150)
+
+    // a temp dir WITHOUT a manifest is an incomplete rewrite: rolled
+    // back untouched
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("compact-0000000000000-00000.nc"),
+      "junk")
+    val rep4 = NetCDFWrite.compactGranules(spark, out, "record",
+      Some("ts"), targetRecords = 150, NetCDFWrite.NcOpts())
+    assert(!Files.isDirectory(tmp) && rep4.nAfter === 1)
+    assert(ncFiles().toSeq === Seq(stagedName))
+  }
+
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
       .exists)
