@@ -147,6 +147,18 @@ object QueryRegistry {
     "stream_cusum" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .cusumStream(AggQueries.events(s, dir)).toDF()),
+    // batch twin of StreamingAgg.seasonalityStream: one fold per type
+    // against empty state == q_seasonality's cumulative per-dow profile
+    // at each completed day, minus each type's trailing day
+    "stream_seasonality" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .seasonalityStream(AggQueries.events(s, dir)).toDF()),
+    // batch twin of StreamingAgg.cohortStream: one fold per user against
+    // empty state == q_cohort's DISTINCT (user, cohort, offset) frame
+    // (the single sorted fold makes first-arrival == min day)
+    "stream_cohort" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .cohortStream(AggQueries.events(s, dir)).toDF()),
     // batch twin of StreamingAgg.packStream: one fold per source against
     // empty state == d_pack_sequences' per-source prefix window
     "stream_pack_sequences" -> ((s, dir) =>
@@ -331,6 +343,45 @@ object QueryRegistry {
         |         (CAST(wn AS DOUBLE) * 10000.0) AS cusum_stat
         |FROM a JOIN wu USING (event_type)
         |WHERE a.day < a.mx""".stripMargin,
+    // cumulative per-dow profile at each completed day; the emitted
+    // dow_avg is the running so-far mean INCLUDING the emitting day;
+    // trailing day excluded (it has not completed in the stream)
+    "stream_seasonality" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS dn,
+        |             CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, max(day) OVER (PARTITION BY event_type) AS mx
+        |      FROM d),
+        |a AS (SELECT event_type, day, day % 7 AS dow, dn, ds1, mx,
+        |             CAST(sum(dn) OVER w AS BIGINT) AS cn,
+        |             CAST(sum(ds1) OVER w AS BIGINT) AS cs
+        |      FROM r
+        |      WINDOW w AS (PARTITION BY event_type, day % 7 ORDER BY day
+        |        ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, day, dow, dn AS n_day,
+        |       CAST(ds1 AS DOUBLE) / 10000.0 AS day_sum,
+        |       cn AS dow_n,
+        |       CAST(cs AS DOUBLE) / (CAST(cn AS DOUBLE) * 10000.0)
+        |         AS dow_avg
+        |FROM a WHERE day < mx""".stripMargin,
+    // q_cohort's DISTINCT activity frame — the increments the live
+    // retention matrix aggregates; single-fold first-arrival == min day
+    "stream_cohort" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_id IS NOT NULL),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY 1)
+        |SELECT DISTINCT e.user_id, f.cohort_day,
+        |       e.day - f.cohort_day AS day_offset
+        |FROM e JOIN f USING (user_id)""".stripMargin,
     // q_top_movers' lag frame (consecutive days only), every step, the
     // trailing day of each type excluded — it has not completed in the
     // stream; integer day sums divide once at the end

@@ -109,6 +109,23 @@ final case class MoverRow(event_type: String, day: Long,
   * the currently-accumulating day's (day, sum). */
 final case class MoverState(prevDay: Long, prevSum: Long,
     curDay: Long, curSum: Long)
+/** Completed-day emission of [[StreamingAgg.seasonalityStream]]:
+  * the day's own totals plus the running so-far profile of its
+  * day-of-week slot (dow = epoch-day % 7, as the batch twin). */
+final case class SeasonRow(event_type: String, day: Long, dow: Long,
+    n_day: Long, day_sum: Double, dow_n: Long, dow_avg: Double)
+/** 7+7+3 longs per event type: per-dow completed (count, Σe4) plus the
+  * accumulating day — fixed footprint at any stream length. */
+final case class SeasonState(n: Seq[Long], s: Seq[Long],
+    curDay: Long, curDn: Long, curDs: Long)
+final case class CohortEv(user_id: Long, day: Long, event_id: Long)
+/** First-occurrence activity emission of [[StreamingAgg.cohortStream]]. */
+final case class CohortRow(user_id: Long, cohort_day: Long,
+    day_offset: Long)
+/** Per-user cohort state: the first-arrival day plus a bitmask of seen
+  * day offsets (one long per 64 calendar days — CALENDAR-bounded, never
+  * stream-length-bounded). */
+final case class CohortState(cohortDay: Long, seen: Seq[Long])
 final case class AnomState(day: Long, histN: Long, histS1: Long,
   histS2Hi: Long, histS2Lo: Long, curN: Long, curS1: Long,
   curS2Hi: Long, curS2Lo: Long)
@@ -1053,6 +1070,110 @@ object StreamingAgg {
             }
             cur = cur.copy(curDn = cur.curDn + 1L,
               curDs = cur.curDs + e.e4)
+          }
+          st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming day-of-week seasonality — the live face of
+    * [[graft.queries.RelationalQueries.qSeasonality]]: each COMPLETED
+    * day emits its own totals next to the running profile of its
+    * weekday slot so far (count and exact-integer mean), the baseline a
+    * live monitor normalizes "is today hot?" against. 17 longs of state
+    * per type (7 per-dow counts, 7 per-dow Σe4, the accumulating day) —
+    * fixed at any stream length; the trailing day never emits (it has
+    * not completed; the oracle carries the matching `day < max(day)`
+    * guard). The emitted dow_avg divides two exact integers once in
+    * double, so every row equals the oracle's cumulative-window form
+    * bit-for-bit. */
+  def seasonalityStream(events: DataFrame): Dataset[SeasonRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"),
+        expr("__t div 86400000000").as("day"),
+        col("event_id").cast(LongType).as("event_id"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"),
+        col("value").cast(DoubleType).as("value"))
+      .as[AnomEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[AnomEvent],
+            st: GroupState[SeasonState]) => {
+          var cur = st.getOption.getOrElse(SeasonState(
+            Seq.fill(7)(0L), Seq.fill(7)(0L), Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[SeasonRow]
+          def complete(nextDay: Long): Unit = {
+            val dow = (cur.curDay % 7L + 7L) % 7L
+            val i = dow.toInt
+            val n2 = cur.n.updated(i, cur.n(i) + cur.curDn)
+            val s2 = cur.s.updated(i, cur.s(i) + cur.curDs)
+            out += SeasonRow(typ, cur.curDay, dow, cur.curDn,
+              cur.curDs.toDouble / 10000.0d, n2(i),
+              s2(i).toDouble / (n2(i).toDouble * 10000.0d))
+            cur = SeasonState(n2, s2, nextDay, 0L, 0L)
+          }
+          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            if (cur.curDay == Long.MinValue)
+              cur = cur.copy(curDay = e.day)
+            else if (e.day > cur.curDay) complete(e.day)
+            cur = cur.copy(curDn = cur.curDn + 1L,
+              curDs = cur.curDs + e.e4)
+          }
+          st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming cohort activity — the live face of
+    * [[graft.queries.RelationalQueries.qCohort]]'s DISTINCT frame: one
+    * row per (user, day-offset) the FIRST time that offset is seen,
+    * keyed by the user's first-arrival day. Downstream retention
+    * counting is a plain windowed aggregate over these increments.
+    * State per user: the cohort day + a bitmask of seen offsets — one
+    * long per 64 CALENDAR days, bounded by history span, never stream
+    * length. The standard streaming caveat applies: cohort = first
+    * ARRIVAL day (the batch twin's single ordered fold makes that the
+    * true minimum, which is what the oracle checks); an event arriving
+    * before its user's recorded cohort day is ignored rather than
+    * rewriting history. */
+  def cohortStream(events: DataFrame): Dataset[CohortRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("user_id").cast(LongType).as("user_id"),
+        expr("__t div 86400000000").as("day"),
+        col("event_id").cast(LongType).as("event_id"))
+      .as[CohortEv]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (uid: Long, it: Iterator[CohortEv],
+            st: GroupState[CohortState]) => {
+          var cur = st.getOption.getOrElse(CohortState(Long.MinValue, Nil))
+          val out = Seq.newBuilder[CohortRow]
+          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            if (cur.cohortDay == Long.MinValue)
+              cur = cur.copy(cohortDay = e.day)
+            val off = e.day - cur.cohortDay
+            if (off >= 0L) {
+              val blk = (off / 64L).toInt
+              val bit = 1L << (off % 64L)
+              val seen = if (blk < cur.seen.size) cur.seen
+                else cur.seen ++ Seq.fill(blk + 1 - cur.seen.size)(0L)
+              if ((seen(blk) & bit) == 0L) {
+                out += CohortRow(uid, cur.cohortDay, off)
+                cur = cur.copy(seen = seen.updated(blk, seen(blk) | bit))
+              } else if (seen ne cur.seen) cur = cur.copy(seen = seen)
+            }
           }
           st.update(cur)
           out.result().iterator

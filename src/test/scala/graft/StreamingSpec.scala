@@ -1315,6 +1315,70 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("seasonality stream: a day emits once on completion with the " +
+      "running dow profile; trailing day stays silent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.seasonalityStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seas").start()
+    def rows() = spark.table("seas").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getLong(5), r.getDouble(6))).toSet
+    try {
+      // day 0 accumulates (10, 12); nothing completes
+      mem.addData(aev(0, 1L, 10.0), aev(60, 2L, 12.0))
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      // day 7 arrives -> day 0 completes: dow 0 slot now (2, 22.0)
+      mem.addData(aev(7 * day, 3L, 5.0))
+      q.processAllAvailable()
+      assert(rows() === Set((0L, 0L, 2L, 22.0, 2L, 11.0)))
+      // day 8 arrives -> day 7 completes: SAME dow-0 slot accumulates
+      // across weeks (3 events, sum 27 -> avg 9)
+      mem.addData(aev(8 * day, 4L, 100.0))
+      q.processAllAvailable()
+      assert(rows() === Set((0L, 0L, 2L, 22.0, 2L, 11.0),
+        (7L, 0L, 1L, 5.0, 3L, 9.0)))
+    } finally q.stop()
+  }
+
+  test("cohort stream: first-offset increments emit exactly once; " +
+      "repeats and pre-cohort stragglers are ignored; state is " +
+      "calendar-bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, uid: Long, id: Long) =
+      AEv(new java.sql.Timestamp(sec * 1000L), uid, "x", id, 1.0)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.cohortStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("coh").start()
+    def rows() = spark.table("coh").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    try {
+      mem.addData(aev(5 * day, 1L, 1L), aev(5 * day + 60, 1L, 2L),
+        aev(6 * day, 1L, 3L))
+      q.processAllAvailable()
+      // two activity increments: offsets 0 and 1 (the same-day repeat
+      // deduped inside the fold)
+      assert(rows() === Set((1L, 5L, 0L), (1L, 5L, 1L)))
+      // a later batch: repeat of offset 1 (silent), offset 70 (spills
+      // into the second bitmask block), a pre-cohort straggler (ignored)
+      mem.addData(aev(6 * day + 9, 1L, 4L), aev(75 * day, 1L, 5L),
+        aev(2 * day, 1L, 6L))
+      q.processAllAvailable()
+      assert(rows() === Set((1L, 5L, 0L), (1L, 5L, 1L), (1L, 5L, 70L)))
+      // state: one row for the one user
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum === 1L)
+    } finally q.stop()
+  }
+
   test("anomaly stream: a value beyond the exact-moment bound fails " +
       "LOUDLY instead of silently wrapping the two-long accumulator") {
     import spark.implicits._
