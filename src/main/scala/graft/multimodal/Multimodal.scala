@@ -849,6 +849,54 @@ object Multimodal {
         "max_window_zc", "zc_sig", "error")
   }
 
+  /** Energy-delta audio fingerprint over a stored `(event_id, wav)`
+    * frame — the Chromaprint/Shazam-family idea reduced to its integer
+    * core: per 400-sample window (hop 200) the exact energy Σs², and
+    * one fingerprint bit per window pair saying whether energy ROSE —
+    * the level-invariant shape signature that survives gain changes,
+    * packed little-endian into one long (windows past 64 ignored, a
+    * documented cap — synthesized clips have ≤ 9). Exact integers
+    * end-to-end (s² ≤ 2³⁰, ×400 per window, deltas compared not
+    * subtracted), so the oracle recomputes the fingerprint from the
+    * synthesis formula without seeing a byte — a match proves
+    * store∘decode identity AND the windowing. Same quarantine contract
+    * and map-only scale shape as the other checked decoders. */
+  def audioFingerprintChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val ss = Wav.decode(p).samples
+            val n = ss.length
+            val win = 400; val hop = 200
+            val nW = if (n < win) 0 else (n - win) / hop + 1
+            val energies = new Array[Long](nW)
+            var w = 0
+            while (w < nW) {
+              var e = 0L; var j = w * hop
+              val end = j + win
+              while (j < end) { e += ss(j).toLong * ss(j).toLong; j += 1 }
+              energies(w) = e
+              w += 1
+            }
+            var fp = 0L; var k = 1
+            while (k < nW && k <= 64) {
+              if (energies(k) > energies(k - 1)) fp |= 1L << (k - 1)
+              k += 1
+            }
+            (id, Some(nW.toLong), Some(fp), None)
+              : (Long, Option[Long], Option[Long], Option[String])
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, Some(errStr(e)))
+              : (Long, Option[Long], Option[Long], Option[String])
+          }
+        }
+      }
+      .toDF("event_id", "n_windows", "afp", "error")
+  }
+
   /** Wrap an arbitrary table into media records (payload = a string column
     * cast to binary), preserving partitioning. */
   def asMediaRecords(df: DataFrame, idCol: String, payloadCol: String,

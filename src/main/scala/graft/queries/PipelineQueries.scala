@@ -2706,6 +2706,18 @@ object PipelineQueries {
       .audioZcrChecked(media(s, dir).select("event_id", "wav"))
       .filter(col("error").isNull).drop("error")
 
+  /** Audio dedup by energy-delta fingerprint — [[mmPhash]]'s grouping
+    * shape over [[graft.multimodal.Multimodal.audioFingerprintChecked]]:
+    * clips sharing a level-invariant energy-shape signature collapse to
+    * one keeper. An exact-dedup plan (fingerprint groupBy) at audio
+    * scale — nothing pairwise anywhere. */
+  def mmAudioFingerprint(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioFingerprintChecked(media(s, dir).select("event_id", "wav"))
+      .filter(col("error").isNull)
+      .groupBy("afp")
+      .agg(count(lit(1)).as("n_clips"), min(col("event_id")).as("keeper_id"))
+
   // ------------------------------------------------------------ oracle SQL
 
   private val toksDuck = PT.tokensDuck("text")
@@ -4432,6 +4444,32 @@ object PipelineQueries {
         |       sig.n_windows, tot.total_zc, sig.max_window_zc, sig.zc_sig
         |FROM n JOIN tot USING (event_id) JOIN sig USING (event_id)"""
         .stripMargin,
+    // window energies Sum(s^2) from the synthesis formula, one rose/fell
+    // bit per consecutive window pair packed into a long, then the
+    // mm_phash grouping shape
+    "mm_audio_fingerprint" ->
+      s"""WITH $mediaIdsCte,
+        |n AS (
+        |  SELECT event_id, 1000 + event_id % 1000 AS ns FROM mediaIds),
+        |wnd AS (SELECT event_id, k.r AS k FROM n, range(0, 9) k(r)
+        |        WHERE k.r * 200 + 400 <= ns),
+        |ws AS (SELECT w.event_id, w.k,
+        |       (w.event_id * 1103515245 + (w.k * 200 + j.r) * 12345)
+        |         % 65536 - 32768 AS s
+        |       FROM wnd w, range(0, 400) j(r)),
+        |we AS (SELECT event_id, k, CAST(sum(s * s) AS BIGINT) AS e
+        |       FROM ws GROUP BY 1, 2),
+        |dl AS (SELECT event_id, k, e,
+        |              lag(e) OVER (PARTITION BY event_id ORDER BY k) AS pe
+        |       FROM we),
+        |fp AS (SELECT event_id,
+        |       CAST(sum(CASE WHEN pe IS NOT NULL AND e > pe AND k <= 64
+        |         THEN (CAST(1 AS BIGINT) << CAST(k - 1 AS INT))
+        |         ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS afp
+        |       FROM dl GROUP BY event_id)
+        |SELECT afp, CAST(count(*) AS BIGINT) AS n_clips,
+        |       min(event_id) AS keeper_id
+        |FROM fp GROUP BY afp""".stripMargin,
     "mm_features" ->
       s"""WITH $mediaIdsCte,
         |d AS (SELECT event_id, 8 + event_id % 9 AS w,
@@ -4596,6 +4634,7 @@ object PipelineQueries {
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_chunks" -> (mmAudioChunks _),
     "mm_audio_zcr" -> (mmAudioZcr _),
+    "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_video_motion" -> (mmVideoMotion _),
     "emb_triplet_mine" -> (embTripletMine _),
     "t_novelty" -> (tNovelty _),
