@@ -1106,6 +1106,55 @@ object RelationalQueries {
           col("cohort_size").cast(DoubleType)).as("retention"))
   }
 
+  /** Top event-type paths: the most frequent 3-step sequences across
+    * user histories — the path-analysis ("Sankey") query behind funnel
+    * discovery, complementing [[qTransitions]]' single-step Markov
+    * matrix with ordered trigrams. Two lead windows per user partition
+    * (frames bounded by per-user history, the same discipline as
+    * q_scd2), then a count aggregate and a TakeOrderedAndProject top-20
+    * — the ordering never sorts the full path universe on one node. */
+  def qPaths(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+    val w = Window.partitionBy("user_id").orderBy(col("__t"), col("event_id"))
+    e.withColumn("__e2", lead(col("event_type"), 1).over(w))
+      .withColumn("__e3", lead(col("event_type"), 2).over(w))
+      .filter(col("__e2").isNotNull && col("__e3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("__e2"), col("__e3"))
+        .as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(20)
+  }
+
+  /** Benford first-digit profile per event type — the data-quality
+    * screen that flags fabricated or truncated numeric feeds (organic
+    * multi-scale values lean on low leading digits; a uniform or spiked
+    * profile is the tell). The leading digit comes from the exact
+    * scaled integer's decimal rendering — integer-to-string is
+    * identical in every engine, unlike double formatting. Window-free:
+    * one keyed aggregate plus a ~20-row broadcast of per-type totals. */
+  def qBenford(s: SparkSession, dir: String): DataFrame = {
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .select(col("event_type"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+      .filter(col("e4") > 0L)
+      .select(col("event_type"),
+        expr("CAST(substring(CAST(e4 AS STRING), 1, 1) AS BIGINT)")
+          .as("digit"))
+    val byDigit = e.groupBy("event_type", "digit")
+      .agg(count(lit(1)).as("n"))
+    val totals = byDigit.groupBy("event_type").agg(sum("n").as("nn"))
+    byDigit.join(broadcast(totals), "event_type")
+      .select(col("event_type"), col("digit"), col("n"),
+        (col("n").cast(DoubleType) / col("nn").cast(DoubleType))
+          .as("share"))
+  }
+
   /** Fixed-width value histogram per event type — the profiling primitive
     * behind quality dashboards. Grouping on a computed bin key: one
     * partial/final aggregation, no shuffle beyond the group-by. */
@@ -1807,6 +1856,41 @@ object RelationalQueries {
         |       CAST(n_users AS DOUBLE) / CAST(cohort_size AS DOUBLE)
         |         AS retention
         |FROM n JOIN z USING (cohort_day)""".stripMargin,
+    // two lead windows per user -> trigram counts -> top 20
+    "q_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, event_id, epoch_us(ts) AS t
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |l AS (SELECT event_type,
+        |             lead(event_type, 1) OVER w AS e2,
+        |             lead(event_type, 2) OVER w AS e3
+        |      FROM e WINDOW w AS (PARTITION BY user_id
+        |        ORDER BY t, event_id)),
+        |p AS (SELECT event_type || '>' || e2 || '>' || e3 AS path
+        |      FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
+        |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
+        |ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // leading digit of the exact scaled integer's decimal rendering
+    "q_benford" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT event_type,
+        |             CAST(substr(CAST(e4 AS VARCHAR), 1, 1) AS BIGINT)
+        |               AS digit
+        |      FROM e WHERE e4 > 0),
+        |b AS (SELECT event_type, digit, CAST(count(*) AS BIGINT) AS n
+        |      FROM d GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS nn
+        |      FROM b GROUP BY 1)
+        |SELECT event_type, digit, n,
+        |       CAST(n AS DOUBLE) / CAST(nn AS DOUBLE) AS share
+        |FROM b JOIN t USING (event_type)""".stripMargin,
     // the KMV estimator mirror of q_approx_distinct, joined against the
     // plain one-pass stats; sum is integer-exact on both engines
     "q_profile" ->
@@ -1971,6 +2055,8 @@ object RelationalQueries {
     "q_seasonality" -> (qSeasonality _),
     "q_rfm" -> (qRfm _),
     "q_cohort" -> (qCohort _),
+    "q_paths" -> (qPaths _),
+    "q_benford" -> (qBenford _),
     "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),
