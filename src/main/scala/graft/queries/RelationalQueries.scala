@@ -1129,6 +1129,39 @@ object RelationalQueries {
       .limit(20)
   }
 
+  /** Seasonal-naive forecast error per event type: predict each day's
+    * level with the SAME WEEKDAY one week earlier, report MAE and bias
+    * — the baseline every real forecaster must beat, and the cheap
+    * drift alarm when a series' own week-ago self stops predicting it.
+    * Exact integers end-to-end (daily Σe4 BIGINT, |error| sums in
+    * DECIMAL(38,0)/HUGEINT), two single divides at the output.
+    * Window-free: the week-back lookup is a self-join of the day frame
+    * on day−7 — both sides keyed aggregates of the same scan. */
+  def qForecast(s: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val e = AggQueries.events(s, dir)
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"), expr("__t div 86400000000").as("day"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"))
+    val daily = e.groupBy("event_type", "day").agg(sum(col("e4")).as("ds1"))
+    val pred = daily.select(col("event_type"),
+      (col("day") + 7L).as("day"), col("ds1").as("pred"))
+    daily.join(pred, Seq("event_type", "day"))
+      .select(col("event_type"),
+        (col("ds1") - col("pred")).as("__err"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(abs(col("__err")).cast(d38)).as("__sae"),
+        sum(col("__err").cast(d38)).as("__se"))
+      .select(col("event_type"), col("n_days"),
+        (col("__sae").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(10000.0d))).as("mae"),
+        (col("__se").cast(DoubleType) /
+          (col("n_days").cast(DoubleType) * lit(10000.0d))).as("bias"))
+  }
+
   /** Benford first-digit profile per event type — the data-quality
     * screen that flags fabricated or truncated numeric feeds (organic
     * multi-scale values lean on low leading digits; a uniform or spiked
@@ -1872,6 +1905,26 @@ object RelationalQueries {
         |      FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL)
         |SELECT path, CAST(count(*) AS BIGINT) AS n FROM p GROUP BY path
         |ORDER BY n DESC, path LIMIT 20""".stripMargin,
+    // seasonal-naive (t-7) baseline: exact integer daily sums and
+    // |error| accumulation, two output divides
+    "q_forecast" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |j AS (SELECT a.event_type, a.ds1 - b.ds1 AS err
+        |      FROM d a JOIN d b ON a.event_type = b.event_type
+        |        AND a.day = b.day + 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |       CAST(sum(CAST(abs(err) AS HUGEINT)) AS DOUBLE) /
+        |         (CAST(count(*) AS DOUBLE) * 10000.0) AS mae,
+        |       CAST(sum(CAST(err AS HUGEINT)) AS DOUBLE) /
+        |         (CAST(count(*) AS DOUBLE) * 10000.0) AS bias
+        |FROM j GROUP BY event_type""".stripMargin,
     // leading digit of the exact scaled integer's decimal rendering
     "q_benford" ->
       """WITH e AS (
@@ -2057,6 +2110,7 @@ object RelationalQueries {
     "q_cohort" -> (qCohort _),
     "q_paths" -> (qPaths _),
     "q_benford" -> (qBenford _),
+    "q_forecast" -> (qForecast _),
     "stream_profile" -> (streamProfile _),
     "stream_heavy_hitters" -> (streamHeavyHitters _),
     "q_concurrency" -> (qConcurrency _),
