@@ -159,6 +159,12 @@ object QueryRegistry {
     "stream_cohort" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .cohortStream(AggQueries.events(s, dir)).toDF()),
+    // batch twin of StreamingAgg.forecastStream: one fold per type
+    // against empty state == q_forecast's day-7 self-join rows, minus
+    // each type's trailing (incomplete) day
+    "stream_forecast" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .forecastStream(AggQueries.events(s, dir)).toDF()),
     // batch twin of StreamingAgg.packStream: one fold per source against
     // empty state == d_pack_sequences' per-source prefix window
     "stream_pack_sequences" -> ((s, dir) =>
@@ -370,6 +376,27 @@ object QueryRegistry {
         |       CAST(cs AS DOUBLE) / (CAST(cn AS DOUBLE) * 10000.0)
         |         AS dow_avg
         |FROM a WHERE day < mx""".stripMargin,
+    // q_forecast's day-7 self-join at per-day granularity; the trailing
+    // day of each type excluded (it has not completed in the stream);
+    // exact integer daily sums, three output divides
+    "stream_forecast" ->
+      """WITH e AS (
+        |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+        |         CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS e4
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND value IS NOT NULL
+        |    AND event_type IS NOT NULL AND event_id IS NOT NULL),
+        |d AS (SELECT event_type, day, CAST(sum(e4) AS BIGINT) AS ds1
+        |      FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, max(day) OVER (PARTITION BY event_type) AS mx
+        |      FROM d)
+        |SELECT a.event_type, a.day,
+        |       CAST(a.ds1 AS DOUBLE) / 10000.0 AS actual,
+        |       CAST(b.ds1 AS DOUBLE) / 10000.0 AS predicted,
+        |       CAST(a.ds1 - b.ds1 AS DOUBLE) / 10000.0 AS error
+        |FROM r a JOIN d b ON a.event_type = b.event_type
+        |  AND a.day = b.day + 7
+        |WHERE a.day < a.mx""".stripMargin,
     // q_cohort's DISTINCT activity frame — the increments the live
     // retention matrix aggregates; single-fold first-arrival == min day
     "stream_cohort" ->

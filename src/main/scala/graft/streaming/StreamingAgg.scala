@@ -118,6 +118,14 @@ final case class SeasonRow(event_type: String, day: Long, dow: Long,
   * accumulating day — fixed footprint at any stream length. */
 final case class SeasonState(n: Seq[Long], s: Seq[Long],
     curDay: Long, curDn: Long, curDs: Long)
+/** Completed-day emission of [[StreamingAgg.forecastStream]]: the
+  * day's actual vs its seasonal-naive (t−7) prediction. */
+final case class ForecastRow(event_type: String, day: Long,
+    actual: Double, predicted: Double, error: Double)
+/** Ring buffer of the last 7 completed days' (day, Σe4) per type plus
+  * the accumulating day — 17 longs, fixed at any stream length. */
+final case class ForecastState(days: Seq[Long], sums: Seq[Long],
+    curDay: Long, curDs: Long)
 final case class CohortEv(user_id: Long, day: Long, event_id: Long)
 /** First-occurrence activity emission of [[StreamingAgg.cohortStream]]. */
 final case class CohortRow(user_id: Long, cohort_day: Long,
@@ -1124,6 +1132,62 @@ object StreamingAgg {
             else if (e.day > cur.curDay) complete(e.day)
             cur = cur.copy(curDn = cur.curDn + 1L,
               curDs = cur.curDs + e.e4)
+          }
+          st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming seasonal-naive forecast check — the live face of
+    * [[graft.queries.RelationalQueries.qForecast]]: each COMPLETED day
+    * whose same-weekday predecessor (day−7) also completed emits
+    * actual vs predicted and the signed error — the per-day rows
+    * q_forecast's MAE/bias aggregate summarizes, live. State is a ring
+    * buffer of the last 7 completed days' (day, Σe4) per type — 17
+    * longs, fixed at any stream length; exact integers with one
+    * emission-time divide per output column. Gap robustness is
+    * structural: the lookup matches day−7 EXACTLY, so a missing week
+    * simply emits nothing rather than predicting from the wrong day. */
+  def forecastStream(events: DataFrame): Dataset[ForecastRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("value").isNotNull &&
+        col("event_type").isNotNull && col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .select(col("event_type"),
+        expr("__t div 86400000000").as("day"),
+        col("event_id").cast(LongType).as("event_id"),
+        expr("CAST(floor(value * 10000.0 + 0.5) AS BIGINT)").as("e4"),
+        col("value").cast(DoubleType).as("value"))
+      .as[AnomEvent]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[AnomEvent],
+            st: GroupState[ForecastState]) => {
+          var cur = st.getOption.getOrElse(
+            ForecastState(Seq.fill(7)(Long.MinValue), Seq.fill(7)(0L),
+              Long.MinValue, 0L))
+          val out = Seq.newBuilder[ForecastRow]
+          def complete(nextDay: Long): Unit = {
+            val d = cur.curDay
+            val slot = ((d % 7L + 7L) % 7L).toInt
+            if (cur.days(slot) == d - 7L) {
+              val pred = cur.sums(slot)
+              out += ForecastRow(typ, d,
+                cur.curDs.toDouble / 10000.0d,
+                pred.toDouble / 10000.0d,
+                (cur.curDs - pred).toDouble / 10000.0d)
+            }
+            cur = ForecastState(cur.days.updated(slot, d),
+              cur.sums.updated(slot, cur.curDs), nextDay, 0L)
+          }
+          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+            if (cur.curDay == Long.MinValue)
+              cur = cur.copy(curDay = e.day)
+            else if (e.day > cur.curDay) complete(e.day)
+            cur = cur.copy(curDs = cur.curDs + e.e4)
           }
           st.update(cur)
           out.result().iterator

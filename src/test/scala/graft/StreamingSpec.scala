@@ -1379,6 +1379,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("forecast stream: a day emits only when its week-ago twin " +
+      "completed; gaps emit nothing; ring slots rotate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.forecastStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fcst").start()
+    def rows() = spark.table("fcst").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSet
+    try {
+      // day 0 sums to 10; day 7 sums to 13; day 8 arrives -> day 7
+      // completes and predicts from day 0
+      mem.addData(aev(0, 1L, 10.0), aev(7 * day, 2L, 6.0))
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      mem.addData(aev(7 * day + 60, 3L, 7.0), aev(8 * day, 4L, 9.0))
+      q.processAllAvailable()
+      assert(rows() === Set((7L, 13.0, 10.0, 3.0)))
+      // day 9 arrives -> day 8 completes, but day 1 never existed: silent
+      mem.addData(aev(9 * day, 5L, 1.0))
+      q.processAllAvailable()
+      assert(rows() === Set((7L, 13.0, 10.0, 3.0)))
+      // day 14 + day 15: day 14 completes and predicts from day 7's 13
+      // (slot 0 rotated from day 0 to day 7)
+      mem.addData(aev(14 * day, 6L, 20.0))
+      q.processAllAvailable()
+      mem.addData(aev(15 * day, 7L, 2.0))
+      q.processAllAvailable()
+      assert(rows() === Set((7L, 13.0, 10.0, 3.0),
+        (14L, 20.0, 13.0, 7.0)))
+      assert(q.lastProgress.stateOperators.map(_.numRowsTotal).sum === 1L)
+    } finally q.stop()
+  }
+
   test("anomaly stream: a value beyond the exact-moment bound fails " +
       "LOUDLY instead of silently wrapping the two-long accumulator") {
     import spark.implicits._
