@@ -33,7 +33,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // dozens of Janino-generated wholestage classes per bench run overflow
   // the default 240m code cache, silently disabling the JIT mid-run
-  "-XX:ReservedCodeCacheSize=1g",
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODECACHE", "1g")}",
   // batch throughput over pause latency: parallel GC avoids G1's
   // concurrent-cycle interference with timed query runs
   "-XX:+UseParallelGC",
