@@ -1122,6 +1122,44 @@ object PipelineQueries {
             sqrt(col("s1sq").cast(DoubleType)))).as("drift_cos"))
   }
 
+  /** Greedy k-center (farthest-point) diversity sampling, k = 4 — the
+    * coreset-selection primitive behind "pick maximally diverse
+    * exemplars" curation (Gonzalez 1985's 2-approximation; the FPS
+    * seeding of k-means++ without the RNG). Seed = lowest vec_id;
+    * each round adds the vector FARTHEST (cosine distance) from the
+    * chosen set, ties to the lower id. Structurally k linear corpus
+    * scans, each against a ≤ k-row broadcast of the chosen centers —
+    * argmax is a (distance, −id) struct MAX aggregate, never a sort;
+    * each pick is localCheckpoint-truncated so round j does not replay
+    * rounds < j. Every emitted distance is a min over exact
+    * graft_cosine doubles, so the chained-CTE oracle reproduces the
+    * selection bit-for-bit. */
+  def embKcenter(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").as("v"))
+    val seed = e.orderBy("vec_id").limit(1)
+      .select(col("vec_id"), col("v"), lit(0.0d).as("d"))
+      .localCheckpoint()
+    val picks = scala.collection.mutable.ArrayBuffer(seed)
+    for (_ <- 2 to 4) {
+      val chosen = picks.reduce(_ unionByName _).select(col("v").as("cv"))
+      val dmin = e.crossJoin(broadcast(chosen))
+        .withColumn("__d", lit(1.0d) - expr("graft_cosine(v, cv)"))
+        .groupBy("vec_id").agg(min(col("__d")).as("d"))
+      val pick = dmin
+        .agg(max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
+        .select((-col("m.nid")).as("vec_id"), col("m.d").as("d"))
+      picks += pick.join(e, "vec_id")
+        .select(col("vec_id"), col("v"), col("d"))
+        .localCheckpoint()
+    }
+    picks.zipWithIndex.map { case (p, i) =>
+      p.select(lit((i + 1).toLong).as("rnk"), col("vec_id"),
+        col("d").as("d_min"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Inverted-list health telemetry for the IVF index — per centroid:
     * member count, corpus share, occupancy lift vs a uniform spread
     * (the skew number that decides when to retrain or split a list; a
@@ -1943,6 +1981,35 @@ object PipelineQueries {
   def tFingerprint(s: SparkSession, dir: String): DataFrame =
     tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_doc_fingerprint(th)").as("fp"))
+
+  /** Winnowing fingerprints (Schleimer et al. 2003, the MOSS algorithm —
+    * public paper): per document, the ORDERED 3-gram hash stream, then
+    * the minimum of each 4-hash sliding window, deduplicated — the
+    * guarantee-bearing fingerprint selection (any shared run of ≥ w+k−1
+    * tokens shares a selected hash) that plain min-hashing lacks.
+    * Output per doc: gram count, selected-fingerprint count (density
+    * ~2/(w+1)), and an order-sensitive fold of the sorted selection as
+    * a compact signature. Entirely map-only per-row array arithmetic —
+    * zero shuffles at any corpus size; the oracle recomputes the same
+    * windows with identical integer hashes. */
+  def tWinnow(s: SparkSession, dir: String): DataFrame =
+    tokenHashes(s, dir)
+      .select(col("doc_id"), expr(
+        s"""transform(sequence(1, size(th) - 2),
+           |  i -> ((element_at(th, i) * 31 + element_at(th, i + 1))
+           |        % ${PT.P} * 31 + element_at(th, i + 2)) % ${PT.P})"""
+          .stripMargin).as("g"))
+      .select(col("doc_id"), size(col("g")).cast(LongType).as("n_grams"),
+        expr(
+          """array_distinct(CASE WHEN size(g) < 4
+            |  THEN array(array_min(g))
+            |  ELSE transform(sequence(4, size(g)),
+            |         i -> array_min(slice(g, i - 3, 4))) END)"""
+            .stripMargin).as("sel"))
+      .select(col("doc_id"), col("n_grams"),
+        size(col("sel")).cast(LongType).as("n_fps"),
+        expr(s"aggregate(array_sort(sel), 0L, (a, h) -> (a * 31 + h) % ${PT.P})")
+          .as("fp_sig"))
 
   /** One round of BPE merge-candidate counting: corpus frequency of every
     * adjacent CHARACTER pair, weighted by word frequency — the inner loop
@@ -3428,6 +3495,31 @@ object PipelineQueries {
          |       FROM l3 GROUP BY label)
          |SELECT vec_id, label, n_members
          |FROM l3 JOIN sz USING (label)""".stripMargin,
+    // greedy farthest-point: chained argmax CTEs, least-folded exact
+    // cosine distances, ties to the lower id — Spark's per-round
+    // min-over-chosen aggregate computes the identical values
+    "emb_kcenter" ->
+      s"""WITH e AS (SELECT vec_id, embedding AS v FROM embeddings),
+         |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+         |d1 AS (SELECT e.vec_id, e.v,
+         |         1.0 - ${PV.cosineDuck("e.v", "c1.v")} AS d
+         |       FROM e CROSS JOIN c1),
+         |c2 AS (SELECT vec_id, v, d FROM d1
+         |       ORDER BY d DESC, vec_id LIMIT 1),
+         |d2 AS (SELECT d1.vec_id, d1.v,
+         |         least(d1.d, 1.0 - ${PV.cosineDuck("d1.v", "c2.v")}) AS d
+         |       FROM d1 CROSS JOIN c2),
+         |c3 AS (SELECT vec_id, v, d FROM d2
+         |       ORDER BY d DESC, vec_id LIMIT 1),
+         |d3 AS (SELECT d2.vec_id, d2.v,
+         |         least(d2.d, 1.0 - ${PV.cosineDuck("d2.v", "c3.v")}) AS d
+         |       FROM d2 CROSS JOIN c3),
+         |c4 AS (SELECT vec_id, v, d FROM d3
+         |       ORDER BY d DESC, vec_id LIMIT 1)
+         |SELECT CAST(1 AS BIGINT) AS rnk, vec_id, 0.0 AS d_min FROM c1
+         |UNION ALL SELECT 2, vec_id, d FROM c2
+         |UNION ALL SELECT 3, vec_id, d FROM c3
+         |UNION ALL SELECT 4, vec_id, d FROM c4""".stripMargin,
     // the shared flat top-2 assignment CTEs -> per-list occupancy +
     // coherence; empty lists re-enter from the k-row centroid frame
     "ann_stats" ->
@@ -3891,6 +3983,26 @@ object PipelineQueries {
          |  FROM toksT WHERE len(toks) >= 2)
          |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
          |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    // ordered 3-gram hashes -> 4-window minima -> distinct selection;
+    // identical integer arithmetic, map-only on both engines
+    "t_winnow" ->
+      s"""WITH $thCte,
+         |gr AS (SELECT doc_id,
+         |         list_transform(range(1, len(th) - 1),
+         |           i -> ((th[i] * 31 + th[i + 1]) % ${PT.P} * 31
+         |                 + th[i + 2]) % ${PT.P}) AS g
+         |       FROM thT),
+         |sel AS (SELECT doc_id, CAST(len(g) AS BIGINT) AS n_grams,
+         |          list_distinct(CASE WHEN len(g) < 4
+         |            THEN [list_min(g)]
+         |            ELSE list_transform(range(4, len(g) + 1),
+         |                   i -> list_min(g[i - 3:i])) END) AS s
+         |        FROM gr)
+         |SELECT doc_id, n_grams, CAST(len(s) AS BIGINT) AS n_fps,
+         |       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |         list_sort(s)), (a, h) -> (a * 31 + h) % ${PT.P})
+         |         AS BIGINT) AS fp_sig
+         |FROM sel""".stripMargin,
     // BPE merge statistics over the VOCABULARY (distinct token + count),
     // never the corpus; ASCII-only tokens make substr engine-identical
     "t_bpe_pairs" ->
@@ -4599,6 +4711,8 @@ object PipelineQueries {
     "t_tokens" -> (tTokens _),
     "t_ttr" -> (tTtr _),
     "t_fingerprint" -> (tFingerprint _),
+    "t_winnow" -> (tWinnow _),
+    "emb_kcenter" -> (embKcenter _),
     "t_repetition" -> (tRepetition _),
     "t_pii_mask" -> (tPiiMask _),
     "d_span_dedup" -> (dSpanDedup _),
