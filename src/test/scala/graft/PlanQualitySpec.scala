@@ -624,6 +624,38 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("r10 text/sampling additions: the fold replaces the rank window, " +
+      "top-k never global-sorts, winnowing stays map-only") {
+    // t_keywords' per-source top-10 rides the bounded TopKScored fold —
+    // a rank-window draft would shuffle the (source x vocab) frame
+    val kw = physical("t_keywords")
+    assert(!nodes(kw).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+      "t_keywords: the bounded fold must replace the rank window")
+    assert(nodes(kw).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]),
+      "t_keywords: expected the TopKScored ObjectHashAggregate")
+    // t_bpe_pairs / t_winnow / q_forecast: window-free by design; the
+    // pair top-50 is a TakeOrderedAndProject, never a global Sort
+    for (name <- Seq("t_bpe_pairs", "t_winnow", "q_forecast")) {
+      assert(!nodes(physical(name)).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.window.WindowExec]),
+        s"$name: must be window-free")
+    }
+    assert(nodes(physical("t_bpe_pairs")).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution
+        .TakeOrderedAndProjectExec]),
+      "t_bpe_pairs: top-50 must plan as TakeOrderedAndProject")
+    // t_winnow is per-row array arithmetic over the cached token frame:
+    // no joins anywhere
+    assert(!nodes(physical("t_winnow")).exists(n =>
+      n.isInstanceOf[org.apache.spark.sql.execution.joins
+        .SortMergeJoinExec] ||
+      n.isInstanceOf[org.apache.spark.sql.execution.joins
+        .BroadcastHashJoinExec]),
+      "t_winnow: map-only, no joins")
+  }
+
   test("q_bucketed_join: the fact-fact join reads both sides shuffle-free") {
     // the storage-side pattern: both tables bucketed by the join key into
     // the same bucket count -> the sort-merge join consumes bucket i of
