@@ -480,7 +480,7 @@ object PipelineQueries {
 
   /** 40-plane LSH signature + memoized corpus count for the
     * corpus-scaled banded near-dup join below. */
-  private def sig40(s: SparkSession, dir: String): DataFrame =
+  private[graft] def sig40(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "sig40") {
       tbl(s, dir, "embeddings")
         .repartition(s.sparkContext.defaultParallelism)
@@ -490,7 +490,7 @@ object PipelineQueries {
         .cache()
     }
   private val embCountMemo = new SessionScoped[String, java.lang.Long]()
-  private def embCount(s: SparkSession, dir: String): Long =
+  private[graft] def embCount(s: SparkSession, dir: String): Long =
     embCountMemo.getOrBuild(s, dir)(
       java.lang.Long.valueOf(tbl(s, dir, "embeddings").count())).longValue()
 
@@ -939,8 +939,15 @@ object PipelineQueries {
     // would land back in however few partitions the probe side has
     // (measured: 6 tasks, 23 s max).
     val blocks = 16
+    // The cluster-size frame is one row per cluster and k grows with the
+    // corpus (k = max(16, n/rowsPerCentroid)), so the broadcast hint is
+    // data-dependent and must ride the size gate like the ingest delta
+    // and the label frame: at 100 TB (~1e10 vectors / 1e6 clusters) the
+    // frame is ~16 MB and still hints; past the gate it joins as a keyed
+    // shuffle on cid — the same exchange the pair scan needs anyway.
+    // Counting it is one agg pass over the memo-cached assignment.
     val sizes = asn.groupBy("cid").agg(count(lit(1)).as("__cn"))
-    val base = asn.join(broadcast(sizes), Seq("cid"))
+    val base = asn.join(gatedBroadcast(sizes, 16L), Seq("cid"))
       .withColumn("__nb",
         when(col("__cn") > 4096L, lit(blocks.toLong)).otherwise(lit(1L)))
       .withColumn("__blk",

@@ -461,7 +461,8 @@ object QueryRegistry {
         |       CAST(dot AS DOUBLE) / (sqrt(CAST(s0sq AS DOUBLE)) *
         |         sqrt(CAST(s1sq AS DOUBLE))) AS drift_cos
         |FROM d JOIN c USING (label)
-        |WHERE c.n_even > 0 AND c.n_odd > 0""".stripMargin,
+        |WHERE c.n_even > 0 AND c.n_odd > 0
+        |  AND d.s0sq > 0 AND d.s1sq > 0""".stripMargin,
     // q_funnel's min-aggregate chain over the stream face's non-null
     // keys: in (t, id)-ordered folding the first qualifying event IS the
     // stage minimum

@@ -871,7 +871,11 @@ object NetCDFWrite {
     * are deleted. A crash before the manifest discards the temp dir on
     * the next run (store unchanged); a crash after it ROLLS FORWARD —
     * the next [[compactGranules]] call finishes the moves and deletes
-    * before doing anything else. Single-maintainer contract: run one
+    * before doing anything else, and until that happens BATCH READS
+    * stay consistent too: the scan's directory listing consults the
+    * pending manifest and reads either the pre- or post-compaction
+    * view, never a double-counting mix
+    * ([[NetCdfSource.expandLenient]]). Single-maintainer contract: run one
     * compaction at a time, not against a directory a STREAMING reader
     * is tailing (replaced granules would double-count there — batch
     * scans between runs are fine). */
@@ -895,7 +899,9 @@ object NetCDFWrite {
         nc.dims.find(_.name == rd).map(_.size).getOrElse(0L)
       } finally nc.close()
     }
-    val small = files.filter(recordsOf(_) < (targetRecords.toLong + 1) / 2)
+    val sized = files.map(p => p -> recordsOf(p))
+    val small = sized.filter(_._2 < (targetRecords.toLong + 1) / 2)
+      .map(_._1)
     if (small.size < 2)
       return CompactReport(files.size, files.size, Nil, Nil, files)
     val kept = files.filterNot(small.toSet)
@@ -905,15 +911,35 @@ object NetCDFWrite {
     var reader = spark.read.format("netcdf")
     recDimName.foreach(d => reader = reader.option("recdim", d))
     val df = reader.load(small: _*)
+    // CONVERGENCE: size the rewrite from the records we just counted so
+    // no output granule re-qualifies as small next run. A plain
+    // ceil(total/target) part count leaves a remainder partition (and
+    // range sampling can skew any partition) under target/2, which
+    // would be rewritten again on EVERY subsequent call. Floor the part
+    // count instead (merged granules land in [target, 2*target) on
+    // average) and hand writeGranules the matching per-part target so
+    // its own ceil reproduces exactly this count.
+    val totalSmall = sized.filter(p => small.contains(p._1)).map(_._2).sum
+    val parts = math.max(1L, totalSmall / math.max(targetRecords, 1))
+    val effTarget = math.min(Int.MaxValue.toLong,
+      (totalSmall + parts - 1L) / parts).toInt
     // name uniqueness across runs: wall-clock millis prefix (two runs
     // of the same store never collide; lexical order within one run
     // comes from writeGranules' zero-padded partition ids)
     val stamp = System.currentTimeMillis()
-    val written = writeGranules(df, tmp.toString, config, attrs,
-      maxRecordsPerFile = targetRecords, opts = opts,
+    writeGranules(df, tmp.toString, config, attrs,
+      maxRecordsPerFile = effTarget, opts = opts,
       namePrefix = f"compact-$stamp%013d")
-    writeCompactManifest(tmp, small)
-    val moved = swapIn(tmp, dirPath, small)
+    val stagedNames = Option(tmp.toFile.listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && (f.getName.endsWith(".nc") ||
+        f.getName.endsWith(".nc.stats.json")))
+      .map(_.getName).sorted.toSeq
+    writeCompactManifest(tmp,
+      small.map(p => java.nio.file.Paths.get(p).getFileName.toString),
+      stagedNames)
+    val moved = swapIn(tmp, dirPath,
+      small.map(p => java.nio.file.Paths.get(p).getFileName.toString))
     CompactReport(files.size, kept.size + moved.size, moved, small, kept)
   }
 
@@ -939,16 +965,35 @@ object NetCDFWrite {
     if (!java.nio.file.Files.isDirectory(tmp)) return
     val manifest = tmp.resolve(ManifestName)
     if (java.nio.file.Files.isRegularFile(manifest))
-      swapIn(tmp, dirPath, readCompactManifest(manifest))
+      swapIn(tmp, dirPath, readCompactManifest(manifest)._1)
     else deleteTreeQuietly(tmp)
+  }
+
+  /** A pending (crashed-mid-swap) compaction's manifest, if one exists:
+    * (original granule file names, staged replacement file names). The
+    * READ path consults this to compute a consistent snapshot without
+    * mutating the store (see [[NetCdfSource.expandLenient]]): deletes
+    * only begin after every staged move completed, so either ALL
+    * originals are still present (pre-compaction view — ignore any
+    * already-moved replacements) or the replacements are all in (post
+    * view — ignore the not-yet-deleted originals). */
+  private[sources] def pendingCompactionSnapshot(
+      dirPath: java.nio.file.Path): Option[(Seq[String], Seq[String])] = {
+    val manifest = dirPath.resolve(CompactTmpName).resolve(ManifestName)
+    if (!java.nio.file.Files.isRegularFile(manifest)) None
+    else Some(readCompactManifest(manifest))
   }
 
   /** The swap: move every staged granule + sidecar into the store
     * (REPLACE_EXISTING makes a re-run after a mid-move crash
-    * idempotent), delete the originals, drop the temp dir. Returns the
-    * in-store paths of the moved granules. */
+    * idempotent), delete the originals, drop the temp dir. Originals
+    * arrive as bare FILE NAMES resolved against `dirPath` — the store
+    * stays repairable after a move or remount (an absolute path
+    * recorded before the move would silently no-op the delete and
+    * leave the original double-counting next to its replacement).
+    * Returns the in-store paths of the moved granules. */
   private def swapIn(tmp: java.nio.file.Path, dirPath: java.nio.file.Path,
-      originals: Seq[String]): Seq[String] = {
+      originalNames: Seq[String]): Seq[String] = {
     val staged = Option(tmp.toFile.listFiles())
       .getOrElse(Array.empty[java.io.File])
       .filter(f => f.isFile && (f.getName.endsWith(".nc") ||
@@ -958,10 +1003,9 @@ object NetCDFWrite {
       java.nio.file.Files.move(p, dirPath.resolve(p.getFileName),
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
-    originals.foreach { p =>
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(p))
-      java.nio.file.Files.deleteIfExists(
-        java.nio.file.Paths.get(p + ".stats.json"))
+    originalNames.foreach { n =>
+      java.nio.file.Files.deleteIfExists(dirPath.resolve(n))
+      java.nio.file.Files.deleteIfExists(dirPath.resolve(n + ".stats.json"))
     }
     deleteTreeQuietly(tmp)
     staged.map(_.getFileName.toString).filter(_.endsWith(".nc"))
@@ -969,21 +1013,35 @@ object NetCDFWrite {
   }
 
   private def writeCompactManifest(tmp: java.nio.file.Path,
-      originals: Seq[String]): Unit = {
+      originalNames: Seq[String], stagedNames: Seq[String]): Unit = {
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
-    val json = originals.map(esc).mkString("[\"", "\", \"", "\"]")
+    def arr(xs: Seq[String]) =
+      if (xs.isEmpty) "[]"
+      else xs.map(esc).mkString("[\"", "\", \"", "\"]")
     java.nio.file.Files.writeString(tmp.resolve(ManifestName),
-      if (originals.isEmpty) "[]" else json)
+      s"""{"originals": ${arr(originalNames)}, "staged": ${arr(stagedNames)}}""")
   }
 
+  /** (original names, staged names). Reads both the current object form
+    * and the legacy bare-array form (absolute original paths, no staged
+    * list — reduced to names here so resolution is against the store
+    * dir either way). */
   private def readCompactManifest(manifest: java.nio.file.Path)
-      : Seq[String] =
-    org.json4s.jackson.JsonMethods.parse(
-      java.nio.file.Files.readString(manifest)) match {
+      : (Seq[String], Seq[String]) = {
+    def names(v: org.json4s.JValue): Seq[String] = v match {
       case org.json4s.JArray(xs) =>
-        xs.collect { case org.json4s.JString(s) => s }
+        xs.collect { case org.json4s.JString(s) =>
+          java.nio.file.Paths.get(s).getFileName.toString }
       case _ => Nil
     }
+    org.json4s.jackson.JsonMethods.parse(
+      java.nio.file.Files.readString(manifest)) match {
+      case o @ org.json4s.JObject(_) =>
+        (names(o \ "originals"), names(o \ "staged"))
+      case arr @ org.json4s.JArray(_) => (names(arr), Nil)
+      case _ => (Nil, Nil)
+    }
+  }
 
   private def deleteTreeQuietly(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.isDirectory(p)) {

@@ -244,9 +244,31 @@ object NetCdfSource {
   private[sources] def expandLenient(p: String): Seq[String] = {
     val f = new java.io.File(p)
     if (f.isFile) Seq(f.getPath)
-    else if (f.isDirectory)
-      f.listFiles().toSeq.filter(_.isFile).map(_.getPath)
+    else if (f.isDirectory) {
+      val all = f.listFiles().toSeq.filter(_.isFile).map(_.getPath)
         .filter(_.endsWith(".nc")).sorted
+      // A compaction that crashed mid-swap leaves the store with BOTH
+      // the original small granules and (some of) their staged merged
+      // replacements — a naive listing double-counts every record they
+      // share. The pending manifest makes a consistent snapshot
+      // computable without mutating the store: originals are deleted
+      // only after EVERY staged move completed, so all-originals-
+      // present means the swap may be partial (read the pre-compaction
+      // view, skipping any replacement already moved in) and any
+      // missing original means all replacements landed (read the post
+      // view, skipping the not-yet-deleted originals). The next
+      // compactGranules run still rolls the swap forward for real.
+      NetCDFWrite.pendingCompactionSnapshot(f.toPath) match {
+        case Some((origs, staged)) if origs.nonEmpty =>
+          def nameOf(path: String) =
+            java.nio.file.Paths.get(path).getFileName.toString
+          val present = all.map(nameOf).toSet
+          if (origs.forall(present))
+            all.filterNot(path => staged.contains(nameOf(path)))
+          else all.filterNot(path => origs.contains(nameOf(path)))
+        case _ => all
+      }
+    }
     else {
       // basename glob (events_*.nc)
       val dir = Option(f.getParentFile)

@@ -1094,7 +1094,10 @@ object StreamingAgg {
     * not completed; the oracle carries the matching `day < max(day)`
     * guard). The emitted dow_avg divides two exact integers once in
     * double, so every row equals the oracle's cumulative-window form
-    * bit-for-bit. */
+    * bit-for-bit when events arrive day-ordered across micro-batches;
+    * a late event for an already-COMPLETED day is dropped (the
+    * standard streaming late-data caveat — folding it into the current
+    * day would corrupt that day's totals instead). */
   def seasonalityStream(events: DataFrame): Dataset[SeasonRow] = {
     val s = events.sparkSession
     import s.implicits._
@@ -1117,11 +1120,14 @@ object StreamingAgg {
             Seq.fill(7)(0L), Seq.fill(7)(0L), Long.MinValue, 0L, 0L))
           val out = Seq.newBuilder[SeasonRow]
           def complete(nextDay: Long): Unit = {
-            val dow = (cur.curDay % 7L + 7L) % 7L
-            val i = dow.toInt
+            // array slot must be non-negative; the EMITTED dow is the
+            // sign-following residue so pre-1970 days label identically
+            // to the oracle's (and batch qSeasonality's) day % 7 —
+            // residue CLASSES agree either way, only the label differs
+            val i = ((cur.curDay % 7L + 7L) % 7L).toInt
             val n2 = cur.n.updated(i, cur.n(i) + cur.curDn)
             val s2 = cur.s.updated(i, cur.s(i) + cur.curDs)
-            out += SeasonRow(typ, cur.curDay, dow, cur.curDn,
+            out += SeasonRow(typ, cur.curDay, cur.curDay % 7L, cur.curDn,
               cur.curDs.toDouble / 10000.0d, n2(i),
               s2(i).toDouble / (n2(i).toDouble * 10000.0d))
             cur = SeasonState(n2, s2, nextDay, 0L, 0L)
@@ -1130,8 +1136,14 @@ object StreamingAgg {
             if (cur.curDay == Long.MinValue)
               cur = cur.copy(curDay = e.day)
             else if (e.day > cur.curDay) complete(e.day)
-            cur = cur.copy(curDn = cur.curDn + 1L,
-              curDs = cur.curDs + e.e4)
+            // a cross-micro-batch late event for an ALREADY-completed
+            // day cannot be folded into the current day without
+            // corrupting its emitted totals — drop it (mirrors
+            // cohortStream's pre-cohort guard; the standard streaming
+            // late-data caveat, stated here rather than silent)
+            if (e.day >= cur.curDay)
+              cur = cur.copy(curDn = cur.curDn + 1L,
+                curDs = cur.curDs + e.e4)
           }
           st.update(cur)
           out.result().iterator
@@ -1147,7 +1159,9 @@ object StreamingAgg {
     * longs, fixed at any stream length; exact integers with one
     * emission-time divide per output column. Gap robustness is
     * structural: the lookup matches day−7 EXACTLY, so a missing week
-    * simply emits nothing rather than predicting from the wrong day. */
+    * simply emits nothing rather than predicting from the wrong day.
+    * Late events for an already-completed day are dropped, not folded
+    * into the current day (see [[seasonalityStream]]). */
   def forecastStream(events: DataFrame): Dataset[ForecastRow] = {
     val s = events.sparkSession
     import s.implicits._
@@ -1187,7 +1201,12 @@ object StreamingAgg {
             if (cur.curDay == Long.MinValue)
               cur = cur.copy(curDay = e.day)
             else if (e.day > cur.curDay) complete(e.day)
-            cur = cur.copy(curDs = cur.curDs + e.e4)
+            // late event for an already-completed day: drop rather than
+            // misattribute into the current day's sum (see
+            // seasonalityStream; cohortStream's off >= 0 is the same
+            // guard)
+            if (e.day >= cur.curDay)
+              cur = cur.copy(curDs = cur.curDs + e.e4)
           }
           st.update(cur)
           out.result().iterator
@@ -1435,8 +1454,13 @@ object StreamingAgg {
           // until BOTH halves are populated the denominator is zero and
           // the cosine is NaN/Inf whose cross-engine semantics differ —
           // skip emission (the batch twin's oracle carries the matching
-          // WHERE n_even > 0 AND n_odd > 0 guard)
-          if (cur.nEven == 0L || cur.nOdd == 0L) Iterator.empty
+          // WHERE n_even > 0 AND n_odd > 0 guard). A populated half can
+          // STILL quantize to the all-zero vector (every |x| < 1e-4),
+          // which zeroes its norm and the denominator with it, so the
+          // guard is on the norms themselves; the oracle carries the
+          // matching s0sq/s1sq > 0 terms.
+          if (cur.nEven == 0L || cur.nOdd == 0L ||
+              s0sq.signum == 0 || s1sq.signum == 0) Iterator.empty
           else {
             val cosv = BigDecimal(dot).toDouble /
               (math.sqrt(BigDecimal(s0sq).toDouble) *

@@ -854,6 +854,77 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(ncFiles().toSeq === Seq(stagedName))
   }
 
+  test("compaction: pending-manifest snapshot keeps batch reads " +
+      "consistent mid-swap; name-based manifest survives a store move; " +
+      "floor sizing never emits re-qualifying granules") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.NetCDFWrite
+    val root = Files.createTempDirectory("v2pending")
+    val out = root.toString + "/store"
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double") / 4.0)
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "150")
+      .mode(SaveMode.Overwrite).save(out)
+    def ncNames(d: String) = new java.io.File(d).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.getName).sorted.toSeq
+    val Seq(g1, g2) = ncNames(out)
+    // a merged replacement granule (all 300 records), staged elsewhere
+    val mergedDir = root.toString + "/merged"
+    df.write.format("netcdf").option("indexby", "ts")
+      .mode(SaveMode.Overwrite).save(mergedDir)
+    val repl = "compact-1111111111111-00000.nc"
+    // crash scenario A (mid-MOVE): replacement already moved into the
+    // store, originals not yet deleted, manifest pending. A naive
+    // listing reads 600 records; the snapshot must read the PRE view
+    Files.copy(Paths.get(mergedDir, ncNames(mergedDir).head),
+      Paths.get(out, repl))
+    val tmp = Paths.get(out, ".compact.tmp")
+    Files.createDirectories(tmp)
+    Files.writeString(tmp.resolve("_compact_manifest.json"),
+      s"""{"originals": ["$g1", "$g2"], "staged": ["$repl"]}""")
+    val pre = spark.read.format("netcdf").load(out)
+    assert(pre.count() === 300,
+      "mid-swap read must not double-count (pre-compaction view)")
+    assert(pre.agg(sum("id")).collect().head.getLong(0) ===
+      (0L until 300L).sum)
+    // crash scenario B (mid-DELETE): one original already gone — every
+    // move completed by construction, so reads take the POST view
+    Files.delete(Paths.get(out, g1))
+    val post = spark.read.format("netcdf").load(out)
+    assert(post.count() === 300,
+      "mid-delete read must take the replacement, not the stale original")
+    assert(post.agg(sum("id")).collect().head.getLong(0) ===
+      (0L until 300L).sum)
+    // the store MOVES between the crash and the repair: the name-based
+    // manifest still resolves, so the stale original is deleted for
+    // real (an absolute-path manifest would silently no-op here)
+    val moved = root.toString + "/store-moved"
+    Files.move(Paths.get(out), Paths.get(moved))
+    NetCDFWrite.compactGranules(spark, moved, "record",
+      Some("ts"), targetRecords = 1 << 20, NetCDFWrite.NcOpts())
+    assert(ncNames(moved) === Seq(repl),
+      "roll-forward after a store move must still delete the originals")
+    assert(spark.read.format("netcdf").load(moved).count() === 300)
+    // floor sizing: 300 records at target 130 merge into
+    // floor(300/130) = 2 granules of ~150 (>= target), not
+    // ceil(300/130) = 3 of ~100, which would hover near target/2 and
+    // re-qualify under sampling skew
+    val out2 = root.toString + "/store2"
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "25")
+      .mode(SaveMode.Overwrite).save(out2)
+    val rep = NetCDFWrite.compactGranules(spark, out2, "record",
+      Some("ts"), targetRecords = 130, NetCDFWrite.NcOpts())
+    assert(rep.compacted.size === 2,
+      s"floor sizing must emit 2 granules, got ${rep.compacted.size}")
+    val rep2 = NetCDFWrite.compactGranules(spark, out2, "record",
+      Some("ts"), targetRecords = 130, NetCDFWrite.NcOpts())
+    assert(rep2.compacted.isEmpty, "compaction must converge")
+  }
+
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
       .exists)

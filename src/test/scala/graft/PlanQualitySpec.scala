@@ -764,6 +764,53 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d_semdedup rides the gate: size-frame BHJ under it, shuffle join " +
+      "over it, verdicts unchanged") {
+    // the cluster-size frame (one row per IVF cluster) grows with the
+    // corpus — k = max(16, n/rowsPerCentroid) — so its broadcast is
+    // data-dependent and must come off past the gate exactly like the
+    // ingest delta and the label frame. Pin BOTH regimes on the plan:
+    // the join carrying __cn broadcasts under the default gate and
+    // degrades to a shuffle join under a forced 1-byte gate, with
+    // bit-identical keep/drop verdicts.
+    import graft.queries.PipelineQueries
+    def run(): (SparkPlan, Array[String]) = {
+      val df = SparkEntry.queries("d_semdedup")(spark, sfDir)
+      (df.queryExecution.executedPlan,
+        df.collect().map(_.toString).sorted)
+    }
+    def sizeJoins(p: SparkPlan): Seq[SparkPlan] = nodes(p).filter {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+        j.output.exists(_.name == "__cn")
+      case _ => false
+    }
+    val (underPlan, baseline) = run()
+    assert(sizeJoins(underPlan).exists(_.isInstanceOf[
+      org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+      "under the gate the size frame must broadcast")
+    val prevAuto = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at-scale model: past the gate the planner's own size estimate
+      // is also over its auto-broadcast threshold — disable it so a
+      // surviving BHJ could only come from the (now removed) hint
+      spark.conf.set(PipelineQueries.BroadcastGateKey, "1")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      PipelineQueries.evictCaches(spark, sfDir)
+      val (overPlan, rows) = run()
+      val joins = sizeJoins(overPlan)
+      assert(joins.nonEmpty, "the size frame still joins the assignment")
+      assert(!joins.exists(_.isInstanceOf[
+        org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+        "over the gate the size frame must NOT broadcast")
+      assert(rows.sameElements(baseline),
+        "both regimes must produce identical verdicts")
+    } finally {
+      spark.conf.unset(PipelineQueries.BroadcastGateKey)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevAuto)
+      PipelineQueries.evictCaches(spark, sfDir)
+    }
+  }
+
   test("d_dedup_clusters over the gate: identical clusters without the hint") {
     // the label frame is corpus-order on a high-duplication crawl; over
     // the gate the corpus join-back must still produce the same

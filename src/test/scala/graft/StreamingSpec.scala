@@ -1474,6 +1474,83 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("drift stream: a populated half that quantizes to the zero " +
+      "vector stays silent (zero norm would divide to NaN/Inf)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Option[Array[Float]], Option[Long])]
+    val q = StreamingAgg.driftStream(
+        mem.toDF().toDF("vec_id", "embedding", "label"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("driftzero").start()
+    try {
+      // both halves POPULATED (n_even = n_odd = 1) but the odd half's
+      // every component quantizes to 0 (|x| < 1e-4): s1sq = 0, so the
+      // old n-count guard passed and the cosine divided by zero
+      mem.addData((2L, Some(Array(1f, 2f)), Some(3L)),
+        (5L, Some(Array(0.00005f, 0.00009f)), Some(3L)))
+      q.processAllAvailable()
+      assert(spark.table("driftzero").count() === 0L,
+        "zero-norm half must suppress emission (oracle WHERE s1sq > 0)")
+      // a representable odd vector arrives: the norms go positive
+      mem.addData((7L, Some(Array(2f, 4f)), Some(3L)))
+      q.processAllAvailable()
+      val rows = spark.table("driftzero").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      assert(rows.toSeq === Seq((3L, 1L, 2L)),
+        "emission resumes once both norms are positive")
+    } finally q.stop()
+  }
+
+  test("seasonality + forecast streams: a late event for an already-" +
+      "completed day is dropped, not folded into the current day") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    val mem = MemoryStream[AEv]
+    val memF = MemoryStream[AEv]
+    val q = StreamingAgg.seasonalityStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seaslate").start()
+    val qf = StreamingAgg.forecastStream(memF.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("fcstlate").start()
+    try {
+      // day 0 completes when day 1 arrives
+      mem.addData(aev(0, 1L, 10.0))
+      q.processAllAvailable()
+      mem.addData(aev(day, 2L, 20.0))
+      q.processAllAvailable()
+      // a LATE day-0 event in a later micro-batch: before the guard it
+      // silently inflated day 1's accumulating count/sum
+      mem.addData(aev(60, 3L, 99.0))
+      q.processAllAvailable()
+      mem.addData(aev(2 * day, 4L, 1.0)) // completes day 1
+      q.processAllAvailable()
+      val seas = spark.table("seaslate").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4))).toSet
+      assert(seas === Set((0L, 1L, 10.0), (1L, 1L, 20.0)),
+        "day 1 totals must exclude the late day-0 event")
+      // forecast: day 0 = 10, day 7 accumulates, late day-0 event must
+      // not leak into day 7's sum; day 8 completes day 7 -> error vs 10
+      memF.addData(aev(0, 1L, 10.0))
+      qf.processAllAvailable()
+      memF.addData(aev(7 * day, 2L, 13.0))
+      qf.processAllAvailable()
+      memF.addData(aev(120, 3L, 50.0)) // late day-0 straggler
+      qf.processAllAvailable()
+      memF.addData(aev(8 * day, 4L, 1.0))
+      qf.processAllAvailable()
+      val fc = spark.table("fcstlate").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+          r.getDouble(4))).toSet
+      assert(fc === Set((7L, 13.0, 10.0, 3.0)),
+        "day 7's actual must exclude the late day-0 event")
+    } finally { q.stop(); qf.stop() }
+  }
+
   test("pack stream: null docs are filtered and do not corrupt the " +
       "running per-source offset") {
     import spark.implicits._
