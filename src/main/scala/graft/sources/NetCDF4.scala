@@ -78,10 +78,16 @@ object NetCDF4 {
   private val NcInternalAttrs = Set("CLASS", "NAME", "REFERENCE_LIST",
     "DIMENSION_LIST", "_Netcdf4Dimid", "_Netcdf4Coordinates")
 
+  /** Total [[open]] calls in this JVM — spec instrumentation for
+    * "planning must not open granules" pins (the fleet-manifest fast
+    * path); never read by the engine itself. */
+  val openCalls = new java.util.concurrent.atomic.AtomicLong(0L)
+
   /** Open either flavor the reference accepts transparently through
     * netCDF4-python: NetCDF-4 (HDF5 container) or NetCDF-3 classic
     * (`CDF\x01/\x02/\x05` magic, [[NetCDF3Reader]]). */
   def open(path: String): NcFile = {
+    openCalls.incrementAndGet()
     val head = {
       val in = java.nio.file.Files.newInputStream(
         java.nio.file.Paths.get(path))

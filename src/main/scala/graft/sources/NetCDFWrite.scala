@@ -824,6 +824,13 @@ object NetCDFWrite {
         }
       }
     } finally cached.unpersist()
+    // keep the fleet-level planning manifest fresh: unchanged granules
+    // reuse their prior entries (size-stat only), new ones cost one
+    // header parse each — so the per-batch refresh of a streaming feed
+    // stays O(new granules), while readers plan the whole store without
+    // opening any header (refreshFleetManifest skips compaction temp
+    // dirs; the compactor refreshes the real store after its swap)
+    refreshFleetManifest(dstDir, config.primaryUdim.map(_.name))
     Option(new java.io.File(dstDir).listFiles()).getOrElse(Array.empty)
       .filter(_.getName.endsWith(".nc")).map(_.getPath).sorted.toSeq
   }
@@ -902,8 +909,12 @@ object NetCDFWrite {
     val sized = files.map(p => p -> recordsOf(p))
     val small = sized.filter(_._2 < (targetRecords.toLong + 1) / 2)
       .map(_._1)
-    if (small.size < 2)
+    if (small.size < 2) {
+      // a crashed run may have just rolled forward above — keep the
+      // fleet manifest in step with the store even on the no-op path
+      refreshFleetManifest(dir, recDimName)
       return CompactReport(files.size, files.size, Nil, Nil, files)
+    }
     val kept = files.filterNot(small.toSet)
     val tmp = dirPath.resolve(CompactTmpName)
     deleteTreeQuietly(tmp)
@@ -940,6 +951,7 @@ object NetCDFWrite {
       stagedNames)
     val moved = swapIn(tmp, dirPath,
       small.map(p => java.nio.file.Paths.get(p).getFileName.toString))
+    refreshFleetManifest(dir, recDimName)
     CompactReport(files.size, kept.size + moved.size, moved, small, kept)
   }
 
@@ -1040,6 +1052,176 @@ object NetCDFWrite {
         (names(o \ "originals"), names(o \ "staged"))
       case arr @ org.json4s.JArray(_) => (names(arr), Nil)
       case _ => (Nil, Nil)
+    }
+  }
+
+  // ------------------------------------------------- fleet manifest
+
+  /** One granule's entry in the fleet-level planning manifest: everything
+    * the driver's plan-time paths otherwise open the granule header for
+    * — record count, per-record-variable projected bytes + chunk extent
+    * (→ [[NetCdfSource.FileMeta]]), the granule's Spark schema (→ table
+    * schema inference), and the column-stats sidecar digest (→ generic
+    * filter pruning). `bytes` is the validation key: a reader uses the
+    * entry only when the file's CURRENT size matches, so a stale or
+    * foreign manifest can never corrupt planning — at worst a granule
+    * falls back to its header parse. */
+  final case class FleetEntry(
+      bytes: Long,
+      records: Long,
+      schemaJson: String,
+      recVars: Map[String, (Long, Int)],
+      stats: Option[Map[String, (Double, Double)]])
+
+  /** The store-level manifest: the record dimension the entries were
+    * resolved against plus one [[FleetEntry]] per granule file name. */
+  final case class FleetManifest(recdim: String,
+      granules: Map[String, FleetEntry])
+
+  private[sources] val FleetManifestName = "_manifest.json"
+
+  /** Parse a store's fleet manifest; None on absence or ANY parse
+    * trouble (the manifest is an accelerator, never a requirement). */
+  def readFleetManifest(dir: String): Option[FleetManifest] = {
+    val p = java.nio.file.Paths.get(dir, FleetManifestName)
+    if (!java.nio.file.Files.isRegularFile(p)) return None
+    scala.util.Try {
+      import org.json4s._
+      def num(v: JValue): Option[Double] = v match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(l) => Some(l.toDouble)
+        case JDecimal(d) => Some(d.toDouble)
+        case _ => None
+      }
+      def long(v: JValue): Long = v match {
+        case JInt(i) => i.toLong
+        case JLong(l) => l
+        case JDouble(d) => d.toLong
+        case _ => sys.error("not a number")
+      }
+      val root = org.json4s.jackson.JsonMethods.parse(
+        java.nio.file.Files.readString(p))
+      val recdim = (root \ "recdim") match {
+        case JString(s) => s
+        case _ => sys.error("no recdim")
+      }
+      val granules = (root \ "granules") match {
+        case JObject(fields) => fields.map { case (name, g) =>
+          val recVars = (g \ "recvars") match {
+            case JObject(rv) => rv.collect {
+              case (vn, JArray(List(b, c))) => vn -> (long(b), long(c).toInt)
+            }.toMap
+            case _ => Map.empty[String, (Long, Int)]
+          }
+          val stats = (g \ "stats") match {
+            case JObject(st) =>
+              Some(st.flatMap {
+                case (c, JArray(List(lo, hi))) =>
+                  for (a <- num(lo); b <- num(hi)) yield c -> (a, b)
+                case _ => None
+              }.toMap).filter(_.nonEmpty)
+            case _ => None
+          }
+          name -> FleetEntry(long(g \ "bytes"), long(g \ "records"),
+            org.json4s.jackson.JsonMethods.compact(
+              org.json4s.jackson.JsonMethods.render(g \ "schema")),
+            recVars, stats)
+        }.toMap
+        case _ => Map.empty[String, FleetEntry]
+      }
+      FleetManifest(recdim, granules)
+    }.toOption
+  }
+
+  /** Rebuild the store's fleet manifest from the CURRENT granule set,
+    * reusing prior entries whose recorded size still matches (no header
+    * open for unchanged granules — a streaming store's per-batch refresh
+    * costs one header parse per NEW granule plus a stat per old one).
+    * Granules whose record dim resolves differently from the manifest's,
+    * or whose header will not parse, simply get no entry and fall back
+    * to a plan-time header parse. The write is atomic (temp + move) so a
+    * concurrent reader sees the old or the new manifest, never a torn
+    * one. Called by every granule-writing path ([[writeGranules]],
+    * [[compactGranules]] post-swap) — the STREAMING sink inherits it via
+    * writeGranules, so a tailed feed's manifest stays fresh too. */
+  def refreshFleetManifest(dir: String,
+      recDimHint: Option[String]): Unit = {
+    val dirPath = java.nio.file.Paths.get(dir)
+    if (Option(dirPath.getFileName)
+        .exists(_.toString == CompactTmpName)) return
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".nc"))
+      .sortBy(_.getName)
+    val prior = readFleetManifest(dir)
+    def build(f: java.io.File): Option[(String, String, FleetEntry)] =
+      try {
+        val nc = NetCDF4.open(f.getPath)
+        try {
+          val rd = recDimHint.filter(d => nc.dims.exists(_.name == d))
+            .getOrElse(NetCDFIngest.recordDimOf(nc))
+          val records =
+            nc.dims.find(_.name == rd).map(_.size).getOrElse(0L)
+          val recVars = nc.vars.filter(_.dims.headOption.contains(rd))
+            .map { v =>
+              val inner = v.shape.drop(1).product max 1L
+              v.name -> (inner * v.dtype.size,
+                v.chunkDims.headOption.getOrElse(0))
+            }.toMap
+          Some((f.getName, rd,
+            FleetEntry(f.length(), records,
+              NetCDFIngest.schemaFor(nc, rd).json, recVars,
+              NetCdfSource.readStatsSidecar(f.getPath))))
+        } finally nc.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    // the manifest's recdim: the hint, else the prior manifest's, else
+    // whatever the first parseable granule resolves to
+    var manifestRd: Option[String] =
+      recDimHint.orElse(prior.map(_.recdim))
+    val entries = files.flatMap { f =>
+      val reused = for {
+        rd <- manifestRd
+        pm <- prior if pm.recdim == rd
+        e <- pm.granules.get(f.getName) if e.bytes == f.length()
+      } yield (f.getName, rd, e)
+      reused.orElse(build(f))
+    }.filter { case (_, rd, _) =>
+      manifestRd match {
+        case Some(d) => rd == d
+        case None => manifestRd = Some(rd); true
+      }
+    }
+    import org.json4s._
+    val g = JObject(entries.map { case (name, _, e) =>
+      name -> JObject(List(
+        "bytes" -> JLong(e.bytes),
+        "records" -> JLong(e.records),
+        "schema" -> org.json4s.jackson.JsonMethods.parse(e.schemaJson),
+        "recvars" -> JObject(e.recVars.toList.sortBy(_._1).map {
+          case (k, (b, c)) => k -> JArray(List(JLong(b), JLong(c.toLong)))
+        })) ++ e.stats.map(st =>
+        "stats" -> (JObject(st.toList.sortBy(_._1).map { case (k, (lo, hi)) =>
+          k -> JArray(List(JDouble(lo), JDouble(hi)))
+        }): JValue)).toList)
+    }.toList)
+    val root = JObject(List(
+      "version" -> JInt(1),
+      "recdim" -> JString(manifestRd.getOrElse("record")),
+      "granules" -> g))
+    val tmp = dirPath.resolve(FleetManifestName + ".tmp")
+    java.nio.file.Files.writeString(tmp,
+      org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(root)))
+    try java.nio.file.Files.move(tmp,
+      dirPath.resolve(FleetManifestName),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.AtomicMoveNotSupportedException =>
+        java.nio.file.Files.move(tmp,
+          dirPath.resolve(FleetManifestName),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     }
   }
 

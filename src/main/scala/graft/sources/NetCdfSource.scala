@@ -542,12 +542,51 @@ final class NetCdfTable(
     s"netcdf(${paths.headOption.getOrElse(rawPaths.head)}" +
       s"${if (paths.size > 1) s" +${paths.size - 1}" else ""})"
 
-  // header-only parses, driver-side (bounded-pool parallel), once per
-  // table
+  /** Fleet-manifest entries for this table's paths, validated per
+    * granule by exact file-size match (granule files are write-once, so
+    * a size match means the entry describes these bytes; a replaced or
+    * foreign file fails the check and falls back to its header parse).
+    * When the reader names an explicit `recdim` it must equal the
+    * manifest's, else the manifest is ignored wholesale — entries were
+    * resolved against the writer's record dim. With no explicit recdim
+    * the manifest is trusted: every granule-writing path records the
+    * dim it actually made unlimited, which is exactly what the header
+    * heuristic would resolve. This map is what makes planning O(stat)
+    * instead of O(header parse) per granule — schema inference,
+    * FileMeta, and stats pruning all consult it first. */
+  private[sources] lazy val fleetEntries
+      : Map[String, NetCDFWrite.FleetEntry] =
+    paths.groupBy(p => Option(new java.io.File(p).getParent)
+        .getOrElse(".")).flatMap { case (dir, ps) =>
+      NetCDFWrite.readFleetManifest(dir) match {
+        case Some(fm) if recDim.forall(_ == fm.recdim) =>
+          ps.flatMap { p =>
+            fm.granules.get(new java.io.File(p).getName).filter { e =>
+              scala.util.Try(java.nio.file.Files.size(
+                java.nio.file.Paths.get(p))).toOption.contains(e.bytes)
+            }.map(p -> _)
+          }
+        case _ => Nil
+      }
+    }
+
+  // plan-time schema: fleet-manifest entries answer without touching
+  // the granule; only unlisted/invalidated granules header-parse
+  // (driver-side, bounded-pool parallel), once per table
   private lazy val inferred: StructType = {
     val metaPaths = if (mergeSchema) paths else paths.take(1)
-    NetCDFIngest.unionSchema(NetCdfSource.parMap(metaPaths)(p =>
-      NetCDFIngest.granuleMeta(p, recDim)))
+    val headerPaths = metaPaths.filterNot(fleetEntries.contains)
+    val parsed = NetCdfSource.parMap(headerPaths)(p =>
+      p -> NetCDFIngest.granuleMeta(p, recDim)).toMap
+    NetCDFIngest.unionSchema(metaPaths.map { p =>
+      fleetEntries.get(p) match {
+        case Some(e) => NetCDFIngest.GranuleMeta(p,
+          new java.io.File(p).getName,
+          org.apache.spark.sql.types.DataType.fromJson(e.schemaJson)
+            .asInstanceOf[StructType], "{}", e.records)
+        case None => parsed(p)
+      }
+    })
   }
 
   override def schema(): StructType = userSchema.getOrElse(inferred)
@@ -559,8 +598,15 @@ final class NetCdfTable(
   private[sources] def currentFiles(): Seq[String] =
     rawPaths.flatMap(NetCdfSource.expandLenient).distinct.sorted
 
-  /** Planning metadata for one granule — header bytes only. */
-  private[sources] def metaFor(p: String): FileMeta = {
+  /** Planning metadata for one granule — the fleet manifest when its
+    * (size-validated) entry covers the granule, header bytes otherwise. */
+  private[sources] def metaFor(p: String): FileMeta =
+    fleetEntries.get(p) match {
+      case Some(e) => FileMeta(p, e.records, e.recVars, e.bytes)
+      case None => headerMetaFor(p)
+    }
+
+  private def headerMetaFor(p: String): FileMeta = {
     val nc = NetCDF4.open(p)
     try {
       val rd = recDim match {
@@ -583,9 +629,24 @@ final class NetCdfTable(
   }
 
   /** Per-granule planning metadata, built lazily once (batch path;
-    * bounded-pool parallel header parses). */
-  private[sources] lazy val fileMetas: Seq[FileMeta] =
+    * manifest entries resolve without I/O, the remainder header-parses
+    * on the bounded pool). */
+  private[sources] lazy val fileMetas: Seq[FileMeta] = {
+    // force fleetEntries on THIS thread first: a lazy val initializing
+    // inside the pool would need this object's monitor, which the
+    // fileMetas lzycompute already holds — deadlock. Initialized lazy
+    // vals read lock-free, so the pool threads are then safe.
+    fleetEntries
     NetCdfSource.parMap(paths)(metaFor)
+  }
+
+  /** Column-stats digest for generic filter pruning: the fleet
+    * manifest's recorded digest when the granule's entry validates,
+    * the `<granule>.nc.stats.json` sidecar file otherwise. */
+  private[sources] def statsFor(p: String)
+      : Option[Map[String, (Double, Double)]] =
+    fleetEntries.get(p).flatMap(_.stats)
+      .orElse(NetCdfSource.readStatsSidecar(p))
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -1090,7 +1151,7 @@ final class NetCdfScan(
     * column the sidecar doesn't cover all ADMIT — pruning may only ever
     * narrow I/O, and the filters stay residual regardless. */
   private def statsAdmit(m: NetCdfSource.FileMeta): Boolean =
-    colRanges.isEmpty || NetCdfSource.readStatsSidecar(m.path).forall(
+    colRanges.isEmpty || table.statsFor(m.path).forall(
       stats => colRanges.forall { case (c, (qlo, qhi)) =>
         stats.get(c).forall { case (mn, mx) => qhi >= mn && qlo <= mx }
       })

@@ -925,6 +925,74 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(rep2.compacted.isEmpty, "compaction must converge")
   }
 
+  test("fleet manifest: planning opens ZERO granules; a header-corrupted " +
+      "granule with a valid entry still plans and prunes; compaction " +
+      "keeps the manifest fresh") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.{NetCDF4, NetCDFWrite}
+    val root = Files.createTempDirectory("v2fleet")
+    val out = root.toString + "/store"
+    // three granules with DISJOINT v ranges (v tracks id), indexby ts
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double"))
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    def ncNames() = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.getName).sorted.toSeq
+    assert(ncNames().size === 3)
+    assert(new java.io.File(out, "_manifest.json").exists,
+      "the granule writer must emit the fleet manifest")
+    // 1. PLANNING IS HEADER-FREE: schema inference (mergeschema=true,
+    // the O(fleet) path) + per-granule FileMeta must answer from the
+    // manifest — zero NetCDF4.open calls
+    val before = NetCDF4.openCalls.get()
+    val t = spark.read.format("netcdf").load(out)
+    val schemaCols = t.schema.fieldNames.toSet
+    assert(schemaCols === Set("id", "ts", "v"))
+    assert(NetCDF4.openCalls.get() === before,
+      "manifest-backed schema inference must not open any granule")
+    // 2. CORRUPT-GRANULE TRICK: garbage the LAST granule in place at
+    // identical size (its manifest entry stays valid). Planning still
+    // answers from the manifest, and a pushed v-band disjoint from the
+    // corrupt granule's recorded stats prunes it — the query succeeds
+    // without EVER opening the corrupted file
+    val victim = ncNames().last
+    val vp = Paths.get(out, victim)
+    val size = Files.size(vp)
+    Files.write(vp, Array.fill[Byte](size.toInt)(0x5a))
+    assert(Files.size(vp) === size)
+    val banded = spark.read.format("netcdf").load(out)
+      .filter(col("v") < 150.0).agg(sum("id"))
+    assert(banded.collect().head.getLong(0) === (0L until 150L).sum,
+      "the band excluding the corrupt granule must answer exactly")
+    // 3. the manifest is load-bearing: without it the same inference
+    // must header-parse the fleet and hit the corruption
+    Files.delete(Paths.get(out, "_manifest.json"))
+    intercept[Throwable] {
+      spark.read.format("netcdf").load(out).schema
+    }
+    // 4. repair the store and compact: the refreshed manifest must
+    // cover exactly the current granule set
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    NetCDFWrite.compactGranules(spark, out, "record",
+      Some("ts"), targetRecords = 300, NetCDFWrite.NcOpts())
+    val fm = NetCDFWrite.readFleetManifest(out)
+      .getOrElse(fail("manifest missing after compaction"))
+    assert(fm.granules.keySet === ncNames().toSet,
+      "compaction must leave the manifest covering the merged store")
+    // and the post-compaction store still plans header-free
+    val b2 = NetCDF4.openCalls.get()
+    assert(spark.read.format("netcdf").load(out).schema
+      .fieldNames.toSet === Set("id", "ts", "v"))
+    assert(NetCDF4.openCalls.get() === b2,
+      "post-compaction planning must answer from the refreshed manifest")
+  }
+
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
     assume(new java.io.File("/root/testdata/sf0.001/events.parquet")
       .exists)
