@@ -170,6 +170,29 @@ final case class PackRow(source: String, doc_id: Long, n_tokens: Long,
   */
 object StreamingAgg {
 
+  /** Per-day `(day, count, Σe4)` partials of one stateful-fold
+    * invocation, day-ascending — the in-fold pre-aggregation that
+    * BOUNDS the day-frame monitors' per-key per-batch memory. The
+    * monitors' algebra is commutative exact-integer sums, so a hot
+    * key's micro-batch collapses in one pass to O(distinct days) live
+    * state (calendar-bounded — a day of events is ONE partial) instead
+    * of the O(events) array the previous `it.toArray.sortBy`
+    * materialized per key. Event order within a day is immaterial to an
+    * integer sum, so emissions are bit-identical to the sorted fold;
+    * days still process in ascending order. (anomalyStream is the
+    * deliberate exception: it emits PER EVENT, so it must materialize
+    * its key's batch — its docstring states that bound.) */
+  private def dayPartials(it: Iterator[AnomEvent])
+      : Array[(Long, Long, Long)] = {
+    val m = scala.collection.mutable.LongMap.empty[Array[Long]]
+    it.foreach { e =>
+      val a = m.getOrElseUpdate(e.day, new Array[Long](2))
+      a(0) += 1L
+      a(1) += e.e4
+    }
+    m.iterator.map { case (d, a) => (d, a(0), a(1)) }.toArray.sortBy(_._1)
+  }
+
   /** Tumbling (or, with `slide`, hopping) window per-type aggregation with
     * late-data tolerance. Batch twins: RelationalQueries.qWindowTumbling /
     * qWindowSliding. A slide shorter than the window multiplies rows into
@@ -992,9 +1015,9 @@ object StreamingAgg {
           var cur = st.getOption.getOrElse(
             MoverState(Long.MinValue, 0L, Long.MinValue, 0L))
           val out = Seq.newBuilder[MoverRow]
-          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
-            if (cur.curDay == Long.MinValue) cur = cur.copy(curDay = e.day)
-            else if (e.day > cur.curDay) {
+          dayPartials(it).foreach { case (d, _, s1) =>
+            if (cur.curDay == Long.MinValue) cur = cur.copy(curDay = d)
+            else if (d > cur.curDay) {
               // the accumulating day completes: emit its step iff the
               // previous COMPLETED day is the calendar day before it
               if (cur.prevDay == cur.curDay - 1L)
@@ -1002,9 +1025,12 @@ object StreamingAgg {
                   cur.prevSum.toDouble / 10000.0d,
                   cur.curSum.toDouble / 10000.0d,
                   (cur.curSum - cur.prevSum).toDouble / 10000.0d)
-              cur = MoverState(cur.curDay, cur.curSum, e.day, 0L)
+              cur = MoverState(cur.curDay, cur.curSum, d, 0L)
             }
-            cur = cur.copy(curSum = cur.curSum + e.e4)
+            // late partial for an already-completed day: dropped, same
+            // guard as the other day-frame monitors
+            if (d >= cur.curDay)
+              cur = cur.copy(curSum = cur.curSum + s1)
           }
           st.update(cur)
           out.result().iterator
@@ -1031,8 +1057,10 @@ object StreamingAgg {
     * and divided by the exact `wN·10⁴` — the same one-divide discipline
     * as the batch CUSUM, so each emission equals the oracle's
     * HUGEINT-derived row bit-for-bit. Nine longs of state per type,
-    * independent of stream length. Events fold in (day, event_id)
-    * order per invocation; the trailing day never emits (it has not
+    * independent of stream length. The micro-batch pre-aggregates to
+    * per-day partials (`dayPartials` — O(distinct days) per key, never
+    * O(events)) folded day-ascending; late partials for completed days
+    * are dropped; the trailing day never emits (it has not
     * completed — the oracle carries the matching `day < max(day)`
     * guard). */
   def cusumStream(events: DataFrame, warmupDays: Long = 7L)
@@ -1057,14 +1085,14 @@ object StreamingAgg {
           var cur = st.getOption.getOrElse(
             CusumState(0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue, 0L, 0L))
           val out = Seq.newBuilder[CusumRow]
-          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
-            if (cur.curDay == Long.MinValue) cur = cur.copy(curDay = e.day)
-            else if (e.day > cur.curDay) {
+          dayPartials(it).foreach { case (d, n, s1) =>
+            if (cur.curDay == Long.MinValue) cur = cur.copy(curDay = d)
+            else if (d > cur.curDay) {
               // the accumulating day completes
               if (cur.warmDays < warmupDays)
                 cur = cur.copy(warmDays = cur.warmDays + 1L,
                   wN = cur.wN + cur.curDn, wS = cur.wS + cur.curDs,
-                  curDay = e.day, curDn = 0L, curDs = 0L)
+                  curDay = d, curDn = 0L, curDs = 0L)
               else {
                 cur = cur.copy(nAfter = cur.nAfter + 1L,
                   cdn = cur.cdn + cur.curDn, cds = cur.cds + cur.curDs)
@@ -1073,11 +1101,14 @@ object StreamingAgg {
                 out += CusumRow(typ, cur.curDay, cur.nAfter,
                   BigDecimal(dev).toDouble /
                     (cur.wN.toDouble * 10000.0d))
-                cur = cur.copy(curDay = e.day, curDn = 0L, curDs = 0L)
+                cur = cur.copy(curDay = d, curDn = 0L, curDs = 0L)
               }
             }
-            cur = cur.copy(curDn = cur.curDn + 1L,
-              curDs = cur.curDs + e.e4)
+            // late partial for an already-completed day: dropped (see
+            // the day-frame monitors' shared guard)
+            if (d >= cur.curDay)
+              cur = cur.copy(curDn = cur.curDn + n,
+                curDs = cur.curDs + s1)
           }
           st.update(cur)
           out.result().iterator
@@ -1132,18 +1163,18 @@ object StreamingAgg {
               s2(i).toDouble / (n2(i).toDouble * 10000.0d))
             cur = SeasonState(n2, s2, nextDay, 0L, 0L)
           }
-          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+          dayPartials(it).foreach { case (d, n, s1) =>
             if (cur.curDay == Long.MinValue)
-              cur = cur.copy(curDay = e.day)
-            else if (e.day > cur.curDay) complete(e.day)
-            // a cross-micro-batch late event for an ALREADY-completed
+              cur = cur.copy(curDay = d)
+            else if (d > cur.curDay) complete(d)
+            // a cross-micro-batch late partial for an ALREADY-completed
             // day cannot be folded into the current day without
             // corrupting its emitted totals — drop it (mirrors
             // cohortStream's pre-cohort guard; the standard streaming
             // late-data caveat, stated here rather than silent)
-            if (e.day >= cur.curDay)
-              cur = cur.copy(curDn = cur.curDn + 1L,
-                curDs = cur.curDs + e.e4)
+            if (d >= cur.curDay)
+              cur = cur.copy(curDn = cur.curDn + n,
+                curDs = cur.curDs + s1)
           }
           st.update(cur)
           out.result().iterator
@@ -1197,16 +1228,16 @@ object StreamingAgg {
             cur = ForecastState(cur.days.updated(slot, d),
               cur.sums.updated(slot, cur.curDs), nextDay, 0L)
           }
-          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+          dayPartials(it).foreach { case (d, _, s1) =>
             if (cur.curDay == Long.MinValue)
-              cur = cur.copy(curDay = e.day)
-            else if (e.day > cur.curDay) complete(e.day)
-            // late event for an already-completed day: drop rather than
-            // misattribute into the current day's sum (see
+              cur = cur.copy(curDay = d)
+            else if (d > cur.curDay) complete(d)
+            // late partial for an already-completed day: drop rather
+            // than misattribute into the current day's sum (see
             // seasonalityStream; cohortStream's off >= 0 is the same
             // guard)
-            if (e.day >= cur.curDay)
-              cur = cur.copy(curDs = cur.curDs + e.e4)
+            if (d >= cur.curDay)
+              cur = cur.copy(curDs = cur.curDs + s1)
           }
           st.update(cur)
           out.result().iterator
@@ -1243,10 +1274,14 @@ object StreamingAgg {
             st: GroupState[CohortState]) => {
           var cur = st.getOption.getOrElse(CohortState(Long.MinValue, Nil))
           val out = Seq.newBuilder[CohortRow]
-          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+          // only the DISTINCT day set matters (first-seen offsets):
+          // per-key per-batch memory is O(distinct days), not O(events)
+          val days = scala.collection.mutable.SortedSet.empty[Long]
+          it.foreach(e => days += e.day)
+          days.foreach { d =>
             if (cur.cohortDay == Long.MinValue)
-              cur = cur.copy(cohortDay = e.day)
-            val off = e.day - cur.cohortDay
+              cur = cur.copy(cohortDay = d)
+            val off = d - cur.cohortDay
             if (off >= 0L) {
               val blk = (off / 64L).toInt
               val bit = 1L << (off % 64L)
@@ -1282,7 +1317,15 @@ object StreamingAgg {
     * Ordering: events are folded in (day, event_id) order within each
     * invocation; a late event from an already-completed day scores
     * against the history as of its ARRIVAL (the standard streaming
-    * caveat — the batch twin is the event-time-exact backfill). */
+    * caveat — the batch twin is the event-time-exact backfill).
+    *
+    * Memory bound: unlike the summable day-frame monitors (which
+    * pre-aggregate to per-day partials — see `dayPartials`), this fold
+    * emits PER EVENT, so it materializes its key's micro-batch slice:
+    * per-key per-batch memory is O(events of that key in the batch).
+    * Shard a pathologically hot event_type upstream (or bound the
+    * micro-batch via maxOffsetsPerTrigger-style source limits) exactly
+    * as for any per-event stateful emitter. */
   def anomalyStream(events: DataFrame, warmup: Long = 30L)
       : Dataset[AnomRow] = {
     val s = events.sparkSession

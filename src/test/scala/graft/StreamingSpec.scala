@@ -1551,6 +1551,60 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally { q.stop(); qf.stop() }
   }
 
+  test("day-frame monitors pre-aggregate the micro-batch to per-day " +
+      "partials: a shuffled hot-key batch emits bit-identically, and " +
+      "mover/cusum drop late days like the other monitors") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val day = 86400L
+    def aev(sec: Long, id: Long, v: Double) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, v)
+    // one hot key, 3 days x 200 events, SHUFFLED within a single batch
+    // (the pre-agg path must reproduce the sorted fold's emissions
+    // exactly — integer sums are order-free, day processing ascending)
+    val rnd = new scala.util.Random(42)
+    val evs = rnd.shuffle((0 until 600).map(i =>
+      aev((i % 3) * day + (i / 3), i.toLong, (i % 7).toDouble)).toList)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.seasonalityStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("seashot").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      mem.addData(aev(3 * day, 9999L, 1.0)) // completes day 2
+      q.processAllAvailable()
+      val rows = spark.table("seashot").collect()
+        .map(r => (r.getLong(1), r.getLong(3), r.getDouble(4))).toSet
+      // each day: 200 events, values 0..6 cycling -> exact daily sums
+      def daySum(d: Int) = (0 until 600).filter(_ % 3 == d)
+        .map(i => (i % 7).toDouble).sum
+      assert(rows === Set((0L, 200L, daySum(0)), (1L, 200L, daySum(1)),
+        (2L, 200L, daySum(2))),
+        "shuffled hot-key batch must emit the exact per-day totals")
+    } finally q.stop()
+    // mover + cusum: a late day-0 straggler after day 0 completed must
+    // not leak into the accumulating day's sum
+    val memM = MemoryStream[AEv]
+    val qm = StreamingAgg.dayMoversStream(memM.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("movlate").start()
+    try {
+      memM.addData(aev(0, 1L, 10.0))
+      qm.processAllAvailable()
+      memM.addData(aev(day, 2L, 20.0)) // completes day 0
+      qm.processAllAvailable()
+      memM.addData(aev(60, 3L, 99.0)) // late day-0: dropped
+      qm.processAllAvailable()
+      memM.addData(aev(2 * day, 4L, 1.0)) // completes day 1 -> step
+      qm.processAllAvailable()
+      val steps = spark.table("movlate").collect()
+        .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+      assert(steps === Set((1L, 10.0, 20.0)),
+        "day 1's level must exclude the late day-0 event")
+    } finally qm.stop()
+  }
+
   test("pack stream: null docs are filtered and do not corrupt the " +
       "running per-source offset") {
     import spark.implicits._
