@@ -220,6 +220,89 @@ object Embeddings {
       rounds, converged)
   }
 
+  /** Result of [[Embeddings.labelPropFit]]: the final label frame
+    * (vec_id, label), the number of synchronous rounds run, and the
+    * attractor's `period` — 1 = exact fixpoint (zero labels moved),
+    * 2 = the run entered the two-state oscillation synchronous LPA is
+    * known for on symmetric structures (Raghavan et al. §III; the
+    * returned frame is the EVEN-phase state, deterministic because the
+    * whole dynamics is), 0 = `maxIters` fired before either. A period-2
+    * result is as converged as LPA gets: the pair alternates forever,
+    * and re-running with the same round count (or +2k) reproduces the
+    * same state bit-for-bit. */
+  final case class LabelProp(labels: DataFrame, rounds: Int,
+      period: Int) {
+    def converged: Boolean = period > 0
+  }
+
+  /** Synchronous label propagation to CONVERGENCE over an edge list
+    * (two Long columns: src, dst) and a vertex universe — the library
+    * driver behind the registry's fixed-3-round `emb_label_prop` query
+    * (kept at 3 there so the oracle stays chained-CTE-expressible); a
+    * fleet run wants the converged communities, not a fixed cut. Same
+    * deterministic semantics as the query, bit-for-bit at equal round
+    * counts (spec-pinned): each vertex adopts the most frequent label
+    * among its in-neighbors, ties to the LOWEST label, isolated
+    * vertices keep their own. Per round: one join of the label frame
+    * against the (checkpoint-pinned) edge list keyed on src, a
+    * (dst, label) count, a per-vertex argmax as a (count, −label)
+    * struct MAX (an aggregate, never a rank window), and a left join
+    * back to the universe — four linear keyed shuffles. Every round
+    * localCheckpoints (the iterative plan tree otherwise grows without
+    * bound) and convergence is a SCALAR signature, never a collect: the
+    * moved-label count vs the previous round hitting 0 is an exact
+    * fixpoint (period 1), and the count vs TWO rounds back hitting 0 is
+    * the period-2 oscillation synchronous LPA is known for on
+    * symmetric/bipartite-like structures — both are terminal attractors
+    * of the deterministic dynamics, so either stops the driver (labels
+    * are integers; no drift in the signature). `iters > 0` instead runs
+    * exactly that many rounds — the oracle-parity mode. `maxIters`
+    * bounds longer cycles loudly via `period = 0` rather than
+    * hanging. */
+  def labelPropFit(edges0: DataFrame, universe0: DataFrame,
+      iters: Int = 0, maxIters: Int = 100): LabelProp = {
+    val ec = edges0.columns
+    require(ec.length >= 2, s"edges need (src, dst), got: $ec")
+    val edges = edges0.select(col(ec(0)).cast(LongType).as("src"),
+      col(ec(1)).cast(LongType).as("dst"))
+      .localCheckpoint(true) // scanned every round
+    val universe = universe0
+      .select(col(universe0.columns.head).cast(LongType).as("vec_id"))
+      .localCheckpoint(true)
+    var labels = universe.withColumn("label", col("vec_id"))
+      .localCheckpoint(true)
+    def step(prev: DataFrame): DataFrame = {
+      val cnt = edges
+        .join(prev.select(col("vec_id").as("src"), col("label")), "src")
+        .groupBy(col("dst").as("vec_id"), col("label"))
+        .agg(count(lit(1)).as("c"))
+      val best = cnt.groupBy("vec_id")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("vec_id"), (-col("m.nl")).as("newl"))
+      prev.join(best, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("newl"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    def movedVs(a: DataFrame, b: DataFrame): Long = a
+      .join(b.select(col("vec_id"), col("label").as("__prev")), "vec_id")
+      .filter(col("label") =!= col("__prev")).count()
+    var rounds = 0
+    var period = 0
+    var prev: DataFrame = null // state two rounds back, once it exists
+    while (rounds < (if (iters > 0) iters else maxIters) && period == 0) {
+      val next = step(labels)
+      if (iters <= 0) {
+        if (movedVs(next, labels) == 0L) period = 1
+        else if (prev != null && movedVs(next, prev) == 0L) period = 2
+      }
+      prev = labels
+      labels = next
+      rounds += 1
+    }
+    LabelProp(labels, rounds, period)
+  }
+
   /** Top principal direction of the (uncentered) Gram matrix by power
     * iteration from the all-ones seed — the converged form of the
     * registry's `emb_pca_power` step. Returns (direction, eigenvalue

@@ -729,7 +729,7 @@ object PipelineQueries {
   /** Both directions of the mutual-kNN edge set, memoized and cached:
     * label propagation scans it once per round, and the reciprocal
     * semi-join should not replay per scan. ≤ 4·n rows of two longs. */
-  private def mutualEdges(s: SparkSession, dir: String): DataFrame =
+  private[graft] def mutualEdges(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "mutualEdges") {
       val g = knnEdges(s, dir)
       val rev = g.select(col("dst").as("src"), col("src").as("dst"))

@@ -842,6 +842,40 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       !== converged, "rank mass must move before the plateau")
   }
 
+  test("labelPropFit: rounds=3 == the emb_label_prop query bit-for-bit; " +
+      "the driver converges to a fixpoint that holds") {
+    val edges = PipelineQueries.mutualEdges(spark, dir)
+    val universe = spark.read
+      .parquet(s"$dir/embeddings.parquet").select(col("vec_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    // oracle-parity mode: 3 driver rounds must reproduce the registry
+    // query's community labels exactly
+    val fixed = graft.ml.Embeddings.labelPropFit(edges, universe, iters = 3)
+    assert(fixed.rounds === 3)
+    assert(rows(fixed.labels) ===
+      rows(PipelineQueries.embLabelProp(spark, dir)
+        .select("vec_id", "label")),
+      "3 driver rounds must equal the 3-round query bit-for-bit")
+    // convergence mode: the scalar signature detects the attractor —
+    // a fixpoint (period 1) or synchronous LPA's known period-2
+    // oscillation — and the plateau holds: +2·period extra rounds
+    // land on the identical state (phase-preserving for period 2)
+    val fit = graft.ml.Embeddings.labelPropFit(edges, universe)
+    assert(fit.converged,
+      s"expected an attractor within 100 rounds, ran ${fit.rounds}")
+    assert(fit.period == 1 || fit.period == 2)
+    val converged = rows(fit.labels)
+    assert(rows(graft.ml.Embeddings.labelPropFit(edges, universe,
+      iters = fit.rounds + 2 * fit.period).labels) === converged,
+      "the plateau must hold under extra full cycles")
+    // ...and it is a real plateau: labels were still moving at round 1
+    assert(rows(graft.ml.Embeddings.labelPropFit(edges, universe,
+      iters = 1).labels) !== converged,
+      "labels must move before the plateau")
+  }
+
   test("ANN recall: LSH and IVF top-5 overlap the brute-force top-5") {
     def top(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
       df.collect().groupBy(_.getLong(0))
