@@ -1877,7 +1877,14 @@ object PipelineQueries {
           .otherwise(lit("und")).as("pred_lang"),
         col("lang"))
 
-  def tQuality(s: SparkSession, dir: String): DataFrame = {
+  /** Memoized: the quality frame is a SHARED stage — the quality gate,
+    * keep-best selection, and both capstone pipelines consume it, and
+    * its tokenization pass dominates its cost (the same reasoning as
+    * [[tokenHashes]]). One corpus scan, every consumer reads the cache. */
+  def tQuality(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "quality") { tQualityBody(s, dir).cache() }
+
+  private def tQualityBody(s: SparkSession, dir: String): DataFrame = {
     val d = tbl(s, dir, "documents")
       .select(col("doc_id"), col("text"),
         expr("graft_tokens(text)").as("toks"))
@@ -2649,6 +2656,83 @@ object PipelineQueries {
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
         sum("n_tokens").as("sum_tokens"))
+  }
+
+  /** The FULL curation DAG as one declarative plan — the r10 capstone's
+    * quality → langid → near-dup → mix → stats chain extended with the
+    * stages a production pretraining pipeline actually ships: keep-BEST
+    * canonical selection (not keep-lowest-id), leak-free train/val/test
+    * splitting (per CLUSTER, so no eval doc has a near-dup in train),
+    * epoch-weighted mixing (fractional source repeat weights), and
+    * sequence packing of the upsampled train stream into fixed
+    * token-budget bins — eight stage boundaries, one Catalyst plan.
+    *
+    * Sharing is structural, not hoped-for: the three frames every stage
+    * re-reads are session-cached ([[tokenHashes]] behind the langid,
+    * [[tQuality]] feeding both the gate and keep-best, and
+    * [[dDedupClusters]] feeding keep-best, the split, AND the keeper
+    * semi-join), so the corpus tokenizes ONCE and the plan reads the
+    * documents parquet exactly once more for the id/source projection —
+    * PlanQualitySpec pins both counts. Packing reuses the quality
+    * frame's n_tokens (the same `graft_tokens` length) instead of
+    * re-tokenizing. Output: per-source packed-corpus statistics —
+    * distinct docs, packed sequences (doc × epoch), exact token mass,
+    * bin count — all integers, exact cross-engine. */
+  def dCorpusPipelineV2(s: SparkSession, dir: String): DataFrame = {
+    val qual = tQuality(s, dir)
+      .select(col("doc_id"), col("n_tokens"), col("quality"))
+    val lang = tLangid(s, dir).select(col("doc_id"), col("pred_lang"))
+    val clusters = dDedupClusters(s, dir).select("doc_id", "cluster_id")
+    // keep-best: the canonical member of every cluster — max quality,
+    // ties to the lowest id (dKeepBest's max-then-tiebreak shape: two
+    // keyed aggs with map-side combine, no per-cluster rank window)
+    val members = clusters
+      .join(qual.select(col("doc_id"), col("quality")), Seq("doc_id"))
+    val best = members.groupBy("cluster_id")
+      .agg(max("quality").as("__bq"))
+    val keepers = members.join(best, Seq("cluster_id"))
+      .filter(col("quality") === col("__bq"))
+      .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val coin = (col("doc_id") % lit(1000000007L) * lit(2654435761L)
+      % lit(1000000007L)) % 100L
+    val rate = when(col("source") === "web", 50L)
+      .when(col("source") === "books", 80L)
+      .otherwise(30L)
+    val survivors = tbl(s, dir, "documents")
+      .select(col("doc_id"), col("source"))
+      // leak-free split: per-CLUSTER hash, singleton fallback for docs
+      // the shingle pipeline dropped (dSplitLeakfree's rule verbatim)
+      .join(clusters.select(col("doc_id"), col("cluster_id").as("__cl")),
+        Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("__cl"), col("doc_id")))
+      .withColumn("__hv",
+        expr("((cluster_id % 1000003) * 2654435761) % 1000003"))
+      .filter(col("__hv") % 100 < 80) // the TRAIN split trains; val/test exit here
+      .join(qual, Seq("doc_id")).join(lang, Seq("doc_id"))
+      .filter(col("quality") > 0.1 && col("pred_lang") === "en")
+      .join(keepers, Seq("doc_id"), "left_semi")
+      .filter(coin < rate)
+    // epoch-weighted upsampling of the surviving train docs
+    val up = survivors
+      .withColumn("__coin", coin)
+      .withColumn("__w", expr(
+        "100L + (CAST(ascii(right(source, 1)) AS BIGINT) % 4) * 50L"))
+      .withColumn("n_epochs", expr(
+        "__w div 100L + IF(__coin < __w % 100L, 1L, 0L)"))
+      .withColumn("epoch", explode(expr("sequence(1L, n_epochs)")))
+    // sequence packing of the upsampled stream, (doc_id, epoch) order
+    // per source — the quality frame's n_tokens IS graft_tokens' count,
+    // so packing re-uses the shared tokenization
+    val w = Window.partitionBy("source").orderBy("doc_id", "epoch")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    up.withColumn("bin_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .groupBy("source")
+      .agg(countDistinct("doc_id").as("n_docs"),
+        count(lit(1)).as("n_seqs"),
+        sum("n_tokens").as("sum_tokens"),
+        (max(expr("bin_offset div 2048L")) + 1L).as("n_bins"))
   }
 
   // ------------------------------------------------------------- multimodal
@@ -4127,6 +4211,85 @@ object PipelineQueries {
          |           WHEN source = 'books' THEN 80 ELSE 30 END
          |  AND quality > 0.1 AND pred_lang = 'en'
          |GROUP BY source""".stripMargin,
+    // the full curation DAG: keep-best + leak-free split + epoch mix +
+    // packing composed onto the v1 capstone's gates — same CTE scaffold
+    // as d_keep_best / d_split_leakfree / d_epoch_mix / d_pack_sequences
+    "d_corpus_pipeline_v2" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |qd AS (
+         |  SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+         |         (0.5 * (CAST(len(list_filter(toks, t -> t IN ($stopListSql))) AS DOUBLE)
+         |                 / CAST(len(toks) AS DOUBLE)) +
+         |          0.5 * (CAST(LEAST(len(toks), 200) AS DOUBLE) / 200.0)) -
+         |         (CAST(length(text) -
+         |               length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+         |               AS DOUBLE) / CAST(length(text) AS DOUBLE)) AS quality
+         |  FROM (SELECT doc_id, text, $toksDuck AS toks FROM documents
+         |        WHERE len($toksDuck) >= 1)),
+         |lng AS (
+         |  SELECT doc_id,
+         |         CASE WHEN len(list_filter(toks, t -> t IN ($stopListSql))) * 100
+         |                   > len(toks) * 3
+         |              THEN 'en' ELSE 'und' END AS pred_lang
+         |  FROM thT),
+         |mm AS (SELECT cl.doc_id, cl.cluster_id, qd.quality
+         |       FROM cl JOIN qd USING (doc_id)),
+         |b AS (SELECT cluster_id, max(quality) AS bq FROM mm GROUP BY 1),
+         |keep AS (SELECT CAST(min(mm.doc_id) AS BIGINT) AS doc_id
+         |         FROM mm JOIN b USING (cluster_id)
+         |         WHERE mm.quality = b.bq GROUP BY mm.cluster_id),
+         |alld AS (SELECT d.doc_id, d.source,
+         |                coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+         |         FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |sv AS (
+         |  SELECT a.doc_id, a.source, qd.n_tokens
+         |  FROM alld a
+         |  JOIN qd USING (doc_id) JOIN lng USING (doc_id)
+         |  JOIN keep USING (doc_id)
+         |  WHERE ((a.cluster_id % 1000003) * 2654435761) % 1000003 % 100 < 80
+         |    AND qd.quality > 0.1 AND lng.pred_lang = 'en'
+         |    AND (a.doc_id % 1000000007) * 2654435761 % 1000000007 % 100 <
+         |        CASE WHEN a.source = 'web' THEN 50
+         |             WHEN a.source = 'books' THEN 80 ELSE 30 END),
+         |up AS (
+         |  SELECT doc_id, source, n_tokens,
+         |         CAST(unnest(range(1, n_epochs + 1)) AS BIGINT) AS epoch
+         |  FROM (SELECT *, w // 100 +
+         |               CASE WHEN coin < w % 100 THEN 1 ELSE 0 END AS n_epochs
+         |        FROM (SELECT *,
+         |                (doc_id % 1000000007) * 2654435761 % 1000000007 % 100
+         |                  AS coin,
+         |                100 + (CAST(ascii(right(source, 1)) AS BIGINT) % 4) * 50
+         |                  AS w
+         |              FROM sv))),
+         |o AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY doc_id, epoch
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS bin_offset
+         |      FROM up)
+         |SELECT source, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |       CAST(count(*) AS BIGINT) AS n_seqs,
+         |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+         |       CAST(max(bin_offset // 2048) + 1 AS BIGINT) AS n_bins
+         |FROM o GROUP BY source""".stripMargin,
     "d_sample_mix" ->
       """SELECT source, count(*) AS n_total,
         |       CAST(sum(CASE WHEN (doc_id % 1000000007) * 2654435761 % 1000000007 % 100 <
@@ -4746,6 +4909,7 @@ object PipelineQueries {
     "d_sample_mix" -> (dSampleMix _),
     "d_epoch_mix" -> (dEpochMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
+    "d_corpus_pipeline_v2" -> (dCorpusPipelineV2 _),
     "t_ngram_freq" -> (tNgramFreq _),
     "t_bpe_pairs" -> (tBpePairs _),
     "t_keywords" -> (tKeywords _),

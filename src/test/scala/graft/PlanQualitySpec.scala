@@ -811,6 +811,31 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("d_corpus_pipeline_v2: the eight-stage DAG scans documents once " +
+      "and reads the shared frames (tokens, quality, clusters) from cache") {
+    import graft.queries.PipelineQueries
+    val df = SparkEntry.queries("d_corpus_pipeline_v2")(spark, sfDir)
+    df.collect() // materialize the shared caches + finalize AQE
+    val plan = df.queryExecution.executedPlan
+    val docScans = nodes(plan).count {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.toString.contains("documents")
+      case _ => false
+    }
+    // the id/source projection is the ONLY direct parquet read; every
+    // tokenization-bearing stage (quality gate, keep-best, langid,
+    // packing's n_tokens) and the clustering verdict must come from the
+    // session caches, or the corpus re-tokenizes per stage at 100 TB
+    assert(docScans == 1,
+      s"documents must scan exactly once, got $docScans:\n$plan")
+    val cacheReads = nodes(plan).count(_.isInstanceOf[
+      org.apache.spark.sql.execution.columnar.InMemoryTableScanExec])
+    // quality is consumed twice (gate + keep-best members), clusters
+    // twice (keep-best + split), tokens once (langid) => >= 5 reads
+    assert(cacheReads >= 5,
+      s"shared frames must read from cache, got $cacheReads:\n$plan")
+  }
+
   test("d_dedup_clusters over the gate: identical clusters without the hint") {
     // the label frame is corpus-order on a high-duplication crawl; over
     // the gate the corpus join-back must still produce the same
