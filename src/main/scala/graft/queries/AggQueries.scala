@@ -126,6 +126,81 @@ object AggQueries {
         (col("__k") =!= 0L).as("is_fill"))
   }
 
+  /** Cadence-gap REPORT per event type — the monitoring face of the
+    * reference's gap machinery: instead of synthesizing fill records
+    * (`q_agg_gapfill`), report where the fills would go. Per type: event
+    * count, number of gaps wider than the fill threshold, the widest
+    * gap, and the total missing-record count under the reference's own
+    * round-half-even rule ([[TSA.fillCountSpark]] — the EXACT number of
+    * records gapfill would synthesize, so report and repair agree).
+    * Integer micros throughout, so the oracle matches bit-for-bit.
+    *
+    * Scale shape — CHUNKED, like the gapfill itself: a naive
+    * per-event_type lag window is one task per type forever (it ran the
+    * whole factor-1000 dir on 5 partitions no matter the core count —
+    * 74.8 s). Gaps split instead into within-DAY pairs (a (type, day)-
+    * keyed window whose parallelism grows with the data; the per-day
+    * rollup groups on the window's own partition keys, so it reuses the
+    * exchange — one scan, one shuffle, one sort) and cross-day boundary
+    * pairs (a per-type window over DAYS — rows = calendar days, never
+    * events). The two sets together are exactly the global consecutive-
+    * pair set: two consecutive events either share a day or are the
+    * last/first records of two adjacent PRESENT days. Measured at the
+    * factor-1000 dir: 29.1 s vs the naive 74.8 s, and 1.8x wall for the
+    * last 10x of rows. */
+  def qGapStats(s: SparkSession, dir: String): DataFrame = {
+    val v = TSA.filterValid(events(s, dir), cfg)
+      .withColumn("__day", expr(s"${TSA.T} div 86400000000"))
+    val wd = Window.partitionBy("event_type", "__day")
+      .orderBy(TSA.T, "event_id")
+    // the per-day rollup groups on the window's own partition keys, so
+    // it reuses the window exchange — one scan, one shuffle, one sort
+    val perDay = v
+      .withColumn("__gap", col(TSA.T) - lag(col(TSA.T), 1).over(wd))
+      .groupBy("event_type", "__day")
+      .agg(count(lit(1)).as("__n"),
+        min(TSA.T).as("__first"), max(TSA.T).as("__last"),
+        sum(when(col("__gap") > GapThrUs, 1L).otherwise(0L)).as("__dg"),
+        max(when(col("__gap") > GapThrUs, col("__gap"))).as("__dmax"),
+        sum(when(col("__gap") > GapThrUs,
+          expr(TSA.fillCountSpark("__gap", NomStepUs))).otherwise(0L))
+          .as("__dmiss"))
+    // cross-day boundary gaps: a window over PRESENT DAYS (rows =
+    // calendar days per type, never events)
+    val wt = Window.partitionBy("event_type").orderBy("__day")
+    perDay
+      .withColumn("__bgap", col("__first") - lag(col("__last"), 1).over(wt))
+      .groupBy("event_type")
+      .agg(sum("__n").as("n_events"),
+        (sum("__dg") + sum(when(col("__bgap") > GapThrUs, 1L)
+          .otherwise(0L))).as("n_gaps"),
+        greatest(max("__dmax"),
+          max(when(col("__bgap") > GapThrUs, col("__bgap"))))
+          .as("max_gap_us"),
+        (sum("__dmiss") + sum(when(col("__bgap") > GapThrUs,
+          expr(TSA.fillCountSpark("__bgap", NomStepUs))).otherwise(0L)))
+          .as("n_missing"))
+  }
+
+  /** Archive coverage report per event type — the catalog-level
+    * completeness audit every granule archive answers before a reprocess
+    * campaign: the day span the type covers, how many calendar days
+    * actually hold records, the missing-day count, and the record
+    * total. Pure integers off one grouped aggregate (the day collapses
+    * into the group key before the shuffle), no window anywhere. */
+  def qCoverageReport(s: SparkSession, dir: String): DataFrame =
+    TSA.filterValid(events(s, dir), cfg)
+      .withColumn("__day", expr(s"${TSA.T} div 86400000000"))
+      .groupBy("event_type")
+      .agg(min("__day").as("first_day"), max("__day").as("last_day"),
+        countDistinct("__day").as("n_days_present"),
+        count(lit(1)).as("n_records"))
+      .select(col("event_type"), col("first_day"), col("last_day"),
+        col("n_days_present"),
+        (col("last_day") - col("first_day") + 1L - col("n_days_present"))
+          .as("n_days_missing"),
+        col("n_records"))
+
   /** Flatten a dependent unlimited dimension: per-record features packed
     * into a dense 1..n index (reference README flare-location example). */
   def qAggFlatten(s: SparkSession, dir: String): DataFrame = {
@@ -591,6 +666,34 @@ object AggQueries {
   }
 
   val oracle: Map[String, String] = Map(
+    // report face of the gap machinery: the same round-half-even fill
+    // count as the gapfill oracle, aggregated instead of synthesized
+    "q_gap_stats" ->
+      s"""WITH v AS ($sqlValid),
+         |g AS (SELECT event_type,
+         |             t - lag(t) OVER (PARTITION BY event_type
+         |                              ORDER BY t, event_id) AS gap
+         |      FROM v)
+         |SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+         |       CAST(sum(CASE WHEN gap > $GapThrUs THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_gaps,
+         |       max(CASE WHEN gap > $GapThrUs THEN gap END) AS max_gap_us,
+         |       CAST(sum(CASE WHEN gap > $GapThrUs
+         |                THEN ${TSA.fillCountDuck("gap", NomStepUs)}
+         |                ELSE 0 END) AS BIGINT) AS n_missing
+         |FROM g GROUP BY 1""".stripMargin,
+    "q_coverage_report" ->
+      s"""WITH v AS ($sqlValid)
+         |SELECT event_type,
+         |       CAST(min(t // 86400000000) AS BIGINT) AS first_day,
+         |       CAST(max(t // 86400000000) AS BIGINT) AS last_day,
+         |       CAST(count(DISTINCT t // 86400000000) AS BIGINT)
+         |         AS n_days_present,
+         |       CAST(max(t // 86400000000) - min(t // 86400000000) + 1
+         |            - count(DISTINCT t // 86400000000) AS BIGINT)
+         |         AS n_days_missing,
+         |       CAST(count(*) AS BIGINT) AS n_records
+         |FROM v GROUP BY 1""".stripMargin,
     "q_agg_sort" ->
       s"""WITH e AS ($sqlValid)
          |SELECT row_number() OVER (ORDER BY t, event_id) AS rn,
@@ -811,6 +914,8 @@ object AggQueries {
     "q_agg_sessionize" -> (qAggSessionize _),
     "q_agg_bounds_parse" -> (qAggBoundsParse _),
     "q_agg_chunked_write" -> (qAggChunkedWrite _),
+    "q_gap_stats" -> (qGapStats _),
+    "q_coverage_report" -> (qCoverageReport _),
     "q_netcdf_scan" -> (qNetcdfScan _),
     "q_netcdf_range" -> (qNetcdfRange _),
     "q_netcdf_filter" -> (qNetcdfFilter _),

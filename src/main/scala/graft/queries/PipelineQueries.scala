@@ -391,6 +391,48 @@ object PipelineQueries {
           |     ELSE 'test' END""".stripMargin))
       .select("doc_id", "cluster_id", "split")
 
+  /** Split-contamination AUDIT — the verification step behind
+    * [[dSplitLeakfree]]'s guarantee: per eval split (val/test), how many
+    * docs share at least one distinct 3-gram shingle with ANY train
+    * doc, and the total shared-shingle mass. The leak-free split only
+    * guarantees no NEAR-DUP crosses the boundary; residual shingle
+    * overlap (boilerplate, quotations) is exactly what an eval-
+    * contamination report measures before a benchmark ships. Scale
+    * shape: one shingle-keyed distinct (the train shingle set), one
+    * shingle-keyed left join of the eval stream, two keyed rollups —
+    * linear in total shingles, never pairwise. All-integer output. */
+  def dLeakAudit(s: SparkSession, dir: String): DataFrame = {
+    val split = dSplitLeakfree(s, dir).select("doc_id", "split")
+    val ex = shingles(s, dir)
+      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
+      .join(split, Seq("doc_id"))
+    val trainG = ex.filter(col("split") === "train")
+      .select("g").distinct().withColumn("__tr", lit(1L))
+    ex.filter(col("split") =!= "train")
+      .join(trainG, Seq("g"), "left")
+      .groupBy("split", "doc_id")
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__tr").isNotNull, 1L).otherwise(0L)).as("__sh"))
+      .groupBy("split")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("__sh") > 0L, 1L).otherwise(0L)).as("n_contaminated"),
+        sum("__n").as("n_shingles"),
+        sum("__sh").as("n_shared"))
+  }
+
+  /** Near-dup cluster-size histogram — the dedup telemetry a fleet
+    * watches across recrawls: clusters bucketed by floor(log2(size))
+    * (computed as the binary-digit count, integer-exact in both
+    * engines — a float log2 could round differently at powers of two),
+    * with cluster and document counts per bucket. Two keyed aggregates
+    * over the cached cluster verdict; nothing else. */
+  def dClusterSizeHist(s: SparkSession, dir: String): DataFrame =
+    dDedupClusters(s, dir)
+      .groupBy("cluster_id").agg(count(lit(1)).as("__n"))
+      .groupBy(expr("CAST(length(bin(__n)) - 1 AS BIGINT)")
+        .as("log2_size"))
+      .agg(count(lit(1)).as("n_clusters"), sum("__n").as("n_docs"))
+
   /** Canonical-document selection: after near-dup clustering, keep the
     * highest-QUALITY member of every cluster (ties to the lowest doc_id)
     * — the curation step that upgrades [[dDedupClusters]]' "keep lowest
@@ -1877,6 +1919,16 @@ object PipelineQueries {
           .otherwise(lit("und")).as("pred_lang"),
         col("lang"))
 
+  /** Language-ID confusion matrix — [[tLangid]]'s predictions crossed
+    * against the table's labeled language: the classifier-quality
+    * telemetry a corpus pipeline reviews before trusting the gate (the
+    * 'en' recall/precision cells fall straight out of the counts). One
+    * grouped aggregate over the cached token frame; integer counts. */
+  def tLangConfusion(s: SparkSession, dir: String): DataFrame =
+    tLangid(s, dir)
+      .groupBy("lang", "pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+
   /** Memoized: the quality frame is a SHARED stage — the quality gate,
     * keep-best selection, and both capstone pipelines consume it, and
     * its tokenization pass dominates its cost (the same reasoning as
@@ -3227,6 +3279,90 @@ object PipelineQueries {
          |            WHEN hv % 100 < 90 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM h""".stripMargin,
+    // the audit behind the leak-free guarantee: residual shingle overlap
+    // between eval splits and the train set (same split rule as above)
+    "d_leak_audit" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |alld AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id)
+         |                  AS cluster_id
+         |         FROM documents d LEFT JOIN cl ON cl.doc_id = d.doc_id),
+         |spl AS (SELECT doc_id,
+         |          CASE WHEN ((cluster_id % 1000003) * 2654435761)
+         |                    % 1000003 % 100 < 80 THEN 'train'
+         |               WHEN ((cluster_id % 1000003) * 2654435761)
+         |                    % 1000003 % 100 < 90 THEN 'val'
+         |               ELSE 'test' END AS split
+         |        FROM alld),
+         |ex AS (SELECT shT.doc_id, unnest(list_distinct(sh)) AS g,
+         |              spl.split
+         |       FROM shT JOIN spl USING (doc_id)),
+         |tr AS (SELECT DISTINCT g FROM ex WHERE split = 'train'),
+         |pd AS (SELECT ex.split, ex.doc_id, count(*) AS n_sh,
+         |              sum(CASE WHEN tr.g IS NOT NULL THEN 1 ELSE 0 END)
+         |                AS n_shared
+         |       FROM ex LEFT JOIN tr USING (g)
+         |       WHERE ex.split <> 'train' GROUP BY 1, 2)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN n_shared > 0 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_contaminated,
+         |       CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |       CAST(sum(n_shared) AS BIGINT) AS n_shared
+         |FROM pd GROUP BY 1""".stripMargin,
+    // cluster-size histogram over the same component labels; the log2
+    // bucket is the binary digit count, integer-exact in both engines
+    "d_cluster_size_hist" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |cl AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |       FROM reach GROUP BY id),
+         |cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS n
+         |       FROM cl GROUP BY 1)
+         |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_size,
+         |       CAST(count(*) AS BIGINT) AS n_clusters,
+         |       CAST(sum(n) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1""".stripMargin,
+    // langid predictions crossed with the labeled language column
+    "t_lang_confusion" ->
+      s"""WITH $thCte
+         |SELECT lang,
+         |       CASE WHEN len(list_filter(toks, t -> t IN ($stopListSql)))
+         |                 * 100 > len(toks) * 3
+         |            THEN 'en' ELSE 'und' END AS pred_lang,
+         |       CAST(count(*) AS BIGINT) AS n_docs
+         |FROM thT GROUP BY 1, 2""".stripMargin,
     "d_embed_neardup" ->
       s"""WITH e AS (SELECT vec_id, embedding AS v,
          |            ${PV.lshSigDuck("embedding")} AS sig FROM embeddings),
@@ -4910,6 +5046,9 @@ object PipelineQueries {
     "d_epoch_mix" -> (dEpochMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
     "d_corpus_pipeline_v2" -> (dCorpusPipelineV2 _),
+    "d_leak_audit" -> (dLeakAudit _),
+    "d_cluster_size_hist" -> (dClusterSizeHist _),
+    "t_lang_confusion" -> (tLangConfusion _),
     "t_ngram_freq" -> (tNgramFreq _),
     "t_bpe_pairs" -> (tBpePairs _),
     "t_keywords" -> (tKeywords _),
