@@ -142,6 +142,32 @@ object PipelineQueries {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("shared_bands"))
 
+  /** MinHash estimation-error AUDIT over the LSH candidate pairs — the
+    * index-quality telemetry behind [[dMinhashLsh]]/[[dNgramJaccard]]:
+    * per candidate pair, the 32-row signature agreement count (whose
+    * /32 IS the MinHash Jaccard estimate) next to the EXACT distinct-
+    * shingle intersection and union sizes. A fleet plots agree/32
+    * against intersect/union to decide band/row counts before a
+    * recrawl; integer outputs only, so the cross-engine compare is
+    * exact. Scale shape: the pair frame comes from the cached band
+    * join (linear), each side joins the cached shingle frame once —
+    * two keyed joins, per-pair work bounded by signature + shingle
+    * lengths. */
+  def dMinhashEstErr(s: SparkSession, dir: String): DataFrame = {
+    val mh = shingles(s, dir).select(col("doc_id"), col("sh"),
+      expr(PT.minhashSpark("sh")).as("mh"))
+    lshPairs(s, dir).select("doc_a", "doc_b").distinct()
+      .join(mh.toDF("doc_a", "sh_a", "mh_a"), Seq("doc_a"))
+      .join(mh.toDF("doc_b", "sh_b", "mh_b"), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        expr("aggregate(zip_with(mh_a, mh_b, (x, y) -> IF(x = y, 1L, 0L))," +
+          " 0L, (a, v) -> a + v)").as("mh_agree"),
+        expr("CAST(size(array_intersect(sh_a, sh_b)) AS BIGINT)")
+          .as("n_intersect"),
+        expr("CAST(size(array_union(sh_a, sh_b)) AS BIGINT)")
+          .as("n_union"))
+  }
+
   /** Batch twin of [[graft.streaming.StreamingAgg.minhashDedupStream]]:
     * the SAME stateful band-bucket transform folds once per bucket
     * against empty state, then per-doc verdicts aggregate to keep/drop —
@@ -489,6 +515,25 @@ object PipelineQueries {
     * count — shingle-keyed first-owner aggregate (partial/final,
     * map-side combine), join back on the shingle, per-doc rollup. Never
     * a pair join; the ratio is one IEEE divide of exact integers. */
+  /** Hapax profile per document — the vocabulary-tail signal next to
+    * [[tNovelty]]: of a doc's DISTINCT token hashes, how many are
+    * corpus hapax legomena (total corpus occurrences = 1, counting
+    * repeats within a doc). High hapax share marks fresh/rare
+    * vocabulary; near-zero marks template text. Same linear shape as
+    * the novelty scorer: one token-keyed corpus-frequency aggregate
+    * (partial/final, map-side combine), a join back on the token, and a
+    * per-doc rollup — never pairwise. */
+  def tHapax(s: SparkSession, dir: String): DataFrame = {
+    val ex = tokenHashes(s, dir)
+      .select(col("doc_id"), explode(col("th")).as("h"))
+    val freq = ex.groupBy("h").agg(count(lit(1)).as("cf"))
+    ex.groupBy("doc_id", "h").agg(count(lit(1)).as("__n"))
+      .join(freq, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_distinct"),
+        sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+  }
+
   def tNovelty(s: SparkSession, dir: String): DataFrame = {
     val ex = shingles(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
@@ -3279,6 +3324,30 @@ object PipelineQueries {
          |            WHEN hv % 100 < 90 THEN 'val'
          |            ELSE 'test' END AS split
          |FROM h""".stripMargin,
+    // estimation audit: signature agreement vs exact set overlap per
+    // LSH candidate pair — all integers
+    "d_minhash_est_err" ->
+      s"""WITH $pairsCte,
+         |p AS (SELECT DISTINCT doc_a, doc_b FROM pairs)
+         |SELECT p.doc_a, p.doc_b,
+         |       CAST(len(list_filter(range(1, 33), i -> a.mh[i] = b.mh[i]))
+         |            AS BIGINT) AS mh_agree,
+         |       CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT)
+         |         AS n_intersect,
+         |       CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS BIGINT)
+         |         AS n_union
+         |FROM p JOIN mhT a ON a.doc_id = p.doc_a
+         |JOIN mhT b ON b.doc_id = p.doc_b""".stripMargin,
+    // corpus hapax share per doc: token-frequency agg + join-back
+    "t_hapax" ->
+      s"""WITH $thCte,
+         |ex AS (SELECT doc_id, unnest(th) AS h FROM thT),
+         |fr AS (SELECT h, count(*) AS cf FROM ex GROUP BY 1),
+         |pd AS (SELECT doc_id, h, count(*) AS n FROM ex GROUP BY 1, 2)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_distinct,
+         |       CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_hapax
+         |FROM pd JOIN fr USING (h) GROUP BY doc_id""".stripMargin,
     // the audit behind the leak-free guarantee: residual shingle overlap
     // between eval splits and the train set (same split rule as above)
     "d_leak_audit" ->
@@ -5049,6 +5118,8 @@ object PipelineQueries {
     "d_leak_audit" -> (dLeakAudit _),
     "d_cluster_size_hist" -> (dClusterSizeHist _),
     "t_lang_confusion" -> (tLangConfusion _),
+    "d_minhash_est_err" -> (dMinhashEstErr _),
+    "t_hapax" -> (tHapax _),
     "t_ngram_freq" -> (tNgramFreq _),
     "t_bpe_pairs" -> (tBpePairs _),
     "t_keywords" -> (tKeywords _),
