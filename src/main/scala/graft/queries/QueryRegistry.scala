@@ -165,6 +165,12 @@ object QueryRegistry {
     "stream_forecast" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .forecastStream(AggQueries.events(s, dir)).toDF()),
+    // batch twin of StreamingAgg.gapStream: one fold per type against
+    // empty state == q_gap_stats' per-gap rows (the alert stream IS the
+    // report's gap set)
+    "stream_gap_alerts" -> ((s, dir) =>
+      graft.streaming.StreamingAgg
+        .gapStream(AggQueries.events(s, dir)).toDF()),
     // batch twin of StreamingAgg.packStream: one fold per source against
     // empty state == d_pack_sequences' per-source prefix window
     "stream_pack_sequences" -> ((s, dir) =>
@@ -481,6 +487,21 @@ object QueryRegistry {
         |       count(t3) AS n_purchase_after_click
         |FROM s1 LEFT JOIN s2 USING (user_id)
         |        LEFT JOIN s3 USING (user_id)""".stripMargin,
+    // the gap fold against empty state == the per-gap row set of the
+    // batch report, under the SAME round-half-even missing-record rule
+    "stream_gap_alerts" ->
+      s"""WITH v AS (
+         |  SELECT event_type, epoch_us(ts) AS t, event_id FROM events
+         |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+         |    AND event_id IS NOT NULL AND epoch_us(ts) > 0),
+         |g AS (SELECT event_type, t,
+         |             lag(t) OVER (PARTITION BY event_type
+         |                          ORDER BY t, event_id) AS pt
+         |      FROM v)
+         |SELECT event_type, pt AS gap_start_us, t - pt AS gap_us,
+         |       CAST(${TSA.fillCountDuck("t - pt", 3600000000L)} AS BIGINT)
+         |         AS n_missing
+         |FROM g WHERE pt IS NOT NULL AND t - pt > 7200000000""".stripMargin,
     // the packer fold against empty state == the per-source prefix
     // window (same SQL as d_pack_sequences — the entry pins the
     // STREAMING code path against it)

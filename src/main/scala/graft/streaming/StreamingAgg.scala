@@ -147,6 +147,15 @@ final case class FunnelEvent(user_id: Long, t: Long, event_id: Long,
   * length. */
 final case class FunnelState(t1: Long, t2: Long, t3: Long)
 final case class FunnelHit(user_id: Long, stage: String, t: Long)
+/** Typed event of [[StreamingAgg.gapStream]]. */
+final case class GapEv(event_type: String, t: Long, event_id: Long)
+/** One detected cadence gap: it STARTS at the last record before the
+  * gap, spans `gap_us`, and the reference's round-half-even rule says
+  * gapfill would synthesize `n_missing` records into it. */
+final case class GapAlertRow(event_type: String, gap_start_us: Long,
+    gap_us: Long, n_missing: Long)
+/** One long of state per type: the latest record time seen. */
+final case class GapAlertState(lastT: Long)
 final case class DriftVec(label: Long, vec_id: Long, q: Array[Long])
 /** Per-label drift state: exact quantized dim sums of the even/odd
   * halves plus their counts — 2·dims + 2 longs per label, independent
@@ -1391,6 +1400,49 @@ object StreamingAgg {
               curS2Hi = hi, curS2Lo = lo)
           }
           st.update(cur)
+          out.result().iterator
+        })
+  }
+
+  /** Streaming cadence-gap ALERTS — the live face of
+    * [[graft.queries.AggQueries.qGapStats]]: one row per detected gap
+    * wider than `thrUs`, emitted the moment the gap-closing record
+    * arrives, with the missing-record count under the reference's own
+    * round-half-even rule ([[graft.core.TimeSeriesAggregator
+    * .fillCount]] — identical in the batch plan, the DuckDB oracle, and
+    * this fold, so the alert stream IS the batch report's row set).
+    * One long of state per type (the latest record time); events fold
+    * in (t, id) order per invocation, and a late event that would
+    * regress the frontier neither emits a negative gap nor rewinds
+    * state — the standard streaming caveat, with the batch report as
+    * the event-time-exact backfill. */
+  def gapStream(events: DataFrame,
+      nomUs: Long = 3600000000L,
+      thrUs: Long = 7200000000L): Dataset[GapAlertRow] = {
+    val s = events.sparkSession
+    import s.implicits._
+    val typed = events
+      .filter(col("ts").isNotNull && col("event_type").isNotNull &&
+        col("event_id").isNotNull)
+      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .filter(col("__t") > 0L)
+      .select(col("event_type"), col("__t").as("t"),
+        col("event_id").cast(LongType).as("event_id"))
+      .as[GapEv]
+    typed.groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(
+        (typ: String, it: Iterator[GapEv],
+            st: GroupState[GapAlertState]) => {
+          var last = st.getOption.map(_.lastT).getOrElse(Long.MinValue)
+          val out = Seq.newBuilder[GapAlertRow]
+          it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            if (last != Long.MinValue && e.t - last > thrUs)
+              out += GapAlertRow(typ, last, e.t - last,
+                graft.core.TimeSeriesAggregator.fillCount(e.t - last, nomUs))
+            if (e.t > last) last = e.t
+          }
+          st.update(GapAlertState(last))
           out.result().iterator
         })
   }

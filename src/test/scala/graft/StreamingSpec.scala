@@ -1605,6 +1605,42 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally qm.stop()
   }
 
+  test("gap alert stream: gaps emit the moment the closing record " +
+      "arrives, across batches; late events neither alert nor rewind " +
+      "the frontier") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L
+    def aev(sec: Long, id: Long) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, "m", id, 1.0)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.gapStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gaps").start()
+    def rows() = spark.table("gaps").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    try {
+      // records at t=0 and t=1h: nominal cadence, no alert
+      mem.addData(aev(0, 1L), aev(hour, 2L))
+      q.processAllAvailable()
+      assert(rows() === Set.empty)
+      // next record 5h later, in a LATER batch: one alert, gap starts
+      // at the frontier, 4 missing hourly records (round-half-even)
+      mem.addData(aev(6 * hour, 3L))
+      q.processAllAvailable()
+      assert(rows() === Set((hour * 1000000L, 5 * hour * 1000000L, 4L)))
+      // a late straggler inside the already-alerted gap: no new alert,
+      // and the frontier must NOT rewind (the next on-cadence record
+      // would otherwise re-alert against the stale frontier)
+      mem.addData(aev(3 * hour, 4L))
+      q.processAllAvailable()
+      mem.addData(aev(7 * hour, 5L))
+      q.processAllAvailable()
+      assert(rows() === Set((hour * 1000000L, 5 * hour * 1000000L, 4L)),
+        "late records must not re-alert or rewind the frontier")
+    } finally q.stop()
+  }
+
   test("pack stream: null docs are filtered and do not corrupt the " +
       "running per-source offset") {
     import spark.implicits._
