@@ -796,6 +796,55 @@ object Multimodal {
         "window_sig", "error")
   }
 
+  /** Per-window silence profile over a stored `(event_id, wav)` frame —
+    * the VAD-style gate audio curation runs before transcription: the
+    * same 400/200 framing as [[audioFeaturesChecked]], each window's
+    * RAW energy Σs² (no modulus — these are the decision values, not a
+    * fold signature), a QUIET verdict when the window's energy density
+    * falls below the clip's own average (`ws · n_samples <
+    * total_energy · win` — pure integer cross-multiplication, exact in
+    * both engines; both sides stay ≤ ~8.6e14, well inside a long), and
+    * the min/max window energies for threshold tuning. Map-only
+    * decode, one row per clip. */
+  def audioSilenceChecked(media: DataFrame): DataFrame = {
+    import media.sparkSession.implicits._
+    media.select(col("event_id").cast(LongType), col("wav"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, p) =>
+          try {
+            val clip = Wav.decode(p)
+            val ss = clip.samples
+            val n = ss.length
+            val win = 400; val hop = 200
+            var total = 0L; var i = 0
+            while (i < n) { val v = ss(i).toLong; total += v * v; i += 1 }
+            var nW = 0L; var nQ = 0L
+            var minW = Long.MaxValue; var maxW = Long.MinValue
+            var st = 0
+            while (st + win <= n) {
+              var ws = 0L; var j = st
+              while (j < st + win) {
+                val v = ss(j).toLong; ws += v * v; j += 1
+              }
+              if (ws < minW) minW = ws
+              if (ws > maxW) maxW = ws
+              if (ws * n < total * win) nQ += 1L
+              nW += 1; st += hop
+            }
+            (id, Some(nW), Some(nQ),
+              if (nW > 0) Some(minW) else None,
+              if (nW > 0) Some(maxW) else None,
+              Some(total), None): Checked
+          } catch { case scala.util.control.NonFatal(e) =>
+            (id, None, None, None, None, None, Some(errStr(e))): Checked
+          }
+        }
+      }
+      .toDF("event_id", "n_windows", "n_quiet", "min_wnd_energy",
+        "max_wnd_energy", "energy", "error")
+  }
+
   /** Zero-crossing-rate analysis over a stored `(event_id, wav)` frame —
     * the signal-activity feature behind voice-activity detection and
     * audio-quality gates (noisy/high-frequency clips cross often, tonal

@@ -1664,6 +1664,33 @@ object PipelineQueries {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
+  /** Scalar-quantization reconstruction-error report — the compression
+    * telemetry next to [[embRecallEval]]'s recall: per label, the mean
+    * absolute per-component residual between each vector and its SQ
+    * dequantization ([[annSq]]'s own cached codes — this consumes the
+    * index as built, so the report measures what search actually
+    * scores). Residuals quantize to e9 integers with the shared
+    * floor(+0.5) rule, fold exactly, and divide once at emission — the
+    * whole comparison is bit-exact cross-engine. One keyed join of the
+    * cached code frame to the corpus and one grouped aggregate. */
+  def embQuantizeError(s: SparkSession, dir: String): DataFrame = {
+    val e = tbl(s, dir, "embeddings")
+      .select(col("vec_id"), col("label").cast(LongType).as("label"),
+        col("embedding"))
+    e.join(sqCodes(s, dir).select("vec_id", "deq"), Seq("vec_id"))
+      .withColumn("__err", expr(
+        """aggregate(sequence(1, 64), 0L, (a, i) ->
+          |  a + CAST(floor(abs(CAST(element_at(embedding, i) AS DOUBLE)
+          |        - element_at(deq, i)) * 1000000000.0D + 0.5D)
+          |      AS BIGINT))""".stripMargin))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("__err").as("err_e9"))
+      .select(col("label"), col("n_vecs"), col("err_e9"),
+        (col("err_e9").cast(DoubleType) /
+          (col("n_vecs") * 64L).cast(DoubleType) / lit(1e9))
+          .as("mae"))
+  }
+
   /** IVF-PQ approximate top-k — the composition of [[annIvf]]'s probe
     * pruning with [[annPq]]'s compressed ADC scoring, i.e. the canonical
     * billion-scale ANN index layout (FAISS `IndexIVFPQ` with
@@ -2959,6 +2986,17 @@ object PipelineQueries {
   def mmAudioZcr(s: SparkSession, dir: String): DataFrame =
     graft.multimodal.Multimodal
       .audioZcrChecked(media(s, dir).select("event_id", "wav"))
+      .filter(col("error").isNull).drop("error")
+
+  /** Silence/activity profile from the stored WAV column: decode, then
+    * per-window RAW energies with an integer below-average QUIET
+    * verdict ([[graft.multimodal.Multimodal.audioSilenceChecked]]) —
+    * the VAD-style gate audio curation runs before paying for
+    * transcription. Same map-only scale shape and quarantine contract
+    * as the other mm_* decoders. */
+  def mmAudioSilence(s: SparkSession, dir: String): DataFrame =
+    graft.multimodal.Multimodal
+      .audioSilenceChecked(media(s, dir).select("event_id", "wav"))
       .filter(col("error").isNull).drop("error")
 
   /** Audio dedup by energy-delta fingerprint — [[mmPhash]]'s grouping
@@ -4862,6 +4900,71 @@ object PipelineQueries {
         |       CAST(row_number() OVER (PARTITION BY hv % 64
         |            ORDER BY hv, doc_id) AS BIGINT) AS pos
         |FROM h""".stripMargin,
+    // SQ reconstruction telemetry: same dequantization CTEs as ann_sq,
+    // residuals e9-floored so the fold and the one divide are exact
+    "emb_quantize_error" ->
+      s"""WITH $bucketCte,
+         |dim AS (
+         |  SELECT i, min(CAST(v[i] AS DOUBLE)) AS mn,
+         |         max(CAST(v[i] AS DOUBLE)) AS mx
+         |  FROM e CROSS JOIN range(1, 65) r(i) GROUP BY i),
+         |st AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i) AS mxs
+         |       FROM dim),
+         |c1 AS (
+         |  SELECT vec_id, v,
+         |         list_transform(range(1, 65), i ->
+         |           mns[i] + CAST(
+         |             CASE WHEN mxs[i] = mns[i] THEN 0
+         |             ELSE CAST(floor((CAST(v[i] AS DOUBLE) - mns[i]) * 255.0
+         |                  / (mxs[i] - mns[i])) AS BIGINT) END AS DOUBLE)
+         |             * (mxs[i] - mns[i]) / 255.0) AS deq
+         |  FROM e CROSS JOIN st),
+         |er AS (
+         |  SELECT c1.vec_id,
+         |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |           list_transform(range(1, 65), i ->
+         |             CAST(floor(abs(CAST(c1.v[i] AS DOUBLE) - c1.deq[i])
+         |                  * 1000000000.0 + 0.5) AS BIGINT))),
+         |           (a, x) -> a + x) AS err
+         |  FROM c1)
+         |SELECT CAST(emb.label AS BIGINT) AS label,
+         |       CAST(count(*) AS BIGINT) AS n_vecs,
+         |       CAST(sum(err) AS BIGINT) AS err_e9,
+         |       CAST(CAST(sum(err) AS BIGINT) AS DOUBLE)
+         |         / CAST(count(*) * 64 AS DOUBLE) / 1000000000.0 AS mae
+         |FROM er JOIN embeddings emb ON emb.vec_id = er.vec_id
+         |GROUP BY 1""".stripMargin,
+    // per-window raw energies + the integer below-average quiet rule —
+    // same synthesis CTEs as mm_audio_chunks, without the fold modulus
+    "mm_audio_silence" ->
+      s"""WITH $mediaIdsCte,
+         |n AS (
+         |  SELECT event_id, 1000 + event_id % 1000 AS ns FROM mediaIds),
+         |samp AS (SELECT event_id, ns, i.r AS i,
+         |         (event_id * 1103515245 + i.r * 12345) % 65536 - 32768 AS s
+         |         FROM n, range(0, 2000) i(r) WHERE i.r < ns),
+         |tot AS (SELECT event_id, CAST(sum(s * s) AS BIGINT) AS energy
+         |        FROM samp GROUP BY event_id),
+         |wnd AS (SELECT event_id, ns, k.r AS k FROM n, range(0, 9) k(r)
+         |        WHERE k.r * 200 + 400 <= ns),
+         |wsamp AS (SELECT w.event_id, w.ns, w.k,
+         |          (w.event_id * 1103515245 + (w.k * 200 + j.r) * 12345)
+         |            % 65536 - 32768 AS s
+         |          FROM wnd w, range(0, 400) j(r)),
+         |wsum AS (SELECT event_id, ns, k, CAST(sum(s * s) AS BIGINT) AS ws
+         |         FROM wsamp GROUP BY 1, 2, 3),
+         |a AS (SELECT w.event_id,
+         |        CAST(count(*) AS BIGINT) AS n_windows,
+         |        CAST(sum(CASE WHEN w.ws * w.ns < t.energy * 400
+         |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_quiet,
+         |        min(w.ws) AS min_wnd_energy, max(w.ws) AS max_wnd_energy
+         |      FROM wsum w JOIN tot t USING (event_id) GROUP BY 1)
+         |SELECT n.event_id,
+         |       CAST(COALESCE(a.n_windows, 0) AS BIGINT) AS n_windows,
+         |       CAST(COALESCE(a.n_quiet, 0) AS BIGINT) AS n_quiet,
+         |       a.min_wnd_energy, a.max_wnd_energy, t.energy
+         |FROM n JOIN tot t USING (event_id)
+         |LEFT JOIN a USING (event_id)""".stripMargin,
     "mm_audio_chunks" ->
       s"""WITH $mediaIdsCte,
         |n AS (
@@ -5128,6 +5231,8 @@ object PipelineQueries {
     "mm_phash_neardup" -> (mmPhashNeardup _),
     "mm_frame_sample" -> (mmFrameSample _),
     "mm_audio_chunks" -> (mmAudioChunks _),
+    "mm_audio_silence" -> (mmAudioSilence _),
+    "emb_quantize_error" -> (embQuantizeError _),
     "mm_audio_zcr" -> (mmAudioZcr _),
     "mm_audio_fingerprint" -> (mmAudioFingerprint _),
     "mm_video_motion" -> (mmVideoMotion _),
