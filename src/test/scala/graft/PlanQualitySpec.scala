@@ -811,6 +811,27 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q_gap_stats chunks its windows: the event stream sorts under " +
+      "(type, day) keys, never event_type alone") {
+    // a per-event_type window is one task per type forever (5 partitions
+    // at ANY data size); the gap report must key its event-stream window
+    // on (event_type, __day) and reserve single-key windows for the
+    // per-day rollup frame (rows = calendar days, never events)
+    val df = SparkEntry.queries("q_gap_stats")(spark, sfDir)
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected window nodes in the gap plan")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the event-stream lag must run under (event_type, __day)")
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(nodes(w).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"single-key window must consume the per-day aggregate frame:\n$w")
+    }
+  }
+
   test("d_corpus_pipeline_v2: the eight-stage DAG scans documents once " +
       "and reads the shared frames (tokens, quality, clusters) from cache") {
     import graft.queries.PipelineQueries
