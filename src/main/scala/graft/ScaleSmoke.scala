@@ -137,6 +137,19 @@ object ScaleSmoke {
         .drop("__i")
         .write.mode("overwrite").parquet(s"$dir/embeddings_hot.parquet")
     }
+    if (!new java.io.File(s"$dir/documents_srchot.parquet").isDirectory) {
+      // source-skewed documents: 90% of all docs funneled onto source
+      // 'web' — the real shape of a crawl corpus. This is the dir where
+      // a per-source-only pack window serializes (one task carries 90%
+      // of the corpus); the two-level pack must hold its max-task bound
+      Tables.load(spark, sf, "documents")
+        .withColumn("__i", explode(expr(s"sequence(0, ${factor - 1})")))
+        .withColumn("doc_id", col("doc_id") + col("__i") * 100000000L)
+        .withColumn("source",
+          when(col("doc_id") % 10 < 9, lit("web")).otherwise(col("source")))
+        .drop("__i")
+        .write.mode("overwrite").parquet(s"$dir/documents_srchot.parquet")
+    }
     if (!new java.io.File(s"$dir/events_hot.parquet").isDirectory) {
       // hot-key events: half of all rows funneled onto user_id 1
       Tables.load(spark, sf, "events")
@@ -161,6 +174,8 @@ object ScaleSmoke {
       d.toString
     }
     val zipfDir = linkDir("zipf_sf", "documents_zipf.parquet", "documents")
+    val srcHotDir =
+      linkDir("srchot_sf", "documents_srchot.parquet", "documents")
     val hotEmbDir =
       linkDir("hot_emb_sf", "embeddings_hot.parquet", "embeddings")
 
@@ -270,6 +285,17 @@ object ScaleSmoke {
         assignSweep(spark, s"$dir/embeddings.parquet", 400, flat = true)),
       s"assign_k2000_flat_${factor}x" -> timeNamed("assign_k2000_flat",
         assignSweep(spark, s"$dir/embeddings.parquet", 2000, flat = true)),
+      // sequence packing under source skew (90% 'web'): the default
+      // two-level (source, shard) pack vs the packShards=1 degenerate
+      // form whose prefix window serializes the hot source through one
+      // task — the maxtask_* gap is the reason the two-level rule exists
+      s"pack_srchot_${factor}x" ->
+        timeNamed("pack_srchot",
+          PipelineQueries.dPackSequences(spark, srcHotDir)),
+      s"pack_srchot_serial_${factor}x" ->
+        timeNamed("pack_srchot_serial",
+          PipelineQueries.dPackSequences(spark, srcHotDir,
+            graft.queries.PipelineParams(packShards = 1L))),
       s"agg_core_hot_${factor}x" ->
         timeNamed("agg_core_hot",
           aggCore(spark.read.parquet(s"$dir/events_hot.parquet"))),
@@ -292,7 +318,7 @@ object ScaleSmoke {
     // teardown: release every dir's memoized frames/checkpoints and
     // derived layouts — the smoke runs several dirs through one session,
     // exactly the long-lived-session shape the caches must not pin
-    Seq(sf, dir, zipfDir, hotEmbDir).foreach { d =>
+    Seq(sf, dir, zipfDir, hotEmbDir, srcHotDir).foreach { d =>
       PipelineQueries.evictCaches(spark, d)
       graft.queries.RelationalQueries.evictDerived(spark, d)
     }

@@ -21,12 +21,21 @@ package graft.queries
   *   scale this is the shard-writer parallelism.
   * @param packBudget token budget per packed training bin
   *   (`d_pack_sequences`).
+  * @param packShards pack-shard count per source for `d_pack_sequences`
+  *   / `d_corpus_pipeline_v2`: docs pack in (shard, doc_id) order within
+  *   each source, so the prefix sum parallelizes across
+  *   |sources|·packShards window tasks instead of serializing a hot
+  *   source through one. packShards = 1 reduces exactly to the plain
+  *   per-source doc_id-order pack (shard ≡ 0, base ≡ 0) — the streaming
+  *   packer's arrival-order contract. A fleet sizes this to its writer
+  *   parallelism; the DEFAULT is what the oracle encodes.
   */
 final case class PipelineParams(
     semTau: Double = 0.35,
     rowsPerCentroid: Long = 50L,
     nShards: Long = 64L,
-    packBudget: Long = 2048L)
+    packBudget: Long = 2048L,
+    packShards: Long = 16L)
 
 object PipelineParams {
   val Default: PipelineParams = PipelineParams()

@@ -2719,24 +2719,61 @@ object PipelineQueries {
       .select(col("source"), col("rk"), col("doc_id"), col("n_chars"))
   }
 
+  /** Narrow per-doc token-count frame feeding the sequence packer —
+    * (doc_id, source, n_tokens), ~32 B/row. Cached because the two-level
+    * pack consumes it on TWO branches (the per-shard prefix window and
+    * the per-shard totals aggregate); without the cache each branch
+    * would re-tokenize the corpus. */
+  private def packTokens(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "packTokens") {
+      graft.functions.native.register(s)
+      tbl(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
+        .cache()
+    }
+
   /** Sequence packing — the step that turns a filtered corpus into fixed
-    * token-budget training bins: docs are packed in deterministic
-    * (doc_id) order per source, each doc placed at the running token
-    * offset, bin = offset div budget (the standard streaming pack; docs
-    * spanning a boundary belong to the bin their first token lands in).
-    * One keyed window (partition by source) — no global order exists, so
-    * packing parallelizes across sources/shards exactly as it does in a
-    * real pipeline. */
+    * token-budget training bins: within each source, docs pack in
+    * deterministic (shard, doc_id) order — shard is
+    * [[dShardAssign]]'s multiplicative hash of doc_id mod
+    * [[PipelineParams.packShards]] — each doc placed at the running
+    * token offset, bin = offset div budget (docs spanning a boundary
+    * belong to the bin their first token lands in).
+    *
+    * Two-level plan, because a single per-source prefix window is ONE
+    * task per source forever (a crawl's `web` source is most of a
+    * 100 TB corpus — a serial cumulative sum over ~10¹⁰ rows): the
+    * prefix window runs per (source, shard) — |sources|·packShards
+    * parallel tasks at ANY skew — and a broadcast join of the
+    * |sources|·packShards per-shard token totals (one tiny aggregate +
+    * a prefix over SHARDS, never documents) re-bases each shard's local
+    * offsets. The result is bit-identical to a serial pack of the
+    * source in (shard, doc_id) order — the DuckDB oracle computes
+    * exactly that single serial window, so the hash match proves the
+    * re-base algebra. packShards = 1 degenerates to the plain
+    * per-source doc_id-order pack (the streaming packer's contract). */
   def dPackSequences(s: SparkSession, dir: String,
       p: PipelineParams = PipelineParams.Default): DataFrame = {
     val budget = p.packBudget
-    val w = Window.partitionBy("source").orderBy("doc_id")
+    val nsh = p.packShards
+    val docs = packTokens(s, dir).withColumn("shard",
+      expr(s"((doc_id % 1000003) * 2654435761) % 1000003 % ${nsh}L"))
+    val wLoc = Window.partitionBy("source", "shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    tbl(s, dir, "documents")
-      .select(col("doc_id"), col("source"),
-        expr("CAST(size(graft_tokens(text)) AS BIGINT)").as("n_tokens"))
-      .withColumn("bin_offset",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // per-shard token totals: |sources|·packShards rows — the prefix
+    // window over SHARDS runs on this aggregate frame, never documents
+    val wBase = Window.partitionBy("source").orderBy("shard")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val bases = docs.groupBy("source", "shard")
+      .agg(sum("n_tokens").as("__shard_tokens"))
+      .withColumn("shard_base",
+        coalesce(sum("__shard_tokens").over(wBase), lit(0L)))
+      .select(col("source"), col("shard"), col("shard_base"))
+    docs
+      .withColumn("__loc", coalesce(sum(col("n_tokens")).over(wLoc), lit(0L)))
+      .join(broadcast(bases), Seq("source", "shard"))
+      .withColumn("bin_offset", col("shard_base") + col("__loc"))
       .select(col("source"), col("doc_id"), col("n_tokens"),
         expr(s"bin_offset div ${budget}L").as("bin_id"),
         (col("bin_offset") % budget).as("offset_in_bin"))
@@ -2854,18 +2891,30 @@ object PipelineQueries {
       .withColumn("n_epochs", expr(
         "__w div 100L + IF(__coin < __w % 100L, 1L, 0L)"))
       .withColumn("epoch", explode(expr("sequence(1L, n_epochs)")))
-    // sequence packing of the upsampled stream, (doc_id, epoch) order
-    // per source — the quality frame's n_tokens IS graft_tokens' count,
-    // so packing re-uses the shared tokenization
-    val w = Window.partitionBy("source").orderBy("doc_id", "epoch")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    up.withColumn("bin_offset",
-        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+    // sequence packing of the upsampled stream — dPackSequences' rule:
+    // (shard, doc_id, epoch) order per source, shard = the pack-shard
+    // multiplicative hash. The per-source PACK STATS have a closed
+    // form, so this stage needs NO window at all: offsets are a
+    // nondecreasing cumulative sum in pack order, hence
+    //   max(bin_offset) = sum_tokens − n_tokens(last row in pack order)
+    //   n_bins = max(bin_offset) div budget + 1
+    // — one keyed aggregate (max_by picks the last-packed row), the
+    // single consumer of the upsampled frame, so documents still scans
+    // exactly once and the plan is window-FREE (PlanQualitySpec pins
+    // both). The closed form's identity with a materialized pack is
+    // pinned by the correctness gate itself: the DuckDB oracle
+    // computes the full serial window over the same upsampled stream.
+    // The quality frame's n_tokens IS graft_tokens' count, so packing
+    // re-uses the shared tokenization.
+    val nsh = PipelineParams.Default.packShards
+    up.withColumn("shard",
+        expr(s"((doc_id % 1000003) * 2654435761) % 1000003 % ${nsh}L"))
       .groupBy("source")
       .agg(countDistinct("doc_id").as("n_docs"),
         count(lit(1)).as("n_seqs"),
         sum("n_tokens").as("sum_tokens"),
-        (max(expr("bin_offset div 2048L")) + 1L).as("n_bins"))
+        (expr("(sum(n_tokens) - max_by(n_tokens, struct(shard, doc_id, epoch)))" +
+          " div 2048L") + 1L).as("n_bins"))
   }
 
   // ------------------------------------------------------------- multimodal
@@ -4533,7 +4582,9 @@ object PipelineQueries {
          |                  AS w
          |              FROM sv))),
          |o AS (SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
-         |           ORDER BY doc_id, epoch
+         |           ORDER BY ((doc_id % 1000003) * 2654435761) % 1000003
+         |                      % ${PipelineParams.Default.packShards},
+         |                    doc_id, epoch
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |           0) AS bin_offset
          |      FROM up)
@@ -4743,14 +4794,19 @@ object PipelineQueries {
         |      FROM h)
         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
         |FROM r WHERE rk <= 20""".stripMargin,
+    // the serial form of the two-level pack: ONE window in (shard,
+    // doc_id) order per source — a hash match proves the engine's
+    // shard-local offsets + broadcast re-base equal the serial pack
     "d_pack_sequences" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
-         |         CAST(len(${PT.tokensDuck("text")}) AS BIGINT) AS n_tokens
+         |         CAST(len(${PT.tokensDuck("text")}) AS BIGINT) AS n_tokens,
+         |         ((doc_id % 1000003) * 2654435761) % 1000003
+         |           % ${PipelineParams.Default.packShards} AS shard
          |  FROM documents),
          |o AS (
          |  SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
-         |           ORDER BY doc_id
+         |           ORDER BY shard, doc_id
          |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
          |           0) AS bin_offset
          |  FROM d)

@@ -172,7 +172,8 @@ object QueryRegistry {
       graft.streaming.StreamingAgg
         .gapStream(AggQueries.events(s, dir)).toDF()),
     // batch twin of StreamingAgg.packStream: one fold per source against
-    // empty state == d_pack_sequences' per-source prefix window
+    // empty state == the arrival-order pack (dPackSequences with
+    // packShards = 1; the oracle SQL below spells out that window)
     "stream_pack_sequences" -> ((s, dir) =>
       graft.streaming.StreamingAgg
         .packStream(graft.Tables.load(s, dir, "documents")).toDF()),
@@ -500,11 +501,13 @@ object QueryRegistry {
          |      FROM v)
          |SELECT event_type, pt AS gap_start_us, t - pt AS gap_us,
          |       CAST(${TSA.fillCountDuck("t - pt", 3600000000L)} AS BIGINT)
-         |         AS n_missing
+         |         AS n_missing,
+         |       FALSE AS open
          |FROM g WHERE pt IS NOT NULL AND t - pt > 7200000000""".stripMargin,
-    // the packer fold against empty state == the per-source prefix
-    // window (same SQL as d_pack_sequences — the entry pins the
-    // STREAMING code path against it)
+    // the packer fold against empty state == the ARRIVAL-ORDER
+    // per-source prefix window (doc_id order — d_pack_sequences'
+    // packShards=1 degenerate form, NOT its default two-level
+    // (shard, doc_id) rule; the entry pins the STREAMING code path)
     "stream_pack_sequences" ->
       s"""WITH d AS (
         |  SELECT doc_id, source,

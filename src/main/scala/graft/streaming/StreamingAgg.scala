@@ -147,13 +147,20 @@ final case class FunnelEvent(user_id: Long, t: Long, event_id: Long,
   * length. */
 final case class FunnelState(t1: Long, t2: Long, t3: Long)
 final case class FunnelHit(user_id: Long, stage: String, t: Long)
-/** Typed event of [[StreamingAgg.gapStream]]. */
-final case class GapEv(event_type: String, t: Long, event_id: Long)
+/** Typed event of [[StreamingAgg.gapStream]] — `ts` carries the
+  * watermark attribute through to the stateful operator (event-time
+  * timeout requires it in the child output). */
+final case class GapEv(event_type: String, t: Long, event_id: Long,
+    ts: java.sql.Timestamp)
 /** One detected cadence gap: it STARTS at the last record before the
   * gap, spans `gap_us`, and the reference's round-half-even rule says
-  * gapfill would synthesize `n_missing` records into it. */
+  * gapfill would synthesize `n_missing` records into it. `open` = the
+  * gap had not closed when the row emitted: a feed-death page fired at
+  * watermark expiry, with gap_us/n_missing measured to the watermark
+  * (a lower bound that keeps growing); the closing record, if it ever
+  * arrives, still emits the exact closed-gap row. */
 final case class GapAlertRow(event_type: String, gap_start_us: Long,
-    gap_us: Long, n_missing: Long)
+    gap_us: Long, n_missing: Long, open: Boolean)
 /** One long of state per type: the latest record time seen. */
 final case class GapAlertState(lastT: Long)
 final case class DriftVec(label: Long, vec_id: Long, q: Array[Long])
@@ -1415,35 +1422,70 @@ object StreamingAgg {
     * in (t, id) order per invocation, and a late event that would
     * regress the frontier neither emits a negative gap nor rewinds
     * state — the standard streaming caveat, with the batch report as
-    * the event-time-exact backfill. */
+    * the event-time-exact backfill.
+    *
+    * Feed DEATH pages too: a sensor that stops sending never produces a
+    * gap-closing record, so closed-gap alerting alone is silent exactly
+    * when the alert matters most. In streaming mode each type arms an
+    * event-time timeout at frontier + thrUs; when the watermark (driven
+    * by the OTHER types' records) passes it with no new data, one
+    * `open = true` row emits with gap_us/n_missing measured to the
+    * watermark. The stall pages once — a new record re-arms — and the
+    * frontier is kept, so a resuming feed still emits the exact closed
+    * gap (`open = false` rows stay bit-identical to the batch report;
+    * the registry's batch twin never times out, so the oracle is
+    * unchanged modulo the constant flag). */
   def gapStream(events: DataFrame,
       nomUs: Long = 3600000000L,
-      thrUs: Long = 7200000000L): Dataset[GapAlertRow] = {
+      thrUs: Long = 7200000000L,
+      watermark: String = "30 minutes"): Dataset[GapAlertRow] = {
     val s = events.sparkSession
     import s.implicits._
+    val streaming = events.isStreaming
     val typed = events
       .filter(col("ts").isNotNull && col("event_type").isNotNull &&
         col("event_id").isNotNull)
-      .withColumn("__t", unix_micros(col("ts").cast(TimestampType)))
+      .withColumn("ts", col("ts").cast(TimestampType))
+      .withWatermark("ts", watermark)
+      .withColumn("__t", unix_micros(col("ts")))
       .filter(col("__t") > 0L)
       .select(col("event_type"), col("__t").as("t"),
-        col("event_id").cast(LongType).as("event_id"))
+        col("event_id").cast(LongType).as("event_id"), col("ts"))
       .as[GapEv]
     typed.groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append(),
-        GroupStateTimeout.NoTimeout())(
+        GroupStateTimeout.EventTimeTimeout())(
         (typ: String, it: Iterator[GapEv],
             st: GroupState[GapAlertState]) => {
-          var last = st.getOption.map(_.lastT).getOrElse(Long.MinValue)
-          val out = Seq.newBuilder[GapAlertRow]
-          it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
-            if (last != Long.MinValue && e.t - last > thrUs)
-              out += GapAlertRow(typ, last, e.t - last,
-                graft.core.TimeSeriesAggregator.fillCount(e.t - last, nomUs))
-            if (e.t > last) last = e.t
+          if (st.hasTimedOut) {
+            // watermark passed frontier + thrUs with no new record: the
+            // feed is dead as far as event time can prove — page once
+            // with the gap so far; state stays so the closing record
+            // (if the feed resumes) emits the exact closed-gap row, and
+            // no new timeout arms until data arrives
+            val last = st.get.lastT
+            val wmUs = st.getCurrentWatermarkMs() * 1000L
+            if (wmUs - last > thrUs)
+              Iterator.single(GapAlertRow(typ, last, wmUs - last,
+                graft.core.TimeSeriesAggregator.fillCount(wmUs - last,
+                  nomUs), open = true))
+            else Iterator.empty
+          } else {
+            var last = st.getOption.map(_.lastT).getOrElse(Long.MinValue)
+            val out = Seq.newBuilder[GapAlertRow]
+            it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
+              if (last != Long.MinValue && e.t - last > thrUs)
+                out += GapAlertRow(typ, last, e.t - last,
+                  graft.core.TimeSeriesAggregator.fillCount(e.t - last,
+                    nomUs), open = false)
+              if (e.t > last) last = e.t
+            }
+            st.update(GapAlertState(last))
+            if (streaming)
+              st.setTimeoutTimestamp(math.max((last + thrUs) / 1000L + 1L,
+                st.getCurrentWatermarkMs() + 1L))
+            out.result().iterator
           }
-          st.update(GapAlertState(last))
-          out.result().iterator
         })
   }
 
@@ -1567,12 +1609,19 @@ object StreamingAgg {
 
   /** Streaming sequence packing — continuous ingest into fixed
     * token-budget training bins: per source, each arriving doc lands at
-    * the running token offset (bin = offset div budget), exactly the
-    * batch packer's semantics with ONE long of state per source. Docs
-    * fold in doc_id order within each invocation, so feeding a stream
-    * in id order reproduces the batch twin bit-for-bit; a fleet shards
-    * hot sources upstream exactly as it does for the batch packer's
-    * per-source window. */
+    * the running token offset (bin = offset div budget) with ONE long
+    * of state per source. This is the ARRIVAL-ORDER contract — bins
+    * fill in the order docs reach the stream — which is
+    * `dPackSequences(packShards = 1)`'s rule exactly (StreamingSpec
+    * pins the fold against it): docs fold in doc_id order within each
+    * invocation, so feeding a stream in id order reproduces that
+    * degenerate batch pack bit-for-bit. The batch packer's DEFAULT is
+    * the two-level (shard, doc_id)-order re-pack — a batch semantics
+    * that needs every shard's final total, which no per-key stream
+    * state can know; a fleet that must pack a hot source in parallel
+    * ON the stream shards it upstream (key the stream by
+    * (source, shard)) and accepts shard-local bins, or re-packs in
+    * batch. */
   def packStream(docs: DataFrame, budget: Long = 2048L)
       : Dataset[PackRow] = {
     val s = docs.sparkSession

@@ -10,7 +10,7 @@ import org.scalatest.funsuite.AnyFunSuite
   * qualitative behavior on crafted corpora. */
 class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
 
-  import graft.queries.PipelineQueries
+  import graft.queries.{PipelineParams, PipelineQueries}
 
   /** doc 0 (id % 97 == 0 -> pseudo-benchmark member) is the source text;
     * doc 1 copies it with a different ending; doc 3 is a verbatim copy of
@@ -196,15 +196,21 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(agg.count(_._2 == 7L) === 2)
   }
 
-  test("sequence packing: offsets are contiguous and bins respect the order") {
+  test("sequence packing: two-level offsets == a serial pack in " +
+      "(shard, doc_id) order; packShards=1 reduces to the plain pack") {
+    val nsh = PipelineParams.Default.packShards
+    def shardOf(docId: Long): Long =
+      ((docId % 1000003L) * 2654435761L) % 1000003L % nsh
     val r = PipelineQueries.dPackSequences(spark, dir).collect()
       .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
         x.getLong(4)))
       .groupBy(_._1)
+    assert(r.nonEmpty)
     r.values.foreach { docs =>
-      val inOrder = docs.sortBy(_._2) // doc_id order within the source
-      // offsets are the running token count: each doc starts where the
-      // previous ended, first starts at 0
+      // serial reference: each doc starts where the previous ended in
+      // (shard, doc_id) order, first starts at 0 — the broadcast
+      // re-base must make the shard-local windows exactly contiguous
+      val inOrder = docs.sortBy(d => (shardOf(d._2), d._2))
       var cum = 0L
       inOrder.foreach { case (_, _, nTok, binId, off) =>
         assert(binId === cum / 2048 && off === cum % 2048)
@@ -213,6 +219,22 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
       // bin ids never decrease in pack order
       assert(inOrder.map(_._4).sliding(2).forall(w =>
         w.length < 2 || w(0) <= w(1)))
+      // the shards genuinely split the source (the parallelism claim)
+      if (docs.length >= 8)
+        assert(docs.map(d => shardOf(d._2)).distinct.length > 1)
+    }
+    // packShards = 1 degenerates to the plain per-source doc_id pack
+    val one = PipelineQueries.dPackSequences(spark, dir,
+        PipelineParams.Default.copy(packShards = 1L)).collect()
+      .map(x => (x.getString(0), x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4)))
+      .groupBy(_._1)
+    one.values.foreach { docs =>
+      var cum = 0L
+      docs.sortBy(_._2).foreach { case (_, _, nTok, binId, off) =>
+        assert(binId === cum / 2048 && off === cum % 2048)
+        cum += nTok
+      }
     }
   }
 

@@ -857,6 +857,48 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"shared frames must read from cache, got $cacheReads:\n$plan")
   }
 
+  test("d_pack_sequences shards its prefix window: the document stream " +
+      "sorts under (source, shard), never source alone; shard bases " +
+      "broadcast") {
+    // a per-source prefix window is one task per source forever (a
+    // crawl's `web` source is most of the corpus); the pack must key
+    // its document-stream window on (source, shard) and reserve the
+    // single-key window for the per-shard totals frame
+    // (|sources|·packShards rows, an aggregate — never documents)
+    val df = SparkEntry.queries("d_pack_sequences")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val wins = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected window nodes in the pack plan")
+    assert(wins.exists(_.partitionSpec.size == 2),
+      "the document-stream prefix sum must run under (source, shard)")
+    wins.filter(_.partitionSpec.size < 2).foreach { w =>
+      assert(nodes(w).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"single-key window must consume the per-shard totals aggregate:\n$w")
+    }
+    // the re-base join ships |sources|·packShards rows — broadcast it
+    assert(nodes(plan).exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.output.exists(_.name == "shard_base")
+      case _ => false
+    }, s"the shard-base frame must broadcast:\n$plan")
+  }
+
+  test("d_corpus_pipeline_v2's packing stage is window-free: the pack " +
+      "stats come from one keyed aggregate (closed form), never a " +
+      "prefix window over the upsampled stream") {
+    val df = SparkEntry.queries("d_corpus_pipeline_v2")(spark, sfDir)
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      s"the v2 capstone must not sort any stream under a window:\n${wins.mkString("\n")}")
+  }
+
   test("d_dedup_clusters over the gate: identical clusters without the hint") {
     // the label frame is corpus-order on a high-duplication crawl; over
     // the gate the corpus join-back must still produce the same

@@ -1641,6 +1641,62 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("gap alert stream: a feed that dies pages at watermark expiry " +
+      "(open=true, once); closed gaps stay bit-identical to the batch " +
+      "report") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val hour = 3600L
+    def ev(typ: String, sec: Long, id: Long) =
+      AEv(new java.sql.Timestamp(sec * 1000L), 1L, typ, id, 1.0)
+    val mem = MemoryStream[AEv]
+    val q = StreamingAgg.gapStream(mem.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gapdeath").start()
+    def rows() = spark.table("gapdeath").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    try {
+      // feed a records to 1h, then a DIES; b is the heartbeat that
+      // keeps the watermark moving (the realistic fleet shape: other
+      // sensors keep reporting)
+      mem.addData(ev("a", 0, 1L), ev("a", hour, 2L), ev("b", 0, 3L))
+      q.processAllAvailable()
+      assert(rows().isEmpty)
+      mem.addData(ev("b", 5 * hour, 4L)) // watermark -> 4.5h after this
+      q.processAllAvailable()
+      mem.addData(ev("b", 5 * hour + 60, 5L)) // batch runs AT wm 4.5h
+      q.processAllAvailable()
+      val open = rows().filter(_._5)
+      assert(open.length === 1, s"exactly one page for the dead feed: $open")
+      val (typ, start, gapUs, nMiss, _) = open.head
+      assert(typ === "a" && start === hour * 1000000L)
+      assert(gapUs > 7200000000L, "the page fires only past the threshold")
+      assert(nMiss === graft.core.TimeSeriesAggregator
+        .fillCount(gapUs, 3600000000L),
+        "open-gap n_missing follows the same round-half-even rule")
+      // no re-page without new data: another heartbeat advances the
+      // watermark but a's timeout is not re-armed until a speaks again
+      mem.addData(ev("b", 5 * hour + 120, 6L))
+      q.processAllAvailable()
+      assert(rows().count(_._5) === 1, "the stall pages exactly once")
+      // the feed resumes: the closing record emits the EXACT closed gap
+      mem.addData(ev("a", 6 * hour, 7L))
+      q.processAllAvailable()
+      val closed = rows().filterNot(_._5).toSet
+      val batch = StreamingAgg.gapStream(Seq(
+          ev("a", 0, 1L), ev("a", hour, 2L), ev("b", 0, 3L),
+          ev("b", 5 * hour, 4L), ev("b", 5 * hour + 60, 5L),
+          ev("b", 5 * hour + 120, 6L), ev("a", 6 * hour, 7L)).toDF())
+        .collect().map(r => (r.event_type, r.gap_start_us, r.gap_us,
+          r.n_missing, r.open)).toSet
+      assert(closed === batch,
+        "closed-gap rows must be bit-identical to the batch report")
+      assert(closed.contains(("a", hour * 1000000L, 5 * hour * 1000000L,
+        4L, false)))
+    } finally q.stop()
+  }
+
   test("pack stream: null docs are filtered and do not corrupt the " +
       "running per-source offset") {
     import spark.implicits._
@@ -1794,9 +1850,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(streamed === batch)
     } finally q.stop()
 
-    // the fold == d_pack_sequences' per-source prefix window on real data
+    // the fold == the arrival-order pack on real data: dPackSequences
+    // with packShards = 1 IS that rule (shard ≡ 0, base ≡ 0), so the
+    // degenerate batch packer doubles as the streaming twin's oracle
     val sf = "/root/testdata/sf0.001"
-    val win = graft.queries.PipelineQueries.dPackSequences(spark, sf)
+    val win = graft.queries.PipelineQueries.dPackSequences(spark, sf,
+        graft.queries.PipelineParams.Default.copy(packShards = 1L))
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSet
     val fold = StreamingAgg.packStream(
