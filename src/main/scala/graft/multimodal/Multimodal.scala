@@ -802,10 +802,22 @@ object Multimodal {
     * RAW energy Σs² (no modulus — these are the decision values, not a
     * fold signature), a QUIET verdict when the window's energy density
     * falls below the clip's own average (`ws · n_samples <
-    * total_energy · win` — pure integer cross-multiplication, exact in
-    * both engines; both sides stay ≤ ~8.6e14, well inside a long), and
-    * the min/max window energies for threshold tuning. Map-only
-    * decode, one row per clip. */
+    * total_energy · win` — integer cross-multiplication compared in
+    * 128 bits via Math.multiplyHigh, so the verdict is exact for ANY
+    * clip length: a full-scale clip past ~2e7 samples pushes
+    * `total · win` beyond 2⁶³ and a 64-bit compare would silently flip
+    * verdicts), and the min/max window energies for threshold tuning.
+    * Map-only decode, one row per clip. */
+  /** Compare `a·b` vs `c·d` exactly in 128 bits (all operands
+    * non-negative): high words via Math.multiplyHigh, low words
+    * unsigned. Overflow-free for the silence verdict's worst case
+    * (window energy · clip length on arbitrarily long stored WAVs). */
+  private[graft] def cmpProd(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val hi2 = Math.multiplyHigh(c, d)
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(a * b, c * d)
+  }
+
   def audioSilenceChecked(media: DataFrame): DataFrame = {
     import media.sparkSession.implicits._
     media.select(col("event_id").cast(LongType), col("wav"))
@@ -829,7 +841,7 @@ object Multimodal {
               }
               if (ws < minW) minW = ws
               if (ws > maxW) maxW = ws
-              if (ws * n < total * win) nQ += 1L
+              if (cmpProd(ws, n.toLong, total, win.toLong) < 0) nQ += 1L
               nW += 1; st += hop
             }
             (id, Some(nW), Some(nQ),

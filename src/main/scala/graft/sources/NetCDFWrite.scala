@@ -977,20 +977,20 @@ object NetCDFWrite {
     if (!java.nio.file.Files.isDirectory(tmp)) return
     val manifest = tmp.resolve(ManifestName)
     if (java.nio.file.Files.isRegularFile(manifest))
-      swapIn(tmp, dirPath, readCompactManifest(manifest)._1)
+      swapIn(tmp, dirPath, readCompactManifest(manifest).originals)
     else deleteTreeQuietly(tmp)
   }
 
-  /** A pending (crashed-mid-swap) compaction's manifest, if one exists:
-    * (original granule file names, staged replacement file names). The
-    * READ path consults this to compute a consistent snapshot without
-    * mutating the store (see [[NetCdfSource.expandLenient]]): deletes
-    * only begin after every staged move completed, so either ALL
-    * originals are still present (pre-compaction view — ignore any
-    * already-moved replacements) or the replacements are all in (post
-    * view — ignore the not-yet-deleted originals). */
+  /** A pending (crashed-mid-swap) compaction's manifest, if one exists.
+    * The READ path consults this to compute a consistent snapshot
+    * without mutating the store (see [[NetCdfSource.expandLenient]]):
+    * deletes only begin after every staged move completed, so either
+    * ALL originals are still present (pre-compaction view — ignore any
+    * already-moved replacements; requires `preViewSound`) or the
+    * replacements are all in (post view — ignore the not-yet-deleted
+    * originals). */
   private[sources] def pendingCompactionSnapshot(
-      dirPath: java.nio.file.Path): Option[(Seq[String], Seq[String])] = {
+      dirPath: java.nio.file.Path): Option[CompactSnapshot] = {
     val manifest = dirPath.resolve(CompactTmpName).resolve(ManifestName)
     if (!java.nio.file.Files.isRegularFile(manifest)) None
     else Some(readCompactManifest(manifest))
@@ -1038,20 +1038,56 @@ object NetCDFWrite {
     * and the legacy bare-array form (absolute original paths, no staged
     * list — reduced to names here so resolution is against the store
     * dir either way). */
+  /** A pending compaction as the read path sees it. `preViewSound` =
+    * the staged list is known COMPLETE, so a reader may construct the
+    * pre-compaction view (originals minus already-moved replacements);
+    * when false the only consistent choice is the post view — taken
+    * regardless of which originals still linger. */
+  private[sources] final case class CompactSnapshot(
+      originals: Seq[String], staged: Seq[String], preViewSound: Boolean)
+
   private def readCompactManifest(manifest: java.nio.file.Path)
-      : (Seq[String], Seq[String]) = {
+      : CompactSnapshot = {
     def names(v: org.json4s.JValue): Seq[String] = v match {
       case org.json4s.JArray(xs) =>
         xs.collect { case org.json4s.JString(s) =>
           java.nio.file.Paths.get(s).getFileName.toString }
       case _ => Nil
     }
+    def ncNames(d: java.nio.file.Path): Seq[String] =
+      Option(d.toFile.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isFile && f.getName.endsWith(".nc"))
+        .map(_.getName).toSeq
     org.json4s.jackson.JsonMethods.parse(
       java.nio.file.Files.readString(manifest)) match {
       case o @ org.json4s.JObject(_) =>
-        (names(o \ "originals"), names(o \ "staged"))
-      case arr @ org.json4s.JArray(_) => (names(arr), Nil)
-      case _ => (Nil, Nil)
+        val stagedListed = (o \ "staged").isInstanceOf[org.json4s.JArray]
+        CompactSnapshot(names(o \ "originals"), names(o \ "staged"),
+          preViewSound = stagedListed)
+      case arr @ org.json4s.JArray(_) =>
+        // legacy bare-array manifest (pre-"staged" upgrade): recover
+        // the staged set so a crash that predates the upgrade still
+        // reads consistently. Staged granules all share one
+        // compact-<stamp>- name prefix; any still sitting in the tmp
+        // dir names the stamp, so the already-moved ones are the
+        // in-store files with that prefix. An EMPTY tmp means every
+        // staged move completed (swapIn drains tmp one move at a
+        // time), the staged set is no longer enumerable, and only the
+        // post view is sound.
+        val origs = names(arr)
+        val tmpDir = manifest.getParent
+        val inTmp = ncNames(tmpDir)
+        inTmp.headOption.map(_.split("-").take(2)) match {
+          case Some(Array(p0, p1)) =>
+            val prefix = s"$p0-$p1-"
+            val moved = Option(tmpDir.getParent).map(ncNames)
+              .getOrElse(Nil).filter(_.startsWith(prefix))
+            CompactSnapshot(origs, (inTmp ++ moved).distinct,
+              preViewSound = true)
+          case _ =>
+            CompactSnapshot(origs, Nil, preViewSound = false)
+        }
+      case _ => CompactSnapshot(Nil, Nil, preViewSound = false)
     }
   }
 
@@ -1062,12 +1098,17 @@ object NetCDFWrite {
     * — record count, per-record-variable projected bytes + chunk extent
     * (→ [[NetCdfSource.FileMeta]]), the granule's Spark schema (→ table
     * schema inference), and the column-stats sidecar digest (→ generic
-    * filter pruning). `bytes` is the validation key: a reader uses the
-    * entry only when the file's CURRENT size matches, so a stale or
-    * foreign manifest can never corrupt planning — at worst a granule
-    * falls back to its header parse. */
+    * filter pruning). `bytes` + `mtimeMs` are the validation key: a
+    * reader uses the entry only when the file's CURRENT size AND mtime
+    * both match, so a stale or foreign manifest — including an in-place
+    * same-size rewrite, which fixed-width NetCDF makes easy — can never
+    * corrupt planning; at worst a granule falls back to its header
+    * parse. Legacy manifests without mtime parse as `mtimeMs = -1`,
+    * which never validates (one header-parse plan until any writer
+    * refresh re-stamps them). */
   final case class FleetEntry(
       bytes: Long,
+      mtimeMs: Long,
       records: Long,
       schemaJson: String,
       recVars: Map[String, (Long, Int)],
@@ -1123,7 +1164,11 @@ object NetCDFWrite {
               }.toMap).filter(_.nonEmpty)
             case _ => None
           }
-          name -> FleetEntry(long(g \ "bytes"), long(g \ "records"),
+          val mtime = (g \ "mtime") match {
+            case v if num(v).isDefined => num(v).get.toLong
+            case _ => -1L // legacy entry: never validates, header fallback
+          }
+          name -> FleetEntry(long(g \ "bytes"), mtime, long(g \ "records"),
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(g \ "schema")),
             recVars, stats)
@@ -1135,8 +1180,8 @@ object NetCDFWrite {
   }
 
   /** Rebuild the store's fleet manifest from the CURRENT granule set,
-    * reusing prior entries whose recorded size still matches (no header
-    * open for unchanged granules — a streaming store's per-batch refresh
+    * reusing prior entries whose recorded size AND mtime still match (no
+    * header open for unchanged granules — a streaming store's per-batch refresh
     * costs one header parse per NEW granule plus a stat per old one).
     * Granules whose record dim resolves differently from the manifest's,
     * or whose header will not parse, simply get no entry and fall back
@@ -1170,7 +1215,7 @@ object NetCDFWrite {
                 v.chunkDims.headOption.getOrElse(0))
             }.toMap
           Some((f.getName, rd,
-            FleetEntry(f.length(), records,
+            FleetEntry(f.length(), f.lastModified(), records,
               NetCDFIngest.schemaFor(nc, rd).json, recVars,
               NetCdfSource.readStatsSidecar(f.getPath))))
         } finally nc.close()
@@ -1183,7 +1228,8 @@ object NetCDFWrite {
       val reused = for {
         rd <- manifestRd
         pm <- prior if pm.recdim == rd
-        e <- pm.granules.get(f.getName) if e.bytes == f.length()
+        e <- pm.granules.get(f.getName)
+        if e.bytes == f.length() && e.mtimeMs == f.lastModified()
       } yield (f.getName, rd, e)
       reused.orElse(build(f))
     }.filter { case (_, rd, _) =>
@@ -1196,6 +1242,7 @@ object NetCDFWrite {
     val g = JObject(entries.map { case (name, _, e) =>
       name -> JObject(List(
         "bytes" -> JLong(e.bytes),
+        "mtime" -> JLong(e.mtimeMs),
         "records" -> JLong(e.records),
         "schema" -> org.json4s.jackson.JsonMethods.parse(e.schemaJson),
         "recvars" -> JObject(e.recVars.toList.sortBy(_._1).map {

@@ -245,8 +245,6 @@ object NetCdfSource {
     val f = new java.io.File(p)
     if (f.isFile) Seq(f.getPath)
     else if (f.isDirectory) {
-      val all = f.listFiles().toSeq.filter(_.isFile).map(_.getPath)
-        .filter(_.endsWith(".nc")).sorted
       // A compaction that crashed mid-swap leaves the store with BOTH
       // the original small granules and (some of) their staged merged
       // replacements — a naive listing double-counts every record they
@@ -258,14 +256,39 @@ object NetCdfSource {
       // missing original means all replacements landed (read the post
       // view, skipping the not-yet-deleted originals). The next
       // compactGranules run still rolls the swap forward for real.
-      NetCDFWrite.pendingCompactionSnapshot(f.toPath) match {
-        case Some((origs, staged)) if origs.nonEmpty =>
+      //
+      // Against a LIVE compaction the manifest and the listing race in
+      // both directions (a manifest can appear after a pre-listing, or
+      // vanish — swap fully completed — after it), so the snapshot is
+      // read on BOTH sides of the listing and the pair retried until
+      // stable: manifest-unchanged-across-the-listing means the
+      // snapshot legitimately describes what the listing saw. The
+      // single-maintainer contract makes more than one retry
+      // pathological; the bound is a crash-loop guard.
+      def snap() = NetCDFWrite.pendingCompactionSnapshot(f.toPath)
+      var pre = snap()
+      var all = Seq.empty[String]
+      var stable = false
+      var attempts = 0
+      while (!stable && attempts < 5) {
+        all = f.listFiles().toSeq.filter(_.isFile).map(_.getPath)
+          .filter(_.endsWith(".nc")).sorted
+        val post = snap()
+        if (post == pre) stable = true else pre = post
+        attempts += 1
+      }
+      pre match {
+        case Some(cs) if cs.originals.nonEmpty =>
           def nameOf(path: String) =
             java.nio.file.Paths.get(path).getFileName.toString
           val present = all.map(nameOf).toSet
-          if (origs.forall(present))
-            all.filterNot(path => staged.contains(nameOf(path)))
-          else all.filterNot(path => origs.contains(nameOf(path)))
+          // the pre view needs the COMPLETE staged list to exclude;
+          // a legacy manifest that cannot enumerate it (all staged
+          // already moved in) reads the post view instead — equally
+          // consistent in exactly that state
+          if (cs.preViewSound && cs.originals.forall(present))
+            all.filterNot(path => cs.staged.contains(nameOf(path)))
+          else all.filterNot(path => cs.originals.contains(nameOf(path)))
         case _ => all
       }
     }
@@ -543,8 +566,10 @@ final class NetCdfTable(
       s"${if (paths.size > 1) s" +${paths.size - 1}" else ""})"
 
   /** Fleet-manifest entries for this table's paths, validated per
-    * granule by exact file-size match (granule files are write-once, so
-    * a size match means the entry describes these bytes; a replaced or
+    * granule by exact file-size AND mtime match (size alone is fooled
+    * by an in-place same-size rewrite — fixed-width NetCDF with equal
+    * record counts reproduces the byte size with different values — so
+    * the mtime stamp is part of the key; a replaced, rewritten, or
     * foreign file fails the check and falls back to its header parse).
     * When the reader names an explicit `recdim` it must equal the
     * manifest's, else the manifest is ignored wholesale — entries were
@@ -562,8 +587,10 @@ final class NetCdfTable(
         case Some(fm) if recDim.forall(_ == fm.recdim) =>
           ps.flatMap { p =>
             fm.granules.get(new java.io.File(p).getName).filter { e =>
+              val f = new java.io.File(p)
               scala.util.Try(java.nio.file.Files.size(
-                java.nio.file.Paths.get(p))).toOption.contains(e.bytes)
+                java.nio.file.Paths.get(p))).toOption.contains(e.bytes) &&
+                e.mtimeMs >= 0L && f.lastModified() == e.mtimeMs
             }.map(p -> _)
           }
         case _ => Nil

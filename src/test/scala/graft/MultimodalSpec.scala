@@ -267,6 +267,31 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
     graft.queries.PipelineQueries.evictCaches(spark, dir)
   }
 
+  test("silence verdict compare is exact past the 64-bit product bound " +
+      "(long, loud clips must not flip verdicts)") {
+    // a full-scale 400-sample window: ws = 400 * 32768^2 ~ 4.3e11; at
+    // n ~ 3e7 samples the 64-bit product ws*n wraps negative while
+    // total*win stays positive — a plain compare would call every
+    // window quiet. cmpProd must order the true 128-bit products.
+    val ws = 400L * 32768L * 32768L // 4.295e11
+    val n = 30000000L
+    // half-scale clip average: total = n * (32768/2)^2
+    val total = n * (16384L * 16384L)
+    val win = 400L
+    // ws * n = 1.29e19 (wraps), total * win = 3.2e18 (fits):
+    // the window is LOUDER than average, so NOT quiet
+    assert(ws * n < 0L, "the fixture must actually overflow 64 bits")
+    assert(Multimodal.cmpProd(ws, n, total, win) > 0,
+      "full-scale window on a half-scale clip is not quiet")
+    // and the symmetric case: a silent window stays quiet
+    assert(Multimodal.cmpProd(0L, n, total, win) < 0)
+    // equality is exact, not approximate
+    assert(Multimodal.cmpProd(16384L * 16384L * 400L, n,
+      total, win) === 0)
+    // both products overflowing: hi words differ -> still ordered
+    assert(Multimodal.cmpProd(ws, n, ws - 1L, n) > 0)
+  }
+
   test("asMediaRecords wraps a DataFrame column as binary payloads") {
     import spark.implicits._
     val df = Seq((10L, "{\"k\": 1}"), (11L, "{\"k\": 2}"))

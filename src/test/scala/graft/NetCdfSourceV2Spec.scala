@@ -955,14 +955,18 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(NetCDF4.openCalls.get() === before,
       "manifest-backed schema inference must not open any granule")
     // 2. CORRUPT-GRANULE TRICK: garbage the LAST granule in place at
-    // identical size (its manifest entry stays valid). Planning still
-    // answers from the manifest, and a pushed v-band disjoint from the
-    // corrupt granule's recorded stats prunes it — the query succeeds
-    // without EVER opening the corrupted file
+    // identical size AND identical mtime — the full stat key — so its
+    // manifest entry stays valid. Planning still answers from the
+    // manifest, and a pushed v-band disjoint from the corrupt granule's
+    // recorded stats prunes it — the query succeeds without EVER
+    // opening the corrupted file. (A rewrite that does NOT forge the
+    // mtime invalidates the entry — see the same-size-rewrite test.)
     val victim = ncNames().last
     val vp = Paths.get(out, victim)
     val size = Files.size(vp)
+    val mt = Files.getLastModifiedTime(vp)
     Files.write(vp, Array.fill[Byte](size.toInt)(0x5a))
+    Files.setLastModifiedTime(vp, mt)
     assert(Files.size(vp) === size)
     val banded = spark.read.format("netcdf").load(out)
       .filter(col("v") < 150.0).agg(sum("id"))
@@ -991,6 +995,47 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       .fieldNames.toSet === Set("id", "ts", "v"))
     assert(NetCDF4.openCalls.get() === b2,
       "post-compaction planning must answer from the refreshed manifest")
+  }
+
+  test("fleet manifest: an in-place same-size rewrite invalidates the " +
+      "entry (mtime is part of the key) — stale stats can never prune " +
+      "live data") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("v2rewrite")
+    val out = root.toString + "/store"
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double"))
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    val names = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.getName).sorted.toSeq
+    assert(names.size === 3)
+    // the realistic rewrite: granule A's bytes replaced at IDENTICAL
+    // size with different values (fixed-width NetCDF, equal record
+    // count), its stats sidecar rewritten consistently — exactly what
+    // a second direct writeGranules to the same dir produces. Only the
+    // mtime differs from what the fleet manifest recorded.
+    val a = Paths.get(out, names.head) // v in [0, 100)
+    val b = Paths.get(out, names(1)) // v in [100, 200)
+    assert(Files.size(a) === Files.size(b),
+      "fixed-width granules with equal records must be byte-equal size")
+    Thread.sleep(50) // distinct mtime from the recorded stamp
+    Files.copy(b, a, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(out, names(1) + ".stats.json"),
+      Paths.get(out, names.head + ".stats.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // a v >= 100 band would be pruned from granule A by the manifest's
+    // STALE digest (recorded max v = 99) — store {A=copy of B, B, C}
+    // would answer 200 instead of 300. The mtime mismatch must
+    // invalidate the entry so pruning consults the fresh sidecar and
+    // the query reads A's NEW contents
+    val n = spark.read.format("netcdf").load(out)
+      .filter(col("v") >= 100.0).count()
+    assert(n === 300L,
+      "the rewritten granule's rows must survive stats pruning")
   }
 
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
