@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.core.TimeSeriesAggregator
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType, StringType, TimestampType}
@@ -183,8 +183,49 @@ final case class PackRow(source: String, doc_id: Long, n_tokens: Long,
   *
   * Both transforms work identically on batch and streaming DataFrames
   * (tested both ways in StreamingSpec); state is bounded by the watermark.
+  *
+  * MEMORY CONTRACT of the per-event folds (sessionize, gapfill,
+  * transitions, gap alerts, funnel, pack, minhash buckets): persisted
+  * STATE is O(1)-per-key longs, but each fold buffers and sorts one
+  * key's micro-batch slice for deterministic event-time order — so
+  * per-(key, trigger) memory is the slice, bounded by
+  * [[MaxGroupSliceKey]] and enforced loudly by [[boundedSlice]]. A
+  * fleet whose hottest key can exceed the bound in one trigger
+  * shortens the trigger or shards the key upstream.
   */
 object StreamingAgg {
+
+  /** Conf key for the per-(key, micro-batch) row bound of the
+    * per-event folds (default [[DefaultMaxGroupSlice]]): the slice is
+    * buffered + sorted in executor heap, so past the bound the fold
+    * fails with an actionable error instead of OOMing mid-job. */
+  val MaxGroupSliceKey = "spark.graft.streaming.maxGroupSlice"
+  val DefaultMaxGroupSlice: Long = 8L * 1024L * 1024L
+
+  private def maxGroupSlice(s: SparkSession): Long =
+    s.conf.get(MaxGroupSliceKey, DefaultMaxGroupSlice.toString).toLong
+
+  /** Materialize one key's micro-batch slice under the documented
+    * bound, failing LOUDLY past `limit` rows (≈ hundreds of MB of
+    * buffered events at the default — an executor-heap hazard, never a
+    * wrong answer). */
+  private def boundedSlice[T](op: String, key: Any, limit: Long,
+      it: Iterator[T])(
+      implicit ct: scala.reflect.ClassTag[T]): Array[T] = {
+    val buf = scala.collection.mutable.ArrayBuilder.make[T]
+    var n = 0L
+    while (it.hasNext) {
+      n += 1L
+      require(n <= limit,
+        s"$op: key '$key' contributed more than $limit events to one " +
+          "micro-batch; the per-event fold buffers and sorts each " +
+          "key's batch slice, so this run risks an executor OOM. " +
+          "Shorten the trigger interval, shard the hot key upstream, " +
+          s"or raise $MaxGroupSliceKey.")
+      buf += it.next()
+    }
+    buf.result()
+  }
 
   /** Per-day `(day, count, Σe4)` partials of one stateful-fold
     * invocation, day-ascending — the in-fold pre-aggregation that
@@ -330,9 +371,14 @@ object StreamingAgg {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout())(
         (k: (Long, String), it: Iterator[UpEvent],
             st: GroupState[UpLatest]) => {
-          val cands = st.getOption.toSeq ++
-            it.map(e => UpLatest(k._1, k._2, e.t, e.event_id, e.value))
-          val best = cands.maxBy(l => (l.t, l.last_event_id))
+          // streamed max fold: O(1) memory regardless of slice size —
+          // no buffering, so no slice bound needed here
+          var best = st.getOption.orNull
+          it.foreach { e =>
+            if (best == null || e.t > best.t ||
+                (e.t == best.t && e.event_id > best.last_event_id))
+              best = UpLatest(k._1, k._2, e.t, e.event_id, e.value)
+          }
           st.update(best)
           best
         })
@@ -359,6 +405,7 @@ object StreamingAgg {
       watermark: String = "30 minutes"): Dataset[GapRow] = {
     val s = events.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val typed = events
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("event_id").isNotNull && col("value").isNotNull)
@@ -376,7 +423,8 @@ object StreamingAgg {
         GroupStateTimeout.NoTimeout())(
         (uid: Long, it: Iterator[GapEvent], st: GroupState[GapState]) => {
           // event-time order makes the fold deterministic within a batch
-          val evs = it.toArray.sortBy(e => (e.t, e.event_id))
+          val evs = boundedSlice("gapFillStream", uid, sliceLimit, it)
+            .sortBy(e => (e.t, e.event_id))
           val out = Seq.newBuilder[GapRow]
           var last = st.getOption.map(_.lastT)
           evs.foreach { e =>
@@ -421,6 +469,7 @@ object StreamingAgg {
       watermark: String = "30 minutes"): Dataset[Session] = {
     val s = events.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val typed = events
       .withColumn("ts", col("ts").cast(TimestampType))
       .withWatermark("ts", watermark)
@@ -442,7 +491,8 @@ object StreamingAgg {
           } else {
             // arrival order within a batch is arbitrary; event-time order
             // makes the fold deterministic
-            val evs = it.toArray.sortBy(_.t)
+            val evs = boundedSlice("sessionize", uid, sliceLimit, it)
+              .sortBy(_.t)
             val closed = Seq.newBuilder[Session]
             var cur = st.getOption
             evs.foreach { e =>
@@ -507,6 +557,7 @@ object StreamingAgg {
     val s = docs.sparkSession
     graft.functions.native.register(s)
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     docs
       .select(col("doc_id").cast(LongType).as("doc_id"),
         expr("graft_tokens(text)").as("toks"))
@@ -521,7 +572,8 @@ object StreamingAgg {
         GroupStateTimeout.NoTimeout())(
         (key: (Int, Long), it: Iterator[BandDoc],
             st: GroupState[Long]) => {
-          val ids = it.map(_.doc_id).toArray
+          val ids = boundedSlice("minhashDedupStream", key, sliceLimit,
+            it.map(_.doc_id))
           // FIRST-ARRIVAL ownership: once a bucket has an owner it never
           // changes. When ids ascend with arrival (the documented
           // regime) this equals min-id ownership, matching the batch
@@ -567,6 +619,7 @@ object StreamingAgg {
     val s = docs.sparkSession
     graft.functions.native.register(s)
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val corpus = store.select(col("doc_id").cast(LongType).as("c_id"),
       col("band_idx"), col("sig"))
     docs
@@ -585,7 +638,8 @@ object StreamingAgg {
         GroupStateTimeout.NoTimeout())(
         (key: (Int, Long), it: Iterator[BandHit],
             st: GroupState[Long]) => {
-          val rows = it.toArray
+          val rows = boundedSlice("incrementalDedupStream", key,
+            sliceLimit, it)
           // every corpus match replays through the static join each
           // batch, so the bucket's corpus owner needs no state
           val corpusMin = rows.iterator.flatMap(_.c_id)
@@ -970,6 +1024,7 @@ object StreamingAgg {
   def transitionSteps(events: DataFrame): Dataset[TransStep] = {
     val s = events.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val typed = events
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("event_id").isNotNull && col("event_type").isNotNull)
@@ -982,7 +1037,8 @@ object StreamingAgg {
       .flatMapGroupsWithState(OutputMode.Append(),
         GroupStateTimeout.NoTimeout())(
         (uid: Long, it: Iterator[TransEvent], st: GroupState[TransState]) => {
-          val evs = it.toArray.sortBy(e => (e.t, e.event_id))
+          val evs = boundedSlice("transitionSteps", uid, sliceLimit, it)
+            .sortBy(e => (e.t, e.event_id))
           val out = Seq.newBuilder[TransStep]
           var prev = st.getOption
           evs.foreach { e =>
@@ -1346,6 +1402,7 @@ object StreamingAgg {
       : Dataset[AnomRow] = {
     val s = events.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val Base = 1000000000000000000L
     val typed = events
       .filter(col("ts").isNotNull && col("value").isNotNull &&
@@ -1364,7 +1421,8 @@ object StreamingAgg {
           var cur = st.getOption.getOrElse(
             AnomState(Long.MinValue, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
           val out = Seq.newBuilder[AnomRow]
-          it.toArray.sortBy(e => (e.day, e.event_id)).foreach { e =>
+          boundedSlice("anomalyStream", typ, sliceLimit, it)
+            .sortBy(e => (e.day, e.event_id)).foreach { e =>
             if (cur.day == Long.MinValue) cur = cur.copy(day = e.day)
             else if (e.day > cur.day) {
               // day roll: fold the completed day's moments into history
@@ -1441,6 +1499,7 @@ object StreamingAgg {
       watermark: String = "30 minutes"): Dataset[GapAlertRow] = {
     val s = events.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val streaming = events.isStreaming
     val typed = events
       .filter(col("ts").isNotNull && col("event_type").isNotNull &&
@@ -1473,7 +1532,8 @@ object StreamingAgg {
           } else {
             var last = st.getOption.map(_.lastT).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[GapAlertRow]
-            it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
+            boundedSlice("gapStream", typ, sliceLimit, it)
+              .sortBy(e => (e.t, e.event_id)).foreach { e =>
               if (last != Long.MinValue && e.t - last > thrUs)
                 out += GapAlertRow(typ, last, e.t - last,
                   graft.core.TimeSeriesAggregator.fillCount(e.t - last,
@@ -1502,6 +1562,7 @@ object StreamingAgg {
   def funnelStream(events: DataFrame): Dataset[FunnelHit] = {
     val s = events.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     val typed = events
       .filter(col("ts").isNotNull && col("user_id").isNotNull &&
         col("event_type").isNotNull && col("event_id").isNotNull)
@@ -1517,7 +1578,8 @@ object StreamingAgg {
             st: GroupState[FunnelState]) => {
           var cur = st.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
           val out = Seq.newBuilder[FunnelHit]
-          it.toArray.sortBy(e => (e.t, e.event_id)).foreach { e =>
+          boundedSlice("funnelStream", uid, sliceLimit, it)
+            .sortBy(e => (e.t, e.event_id)).foreach { e =>
             e.event_type match {
               case "view" if cur.t1 < 0L =>
                 cur = cur.copy(t1 = e.t)
@@ -1562,9 +1624,12 @@ object StreamingAgg {
         GroupStateTimeout.NoTimeout())(
         (label: Long, it: Iterator[DriftVec],
             st: GroupState[DriftState]) => {
-          val vecs = it.toArray
+          // streamed fold: dims comes from state or a one-element
+          // peek, then each vector folds into the running sums — O(1)
+          // memory regardless of slice size, no buffering
+          val vecs = it.buffered
           val dims = st.getOption.map(_.s0.length)
-            .getOrElse(if (vecs.nonEmpty) vecs.head.q.length else 0)
+            .getOrElse(if (vecs.hasNext) vecs.head.q.length else 0)
           var cur = st.getOption.getOrElse(
             DriftState(0L, 0L, new Array[Long](dims),
               new Array[Long](dims)))
@@ -1626,6 +1691,7 @@ object StreamingAgg {
       : Dataset[PackRow] = {
     val s = docs.sparkSession
     import s.implicits._
+    val sliceLimit = maxGroupSlice(s)
     graft.functions.native.register(s)
     val typed = docs
       .filter(col("source").isNotNull && col("doc_id").isNotNull &&
@@ -1638,7 +1704,8 @@ object StreamingAgg {
         GroupStateTimeout.NoTimeout())(
         (src: String, it: Iterator[PackDoc], st: GroupState[PackState]) => {
           var off = st.getOption.map(_.offset).getOrElse(0L)
-          val out = it.toArray.sortBy(_.doc_id).map { d =>
+          val out = boundedSlice("packStream", src, sliceLimit, it)
+            .sortBy(_.doc_id).map { d =>
             val r = PackRow(src, d.doc_id, d.n_tokens,
               off / budget, off % budget)
             off += d.n_tokens

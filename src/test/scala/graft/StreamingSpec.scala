@@ -1697,6 +1697,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("per-event folds enforce the per-(key, micro-batch) slice bound " +
+      "loudly; the default bound changes nothing") {
+    import spark.implicits._
+    // 12 events on ONE user against a bound of 10: the fold must fail
+    // with the actionable message, not OOM silently at scale
+    val hot = (1L to 12L).map(i =>
+      AEv(new java.sql.Timestamp(i * 1000L), 1L, "m", i, 1.0)).toDF()
+    spark.conf.set(StreamingAgg.MaxGroupSliceKey, "10")
+    try {
+      val e = intercept[Throwable] {
+        StreamingAgg.transitionSteps(hot).toDF().collect()
+      }
+      def messages(t: Throwable): Seq[String] =
+        if (t == null) Nil
+        else Option(t.getMessage).toSeq ++ messages(t.getCause)
+      val all = messages(e).mkString("\n")
+      assert(all.contains(StreamingAgg.MaxGroupSliceKey) &&
+        all.contains("transitionSteps"),
+        s"the bound must fail with the actionable message, got:\n$all")
+    } finally spark.conf.unset(StreamingAgg.MaxGroupSliceKey)
+    // under the default bound the same fold is untouched
+    val steps = StreamingAgg.transitionSteps(hot).toDF().collect()
+    assert(steps.length === 11)
+  }
+
   test("pack stream: null docs are filtered and do not corrupt the " +
       "running per-source offset") {
     import spark.implicits._
