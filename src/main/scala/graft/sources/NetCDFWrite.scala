@@ -1200,26 +1200,6 @@ object NetCDFWrite {
       .filter(f => f.isFile && f.getName.endsWith(".nc"))
       .sortBy(_.getName)
     val prior = readFleetManifest(dir)
-    def build(f: java.io.File): Option[(String, String, FleetEntry)] =
-      try {
-        val nc = NetCDF4.open(f.getPath)
-        try {
-          val rd = recDimHint.filter(d => nc.dims.exists(_.name == d))
-            .getOrElse(NetCDFIngest.recordDimOf(nc))
-          val records =
-            nc.dims.find(_.name == rd).map(_.size).getOrElse(0L)
-          val recVars = nc.vars.filter(_.dims.headOption.contains(rd))
-            .map { v =>
-              val inner = v.shape.drop(1).product max 1L
-              v.name -> (inner * v.dtype.size,
-                v.chunkDims.headOption.getOrElse(0))
-            }.toMap
-          Some((f.getName, rd,
-            FleetEntry(f.length(), f.lastModified(), records,
-              NetCDFIngest.schemaFor(nc, rd).json, recVars,
-              NetCdfSource.readStatsSidecar(f.getPath))))
-        } finally nc.close()
-      } catch { case scala.util.control.NonFatal(_) => None }
     // the manifest's recdim: the hint, else the prior manifest's, else
     // whatever the first parseable granule resolves to
     var manifestRd: Option[String] =
@@ -1231,13 +1211,108 @@ object NetCDFWrite {
         e <- pm.granules.get(f.getName)
         if e.bytes == f.length() && e.mtimeMs == f.lastModified()
       } yield (f.getName, rd, e)
-      reused.orElse(build(f))
+      reused.orElse(headerEntry(f.getPath, recDimHint))
     }.filter { case (_, rd, _) =>
       manifestRd match {
         case Some(d) => rd == d
         case None => manifestRd = Some(rd); true
       }
     }
+    writeFleetManifestFile(dirPath, manifestRd, entries)
+  }
+
+  /** One granule's fleet-manifest entry from its header bytes (O(KB)
+    * of page faults) + its stats sidecar if one exists. None on any
+    * parse trouble — the granule then falls back to a plan-time header
+    * parse forever, which is the honest state for a broken file. */
+  private def headerEntry(path: String, recDimHint: Option[String])
+      : Option[(String, String, FleetEntry)] =
+    try {
+      val f = new java.io.File(path)
+      val nc = NetCDF4.open(path)
+      try {
+        val rd = recDimHint.filter(d => nc.dims.exists(_.name == d))
+          .getOrElse(NetCDFIngest.recordDimOf(nc))
+        val records =
+          nc.dims.find(_.name == rd).map(_.size).getOrElse(0L)
+        val recVars = nc.vars.filter(_.dims.headOption.contains(rd))
+          .map { v =>
+            val inner = v.shape.drop(1).product max 1L
+            v.name -> (inner * v.dtype.size,
+              v.chunkDims.headOption.getOrElse(0))
+          }.toMap
+        Some((f.getName, rd,
+          FleetEntry(f.length(), f.lastModified(), records,
+            NetCDFIngest.schemaFor(nc, rd).json, recVars,
+            NetCdfSource.readStatsSidecar(path))))
+      } finally nc.close()
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Backfill the fleet manifest for an archive produced by ANY writer
+    * — the reference's own fixture sets, a real sensor fleet's landing
+    * dir, any store that predates the manifest. graft's granule
+    * writers keep the manifest fresh themselves ([[writeGranules]],
+    * [[compactGranules]], the streaming sink), but a FOREIGN archive
+    * otherwise header-parses every granule at every planning, forever.
+    *
+    * One DISTRIBUTED header pass: granules not already covered by a
+    * valid (size+mtime) entry parse executor-side — O(KB) of page
+    * faults each, embarrassingly parallel across the fleet — and only
+    * the small entry tuples collect to the driver, which resolves the
+    * record-dim consensus and writes the manifest atomically. Re-runs
+    * are O(stat): everything valid is reused without I/O. Column-stats
+    * sidecars are picked up when present but never synthesized (that
+    * would be a full data read, not a header pass — stats pruning
+    * simply keeps granules until a graft writer produces them).
+    *
+    * @return number of granules covered by the written manifest */
+  def buildFleetManifest(spark: SparkSession, dir: String,
+      recDimHint: Option[String] = None): Int = {
+    val dirPath = java.nio.file.Paths.get(dir)
+    val files = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isFile && f.getName.endsWith(".nc"))
+      .sortBy(_.getName)
+    val prior = readFleetManifest(dir)
+    var manifestRd: Option[String] =
+      recDimHint.orElse(prior.map(_.recdim))
+    val reused = files.flatMap { f =>
+      for {
+        rd <- manifestRd
+        pm <- prior if pm.recdim == rd
+        e <- pm.granules.get(f.getName)
+        if e.bytes == f.length() && e.mtimeMs == f.lastModified()
+      } yield (f.getName, rd, e)
+    }
+    val covered = reused.map(_._1).toSet
+    val toParse = files.filterNot(f => covered(f.getName)).map(_.getPath)
+    val parsed =
+      if (toParse.isEmpty) Array.empty[(String, String, FleetEntry)]
+      else {
+        val hint = recDimHint // serializable capture, not the method arg
+        spark.sparkContext
+          .parallelize(toParse.toSeq, math.max(1,
+            math.min(toParse.length,
+              spark.sparkContext.defaultParallelism)))
+          .flatMap(p => headerEntry(p, hint))
+          .collect()
+      }
+    val entries = (reused ++ parsed).sortBy(_._1).filter {
+      case (_, rd, _) =>
+        manifestRd match {
+          case Some(d) => rd == d
+          case None => manifestRd = Some(rd); true
+        }
+    }
+    writeFleetManifestFile(dirPath, manifestRd, entries)
+    entries.length
+  }
+
+  /** Render + atomically install the fleet manifest (temp + move, so a
+    * concurrent reader sees old or new, never torn). */
+  private def writeFleetManifestFile(dirPath: java.nio.file.Path,
+      manifestRd: Option[String],
+      entries: Seq[(String, String, FleetEntry)]): Unit = {
     import org.json4s._
     val g = JObject(entries.map { case (name, _, e) =>
       name -> JObject(List(

@@ -997,6 +997,55 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       "post-compaction planning must answer from the refreshed manifest")
   }
 
+  test("buildFleetManifest backfills a foreign archive: the next open " +
+      "plans O(stat) with ZERO granule opens; re-runs reuse every entry") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.{NetCDF4, NetCDFWrite}
+    val root = Files.createTempDirectory("v2foreign")
+    val out = root.toString + "/store"
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double"))
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    // make the archive FOREIGN: strip everything graft's writer added
+    // beyond the granules themselves (manifest + stats sidecars) — the
+    // shape of a store landed by any other producer
+    new java.io.File(out).listFiles()
+      .filter(f => f.getName == "_manifest.json" ||
+        f.getName.endsWith(".stats.json"))
+      .foreach(f => Files.delete(f.toPath))
+    // without a manifest, planning must header-parse (sanity)
+    val b0 = NetCDF4.openCalls.get()
+    assert(spark.read.format("netcdf").load(out).schema
+      .fieldNames.toSet === Set("id", "ts", "v"))
+    assert(NetCDF4.openCalls.get() > b0,
+      "a foreign archive without a manifest header-parses at planning")
+    // one distributed header pass backfills the manifest
+    val n = NetCDFWrite.buildFleetManifest(spark, out)
+    assert(n === 3, s"all three granules must be covered, got $n")
+    // the corrupt-granule trick: stat-identical garbage proves the
+    // next planning never opens ANY granule
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.toPath).sorted.last
+    val size = Files.size(victim)
+    val mt = Files.getLastModifiedTime(victim)
+    Files.write(victim, Array.fill[Byte](size.toInt)(0x5a))
+    Files.setLastModifiedTime(victim, mt)
+    val b1 = NetCDF4.openCalls.get()
+    assert(spark.read.format("netcdf").load(out).schema
+      .fieldNames.toSet === Set("id", "ts", "v"))
+    assert(NetCDF4.openCalls.get() === b1,
+      "the backfilled manifest must answer planning with zero opens")
+    // a re-run is O(stat): every valid entry reuses without I/O
+    val b2 = NetCDF4.openCalls.get()
+    assert(NetCDFWrite.buildFleetManifest(spark, out) === 3)
+    assert(NetCDF4.openCalls.get() === b2,
+      "re-running the backfill must not reopen covered granules")
+  }
+
   test("fleet manifest: an in-place same-size rewrite invalidates the " +
       "entry (mtime is part of the key) — stale stats can never prune " +
       "live data") {
