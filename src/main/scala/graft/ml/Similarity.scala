@@ -817,4 +817,120 @@ object Similarity {
         queries.sparkSession, index.dir),
       probes, cb.length, cb(0).length, k, joinCid = true)
   }
+
+  // ------------------------------------------------- persisted text index
+
+  /** The registry's polynomial token hash (base 31 mod 1e9+7), applied
+    * driver-side to LITERAL query terms so they fold into the plan as
+    * plain BIGINT constants — identical to the tokenizer's per-token
+    * hash, so index postings and query terms meet on one key space. */
+  private def termHash(t: String): Long =
+    t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
+
+  /** A persisted BM25 text index — the lexical leg of the index
+    * lifecycle next to the vector side's build→append→search:
+    *  - `postings.parquet` (t, doc_id, dl, tf), term-range-clustered
+    *    ([[org.apache.spark.sql.Dataset.repartitionByRange]] +
+    *    sortWithinPartitions on t) so a query's scan prunes to its own
+    *    terms' posting runs via parquet min/max on t — never the corpus;
+    *  - `df.parquet` (t, df) as PER-BATCH DELTAS (build writes one set,
+    *    each append adds the batch's per-term doc counts; a reader sums
+    *    its terms' rows) — additive, so appends never rewrite it;
+    *  - `textstats.parquet` (n_docs, n_tokens) one delta row per batch,
+    *    summed at query time for the corpus-level BM25 constants.
+    *
+    * Contract mirrors the vector index: append batches carry NEW
+    * doc_ids (a re-sent doc would double-count df and stats, exactly
+    * like a re-sent vec_id duplicates a list entry). Tokenization is
+    * the registry's: docs under 3 tokens do not index (the same rule
+    * the shared tokenHashes cache applies), so indexed search is
+    * row-identical to the t_bm25 operator. */
+  final case class TextIndex(dir: String, postings: DataFrame,
+      dfs: DataFrame, stats: DataFrame)
+
+  private def tokenized(docs: DataFrame): DataFrame = {
+    graft.functions.native.register(docs.sparkSession)
+    docs.select(col("doc_id").cast(LongType).as("doc_id"),
+        expr("graft_tokens(text)").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"),
+        expr("graft_token_hashes(toks)").as("th"))
+  }
+
+  private def postingsOf(th: DataFrame): DataFrame =
+    th.select(col("doc_id"), size(col("th")).cast(LongType).as("dl"),
+        explode(col("th")).as("t"))
+      .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
+
+  private def writeTextBatch(th: DataFrame, dir: String,
+      mode: String): Unit = {
+    val post = postingsOf(th).persist()
+    try {
+      post.repartitionByRange(col("t")).sortWithinPartitions("t")
+        .write.mode(mode).parquet(s"$dir/postings.parquet")
+      post.groupBy("t").agg(count(lit(1)).as("df"))
+        .repartitionByRange(col("t")).sortWithinPartitions("t")
+        .write.mode(mode).parquet(s"$dir/df.parquet")
+      th.agg(count(lit(1)).as("n_docs"),
+          sum(size(col("th")).cast(LongType)).as("n_tokens"))
+        .coalesce(1)
+        .write.mode(mode).parquet(s"$dir/textstats.parquet")
+    } finally post.unpersist(blocking = false)
+  }
+
+  /** Build the text index from a `(doc_id, text)` frame: one tokenize
+    * pass, one keyed postings aggregate, one range shuffle on t. */
+  def writeTextIndex(docs: DataFrame, dir: String): Unit =
+    writeTextBatch(tokenized(docs), dir, "overwrite")
+
+  /** Reopen a persisted text index (metadata only — no data read). */
+  def openTextIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TextIndex =
+    TextIndex(dir,
+      spark.read.parquet(s"$dir/postings.parquet"),
+      spark.read.parquet(s"$dir/df.parquet"),
+      spark.read.parquet(s"$dir/textstats.parquet"))
+
+  /** Append a batch of NEW documents: postings/df/stats all append
+    * their deltas — no existing file rewrites, and search over the
+    * appended index is row-identical to a from-scratch rebuild on the
+    * union (spec-pinned, like the vector side's appendIndex). */
+  def appendTextIndex(index: TextIndex, docs: DataFrame): TextIndex = {
+    writeTextBatch(tokenized(docs), index.dir, "append")
+    openTextIndex(docs.sparkSession, index.dir)
+  }
+
+  /** BM25 top-k over the persisted index for a literal term set —
+    * row-identical to the registry's t_bm25 for the same terms and k
+    * (same exact-integer Okapi arithmetic: rational idf scaled 1e6, tf
+    * saturation with k1 = 1.2, b = 0.75 cleared to BIGINT, scale 1e3).
+    * The postings scan reads ONLY the query terms' rows (t IN (...)
+    * pushes into the term-clustered parquet); df rows for the terms
+    * sum across batch deltas; the 2-long stats frame sums and
+    * broadcasts; the global top-k is TakeOrderedAndProject with the
+    * rank window over the k survivors only. */
+  def textSearchIndex(index: TextIndex, terms: Seq[String],
+      k: Int): DataFrame = {
+    require(k > 0, s"k=$k")
+    val qh = terms.map(termHash)
+    val post = index.postings.filter(col("t").isin(qh: _*))
+    val dfq = index.dfs.filter(col("t").isin(qh: _*))
+      .groupBy("t").agg(sum("df").as("df"))
+    val stats = index.stats.agg(
+      sum("n_docs").cast(LongType).as("n_docs"),
+      sum("n_tokens").cast(LongType).as("n_tokens"))
+    val scored = post
+      .join(broadcast(dfq), "t")
+      .crossJoin(broadcast(stats))
+      .withColumn("__idf",
+        expr("((n_docs - df) * 2000000L + 1000000L) div (2L * df + 1L)"))
+      .withColumn("__tfc",
+        expr("(tf * 22L * n_tokens * 1000L) div " +
+          "(tf * 10L * n_tokens + 3L * n_tokens + 9L * dl * n_docs)"))
+      .groupBy("doc_id").agg(sum(expr("__idf * __tfc")).as("score"))
+    val top = scored.orderBy(col("score").desc, col("doc_id")).limit(k)
+    val w = Window.orderBy(col("score").desc, col("doc_id"))
+    top.withColumn("rk", row_number().over(w).cast(LongType))
+      .select("rk", "doc_id", "score")
+  }
 }

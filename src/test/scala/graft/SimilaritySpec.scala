@@ -1202,4 +1202,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
         f"stable ${sStable.drift}%.4f")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(idir))
   }
+
+  test("text index: indexed BM25 == the t_bm25 operator's rows; " +
+      "append == from-scratch rebuild") {
+    import graft.ml.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_textidx").toString
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // 1. build on the full corpus: indexed search must be row-identical
+    // to the registry operator (same terms, same k, same integer BM25)
+    Similarity.writeTextIndex(docs, s"$root/full")
+    val full = Similarity.openTextIndex(spark, s"$root/full")
+    val indexed = rows(Similarity.textSearchIndex(full,
+      graft.queries.PipelineQueries.bm25Terms, 10))
+    val operator = rows(
+      graft.queries.PipelineQueries.tBm25(spark, sfDir))
+    assert(indexed === operator,
+      "indexed BM25 must reproduce t_bm25 exactly")
+    // 2. append parity: half the corpus at build, half appended — the
+    // searched rows must equal the full rebuild's bit-for-bit
+    Similarity.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      s"$root/inc")
+    val inc0 = Similarity.openTextIndex(spark, s"$root/inc")
+    val inc = Similarity.appendTextIndex(inc0,
+      docs.filter(col("doc_id") % 2 =!= 0))
+    val appended = rows(Similarity.textSearchIndex(inc,
+      graft.queries.PipelineQueries.bm25Terms, 10))
+    assert(appended === indexed, "append must equal rebuild")
+    // 3. the postings scan prunes to the query terms: the filter
+    // reaches the parquet scan as a pushed predicate on t
+    val plan = Similarity.textSearchIndex(full,
+      graft.queries.PipelineQueries.bm25Terms, 10)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(t"),
+      s"the term filter must push into the postings scan:\n$plan")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
