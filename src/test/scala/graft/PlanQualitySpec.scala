@@ -899,6 +899,34 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       s"the v2 capstone must not sort any stream under a window:\n${wins.mkString("\n")}")
   }
 
+  test("d_leak_audit is window-free: keyed joins and aggregates only, " +
+      "never a per-split or per-doc rank window") {
+    val df = SparkEntry.queries("d_leak_audit")(spark, sfDir)
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      s"the leak audit must not sort anything under a window:\n${wins.mkString("\n")}")
+  }
+
+  test("d_minhash_est_err restricts the signature recompute to " +
+      "pair-participating docs (LeftSemi before the minhash kernel)") {
+    // the census caught the corpus-wide recompute at 108.9x; the fix is
+    // a semi join of the shingle frame against the candidate-pair doc
+    // ids BEFORE the 32-permutation kernel — pin that the plan still
+    // carries it (losing it is linear-in-corpus work on the audit path)
+    val df = SparkEntry.queries("d_minhash_est_err")(spark, sfDir)
+    df.collect()
+    val semis = nodes(df.queryExecution.executedPlan).collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec
+          if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
+    }
+    assert(semis.nonEmpty,
+      "the recompute branch must semi-join-restrict to pair docs:\n" +
+        df.queryExecution.executedPlan.toString)
+  }
+
   test("d_dedup_clusters over the gate: identical clusters without the hint") {
     // the label frame is corpus-order on a high-duplication crawl; over
     // the gate the corpus join-back must still produce the same
