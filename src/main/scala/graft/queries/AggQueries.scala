@@ -201,6 +201,35 @@ object AggQueries {
           .as("n_days_missing"),
         col("n_records"))
 
+  /** Open trailing gaps — the batch face of
+    * [[graft.streaming.StreamingAgg.gapStream]]'s feed-death page: per
+    * event type, the silence since its LAST record measured against the
+    * corpus frontier (the max event time across ALL types — the batch
+    * analog of the stream's watermark), the records already missed
+    * under the reference's round-half-even rule, and whether the
+    * silence exceeds the alert threshold. A type whose last record IS
+    * the frontier shows a zero gap; in the reference's sensor-feed
+    * domain this is the "which feeds are dead right now" report the
+    * open-gap stream alerts on live.
+    *
+    * Plan: one keyed aggregate for the per-type frontier + a broadcast
+    * 1-row corpus frontier (cross join) — two aggregates total, no
+    * window, no event-stream sort, scan-bound at any corpus size. */
+  def qOpenGaps(s: SparkSession, dir: String): DataFrame = {
+    val v = TSA.filterValid(events(s, dir), cfg)
+    val frontier = v.agg(max(TSA.T).as("__fr"))
+    v.groupBy("event_type")
+      .agg(max(TSA.T).as("last_t_us"), count(lit(1)).as("n_records"))
+      .crossJoin(broadcast(frontier))
+      .withColumn("open_gap_us", col("__fr") - col("last_t_us"))
+      .select(col("event_type"), col("last_t_us"), col("n_records"),
+        col("open_gap_us"),
+        when(col("open_gap_us") > GapThrUs,
+          expr(TSA.fillCountSpark("open_gap_us", NomStepUs)))
+          .otherwise(0L).as("n_missing"),
+        (col("open_gap_us") > GapThrUs).as("stale"))
+  }
+
   /** Flatten a dependent unlimited dimension: per-record features packed
     * into a dense 1..n index (reference README flare-location example). */
   def qAggFlatten(s: SparkSession, dir: String): DataFrame = {
@@ -694,6 +723,19 @@ object AggQueries {
          |         AS n_days_missing,
          |       CAST(count(*) AS BIGINT) AS n_records
          |FROM v GROUP BY 1""".stripMargin,
+    "q_open_gaps" ->
+      s"""WITH v AS ($sqlValid),
+         |f AS (SELECT max(t) AS fr FROM v),
+         |g AS (SELECT event_type, CAST(max(t) AS BIGINT) AS last_t_us,
+         |             CAST(count(*) AS BIGINT) AS n_records
+         |      FROM v GROUP BY 1)
+         |SELECT event_type, last_t_us, n_records,
+         |       CAST(fr - last_t_us AS BIGINT) AS open_gap_us,
+         |       CAST(CASE WHEN fr - last_t_us > $GapThrUs
+         |            THEN ${TSA.fillCountDuck("fr - last_t_us", NomStepUs)}
+         |            ELSE 0 END AS BIGINT) AS n_missing,
+         |       fr - last_t_us > $GapThrUs AS stale
+         |FROM g, f""".stripMargin,
     "q_agg_sort" ->
       s"""WITH e AS ($sqlValid)
          |SELECT row_number() OVER (ORDER BY t, event_id) AS rn,
@@ -916,6 +958,7 @@ object AggQueries {
     "q_agg_chunked_write" -> (qAggChunkedWrite _),
     "q_gap_stats" -> (qGapStats _),
     "q_coverage_report" -> (qCoverageReport _),
+    "q_open_gaps" -> (qOpenGaps _),
     "q_netcdf_scan" -> (qNetcdfScan _),
     "q_netcdf_range" -> (qNetcdfRange _),
     "q_netcdf_filter" -> (qNetcdfFilter _),

@@ -243,8 +243,36 @@ object PipelineQueries {
 
   /** Drop the persisted signature store for (session, dir) — two-dir
     * sweeps ([[evictCaches]]); a later query rebuilds it. */
-  def evictSigStore(s: SparkSession, dir: String): Unit =
+  def evictSigStore(s: SparkSession, dir: String): Unit = {
     sigStoreMemo.evictMatching(s)(_ == dir)
+    textIdxMemo.evictMatching(s)(_ == dir)
+  }
+
+  // the persisted BM25 text index is derived ONCE per (session, dir) —
+  // t_bm25_indexed's timed work is the term-pruned PERSISTED read path
+  // (postings scan + df/stats delta sums), not the index build (a real
+  // deployment builds at ingest time); same cleanup contract as the
+  // signature store
+  private val textIdxMemo = new SessionScoped[String, String]({ (_, out) =>
+    try org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out).getParentFile)
+    catch { case _: java.io.IOException => () }
+  })
+
+  /** Dir of the session-persisted BM25 text index for `dir` — built
+    * once per (session, dir) via [[graft.ml.Similarity.writeTextIndex]]
+    * (registry tokenization: docs under 3 tokens do not index). */
+  def textIndexStore(s: SparkSession, dir: String): String =
+    textIdxMemo.getOrBuild(s, dir) {
+      val d = java.nio.file.Files.createTempDirectory("graft_textidx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        catch { case _: java.io.IOException => () }))
+      val out = s"$d/text_index"
+      graft.ml.Similarity.writeTextIndex(
+        tbl(s, dir, "documents").select("doc_id", "text"), out)
+      out
+    }
 
   /** Parquet path of the STANDING-corpus LSH band-signature store
     * (doc_id, band_idx, sig) — every document except the `doc_id % 10
@@ -2563,6 +2591,23 @@ object PipelineQueries {
       .select("rk", "doc_id", "score")
   }
 
+  /** BM25 top-10 through the PERSISTED text index — the same query,
+    * terms, and exact-integer Okapi arithmetic as [[tBm25]], but served
+    * from [[graft.ml.Similarity]]'s postings/df/stats parquet store
+    * instead of recomputing postings from the corpus: the scan reads
+    * ONLY the three query terms' posting runs (t IN (...) pushes into
+    * the term-range-clustered parquet), df and corpus stats sum their
+    * batch delta rows, and the same oracle SQL hash-checks both faces —
+    * a match proves the index lifecycle (tokenize → postings → persist
+    * → reopen → score) is the identity on ranking. This is the lexical
+    * retrieval shape a 100 TB deployment actually runs: the corpus
+    * tokenizes once at ingest, queries touch index bytes proportional
+    * to their own terms. */
+  def tBm25Indexed(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Similarity.textSearchIndex(
+      graft.ml.Similarity.openTextIndex(s, textIndexStore(s, dir)),
+      bm25Terms, 10)
+
   /** Collocation mining — the top-20 adjacent token pairs by rational
     * PMI (pointwise mutual information, log-free: score ∝
     * n_ab·T/(n_a·n_b), monotone in true PMI), min pair count 5. The
@@ -2778,6 +2823,30 @@ object PipelineQueries {
         expr(s"bin_offset div ${budget}L").as("bin_id"),
         (col("bin_offset") % budget).as("offset_in_bin"))
   }
+
+  /** Packing-efficiency telemetry over [[dPackSequences]]' two-level
+    * rule — the bins report a training-data owner reads before a run:
+    * per source, the doc/token mass, how many bins exist (last doc's
+    * bin + 1), how many actually receive a doc START (a long doc can
+    * span bins that start no one), and the heaviest bin by both doc
+    * count and started-token mass — the direct check that the budget
+    * and the doc-length distribution are compatible.
+    *
+    * Plan: the pack's per-(source, shard) window feeds two stacked
+    * keyed aggregates ((source, bin) then source) — map-side combine on
+    * both, no new window, nothing per-pair. */
+  def dPackStats(s: SparkSession, dir: String,
+      p: PipelineParams = PipelineParams.Default): DataFrame =
+    dPackSequences(s, dir, p)
+      .groupBy("source", "bin_id")
+      .agg(count(lit(1)).as("__docs"), sum("n_tokens").as("__toks"))
+      .groupBy("source")
+      .agg(sum("__docs").as("n_docs"),
+        (max("bin_id") + 1L).as("n_bins"),
+        count(lit(1)).as("bins_started"),
+        sum("__toks").as("sum_tokens"),
+        max("__docs").as("max_docs_in_bin"),
+        max("__toks").as("max_bin_tokens"))
 
   /** PII scrub: mask email-like and long-digit-run (phone/account)
     * patterns before a corpus ships to training. Pure per-row regexp
@@ -3201,6 +3270,33 @@ object PipelineQueries {
        |    list_transform(range(j + 1, b), k ->
        |      xor(xor($qb, CAST(1 AS BIGINT) << j),
        |          CAST(1 AS BIGINT) << k)))))""".stripMargin
+
+  private lazy val bm25OracleSql: String =
+      s"""WITH $thCte,
+         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |                 CAST(sum(len(th)) AS BIGINT) AS n_tokens
+         |          FROM thT),
+         |tu AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS dl,
+         |              unnest(th) AS t
+         |       FROM thT),
+         |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
+         |       FROM tu WHERE t IN (${bm25Terms.map(termHash).mkString(", ")})
+         |       GROUP BY 1, 2, 3),
+         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
+         |        GROUP BY t),
+         |sc AS (SELECT doc_id,
+         |         CAST(sum(
+         |           (((n_docs - df) * 2000000 + 1000000) // (2 * df + 1)) *
+         |           ((tf * 22 * n_tokens * 1000) //
+         |            (tf * 10 * n_tokens + 3 * n_tokens + 9 * dl * n_docs))
+         |         ) AS BIGINT) AS score
+         |       FROM tf JOIN dfq USING (t) CROSS JOIN stats
+         |       GROUP BY doc_id),
+         |top AS (SELECT doc_id, score FROM sc
+         |        ORDER BY score DESC, doc_id LIMIT 10)
+         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+         |         AS BIGINT) AS rk, doc_id, score
+         |FROM top""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "d_exact_dedup" ->
@@ -4695,33 +4791,11 @@ object PipelineQueries {
          |SELECT doc_id, rk, t AS term_hash, tf, df, score
          |FROM sc WHERE rk <= 3""".stripMargin,
     // BM25 with the rational idf / cleared-denominator saturation term —
-    // every factor exact BIGINT, floor division on both engines
-    "t_bm25" ->
-      s"""WITH $thCte,
-         |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
-         |                 CAST(sum(len(th)) AS BIGINT) AS n_tokens
-         |          FROM thT),
-         |tu AS (SELECT doc_id, CAST(len(th) AS BIGINT) AS dl,
-         |              unnest(th) AS t
-         |       FROM thT),
-         |tf AS (SELECT doc_id, dl, t, CAST(count(*) AS BIGINT) AS tf
-         |       FROM tu WHERE t IN (${bm25Terms.map(termHash).mkString(", ")})
-         |       GROUP BY 1, 2, 3),
-         |dfq AS (SELECT t, CAST(count(*) AS BIGINT) AS df FROM tf
-         |        GROUP BY t),
-         |sc AS (SELECT doc_id,
-         |         CAST(sum(
-         |           (((n_docs - df) * 2000000 + 1000000) // (2 * df + 1)) *
-         |           ((tf * 22 * n_tokens * 1000) //
-         |            (tf * 10 * n_tokens + 3 * n_tokens + 9 * dl * n_docs))
-         |         ) AS BIGINT) AS score
-         |       FROM tf JOIN dfq USING (t) CROSS JOIN stats
-         |       GROUP BY doc_id),
-         |top AS (SELECT doc_id, score FROM sc
-         |        ORDER BY score DESC, doc_id LIMIT 10)
-         |SELECT CAST(row_number() OVER (ORDER BY score DESC, doc_id)
-         |         AS BIGINT) AS rk, doc_id, score
-         |FROM top""".stripMargin,
+    // every factor exact BIGINT, floor division on both engines. The
+    // indexed face runs the SAME SQL: a hash match proves the persisted
+    // index read path is rank-identical to the from-corpus recompute
+    "t_bm25" -> bm25OracleSql,
+    "t_bm25_indexed" -> bm25OracleSql,
     // rational PMI over reversibly-packed bigram codes (a*2^31 + b);
     // evaluation order of the score mirrors the Spark plan exactly
     "t_collocations" ->
@@ -4814,6 +4888,31 @@ object PipelineQueries {
          |       CAST(bin_offset // 2048 AS BIGINT) AS bin_id,
          |       CAST(bin_offset % 2048 AS BIGINT) AS offset_in_bin
          |FROM o""".stripMargin,
+    // the pack rollup: same serial-window pack, two stacked aggregates
+    "d_pack_stats" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(${PT.tokensDuck("text")}) AS BIGINT) AS n_tokens,
+         |         ((doc_id % 1000003) * 2654435761) % 1000003
+         |           % ${PipelineParams.Default.packShards} AS shard
+         |  FROM documents),
+         |o AS (
+         |  SELECT *, COALESCE(sum(n_tokens) OVER (PARTITION BY source
+         |           ORDER BY shard, doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |           0) AS bin_offset
+         |  FROM d),
+         |b AS (SELECT source, bin_offset // 2048 AS bin_id,
+         |             CAST(count(*) AS BIGINT) AS docs,
+         |             CAST(sum(n_tokens) AS BIGINT) AS toks
+         |      FROM o GROUP BY 1, 2)
+         |SELECT source, CAST(sum(docs) AS BIGINT) AS n_docs,
+         |       CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+         |       CAST(count(*) AS BIGINT) AS bins_started,
+         |       CAST(sum(toks) AS BIGINT) AS sum_tokens,
+         |       CAST(max(docs) AS BIGINT) AS max_docs_in_bin,
+         |       CAST(max(toks) AS BIGINT) AS max_bin_tokens
+         |FROM b GROUP BY source""".stripMargin,
     "t_pii_mask" ->
       """SELECT doc_id,
         |  regexp_replace(
@@ -5277,8 +5376,10 @@ object PipelineQueries {
     "ann_stats" -> ((s: SparkSession, dir: String) => annStats(s, dir)),
     "emb_silhouette" -> ((s, d) => embSilhouette(s, d)),
     "t_bm25" -> (tBm25 _),
+    "t_bm25_indexed" -> (tBm25Indexed _),
     "t_collocations" -> (tCollocations _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
+    "d_pack_stats" -> ((s, d) => dPackStats(s, d)),
     "d_sample_mix" -> (dSampleMix _),
     "d_epoch_mix" -> (dEpochMix _),
     "d_corpus_pipeline" -> (dCorpusPipeline _),
