@@ -846,7 +846,7 @@ object Similarity {
     * the shared tokenHashes cache applies), so indexed search is
     * row-identical to the t_bm25 operator. */
   final case class TextIndex(dir: String, postings: DataFrame,
-      dfs: DataFrame, stats: DataFrame)
+      dfs: DataFrame, stats: DataFrame, docstats: DataFrame)
 
   private def tokenized(docs: DataFrame): DataFrame = {
     graft.functions.native.register(docs.sparkSession)
@@ -871,11 +871,33 @@ object Similarity {
       post.groupBy("t").agg(count(lit(1)).as("df"))
         .repartitionByRange(col("t")).sortWithinPartitions("t")
         .write.mode(mode).parquet(s"$dir/df.parquet")
+      // per-doc token length — 16 B/doc; deletes read THIS (never the
+      // postings) to subtract the departed docs' stats exactly
+      post.select(col("doc_id"), col("dl")).distinct()
+        .write.mode(mode).parquet(s"$dir/docstats.parquet")
       th.agg(count(lit(1)).as("n_docs"),
           sum(size(col("th")).cast(LongType)).as("n_tokens"))
         .coalesce(1)
         .write.mode(mode).parquet(s"$dir/textstats.parquet")
     } finally post.unpersist(blocking = false)
+  }
+
+  private def docTombstonesPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "doc_tombstones.parquet")
+
+  /** True if the text index has pending document deletes —
+    * [[compactTextIndex]] no-ops without them. */
+  def pendingTextDeletes(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean =
+    fs(spark, docTombstonesPath(dir)).exists(docTombstonesPath(dir))
+
+  private def minusDocTombstones(data: DataFrame,
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val p = docTombstonesPath(dir)
+    if (fs(spark, p).exists(p))
+      data.join(spark.read.parquet(p.toString).select(col("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else data
   }
 
   /** Build the text index from a `(doc_id, text)` frame: one tokenize
@@ -889,7 +911,8 @@ object Similarity {
     TextIndex(dir,
       spark.read.parquet(s"$dir/postings.parquet"),
       spark.read.parquet(s"$dir/df.parquet"),
-      spark.read.parquet(s"$dir/textstats.parquet"))
+      spark.read.parquet(s"$dir/textstats.parquet"),
+      spark.read.parquet(s"$dir/docstats.parquet"))
 
   /** Append a batch of NEW documents: postings/df/stats all append
     * their deltas — no existing file rewrites, and search over the
@@ -898,6 +921,96 @@ object Similarity {
   def appendTextIndex(index: TextIndex, docs: DataFrame): TextIndex = {
     writeTextBatch(tokenized(docs), index.dir, "append")
     openTextIndex(docs.sparkSession, index.dir)
+  }
+
+  /** Delete documents from the text index — the same tombstone
+    * contract as the vector side's [[deleteFromIndex]]: the delete is
+    * an O(delta) metadata operation (ids append to a tombstone set;
+    * the postings never rewrite), search excludes tombstoned docs
+    * BEFORE ranking so a deleted doc can never crowd a survivor out of
+    * the top-k, and [[compactTextIndex]] reclaims the bytes later.
+    *
+    * Exactness under deletes: the BM25 corpus constants (N, total
+    * tokens) subtract the departed docs' exact counts — read from the
+    * 16 B/doc docstats frame, never the postings — as a NEGATIVE delta
+    * row in textstats, and per-term df switches to being derived from
+    * the SURVIVING postings of the query's own terms (df.parquet's
+    * additive deltas cannot discount). Already-deleted and unknown ids
+    * are ignored (no double subtraction). Search parity with a rebuild
+    * on the survivors is spec-pinned. */
+  def deleteFromTextIndex(index: TextIndex, ids: DataFrame): TextIndex = {
+    val spark = ids.sparkSession
+    val fresh = ids.select(col("doc_id").cast(LongType)).distinct()
+      .join(index.docstats.select("doc_id"), Seq("doc_id"), "left_semi")
+    val departing = minusDocTombstones(fresh, spark, index.dir).persist()
+    try {
+      if (departing.count() > 0L) {
+        index.docstats
+          .join(departing, Seq("doc_id"), "left_semi")
+          .agg((-count(lit(1))).as("n_docs"),
+            (-sum(col("dl"))).cast(LongType).as("n_tokens"))
+          .coalesce(1)
+          .write.mode("append").parquet(s"${index.dir}/textstats.parquet")
+        departing.coalesce(1)
+          .write.mode("append")
+          .parquet(docTombstonesPath(index.dir).toString)
+      }
+    } finally departing.unpersist(blocking = false)
+    openTextIndex(spark, index.dir)
+  }
+
+  /** Reclaim tombstoned documents' bytes: rewrite postings and
+    * docstats minus the tombstones (staged-rename swap — the index
+    * stays openable at every instant), recompute df from the surviving
+    * postings, collapse textstats to one exact row, drop the tombstone
+    * set. No-op without pending deletes. Search results are identical
+    * before and after (spec-pinned): compaction changes bytes, never
+    * answers. */
+  def compactTextIndex(index: TextIndex): TextIndex = {
+    val spark = index.postings.sparkSession
+    if (pendingTextDeletes(spark, index.dir)) {
+      val dir = index.dir
+      def swap(name: String)(write: (DataFrame, String) => Unit): Unit = {
+        val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
+        val staged = new org.apache.hadoop.fs.Path(s"$dir/$name.compact")
+        write(minusDocTombstones(
+          spark.read.parquet(live.toString), spark, dir), staged.toString)
+        val f = fs(spark, live)
+        f.delete(live, true)
+        require(f.rename(staged, live),
+          s"compact swap failed: $staged -> $live")
+      }
+      swap("postings.parquet") { (df, out) =>
+        df.repartitionByRange(col("t")).sortWithinPartitions("t")
+          .write.mode("overwrite").parquet(out)
+      }
+      swap("docstats.parquet") { (df, out) =>
+        df.write.mode("overwrite").parquet(out)
+      }
+      // df + stats recompute from the now-clean postings/docstats
+      val live = spark.read.parquet(s"$dir/postings.parquet")
+      val stagedDf = new org.apache.hadoop.fs.Path(s"$dir/df.parquet.compact")
+      live.groupBy("t").agg(count(lit(1)).as("df"))
+        .repartitionByRange(col("t")).sortWithinPartitions("t")
+        .write.mode("overwrite").parquet(stagedDf.toString)
+      val liveDf = new org.apache.hadoop.fs.Path(s"$dir/df.parquet")
+      val f = fs(spark, liveDf)
+      f.delete(liveDf, true)
+      require(f.rename(stagedDf, liveDf),
+        s"compact swap failed: $stagedDf -> $liveDf")
+      val ds = spark.read.parquet(s"$dir/docstats.parquet")
+        .agg(count(lit(1)).as("n_docs"),
+          coalesce(sum(col("dl")), lit(0L)).cast(LongType).as("n_tokens"))
+      val stagedSt =
+        new org.apache.hadoop.fs.Path(s"$dir/textstats.parquet.compact")
+      ds.coalesce(1).write.mode("overwrite").parquet(stagedSt.toString)
+      val liveSt = new org.apache.hadoop.fs.Path(s"$dir/textstats.parquet")
+      f.delete(liveSt, true)
+      require(f.rename(stagedSt, liveSt),
+        s"compact swap failed: $stagedSt -> $liveSt")
+      f.delete(docTombstonesPath(dir), true)
+    }
+    openTextIndex(spark, index.dir)
   }
 
   /** BM25 top-k over the persisted index for a literal term set —
@@ -912,10 +1025,20 @@ object Similarity {
   def textSearchIndex(index: TextIndex, terms: Seq[String],
       k: Int): DataFrame = {
     require(k > 0, s"k=$k")
+    val spark = index.postings.sparkSession
     val qh = terms.map(termHash)
-    val post = index.postings.filter(col("t").isin(qh: _*))
-    val dfq = index.dfs.filter(col("t").isin(qh: _*))
-      .groupBy("t").agg(sum("df").as("df"))
+    val post = minusDocTombstones(
+      index.postings.filter(col("t").isin(qh: _*)), spark, index.dir)
+    // with pending deletes, df.parquet's additive deltas cannot
+    // discount the departed docs — derive df from the SURVIVING
+    // postings of the query's own terms instead (always exact; same
+    // bytes read either way, the term filter already pruned the scan)
+    val dfq =
+      if (pendingTextDeletes(spark, index.dir))
+        post.groupBy("t").agg(count(lit(1)).as("df"))
+      else
+        index.dfs.filter(col("t").isin(qh: _*))
+          .groupBy("t").agg(sum("df").as("df"))
     val stats = index.stats.agg(
       sum("n_docs").cast(LongType).as("n_docs"),
       sum("n_tokens").cast(LongType).as("n_tokens"))

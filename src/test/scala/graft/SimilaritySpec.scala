@@ -1243,4 +1243,53 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       s"the term filter must push into the postings scan:\n$plan")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
+
+  test("text index delete/compact: tombstoned search == rebuild on the " +
+      "survivors; compaction changes bytes, never answers") {
+    import graft.ml.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_textdel").toString
+    val terms = graft.queries.PipelineQueries.bm25Terms
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // full index, then delete the doc_id % 3 == 0 slice
+    Similarity.writeTextIndex(docs, s"$root/live")
+    val idx0 = Similarity.openTextIndex(spark, s"$root/live")
+    val before = rows(Similarity.textSearchIndex(idx0, terms, 10))
+    val idx1 = Similarity.deleteFromTextIndex(idx0,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    assert(Similarity.pendingTextDeletes(spark, s"$root/live"))
+    val afterDelete = rows(Similarity.textSearchIndex(idx1, terms, 10))
+    // oracle: a from-scratch rebuild on the survivors
+    Similarity.writeTextIndex(docs.filter(col("doc_id") % 3 =!= 0),
+      s"$root/survivors")
+    val rebuilt = rows(Similarity.textSearchIndex(
+      Similarity.openTextIndex(spark, s"$root/survivors"), terms, 10))
+    assert(afterDelete === rebuilt,
+      "tombstoned search must equal the survivor rebuild exactly")
+    assert(afterDelete !== before,
+      "the deleted slice must actually change the ranking fixture")
+    // double-delete is a no-op (no double stats subtraction)
+    val idx2 = Similarity.deleteFromTextIndex(idx1,
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    assert(rows(Similarity.textSearchIndex(idx2, terms, 10)) === rebuilt)
+    // compact reclaims bytes and drops the tombstones; answers identical
+    val idx3 = Similarity.compactTextIndex(idx2)
+    assert(!Similarity.pendingTextDeletes(spark, s"$root/live"))
+    assert(rows(Similarity.textSearchIndex(idx3, terms, 10)) === rebuilt,
+      "compaction must not change answers")
+    // the compacted postings no longer carry any tombstoned doc
+    assert(idx3.postings.join(
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"),
+      Seq("doc_id"), "left_semi").count() === 0L)
+    // post-compact stats row is exact (one scan of the clean docstats)
+    val st = idx3.stats.collect()
+    assert(st.length === 1 &&
+      st.head.getLong(0) === idx3.docstats.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
 }
