@@ -51,7 +51,7 @@ object PackSkewProbe {
           if (e.taskInfo != null) taskDurations.add(e.taskInfo.duration)
       })
 
-    def time(name: String, nsh: Long): (Double, Double, Double) = {
+    def time(nsh: Long): (Double, Double, Double) = {
       import graft.queries.{PipelineParams, PipelineQueries}
       def run() = PipelineQueries
         .dPackSequences(spark, dir,
@@ -71,10 +71,8 @@ object PackSkewProbe {
     }
 
     val n = spark.read.parquet(s"$dir/documents.parquet").count()
-    val (w2, m2, s2) = time("two_level", -1L match {
-      case _ => graft.queries.PipelineParams.Default.packShards
-    })
-    val (w1, m1, s1) = time("serial", 1L)
+    val (w2, m2, s2) = time(graft.queries.PipelineParams.Default.packShards)
+    val (w1, m1, s1) = time(1L)
     println(f"""{"metric":"pack_skew_probe","sf_dir":"$sf","rows_documents":$n,""" +
       f""""two_level_wall":$w2%.2f,"two_level_maxtask":$m2%.2f,"two_level_skew":$s2%.1f,""" +
       f""""serial_wall":$w1%.2f,"serial_maxtask":$m1%.2f,"serial_skew":$s1%.1f}""")

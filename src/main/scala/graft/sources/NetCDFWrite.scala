@@ -1068,18 +1068,25 @@ object NetCDFWrite {
         // legacy bare-array manifest (pre-"staged" upgrade): recover
         // the staged set so a crash that predates the upgrade still
         // reads consistently. Staged granules all share one
-        // compact-<stamp>- name prefix; any still sitting in the tmp
-        // dir names the stamp, so the already-moved ones are the
-        // in-store files with that prefix. An EMPTY tmp means every
-        // staged move completed (swapIn drains tmp one move at a
-        // time), the staged set is no longer enumerable, and only the
-        // post view is sound.
+        // compact-<stamp>- name prefix (13-digit ms stamp, the scheme
+        // [[compactGranules]] has always used); any still sitting in
+        // the tmp dir names the stamp, so the already-moved ones are
+        // the in-store files with that prefix. The prefix is matched
+        // with an explicit anchor — a tmp .nc that does NOT follow the
+        // scheme (foreign file, future naming change) would make the
+        // derived prefix miss already-moved replacements, so ANY
+        // non-matching tmp file demotes to preViewSound = false rather
+        // than double-count. An EMPTY tmp means every staged move
+        // completed (swapIn drains tmp one move at a time), the staged
+        // set is no longer enumerable, and only the post view is sound.
         val origs = names(arr)
         val tmpDir = manifest.getParent
         val inTmp = ncNames(tmpDir)
-        inTmp.headOption.map(_.split("-").take(2)) match {
-          case Some(Array(p0, p1)) =>
-            val prefix = s"$p0-$p1-"
+        val stagedRe = "^(compact-\\d{13}-)".r
+        val prefixes = inTmp.map(n =>
+          stagedRe.findPrefixMatchOf(n).map(_.group(1)))
+        prefixes.flatten.distinct match {
+          case Seq(prefix) if prefixes.forall(_.isDefined) =>
             val moved = Option(tmpDir.getParent).map(ncNames)
               .getOrElse(Nil).filter(_.startsWith(prefix))
             CompactSnapshot(origs, (inTmp ++ moved).distinct,
@@ -1098,21 +1105,66 @@ object NetCDFWrite {
     * — record count, per-record-variable projected bytes + chunk extent
     * (→ [[NetCdfSource.FileMeta]]), the granule's Spark schema (→ table
     * schema inference), and the column-stats sidecar digest (→ generic
-    * filter pruning). `bytes` + `mtimeMs` are the validation key: a
-    * reader uses the entry only when the file's CURRENT size AND mtime
-    * both match, so a stale or foreign manifest — including an in-place
-    * same-size rewrite, which fixed-width NetCDF makes easy — can never
-    * corrupt planning; at worst a granule falls back to its header
-    * parse. Legacy manifests without mtime parse as `mtimeMs = -1`,
-    * which never validates (one header-parse plan until any writer
-    * refresh re-stamps them). */
+    * filter pruning). `bytes` + `mtimeMs` + `headerCrc` are the
+    * validation key: a reader uses the entry only when the file's
+    * CURRENT size, mtime, AND content witness (CRC32 over the first and
+    * last 4 KiB — two page reads, not a data scan) all match, so a
+    * stale or foreign manifest — including an in-place same-size
+    * rewrite, which fixed-width NetCDF makes easy, even one landing
+    * inside a single coarse-granularity mtime tick (1–2 s on some
+    * ext4/FAT configs), since new trailing record values change the
+    * tail bytes — can never corrupt planning; at worst a granule falls
+    * back to its header parse. Residual risk: a same-size, same-tick
+    * rewrite that changes ONLY bytes outside both 4 KiB windows still
+    * validates — accepted, because closing it costs a full data
+    * checksum per validation. Legacy manifests without mtime parse as
+    * `mtimeMs = -1`, which never validates; without hcrc they parse as
+    * `headerCrc = -1`, which skips the witness (size+mtime only) until
+    * any writer refresh re-stamps them. */
   final case class FleetEntry(
       bytes: Long,
       mtimeMs: Long,
       records: Long,
       schemaJson: String,
       recVars: Map[String, (Long, Int)],
-      stats: Option[Map[String, (Double, Double)]])
+      stats: Option[Map[String, (Double, Double)]],
+      headerCrc: Long = -1L)
+
+  /** The entry validation key's content witness: CRC32 over the
+    * granule's first and last 4 KiB (head = header + leading fixed
+    * data, tail = the newest records a same-size in-place rewrite
+    * rewrites). Two page-cache reads per granule — orders cheaper than
+    * the header parse the manifest exists to avoid. */
+  def contentWitness(path: String): Long = {
+    val raf = new java.io.RandomAccessFile(path, "r")
+    try {
+      val len = raf.length()
+      val crc = new java.util.zip.CRC32
+      val head = new Array[Byte](math.min(4096L, len).toInt)
+      raf.readFully(head)
+      crc.update(head)
+      if (len > 4096L) {
+        val tail = new Array[Byte](math.min(4096L, len - 4096L).toInt)
+        raf.seek(len - tail.length)
+        raf.readFully(tail)
+        crc.update(tail)
+      }
+      crc.getValue
+    } finally raf.close()
+  }
+
+  /** The ONE manifest-entry validation rule, shared by every consumer
+    * (plan-time [[NetCdfSource]] table, [[refreshFleetManifest]] reuse,
+    * [[buildFleetManifest]] reuse): size AND mtime AND — when the entry
+    * carries one — the content witness must all match the file's
+    * current state. Any I/O trouble invalidates (header-parse
+    * fallback), never throws. */
+  def entryValid(f: java.io.File, e: FleetEntry): Boolean =
+    scala.util.Try(
+      e.bytes == f.length() && e.mtimeMs >= 0L &&
+        f.lastModified() == e.mtimeMs &&
+        (e.headerCrc < 0L || contentWitness(f.getPath) == e.headerCrc)
+    ).getOrElse(false)
 
   /** The store-level manifest: the record dimension the entries were
     * resolved against plus one [[FleetEntry]] per granule file name. */
@@ -1168,10 +1220,14 @@ object NetCDFWrite {
             case v if num(v).isDefined => num(v).get.toLong
             case _ => -1L // legacy entry: never validates, header fallback
           }
+          val hcrc = (g \ "hcrc") match {
+            case v if num(v).isDefined => num(v).get.toLong
+            case _ => -1L // pre-witness entry: size+mtime key only
+          }
           name -> FleetEntry(long(g \ "bytes"), mtime, long(g \ "records"),
             org.json4s.jackson.JsonMethods.compact(
               org.json4s.jackson.JsonMethods.render(g \ "schema")),
-            recVars, stats)
+            recVars, stats, hcrc)
         }.toMap
         case _ => Map.empty[String, FleetEntry]
       }
@@ -1209,7 +1265,7 @@ object NetCDFWrite {
         rd <- manifestRd
         pm <- prior if pm.recdim == rd
         e <- pm.granules.get(f.getName)
-        if e.bytes == f.length() && e.mtimeMs == f.lastModified()
+        if entryValid(f, e)
       } yield (f.getName, rd, e)
       reused.orElse(headerEntry(f.getPath, recDimHint))
     }.filter { case (_, rd, _) =>
@@ -1244,7 +1300,7 @@ object NetCDFWrite {
         Some((f.getName, rd,
           FleetEntry(f.length(), f.lastModified(), records,
             NetCDFIngest.schemaFor(nc, rd).json, recVars,
-            NetCdfSource.readStatsSidecar(path))))
+            NetCdfSource.readStatsSidecar(path), contentWitness(path))))
       } finally nc.close()
     } catch { case scala.util.control.NonFatal(_) => None }
 
@@ -1281,7 +1337,7 @@ object NetCDFWrite {
         rd <- manifestRd
         pm <- prior if pm.recdim == rd
         e <- pm.granules.get(f.getName)
-        if e.bytes == f.length() && e.mtimeMs == f.lastModified()
+        if entryValid(f, e)
       } yield (f.getName, rd, e)
     }
     val covered = reused.map(_._1).toSet
@@ -1318,6 +1374,7 @@ object NetCDFWrite {
       name -> JObject(List(
         "bytes" -> JLong(e.bytes),
         "mtime" -> JLong(e.mtimeMs),
+        "hcrc" -> JLong(e.headerCrc),
         "records" -> JLong(e.records),
         "schema" -> org.json4s.jackson.JsonMethods.parse(e.schemaJson),
         "recvars" -> JObject(e.recVars.toList.sortBy(_._1).map {

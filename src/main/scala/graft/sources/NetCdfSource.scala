@@ -566,17 +566,21 @@ final class NetCdfTable(
       s"${if (paths.size > 1) s" +${paths.size - 1}" else ""})"
 
   /** Fleet-manifest entries for this table's paths, validated per
-    * granule by exact file-size AND mtime match (size alone is fooled
-    * by an in-place same-size rewrite — fixed-width NetCDF with equal
-    * record counts reproduces the byte size with different values — so
-    * the mtime stamp is part of the key; a replaced, rewritten, or
-    * foreign file fails the check and falls back to its header parse).
-    * When the reader names an explicit `recdim` it must equal the
-    * manifest's, else the manifest is ignored wholesale — entries were
-    * resolved against the writer's record dim. With no explicit recdim
-    * the manifest is trusted: every granule-writing path records the
-    * dim it actually made unlimited, which is exactly what the header
-    * heuristic would resolve. This map is what makes planning O(stat)
+    * granule by [[NetCDFWrite.entryValid]] — exact file-size AND mtime
+    * AND content-witness match (size alone is fooled by an in-place
+    * same-size rewrite — fixed-width NetCDF with equal record counts
+    * reproduces the byte size with different values; mtime alone adds
+    * a coarse-granularity hole — some filesystems tick at 1–2 s, so a
+    * same-tick rewrite still matches; the CRC32 head+tail witness
+    * closes that, since new trailing record values change the tail
+    * bytes). A replaced, rewritten, or foreign file fails the check
+    * and falls back to its header parse. When the reader names an
+    * explicit `recdim` it must equal the manifest's, else the manifest
+    * is ignored wholesale — entries were resolved against the writer's
+    * record dim. With no explicit recdim the manifest is trusted:
+    * every granule-writing path records the dim it actually made
+    * unlimited, which is exactly what the header heuristic would
+    * resolve. This map is what makes planning O(stat + two page reads)
     * instead of O(header parse) per granule — schema inference,
     * FileMeta, and stats pruning all consult it first. */
   private[sources] lazy val fleetEntries
@@ -586,12 +590,9 @@ final class NetCdfTable(
       NetCDFWrite.readFleetManifest(dir) match {
         case Some(fm) if recDim.forall(_ == fm.recdim) =>
           ps.flatMap { p =>
-            fm.granules.get(new java.io.File(p).getName).filter { e =>
-              val f = new java.io.File(p)
-              scala.util.Try(java.nio.file.Files.size(
-                java.nio.file.Paths.get(p))).toOption.contains(e.bytes) &&
-                e.mtimeMs >= 0L && f.lastModified() == e.mtimeMs
-            }.map(p -> _)
+            fm.granules.get(new java.io.File(p).getName)
+              .filter(e => NetCDFWrite.entryValid(new java.io.File(p), e))
+              .map(p -> _)
           }
         case _ => Nil
       }

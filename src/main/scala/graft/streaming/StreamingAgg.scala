@@ -1528,7 +1528,17 @@ object StreamingAgg {
               Iterator.single(GapAlertRow(typ, last, wmUs - last,
                 graft.core.TimeSeriesAggregator.fillCount(wmUs - last,
                   nomUs), open = true))
-            else Iterator.empty
+            else {
+              // the arming arithmetic below ((last + thrUs) ms-rounded
+              // UP by +1) fires only at watermark > last + thrUs, so
+              // this µs-precision guard cannot fail today — but the
+              // invariant spans two branches and a µs/ms conversion, so
+              // re-arm rather than assume: a change to the rounding can
+              // then delay a page, never silently lose it
+              st.setTimeoutTimestamp(math.max((last + thrUs) / 1000L + 1L,
+                st.getCurrentWatermarkMs() + 1L))
+              Iterator.empty
+            }
           } else {
             var last = st.getOption.map(_.lastT).getOrElse(Long.MinValue)
             val out = Seq.newBuilder[GapAlertRow]

@@ -925,8 +925,8 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(rep2.compacted.isEmpty, "compaction must converge")
   }
 
-  test("fleet manifest: planning opens ZERO granules; a header-corrupted " +
-      "granule with a valid entry still plans and prunes; compaction " +
+  test("fleet manifest: planning opens ZERO granules; stat-forged " +
+      "garbage is caught by the content witness; compaction " +
       "keeps the manifest fresh") {
     import org.apache.spark.sql.SaveMode
     import graft.sources.{NetCDF4, NetCDFWrite}
@@ -954,13 +954,16 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(schemaCols === Set("id", "ts", "v"))
     assert(NetCDF4.openCalls.get() === before,
       "manifest-backed schema inference must not open any granule")
-    // 2. CORRUPT-GRANULE TRICK: garbage the LAST granule in place at
-    // identical size AND identical mtime — the full stat key — so its
-    // manifest entry stays valid. Planning still answers from the
-    // manifest, and a pushed v-band disjoint from the corrupt granule's
-    // recorded stats prunes it — the query succeeds without EVER
-    // opening the corrupted file. (A rewrite that does NOT forge the
-    // mtime invalidates the entry — see the same-size-rewrite test.)
+    // 2. STAT-FORGED GARBAGE IS CAUGHT: garbage the LAST granule in
+    // place at identical size AND identical (forged) mtime — the whole
+    // stat key — which is exactly what device-level bit rot or a
+    // same-mtime-tick rewrite on a coarse-granularity filesystem looks
+    // like. The entry's CONTENT WITNESS (CRC32 over head+tail 4 KiB)
+    // must invalidate it anyway, so inference falls back to the header
+    // parse and surfaces the corruption LOUDLY at plan time instead of
+    // letting a stale entry mask it (pre-witness behavior: the stale
+    // stats digest silently answered planning for a file whose bytes
+    // no longer back it).
     val victim = ncNames().last
     val vp = Paths.get(out, victim)
     val size = Files.size(vp)
@@ -968,15 +971,11 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     Files.write(vp, Array.fill[Byte](size.toInt)(0x5a))
     Files.setLastModifiedTime(vp, mt)
     assert(Files.size(vp) === size)
-    val banded = spark.read.format("netcdf").load(out)
-      .filter(col("v") < 150.0).agg(sum("id"))
-    assert(banded.collect().head.getLong(0) === (0L until 150L).sum,
-      "the band excluding the corrupt granule must answer exactly")
-    // 3. the manifest is load-bearing: without it the same inference
-    // must header-parse the fleet and hit the corruption
-    Files.delete(Paths.get(out, "_manifest.json"))
+    assert(Files.getLastModifiedTime(vp) === mt,
+      "the forged mtime must reproduce the recorded stamp exactly")
     intercept[Throwable] {
-      spark.read.format("netcdf").load(out).schema
+      spark.read.format("netcdf").load(out)
+        .filter(col("v") < 150.0).agg(sum("id")).collect()
     }
     // 4. repair the store and compact: the refreshed manifest must
     // cover exactly the current granule set
@@ -1026,14 +1025,9 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     // one distributed header pass backfills the manifest
     val n = NetCDFWrite.buildFleetManifest(spark, out)
     assert(n === 3, s"all three granules must be covered, got $n")
-    // the corrupt-granule trick: stat-identical garbage proves the
-    // next planning never opens ANY granule
-    val victim = new java.io.File(out).listFiles()
-      .filter(_.getName.endsWith(".nc")).map(_.toPath).sorted.last
-    val size = Files.size(victim)
-    val mt = Files.getLastModifiedTime(victim)
-    Files.write(victim, Array.fill[Byte](size.toInt)(0x5a))
-    Files.setLastModifiedTime(victim, mt)
+    // the backfilled manifest answers planning with ZERO granule opens
+    // (the open counter is the proof — the content witness reads 8 KiB
+    // per granule but never parses a header)
     val b1 = NetCDF4.openCalls.get()
     assert(spark.read.format("netcdf").load(out).schema
       .fieldNames.toSet === Set("id", "ts", "v"))
@@ -1044,6 +1038,18 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
     assert(NetCDFWrite.buildFleetManifest(spark, out) === 3)
     assert(NetCDF4.openCalls.get() === b2,
       "re-running the backfill must not reopen covered granules")
+    // and stat-forged garbage (size + mtime both reproduced) still
+    // invalidates via the content witness — a foreign archive gets the
+    // same corruption safety as a graft-written one
+    val victim = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.toPath).sorted.last
+    val size = Files.size(victim)
+    val mt = Files.getLastModifiedTime(victim)
+    Files.write(victim, Array.fill[Byte](size.toInt)(0x5a))
+    Files.setLastModifiedTime(victim, mt)
+    intercept[Throwable] {
+      spark.read.format("netcdf").load(out).schema
+    }
   }
 
   test("fleet manifest: an in-place same-size rewrite invalidates the " +
@@ -1085,6 +1091,47 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
       .filter(col("v") >= 100.0).count()
     assert(n === 300L,
       "the rewritten granule's rows must survive stats pruning")
+  }
+
+  test("fleet manifest: a same-size rewrite INSIDE one mtime tick " +
+      "(mtime reproduced exactly) is invalidated by the content " +
+      "witness alone") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.NetCDFWrite
+    val root = Files.createTempDirectory("v2tick")
+    val out = root.toString + "/store"
+    val df = spark.range(0, 300)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double"))
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "100")
+      .mode(SaveMode.Overwrite).save(out)
+    val names = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".nc")).map(_.getName).sorted.toSeq
+    val a = Paths.get(out, names.head) // v in [0, 100)
+    val b = Paths.get(out, names(1)) // v in [100, 200)
+    val recorded = NetCDFWrite.readFleetManifest(out).get
+      .granules(names.head).mtimeMs
+    // the coarse-granularity hole: replace A's bytes at identical size
+    // AND restore the manifest's recorded mtime — the stat key (size,
+    // mtime) matches perfectly, as it would after a rewrite landing in
+    // the same 1–2 s tick on ext4/FAT. Only the content differs.
+    Files.copy(b, a, java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(out, names(1) + ".stats.json"),
+      Paths.get(out, names.head + ".stats.json"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    Files.setLastModifiedTime(a,
+      java.nio.file.attribute.FileTime.fromMillis(recorded))
+    assert(new java.io.File(a.toString).lastModified() === recorded,
+      "the rewrite must reproduce the recorded mtime exactly")
+    // the stale digest (max v = 99) would prune granule A from a
+    // v >= 100 band and answer 200; the CRC head+tail witness must
+    // invalidate the entry so pruning consults the fresh sidecar
+    val n = spark.read.format("netcdf").load(out)
+      .filter(col("v") >= 100.0).count()
+    assert(n === 300L,
+      "an in-tick same-size rewrite must invalidate via the witness")
   }
 
   test("q_netcdf_scan end-to-end: parquet -> .nc granules -> v2 scan") {
