@@ -5,6 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
+import graft.util.StoreState
+
 /** Parameterized similarity search over an embeddings frame
   * (`vec_id: BIGINT, embedding: ARRAY<FLOAT>`) — the library form of the
   * registry's fixed-table demos (`ann_bruteforce`, `ann_ivf` in
@@ -72,6 +74,51 @@ object Similarity {
   final case class IvfIndex(dir: String, codebook: DataFrame,
       lists: DataFrame)
 
+  // ------------------------------------------- generation-store layout
+  //
+  // Every persisted store (IVF / PQ / IVF-PQ / text) keeps its state
+  // under generation directories with commit markers
+  // ([[graft.util.StoreState]]): builds, retrains, and compactions
+  // stage a COMPLETE new `gen-N/` file set and commit it with one
+  // atomic marker create, so a reader resolves a complete index at
+  // every instant — there is no delete-then-rename window, and a crash
+  // mid-maintenance leaves either the old or the new generation, never
+  // a third state. Mutating ops run under the store's single-writer
+  // lock (`_LOCK`); a second concurrent writer fails loudly. Legacy
+  // flat-layout stores (files directly under the root) stay readable;
+  // the first maintenance op migrates them into a generation.
+
+  /** Flat-layout file names a generation commit garbage-collects when
+    * migrating a legacy store (superset across all four store types —
+    * only names that exist are touched). `drift.json` is NOT listed:
+    * telemetry lives at the store root across generations. */
+  private val LegacyFlat = Seq(
+    "codebook.parquet", "pq_codebook.parquet", "lists.parquet",
+    "codes.parquet", "meta.json", "tombstones.parquet",
+    "postings.parquet", "df.parquet", "textstats.parquet",
+    "docstats.parquet", "doc_tombstones.parquet",
+    "lists.parquet.compact", "lists.parquet.retrain",
+    "codes.parquet.compact", "postings.parquet.compact",
+    "docstats.parquet.compact", "df.parquet.compact",
+    "textstats.parquet.compact")
+
+  /** The directory a reader currently resolves the store's data files
+    * from: the highest committed generation, or the store root for a
+    * legacy flat-layout store. Exposed for tests and ops tooling. */
+  def storeDataDir(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = StoreState.dataDir(spark, dir)
+
+  /** Byte-copy a small file/dir (codebooks, meta.json) into a staged
+    * generation through the Hadoop FS — exact and FS-agnostic. */
+  private def copyInto(spark: org.apache.spark.sql.SparkSession,
+      src: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path): Unit = {
+    val f = fs(spark, src)
+    if (f.exists(src))
+      org.apache.hadoop.fs.FileUtil.copy(f, src, f, dst, false,
+        spark.sparkContext.hadoopConfiguration)
+  }
+
   /** Assign the corpus and persist the index under `dir`. One
     * assignment pass (map-only indexed search) + one range shuffle on
     * cid; the codebook is model-sized and lands as a single file.
@@ -79,26 +126,34 @@ object Similarity {
     * 8 B/row next to a 256 B embedding) — the raw material for the
     * index's drift telemetry ([[driftStats]]); the build-time mean is
     * recorded in `drift.json` from ONE pruned scan of the stored
-    * column. */
-  def writeIndex(emb: DataFrame, codebook: DataFrame, dir: String): Unit = {
-    graft.functions.native.register(emb.sparkSession)
-    codebook.select(col("cid").cast(LongType), col("cv"))
-      .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
-    Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook)
-      .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
-      .repartitionByRange(col("cid"))
-      .sortWithinPartitions("cid")
-      .write.mode("overwrite").parquet(s"$dir/lists.parquet")
-    writeBuildDrift(emb.sparkSession, dir, s"$dir/lists.parquet")
-  }
+    * column. The new file set stages under a fresh generation and
+    * publishes with one atomic marker create — a rebuild over a live
+    * store never exposes a partial index. */
+  def writeIndex(emb: DataFrame, codebook: DataFrame, dir: String): Unit =
+    StoreState.withLock(emb.sparkSession, dir, "writeIndex") {
+      val s = emb.sparkSession
+      graft.functions.native.register(s)
+      val gen = StoreState.nextGenPath(s, dir)
+      codebook.select(col("cid").cast(LongType), col("cv"))
+        .coalesce(1)
+        .write.mode("overwrite").parquet(s"$gen/codebook.parquet")
+      Embeddings.assign(emb.select(col("vec_id"), col("embedding")), codebook)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
+        .repartitionByRange(col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite").parquet(s"$gen/lists.parquet")
+      StoreState.commitGen(s, dir, gen, LegacyFlat)
+      writeBuildDrift(s, dir, s"$gen/lists.parquet")
+    }
 
   /** Reopen a persisted index (metadata only — no data read). */
   def openIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): IvfIndex =
+      dir: String): IvfIndex = {
+    val d = StoreState.dataDir(spark, dir)
     IvfIndex(dir,
-      spark.read.parquet(s"$dir/codebook.parquet"),
-      spark.read.parquet(s"$dir/lists.parquet"))
+      spark.read.parquet(s"$d/codebook.parquet"),
+      spark.read.parquet(s"$d/lists.parquet"))
+  }
 
   // ------------------------------------------------- drift telemetry
 
@@ -162,19 +217,24 @@ object Similarity {
   // ---------------------------------------------------------- deletes
 
   /** Tombstone storage for all three persisted index types: a
-    * `tombstones.parquet` dir of deleted vec_ids next to the data files.
-    * A delete appends one model-sized-or-less file (O(delete batch), no
-    * data rewrite — the takedown/purge/TTL path must not cost a corpus
-    * pass); every search anti-joins the scan against it (the tombstone
-    * side is stats-sized in the planner, so a small set broadcasts on
-    * its own file-size estimate — no hint, no 8 GiB hazard); compaction
-    * folds the tombstones into the data files and removes them. */
-  private def tombstonesPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "tombstones.parquet")
+    * `tombstones.parquet` dir of deleted vec_ids next to the data files
+    * INSIDE the current generation — so a compaction's atomic
+    * generation flip folds the data rewrite and the tombstone drop into
+    * one commit point. A delete appends one model-sized-or-less file
+    * (O(delete batch), no data rewrite — the takedown/purge/TTL path
+    * must not cost a corpus pass); every search anti-joins the scan
+    * against it (the tombstone side is stats-sized in the planner, so a
+    * small set broadcasts on its own file-size estimate — no hint, no
+    * 8 GiB hazard); compaction folds the tombstones into the data files
+    * and removes them. */
+  private def tombstonesPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    new org.apache.hadoop.fs.Path(
+      StoreState.dataDir(spark, dir), "tombstones.parquet")
 
   private def readTombstones(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[DataFrame] = {
-    val p = tombstonesPath(dir)
+    val p = tombstonesPath(spark, dir)
     if (fs(spark, p).exists(p)) Some(spark.read.parquet(p.toString))
     else None
   }
@@ -190,34 +250,49 @@ object Similarity {
         "left_anti"))
       .getOrElse(data)
 
-  /** Append a batch of vec_ids to an index dir's tombstone set. */
+  /** Append a batch of vec_ids to the store's CURRENT generation's
+    * tombstone set. */
   private def writeTombstones(ids: DataFrame, dir: String): Unit =
     ids.select(col("vec_id").cast(LongType)).distinct()
       .coalesce(1)
-      .write.mode("append").parquet(tombstonesPath(dir).toString)
+      .write.mode("append")
+      .parquet(tombstonesPath(ids.sparkSession, dir).toString)
 
   /** True if the index dir has pending tombstones — compaction no-ops
     * without them. */
   def pendingDeletes(spark: org.apache.spark.sql.SparkSession,
       dir: String): Boolean =
-    fs(spark, tombstonesPath(dir)).exists(tombstonesPath(dir))
+    fs(spark, tombstonesPath(spark, dir)).exists(tombstonesPath(spark, dir))
 
-  /** Rewrite `rel` (minus tombstones) over the live data path with the
-    * same staged-rename swap [[retrainIndex]] uses — the index stays
-    * openable at every instant — then drop the tombstone set. */
-  private def swapRewrite(spark: org.apache.spark.sql.SparkSession,
-      dir: String, dataName: String,
-      write: (DataFrame, String) => Unit): Unit = {
-    val live = new org.apache.hadoop.fs.Path(s"$dir/$dataName")
-    val staged = new org.apache.hadoop.fs.Path(s"$dir/$dataName.compact")
-    val survivors = minusTombstones(
-      spark.read.parquet(live.toString), spark, dir)
-    write(survivors, staged.toString)
-    val f = fs(spark, live)
-    f.delete(live, true)
-    require(f.rename(staged, live), s"compact swap failed: $staged -> $live")
-    f.delete(tombstonesPath(dir), true)
-  }
+  /** Compact a vector store: stage the survivor rewrite plus verbatim
+    * copies of its model-sized sidecar files (codebooks, meta.json)
+    * under a fresh generation and publish with one atomic marker
+    * create — the store resolves to a complete index at every instant,
+    * and the tombstone drop rides the same commit (the old
+    * generation's tombstones die with its GC; a crash at ANY step
+    * leaves either the fully-tombstoned old state or the fully-folded
+    * new one). `probe` fires between every filesystem mutation — the
+    * openable-at-every-instant spec hook. */
+  private def compactVecStaged(spark: org.apache.spark.sql.SparkSession,
+      dir: String, op: String, sidecars: Seq[String], dataName: String,
+      rewrite: (DataFrame, String) => Unit, probe: () => Unit): Unit =
+    StoreState.withLock(spark, dir, op) {
+      if (pendingDeletes(spark, dir)) {
+        val cur = StoreState.dataDir(spark, dir)
+        val gen = StoreState.nextGenPath(spark, dir)
+        rewrite(minusTombstones(
+          spark.read.parquet(s"$cur/$dataName"), spark, dir),
+          s"$gen/$dataName")
+        probe()
+        sidecars.foreach { n =>
+          copyInto(spark, new org.apache.hadoop.fs.Path(s"$cur/$n"),
+            new org.apache.hadoop.fs.Path(s"$gen/$n"))
+          probe()
+        }
+        StoreState.commitGen(spark, dir, gen, LegacyFlat)
+        probe()
+      }
+    }
 
   /** Build-time stats from ONE scan of the freshly written lists/codes
     * (pruned to the 8 B/row `ccos` column). */
@@ -262,31 +337,35 @@ object Similarity {
     * itself is NOT retrained — a drifting corpus eventually warrants a
     * rebuild, which is the same writeIndex call. */
   def appendIndex(index: IvfIndex, emb: DataFrame): IvfIndex = {
-    graft.functions.native.register(emb.sparkSession)
-    val assigned = Embeddings.assign(
-        emb.select(col("vec_id"), col("embedding")), index.codebook)
-      .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
-      .persist() // batch-sized by contract; avoids a second assignment job
-    try {
-      assigned
-        .repartitionByRange(col("cid"))
-        .sortWithinPartitions("cid")
-        .write.mode("append").parquet(s"${index.dir}/lists.parquet")
-      recordAppendDrift(emb.sparkSession, index.dir, assigned)
-    } finally assigned.unpersist(blocking = false)
-    openIndex(emb.sparkSession, index.dir)
+    val s = emb.sparkSession
+    graft.functions.native.register(s)
+    StoreState.withLock(s, index.dir, "appendIndex") {
+      val d = StoreState.dataDir(s, index.dir)
+      val assigned = Embeddings.assign(
+          emb.select(col("vec_id"), col("embedding")), index.codebook)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
+        .persist() // batch-sized by contract; avoids a second assignment job
+      try {
+        assigned
+          .repartitionByRange(col("cid"))
+          .sortWithinPartitions("cid")
+          .write.mode("append").parquet(s"$d/lists.parquet")
+        recordAppendDrift(s, index.dir, assigned)
+      } finally assigned.unpersist(blocking = false)
+    }
+    openIndex(s, index.dir)
   }
 
   /** Retrain a persisted IVF index IN PLACE — the repair action for a
     * positive [[driftStats]] reading: refit the codebook from the
     * STORED corpus (the inverted lists carry the raw vectors), re-assign
-    * every vector, and reset drift telemetry to the new build. The
-    * re-assigned lists are staged NEXT TO the live ones and swapped with
-    * one directory rename — overwriting `lists.parquet` while the
-    * assignment job reads it would corrupt the input mid-job, and the
-    * rename keeps the index openable at every instant. Cost = one
-    * k-means fit + one assignment pass + one range shuffle — the same
-    * shape as the original build, which is the honest price of new
+    * every vector, and reset drift telemetry to the new build. The new
+    * lists AND the new codebook stage together under a fresh generation
+    * and publish with one atomic marker create — a reader can never
+    * pair new lists with the old codebook (or see a half-written
+    * store), and pending tombstones fold away in the same commit. Cost
+    * = one k-means fit + one assignment pass + one range shuffle — the
+    * same shape as the original build, which is the honest price of new
     * centroids (appends stay cheap; retrain is the amortized repair).
     *
     * `k` <= 0 keeps the current codebook size; pass a positive k to
@@ -295,29 +374,25 @@ object Similarity {
   def retrainIndex(index: IvfIndex, iters: Int = 5, k: Int = 0): IvfIndex = {
     val s = index.codebook.sparkSession
     graft.functions.native.register(s)
-    // pending deletes must not be resurrected into the refit corpus —
-    // a retrain is also a compaction (it rewrites every list)
-    val corpus = minusTombstones(index.lists, s, index.dir)
-      .select(col("vec_id"), col("embedding"))
-    val kk = if (k > 0) k else index.codebook.count().toInt
-    val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
-      .select(col("cid").cast(LongType), col("cv"))
-    val live = new org.apache.hadoop.fs.Path(s"${index.dir}/lists.parquet")
-    val staged =
-      new org.apache.hadoop.fs.Path(s"${index.dir}/lists.parquet.retrain")
-    Embeddings.assign(corpus, cbNew)
-      .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
-      .repartitionByRange(col("cid"))
-      .sortWithinPartitions("cid")
-      .write.mode("overwrite").parquet(staged.toString)
-    val f = fs(s, live)
-    f.delete(live, true)
-    require(f.rename(staged, live),
-      s"retrain swap failed: $staged -> $live")
-    cbNew.coalesce(1)
-      .write.mode("overwrite").parquet(s"${index.dir}/codebook.parquet")
-    writeBuildDrift(s, index.dir, live.toString)
-    f.delete(tombstonesPath(index.dir), true) // folded into the rewrite
+    StoreState.withLock(s, index.dir, "retrainIndex") {
+      // pending deletes must not be resurrected into the refit corpus —
+      // a retrain is also a compaction (it rewrites every list)
+      val corpus = minusTombstones(index.lists, s, index.dir)
+        .select(col("vec_id"), col("embedding"))
+      val kk = if (k > 0) k else index.codebook.count().toInt
+      val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
+        .select(col("cid").cast(LongType), col("cv"))
+      val gen = StoreState.nextGenPath(s, index.dir)
+      Embeddings.assign(corpus, cbNew)
+        .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
+        .repartitionByRange(col("cid"))
+        .sortWithinPartitions("cid")
+        .write.mode("overwrite").parquet(s"$gen/lists.parquet")
+      cbNew.coalesce(1)
+        .write.mode("overwrite").parquet(s"$gen/codebook.parquet")
+      StoreState.commitGen(s, index.dir, gen, LegacyFlat)
+      writeBuildDrift(s, index.dir, s"$gen/lists.parquet")
+    }
     openIndex(s, index.dir)
   }
 
@@ -333,24 +408,32 @@ object Similarity {
     * untouched: it records the assignment quality of batches as they
     * were ingested, which a later takedown does not rewrite. */
   def deleteFromIndex(index: IvfIndex, ids: DataFrame): IvfIndex = {
-    writeTombstones(ids, index.dir)
+    StoreState.withLock(ids.sparkSession, index.dir, "deleteFromIndex") {
+      writeTombstones(ids, index.dir)
+    }
     openIndex(ids.sparkSession, index.dir)
   }
 
   /** Fold pending tombstones into the stored lists: one pruned scan +
-    * the same range-clustered rewrite and staged-rename swap as
-    * [[retrainIndex]] (the index stays openable at every instant), with
-    * NO refit or re-assignment — assignments of surviving vectors are
-    * unchanged, so a compacted index searches identically (spec-pinned).
-    * No-op when nothing is pending. Schedule it by tombstone fraction;
-    * until then searches pay one anti-join against a file-sized set. */
-  def compactIndex(index: IvfIndex): IvfIndex = {
+    * a range-clustered rewrite staged under a fresh generation and
+    * published with one atomic marker create (the index resolves to a
+    * complete file set at every instant — spec-pinned by opening it
+    * between every compact step), with NO refit or re-assignment —
+    * assignments of surviving vectors are unchanged, so a compacted
+    * index searches identically (spec-pinned). No-op when nothing is
+    * pending. Schedule it by tombstone fraction; until then searches
+    * pay one anti-join against a file-sized set. */
+  def compactIndex(index: IvfIndex): IvfIndex =
+    compactIndexProbed(index, () => ())
+
+  private[graft] def compactIndexProbed(index: IvfIndex,
+      probe: () => Unit): IvfIndex = {
     val s = index.codebook.sparkSession
-    if (pendingDeletes(s, index.dir))
-      swapRewrite(s, index.dir, "lists.parquet", (df, out) =>
+    compactVecStaged(s, index.dir, "compactIndex",
+      Seq("codebook.parquet"), "lists.parquet", (df, out) =>
         df.repartitionByRange(col("cid"))
           .sortWithinPartitions("cid")
-          .write.mode("overwrite").parquet(out))
+          .write.mode("overwrite").parquet(out), probe)
     openIndex(s, index.dir)
   }
 
@@ -500,34 +583,51 @@ object Similarity {
     * reads the compressed representation's bytes, not the corpus'. */
   final case class PqIndex(dir: String, codebook: DataFrame, codes: DataFrame)
 
-  /** Encode the corpus once and persist codebooks + codes under `dir`. */
-  def writePqIndex(emb: DataFrame, pqCodebook: DataFrame, dir: String): Unit = {
+  /** Encode the corpus once and persist codebooks + codes under `dir`
+    * (staged generation + atomic marker publish, like [[writeIndex]]). */
+  def writePqIndex(emb: DataFrame, pqCodebook: DataFrame,
+      dir: String): Unit =
+    StoreState.withLock(emb.sparkSession, dir, "writePqIndex") {
+      doWritePqIndex(emb, pqCodebook, dir)
+    }
+
+  private def doWritePqIndex(emb: DataFrame, pqCodebook: DataFrame,
+      dir: String): Unit = {
+    val s = emb.sparkSession
     val cb = collectPq(pqCodebook)
+    val gen = StoreState.nextGenPath(s, dir)
     pqCodebook.select(col("sub").cast("int"), col("code").cast("int"),
         col("scv"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+      .write.mode("overwrite").parquet(s"$gen/pq_codebook.parquet")
     Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")), cb)
       .select(col("vec_id"), col("code"), col("rnorm"))
-      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
+      .write.mode("overwrite").parquet(s"$gen/codes.parquet")
+    StoreState.commitGen(s, dir, gen, LegacyFlat)
   }
 
   /** Reopen a persisted PQ index (metadata only — no data read). */
   def openPqIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): PqIndex =
+      dir: String): PqIndex = {
+    val d = StoreState.dataDir(spark, dir)
     PqIndex(dir,
-      spark.read.parquet(s"$dir/pq_codebook.parquet"),
-      spark.read.parquet(s"$dir/codes.parquet"))
+      spark.read.parquet(s"$d/pq_codebook.parquet"),
+      spark.read.parquet(s"$d/codes.parquet"))
+  }
 
   /** Append a new vector batch to a persisted PQ index: encode only
     * the batch with the stored codebooks and append the codes —
     * ingest cost proportional to the batch (see [[appendIndex]]). */
   def appendPqIndex(index: PqIndex, emb: DataFrame): PqIndex = {
-    Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")),
-        collectPq(index.codebook))
-      .select(col("vec_id"), col("code"), col("rnorm"))
-      .write.mode("append").parquet(s"${index.dir}/codes.parquet")
-    openPqIndex(emb.sparkSession, index.dir)
+    val s = emb.sparkSession
+    StoreState.withLock(s, index.dir, "appendPqIndex") {
+      val d = StoreState.dataDir(s, index.dir)
+      Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")),
+          collectPq(index.codebook))
+        .select(col("vec_id"), col("code"), col("rnorm"))
+        .write.mode("append").parquet(s"$d/codes.parquet")
+    }
+    openPqIndex(s, index.dir)
   }
 
   /** Retrain a persisted PQ index in place: refit the subspace
@@ -538,33 +638,40 @@ object Similarity {
   def retrainPqIndex(index: PqIndex, emb: DataFrame,
       iters: Int = 5): PqIndex = {
     val s = emb.sparkSession
-    // the caller's corpus may still contain vectors deleted from the
-    // index (the lake keeps them; the takedown was index-side) — apply
-    // pending tombstones before the refit, then fold them away: the
-    // rewrite contains exactly the surviving corpus
-    val corpus = minusTombstones(
-      emb.select(col("vec_id"), col("embedding")), s, index.dir)
-    val cb = collectPq(index.codebook)
-    val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
-    writePqIndex(corpus, pqNew, index.dir)
-    fs(s, tombstonesPath(index.dir)).delete(tombstonesPath(index.dir), true)
+    StoreState.withLock(s, index.dir, "retrainPqIndex") {
+      // the caller's corpus may still contain vectors deleted from the
+      // index (the lake keeps them; the takedown was index-side) — apply
+      // pending tombstones before the refit; the new generation's commit
+      // folds them away (the rewrite contains exactly the survivors)
+      val corpus = minusTombstones(
+        emb.select(col("vec_id"), col("embedding")), s, index.dir)
+      val cb = collectPq(index.codebook)
+      val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
+      doWritePqIndex(corpus, pqNew, index.dir)
+    }
     openPqIndex(s, index.dir)
   }
 
   /** Delete vectors from a persisted PQ index — tombstone semantics,
     * cost, and rebuild-parity contract as [[deleteFromIndex]]. */
   def deletePqIndex(index: PqIndex, ids: DataFrame): PqIndex = {
-    writeTombstones(ids, index.dir)
+    StoreState.withLock(ids.sparkSession, index.dir, "deletePqIndex") {
+      writeTombstones(ids, index.dir)
+    }
     openPqIndex(ids.sparkSession, index.dir)
   }
 
   /** Fold pending tombstones into the stored codes ([[compactIndex]]
     * semantics; the flat code scan has no clustering to preserve). */
-  def compactPqIndex(index: PqIndex): PqIndex = {
+  def compactPqIndex(index: PqIndex): PqIndex =
+    compactPqIndexProbed(index, () => ())
+
+  private[graft] def compactPqIndexProbed(index: PqIndex,
+      probe: () => Unit): PqIndex = {
     val s = index.codebook.sparkSession
-    if (pendingDeletes(s, index.dir))
-      swapRewrite(s, index.dir, "codes.parquet", (df, out) =>
-        df.write.mode("overwrite").parquet(out))
+    compactVecStaged(s, index.dir, "compactPqIndex",
+      Seq("pq_codebook.parquet"), "codes.parquet", (df, out) =>
+        df.write.mode("overwrite").parquet(out), probe)
     openPqIndex(s, index.dir)
   }
 
@@ -676,32 +783,42 @@ object Similarity {
     * index can never be scored with the wrong decomposition. */
   def writeIvfPqIndex(emb: DataFrame, codebook: DataFrame,
       pqCodebook: DataFrame, dir: String,
-      residual: Boolean = false): Unit = {
-    graft.functions.native.register(emb.sparkSession)
+      residual: Boolean = false): Unit =
+    StoreState.withLock(emb.sparkSession, dir, "writeIvfPqIndex") {
+      doWriteIvfPqIndex(emb, codebook, pqCodebook, dir, residual)
+    }
+
+  private def doWriteIvfPqIndex(emb: DataFrame, codebook: DataFrame,
+      pqCodebook: DataFrame, dir: String, residual: Boolean): Unit = {
+    val s = emb.sparkSession
+    graft.functions.native.register(s)
     val cb = collectPq(pqCodebook)
+    val gen = StoreState.nextGenPath(s, dir)
     codebook.select(col("cid").cast(LongType), col("cv"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook.parquet")
+      .write.mode("overwrite").parquet(s"$gen/codebook.parquet")
     pqCodebook.select(col("sub").cast("int"), col("code").cast("int"),
         col("scv"))
       .coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/pq_codebook.parquet")
+      .write.mode("overwrite").parquet(s"$gen/pq_codebook.parquet")
     encodeLists(emb, codebook, cb, residual)
       .select(col("cid"), col("vec_id"), col("code"), col("rnorm"),
         col("ccos"))
       .repartitionByRange(col("cid"))
       .sortWithinPartitions("cid")
-      .write.mode("overwrite").parquet(s"$dir/codes.parquet")
-    writeBuildDrift(emb.sparkSession, dir, s"$dir/codes.parquet")
+      .write.mode("overwrite").parquet(s"$gen/codes.parquet")
     // through the Hadoop FS like the parquet parts, so the index dir can
     // live on any filesystem the session can write (local/HDFS/object
-    // store) — java.nio would silently treat "hdfs://..." as local
-    val metaPath = new org.apache.hadoop.fs.Path(dir, "meta.json")
-    val fs = metaPath.getFileSystem(
-      emb.sparkSession.sparkContext.hadoopConfiguration)
-    val out = fs.create(metaPath, true)
+    // store) — java.nio would silently treat "hdfs://..." as local.
+    // meta.json stages INSIDE the generation: codes and their encoding
+    // flavor commit together, so a reader can never mis-pair them.
+    val metaPath = new org.apache.hadoop.fs.Path(gen, "meta.json")
+    val f = fs(s, metaPath)
+    val out = f.create(metaPath, true)
     try out.write(s"""{"residual": $residual}""".getBytes("UTF-8"))
     finally out.close()
+    StoreState.commitGen(s, dir, gen, LegacyFlat)
+    writeBuildDrift(s, dir, s"$gen/codes.parquet")
   }
 
   /** Reopen a persisted IVF-PQ index (metadata only — no data read).
@@ -711,21 +828,22 @@ object Similarity {
     * [[appendIvfPqIndex]] corrupt it with mixed encodings). */
   def openIvfPqIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfPqIndex = {
-    val metaPath = new org.apache.hadoop.fs.Path(dir, "meta.json")
-    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    require(fs.exists(metaPath),
-      s"$dir/meta.json missing: not a graft IVF-PQ index (or the index " +
+    val d = StoreState.dataDir(spark, dir)
+    val metaPath = new org.apache.hadoop.fs.Path(d, "meta.json")
+    val f = fs(spark, metaPath)
+    require(f.exists(metaPath),
+      s"$d/meta.json missing: not a graft IVF-PQ index (or the index " +
         "dir was copied without it); the encoding flavor cannot be " +
         "inferred from the codes — rebuild with writeIvfPqIndex")
-    val in = fs.open(metaPath)
+    val in = f.open(metaPath)
     val meta =
       try new String(
         org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
       finally in.close()
     IvfPqIndex(dir,
-      spark.read.parquet(s"$dir/codebook.parquet"),
-      spark.read.parquet(s"$dir/pq_codebook.parquet"),
-      spark.read.parquet(s"$dir/codes.parquet"),
+      spark.read.parquet(s"$d/codebook.parquet"),
+      spark.read.parquet(s"$d/pq_codebook.parquet"),
+      spark.read.parquet(s"$d/codes.parquet"),
       meta.contains("\"residual\": true"))
   }
 
@@ -735,20 +853,24 @@ object Similarity {
     * cannot desynchronize it), append the compressed rows — ingest
     * cost proportional to the batch (see [[appendIndex]]). */
   def appendIvfPqIndex(index: IvfPqIndex, emb: DataFrame): IvfPqIndex = {
-    graft.functions.native.register(emb.sparkSession)
-    val encoded = encodeLists(emb, index.codebook,
-        collectPq(index.pqCodebook), index.residual)
-      .select(col("cid"), col("vec_id"), col("code"), col("rnorm"),
-        col("ccos"))
-      .persist() // batch-sized by contract; avoids a second encode job
-    try {
-      encoded
-        .repartitionByRange(col("cid"))
-        .sortWithinPartitions("cid")
-        .write.mode("append").parquet(s"${index.dir}/codes.parquet")
-      recordAppendDrift(emb.sparkSession, index.dir, encoded)
-    } finally encoded.unpersist(blocking = false)
-    openIvfPqIndex(emb.sparkSession, index.dir)
+    val s = emb.sparkSession
+    graft.functions.native.register(s)
+    StoreState.withLock(s, index.dir, "appendIvfPqIndex") {
+      val d = StoreState.dataDir(s, index.dir)
+      val encoded = encodeLists(emb, index.codebook,
+          collectPq(index.pqCodebook), index.residual)
+        .select(col("cid"), col("vec_id"), col("code"), col("rnorm"),
+          col("ccos"))
+        .persist() // batch-sized by contract; avoids a second encode job
+      try {
+        encoded
+          .repartitionByRange(col("cid"))
+          .sortWithinPartitions("cid")
+          .write.mode("append").parquet(s"$d/codes.parquet")
+        recordAppendDrift(s, index.dir, encoded)
+      } finally encoded.unpersist(blocking = false)
+    }
+    openIvfPqIndex(s, index.dir)
   }
 
   /** Retrain a persisted IVF-PQ index in place — the [[retrainIndex]]
@@ -763,17 +885,19 @@ object Similarity {
       iters: Int = 5, k: Int = 0): IvfPqIndex = {
     val s = emb.sparkSession
     graft.functions.native.register(s)
-    // exclude pending index-side deletes from the caller's corpus, then
-    // fold them away — same contract as [[retrainPqIndex]]
-    val corpus = minusTombstones(
-      emb.select(col("vec_id"), col("embedding")), s, index.dir)
-    val kk = if (k > 0) k else index.codebook.count().toInt
-    val cb = collectPq(index.pqCodebook)
-    val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
-      .select(col("cid").cast(LongType), col("cv"))
-    val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
-    writeIvfPqIndex(corpus, cbNew, pqNew, index.dir, index.residual)
-    fs(s, tombstonesPath(index.dir)).delete(tombstonesPath(index.dir), true)
+    StoreState.withLock(s, index.dir, "retrainIvfPqIndex") {
+      // exclude pending index-side deletes from the caller's corpus;
+      // the new generation's commit folds them away — same contract as
+      // [[retrainPqIndex]]
+      val corpus = minusTombstones(
+        emb.select(col("vec_id"), col("embedding")), s, index.dir)
+      val kk = if (k > 0) k else index.codebook.count().toInt
+      val cb = collectPq(index.pqCodebook)
+      val cbNew = Embeddings.kmeansFit(corpus, kk, iters)
+        .select(col("cid").cast(LongType), col("cv"))
+      val pqNew = Embeddings.pqFit(corpus, cb.length, cb(0).length, iters)
+      doWriteIvfPqIndex(corpus, cbNew, pqNew, index.dir, index.residual)
+    }
     openIvfPqIndex(s, index.dir)
   }
 
@@ -781,20 +905,27 @@ object Similarity {
     * semantics, cost, and rebuild-parity contract as
     * [[deleteFromIndex]]. */
   def deleteIvfPqIndex(index: IvfPqIndex, ids: DataFrame): IvfPqIndex = {
-    writeTombstones(ids, index.dir)
+    StoreState.withLock(ids.sparkSession, index.dir, "deleteIvfPqIndex") {
+      writeTombstones(ids, index.dir)
+    }
     openIvfPqIndex(ids.sparkSession, index.dir)
   }
 
   /** Fold pending tombstones into the stored codes, preserving the
     * cid range-clustering the probe pushdown depends on
     * ([[compactIndex]] semantics). */
-  def compactIvfPqIndex(index: IvfPqIndex): IvfPqIndex = {
+  def compactIvfPqIndex(index: IvfPqIndex): IvfPqIndex =
+    compactIvfPqIndexProbed(index, () => ())
+
+  private[graft] def compactIvfPqIndexProbed(index: IvfPqIndex,
+      probe: () => Unit): IvfPqIndex = {
     val s = index.codebook.sparkSession
-    if (pendingDeletes(s, index.dir))
-      swapRewrite(s, index.dir, "codes.parquet", (df, out) =>
+    compactVecStaged(s, index.dir, "compactIvfPqIndex",
+      Seq("codebook.parquet", "pq_codebook.parquet", "meta.json"),
+      "codes.parquet", (df, out) =>
         df.repartitionByRange(col("cid"))
           .sortWithinPartitions("cid")
-          .write.mode("overwrite").parquet(out))
+          .write.mode("overwrite").parquet(out), probe)
     openIvfPqIndex(s, index.dir)
   }
 
@@ -828,23 +959,37 @@ object Similarity {
     t.foldLeft(0L)((a, c) => (a * 31 + c.toLong) % 1000000007L)
 
   /** A persisted BM25 text index — the lexical leg of the index
-    * lifecycle next to the vector side's build→append→search:
+    * lifecycle next to the vector side's build→append→search. Files
+    * live under the current generation's per-batch directories
+    * (`gen-N/batch-M/...`), each batch holding:
     *  - `postings.parquet` (t, doc_id, dl, tf), term-range-clustered
     *    ([[org.apache.spark.sql.Dataset.repartitionByRange]] +
     *    sortWithinPartitions on t) so a query's scan prunes to its own
     *    terms' posting runs via parquet min/max on t — never the corpus;
-    *  - `df.parquet` (t, df) as PER-BATCH DELTAS (build writes one set,
-    *    each append adds the batch's per-term doc counts; a reader sums
-    *    its terms' rows) — additive, so appends never rewrite it;
-    *  - `textstats.parquet` (n_docs, n_tokens) one delta row per batch,
-    *    summed at query time for the corpus-level BM25 constants.
+    *  - `df.parquet` (t, df), the batch's per-term doc counts (a reader
+    *    sums its terms' rows across batches) — additive, so appends
+    *    never rewrite existing files;
+    *  - `textstats.parquet` (n_docs, n_tokens), one row per batch,
+    *    summed at query time for the corpus-level BM25 constants;
+    *  - `docstats.parquet` (doc_id, dl), 16 B/doc — what deletes and
+    *    compactions read instead of the postings.
     *
-    * Contract mirrors the vector index: append batches carry NEW
-    * doc_ids (a re-sent doc would double-count df and stats, exactly
-    * like a re-sent vec_id duplicates a list entry). Tokenization is
-    * the registry's: docs under 3 tokens do not index (the same rule
-    * the shared tokenHashes cache applies), so indexed search is
-    * row-identical to the t_bm25 operator. */
+    * Crash contract: every batch publishes its four files with ONE
+    * atomic `_BATCH_COMMITTED` marker create (a crashed append is
+    * invisible garbage — readers never see a postings/df/stats
+    * mismatch); a delete's only write is the tombstone set (the BM25
+    * stats discount is DERIVED at read time from docstats ⋈ tombstones,
+    * so every observable state is exactly pre-delete or post-delete —
+    * never a third); compactions stage a full new generation and flip
+    * it with one marker ([[StoreState]]).
+    *
+    * Append batches carry NEW doc_ids (a re-sent doc would double-count
+    * df and stats, exactly like a re-sent vec_id duplicates a list
+    * entry) — except the idempotent streaming path
+    * ([[appendTextIndexStreamBatch]]), which overwrites its own batch
+    * dir on replay. Tokenization is the registry's: docs under 3 tokens
+    * do not index (the same rule the shared tokenHashes cache applies),
+    * so indexed search is row-identical to the t_bm25 operator. */
   final case class TextIndex(dir: String, postings: DataFrame,
       dfs: DataFrame, stats: DataFrame, docstats: DataFrame)
 
@@ -862,66 +1007,153 @@ object Similarity {
         explode(col("th")).as("t"))
       .groupBy("t", "doc_id", "dl").agg(count(lit(1)).as("tf"))
 
-  private def writeTextBatch(th: DataFrame, dir: String,
-      mode: String): Unit = {
+  /** Write one batch's four files into a (staged, not yet committed)
+    * batch directory. */
+  private def writeTextBatch(th: DataFrame, batchDir: String): Unit = {
     val post = postingsOf(th).persist()
     try {
       post.repartitionByRange(col("t")).sortWithinPartitions("t")
-        .write.mode(mode).parquet(s"$dir/postings.parquet")
+        .write.mode("overwrite").parquet(s"$batchDir/postings.parquet")
       post.groupBy("t").agg(count(lit(1)).as("df"))
         .repartitionByRange(col("t")).sortWithinPartitions("t")
-        .write.mode(mode).parquet(s"$dir/df.parquet")
+        .write.mode("overwrite").parquet(s"$batchDir/df.parquet")
       // per-doc token length — 16 B/doc; deletes read THIS (never the
       // postings) to subtract the departed docs' stats exactly
       post.select(col("doc_id"), col("dl")).distinct()
-        .write.mode(mode).parquet(s"$dir/docstats.parquet")
+        .write.mode("overwrite").parquet(s"$batchDir/docstats.parquet")
       th.agg(count(lit(1)).as("n_docs"),
           sum(size(col("th")).cast(LongType)).as("n_tokens"))
         .coalesce(1)
-        .write.mode(mode).parquet(s"$dir/textstats.parquet")
+        .write.mode("overwrite").parquet(s"$batchDir/textstats.parquet")
     } finally post.unpersist(blocking = false)
   }
 
-  private def docTombstonesPath(dir: String) =
-    new org.apache.hadoop.fs.Path(dir, "doc_tombstones.parquet")
+  private def docTombstonesPath(spark: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    new org.apache.hadoop.fs.Path(
+      StoreState.dataDir(spark, dir), "doc_tombstones.parquet")
 
-  /** True if the text index has pending document deletes —
-    * [[compactTextIndex]] no-ops without them. */
+  /** True if the text index has pending document deletes. */
   def pendingTextDeletes(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Boolean =
-    fs(spark, docTombstonesPath(dir)).exists(docTombstonesPath(dir))
+      dir: String): Boolean = {
+    val p = docTombstonesPath(spark, dir)
+    fs(spark, p).exists(p)
+  }
 
   private def minusDocTombstones(data: DataFrame,
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    val p = docTombstonesPath(dir)
+    val p = docTombstonesPath(spark, dir)
     if (fs(spark, p).exists(p))
       data.join(spark.read.parquet(p.toString).select(col("doc_id")),
         Seq("doc_id"), "left_anti")
     else data
   }
 
-  /** Build the text index from a `(doc_id, text)` frame: one tokenize
-    * pass, one keyed postings aggregate, one range shuffle on t. */
-  def writeTextIndex(docs: DataFrame, dir: String): Unit =
-    writeTextBatch(tokenized(docs), dir, "overwrite")
-
-  /** Reopen a persisted text index (metadata only — no data read). */
-  def openTextIndex(spark: org.apache.spark.sql.SparkSession,
-      dir: String): TextIndex =
-    TextIndex(dir,
-      spark.read.parquet(s"$dir/postings.parquet"),
-      spark.read.parquet(s"$dir/df.parquet"),
-      spark.read.parquet(s"$dir/textstats.parquet"),
-      spark.read.parquet(s"$dir/docstats.parquet"))
-
-  /** Append a batch of NEW documents: postings/df/stats all append
-    * their deltas — no existing file rewrites, and search over the
-    * appended index is row-identical to a from-scratch rebuild on the
-    * union (spec-pinned, like the vector side's appendIndex). */
-  def appendTextIndex(index: TextIndex, docs: DataFrame): TextIndex = {
-    writeTextBatch(tokenized(docs), index.dir, "append")
-    openTextIndex(docs.sparkSession, index.dir)
+  /** The readable paths of one file family: the store's COMMITTED
+    * batches, plus the direct file of a legacy flat-layout store. */
+  private def textPaths(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, name: String): Seq[String] = {
+    val direct = new org.apache.hadoop.fs.Path(dataDir, name)
+    val f = fs(spark, direct)
+    val all = (if (f.exists(direct)) Seq(direct) else Seq.empty) ++
+      StoreState.committedBatches(spark, dataDir)
+        .map(b => new org.apache.hadoop.fs.Path(b, name))
+        .filter(f.exists)
+    require(all.nonEmpty,
+      s"$dataDir has no committed $name — not a graft text index " +
+        "(or an interrupted build that never committed; rebuild with " +
+        "writeTextIndex)")
+    all.map(_.toString)
   }
+
+  /** Build the text index from a `(doc_id, text)` frame: one tokenize
+    * pass, one keyed postings aggregate, one range shuffle on t. The
+    * file set stages under `gen-N/batch-00000001/` and publishes with
+    * two atomic marker creates (batch, then generation) — a rebuild
+    * over a live store never exposes a partial index, and a crashed
+    * build leaves the previous state untouched. */
+  def writeTextIndex(docs: DataFrame, dir: String): Unit =
+    StoreState.withLock(docs.sparkSession, dir, "writeTextIndex") {
+      val s = docs.sparkSession
+      val gen = StoreState.nextGenPath(s, dir)
+      val batch = new org.apache.hadoop.fs.Path(
+        gen, StoreState.batchName(1L))
+      writeTextBatch(tokenized(docs), batch.toString)
+      StoreState.commitBatch(s, batch)
+      StoreState.commitGen(s, dir, gen, LegacyFlat)
+    }
+
+  /** Reopen a persisted text index (metadata only — no data read):
+    * resolves the current generation and unions its committed batches
+    * (term pruning still works per file — each batch's postings are
+    * term-range-clustered on their own). */
+  def openTextIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): TextIndex = {
+    val d = StoreState.dataDir(spark, dir)
+    def rd(name: String) =
+      spark.read.parquet(textPaths(spark, d, name): _*)
+    TextIndex(dir,
+      rd("postings.parquet"),
+      rd("df.parquet"),
+      rd("textstats.parquet"),
+      rd("docstats.parquet"))
+  }
+
+  /** Append a batch of NEW documents as a fresh `batch-M/` dir inside
+    * the current generation, committed with one atomic marker create —
+    * the four files (postings, df, textstats, docstats) become visible
+    * all-or-nothing, so a crashed append can never leave postings
+    * without their stats (it leaves an unmarked dir readers ignore and
+    * the next compaction reclaims). No existing file rewrites, and
+    * search over the appended index is row-identical to a from-scratch
+    * rebuild on the union (spec-pinned, like the vector side's
+    * appendIndex). */
+  def appendTextIndex(index: TextIndex, docs: DataFrame): TextIndex = {
+    val s = docs.sparkSession
+    StoreState.withLock(s, index.dir, "appendTextIndex") {
+      val d = StoreState.dataDir(s, index.dir)
+      val batch = StoreState.nextBatchPath(s, d)
+      writeTextBatch(tokenized(docs), batch.toString)
+      StoreState.commitBatch(s, batch)
+    }
+    openTextIndex(s, index.dir)
+  }
+
+  /** Idempotent per-micro-batch text-index append — the streaming
+    * ingest leg ([[textIndexSink]] drives it from foreachBatch). The
+    * batch dir is NAMED BY the streaming batch id (`batch-s<id>`), so a
+    * replayed micro-batch (restart after commit but before the
+    * checkpoint advanced) deletes and rewrites ITS OWN directory with
+    * the same rows instead of double-counting — exactly-once contents
+    * under at-least-once delivery, the same zero-padded-batch-id rule
+    * as the streaming granule sink. */
+  def appendTextIndexStreamBatch(docs: DataFrame, dir: String,
+      batchId: Long): Unit = {
+    val s = docs.sparkSession
+    StoreState.withLock(s, dir, s"textIndexSink(batch=$batchId)") {
+      val d = StoreState.dataDir(s, dir)
+      val batch = new org.apache.hadoop.fs.Path(
+        d, StoreState.streamBatchName(batchId))
+      val f = fs(s, batch)
+      if (f.exists(batch)) f.delete(batch, true) // replay: rewrite in full
+      writeTextBatch(tokenized(docs), batch.toString)
+      StoreState.commitBatch(s, batch)
+    }
+  }
+
+  /** Structured Streaming maintenance for the text index: every
+    * micro-batch of `(doc_id, text)` rows appends as one committed
+    * batch dir via [[appendTextIndexStreamBatch]] — restart-safe
+    * (checkpointed) and idempotent per batch id, so a stream-built
+    * index equals a batch build over the same docs (spec-pinned). */
+  def textIndexSink(docs: DataFrame, dir: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .outputMode("append")
+      .foreachBatch((batch: DataFrame, id: Long) =>
+        appendTextIndexStreamBatch(batch, dir, id))
+      .start()
 
   /** Delete documents from the text index — the same tombstone
     * contract as the vector side's [[deleteFromIndex]]: the delete is
@@ -930,85 +1162,92 @@ object Similarity {
     * BEFORE ranking so a deleted doc can never crowd a survivor out of
     * the top-k, and [[compactTextIndex]] reclaims the bytes later.
     *
-    * Exactness under deletes: the BM25 corpus constants (N, total
-    * tokens) subtract the departed docs' exact counts — read from the
-    * 16 B/doc docstats frame, never the postings — as a NEGATIVE delta
-    * row in textstats, and per-term df switches to being derived from
-    * the SURVIVING postings of the query's own terms (df.parquet's
-    * additive deltas cannot discount). Already-deleted and unknown ids
-    * are ignored (no double subtraction). Search parity with a rebuild
-    * on the survivors is spec-pinned. */
+    * The tombstone set is the ONLY thing a delete writes — the single
+    * commit point. Exactness under deletes is DERIVED at read time:
+    * the BM25 corpus constants (N, total tokens) subtract the departed
+    * docs' exact counts via docstats ⋈ tombstones (16 B/doc, never the
+    * postings), and per-term df switches to being derived from the
+    * SURVIVING postings of the query's own terms (df.parquet's
+    * additive deltas cannot discount). So a crash anywhere in the
+    * delete leaves every later search equal to either the pre-delete
+    * or the post-delete truth — no persisted stats delta exists to
+    * disagree with the tombstones (spec-pinned, including the
+    * partially-applied case: tombstone part-files are each a valid
+    * subset, and any prefix of them is a valid smaller delete).
+    * Already-deleted and unknown ids are ignored (the discount joins
+    * through docstats, so they can never subtract). Search parity with
+    * a rebuild on the survivors is spec-pinned. */
   def deleteFromTextIndex(index: TextIndex, ids: DataFrame): TextIndex = {
     val spark = ids.sparkSession
-    val fresh = ids.select(col("doc_id").cast(LongType)).distinct()
-      .join(index.docstats.select("doc_id"), Seq("doc_id"), "left_semi")
-    val departing = minusDocTombstones(fresh, spark, index.dir).persist()
-    try {
-      if (departing.count() > 0L) {
-        index.docstats
-          .join(departing, Seq("doc_id"), "left_semi")
-          .agg((-count(lit(1))).as("n_docs"),
-            (-sum(col("dl"))).cast(LongType).as("n_tokens"))
-          .coalesce(1)
-          .write.mode("append").parquet(s"${index.dir}/textstats.parquet")
-        departing.coalesce(1)
-          .write.mode("append")
-          .parquet(docTombstonesPath(index.dir).toString)
-      }
-    } finally departing.unpersist(blocking = false)
+    StoreState.withLock(spark, index.dir, "deleteFromTextIndex") {
+      val fresh = ids.select(col("doc_id").cast(LongType)).distinct()
+        .join(index.docstats.select("doc_id"), Seq("doc_id"), "left_semi")
+      val departing =
+        minusDocTombstones(fresh, spark, index.dir).persist()
+      try {
+        if (departing.count() > 0L)
+          departing.coalesce(1)
+            .write.mode("append")
+            .parquet(docTombstonesPath(spark, index.dir).toString)
+      } finally departing.unpersist(blocking = false)
+    }
     openTextIndex(spark, index.dir)
   }
 
-  /** Reclaim tombstoned documents' bytes: rewrite postings and
-    * docstats minus the tombstones (staged-rename swap — the index
-    * stays openable at every instant), recompute df from the surviving
-    * postings, collapse textstats to one exact row, drop the tombstone
-    * set. No-op without pending deletes. Search results are identical
-    * before and after (spec-pinned): compaction changes bytes, never
-    * answers. */
-  def compactTextIndex(index: TextIndex): TextIndex = {
+  /** Compact the text index: consolidate all committed batches minus
+    * the tombstones into ONE fresh batch under a NEW generation —
+    * postings re-range-clustered, df recomputed from the surviving
+    * postings, textstats collapsed to one exact row — and flip the
+    * generation with one atomic marker create. The store resolves to a
+    * complete index at every instant (spec-pinned by opening and
+    * searching it between every compact step), the tombstone drop
+    * rides the same commit, and uncommitted batch cruft from crashed
+    * appends is reclaimed by the generation GC. Acts when there are
+    * pending deletes, more than one committed batch, crashed-append
+    * leftovers, or a legacy flat layout to migrate; no-ops otherwise.
+    * Search results are identical before and after (spec-pinned):
+    * compaction changes bytes, never answers. */
+  def compactTextIndex(index: TextIndex): TextIndex =
+    compactTextIndexProbed(index, () => ())
+
+  private[graft] def compactTextIndexProbed(index: TextIndex,
+      probe: () => Unit): TextIndex = {
     val spark = index.postings.sparkSession
-    if (pendingTextDeletes(spark, index.dir)) {
+    StoreState.withLock(spark, index.dir, "compactTextIndex") {
       val dir = index.dir
-      def swap(name: String)(write: (DataFrame, String) => Unit): Unit = {
-        val live = new org.apache.hadoop.fs.Path(s"$dir/$name")
-        val staged = new org.apache.hadoop.fs.Path(s"$dir/$name.compact")
-        write(minusDocTombstones(
-          spark.read.parquet(live.toString), spark, dir), staged.toString)
-        val f = fs(spark, live)
-        f.delete(live, true)
-        require(f.rename(staged, live),
-          s"compact swap failed: $staged -> $live")
+      val cur = StoreState.dataDir(spark, dir)
+      val needs = pendingTextDeletes(spark, dir) ||
+        StoreState.committedBatches(spark, cur).size != 1 ||
+        StoreState.uncommittedCruft(spark, cur).nonEmpty ||
+        cur == dir // legacy flat layout: migrate into a generation
+      if (needs) {
+        val gen = StoreState.nextGenPath(spark, dir)
+        val batch = new org.apache.hadoop.fs.Path(
+          gen, StoreState.batchName(1L))
+        minusDocTombstones(index.postings, spark, dir)
+          .repartitionByRange(col("t")).sortWithinPartitions("t")
+          .write.mode("overwrite").parquet(s"$batch/postings.parquet")
+        probe()
+        spark.read.parquet(s"$batch/postings.parquet")
+          .groupBy("t").agg(count(lit(1)).as("df"))
+          .repartitionByRange(col("t")).sortWithinPartitions("t")
+          .write.mode("overwrite").parquet(s"$batch/df.parquet")
+        probe()
+        minusDocTombstones(index.docstats, spark, dir)
+          .write.mode("overwrite").parquet(s"$batch/docstats.parquet")
+        probe()
+        spark.read.parquet(s"$batch/docstats.parquet")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("dl")), lit(0L)).cast(LongType)
+              .as("n_tokens"))
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$batch/textstats.parquet")
+        probe()
+        StoreState.commitBatch(spark, batch)
+        probe()
+        StoreState.commitGen(spark, dir, gen, LegacyFlat)
+        probe()
       }
-      swap("postings.parquet") { (df, out) =>
-        df.repartitionByRange(col("t")).sortWithinPartitions("t")
-          .write.mode("overwrite").parquet(out)
-      }
-      swap("docstats.parquet") { (df, out) =>
-        df.write.mode("overwrite").parquet(out)
-      }
-      // df + stats recompute from the now-clean postings/docstats
-      val live = spark.read.parquet(s"$dir/postings.parquet")
-      val stagedDf = new org.apache.hadoop.fs.Path(s"$dir/df.parquet.compact")
-      live.groupBy("t").agg(count(lit(1)).as("df"))
-        .repartitionByRange(col("t")).sortWithinPartitions("t")
-        .write.mode("overwrite").parquet(stagedDf.toString)
-      val liveDf = new org.apache.hadoop.fs.Path(s"$dir/df.parquet")
-      val f = fs(spark, liveDf)
-      f.delete(liveDf, true)
-      require(f.rename(stagedDf, liveDf),
-        s"compact swap failed: $stagedDf -> $liveDf")
-      val ds = spark.read.parquet(s"$dir/docstats.parquet")
-        .agg(count(lit(1)).as("n_docs"),
-          coalesce(sum(col("dl")), lit(0L)).cast(LongType).as("n_tokens"))
-      val stagedSt =
-        new org.apache.hadoop.fs.Path(s"$dir/textstats.parquet.compact")
-      ds.coalesce(1).write.mode("overwrite").parquet(stagedSt.toString)
-      val liveSt = new org.apache.hadoop.fs.Path(s"$dir/textstats.parquet")
-      f.delete(liveSt, true)
-      require(f.rename(stagedSt, liveSt),
-        s"compact swap failed: $stagedSt -> $liveSt")
-      f.delete(docTombstonesPath(dir), true)
     }
     openTextIndex(spark, index.dir)
   }
@@ -1027,6 +1266,7 @@ object Similarity {
     require(k > 0, s"k=$k")
     val spark = index.postings.sparkSession
     val qh = terms.map(termHash)
+    val pending = pendingTextDeletes(spark, index.dir)
     val post = minusDocTombstones(
       index.postings.filter(col("t").isin(qh: _*)), spark, index.dir)
     // with pending deletes, df.parquet's additive deltas cannot
@@ -1034,14 +1274,32 @@ object Similarity {
     // postings of the query's own terms instead (always exact; same
     // bytes read either way, the term filter already pruned the scan)
     val dfq =
-      if (pendingTextDeletes(spark, index.dir))
+      if (pending)
         post.groupBy("t").agg(count(lit(1)).as("df"))
       else
         index.dfs.filter(col("t").isin(qh: _*))
           .groupBy("t").agg(sum("df").as("df"))
-    val stats = index.stats.agg(
+    // corpus constants: the batch deltas' sum, minus — when deletes are
+    // pending — the departed docs' exact counts DERIVED from
+    // docstats ⋈ tombstones (16 B/doc semi-join; nothing is persisted,
+    // so the discount can never disagree with the tombstone set)
+    val statsBase = index.stats.agg(
       sum("n_docs").cast(LongType).as("n_docs"),
       sum("n_tokens").cast(LongType).as("n_tokens"))
+    val stats =
+      if (!pending) statsBase
+      else {
+        val disc = index.docstats
+          .join(spark.read.parquet(
+              docTombstonesPath(spark, index.dir).toString)
+            .select(col("doc_id")), Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("d_docs"),
+            coalesce(sum(col("dl")), lit(0L)).cast(LongType)
+              .as("d_tokens"))
+        statsBase.crossJoin(disc)
+          .select((col("n_docs") - col("d_docs")).as("n_docs"),
+            (col("n_tokens") - col("d_tokens")).as("n_tokens"))
+      }
     val scored = post
       .join(broadcast(dfq), "t")
       .crossJoin(broadcast(stats))

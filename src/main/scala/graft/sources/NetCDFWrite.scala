@@ -882,15 +882,28 @@ object NetCDFWrite {
     * stay consistent too: the scan's directory listing consults the
     * pending manifest and reads either the pre- or post-compaction
     * view, never a double-counting mix
-    * ([[NetCdfSource.expandLenient]]). Single-maintainer contract: run one
-    * compaction at a time, not against a directory a STREAMING reader
-    * is tailing (replaced granules would double-count there — batch
-    * scans between runs are fine). */
+    * ([[NetCdfSource.expandLenient]]). Single-maintainer contract is
+    * ENFORCED: the run holds the store's `_LOCK`
+    * ([[graft.util.StoreState.withLock]]) — a second concurrent
+    * compaction (or manifest backfill) fails loudly, naming the holder
+    * and the remedy, without touching the store. Do not run against a
+    * directory a STREAMING reader is tailing (replaced granules would
+    * double-count there — batch scans between runs are fine). */
   def compactGranules(spark: SparkSession, dir: String,
       config: AggConfig.Config,
       globalAttrs: Map[String, String] = null,
       targetRecords: Int = 1 << 20,
-      opts: NcOpts = NcOpts()): CompactReport = {
+      opts: NcOpts = NcOpts()): CompactReport =
+    graft.util.StoreState.withLock(spark, dir, "compactGranules") {
+      doCompactGranules(spark, dir, config, globalAttrs, targetRecords,
+        opts)
+    }
+
+  private def doCompactGranules(spark: SparkSession, dir: String,
+      config: AggConfig.Config,
+      globalAttrs: Map[String, String],
+      targetRecords: Int,
+      opts: NcOpts): CompactReport = {
     val dirPath = java.nio.file.Paths.get(dir)
     finishPendingCompaction(dirPath)
     val attrs = Option(globalAttrs).getOrElse(readSidecar(dir))
@@ -1321,9 +1334,19 @@ object NetCDFWrite {
     * would be a full data read, not a header pass — stats pruning
     * simply keeps granules until a graft writer produces them).
     *
+    * Runs under the store's single-writer `_LOCK` (shared with
+    * [[compactGranules]]): a backfill racing a compaction would
+    * snapshot granules mid-swap and persist stale entries.
+    *
     * @return number of granules covered by the written manifest */
   def buildFleetManifest(spark: SparkSession, dir: String,
-      recDimHint: Option[String] = None): Int = {
+      recDimHint: Option[String] = None): Int =
+    graft.util.StoreState.withLock(spark, dir, "buildFleetManifest") {
+      doBuildFleetManifest(spark, dir, recDimHint)
+    }
+
+  private def doBuildFleetManifest(spark: SparkSession, dir: String,
+      recDimHint: Option[String]): Int = {
     val dirPath = java.nio.file.Paths.get(dir)
     val files = Option(new java.io.File(dir).listFiles())
       .getOrElse(Array.empty[java.io.File])

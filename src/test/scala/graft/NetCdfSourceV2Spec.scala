@@ -1182,4 +1182,47 @@ class NetCdfSourceV2Spec extends AnyFunSuite with SparkSpec {
         .map(x => Option(x.getMessage).getOrElse("")).toSeq
     assert(chain(bad).exists(_.contains("not present")))
   }
+
+  test("granule-store single-writer lock: a concurrent compaction or " +
+      "backfill fails loudly and never touches the store") {
+    import org.apache.spark.sql.SaveMode
+    import graft.sources.NetCDFWrite
+    val out = Files.createTempDirectory("v2lock").toString + "/store"
+    val df = spark.range(0, 100)
+      .withColumn("ts", expr("timestampadd(SECOND, CAST(id AS INT), " +
+        "TIMESTAMP_NTZ'2024-01-01 00:00:00')"))
+      .withColumn("v", col("id").cast("double"))
+    df.write.format("netcdf").option("indexby", "ts")
+      .option("maxrecordsperfile", "20")
+      .mode(SaveMode.Overwrite).save(out)
+    def listing() = new java.io.File(out).listFiles()
+      .map(_.getName).sorted.toSeq
+    // simulate a concurrent maintainer holding the lock
+    val lock = new java.io.File(out, "_LOCK")
+    val w = new java.io.FileWriter(lock)
+    w.write("""{"op": "compactGranules", "host": "other", "pid": 1}""")
+    w.close()
+    val before = listing()
+    val err = intercept[RuntimeException] {
+      NetCDFWrite.compactGranules(spark, out, "record",
+        Some("ts"), targetRecords = 100, NetCDFWrite.NcOpts())
+    }
+    assert(err.getMessage.contains("locked by another writer"),
+      s"compaction must refuse: ${err.getMessage}")
+    val err2 = intercept[RuntimeException] {
+      NetCDFWrite.buildFleetManifest(spark, out)
+    }
+    assert(err2.getMessage.contains("locked by another writer"))
+    assert(listing() === before,
+      "a refused maintainer must not touch the store")
+    // batch READS are never blocked by the lock
+    assert(spark.read.format("netcdf").load(out).count() === 100L)
+    // clearing the dead maintainer's lock recovers; the lock releases
+    assert(lock.delete())
+    val rep = NetCDFWrite.compactGranules(spark, out, "record",
+      Some("ts"), targetRecords = 100, NetCDFWrite.NcOpts())
+    assert(rep.nAfter < rep.nBefore)
+    assert(!lock.exists, "the lock releases when the op completes")
+    assert(spark.read.format("netcdf").load(out).count() === 100L)
+  }
 }

@@ -672,7 +672,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     assert(pendingDeletes(spark, dLive))
     val compacted = compactIndex(appended)
     assert(!pendingDeletes(spark, dLive), "compaction clears tombstones")
-    assert(spark.read.parquet(s"$dLive/lists.parquet")
+    assert(spark.read.parquet(
+      s"${storeDataDir(spark, dLive)}/lists.parquet")
       .filter(del && col("vec_id") < 100000L).count() === 0L,
       "compacted lists must physically exclude deleted vectors")
     assert(rows(ivfSearchIndex(compacted, queries, k = 6, nprobe = 2))
@@ -698,7 +699,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
       "PQ search after delete must equal rebuild-without-deleted")
     val pqCompacted = compactPqIndex(pqDeleted)
     assert(!pendingDeletes(spark, pLive))
-    assert(spark.read.parquet(s"$pLive/codes.parquet")
+    assert(spark.read.parquet(
+      s"${storeDataDir(spark, pLive)}/codes.parquet")
       .filter(del).count() === 0L)
     assert(rows(pqSearchIndex(pqCompacted, queries, k = 6)) === pqAfter)
 
@@ -715,7 +717,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val ipCompacted = compactIvfPqIndex(ipDeleted)
     assert(!pendingDeletes(spark, iLive))
     assert(ipCompacted.residual, "compaction preserves the stored flavor")
-    assert(spark.read.parquet(s"$iLive/codes.parquet")
+    assert(spark.read.parquet(
+      s"${storeDataDir(spark, iLive)}/codes.parquet")
       .filter(del).count() === 0L)
     assert(rows(ivfPqSearchIndex(ipCompacted, queries, k = 6, nprobe = 2))
       === ipAfter)
@@ -760,7 +763,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val compacted = compactIndex(purged)
     assert(ivfSearchIndex(compacted, queries, k = 6, nprobe = 3)
       .collect().map(_.toString).sorted.toSeq === before)
-    assert(spark.read.parquet(s"$idxDir/lists.parquet").count() ===
+    assert(spark.read.parquet(
+      s"${storeDataDir(spark, idxDir)}/lists.parquet").count() ===
       emb.count() - nLosers,
       "compaction must leave exactly the keepers on disk")
     org.apache.commons.io.FileUtils.deleteDirectory(
@@ -1290,6 +1294,231 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     val st = idx3.stats.collect()
     assert(st.length === 1 &&
       st.head.getLong(0) === idx3.docstats.count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("text index crash contracts: any tombstone prefix is a valid " +
+      "smaller delete (no third state); an uncommitted append batch is " +
+      "invisible and reclaimed by compaction") {
+    import graft.ml.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_textcrash").toString
+    val terms = graft.queries.PipelineQueries.bm25Terms
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    def search(d: String) = rows(Similarity.textSearchIndex(
+      Similarity.openTextIndex(spark, d), terms, 10))
+    val slice = col("doc_id") % 3 === 0
+    val half1 = slice && col("doc_id") % 2 === 0
+    val half2 = slice && col("doc_id") % 2 =!= 0
+    Similarity.writeTextIndex(docs, s"$root/live")
+    // a delete's ONLY write is the tombstone set: a crash that lands a
+    // prefix of the tombstones (here: half the slice) leaves the store
+    // in a state identical to a smaller delete — stats and df are
+    // derived at read, so there is no persisted delta to disagree with
+    Similarity.deleteFromTextIndex(
+      Similarity.openTextIndex(spark, s"$root/live"),
+      docs.filter(half1).select("doc_id"))
+    Similarity.writeTextIndex(docs.filter(!half1), s"$root/ref_half")
+    assert(search(s"$root/live") === search(s"$root/ref_half"),
+      "after the first tombstone append the store must equal the " +
+        "half-delete rebuild — never a third state")
+    // no negative stats rows persist anywhere in the store
+    val st = Similarity.openTextIndex(spark, s"$root/live").stats.collect()
+    assert(st.forall(r => r.getLong(0) >= 0L && r.getLong(1) >= 0L),
+      "textstats must hold only positive per-batch deltas — the delete " +
+        "discount is derived at read, never persisted")
+    // completing the delete reaches exactly the post-delete truth
+    Similarity.deleteFromTextIndex(
+      Similarity.openTextIndex(spark, s"$root/live"),
+      docs.filter(half2).select("doc_id"))
+    Similarity.writeTextIndex(docs.filter(!slice), s"$root/ref_full")
+    val expected = search(s"$root/ref_full")
+    assert(search(s"$root/live") === expected)
+    // a crashed append = a batch dir with NO commit marker: readers
+    // must ignore it (else these duplicated postings would double
+    // scores), and compaction must reclaim it
+    val dataDir = new org.apache.hadoop.fs.Path(
+      Similarity.storeDataDir(spark, s"$root/live")).toUri.getPath
+    val committed = new java.io.File(dataDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .head
+    val cruft = new java.io.File(dataDir, "batch-00000090")
+    org.apache.commons.io.FileUtils.copyDirectory(committed, cruft)
+    new java.io.File(cruft, "_BATCH_COMMITTED").delete()
+    assert(search(s"$root/live") === expected,
+      "an uncommitted batch dir must be invisible to readers")
+    Similarity.compactTextIndex(
+      Similarity.openTextIndex(spark, s"$root/live"))
+    assert(search(s"$root/live") === expected,
+      "compaction must not change answers")
+    val newDataDir = new org.apache.hadoop.fs.Path(
+      Similarity.storeDataDir(spark, s"$root/live")).toUri.getPath
+    assert(newDataDir !== dataDir, "compaction flips the generation")
+    assert(!new java.io.File(dataDir).exists,
+      "the old generation (with the crashed-append cruft) is reclaimed")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("compaction is openable at every instant: text and IVF stores " +
+      "resolve a complete, correct index between every compact step") {
+    import graft.ml.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_genprobe").toString
+    // ---- text store
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val terms = graft.queries.PipelineQueries.bm25Terms
+    def trows(d: String) = Similarity.textSearchIndex(
+      Similarity.openTextIndex(spark, d), terms, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    Similarity.writeTextIndex(docs, s"$root/text")
+    val tIdx = Similarity.deleteFromTextIndex(
+      Similarity.openTextIndex(spark, s"$root/text"),
+      docs.filter(col("doc_id") % 3 === 0).select("doc_id"))
+    val tExpected = trows(s"$root/text")
+    var tProbes = 0
+    Similarity.compactTextIndexProbed(tIdx, () => {
+      tProbes += 1
+      assert(trows(s"$root/text") === tExpected,
+        s"text store must search identically at compact step $tProbes")
+    })
+    assert(tProbes >= 6, "the probe must fire between every compact step")
+    assert(trows(s"$root/text") === tExpected)
+    // ---- IVF store
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 8, iters = 2)
+      .select(col("cid"), col("cv"))
+    def vrows(d: String) = Similarity.ivfSearchIndex(
+      Similarity.openIndex(spark, d), queries, k = 4, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    Similarity.writeIndex(emb, codebook, s"$root/ivf")
+    val vIdx = Similarity.deleteFromIndex(
+      Similarity.openIndex(spark, s"$root/ivf"),
+      emb.filter(col("vec_id") % 5 === 1).select("vec_id"))
+    val vExpected = vrows(s"$root/ivf")
+    var vProbes = 0
+    Similarity.compactIndexProbed(vIdx, () => {
+      vProbes += 1
+      assert(vrows(s"$root/ivf") === vExpected,
+        s"IVF store must search identically at compact step $vProbes")
+    })
+    assert(vProbes >= 3)
+    assert(vrows(s"$root/ivf") === vExpected)
+    assert(!Similarity.pendingDeletes(spark, s"$root/ivf"),
+      "the tombstone drop rides the generation flip")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("single-writer lock: a second writer fails loudly and never " +
+      "touches the store; readers are never blocked") {
+    import graft.ml.Similarity
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_lock").toString
+    val terms = graft.queries.PipelineQueries.bm25Terms
+    def search() = Similarity.textSearchIndex(
+      Similarity.openTextIndex(spark, s"$root/text"), terms, 10)
+      .collect().map(_.toString).toSeq
+    Similarity.writeTextIndex(docs.filter(col("doc_id") % 2 === 0),
+      s"$root/text")
+    val before = search()
+    // simulate a concurrent writer holding the lock
+    val lock = new java.io.File(s"$root/text", "_LOCK")
+    val w = new java.io.FileWriter(lock)
+    w.write("""{"op": "appendTextIndex", "host": "other", "pid": 1}""")
+    w.close()
+    val err = intercept[RuntimeException] {
+      Similarity.appendTextIndex(
+        Similarity.openTextIndex(spark, s"$root/text"),
+        docs.filter(col("doc_id") % 2 =!= 0))
+    }
+    assert(err.getMessage.contains("locked by another writer") &&
+      err.getMessage.contains("_LOCK"),
+      s"the failure must name the holder and the remedy: ${err.getMessage}")
+    assert(search() === before, "a refused writer must not touch the store")
+    // a fresh-build writer is refused the same way
+    val err2 = intercept[RuntimeException] {
+      Similarity.writeTextIndex(docs, s"$root/text")
+    }
+    assert(err2.getMessage.contains("locked by another writer"))
+    // clearing the dead writer's lock recovers
+    assert(lock.delete())
+    Similarity.appendTextIndex(
+      Similarity.openTextIndex(spark, s"$root/text"),
+      docs.filter(col("doc_id") % 2 =!= 0))
+    Similarity.writeTextIndex(docs, s"$root/ref")
+    assert(search() === Similarity.textSearchIndex(
+      Similarity.openTextIndex(spark, s"$root/ref"), terms, 10)
+      .collect().map(_.toString).toSeq)
+    assert(!lock.exists, "the lock releases when the op completes")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
+  test("streaming text-index ingest: stream-built == batch-built; a " +
+      "replayed micro-batch is idempotent") {
+    import graft.ml.Similarity
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val sfDir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$sfDir/documents.parquet").exists)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text")
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_textstream").toString
+    val terms = graft.queries.PipelineQueries.bm25Terms
+    def search(d: String) = Similarity.textSearchIndex(
+      Similarity.openTextIndex(spark, d), terms, 10)
+      .collect().map(_.toString).toSeq
+    Similarity.writeTextIndex(docs, s"$root/batch")
+    val expected = search(s"$root/batch")
+    // drive the sink with two micro-batches covering the corpus, with
+    // a query RESTART (same checkpoint) between them
+    val all = docs.as[(Long, String)].collect()
+    val (b1, b2) = all.partition(_._1 % 2 == 0)
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val src = mem.toDF().toDF("doc_id", "text")
+    val q1 = Similarity.textIndexSink(src, s"$root/stream", s"$root/ckpt")
+    try {
+      mem.addData(b1.toSeq)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    val q2 = Similarity.textIndexSink(src, s"$root/stream", s"$root/ckpt")
+    try {
+      mem.addData(b2.toSeq)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(search(s"$root/stream") === expected,
+      "a stream-built index must equal the batch build on the same " +
+        "docs, across a checkpointed restart")
+    // the registry operator's ranking over a STREAM-built store: the
+    // t_bm25 recompute face and the stream-built index face agree
+    val opRows = graft.queries.PipelineQueries.tBm25(spark, sfDir)
+      .collect().map(_.toString).toSeq
+    assert(search(s"$root/stream") === opRows,
+      "t_bm25 must hold over a stream-built store")
+    // at-least-once replay: re-running a micro-batch id overwrites its
+    // own batch dir instead of double-counting
+    val b1df = b1.toSeq.toDF("doc_id", "text")
+    val b2df = b2.toSeq.toDF("doc_id", "text")
+    Similarity.appendTextIndexStreamBatch(b1df, s"$root/replay", 0L)
+    Similarity.appendTextIndexStreamBatch(b2df, s"$root/replay", 1L)
+    Similarity.appendTextIndexStreamBatch(b2df, s"$root/replay", 1L)
+    assert(search(s"$root/replay") === expected,
+      "a replayed micro-batch must be idempotent")
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 }
