@@ -89,8 +89,21 @@ object TenX {
       .withColumn("l_partkey", shifted("l_partkey"))
       .withColumn("l_suppkey", shifted("l_suppkey")).drop("__i"))
 
-    // events: +30 days per copy (disjoint time chunks) + new users
+    // events: +30 days per copy (disjoint time chunks) + new users.
+    // Copies i>0 additionally carve three deterministic 3-hour silence
+    // windows (source-calendar days 8/18/28, 09:00-12:00 UTC): the
+    // sf0.1 source calendar is DENSE (max per-type gap ~0.4 h, zero
+    // >2 h gaps), so a pure replication left the gap family's scaled
+    // oracle rows vacuous (0-row == 0-row) — the carving makes
+    // q_gap_stats / q_open_gaps / stream_gap_alerts / gapfill exercise
+    // real >2 h closed gaps at every factor ≥ 2, while copy 0 stays
+    // the pristine source (the N× dir remains a strict 1× superset)
+    // and the oracle needs no special handling (it reads the same
+    // carved parquet).
+    val silence = dayofmonth(col("ts")).isin(8, 18, 28) &&
+      hour(col("ts")) >= 9 && hour(col("ts")) < 12
     write("events", copies(load("events"), factor)
+      .filter(col("__i") === 0 || !silence)
       .withColumn("ts", col("ts") + expr("make_dt_interval(__i * 30, 0, 0, 0)"))
       .withColumn("event_id", shifted("event_id"))
       .withColumn("user_id", col("user_id") + col("__i") * UserShift)

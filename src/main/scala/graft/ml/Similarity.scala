@@ -119,6 +119,32 @@ object Similarity {
         spark.sparkContext.hadoopConfiguration)
   }
 
+  /** The readable paths of one data-file family inside a generation
+    * (or legacy flat) dir: the direct file (builds and compactions
+    * write one) plus every COMMITTED batch dir's copy (appends write
+    * those — each batch publishes with one atomic marker create, so a
+    * crashed append is invisible garbage, never a partial read). */
+  private def storePaths(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, name: String): Seq[String] = {
+    val direct = new org.apache.hadoop.fs.Path(dataDir, name)
+    val f = fs(spark, direct)
+    val all = (if (f.exists(direct)) Seq(direct) else Seq.empty) ++
+      StoreState.committedBatches(spark, dataDir)
+        .map(b => new org.apache.hadoop.fs.Path(b, name))
+        .filter(f.exists)
+    require(all.nonEmpty,
+      s"$dataDir has no committed $name — not a graft index store " +
+        "(or an interrupted build that never committed; rebuild it)")
+    all.map(_.toString)
+  }
+
+  /** Union-read one data-file family across the direct file and all
+    * committed batch dirs. Parquet pushdown (cid/t IN-lists, column
+    * pruning) applies per file regardless of which path it came from. */
+  private def readStore(spark: org.apache.spark.sql.SparkSession,
+      dataDir: String, name: String): DataFrame =
+    spark.read.parquet(storePaths(spark, dataDir, name): _*)
+
   /** Assign the corpus and persist the index under `dir`. One
     * assignment pass (map-only indexed search) + one range shuffle on
     * cid; the codebook is model-sized and lands as a single file.
@@ -146,13 +172,15 @@ object Similarity {
       writeBuildDrift(s, dir, s"$gen/lists.parquet")
     }
 
-  /** Reopen a persisted index (metadata only — no data read). */
+  /** Reopen a persisted index (metadata only — no data read): the
+    * lists union the build/compaction's direct file with every
+    * committed append batch's file (cid pruning applies per file). */
   def openIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): IvfIndex = {
     val d = StoreState.dataDir(spark, dir)
     IvfIndex(dir,
       spark.read.parquet(s"$d/codebook.parquet"),
-      spark.read.parquet(s"$d/lists.parquet"))
+      readStore(spark, d, "lists.parquet"))
   }
 
   // ------------------------------------------------- drift telemetry
@@ -277,11 +305,14 @@ object Similarity {
       dir: String, op: String, sidecars: Seq[String], dataName: String,
       rewrite: (DataFrame, String) => Unit, probe: () => Unit): Unit =
     StoreState.withLock(spark, dir, op) {
-      if (pendingDeletes(spark, dir)) {
-        val cur = StoreState.dataDir(spark, dir)
+      val cur = StoreState.dataDir(spark, dir)
+      val needs = pendingDeletes(spark, dir) ||
+        StoreState.committedBatches(spark, cur).nonEmpty ||
+        StoreState.uncommittedCruft(spark, cur).nonEmpty
+      if (needs) {
         val gen = StoreState.nextGenPath(spark, dir)
         rewrite(minusTombstones(
-          spark.read.parquet(s"$cur/$dataName"), spark, dir),
+          readStore(spark, cur, dataName), spark, dir),
           s"$gen/$dataName")
         probe()
         sidecars.foreach { n =>
@@ -341,6 +372,7 @@ object Similarity {
     graft.functions.native.register(s)
     StoreState.withLock(s, index.dir, "appendIndex") {
       val d = StoreState.dataDir(s, index.dir)
+      val batch = StoreState.nextBatchPath(s, d)
       val assigned = Embeddings.assign(
           emb.select(col("vec_id"), col("embedding")), index.codebook)
         .select(col("cid"), col("vec_id"), col("embedding"), col("ccos"))
@@ -349,7 +381,8 @@ object Similarity {
         assigned
           .repartitionByRange(col("cid"))
           .sortWithinPartitions("cid")
-          .write.mode("append").parquet(s"$d/lists.parquet")
+          .write.mode("overwrite").parquet(s"$batch/lists.parquet")
+        StoreState.commitBatch(s, batch) // all-or-nothing visibility
         recordAppendDrift(s, index.dir, assigned)
       } finally assigned.unpersist(blocking = false)
     }
@@ -420,9 +453,11 @@ object Similarity {
     * complete file set at every instant — spec-pinned by opening it
     * between every compact step), with NO refit or re-assignment —
     * assignments of surviving vectors are unchanged, so a compacted
-    * index searches identically (spec-pinned). No-op when nothing is
-    * pending. Schedule it by tombstone fraction; until then searches
-    * pay one anti-join against a file-sized set. */
+    * index searches identically (spec-pinned). Also consolidates
+    * append-batch dirs into one direct file and reclaims crashed-append
+    * cruft; no-op when nothing is pending and no batches exist.
+    * Schedule it by tombstone fraction; until then searches pay one
+    * anti-join against a file-sized set. */
   def compactIndex(index: IvfIndex): IvfIndex =
     compactIndexProbed(index, () => ())
 
@@ -612,7 +647,7 @@ object Similarity {
     val d = StoreState.dataDir(spark, dir)
     PqIndex(dir,
       spark.read.parquet(s"$d/pq_codebook.parquet"),
-      spark.read.parquet(s"$d/codes.parquet"))
+      readStore(spark, d, "codes.parquet"))
   }
 
   /** Append a new vector batch to a persisted PQ index: encode only
@@ -622,10 +657,12 @@ object Similarity {
     val s = emb.sparkSession
     StoreState.withLock(s, index.dir, "appendPqIndex") {
       val d = StoreState.dataDir(s, index.dir)
+      val batch = StoreState.nextBatchPath(s, d)
       Embeddings.pqEncode(emb.select(col("vec_id"), col("embedding")),
           collectPq(index.codebook))
         .select(col("vec_id"), col("code"), col("rnorm"))
-        .write.mode("append").parquet(s"$d/codes.parquet")
+        .write.mode("overwrite").parquet(s"$batch/codes.parquet")
+      StoreState.commitBatch(s, batch) // all-or-nothing visibility
     }
     openPqIndex(s, index.dir)
   }
@@ -843,7 +880,7 @@ object Similarity {
     IvfPqIndex(dir,
       spark.read.parquet(s"$d/codebook.parquet"),
       spark.read.parquet(s"$d/pq_codebook.parquet"),
-      spark.read.parquet(s"$d/codes.parquet"),
+      readStore(spark, d, "codes.parquet"),
       meta.contains("\"residual\": true"))
   }
 
@@ -857,6 +894,7 @@ object Similarity {
     graft.functions.native.register(s)
     StoreState.withLock(s, index.dir, "appendIvfPqIndex") {
       val d = StoreState.dataDir(s, index.dir)
+      val batch = StoreState.nextBatchPath(s, d)
       val encoded = encodeLists(emb, index.codebook,
           collectPq(index.pqCodebook), index.residual)
         .select(col("cid"), col("vec_id"), col("code"), col("rnorm"),
@@ -866,7 +904,8 @@ object Similarity {
         encoded
           .repartitionByRange(col("cid"))
           .sortWithinPartitions("cid")
-          .write.mode("append").parquet(s"$d/codes.parquet")
+          .write.mode("overwrite").parquet(s"$batch/codes.parquet")
+        StoreState.commitBatch(s, batch) // all-or-nothing visibility
         recordAppendDrift(s, index.dir, encoded)
       } finally encoded.unpersist(blocking = false)
     }
@@ -1049,23 +1088,6 @@ object Similarity {
     else data
   }
 
-  /** The readable paths of one file family: the store's COMMITTED
-    * batches, plus the direct file of a legacy flat-layout store. */
-  private def textPaths(spark: org.apache.spark.sql.SparkSession,
-      dataDir: String, name: String): Seq[String] = {
-    val direct = new org.apache.hadoop.fs.Path(dataDir, name)
-    val f = fs(spark, direct)
-    val all = (if (f.exists(direct)) Seq(direct) else Seq.empty) ++
-      StoreState.committedBatches(spark, dataDir)
-        .map(b => new org.apache.hadoop.fs.Path(b, name))
-        .filter(f.exists)
-    require(all.nonEmpty,
-      s"$dataDir has no committed $name — not a graft text index " +
-        "(or an interrupted build that never committed; rebuild with " +
-        "writeTextIndex)")
-    all.map(_.toString)
-  }
-
   /** Build the text index from a `(doc_id, text)` frame: one tokenize
     * pass, one keyed postings aggregate, one range shuffle on t. The
     * file set stages under `gen-N/batch-00000001/` and publishes with
@@ -1090,8 +1112,7 @@ object Similarity {
   def openTextIndex(spark: org.apache.spark.sql.SparkSession,
       dir: String): TextIndex = {
     val d = StoreState.dataDir(spark, dir)
-    def rd(name: String) =
-      spark.read.parquet(textPaths(spark, d, name): _*)
+    def rd(name: String) = readStore(spark, d, name)
     TextIndex(dir,
       rd("postings.parquet"),
       rd("df.parquet"),

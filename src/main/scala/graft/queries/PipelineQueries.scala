@@ -246,6 +246,7 @@ object PipelineQueries {
   def evictSigStore(s: SparkSession, dir: String): Unit = {
     sigStoreMemo.evictMatching(s)(_ == dir)
     textIdxMemo.evictMatching(s)(_ == dir)
+    streamTextIdxMemo.evictMatching(s)(_ == dir)
   }
 
   // the persisted BM25 text index is derived ONCE per (session, dir) —
@@ -271,6 +272,52 @@ object PipelineQueries {
       val out = s"$d/text_index"
       graft.ml.Similarity.writeTextIndex(
         tbl(s, dir, "documents").select("doc_id", "text"), out)
+      out
+    }
+
+  private val streamTextIdxMemo = new SessionScoped[String, String]({
+    (_, out) =>
+      try org.apache.commons.io.FileUtils.deleteDirectory(
+        new java.io.File(out).getParentFile)
+      catch { case _: java.io.IOException => () }
+  })
+
+  /** Dir of a text index built by STREAMING ingest — the documents
+    * parquet replayed as a Structured Streaming file source (parquet
+    * files become micro-batches, a few files per trigger; no driver
+    * collect, so the build distributes at any corpus size) into
+    * [[graft.ml.Similarity.textIndexSink]], whose per-batch-id commit
+    * dirs make replays idempotent. Built once per (session, dir). */
+  def streamTextIndexStore(s: SparkSession, dir: String): String =
+    streamTextIdxMemo.getOrBuild(s, dir) {
+      val d = java.nio.file.Files.createTempDirectory("graft_stextidx")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        catch { case _: java.io.IOException => () }))
+      val out = s"$d/text_index"
+      val src = s"$dir/documents.parquet"
+      val schema = s.read.parquet(src).schema
+      // the stream file source monitors a DIRECTORY (the landing-dir
+      // shape every real feed has); the sf tables may be a single
+      // parquet FILE (driver-written) — shim one behind a symlink dir
+      // (zero copy) so both layouts stream
+      val srcFile = new java.io.File(src)
+      val streamDir =
+        if (srcFile.isDirectory) src
+        else {
+          val sd = new java.io.File(d.toFile, "stream_src")
+          sd.mkdirs()
+          java.nio.file.Files.createSymbolicLink(
+            new java.io.File(sd, "part-000000.parquet").toPath,
+            srcFile.toPath)
+          sd.toString
+        }
+      val docs = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(streamDir)
+        .select("doc_id", "text")
+      val q = graft.ml.Similarity.textIndexSink(docs, out, s"$d/ckpt")
+      try q.processAllAvailable() finally q.stop()
       out
     }
 
@@ -2608,6 +2655,22 @@ object PipelineQueries {
       graft.ml.Similarity.openTextIndex(s, textIndexStore(s, dir)),
       bm25Terms, 10)
 
+  /** BM25 top-10 through a STREAM-BUILT text index — the streaming
+    * maintenance face of [[tBm25Indexed]]: the corpus arrives as
+    * Structured Streaming micro-batches into
+    * [[graft.ml.Similarity.textIndexSink]] (one atomically-committed,
+    * idempotent batch dir per micro-batch; restart-safe via the
+    * checkpoint), and the SAME oracle SQL hash-checks the result — a
+    * match proves streaming ingest is rank-identity with the batch
+    * build AND the from-corpus recompute. This is how a live deployment
+    * actually maintains a lexical index: docs stream in at ingest,
+    * queries read term-pruned posting runs across the accumulated
+    * batches. */
+  def streamTextIndex(s: SparkSession, dir: String): DataFrame =
+    graft.ml.Similarity.textSearchIndex(
+      graft.ml.Similarity.openTextIndex(s, streamTextIndexStore(s, dir)),
+      bm25Terms, 10)
+
   /** Collocation mining — the top-20 adjacent token pairs by rational
     * PMI (pointwise mutual information, log-free: score ∝
     * n_ab·T/(n_a·n_b), monotone in true PMI), min pair count 5. The
@@ -4796,6 +4859,7 @@ object PipelineQueries {
     // index read path is rank-identical to the from-corpus recompute
     "t_bm25" -> bm25OracleSql,
     "t_bm25_indexed" -> bm25OracleSql,
+    "stream_text_index" -> bm25OracleSql,
     // rational PMI over reversibly-packed bigram codes (a*2^31 + b);
     // evaluation order of the score mirrors the Spark plan exactly
     "t_collocations" ->
@@ -5377,6 +5441,7 @@ object PipelineQueries {
     "emb_silhouette" -> ((s, d) => embSilhouette(s, d)),
     "t_bm25" -> (tBm25 _),
     "t_bm25_indexed" -> (tBm25Indexed _),
+    "stream_text_index" -> (streamTextIndex _),
     "t_collocations" -> (tCollocations _),
     "d_pack_sequences" -> ((s, d) => dPackSequences(s, d)),
     "d_pack_stats" -> ((s, d) => dPackStats(s, d)),

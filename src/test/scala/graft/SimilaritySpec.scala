@@ -1467,6 +1467,53 @@ class SimilaritySpec extends AnyFunSuite with SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
+  test("vector append batches are all-or-nothing: an uncommitted batch " +
+      "is invisible; compaction consolidates committed batches") {
+    import graft.ml.Similarity
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val queries = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val codebook = graft.ml.Embeddings.kmeansFit(emb, k = 8, iters = 2)
+      .select(col("cid"), col("cv"))
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_vecbatch").toString
+    def rows(d: String) = Similarity.ivfSearchIndex(
+      Similarity.openIndex(spark, d), queries, k = 4, nprobe = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val half = col("vec_id") % 2 === 0
+    Similarity.writeIndex(emb.filter(half), codebook, s"$root/live")
+    Similarity.appendIndex(Similarity.openIndex(spark, s"$root/live"),
+      emb.filter(!half))
+    Similarity.writeIndex(emb, codebook, s"$root/ref")
+    val expected = rows(s"$root/ref")
+    assert(rows(s"$root/live") === expected,
+      "append through a committed batch dir must equal the rebuild")
+    // a crashed append = a batch dir with NO commit marker: invisible
+    val dataDir = new org.apache.hadoop.fs.Path(
+      Similarity.storeDataDir(spark, s"$root/live")).toUri.getPath
+    val committed = new java.io.File(dataDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-")).head
+    val cruft = new java.io.File(dataDir, "batch-00000090")
+    org.apache.commons.io.FileUtils.copyDirectory(committed, cruft)
+    new java.io.File(cruft, "_BATCH_COMMITTED").delete()
+    assert(rows(s"$root/live") === expected,
+      "an uncommitted vector batch must be invisible to searches")
+    // compaction consolidates batches + cruft into one direct file
+    Similarity.compactIndex(Similarity.openIndex(spark, s"$root/live"))
+    assert(rows(s"$root/live") === expected,
+      "batch consolidation must not change answers")
+    val newDataDir = new org.apache.hadoop.fs.Path(
+      Similarity.storeDataDir(spark, s"$root/live")).toUri.getPath
+    assert(newDataDir !== dataDir, "consolidation flips the generation")
+    assert(spark.read.parquet(s"$newDataDir/lists.parquet").count() ===
+      emb.count(), "the consolidated direct file holds the full corpus")
+    assert(!new java.io.File(newDataDir).listFiles()
+      .exists(_.getName.startsWith("batch-")),
+      "no batch dirs survive consolidation")
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+  }
+
   test("streaming text-index ingest: stream-built == batch-built; a " +
       "replayed micro-batch is idempotent") {
     import graft.ml.Similarity
