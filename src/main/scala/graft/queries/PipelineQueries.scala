@@ -618,6 +618,153 @@ object PipelineQueries {
         sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
   }
 
+  /** Bigram language-model predictability score per document — the
+    * perplexity-proxy quality filter of CCNet-style pipelines
+    * (the reference's domain stops at time-series aggregation; this is
+    * the corpus-curation face the training-data surface adds), log-free:
+    * each adjacent token pair (a, b) scores the scaled conditional
+    * probability floor(c(a,b)·1e6 / c(a,·)) under the corpus's OWN
+    * bigram model, and a doc's `lm_score` is the count-weighted floor
+    * mean over its pairs. High = the corpus predicts the doc (head /
+    * boilerplate); low = rare constructions (fresh or noisy tail).
+    * Exact BIGINT arithmetic end-to-end — floor divisions agree across
+    * engines, so the score is hash-reproducible (a log-space float LM
+    * would rank near-ties engine-dependently).
+    *
+    * Scale shape: pair codes pack reversibly into one long (a·2³¹ + b,
+    * like [[tCollocations]]); the per-doc pair counts, corpus pair
+    * counts, and context counts (a rollup of the PAIR-count frame — a
+    * vocabulary-sized pass, never a second corpus scan) are all
+    * partial/final keyed aggregations with map-side combine; the two
+    * join-backs key on code/context — AQE-skew-splittable, linear in
+    * total tokens. No window, nothing corpus-sized broadcasts. Cached
+    * ([[lmScores]]): the bucket report rides the same frame. */
+  private def lmScores(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "lmScores") {
+      val th = tokenHashes(s, dir)
+      // th has >= 3 tokens (tokenHashes' filter): sequence() never
+      // counts down, and every doc has >= 2 bigrams
+      val codes = th.select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(th) - 1), " +
+            "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
+          .as("code"))
+      val dc = codes.groupBy("doc_id", "source", "code")
+        .agg(count(lit(1)).as("cnt"))
+      val cAb = codes.groupBy("code").agg(count(lit(1)).as("n_ab"))
+      val ctx = cAb.groupBy(expr("code div 2147483648L").as("ctx"))
+        .agg(sum("n_ab").as("n_a"))
+      dc.join(cAb, "code")
+        .withColumn("ctx", expr("code div 2147483648L"))
+        .join(ctx, "ctx")
+        .groupBy("doc_id", "source")
+        .agg(sum("cnt").as("n_bigrams"),
+          expr("sum(cnt * (n_ab * 1000000L div n_a)) div sum(cnt)")
+            .as("lm_score"))
+        .cache()
+    }
+
+  def tNgramLm(s: SparkSession, dir: String): DataFrame = lmScores(s, dir)
+
+  /** CCNet-style predictability buckets: each source's docs split into
+    * head / middle / tail terciles of [[tNgramLm]]'s `lm_score` (head =
+    * most predictable). The tercile cuts are computed SCALE-SAFELY:
+    * `lm_score` lives in the bounded integer domain [0, 1e6], so the
+    * thresholds come from a cumulative window over the per-(source,
+    * score) COUNT frame — |sources| × |distinct scores| rows,
+    * corpus-size independent — never an `ntile` over corpus-sized
+    * per-source doc partitions (the sequence-packing lesson: a
+    * per-source window over docs serializes the hottest source).
+    * Thresholds broadcast (two longs per source) and the labeling pass
+    * is map-only over the cached score frame. Cut rule: t_k = smallest
+    * score whose cumulative doc count reaches k·n/3 (3·cum >= k·n in
+    * integers), label by `score <= t1 -> tail, <= t2 -> middle, else
+    * head` — ties land in the lower bucket in both engines, and a
+    * degenerate distribution (every doc one score) collapses into
+    * 'tail' rather than splitting engine-dependently. */
+  def dCcnetBuckets(s: SparkSession, dir: String): DataFrame = {
+    val lm = lmScores(s, dir)
+    val sc = lm.groupBy("source", "lm_score").agg(count(lit(1)).as("c"))
+    val wc = Window.partitionBy("source").orderBy("lm_score")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = sc.withColumn("cum", sum("c").over(wc))
+      .withColumn("n", sum("c").over(Window.partitionBy("source")))
+    val cuts = cum.groupBy("source").agg(
+      min(when(col("cum") * 3 >= col("n"), col("lm_score"))).as("t1"),
+      min(when(col("cum") * 3 >= col("n") * 2, col("lm_score"))).as("t2"))
+    lm.join(broadcast(cuts), "source")
+      .withColumn("bucket",
+        when(col("lm_score") <= col("t1"), "tail")
+          .when(col("lm_score") <= col("t2"), "middle")
+          .otherwise("head"))
+      .groupBy("source", "bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_bigrams").as("token_mass"),
+        min("lm_score").as("min_score"),
+        max("lm_score").as("max_score"))
+  }
+
+  /** Soft dedup: instead of DROPPING near-duplicates, weight every doc
+    * by the inverse of its near-dup cluster size (fixed-point
+    * `1e6 div cluster_size`) — the "count each duplicated text once in
+    * expectation" sampling policy of data-constrained training,
+    * preserving singletons at full weight and cluster diversity the
+    * keep-one policies lose. Reports per source: docs, docs inside a
+    * >= 2 cluster, the exact fixed-point effective mass, and the
+    * largest cluster touching the source — the effective-dataset-size
+    * audit next to [[dClusterSizeHist]].
+    *
+    * Scale shape: rides [[dDedupClusters]]' cached verdict (pointer
+    * jumping over the edge graph only); one cluster-keyed size
+    * aggregate (cluster-count-sized), a cluster-keyed join back, and a
+    * per-source rollup — all linear, no window, nothing corpus-sized
+    * broadcasts (the verdict join is doc-keyed and AQE-splittable). */
+  def dSoftDedupWeights(s: SparkSession, dir: String): DataFrame = {
+    val cl = dDedupClusters(s, dir).select("doc_id", "cluster_id")
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("csize"))
+    tbl(s, dir, "documents").select(col("doc_id"), col("source"))
+      // short docs carry no near-dup evidence: left join -> singleton
+      .join(cl, Seq("doc_id"), "left")
+      .join(sizes, Seq("cluster_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("csize") >= 2L, 1L).otherwise(0L)).as("n_dup_docs"),
+        sum(expr("1000000L div csize")).as("eff_mass"),
+        max("csize").as("max_cluster"))
+  }
+
+  /** Vocabulary-growth (Heaps-law) telemetry: split the corpus into 10
+    * doc_id-range deciles and report, per decile, the token mass, the
+    * NEW token types first seen there, and the cumulative vocabulary —
+    * the "does more data still bring new words?" curve behind
+    * collection decisions. First-owner = the type's minimum decile,
+    * which equals the decile of its minimum doc_id (the bucket rule is
+    * monotone in doc_id).
+    *
+    * Scale shape: decile bounds derive from ONE broadcast max(doc_id)
+    * scalar — a doc-rank `ntile` would be a global sort; the
+    * first-owner pass is a token-keyed min aggregate with map-side
+    * combine (vocabulary-sized result); the curve itself is a 10-row
+    * window. Deciles are doc_ID-range, so sparse id regions yield
+    * absent rows rather than skewed tasks. */
+  def tVocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    val mx = tbl(s, dir, "documents").agg(max("doc_id").as("mx"))
+    val ex = tokenHashes(s, dir)
+      .select(col("doc_id"), explode(col("th")).as("h"))
+      .crossJoin(broadcast(mx))
+      .withColumn("decile", expr("least(9L, doc_id * 10L div (mx + 1L))"))
+    val mass = ex.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    val nt = ex.groupBy("h").agg(min("decile").as("fd"))
+      .groupBy(col("fd").as("decile")).agg(count(lit(1)).as("nt"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mass.join(nt, Seq("decile"), "left")
+      .withColumn("new_types", coalesce(col("nt"), lit(0L)))
+      .withColumn("cum_vocab", sum("new_types").over(w))
+      .select("decile", "n_tokens", "new_types", "cum_vocab")
+  }
+
   def tNovelty(s: SparkSession, dir: String): DataFrame = {
     val ex = shingles(s, dir)
       .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
@@ -3603,6 +3750,127 @@ object PipelineQueries {
          |       CAST(sum(CASE WHEN cf = 1 THEN 1 ELSE 0 END) AS BIGINT)
          |         AS n_hapax
          |FROM pd JOIN fr USING (h) GROUP BY doc_id""".stripMargin,
+    // bigram-LM predictability: packed pair codes, floor arithmetic
+    // mirrored operation-for-operation (see tNgramLm's scaladoc)
+    "t_ngram_lm" ->
+      s"""WITH $thCte,
+         |du AS (SELECT t.doc_id, d.source,
+         |         unnest(list_transform(range(1, len(th)),
+         |           i -> th[i] * 2147483648 + th[i + 1])) AS code
+         |       FROM thT t JOIN documents d ON d.doc_id = t.doc_id),
+         |dc AS (SELECT doc_id, source, code,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM du GROUP BY 1, 2, 3),
+         |ab AS (SELECT code, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM du GROUP BY 1),
+         |cx AS (SELECT code // 2147483648 AS ctx,
+         |         CAST(sum(n_ab) AS BIGINT) AS n_a
+         |       FROM ab GROUP BY 1)
+         |SELECT dc.doc_id, dc.source,
+         |       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(cnt * (n_ab * 1000000 // n_a)) // sum(cnt)
+         |         AS BIGINT) AS lm_score
+         |FROM dc JOIN ab USING (code)
+         |JOIN cx ON cx.ctx = dc.code // 2147483648
+         |GROUP BY 1, 2""".stripMargin,
+    // per-source head/middle/tail terciles of the LM score; cuts from
+    // the bounded (source, score) count frame, ties to the lower bucket
+    "d_ccnet_buckets" ->
+      s"""WITH $thCte,
+         |du AS (SELECT t.doc_id, d.source,
+         |         unnest(list_transform(range(1, len(th)),
+         |           i -> th[i] * 2147483648 + th[i + 1])) AS code
+         |       FROM thT t JOIN documents d ON d.doc_id = t.doc_id),
+         |dc AS (SELECT doc_id, source, code,
+         |         CAST(count(*) AS BIGINT) AS cnt
+         |       FROM du GROUP BY 1, 2, 3),
+         |ab AS (SELECT code, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM du GROUP BY 1),
+         |cx AS (SELECT code // 2147483648 AS ctx,
+         |         CAST(sum(n_ab) AS BIGINT) AS n_a
+         |       FROM ab GROUP BY 1),
+         |lm AS (SELECT dc.doc_id, dc.source,
+         |         CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |         CAST(sum(cnt * (n_ab * 1000000 // n_a)) // sum(cnt)
+         |           AS BIGINT) AS lm_score
+         |       FROM dc JOIN ab USING (code)
+         |       JOIN cx ON cx.ctx = dc.code // 2147483648
+         |       GROUP BY 1, 2),
+         |sc AS (SELECT source, lm_score, CAST(count(*) AS BIGINT) AS c
+         |       FROM lm GROUP BY 1, 2),
+         |cu AS (SELECT source, lm_score,
+         |         sum(c) OVER (PARTITION BY source ORDER BY lm_score
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |           AS cum,
+         |         sum(c) OVER (PARTITION BY source) AS n
+         |       FROM sc),
+         |cuts AS (SELECT source,
+         |           min(CASE WHEN cum * 3 >= n THEN lm_score END) AS t1,
+         |           min(CASE WHEN cum * 3 >= n * 2 THEN lm_score END)
+         |             AS t2
+         |         FROM cu GROUP BY 1),
+         |lab AS (SELECT lm.*,
+         |          CASE WHEN lm_score <= t1 THEN 'tail'
+         |               WHEN lm_score <= t2 THEN 'middle'
+         |               ELSE 'head' END AS bucket
+         |        FROM lm JOIN cuts USING (source))
+         |SELECT source, bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(n_bigrams) AS BIGINT) AS token_mass,
+         |       CAST(min(lm_score) AS BIGINT) AS min_score,
+         |       CAST(max(lm_score) AS BIGINT) AS max_score
+         |FROM lab GROUP BY 1, 2""".stripMargin,
+    // inverse-cluster-size weighting over the near-dup components
+    "d_soft_dedup_weights" ->
+      s"""WITH RECURSIVE $pairsCte,
+         |cand2 AS (SELECT DISTINCT doc_a, doc_b FROM pairs),
+         |jac AS (
+         |  SELECT cand2.doc_a, cand2.doc_b,
+         |         CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) /
+         |         CAST(len(list_distinct(list_concat(sa.sh, sb.sh))) AS DOUBLE)
+         |           AS jaccard
+         |  FROM cand2
+         |  JOIN shT sa ON sa.doc_id = cand2.doc_a
+         |  JOIN shT sb ON sb.doc_id = cand2.doc_b),
+         |e2 AS (SELECT doc_a AS src, doc_b AS dst FROM jac WHERE jaccard >= 0.5
+         |       UNION ALL
+         |       SELECT doc_b, doc_a FROM jac WHERE jaccard >= 0.5),
+         |reach(id, lbl) AS (
+         |  SELECT doc_id, doc_id FROM shT
+         |  UNION
+         |  SELECT e2.dst, reach.lbl FROM reach JOIN e2 ON e2.src = reach.id),
+         |lab2 AS (SELECT id AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+         |         FROM reach GROUP BY id),
+         |sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS csize
+         |       FROM lab2 GROUP BY 1),
+         |j AS (SELECT d.doc_id, d.source,
+         |        coalesce(sz.csize, CAST(1 AS BIGINT)) AS csize
+         |      FROM documents d
+         |      LEFT JOIN lab2 ON lab2.doc_id = d.doc_id
+         |      LEFT JOIN sz ON sz.cluster_id = lab2.cluster_id)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_dup_docs,
+         |       CAST(sum(1000000 // csize) AS BIGINT) AS eff_mass,
+         |       CAST(max(csize) AS BIGINT) AS max_cluster
+         |FROM j GROUP BY 1""".stripMargin,
+    // Heaps-law curve: doc_id-range deciles, token-keyed first owner
+    "t_vocab_growth" ->
+      s"""WITH $thCte,
+         |mxT AS (SELECT max(doc_id) AS mx FROM documents),
+         |ex AS (SELECT least(9, doc_id * 10 // (mx + 1)) AS decile,
+         |         unnest(th) AS h
+         |       FROM thT CROSS JOIN mxT),
+         |mass AS (SELECT decile, CAST(count(*) AS BIGINT) AS n_tokens
+         |         FROM ex GROUP BY 1),
+         |fo AS (SELECT h, min(decile) AS fd FROM ex GROUP BY 1),
+         |nt AS (SELECT fd AS decile, CAST(count(*) AS BIGINT) AS nt
+         |       FROM fo GROUP BY 1)
+         |SELECT CAST(mass.decile AS BIGINT) AS decile, mass.n_tokens,
+         |       coalesce(nt.nt, CAST(0 AS BIGINT)) AS new_types,
+         |       CAST(sum(coalesce(nt.nt, 0)) OVER (ORDER BY mass.decile
+         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |         AS BIGINT) AS cum_vocab
+         |FROM mass LEFT JOIN nt USING (decile)""".stripMargin,
     // the audit behind the leak-free guarantee: residual shingle overlap
     // between eval splits and the train set (same split rule as above)
     "d_leak_audit" ->
@@ -5454,6 +5722,10 @@ object PipelineQueries {
     "t_lang_confusion" -> (tLangConfusion _),
     "d_minhash_est_err" -> (dMinhashEstErr _),
     "t_hapax" -> (tHapax _),
+    "t_ngram_lm" -> (tNgramLm _),
+    "d_ccnet_buckets" -> (dCcnetBuckets _),
+    "d_soft_dedup_weights" -> (dSoftDedupWeights _),
+    "t_vocab_growth" -> (tVocabGrowth _),
     "t_ngram_freq" -> (tNgramFreq _),
     "t_bpe_pairs" -> (tBpePairs _),
     "t_keywords" -> (tKeywords _),

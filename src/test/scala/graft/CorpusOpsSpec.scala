@@ -494,4 +494,79 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
       5L -> true, 6L -> true, 7L -> true, 8L -> true))
   }
+
+  test("ngram lm: identical texts score identically, self-repetitive " +
+      "text is highly predictable, scores live in (0, 1e6]") {
+    val rows = PipelineQueries.tNgramLm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(rows.keySet === Set(0L, 1L, 2L, 3L, 4L))
+    rows.values.foreach { case (nb, sc) =>
+      assert(nb >= 2L, "every tokenized doc has >= 2 bigrams")
+      // every observed bigram has n_ab >= 1 and n_a << 1e6, so each pair
+      // contributes >= 1 — a zero score would mean a lost pair
+      assert(sc > 0L && sc <= 1000000L, s"score $sc out of fixed-point range")
+    }
+    assert(rows(1L)._2 === rows(3L)._2,
+      "doc 3 is a verbatim copy of doc 1 — same bigram stream, same score")
+    // doc 2 repeats its 8-word sentence 5x and shares only 'and' with the
+    // rest of the corpus: all but one bigram type is fully determined by
+    // its context, so the floor-mean sits well above 500k
+    assert(rows(2L)._2 > 500000L,
+      s"self-repetitive doc scored ${rows(2L)._2} — predictability lost")
+  }
+
+  test("ccnet buckets: per-source partition of the corpus, bucket score " +
+      "ranges ordered tail <= middle <= head") {
+    val lm = PipelineQueries.tNgramLm(spark, dir).collect()
+      .map(r => (r.getString(1), r.getLong(0))).groupBy(_._1)
+      .view.mapValues(_.length).toMap
+    val rows = PipelineQueries.dCcnetBuckets(spark, dir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(4), r.getLong(5))))
+    assert(rows.map(_._1).distinct.length === rows.length, "no dup keys")
+    val bySrc = rows.groupBy(_._1._1)
+    bySrc.foreach { case (src, brs) =>
+      assert(brs.map(_._2._1).sum === lm(src).toLong,
+        s"$src: bucket doc counts must partition the scored corpus")
+      val m = brs.map { case ((_, b), (_, lo, hi)) => b -> ((lo, hi)) }.toMap
+      for (t <- m.get("tail"); mid <- m.get("middle"))
+        assert(t._2 <= mid._1, s"$src: tail max above middle min")
+      for (mid <- m.get("middle"); h <- m.get("head"))
+        assert(mid._2 < h._1, s"$src: middle max not below head min")
+      for (t <- m.get("tail"); h <- m.get("head"))
+        assert(t._2 < h._1, s"$src: tail max not below head min")
+    }
+  }
+
+  test("soft dedup weights: the near-dup cluster downweights members to " +
+      "1e6/size, singletons keep full weight") {
+    // dir's clusters: docs 0/1/3 share the 4x base (one cluster of 3,
+    // spanning web and books); docs 2/4 are singletons
+    val rows = PipelineQueries.dSoftDedupWeights(spark, dir).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set("web", "books"))
+    val (wb, bk) = (rows("web"), rows("books"))
+    assert(bk === ((1L, 1L, 333333L, 3L)),
+      "books holds exactly the cluster member doc 3 at weight 1e6/3")
+    assert(wb._1 === 4L && wb._2 === 2L, "web: 4 docs, 2 in the cluster")
+    assert(wb._3 === 2L * 333333L + 2L * 1000000L,
+      "web mass = two downweighted members + two full singletons")
+    assert(wb._4 === 3L, "largest cluster touching web has 3 members")
+  }
+
+  test("vocab growth: verbatim copy contributes zero new types, curve " +
+      "accumulates to the corpus vocabulary") {
+    val rows = PipelineQueries.tVocabGrowth(spark, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // max doc_id 4 -> decile = id * 10 div 5 = {0, 2, 4, 6, 8}
+    assert(rows.keySet === Set(0L, 2L, 4L, 6L, 8L))
+    assert(rows(6L)._2 === 0L,
+      "doc 3 repeats doc 1's text verbatim — no new token types")
+    val ordered = rows.toSeq.sortBy(_._1).map(_._2)
+    assert(ordered.map(_._3) === ordered.map(_._2).scanLeft(0L)(_ + _).tail,
+      "cum_vocab is the running sum of new_types")
+    assert(rows(0L)._2 > 0L, "the first decile owns its whole vocabulary")
+  }
 }

@@ -946,4 +946,57 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
       PipelineQueries.evictCaches(spark, sfDir)
     }
   }
+
+  test("t_ngram_lm is window-free: pair/context statistics are keyed " +
+      "aggregates with join-backs, never a rank or prefix window") {
+    val df = SparkEntry.queries("t_ngram_lm")(spark, sfDir)
+    df.collect()
+    val wins = nodes(df.queryExecution.executedPlan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.isEmpty,
+      s"the LM scorer must not sort any stream under a window:\n${wins.mkString("\n")}")
+  }
+
+  test("d_ccnet_buckets: windows run only over the (source, score) " +
+      "count aggregate, and the tercile cuts broadcast") {
+    // an ntile over per-source DOC partitions would serialize the
+    // hottest source (the packing lesson); the cut computation must
+    // window the bounded count frame instead, and the |sources|-row
+    // cuts frame must broadcast into the labeling join
+    val df = SparkEntry.queries("d_ccnet_buckets")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val wins = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.nonEmpty, "expected the cut window")
+    wins.foreach { w =>
+      assert(nodes(w.child).exists(
+        _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+        s"every window must consume the bounded count aggregate, not docs:\n$w")
+    }
+    assert(nodes(plan).exists {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec =>
+        j.output.exists(_.name == "t1")
+      case _ => false
+    }, s"the tercile-cut frame must broadcast:\n$plan")
+  }
+
+  test("t_vocab_growth: the only window is the 10-row decile curve " +
+      "(consumes an aggregate); the max-id scalar broadcasts") {
+    val df = SparkEntry.queries("t_vocab_growth")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val wins = nodes(plan).collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(wins.size == 1, s"expected exactly the curve window:\n$wins")
+    assert(nodes(wins.head.child).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.aggregate.BaseAggregateExec]),
+      s"the curve window must consume the decile aggregate:\n${wins.head}")
+    assert(nodes(plan).exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec]),
+      s"the max-id scalar must broadcast into the decile projection:\n$plan")
+  }
 }
