@@ -241,12 +241,19 @@ object PipelineQueries {
     catch { case _: java.io.IOException => () }
   })
 
+  private val lmStoreMemo = new SessionScoped[String, String]({ (_, out) =>
+    try org.apache.commons.io.FileUtils.deleteDirectory(
+      new java.io.File(out).getParentFile)
+    catch { case _: java.io.IOException => () }
+  })
+
   /** Drop the persisted signature store for (session, dir) — two-dir
     * sweeps ([[evictCaches]]); a later query rebuilds it. */
   def evictSigStore(s: SparkSession, dir: String): Unit = {
     sigStoreMemo.evictMatching(s)(_ == dir)
     textIdxMemo.evictMatching(s)(_ == dir)
     streamTextIdxMemo.evictMatching(s)(_ == dir)
+    lmStoreMemo.evictMatching(s)(_ == dir)
   }
 
   // the persisted BM25 text index is derived ONCE per (session, dir) —
@@ -763,6 +770,67 @@ object PipelineQueries {
       .withColumn("new_types", coalesce(col("nt"), lit(0L)))
       .withColumn("cum_vocab", sum("new_types").over(w))
       .select("decile", "n_tokens", "new_types", "cum_vocab")
+  }
+
+  /** Parquet path of the persisted REFERENCE bigram LM — pair counts
+    * with the context total pre-joined (`code, n_ab, n_a`), trained on
+    * the standing corpus (every doc except the `doc_id % 10 == 7` delta
+    * slice). Pre-joining n_a at build time means daily scoring pays ONE
+    * equi-join against the store instead of two — exactly what a
+    * production LM artifact ships. Written once per (session, dir);
+    * vocabulary-sized (distinct bigrams, not corpus rows). */
+  def lmStore(s: SparkSession, dir: String): String =
+    lmStoreMemo.getOrBuild(s, dir) {
+      val d = java.nio.file.Files.createTempDirectory("graft_lmstore")
+      Runtime.getRuntime.addShutdownHook(new Thread(() =>
+        try org.apache.commons.io.FileUtils.deleteDirectory(d.toFile)
+        catch { case _: java.io.IOException => () }))
+      val out = s"$d/lm_store"
+      val codes = tokenHashes(s, dir)
+        .filter(col("doc_id") % 10 =!= 7)
+        .select(explode(expr(
+          "transform(sequence(1, size(th) - 1), " +
+            "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
+          .as("code"))
+      val cAb = codes.groupBy("code").agg(count(lit(1)).as("n_ab"))
+      val ctx = cAb.groupBy(expr("code div 2147483648L").as("ctx"))
+        .agg(sum("n_ab").as("n_a"))
+      cAb.withColumn("ctx", expr("code div 2147483648L"))
+        .join(ctx, "ctx")
+        .select("code", "n_ab", "n_a")
+        .write.mode("overwrite").parquet(out)
+      out
+    }
+
+  /** Reference-LM scoring of an ingest delta — the CCNet deployment
+    * shape proper: the bigram model is TRAINED on the standing corpus
+    * ([[lmStore]], persisted at the corpus's own ingest time) and
+    * APPLIED to today's `doc_id % 10 == 7` slice, so scoring cost
+    * tracks the delta, not the archive (re-deriving [[tNgramLm]]'s
+    * own-corpus statistics per ingest would re-scan the archive
+    * daily). Out-of-vocabulary pairs — bigrams the reference never saw
+    * — contribute 0 and are counted in `n_oov`, the distribution-shift
+    * signal next to the score itself.
+    *
+    * Scale shape: the store scans map-only (vocabulary-sized, with its
+    * context totals pre-joined); the delta's pair stream left-joins it
+    * on the packed code (AQE-splittable) and rolls up per doc. No
+    * window; nothing corpus-sized moves. */
+  def tNgramLmRef(s: SparkSession, dir: String): DataFrame = {
+    val store = s.read.parquet(lmStore(s, dir))
+    val delta = tokenHashes(s, dir)
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          "transform(sequence(1, size(th) - 1), " +
+            "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
+          .as("code"))
+    delta.join(store, Seq("code"), "left")
+      .groupBy("doc_id", "source")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("n_ab").isNull, 1L).otherwise(0L)).as("n_oov"),
+        expr("sum(coalesce(n_ab * 1000000L div n_a, 0L)) div count(1)")
+          .as("lm_score"))
   }
 
   def tNovelty(s: SparkSession, dir: String): DataFrame = {
@@ -3853,6 +3921,34 @@ object PipelineQueries {
          |       CAST(sum(1000000 // csize) AS BIGINT) AS eff_mass,
          |       CAST(max(csize) AS BIGINT) AS max_cluster
          |FROM j GROUP BY 1""".stripMargin,
+    // reference-LM delta scoring: the model trains on the standing
+    // corpus (doc_id % 10 != 7), scores the delta slice; OOV pairs
+    // contribute 0 and are counted
+    "t_ngram_lm_ref" ->
+      s"""WITH $thCte,
+         |ref AS (SELECT unnest(list_transform(range(1, len(th)),
+         |          i -> th[i] * 2147483648 + th[i + 1])) AS code
+         |        FROM thT WHERE doc_id % 10 <> 7),
+         |ab AS (SELECT code, CAST(count(*) AS BIGINT) AS n_ab
+         |       FROM ref GROUP BY 1),
+         |cx AS (SELECT code // 2147483648 AS ctx,
+         |         CAST(sum(n_ab) AS BIGINT) AS n_a
+         |       FROM ab GROUP BY 1),
+         |st AS (SELECT ab.code, ab.n_ab, cx.n_a
+         |       FROM ab JOIN cx ON cx.ctx = ab.code // 2147483648),
+         |de AS (SELECT t.doc_id, d.source,
+         |         unnest(list_transform(range(1, len(th)),
+         |           i -> th[i] * 2147483648 + th[i + 1])) AS code
+         |       FROM thT t JOIN documents d ON d.doc_id = t.doc_id
+         |       WHERE t.doc_id % 10 = 7)
+         |SELECT de.doc_id, de.source,
+         |       CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(CASE WHEN st.code IS NULL THEN 1 ELSE 0 END)
+         |         AS BIGINT) AS n_oov,
+         |       CAST(sum(coalesce(st.n_ab * 1000000 // st.n_a, 0))
+         |         // count(*) AS BIGINT) AS lm_score
+         |FROM de LEFT JOIN st ON st.code = de.code
+         |GROUP BY 1, 2""".stripMargin,
     // Heaps-law curve: doc_id-range deciles, token-keyed first owner
     "t_vocab_growth" ->
       s"""WITH $thCte,
@@ -5723,6 +5819,7 @@ object PipelineQueries {
     "d_minhash_est_err" -> (dMinhashEstErr _),
     "t_hapax" -> (tHapax _),
     "t_ngram_lm" -> (tNgramLm _),
+    "t_ngram_lm_ref" -> (tNgramLmRef _),
     "d_ccnet_buckets" -> (dCcnetBuckets _),
     "d_soft_dedup_weights" -> (dSoftDedupWeights _),
     "t_vocab_growth" -> (tVocabGrowth _),

@@ -555,6 +555,30 @@ class CorpusOpsSpec extends AnyFunSuite with SparkSpec {
     assert(wb._4 === 3L, "largest cluster touching web has 3 members")
   }
 
+  test("reference-LM scoring: the delta scores against the persisted " +
+      "standing-corpus model; OOV pairs count and contribute zero") {
+    // incDir's delta slice (ids 7/17/27/37): 7 and 17 copy standing doc
+    // 1's text (every bigram in-vocabulary, high score); 27 is entirely
+    // novel (every bigram OOV -> score 0); 37 is sub-3-token (excluded)
+    val rows = PipelineQueries.tNgramLmRef(spark, incDir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.keySet === Set(7L, 17L, 27L),
+      "only tokenized delta docs are scored")
+    assert(rows(27L)._2 === rows(27L)._1 && rows(27L)._3 === 0L,
+      "a fully novel doc is all-OOV and scores zero")
+    assert(rows(7L) === rows(17L),
+      "identical delta texts score identically against the frozen model")
+    assert(rows(7L)._2 === 0L && rows(7L)._3 > 500000L,
+      "a verbatim copy of standing text is fully in-vocabulary and " +
+        "highly predictable")
+    // the store is persisted once per (session, dir)
+    val p = PipelineQueries.lmStore(spark, incDir)
+    assert(new java.io.File(p).exists() &&
+      (PipelineQueries.lmStore(spark, incDir) eq p),
+      "LM store persists and memo-hits")
+  }
+
   test("vocab growth: verbatim copy contributes zero new types, curve " +
       "accumulates to the corpus vocabulary") {
     val rows = PipelineQueries.tVocabGrowth(spark, dir).collect()
