@@ -119,6 +119,31 @@ object NativeOps {
     new GenericArrayData(java.util.Arrays.copyOf(out, m))
   }
 
+  /** The 32 raw MinHash signature lanes (permutation j: h -> ((2j+1)h +
+    * 10007j + 12345) mod P, min over the shingle set) — the shared inner
+    * loop of [[minhashBands]], exposed for consumers that need the
+    * per-lane minima themselves (signature agreement audits). Twin:
+    * PortableText.minhash*. */
+  def minhash32(input: ArrayData): ArrayData = {
+    val sh = input.toLongArray()
+    val mh = new Array[Long](32)
+    var j = 0
+    while (j < 32) {
+      val a = 2L * j + 1
+      val b = 10007L * j + 12345L
+      var m = Long.MaxValue
+      var k = 0
+      while (k < sh.length) {
+        val v = (a * sh(k) + b) % P
+        if (v < m) m = v
+        k += 1
+      }
+      mh(j) = m
+      j += 1
+    }
+    new GenericArrayData(mh)
+  }
+
   def minhashBands(input: ArrayData): ArrayData = {
     val sh = input.toLongArray()
     val mh = new Array[Long](32)

@@ -71,6 +71,18 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Array<Long> shingle hashes -> the 32 raw MinHash signature lanes.
+    * Parity: PortableText.minhash* (NativeExpressionsSpec property-pins
+    * the equivalence). */
+  case class Minhash32Sigs(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.minhash32(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Ops.minhash32($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
   /** Array<Long> shingle hashes -> 8 LSH band signatures over 32 minhashes.
     * Parity: PortableText.minhash* composed with PortableText.bands*. */
   case class MinhashBandSigs(child: Expression) extends UnaryExpression {
@@ -201,6 +213,8 @@ object native {
       es => SpanHashes(es.head)),
     ("graft_minhash_bands", "8 LSH band signatures over 32 minhashes",
       es => MinhashBandSigs(es.head)),
+    ("graft_minhash32", "the 32 raw MinHash signature lanes",
+      es => Minhash32Sigs(es.head)),
     ("graft_simhash", "32-bit simhash", es => SimHash32(es.head)),
     ("graft_doc_fingerprint", "document fingerprint fold",
       es => DocFingerprint(es.head)),

@@ -158,13 +158,21 @@ object PipelineQueries {
     * restriction. Two keyed joins after that, per-pair work bounded by
     * signature + shingle lengths. */
   def dMinhashEstErr(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
     val pairs = lshPairs(s, dir).select("doc_a", "doc_b").distinct()
     val pairDocs = pairs.select(col("doc_a").as("doc_id"))
       .unionByName(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    // graft_minhash32 is the codegen'd native kernel (same permutation
+    // constants as PT.minhashSpark — property-pinned in
+    // NativeExpressionsSpec): the interpreted 32-lane HOF dominated this
+    // query's CPU (13.9 s on local[8] at sf0.1). Cached: the pair frame
+    // joins the signature frame TWICE (doc_a and doc_b sides), and
+    // without the cache each side re-runs the semi-join + kernel.
     val mh = shingles(s, dir)
       .join(pairDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), col("sh"),
-        expr(PT.minhashSpark("sh")).as("mh"))
+        expr("graft_minhash32(sh)").as("mh"))
+      .cache()
     pairs
       .join(mh.toDF("doc_a", "sh_a", "mh_a"), Seq("doc_a"))
       .join(mh.toDF("doc_b", "sh_b", "mh_b"), Seq("doc_b"))
@@ -582,18 +590,31 @@ object PipelineQueries {
     * shingle document-frequencies, so boilerplate-heavy docs surface
     * even when no single partner doc crosses a pairwise threshold.
     *
-    * Scale shape: two keyed partial/final aggregations (shingle df over
-    * the exploded shingle stream, then the per-doc rollup) plus one
-    * shingle-keyed join — linear in total shingles at any corpus size,
-    * never a pair join. Integer outputs, exact cross-engine. */
+    * Scale shape: ONE keyed partial/final aggregation over the exploded
+    * shingle stream, then a tiny vocabulary-to-doc rollup — the
+    * join-back of the raw shingle stream against the df frame is gone
+    * (min-owner identity: shingles are DISTINCT per doc, so a shingle
+    * with corpus df = 1 lives in exactly one doc — its min owner — and
+    * `n_dup = size(sh) − n_unique_owned`; the per-doc total is a
+    * map-only array size over the cached frame). The corpus-sized
+    * shuffle that used to re-key every exploded row for the join
+    * (plans/r13/d_dup_ngram_frac_before.txt: SMJ of the raw stream)
+    * no longer exists at any scale. Integer outputs, exact
+    * cross-engine. */
   def dDupNgramFrac(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingles(s, dir)
+    val uniq = shingles(s, dir)
       .select(col("doc_id"), explode(col("sh")).as("shingle"))
-    val dfreq = ex.groupBy("shingle").agg(count(lit(1)).as("df"))
-    ex.join(dfreq, "shingle")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("df") >= 2L, 1L).otherwise(0L)).as("n_dup_shingles"))
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("df"), min("doc_id").as("owner"))
+      .filter(col("df") === 1L)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_uniq"))
+    shingles(s, dir)
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        (col("n_shingles") - coalesce(col("n_uniq"), lit(0L)))
+          .as("n_dup_shingles"))
   }
 
   /** Document novelty scoring — the fraction of a doc's distinct
@@ -615,14 +636,25 @@ object PipelineQueries {
     * (partial/final, map-side combine), a join back on the token, and a
     * per-doc rollup — never pairwise. */
   def tHapax(s: SparkSession, dir: String): DataFrame = {
-    val ex = tokenHashes(s, dir)
+    // min-owner identity (same rewrite as dDupNgramFrac): a corpus
+    // hapax (cf = 1) occurs in exactly one doc — its min owner — so the
+    // per-doc hapax count is a vocabulary-to-doc rollup of the cf frame
+    // and the old (doc, h)-distinct aggregate + token-keyed join-back
+    // of the corpus stream disappear; n_distinct is a map-only
+    // array_distinct size over the cached frame.
+    val hap = tokenHashes(s, dir)
       .select(col("doc_id"), explode(col("th")).as("h"))
-    val freq = ex.groupBy("h").agg(count(lit(1)).as("cf"))
-    ex.groupBy("doc_id", "h").agg(count(lit(1)).as("__n"))
-      .join(freq, Seq("h"))
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_distinct"),
-        sum(when(col("cf") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+      .groupBy("h")
+      .agg(count(lit(1)).as("cf"), min("doc_id").as("owner"))
+      .filter(col("cf") === 1L)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_hapax"))
+    tokenHashes(s, dir)
+      .select(col("doc_id"),
+        size(array_distinct(col("th"))).cast(LongType).as("n_distinct"))
+      .join(hap, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_distinct"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
   }
 
   /** Bigram language-model predictability score per document — the
@@ -658,16 +690,23 @@ object PipelineQueries {
           .as("code"))
       val dc = codes.groupBy("doc_id", "source", "code")
         .agg(count(lit(1)).as("cnt"))
-      val cAb = codes.groupBy("code").agg(count(lit(1)).as("n_ab"))
+      // corpus pair counts ROLL UP from the per-doc frame (n_ab = Σ cnt)
+      // instead of re-exploding the corpus a second time, and the
+      // per-code score (n_ab·1e6 div n_a) is resolved on the
+      // VOCABULARY-sized frame before it ever meets the per-doc stream —
+      // one corpus-scale join on `code` instead of two (the old
+      // dc ⋈ cAb ⋈ ctx chain re-shuffled the per-doc pair frame twice).
+      val cAb = dc.groupBy("code").agg(sum("cnt").as("n_ab"))
       val ctx = cAb.groupBy(expr("code div 2147483648L").as("ctx"))
         .agg(sum("n_ab").as("n_a"))
-      dc.join(cAb, "code")
+      val codeStats = cAb
         .withColumn("ctx", expr("code div 2147483648L"))
         .join(ctx, "ctx")
+        .select(col("code"), expr("n_ab * 1000000L div n_a").as("cscore"))
+      dc.join(codeStats, "code")
         .groupBy("doc_id", "source")
         .agg(sum("cnt").as("n_bigrams"),
-          expr("sum(cnt * (n_ab * 1000000L div n_a)) div sum(cnt)")
-            .as("lm_score"))
+          expr("sum(cnt * cscore) div sum(cnt)").as("lm_score"))
         .cache()
     }
 
@@ -761,7 +800,14 @@ object PipelineQueries {
       .select(col("doc_id"), explode(col("th")).as("h"))
       .crossJoin(broadcast(mx))
       .withColumn("decile", expr("least(9L, doc_id * 10L div (mx + 1L))"))
-    val mass = ex.groupBy("decile").agg(count(lit(1)).as("n_tokens"))
+    // token mass per decile is Σ size(th) over docs — a map-only pass
+    // over the cached frame; the old per-TOKEN explode for this branch
+    // re-ran the corpus explode a second time for the same integer
+    val mass = tokenHashes(s, dir)
+      .select(col("doc_id"), size(col("th")).cast(LongType).as("n"))
+      .crossJoin(broadcast(mx))
+      .withColumn("decile", expr("least(9L, doc_id * 10L div (mx + 1L))"))
+      .groupBy("decile").agg(sum("n").as("n_tokens"))
     val nt = ex.groupBy("h").agg(min("decile").as("fd"))
       .groupBy(col("fd").as("decile")).agg(count(lit(1)).as("nt"))
     val w = Window.orderBy("decile")
@@ -834,14 +880,21 @@ object PipelineQueries {
   }
 
   def tNovelty(s: SparkSession, dir: String): DataFrame = {
-    val ex = shingles(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
-    val first = ex.groupBy("g").agg(min(col("doc_id")).as("first_doc"))
-    ex.join(first, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_shingles"),
-        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
-          .as("n_novel"))
+    // min-owner identity: "first seen in this doc" IS "this doc is the
+    // shingle's min owner", so the per-doc novel count is a
+    // vocabulary-to-doc rollup of the first-owner frame — the old
+    // shingle-keyed join-back of the raw exploded stream (a corpus-
+    // sized shuffle) is gone; n_shingles is a map-only array size
+    // (graft_shingles already emits distinct hashes per doc).
+    val nov = shingles(s, dir)
+      .select(col("doc_id"), explode(col("sh")).as("g"))
+      .groupBy("g").agg(min(col("doc_id")).as("first_doc"))
+      .groupBy(col("first_doc").as("doc_id"))
+      .agg(count(lit(1)).as("n_novel"))
+    shingles(s, dir)
+      .select(col("doc_id"), size(col("sh")).cast(LongType).as("n_shingles"))
+      .join(nov, Seq("doc_id"), "left")
+      .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
       .select(col("doc_id"), col("n_shingles"), col("n_novel"),
         (col("n_novel").cast(DoubleType) /
           col("n_shingles").cast(DoubleType)).as("novelty"))
@@ -1008,7 +1061,11 @@ object PipelineQueries {
     * associate differently — a 4-term sum is enough to drift an ulp.
     * Scale: one keyed aggregate over the ≤ 4·n edge rows. */
   def embDensity(s: SparkSession, dir: String): DataFrame =
-    embKnnGraph(s, dir)
+    // rides the memoized [[knnEdges]] cache (the same rows embKnnGraph
+    // emits, already materialized for pagerank/label-prop) instead of
+    // re-running the banded candidate join + top-4 fold per invocation
+    knnEdges(s, dir)
+      .select(col("src").as("vec_id"), col("cos"))
       .groupBy(col("vec_id"))
       .agg(count(lit(1)).as("n_nbrs"),
         expr("sum(CAST(floor(cos * 1000000000.0 + 0.5) AS BIGINT))")
@@ -1145,7 +1202,14 @@ object PipelineQueries {
     val edges = mutualEdges(s, dir)
     val universe = tbl(s, dir, "embeddings").select(col("vec_id"))
     val l0 = universe.withColumn("label", col("vec_id"))
-    val l3 = (1 to 3).foldLeft(l0) { (prev, _) =>
+    // localCheckpoint per round (the fleet-convergence form the scaladoc
+    // names): `prev` is referenced TWICE per round (neighbor join +
+    // label join-back), so an un-truncated fold doubles the plan subtree
+    // every round — 8 copies of the base chain by round 3, re-planned
+    // and re-executed wherever stage reuse misses. The checkpoint
+    // materializes 2 longs/vertex per round and keeps every round's
+    // plan three linear shuffles over the cached edge list.
+    val l3 = (1 to 3).foldLeft(l0.localCheckpoint()) { (prev, _) =>
       val cnt = edges
         .join(prev.select(col("vec_id").as("src"), col("label")), "src")
         .groupBy(col("dst").as("vec_id"), col("label"))
@@ -1156,6 +1220,7 @@ object PipelineQueries {
       prev.join(best, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("newl"), col("label")).as("label"))
+        .localCheckpoint()
     }
     val sizes = l3.groupBy("label").agg(count(lit(1)).as("n_members"))
     l3.join(sizes, "label").select("vec_id", "label", "n_members")
@@ -1181,8 +1246,14 @@ object PipelineQueries {
     * count frame rides a broadcast cross join, never a collect. */
   def embPagerank(s: SparkSession, dir: String): DataFrame = {
     val edges = knnEdges(s, dir)
+    // localCheckpoint: the degree frame re-enters every round (vertex
+    // universe + per-edge deg divisor) and the 1-row count rides a
+    // broadcast cross join per round — un-truncated, the single DAG
+    // re-executed the degree aggregate and its count 4× each (r0 + 3
+    // rounds). Checkpointing pins n rows of 2 longs + 1 scalar row.
     val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-    val nFrame = deg.agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val nFrame = deg.agg(count(lit(1)).as("n")).localCheckpoint()
     val r0 = deg.crossJoin(broadcast(nFrame))
       .select(col("src").as("vec_id"), col("deg"), col("n"),
         expr("1000000000000L div n").as("pr"))
@@ -2484,9 +2555,17 @@ object PipelineQueries {
     * per-source-totals frames broadcast — both are bounded by the
     * categorical source cardinality, not the corpus. */
   def tKeywords(s: SparkSession, dir: String): DataFrame = {
+    // localCheckpoint: the (source, term) count frame feeds SIX plan
+    // subtrees (glob, srcTot, tot, the top-k fold's scored stream, and
+    // the final join-back's scored stream) and exchange reuse does not
+    // collapse them — un-truncated, the corpus explode + aggregate
+    // re-ran once per subtree (measured 22 s on local[8] at sf0.1; the
+    // checkpointed form re-reads a vocabulary×|sources|-sized block
+    // set, ~3 longs/row, materialized once per invocation).
     val bySrc = tokenHashes(s, dir)
       .select(col("source"), explode(col("th")).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("c_src"))
+      .localCheckpoint()
     val glob = bySrc.groupBy("t").agg(sum("c_src").as("c_glob"))
     val srcTot = bySrc.groupBy("source").agg(sum("c_src").as("s_tot"))
     val tot = srcTot.agg(sum("s_tot").as("t_tot"))
@@ -2615,19 +2694,24 @@ object PipelineQueries {
     val sp = tokenHashes(s, dir)
       .select(col("doc_id"), expr("graft_span_hashes(th)").as("spans"))
       .filter(size(col("spans")) >= 1)
-    val g = sp.select(col("doc_id"), explode(col("spans")).as("g"))
-    // per-span doc count as groupBy + join-back, NOT a span-key window:
-    // span-hash values are uniform over DISTINCT spans, but row count per
-    // span follows the duplication being measured — a license header shared
-    // by millions of docs is ONE window partition that AQE cannot split.
-    // The aggregate gets map-side partial combine (a hot span collapses to
-    // one row per map task) and the join-back is AQE-skew-splittable; the
-    // extra exchange moves only the distinct-span frame.
-    val perSpan = g.groupBy("g").agg(count(lit(1)).as("n_docs"))
-    g.join(perSpan, "g")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_spans"),
-        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    // min-owner identity (same rewrite as dDupNgramFrac): spans are
+    // DISTINCT per doc, so a span with corpus doc-count 1 lives in
+    // exactly one doc — its min owner — and n_shared = size(spans) −
+    // n_unique_owned. The old span-keyed join-back of the raw exploded
+    // stream (a corpus-sized shuffle, the heaviest exchange in the
+    // before-plan) is gone; only the span-df aggregate (map-side
+    // combined — a hot license-header span collapses to one row per map
+    // task) and a doc-keyed rollup remain.
+    val uniq = sp.select(col("doc_id"), explode(col("spans")).as("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("owner"))
+      .filter(col("n_docs") === 1L)
+      .groupBy(col("owner").as("doc_id"))
+      .agg(count(lit(1)).as("n_uniq"))
+    sp.select(col("doc_id"), size(col("spans")).cast(LongType).as("n_spans"))
+      .join(uniq, Seq("doc_id"), "left")
+      .withColumn("n_shared",
+        col("n_spans") - coalesce(col("n_uniq"), lit(0L)))
       .select(col("doc_id"), col("n_spans"), col("n_shared"),
         (col("n_shared").cast(DoubleType) / col("n_spans").cast(DoubleType))
           .as("dup_span_frac"))
@@ -2770,24 +2854,42 @@ object PipelineQueries {
     * linear; the df frame is vocabulary-sized, joined back on the term
     * key, never collected. */
   def tTfidf(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.native.register(s)
     val tf = tokenHashes(s, dir)
       .select(col("doc_id"), explode(col("th")).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy("doc_id")
-      .orderBy(col("score").desc, col("t"))
     // df as groupBy + join-back, NOT a term-key window: term frequency is
     // Zipfian, so the hottest stopword co-locates rows from nearly every
     // doc into one window partition that AQE cannot split. The aggregate
     // gets map-side partial combine (a stopword collapses to one row per
-    // map task) and the join-back on the term key is AQE-skew-splittable;
-    // the extra exchange moves only the vocabulary-sized df frame.
-    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
-    tf.join(df, "t")
+    // map task) and the join-back on the term key is AQE-skew-splittable.
+    // localCheckpoint: the vocabulary-sized df frame is consumed twice
+    // (scoring join + survivor decode) — untruncated, each consumer
+    // re-ran the full tf aggregate underneath it.
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df")).localCheckpoint()
+    // per-doc top-3 as a bounded TopKScored fold, NOT a rank window: the
+    // fold's partial state is ≤ 3 (score, payload) pairs per doc per map
+    // task, so the doc-keyed exchange carries 3 rows/doc instead of the
+    // full (doc, term) frame, and the per-partition sort disappears.
+    // Tie-parity with the old `ORDER BY score DESC, t` window: the
+    // payload packs t·2³³ + tf (t < 2³⁰; tf < 2²⁸ because a token array
+    // lives in one <2 GiB Spark row), terms are distinct within a doc,
+    // so payload-ascending == t-ascending on score ties. score (a
+    // BIGINT < 2⁵³) round-trips the fold's double exactly; tf/df/score
+    // decode from the payload + one survivors-sized df join.
+    val top = tf.join(df, "t")
       .withColumn("score", expr("tf * 1000000L div df"))
-      .withColumn("rk", row_number().over(w).cast(LongType))
-      .filter(col("rk") <= 3)
+      .groupBy("doc_id")
+      .agg(expr(
+        "graft_topk_scored(CAST(score AS DOUBLE), t * 8589934592L + tf, 3)")
+        .as("tk"))
+      .select(col("doc_id"), posexplode(col("tk")).as(Seq("__i", "e")))
+      .select(col("doc_id"), (col("__i") + 1).cast(LongType).as("rk"),
+        expr("e.payload div 8589934592L").as("t"),
+        expr("e.payload % 8589934592L").as("tf"))
+    top.join(df, "t")
       .select(col("doc_id"), col("rk"), col("t").as("term_hash"),
-        col("tf"), col("df"), col("score"))
+        col("tf"), col("df"), expr("tf * 1000000L div df").as("score"))
   }
 
   /** The registry's polynomial token hash (base 31 mod 1e9+7) applied
@@ -3287,6 +3389,23 @@ object PipelineQueries {
     s.read.parquet(graft.multimodal.MediaStore.ensure(s, dir,
       tbl(s, dir, "events")))
 
+  /** Decoded 64-bit perceptual hashes of the stored PNG column
+    * (event_id, phash, error), memoized + cached — the same
+    * shared-intermediate class as [[tokenHashes]]/[[sig40]]: the PNG
+    * decode (zlib inflate + filter reconstruction + 8×8 luminance grid)
+    * dominates the phash family's cost, two operators consume the frame
+    * ([[mmPhash]], [[mmPhashNeardup]]), and the near-dup's band
+    * self-join + keeper join-back otherwise re-decode the whole store
+    * once per plan subtree — 3 full decode chains in one physical plan
+    * (plans/r13/mm_phash_neardup_before.txt: 3× Scan→MapPartitions).
+    * 24 B/row of hash state replaces re-inflating every PNG. */
+  private def phashes(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "phashes") {
+      graft.multimodal.Multimodal
+        .imagePHashChecked(media(s, dir).select("event_id", "png"))
+        .cache()
+    }
+
   /** Image features from the stored PNG column: decode (zlib inflate,
     * filter reconstruction, CRC verification), dimensions + exact
     * per-channel pixel sums. Quarantine rows are split off, not fatal. */
@@ -3308,8 +3427,7 @@ object PipelineQueries {
     * the 64-bit key with map-side combine — the exact-dedup plan at
     * image scale; nothing pairwise anywhere. */
   def mmPhash(s: SparkSession, dir: String): DataFrame =
-    graft.multimodal.Multimodal
-      .imagePHashChecked(media(s, dir).select("event_id", "png"))
+    phashes(s, dir)
       .filter(col("error").isNull)
       .groupBy("phash")
       .agg(count(lit(1)).as("n_images"), min(col("event_id")).as("keeper_id"))
@@ -3333,8 +3451,7 @@ object PipelineQueries {
     * a min-aggregate + broadcast-sized join-back. Nothing pairwise
     * beyond the banded buckets. */
   def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val ph = graft.multimodal.Multimodal
-      .imagePHashChecked(media(s, dir).select("event_id", "png"))
+    val ph = phashes(s, dir)
       .filter(col("error").isNull)
       .select(col("event_id"), col("phash"))
     val bands = ph.select(col("event_id"), col("phash"),

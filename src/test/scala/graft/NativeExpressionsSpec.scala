@@ -63,6 +63,8 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
       s"array_sort(${PT.shingleHashesSpark("th")})")
     checkRows(df, "graft_minhash_bands(sh)",
       PT.bandsSpark(PT.minhashSpark("sh")))
+    // raw 32-lane signatures (d_minhash_est_err's agreement audit input)
+    checkRows(df, "graft_minhash32(sh)", PT.minhashSpark("sh"))
     checkRows(df, "graft_simhash(th)", PT.simhashSpark("th"))
     checkRows(df, "graft_doc_fingerprint(th)", PT.docFingerprintSpark("th"))
     checkRows(df, "graft_bigram_hashes(th)", PT.bigramHashesSpark("th"))

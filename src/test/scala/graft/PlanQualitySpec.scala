@@ -215,11 +215,14 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     def windows(q: String) = nodes(physical(q)).collect {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }
-    val tfidfWs = windows("t_tfidf")
-    assert(tfidfWs.length == 1,
-      s"t_tfidf plans ${tfidfWs.length} windows (expected only the doc rank)")
-    assert(tfidfWs.head.partitionSpec.exists(_.references.exists(
-      _.name == "doc_id")), "t_tfidf's surviving window must key on doc_id")
+    // r13: t_tfidf's per-doc rank is now a bounded TopKScored fold (≤ 3
+    // partial rows per doc per map task, no per-partition sort), so the
+    // plan must be window-free AND carry the fold
+    assert(windows("t_tfidf").isEmpty,
+      "t_tfidf must rank per-doc terms with the bounded fold, not a window")
+    assert(count(physical("t_tfidf"), p => p.isInstanceOf[
+      org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec]) >= 1,
+      "t_tfidf lost its TopKScored fold")
     assert(windows("d_span_dedup").isEmpty,
       "d_span_dedup must not compute per-span counts with a window")
     for (q <- Seq("t_tfidf", "d_span_dedup")) {
@@ -916,15 +919,33 @@ class PlanQualitySpec extends AnyFunSuite with SparkSpec {
     // a semi join of the shingle frame against the candidate-pair doc
     // ids BEFORE the 32-permutation kernel — pin that the plan still
     // carries it (losing it is linear-in-corpus work on the audit path)
+    // r13: the signature frame is cached (it joins the pair frame twice
+    // — doc_a and doc_b sides), so the semi-join lives in the
+    // InMemoryRelation's cached plan rather than the outer executed
+    // plan; descend through cached plans when collecting join nodes
     val df = SparkEntry.queries("d_minhash_est_err")(spark, sfDir)
     df.collect()
-    val semis = nodes(df.queryExecution.executedPlan).collect {
+    def allNodes(p: SparkPlan): Seq[SparkPlan] =
+      nodes(p).flatMap {
+        case m: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+          m +: allNodes(m.relation.cachedPlan)
+        case n => Seq(n)
+      }
+    val semis = allNodes(df.queryExecution.executedPlan).collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec
           if j.joinType == org.apache.spark.sql.catalyst.plans.LeftSemi => j
     }
     assert(semis.nonEmpty,
       "the recompute branch must semi-join-restrict to pair docs:\n" +
         df.queryExecution.executedPlan.toString)
+    // and the kernel stays native (the interpreted 32-lane HOF measured
+    // 13.9 s on local[8] at sf0.1)
+    assert(allNodes(df.queryExecution.executedPlan).exists(p =>
+      p.expressions.exists(_.find {
+        case _: graft.functions.native.Minhash32Sigs => true
+        case _ => false
+      }.isDefined)),
+      "the signature recompute must use the native graft_minhash32 kernel")
   }
 
   test("d_dedup_clusters over the gate: identical clusters without the hint") {
