@@ -528,9 +528,14 @@ object PipelineQueries {
     * linear in total shingles, never pairwise. All-integer output. */
   def dLeakAudit(s: SparkSession, dir: String): DataFrame = {
     val split = dSplitLeakfree(s, dir).select("doc_id", "split")
+    // join the split label BEFORE the explode (guide: explode after the
+    // join): the old order shuffled the whole exploded shingle stream by
+    // doc_id to attach one label — joining the doc-level frames first
+    // moves |docs| rows instead of |shingles|
     val ex = shingles(s, dir)
-      .select(col("doc_id"), explode(array_distinct(col("sh"))).as("g"))
       .join(split, Seq("doc_id"))
+      .select(col("doc_id"), col("split"),
+        explode(array_distinct(col("sh"))).as("g"))
     val trainG = ex.filter(col("split") === "train")
       .select("g").distinct().withColumn("__tr", lit(1L))
     ex.filter(col("split") =!= "train")
