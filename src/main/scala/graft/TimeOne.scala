@@ -26,8 +26,13 @@ object TimeOne {
     spark.sparkContext.setLogLevel("ERROR")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     for (n <- args) {
-      // warm
+      // warm — also reported as COLD: in a fresh session this first run
+      // pays every session-memo/cache fill the min-of-3 bench excludes
+      // (the r13 verdict asked for the cold single-pass cost of the
+      // cache-riding queries to be published once per round)
+      val c0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
+      println(f"COLD $n ${(System.nanoTime()-c0)/1e9}%.2f")
       val t0 = System.nanoTime()
       SparkEntry.queries(n)(spark, dir).write.format("noop").mode("overwrite").save()
       println(f"TIMED $n ${(System.nanoTime()-t0)/1e9}%.2f")

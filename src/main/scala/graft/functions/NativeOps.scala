@@ -98,6 +98,83 @@ object NativeOps {
     new GenericArrayData(out)
   }
 
+  /** Reversibly PACKED adjacent-pair bigram codes (a·2³¹ + b) of a
+    * token-hash array — the LM/collocation pair key (token hashes are
+    * < 2³⁰ < 2³¹, so the pack is exact and the endpoints decode by
+    * division/modulus). Order-preserving, duplicates kept. Twin: the SQL
+    * `transform(sequence(1, size(th)-1), i -> th[i]*2147483648 + th[i+1])`
+    * the LM/collocation oracles mirror — pure integer arithmetic, so
+    * parity is exact by construction (NativeExpressionsSpec pins it). */
+  def bigramCodes(input: ArrayData): ArrayData = {
+    val th = input.toLongArray()
+    val n = math.max(0, th.length - 1)
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      out(i) = th(i) * 2147483648L + th(i + 1)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Scalar-quantization encode of one vector against broadcast per-dim
+    * min/max tables: codes (floor((x−mn)·255/(mx−mn)), 0 on a degenerate
+    * dim), the dequantized reconstruction, and its L2 norm — ONE pass
+    * instead of three interpreted 64-lane HOFs per row. Every double
+    * operation replays the SQL twins' order exactly ((x−mn)·255 then ÷;
+    * code·(mx−mn) then ÷255 then mn+; norm accumulates deq²
+    * left-to-right then sqrt), so results are bit-identical to the HOF
+    * chain the DuckDB oracle mirrors (NativeExpressionsSpec pins it). */
+  def sqEncode64(v: ArrayData, mns: ArrayData,
+      mxs: ArrayData): org.apache.spark.sql.catalyst.InternalRow = {
+    val n = mns.numElements()
+    if (v.numElements() != n || mxs.numElements() != n)
+      throw new IllegalArgumentException(
+        s"SQ encode: v has ${v.numElements()}, mns $n, mxs " +
+          s"${mxs.numElements()} elements — all must agree")
+    val code = new Array[Long](n)
+    val deq = new Array[Double](n)
+    var acc = 0.0d
+    var i = 0
+    while (i < n) {
+      val mn = mns.getDouble(i)
+      val mx = mxs.getDouble(i)
+      val c =
+        if (mx == mn) 0L
+        else math.floor((v.getFloat(i).toDouble - mn) * 255.0d / (mx - mn))
+          .toLong
+      code(i) = c
+      deq(i) = mn + c.toDouble * (mx - mn) / 255.0d
+      i += 1
+    }
+    i = 0
+    while (i < n) { acc = acc + deq(i) * deq(i); i += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](new GenericArrayData(code), new GenericArrayData(deq),
+        math.sqrt(acc)))
+  }
+
+  /** Σ floor(|x_i − d_i|·1e9 + 0.5) over a float vector and its double
+    * reconstruction — the SQ residual fold of emb_quantize_error as one
+    * codegen'd pass (the HOF `aggregate(sequence(1,64), …)` twin runs
+    * ~64 interpreted lambda frames per row). Same double ops in the same
+    * order, so the BIGINT result is identical by construction. */
+  def sqAbsErrE9(v: ArrayData, deq: ArrayData): Long = {
+    val n = deq.numElements()
+    if (v.numElements() != n)
+      throw new IllegalArgumentException(
+        s"SQ abs-err: v has ${v.numElements()}, deq $n elements")
+    var acc = 0L
+    var i = 0
+    while (i < n) {
+      acc += math.floor(
+        math.abs(v.getFloat(i).toDouble - deq.getDouble(i)) * 1000000000.0d
+          + 0.5d).toLong
+      i += 1
+    }
+    acc
+  }
+
   /** Distinct 8-token-span rolling hashes (exact-substring dedup
     * granularity). Set semantics — downstream consumers count span
     * occurrences, never rely on order. Twin: PortableText.spanHashes*. */

@@ -85,6 +85,41 @@ final class PqCodec(cbIn: Array[Array[Array[Float]]],
       InternalRow(new GenericArrayData(codes), math.sqrt(acc))
     }
   }
+
+  /** The query-side ADC lookup table — m·ks dot products of the query's
+    * sub-slices against every codebook centroid, flat-indexed
+    * `si·ks + c` exactly like the HOF
+    * `flatten(transform(sequence(0,m-1), si -> transform(sequence(0,ks-1),
+    * c -> aggregate(sequence(1,sub), 0D, (a,j) -> a + v[si·sub+j] ·
+    * cb[c+1][si·sub+j]))))` twin the DuckDB oracle mirrors: the inner
+    * j-fold accumulates left-to-right in double from 0.0, so every entry
+    * is bit-identical (NativeExpressionsSpec pins it). One tight loop
+    * instead of ~m·ks·sub interpreted lambda frames per query row. */
+  def lut(v: ArrayData): ArrayData = {
+    if (v.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"PQ LUT: query vector has ${v.numElements()} elements, codebook " +
+          s"expects m*sub = ${m * sub}")
+    val out = new Array[Double](m * ks)
+    var si = 0
+    while (si < m) {
+      val cbs = cb(si)
+      var c = 0
+      while (c < ks) {
+        val cv = cbs(c)
+        var a = 0.0d
+        var j = 0
+        while (j < sub) {
+          a = a + v.getFloat(si * sub + j).toDouble * cv(j).toDouble
+          j += 1
+        }
+        out(si * ks + c) = a
+        c += 1
+      }
+      si += 1
+    }
+    new GenericArrayData(out)
+  }
 }
 
 /** The ADC lookup-table sum as a static kernel: m LUT lookups + adds,
@@ -137,6 +172,26 @@ case class PqLutSumExpr(lut: Expression, code: Expression, m: Int, ks: Int)
       s"graft.functions.PqAdc.lutSum($l, $c, $m, $ks)")
   override protected def withNewChildrenInternal(l: Expression,
       r: Expression): PqLutSumExpr = copy(lut = l, code = r)
+}
+
+/** `PqCodec.lut` as a codegen'd unary expression over the query vector —
+  * the native twin of the query-side ADC-table HOF (the last
+  * CodegenFallback node in the ann_pq/ann_ivfpq plans; query-count-sized
+  * work, but it dragged the whole query projection out of whole-stage
+  * codegen). */
+case class PqLutBuildExpr(child: Expression, codec: PqCodec)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullSafeEval(input: Any): Any =
+    codec.lut(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext,
+      ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCodec", codec,
+      classOf[PqCodec].getName)
+    defineCodeGen(ctx, ev, c => s"$ref.lut($c)")
+  }
+  override protected def withNewChildInternal(c: Expression): PqLutBuildExpr =
+    copy(child = c)
 }
 
 /** `PqCodec.encode` as a codegen'd unary expression over the embedding

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
@@ -177,6 +177,54 @@ object native {
     override protected def withNewChildInternal(c: Expression) = copy(c)
   }
 
+  /** Array<Long> token hashes -> Array<Long> reversibly packed bigram
+    * codes (a·2³¹ + b — token hashes < 2³⁰, exact). Parity: the SQL
+    * transform twin in NativeExpressionsSpec. */
+  case class BigramCodes(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any =
+      NativeOps.bigramCodes(input.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$Ops.bigramCodes($c)")
+    override protected def withNewChildInternal(c: Expression) = copy(c)
+  }
+
+  /** (Array<Float> v, Array<Double> mns, Array<Double> mxs) ->
+    * struct<code: Array<Long>, deq: Array<Double>, cnorm: Double>: the
+    * scalar-quantization encode + dequantized reconstruction + its norm
+    * in one codegen'd pass. Parity: the three-HOF SQL chain in
+    * NativeExpressionsSpec. */
+  case class Sq64Encode(first: Expression, second: Expression,
+      third: Expression) extends TernaryExpression {
+    override def dataType: DataType = StructType(Seq(
+      StructField("code", ArrayType(LongType, containsNull = false),
+        nullable = false),
+      StructField("deq", ArrayType(DoubleType, containsNull = false),
+        nullable = false),
+      StructField("cnorm", DoubleType, nullable = false)))
+    override def nullSafeEval(v: Any, mns: Any, mxs: Any): Any =
+      NativeOps.sqEncode64(v.asInstanceOf[ArrayData],
+        mns.asInstanceOf[ArrayData], mxs.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"$Ops.sqEncode64($a, $b, $c)")
+    override protected def withNewChildrenInternal(a: Expression,
+        b: Expression, c: Expression) = copy(a, b, c)
+  }
+
+  /** (Array<Float> v, Array<Double> deq) -> Long: Σ floor(|x−d|·1e9+0.5)
+    * — the SQ residual fold. Parity: the aggregate-HOF twin in
+    * NativeExpressionsSpec. */
+  case class SqAbsErrE9(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      NativeOps.sqAbsErrE9(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$Ops.sqAbsErrE9($a, $b)")
+    override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+      copy(l, r)
+  }
+
   /** String -> struct<masked, email_chars, digit_run_chars>: one-pass PII
     * scrub with the exact semantics of the four-regex projection it
     * replaces (email replace, then digit-run replace; counts over the
@@ -226,6 +274,12 @@ object native {
       es => KmvDistinct(es.head).toAggregateExpression()),
     ("graft_bigram_hashes", "adjacent-pair bigram hashes",
       es => BigramHashes(es.head)),
+    ("graft_bigram_codes", "reversibly packed adjacent-pair bigram codes",
+      es => BigramCodes(es.head)),
+    ("graft_sq64", "scalar-quantize encode: struct(code, deq, cnorm)",
+      es => Sq64Encode(es(0), es(1), es(2))),
+    ("graft_sq_abserr_e9", "SQ residual fold: sum floor(|x-d|*1e9+0.5)",
+      es => SqAbsErrE9(es(0), es(1))),
     ("graft_pii_scrub",
       "one-pass PII mask: struct(masked, email_chars, digit_run_chars)",
       es => PiiScrub(es.head)),

@@ -43,6 +43,7 @@ object PipelineQueries {
     frameMemo.evictMatching(s)(_._1 == dir)
     clustersMemo.evictMatching(s)(_ == dir)
     embCountMemo.evictMatching(s)(_ == dir)
+    pqCbMemo.evictMatching(s)(_ == dir)
     graft.multimodal.MediaStore.evict(s, dir)
     AggQueries.evictNcStore(s, dir)
     evictSigStore(s, dir)
@@ -73,6 +74,18 @@ object PipelineQueries {
       .get(BroadcastGateKey, (256L << 20).toString).toLong
     if (df.count() * bytesPerRow <= maxBytes) broadcast(df) else df
   }
+
+  /** Best-effort unpersist of a localCheckpoint'd frame's backing RDD.
+    * `Dataset.unpersist` only consults the CacheManager, which does not
+    * track checkpoint RDDs — without this, per-round frames (label
+    * propagation's fold) accumulate in the block manager until
+    * ContextCleaner garbage-collects the dropped references. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Number of live memo entries for (session, dir) — specs. */
   def cachedFrameCount(s: SparkSession, dir: String): Int =
@@ -165,14 +178,18 @@ object PipelineQueries {
     // graft_minhash32 is the codegen'd native kernel (same permutation
     // constants as PT.minhashSpark — property-pinned in
     // NativeExpressionsSpec): the interpreted 32-lane HOF dominated this
-    // query's CPU (13.9 s on local[8] at sf0.1). Cached: the pair frame
-    // joins the signature frame TWICE (doc_a and doc_b sides), and
-    // without the cache each side re-runs the semi-join + kernel.
-    val mh = shingles(s, dir)
-      .join(pairDocs, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("sh"),
-        expr("graft_minhash32(sh)").as("mh"))
-      .cache()
+    // query's CPU (13.9 s on local[8] at sf0.1). Cached VIA THE MEMO so
+    // evictCaches unpersists it between scale factors (a bare .cache()
+    // stayed pinned for the session): the pair frame joins the signature
+    // frame TWICE (doc_a and doc_b sides), and without the cache each
+    // side re-runs the semi-join + kernel.
+    val mh = memo(s, dir, "mhSigs") {
+      shingles(s, dir)
+        .join(pairDocs, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("sh"),
+          expr("graft_minhash32(sh)").as("mh"))
+        .cache()
+    }
     pairs
       .join(mh.toDF("doc_a", "sh_a", "mh_a"), Seq("doc_a"))
       .join(mh.toDF("doc_b", "sh_b", "mh_b"), Seq("doc_b"))
@@ -686,13 +703,11 @@ object PipelineQueries {
   private def lmScores(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "lmScores") {
       val th = tokenHashes(s, dir)
-      // th has >= 3 tokens (tokenHashes' filter): sequence() never
-      // counts down, and every doc has >= 2 bigrams
+      // graft_bigram_codes: the codegen'd pack kernel (identical integer
+      // arithmetic to the transform-HOF twin it replaced — pinned in
+      // NativeExpressionsSpec); the interpreted lambda ran per token
       val codes = th.select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, size(th) - 1), " +
-            "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
-          .as("code"))
+        explode(expr("graft_bigram_codes(th)")).as("code"))
       val dc = codes.groupBy("doc_id", "source", "code")
         .agg(count(lit(1)).as("cnt"))
       // corpus pair counts ROLL UP from the per-doc frame (n_ab = Σ cnt)
@@ -839,10 +854,7 @@ object PipelineQueries {
       val out = s"$d/lm_store"
       val codes = tokenHashes(s, dir)
         .filter(col("doc_id") % 10 =!= 7)
-        .select(explode(expr(
-          "transform(sequence(1, size(th) - 1), " +
-            "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
-          .as("code"))
+        .select(explode(expr("graft_bigram_codes(th)")).as("code"))
       val cAb = codes.groupBy("code").agg(count(lit(1)).as("n_ab"))
       val ctx = cAb.groupBy(expr("code div 2147483648L").as("ctx"))
         .agg(sum("n_ab").as("n_a"))
@@ -872,10 +884,7 @@ object PipelineQueries {
     val delta = tokenHashes(s, dir)
       .filter(col("doc_id") % 10 === 7)
       .select(col("doc_id"), col("source"),
-        explode(expr(
-          "transform(sequence(1, size(th) - 1), " +
-            "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
-          .as("code"))
+        explode(expr("graft_bigram_codes(th)")).as("code"))
     delta.join(store, Seq("code"), "left")
       .groupBy("doc_id", "source")
       .agg(count(lit(1)).as("n_bigrams"),
@@ -981,24 +990,12 @@ object PipelineQueries {
     * in buckets that are provably >95% non-dup anisotropy mass (sampled
     * hot-cohort cosine: mean 0.115, 5.4% above threshold). */
   def dEmbedNeardup(s: SparkSession, dir: String): DataFrame = {
-    val e = sig40(s, dir)
-    val b = lshBandBits(embCount(s, dir))
-    val nb = 40 / b
-    val keys = (0 until nb).map(k =>
-      (lit(k.toLong << 21).bitwiseOR(
-        shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
-        .as(s"k$k"))
-    val w = Window.partitionBy("key")
-    val eb = e.select(col("vec_id"), col("v"),
-        explode(array(keys: _*)).as("key"))
-      .withColumn("__h",
-        expr("((vec_id % 1000003) * 2654435761) % 1000003"))
-      .withColumn("__r", row_number().over(
-          w.orderBy(col("__h"), col("vec_id"))).cast(LongType) - lit(1L))
-      .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__m", expr("(__bn + 1023) div 1024"))
-      .withColumn("blk", pmod(col("__r"), col("__m")))
-      .select("vec_id", "v", "key", "blk")
+    // rides the memoized residue-blocked band frame ([[ebBlocked]]):
+    // both self-join sides read the cache, so the band explode + the
+    // two per-key window passes run once per (session, dir) instead of
+    // twice per invocation (the r13 plan shows two full
+    // Generate→Window→Window chains, one per side)
+    val eb = ebBlocked(s, dir)
     eb.toDF("vec_a", "va", "key", "blk")
       .join(eb.toDF("vec_b", "vb", "key", "blk"), Seq("key", "blk"))
       .filter(col("vec_a") < col("vec_b"))
@@ -1007,6 +1004,41 @@ object PipelineQueries {
       .select("vec_a", "vec_b", "cos")
       .distinct()
   }
+
+  /** The residue-blocked band frame (vec_id, v, key, blk) shared by
+    * every EMPTY-carry banded self-join ([[dEmbedNeardup]],
+    * [[bandedCandidates]] → emb_knn_graph and the knnEdges riders),
+    * memoized and cached: each of those queries consumes it from BOTH
+    * sides of a self-join, and un-cached the band explode plus the two
+    * per-key window passes (rank + bucket count for residue blocking)
+    * re-ran per side per invocation. corpus×bands rows of (2 longs +
+    * the vector) — the same session-memo class as [[sig40]] /
+    * [[tokenHashes]]; at fleet scale this IS the banded index a
+    * deployment materializes once per standing corpus. Carry-bearing
+    * consumers (labels ride the band frame) keep their own pre-explode
+    * attach join — joining carry onto this frame would move
+    * corpus×bands rows instead of n. */
+  private def ebBlocked(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "ebBlocked") {
+      val b = lshBandBits(embCount(s, dir))
+      val nb = 40 / b
+      val keys = (0 until nb).map(k =>
+        (lit(k.toLong << 21).bitwiseOR(
+          shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
+          .as(s"k$k"))
+      val w = Window.partitionBy("key")
+      sig40(s, dir).select(col("vec_id"), col("v"),
+          explode(array(keys: _*)).as("key"))
+        .withColumn("__h",
+          expr("((vec_id % 1000003) * 2654435761) % 1000003"))
+        .withColumn("__r", row_number().over(
+            w.orderBy(col("__h"), col("vec_id"))).cast(LongType) - lit(1L))
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__m", expr("(__bn + 1023) div 1024"))
+        .withColumn("blk", pmod(col("__r"), col("__m")))
+        .select("vec_id", "v", "key", "blk")
+        .cache()
+    }
 
   /** Approximate k-nearest-neighbor GRAPH over the corpus (k=4): every
     * vector's top cosine neighbors among the vectors sharing one of its
@@ -1222,10 +1254,16 @@ object PipelineQueries {
       val best = cnt.groupBy("vec_id")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("vec_id"), (-col("m.nl")).as("newl"))
-      prev.join(best, Seq("vec_id"), "left")
+      val next = prev.join(best, Seq("vec_id"), "left")
         .select(col("vec_id"),
           coalesce(col("newl"), col("label")).as("label"))
         .localCheckpoint()
+      // next is materialized (eager), so the previous round's blocks are
+      // dead — unpersist them instead of waiting for ContextCleaner GC
+      // (repeated bench passes otherwise stack 4 checkpointed frames per
+      // invocation in the block manager)
+      unpersistCheckpoint(prev)
+      next
     }
     val sizes = l3.groupBy("label").agg(count(lit(1)).as("n_members"))
     l3.join(sizes, "label").select("vec_id", "label", "n_members")
@@ -1290,32 +1328,33 @@ object PipelineQueries {
     * `<name>_a`/`<name>_b`. The attach join runs BEFORE the band
     * explode — n rows, one linear co-shuffle with the cached signature
     * frame — so the (much larger) candidate stream itself never picks
-    * up an extra shuffle; with `carry` empty the plan is bit-identical
-    * to the historical one. */
+    * up an extra shuffle; with `carry` empty both sides ride the
+    * memoized [[ebBlocked]] frame (identical rows — the blocking rule
+    * is the same expression chain). */
   private def bandedCandidates(s: SparkSession, dir: String,
       carry: Seq[String] = Nil): DataFrame = {
-    val base = sig40(s, dir)
-    val e =
-      if (carry.isEmpty) base
-      else base.join(tbl(s, dir, "embeddings")
+    val eb = if (carry.isEmpty) ebBlocked(s, dir) else {
+      val base = sig40(s, dir)
+      val e = base.join(tbl(s, dir, "embeddings")
         .select(col("vec_id") +: carry.map(col): _*), "vec_id")
-    val b = lshBandBits(embCount(s, dir))
-    val nb = 40 / b
-    val keys = (0 until nb).map(k =>
-      (lit(k.toLong << 21).bitwiseOR(
-        shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
-        .as(s"k$k"))
-    val w = Window.partitionBy("key")
-    val eb = e.select(col("vec_id") +: col("v") +: carry.map(col) :+
-        explode(array(keys: _*)).as("key"): _*)
-      .withColumn("__h",
-        expr("((vec_id % 1000003) * 2654435761) % 1000003"))
-      .withColumn("__r", row_number().over(
-          w.orderBy(col("__h"), col("vec_id"))).cast(LongType) - lit(1L))
-      .withColumn("__bn", count(lit(1)).over(w))
-      .withColumn("__m", expr("(__bn + 1023) div 1024"))
-      .withColumn("blk", pmod(col("__r"), col("__m")))
-      .select((Seq("vec_id", "v", "key", "blk") ++ carry).map(col): _*)
+      val b = lshBandBits(embCount(s, dir))
+      val nb = 40 / b
+      val keys = (0 until nb).map(k =>
+        (lit(k.toLong << 21).bitwiseOR(
+          shiftright(col("sig"), k * b).bitwiseAND(lit((1L << b) - 1))))
+          .as(s"k$k"))
+      val w = Window.partitionBy("key")
+      e.select(col("vec_id") +: col("v") +: carry.map(col) :+
+          explode(array(keys: _*)).as("key"): _*)
+        .withColumn("__h",
+          expr("((vec_id % 1000003) * 2654435761) % 1000003"))
+        .withColumn("__r", row_number().over(
+            w.orderBy(col("__h"), col("vec_id"))).cast(LongType) - lit(1L))
+        .withColumn("__bn", count(lit(1)).over(w))
+        .withColumn("__m", expr("(__bn + 1023) div 1024"))
+        .withColumn("blk", pmod(col("__r"), col("__m")))
+        .select((Seq("vec_id", "v", "key", "blk") ++ carry).map(col): _*)
+    }
     def side(sfx: String) = eb.select(
       col("vec_id").as(s"vec_$sfx") +: col("v").as(s"v$sfx") +:
         col("key") +: col("blk") +:
@@ -1816,26 +1855,23 @@ object PipelineQueries {
       expr("transform(array_sort(collect_list(struct(p, mx))), y -> y.mx)")
         .as("mxs"))
     // floor, not round: round's half-way rule differs between engines
-    // (HALF_UP vs half-even); floor is identical everywhere
+    // (HALF_UP vs half-even); floor is identical everywhere. graft_sq64
+    // is the codegen'd one-pass kernel for code + deq + cnorm (the three
+    // interpreted 64-lane HOFs it replaces ran ~192 lambda frames per
+    // row; double-op order identical — NativeExpressionsSpec pins it).
+    // Scoring must run against the DEQUANTIZED reconstruction, not the
+    // raw codes: code ≈ (x - min) * s, and dot products of min-shifted
+    // vectors are not monotone in the original dot product. The
+    // reconstruction needs only the code plus the 64-entry min/max
+    // table, so at scale the codes remain the stored index (4× less
+    // bandwidth) and dequantization happens at scan time.
     e.crossJoin(broadcast(stats))
-      .withColumn("code", expr(
-        """transform(sequence(1, 64), i ->
-          |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0L
-          |  ELSE CAST(floor((CAST(element_at(v, i) AS DOUBLE) - element_at(mns, i))
-          |       * 255.0D / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)
-          |  END)""".stripMargin))
-      // scoring must run against the DEQUANTIZED reconstruction, not the
-      // raw codes: code ≈ (x - min) * s, and dot products of min-shifted
-      // vectors are not monotone in the original dot product. The
-      // reconstruction needs only the code plus the 64-entry min/max
-      // table, so at scale the codes remain the stored index (4× less
-      // bandwidth) and dequantization happens at scan time.
-      .withColumn("deq", expr(
-        """transform(sequence(1, 64), i ->
-          |  element_at(mns, i) + CAST(element_at(code, i) AS DOUBLE)
-          |    * (element_at(mxs, i) - element_at(mns, i)) / 255.0D)""".stripMargin))
-      .withColumn("cnorm", expr(PV.normSpark("deq")))
-      .select(col("vec_id"), col("code"), col("deq"), col("cnorm"),
+      // single Generate evaluation of the struct-returning kernel (the
+      // CollapseProject re-eval trap — see pqCoded)
+      .select(col("vec_id") +: col("bucket") +:
+        explode(array(expr("graft_sq64(v, mns, mxs)"))).as("__sq") +: Nil: _*)
+      .select(col("vec_id"), col("__sq.code").as("code"),
+        col("__sq.deq").as("deq"), col("__sq.cnorm").as("cnorm"),
         col("bucket"))
       .cache()
   }
@@ -1876,21 +1912,24 @@ object PipelineQueries {
     * in the same WindowGroupLimit-bounded rank window as the other ANN
     * paths. All arithmetic is fixed-order double folds, so the DuckDB
     * oracle hash-matches bit-for-bit (SURVEY §3). */
-  /** Shared fixed-parameter PQ expression strings (m = 8 subspaces ×
-    * 8 dims, ks = 16 codes) over columns `v` (raw vector) and `cb` (the
-    * codebook literal) — the query-side LUT build and the ADC score,
-    * used verbatim by [[annPq]] and [[annIvfPq]] so both paths score
-    * with the identical deterministic arithmetic their DuckDB oracles
-    * mirror. (The corpus-side ENCODE runs through the native
-    * [[graft.functions.PqCodec]] kernel — bit-parity with the SQL fold
-    * pinned in NativeExpressionsSpec — because ~1k interpreted lambda
-    * frames per row made the encode the 100×-scale bottleneck.) */
-  private val pqLutExpr =
-    """flatten(transform(sequence(0, 7), sub ->
-      |  transform(sequence(0, 15), c ->
-      |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
-      |      a + CAST(element_at(v, sub * 8 + j) AS DOUBLE)
-      |        * CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin
+  /** The query-side ADC lookup table over column `v` via the native
+    * [[graft.functions.PqLutBuildExpr]] kernel (m = 8 subspaces ×
+    * 8 dims, ks = 16 codes) — shared by [[annPq]] / [[annRerank]] /
+    * [[annIvfPq]] so every path scores with the identical deterministic
+    * arithmetic their DuckDB oracles mirror (the kernel replays the
+    * HOF-twin's fold order bit-for-bit; NativeExpressionsSpec pins it).
+    * Query-count-sized work, but the interpreted HOF dragged the whole
+    * query-frame projection out of whole-stage codegen — the last
+    * CodegenFallback node in these plans. (The corpus-side ENCODE runs
+    * through the native [[graft.functions.PqCodec]] kernel for the same
+    * reason: ~1k interpreted lambda frames per row made the encode the
+    * 100×-scale bottleneck.) */
+  private def pqLut(s: SparkSession,
+      cb: Array[Array[Array[Float]]]): org.apache.spark.sql.Column = {
+    val codec = new graft.functions.PqCodec(cb, withNorm = false)
+    graft.functions.native.parameterized(s,
+      es => graft.functions.PqLutBuildExpr(es.head, codec), col("v"))
+  }
   /** The per-candidate ADC score via the native
     * [[graft.functions.PqAdc]] lookup-sum kernel (bit-parity with the
     * oracle's HOF fold — same lookups, same order — pinned in
@@ -1908,21 +1947,22 @@ object PipelineQueries {
   /** The 16-lowest-id-vector PQ codebook, collected driver-side
     * (model-sized: 16×64 floats — the same contract as
     * [[corpusCentroids]]' collected codebook) — deterministic seed rule
-    * shared by [[annPq]] / [[annIvfPq]]. Returned both as the m×ks×sub
-    * kernel layout and as the flat 16-vector literal the LUT SQL
-    * indexes. */
-  private def pqCodebookArr(e: DataFrame): Array[Array[Array[Float]]] = {
-    val seeds = e.filter(col("vec_id") < 16).orderBy("vec_id")
-      .select("v").collect().map(_.getSeq[Float](0).toArray)
-    require(seeds.length == 16, s"corpus has ${seeds.length} vectors < 16")
-    Array.tabulate(8, 16)((si, c) => seeds(c).slice(si * 8, (si + 1) * 8))
-  }
-
-  /** The flat codebook literal (16 vectors of 64 floats) for the
-    * query-side LUT expression, matching the oracle's `cbt` CTE. */
-  private def pqCbLit(cb: Array[Array[Array[Float]]]): org.apache.spark.sql.Column =
-    typedLit(Seq.tabulate(16)(c =>
-      Seq.tabulate(64)(d => cb(d / 8)(c)(d % 8))))
+    * shared by [[annPq]] / [[annRerank]] / [[annIvfPq]], in the m×ks×sub
+    * kernel layout. Memoized per (session, dir) like [[embCountMemo]]:
+    * three queries × three bench passes each re-ran the (pruned, but
+    * still job-launching) collect for the identical 4 KB of driver
+    * state. */
+  private val pqCbMemo =
+    new SessionScoped[String, Array[Array[Array[Float]]]]()
+  private def pqCodebookArr(s: SparkSession,
+      dir: String): Array[Array[Array[Float]]] =
+    pqCbMemo.getOrBuild(s, dir) {
+      val seeds = tbl(s, dir, "embeddings")
+        .filter(col("vec_id") < 16).orderBy("vec_id")
+        .select("embedding").collect().map(_.getSeq[Float](0).toArray)
+      require(seeds.length == 16, s"corpus has ${seeds.length} vectors < 16")
+      Array.tabulate(8, 16)((si, c) => seeds(c).slice(si * 8, (si + 1) * 8))
+    }
 
   /** PQ-encode a (vec_id, v, ...) frame with the native kernel: per
     * subspace 16 L2 distances -> 1-based argmin (FIRST minimum: ties to
@@ -1949,13 +1989,12 @@ object PipelineQueries {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").as("v"))
-    val cb = pqCodebookArr(e)
+    val cb = pqCodebookArr(s, dir)
     val coded = pqCoded(e, cb).select("vec_id", "v", "code", "rnorm")
     // queries keep their RAW vector (asymmetric: only the corpus side is
     // quantized) — one 128-entry LUT each, broadcast to the code scan
     val q = coded.filter(col("vec_id") < 8)
-      .withColumn("cb", pqCbLit(cb))
-      .withColumn("lut", expr(pqLutExpr))
+      .withColumn("lut", pqLut(s, cb))
       .withColumn("qn", expr(PV.normSpark("v")))
       .select(col("vec_id").as("q_id"), col("lut"), col("qn"))
     val scored = coded
@@ -1990,11 +2029,10 @@ object PipelineQueries {
     val e = tbl(s, dir, "embeddings")
       .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), col("embedding").as("v"))
-    val cb = pqCodebookArr(e)
+    val cb = pqCodebookArr(s, dir)
     val coded = pqCoded(e, cb).select("vec_id", "v", "code", "rnorm")
     val qRaw = coded.filter(col("vec_id") < 8)
-      .withColumn("cb", pqCbLit(cb))
-      .withColumn("lut", expr(pqLutExpr))
+      .withColumn("lut", pqLut(s, cb))
       .withColumn("qn", expr(PV.normSpark("v")))
     val q = qRaw.select(col("vec_id").as("q_id"), col("lut"), col("qn"))
     val scored = coded
@@ -2052,12 +2090,10 @@ object PipelineQueries {
     val e = tbl(s, dir, "embeddings")
       .select(col("vec_id"), col("label").cast(LongType).as("label"),
         col("embedding"))
+    // graft_sq_abserr_e9: the codegen'd residual fold (identical double
+    // ops/order to the aggregate-HOF twin — NativeExpressionsSpec)
     e.join(sqCodes(s, dir).select("vec_id", "deq"), Seq("vec_id"))
-      .withColumn("__err", expr(
-        """aggregate(sequence(1, 64), 0L, (a, i) ->
-          |  a + CAST(floor(abs(CAST(element_at(embedding, i) AS DOUBLE)
-          |        - element_at(deq, i)) * 1000000000.0D + 0.5D)
-          |      AS BIGINT))""".stripMargin))
+      .withColumn("__err", expr("graft_sq_abserr_e9(embedding, deq)"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"), sum("__err").as("err_e9"))
       .select(col("label"), col("n_vecs"), col("err_e9"),
@@ -2099,8 +2135,7 @@ object PipelineQueries {
       .select(col("vec_id"), col("embedding").as("v"), col("cid"))
     // PQ side: encode each list member with the native kernel — the
     // stored index is (cid, vec_id, code, rnorm), never raw vectors
-    val cb = pqCodebookArr(
-      e.select(col("vec_id"), col("embedding").as("v")))
+    val cb = pqCodebookArr(s, dir)
     val index = pqCoded(lists, cb)
       .select(col("cid"), col("vec_id").as("n_id"), col("code"),
         col("rnorm"))
@@ -2108,8 +2143,7 @@ object PipelineQueries {
     // queries × nprobe rows), broadcast to the pruned code scan
     val q = e.filter(col("vec_id") < 8)
       .select(col("vec_id").as("q_id"), col("embedding").as("v"))
-      .withColumn("cb", pqCbLit(cb))
-      .withColumn("lut", expr(pqLutExpr))
+      .withColumn("lut", pqLut(s, cb))
       .withColumn("qn", expr(PV.normSpark("v")))
       .select(col("q_id"), col("lut"), col("qn"))
     val probes = assigned.filter(col("vec_id") < 8 && col("crn") <= 2)
@@ -2566,11 +2600,17 @@ object PipelineQueries {
     // collapse them — un-truncated, the corpus explode + aggregate
     // re-ran once per subtree (measured 22 s on local[8] at sf0.1; the
     // checkpointed form re-reads a vocabulary×|sources|-sized block
-    // set, ~3 longs/row, materialized once per invocation).
+    // set, ~3 longs/row, materialized once per invocation). LAZY
+    // (eager = false): explain-only consumers must not run corpus-scale
+    // jobs at DataFrame-construction time; the RDD persists at first
+    // action instead. Tradeoff (either eagerness): a localCheckpoint's
+    // lineage is truncated, so executor loss after materialization is
+    // unrecoverable — a dynamic-allocation fleet should use reliable
+    // checkpointing here.
     val bySrc = tokenHashes(s, dir)
       .select(col("source"), explode(col("th")).as("t"))
       .groupBy("source", "t").agg(count(lit(1)).as("c_src"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val glob = bySrc.groupBy("t").agg(sum("c_src").as("c_glob"))
     val srcTot = bySrc.groupBy("source").agg(sum("c_src").as("s_tot"))
     val tot = srcTot.agg(sum("s_tot").as("t_tot"))
@@ -2868,33 +2908,41 @@ object PipelineQueries {
     // doc into one window partition that AQE cannot split. The aggregate
     // gets map-side partial combine (a stopword collapses to one row per
     // map task) and the join-back on the term key is AQE-skew-splittable.
-    // localCheckpoint: the vocabulary-sized df frame is consumed twice
-    // (scoring join + survivor decode) — untruncated, each consumer
-    // re-ran the full tf aggregate underneath it.
-    val df = tf.groupBy("t").agg(count(lit(1)).as("df")).localCheckpoint()
-    // per-doc top-3 as a bounded TopKScored fold, NOT a rank window: the
-    // fold's partial state is ≤ 3 (score, payload) pairs per doc per map
-    // task, so the doc-keyed exchange carries 3 rows/doc instead of the
-    // full (doc, term) frame, and the per-partition sort disappears.
-    // Tie-parity with the old `ORDER BY score DESC, t` window: the
-    // payload packs t·2³³ + tf (t < 2³⁰; tf < 2²⁸ because a token array
-    // lives in one <2 GiB Spark row), terms are distinct within a doc,
-    // so payload-ascending == t-ascending on score ties. score (a
-    // BIGINT < 2⁵³) round-trips the fold's double exactly; tf/df/score
-    // decode from the payload + one survivors-sized df join.
-    val top = tf.join(df, "t")
+    // df is consumed ONCE (the scoring join): the survivor decode rides
+    // the dual fold below, so no checkpoint and no second vocabulary
+    // join — the tf subtree under df reuses the scoring join's exchange.
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    // per-doc top-3 as a bounded DUAL TopKScored fold, NOT a rank window:
+    // the fold's partial state is ≤ 3 (score, payload) pairs per doc per
+    // map task (×2 folds), so the doc-keyed exchange carries 6 rows/doc
+    // instead of the full (doc, term) frame, and the per-partition sort
+    // disappears. Tie-parity with the old `ORDER BY score DESC, t`
+    // window: both payloads pack t·2³³ + x (t < 2³⁰; x = tf < 2²⁸
+    // because a token array lives in one <2 GiB Spark row, or x = df
+    // < 2³³ — up to 8.5e9 docs, same documented-bound class as t),
+    // terms are distinct within a doc, so payload-ascending ==
+    // t-ascending on score ties IN BOTH folds — the two ranked arrays
+    // align index-for-index and zip losslessly. tf/df decode by
+    // division; score recomputes from them in the projection (exact
+    // BIGINT) — no survivor join-back at all.
+    tf.join(df, "t")
       .withColumn("score", expr("tf * 1000000L div df"))
       .groupBy("doc_id")
-      .agg(expr(
-        "graft_topk_scored(CAST(score AS DOUBLE), t * 8589934592L + tf, 3)")
-        .as("tk"))
-      .select(col("doc_id"), posexplode(col("tk")).as(Seq("__i", "e")))
+      .agg(
+        expr(
+          "graft_topk_scored(CAST(score AS DOUBLE), t * 8589934592L + tf, 3)")
+          .as("tk"),
+        expr(
+          "graft_topk_scored(CAST(score AS DOUBLE), t * 8589934592L + df, 3)")
+          .as("tkd"))
+      .select(col("doc_id"),
+        posexplode(arrays_zip(col("tk"), col("tkd"))).as(Seq("__i", "e")))
       .select(col("doc_id"), (col("__i") + 1).cast(LongType).as("rk"),
-        expr("e.payload div 8589934592L").as("t"),
-        expr("e.payload % 8589934592L").as("tf"))
-    top.join(df, "t")
-      .select(col("doc_id"), col("rk"), col("t").as("term_hash"),
-        col("tf"), col("df"), expr("tf * 1000000L div df").as("score"))
+        expr("e.tk.payload div 8589934592L").as("term_hash"),
+        expr("e.tk.payload % 8589934592L").as("tf"),
+        expr("e.tkd.payload % 8589934592L").as("df"))
+      .select(col("doc_id"), col("rk"), col("term_hash"), col("tf"),
+        col("df"), expr("tf * 1000000L div df").as("score"))
   }
 
   /** The registry's polynomial token hash (base 31 mod 1e9+7) applied
@@ -3006,21 +3054,41 @@ object PipelineQueries {
     * division, only on the (tiny) min-count survivors. The evaluation
     * order `(n_ab·1e6 div n_a)·T div n_b` keeps every intermediate
     * ≤ ~3e14 (n_ab ≤ n_a bounds the first factor by 1e6) and is
-    * mirrored verbatim in the oracle, so truncation agrees. Plan: two
-    * keyed aggs (pair codes, unigrams), two vocabulary-keyed joins on
-    * the filtered survivors, broadcast 1-long total, top-20 via
-    * TakeOrderedAndProject. */
+    * mirrored verbatim in the oracle, so truncation agrees. Plan: ONE
+    * corpus explode (the pair-code agg; unigram counts roll up from the
+    * vocabulary-sized pair frame + a map-only last-token pass), two
+    * vocabulary-keyed joins on the filtered survivors, broadcast 1-long
+    * total, top-20 via TakeOrderedAndProject. */
   def tCollocations(s: SparkSession, dir: String): DataFrame = {
     val th = tokenHashes(s, dir)
-    // th has >= 3 tokens (tokenHashes' filter), so sequence() never
-    // counts down
-    val pairs = th.select(explode(expr(
-      "transform(sequence(1, size(th) - 1), " +
-        "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))"))
+    // graft_bigram_codes: codegen'd pack kernel, arithmetic identical to
+    // the transform-HOF twin (NativeExpressionsSpec pins it)
+    val pairs = th.select(explode(expr("graft_bigram_codes(th)"))
       .as("code"))
+    // lazily checkpointed: cAb feeds three subtrees (survivor filter +
+    // the unigram rollup twice via uni) and uni joins back twice (n_a,
+    // n_b) — un-truncated, each consumer re-ran the vocabulary-sized
+    // aggregate chain above the (AQE-stage-reused) corpus shuffle, and
+    // the single-explode rewrite measured SLOWER at 32c (1.30 → 1.80 s)
+    // until both frames were truncated. Both are VOCABULARY-sized.
     val cAb = pairs.groupBy("code").agg(count(lit(1)).as("n_ab"))
-    val uni = th.select(explode(col("th")).as("t"))
-      .groupBy("t").agg(count(lit(1)).as("n_t"))
+      .localCheckpoint(eager = false)
+    // unigram counts WITHOUT a second corpus explode: every occurrence
+    // of t is either the left element of exactly one bigram or its
+    // doc's last token, so n_t = Σ_left n_ab (a rollup of the
+    // VOCABULARY-sized pair frame) + the last-token count (a map-only
+    // pass over the cached frame — no explode). Exact by construction;
+    // the oracle SQL is unchanged and hash-checks it.
+    val uniLeft = cAb.groupBy(expr("code div 2147483648L").as("t"))
+      .agg(sum("n_ab").as("n_left"))
+    val lastTok = th
+      .select(expr("element_at(th, size(th))").as("t"))
+      .groupBy("t").agg(count(lit(1)).as("n_last"))
+    val uni = uniLeft.join(lastTok, Seq("t"), "full")
+      .select(col("t"),
+        (coalesce(col("n_left"), lit(0L)) +
+          coalesce(col("n_last"), lit(0L))).as("n_t"))
+      .localCheckpoint(eager = false)
     val tot = th.agg(sum(size(col("th")).cast(LongType) - 1L)
       .as("n_pairs"))
     val scored = cAb.filter(col("n_ab") >= 5L)

@@ -248,6 +248,118 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("bigram codes: native kernel == the packed transform-HOF twin") {
+    graft.functions.native.register(spark)
+    // fixed length >= 2 so the HOF's sequence(1, size-1) never counts down
+    val df = tokensDf(samples(Gen.listOfN(12, token), 30) ++
+      samples(Gen.listOfN(2, token), 10))
+      .select(expr("graft_token_hashes(toks)").as("th"))
+    checkRows(df, "graft_bigram_codes(th)",
+      "transform(sequence(1, size(th) - 1), " +
+        "i -> element_at(th, i) * 2147483648L + element_at(th, i + 1))")
+  }
+
+  test("SQ encode + residual fold: native kernels == the 64-lane HOF " +
+      "chain, bit for bit (incl. degenerate min == max dims)") {
+    graft.functions.native.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260818)
+    val rows = (0 until 60).map { i =>
+      val v = Seq.fill(64)((rnd.nextFloat() - 0.5f) * 4)
+      // per-dim bounds: mostly proper mn < mx windows, every 7th dim
+      // degenerate (mn == mx) to exercise the CASE branch
+      val mns = Seq.tabulate(64)(d =>
+        if (d % 7 == 3) 0.25 else -2.0 - rnd.nextDouble())
+      val mxs = Seq.tabulate(64)(d =>
+        if (d % 7 == 3) 0.25 else 2.0 + rnd.nextDouble())
+      (i.toLong, v, mns, mxs)
+    }
+    val df = rows.toDF("id", "v0", "mns", "mxs")
+      .withColumn("v", col("v0").cast("array<float>")).drop("v0")
+    // the pre-kernel HOF chain, verbatim (the DuckDB oracle's mirror)
+    val hof = df
+      .withColumn("code", expr(
+        """transform(sequence(1, 64), i ->
+          |  CASE WHEN element_at(mxs, i) = element_at(mns, i) THEN 0L
+          |  ELSE CAST(floor((CAST(element_at(v, i) AS DOUBLE) - element_at(mns, i))
+          |       * 255.0D / (element_at(mxs, i) - element_at(mns, i))) AS BIGINT)
+          |  END)""".stripMargin))
+      .withColumn("deq", expr(
+        """transform(sequence(1, 64), i ->
+          |  element_at(mns, i) + CAST(element_at(code, i) AS DOUBLE)
+          |    * (element_at(mxs, i) - element_at(mns, i)) / 255.0D)""".stripMargin))
+      .withColumn("cnorm", expr(PV.normSpark("deq")))
+      .withColumn("err", expr(
+        """aggregate(sequence(1, 64), 0L, (a, i) ->
+          |  a + CAST(floor(abs(CAST(element_at(v, i) AS DOUBLE)
+          |        - element_at(deq, i)) * 1000000000.0D + 0.5D)
+          |      AS BIGINT))""".stripMargin))
+      .select("id", "code", "deq", "cnorm", "err").collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[Double](2), r.getDouble(3),
+          r.getLong(4))).toMap
+    val nat = df
+      .select(col("id"), col("v"), expr("graft_sq64(v, mns, mxs)").as("sq"))
+      .select(col("id"), col("sq.code").as("code"), col("sq.deq").as("deq"),
+        col("sq.cnorm").as("cnorm"),
+        expr("graft_sq_abserr_e9(v, sq.deq)").as("err"))
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getSeq[Long](1), r.getSeq[Double](2), r.getDouble(3),
+          r.getLong(4))).toMap
+    assert(nat.keySet === hof.keySet)
+    nat.foreach { case (id, (nc, nd, nn, ne)) =>
+      val (hc, hd, hn, he) = hof(id)
+      assert(nc === hc, s"row $id codes differ")
+      nd.zip(hd).zipWithIndex.foreach { case ((a, b), d) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b),
+          s"row $id deq[$d] bits differ: $a vs $b")
+      }
+      assert(java.lang.Double.doubleToLongBits(nn) ===
+        java.lang.Double.doubleToLongBits(hn),
+        s"row $id cnorm bits differ: $nn vs $hn")
+      assert(ne === he, s"row $id abs-err differs: $ne vs $he")
+    }
+  }
+
+  test("PQ LUT build: native kernel == the 128-entry HOF twin, bit for bit") {
+    graft.functions.native.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260817)
+    val flat = Array.tabulate(16, 64)((c, d) =>
+      (rnd.nextFloat() - 0.5f) * (1 + (c + d) % 3))
+    val cb = Array.tabulate(8, 16)((si, c) =>
+      flat(c).slice(si * 8, (si + 1) * 8))
+    val df = (0 until 40).map { i =>
+      (i.toLong, Seq.fill(64)((rnd.nextFloat() - 0.5f) * 2))
+    }.toDF("id", "v0").withColumn("v", col("v0").cast("array<float>"))
+    val codec = new graft.functions.PqCodec(cb, withNorm = false)
+    val out = df
+      .withColumn("cb", typedLit(flat.map(_.toSeq).toSeq))
+      .select(col("id"),
+        graft.functions.native.parameterized(spark,
+          es => graft.functions.PqLutBuildExpr(es.head, codec), col("v"))
+          .as("n"),
+        expr(
+          """flatten(transform(sequence(0, 7), sub ->
+            |  transform(sequence(0, 15), c ->
+            |    aggregate(sequence(1, 8), CAST(0 AS DOUBLE), (a, j) ->
+            |      a + CAST(element_at(v, sub * 8 + j) AS DOUBLE)
+            |        * CAST(element_at(element_at(cb, c + 1), sub * 8 + j) AS DOUBLE)))))""".stripMargin)
+          .as("h"))
+      .collect()
+    out.foreach { r =>
+      val n = r.getSeq[Double](1); val h = r.getSeq[Double](2)
+      assert(n.length === 128 && h.length === 128)
+      n.zip(h).zipWithIndex.foreach { case ((a, b), e) =>
+        assert(java.lang.Double.doubleToLongBits(a) ===
+          java.lang.Double.doubleToLongBits(b),
+          s"id ${r.getLong(0)} lut[$e] bits differ: $a vs $b")
+      }
+    }
+  }
+
   test("native expressions run under codegen-only (no interpreted fallback)") {
     // a Janino compile error in doGenCode would silently fall back to the
     // interpreted path in normal mode; CODEGEN_ONLY + fallback=false turns
@@ -264,7 +376,8 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
         "graft_doc_fingerprint(graft_token_hashes(split(text, ' '))) fp",
         "graft_simhash(graft_token_hashes(split(text, ' '))) sh",
         "graft_minhash_bands(graft_shingles(graft_token_hashes(split(text, ' ')))) mb",
-        "graft_bigram_hashes(graft_token_hashes(split(text, ' '))) bh"
+        "graft_bigram_hashes(graft_token_hashes(split(text, ' '))) bh",
+        "graft_bigram_codes(graft_token_hashes(split(text, ' '))) bc"
       ).collect()
       assert(textOut.length === 2)
       val vecs = Seq(Array.fill(64)(0.5f), Array.tabulate(64)(_.toFloat / 64))
@@ -272,6 +385,13 @@ class NativeExpressionsSpec extends AnyFunSuite with SparkSpec {
       val vecOut = vecs.selectExpr(
         "graft_cosine(v, v) c", "graft_lsh_bucket(v) bk").collect()
       assert(vecOut.length === 2)
+      // SQ encode + residual fold kernels stay inside generated code
+      val sqOut = vecs
+        .withColumn("mns", expr("transform(sequence(1, 64), i -> -1.0D)"))
+        .withColumn("mxs", expr("transform(sequence(1, 64), i -> 2.0D)"))
+        .selectExpr("graft_sq64(v, mns, mxs) sq")
+        .selectExpr("sq.code", "sq.cnorm").collect()
+      assert(sqOut.length === 2 && sqOut.forall(_.getSeq[Long](0).size == 64))
       // the PQ encode kernel must also stay inside generated code
       val codec = new graft.functions.PqCodec(
         Array.tabulate(8, 16, 8)((si, c, j) => (si + c + j).toFloat / 32),
