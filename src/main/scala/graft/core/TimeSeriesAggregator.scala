@@ -292,7 +292,17 @@ object TimeSeriesAggregator {
     val deduped = withPrev.filter(
       col("__prev_t").isNull || col(T) - col("__prev_t") >= cfg.minStepUs)
     // next neighbor over the deduped stream; same window partitioning, so
-    // no second exchange on the data path
+    // no second exchange on the data path.
+    //
+    // The nextChunk branch below DOES re-run a scan→shuffle→sort→lag
+    // chain over the event stream (the r14 plan audit, plans/r14/
+    // q_agg_fill_edges_audit.txt nodes 25-55) — deliberately kept: the
+    // branch is column-pruned to (event_id, ts) = 3 longs/row, so the
+    // recompute is a NARROW second pass, while truncating it with a
+    // checkpoint would materialize the full-width deduped stream
+    // (measured: localCheckpoint(eager=false) here was FLAT at sf0.1 —
+    // 0.86→0.88 / 0.83→0.80 s TimeOne local[8] — and at 100 TB a wide
+    // materialization costs more than a 3-long/row pass).
     val nextChunk = deduped
       .groupBy(CHUNK).agg(min(T).as("__chunk_first"))
       .withColumn("__next_chunk_first", lead(col("__chunk_first"), 1).over(wc))

@@ -32,10 +32,12 @@ class GraftExtensionsSpec extends AnyFunSuite with SparkSpec {
       s"extension/injection drift: ${expected -- names} ${names -- expected}")
     // each builder constructs a well-typed expression from dummy children
     import org.apache.spark.sql.catalyst.expressions.Literal
-    val binary = Set("graft_cosine", "graft_bottomk", "graft_topk_scored")
+    val arities = Map("graft_cosine" -> 2, "graft_bottomk" -> 2,
+      "graft_topk_scored" -> 2, "graft_sq_abserr_e9" -> 2,
+      "graft_sq64" -> 3)
     injected.foreach {
       case (id, _, builder) =>
-        val arity = if (binary(id.funcName)) 2 else 1
+        val arity = arities.getOrElse(id.funcName, 1)
         val e = builder(Seq.fill(arity)(Literal(null)))
         assert(e.dataType != null, s"${id.funcName} builder failed")
     }
