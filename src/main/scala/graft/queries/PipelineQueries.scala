@@ -1333,7 +1333,17 @@ object PipelineQueries {
     * is the same expression chain). */
   private def bandedCandidates(s: SparkSession, dir: String,
       carry: Seq[String] = Nil): DataFrame = {
-    val eb = if (carry.isEmpty) ebBlocked(s, dir) else {
+    // carry-bearing frames are memoized per carry set exactly like the
+    // empty-carry [[ebBlocked]]: emb_hard_negatives and emb_triplet_mine
+    // both consume the `label` variant from BOTH sides of a self-join,
+    // so un-cached the band explode + the two per-key window passes ran
+    // twice per invocation per query (the r14 before-plans show two full
+    // Generate→Window→Window chains each, like d_embed_neardup's before
+    // the r14 ebBlocked memo). The label attach itself stays PRE-explode
+    // (n rows, one linear co-shuffle) — joining carry onto the exploded
+    // frame would move corpus×bands rows.
+    val eb = if (carry.isEmpty) ebBlocked(s, dir)
+      else memo(s, dir, s"ebCarry:${carry.mkString(",")}") {
       val base = sig40(s, dir)
       val e = base.join(tbl(s, dir, "embeddings")
         .select(col("vec_id") +: carry.map(col): _*), "vec_id")
@@ -1354,6 +1364,7 @@ object PipelineQueries {
         .withColumn("__m", expr("(__bn + 1023) div 1024"))
         .withColumn("blk", pmod(col("__r"), col("__m")))
         .select((Seq("vec_id", "v", "key", "blk") ++ carry).map(col): _*)
+        .cache()
     }
     def side(sfx: String) = eb.select(
       col("vec_id").as(s"vec_$sfx") +: col("v").as(s"v$sfx") +:
@@ -3518,28 +3529,54 @@ object PipelineQueries {
     * ball sharing a band (null = kept) — one verdict row per stored
     * image, the same bounded output shape as the stream dedups.
     *
-    * Scale shape: map-only decode+hash, a 4-row band explode, one band
-    * equi-join whose verify (`bit_count(ph_a ^ ph_b)`) runs INSIDE the
-    * join as codegen'd integer ops — candidates never materialize — and
-    * a min-aggregate + broadcast-sized join-back. Nothing pairwise
-    * beyond the banded buckets. */
-  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame = {
-    val ph = phashes(s, dir)
+    * Scale shape: map-only decode+hash, then the pair scan runs at
+    * DISTINCT-phash level — the min-owner identity of [[tHapax]] /
+    * [[tNovelty]] lifted to the Hamming ball. Re-encodes of one picture
+    * hash IDENTICALLY (that is [[mmPhash]]'s whole premise), so image-
+    * level banding made every duplicate group collide with itself in
+    * all 4 bands: Σ bucket² was 55.1M image pairs at sf0.1 where the
+    * distinct-phash frame (6.7k of 50k rows) carries 875K — 63× less —
+    * and image-level pair mass grows QUADRATICALLY with the duplication
+    * factor while the distinct frame doesn't grow at all. The verdict
+    * decomposes exactly: with `gmin(p)` = the lowest image id hashing
+    * to p and `xmin(p)` = the lowest gmin over p's ≤3-bit neighbor
+    * values (4-row band explode of the DISTINCT frame, equi-join,
+    * `bit_count` verify inside the join), a group's only member below b
+    * (if any) is its gmin, so `first_dup(b) = least(gmin WHEN < b,
+    * xmin WHEN < b)` — same rows bit-for-bit, oracle unchanged. The
+    * join-back keys on phash (vocabulary-sized stats frame,
+    * AQE-splittable); nothing pairwise beyond the distinct-level banded
+    * buckets. */
+  def mmPhashNeardup(s: SparkSession, dir: String): DataFrame =
+    phashNeardupVerdicts(phashes(s, dir)
       .filter(col("error").isNull)
-      .select(col("event_id"), col("phash"))
-    val bands = ph.select(col("event_id"), col("phash"),
+      .select(col("event_id"), col("phash")))
+
+  /** The distinct-level verdict pass of [[mmPhashNeardup]], split out so
+    * the min-owner decomposition is property-testable against the
+    * pairwise definition on engineered hash sets (MultimodalSpec). */
+  private[graft] def phashNeardupVerdicts(ph: DataFrame): DataFrame = {
+    val dp = ph.groupBy("phash").agg(min(col("event_id")).as("gmin"))
+    val bands = dp.select(col("phash"), col("gmin"),
       posexplode(expr(
         "transform(sequence(0, 3), k -> shiftright(phash, k * 16) & 65535)"))
         .as(Seq("band_idx", "sig")))
-    val dup = bands.toDF("id_b", "ph_b", "band_idx", "sig")
-      .join(bands.toDF("id_a", "ph_a", "band_idx", "sig"),
+    // both directions fall out of the unordered join (no id order at
+    // distinct level); multi-band duplicates of a neighbor pair are
+    // absorbed by the min
+    val xmin = bands.toDF("phash", "gmin", "band_idx", "sig")
+      .join(bands.toDF("ph_a", "ga", "band_idx", "sig"),
         Seq("band_idx", "sig"))
-      .filter(col("id_a") < col("id_b") &&
-        expr("bit_count(ph_a ^ ph_b) <= 3"))
-      .groupBy(col("id_b").as("event_id"))
-      .agg(min(col("id_a")).as("first_dup"))
-    ph.select(col("event_id"))
-      .join(dup, Seq("event_id"), "left")
+      .filter(col("ph_a") =!= col("phash") &&
+        expr("bit_count(ph_a ^ phash) <= 3"))
+      .groupBy("phash")
+      .agg(min(col("ga")).as("xmin"))
+    ph.join(dp, "phash")
+      .join(xmin, Seq("phash"), "left")
+      .select(col("event_id"),
+        least(
+          when(col("gmin") < col("event_id"), col("gmin")),
+          when(col("xmin") < col("event_id"), col("xmin"))).as("first_dup"))
       .select(col("event_id"), col("first_dup"),
         col("first_dup").isNull.as("kept"))
   }

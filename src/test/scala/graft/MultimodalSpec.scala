@@ -246,6 +246,48 @@ class MultimodalSpec extends AnyFunSuite with SparkSpec {
       "corrupt payload must quarantine with an error")
   }
 
+  test("phash near-dup min-owner decomposition == the pairwise Hamming " +
+      "definition on engineered and randomized hash sets") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // engineered: identical groups (quadratic under image-level banding),
+    // 3-bit neighbors, a 4-bit NON-neighbor sharing 3 of 4 bands (the
+    // verify filter must reject it), a sign-bit neighbor (arithmetic
+    // shiftright band extraction), and a 2-bit neighbor whose differing
+    // bits straddle two bands (pigeonhole: still shares 2 bands)
+    val engineered = Seq(
+      1L -> 0L, 2L -> 0L, 9L -> 0L,              // identical group
+      3L -> 7L,                                   // ham 3 from 0L
+      4L -> 15L,                                  // ham 4: shares bands 1-3, NOT a dup
+      5L -> (1L << 63),                           // ham 1, sign bit
+      6L -> ((1L << 1) | (1L << 17)),             // ham 2 across bands 0,1
+      7L -> -1L, 8L -> -1L)                       // identical group far from 0L
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val bases = Array(0L, -1L, 0x5A5A_5A5A_5A5A_5A5AL, 1L << 40)
+    val randomized = (100L until 300L).map { id =>
+      val b = bases(rnd.nextInt(bases.length))
+      val flips = rnd.nextInt(5) // 0..4 bit flips: mix of dups and non-dups
+      id -> (0 until flips).foldLeft(b)((h, _) => h ^ (1L << rnd.nextInt(64)))
+    }
+    for (data <- Seq(engineered, randomized.toSeq)) {
+      val ph = data.toDF("event_id", "phash")
+      val got = graft.queries.PipelineQueries.phashNeardupVerdicts(ph)
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getBoolean(2)))
+        .sortBy(_._1)
+      val brute = ph.toDF("id_b", "ph_b")
+        .join(ph.toDF("id_a", "ph_a"),
+          col("id_a") < col("id_b") && expr("bit_count(ph_a ^ ph_b) <= 3"))
+        .groupBy(col("id_b").as("event_id"))
+        .agg(min(col("id_a")).as("first_dup"))
+      val want = ph.select("event_id").join(brute, Seq("event_id"), "left")
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.isNullAt(1)))
+        .sortBy(_._1)
+      assert(got.toSeq === want.toSeq)
+    }
+  }
+
   test("mm queries read the stored table, prune to one payload column, and evict") {
     val dir = "/root/testdata/sf0.001"
     assume(new java.io.File(s"$dir/events.parquet").exists)
